@@ -1,0 +1,270 @@
+"""Climatology & threshold operators (the reference's EP1).
+
+The reference computes, per grid cell and leap-normalized day-of-year:
+
+- ``seas``   — pooled-window mean over all samples within +/- W *series
+  positions* of each occurrence of that DOY in the baseline years
+  (reference: src/mhw3d/legacy/climatology.py:61-119 `_pool_window`;
+  tests/data/legacy/marineHeatWaves.py:266-281 index-window loop), and
+- ``thresh`` — the exact linear-interpolation percentile (default 90th)
+  over the same pool (marineHeatWaves.py:280 `np.nanpercentile`),
+
+then interpolates Feb 29 as the mean of Feb 28 / Mar 1
+(marineHeatWaves.py:282-284) and smooths with a width-31 *circular*
+running mean over DOY (marineHeatWaves.py:858-885 `runavg`).
+
+Spark-first design notes
+------------------------
+The reference pivots the series to a rectangular (year, doy) grid with
+cross-year pads purely because dense arrays need rectangular windows.
+Relationally none of that machinery is needed: each sample row simply
+*contributes* to the DOY buckets of its +/-W series neighbors —
+a window `collect_list` + `explode` + hash-aggregate. One shuffle for
+the per-cell window sort, one for the (cell, doy) aggregate; partial
+aggregation (map-side combine) keeps the exploded 11x rows from ever
+hitting the shuffle in full.
+
+Pooling is by *series position* (row adjacency per cell), exactly like
+the reference's index arithmetic — for contiguous daily data this is
+identical to calendar-day distance, and for gapped records (e.g. the
+leap-years-only test fixture) it reproduces the reference's behavior
+where calendar distance would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.functions.calendar import clim_doy
+
+FEB29 = 60
+
+
+def _nanify(c: Column) -> Column:
+    """NULL -> NaN (so window means *poison* like the reference's
+    fixed-divisor convolution instead of skipping)."""
+    return F.coalesce(c, F.lit(float("nan")))
+
+
+def _denanify(c: Column) -> Column:
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
+def densify_doy(clim: DataFrame, cell_col: str = "cell_id", doy_col: str = "doy") -> DataFrame:
+    """Reindex to the dense 1..366 DOY domain (missing DOYs -> NULL rows).
+
+    Reference equivalent: ``reindex(doy=np.arange(1, 367))``
+    (legacy/climatology.py:79,92).
+    """
+    cells = clim.select(cell_col).distinct()
+    grid = cells.select(
+        cell_col, F.explode(F.sequence(F.lit(1), F.lit(366))).alias(doy_col)
+    )
+    return grid.join(clim, [cell_col, doy_col], "left")
+
+
+def interp_feb29(
+    clim: DataFrame,
+    value_cols: tuple[str, ...] = ("seas", "thresh"),
+    cell_col: str = "cell_id",
+    doy_col: str = "doy",
+) -> DataFrame:
+    """Overwrite DOY 60 with 0.5*DOY59 + 0.5*DOY61 for each value column
+    (reference: legacy/climatology.py:13-21; marineHeatWaves.py:282-284).
+
+    NULL-propagating: if either neighbor is NULL the result is NULL,
+    matching `0.5*nan + 0.5*x = nan`.
+    """
+    neighbors = (
+        clim.filter(F.col(doy_col).isin(FEB29 - 1, FEB29 + 1))
+        .groupBy(cell_col)
+        .agg(
+            *[
+                (
+                    F.lit(0.5) * F.max(F.when(F.col(doy_col) == FEB29 - 1, F.col(c)))
+                    + F.lit(0.5) * F.max(F.when(F.col(doy_col) == FEB29 + 1, F.col(c)))
+                ).alias(f"__f29_{c}")
+                for c in value_cols
+            ]
+        )
+    )
+    out = clim.join(F.broadcast(neighbors), [cell_col], "left")
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.when(F.col(doy_col) == FEB29, F.col(f"__f29_{c}")).otherwise(F.col(c))
+        )
+    return out.drop(*[f"__f29_{c}" for c in value_cols])
+
+
+def smooth_doy_circular(
+    clim: DataFrame,
+    value_cols: tuple[str, ...] = ("seas", "thresh"),
+    width: int = 31,
+    mode: str = "full",
+    cell_col: str = "cell_id",
+    doy_col: str = "doy",
+) -> DataFrame:
+    """Width-`width` centered running mean over DOY, circular across the
+    year boundary (reference `runavg`: 3-fold periodic concatenation,
+    marineHeatWaves.py:858-885; xarray version legacy/climatology.py:122-138).
+
+    mode="full"  — smooth the dense 366-row axis; NULL entries poison the
+                   window (the reference's fixed-divisor convolution
+                   propagates NaN). Input should be densified first.
+    mode="valid" — the reference's `Ly` (sub-366-day calendar) variant:
+                   smooth over only the DOYs that exist, circularly in
+                   their own compressed sequence
+                   (marineHeatWaves.py:288-293).
+
+    Implementation: union three shifted copies (pos-P, pos, pos+P) and a
+    plain rows-window mean, keep the middle copy — the wrap supplies full
+    windows so edge semantics need no special-casing.
+    """
+    if width % 2 != 1:
+        raise ValueError("smoothing width must be odd")
+    half = width // 2
+    other = [c for c in clim.columns if c not in (cell_col, doy_col, *value_cols)]
+
+    if mode == "full":
+        base = clim.select(
+            cell_col,
+            F.col(doy_col).alias("__pos"),
+            *[ _nanify(F.col(c)).alias(c) for c in value_cols],
+            *other,
+        )
+        period = F.lit(366)
+    elif mode == "valid":
+        valid_pred = None
+        for c in value_cols:
+            p = F.col(c).isNotNull()
+            valid_pred = p if valid_pred is None else (valid_pred | p)
+        valid = clim.filter(valid_pred)
+        wn = Window.partitionBy(cell_col).orderBy(doy_col)
+        base = valid.withColumn(
+            "__pos", F.row_number().over(wn)
+        ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(cell_col)))
+        base = base.select(
+            cell_col, "__pos", "__n", doy_col,
+            *[_nanify(F.col(c)).alias(c) for c in value_cols], *other,
+        )
+        period = F.col("__n")
+    else:
+        raise ValueError(f"unknown smoothing mode {mode!r}")
+
+    copies = base.select(
+        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("__copy")
+    ).withColumn("__pos_ext", F.col("__pos") + F.col("__copy") * period)
+
+    w = (
+        Window.partitionBy(cell_col)
+        .orderBy("__pos_ext")
+        .rowsBetween(-half, half)
+    )
+    sm = copies
+    for c in value_cols:
+        sm = sm.withColumn(c, F.avg(F.col(c)).over(w))
+    sm = sm.filter(F.col("__copy") == 0)
+
+    if mode == "full":
+        out = sm.withColumn(doy_col, F.col("__pos"))
+    else:
+        out = sm  # doy_col was carried through
+    for c in value_cols:
+        out = out.withColumn(c, _denanify(F.col(c)))
+    # .drop ignores columns that are absent
+    return out.drop("__pos", "__pos_ext", "__copy", "__n")
+
+
+def pooled_climatology(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    baseline: tuple[int, int] | None = None,
+    pctile: float = 90.0,
+    window_half_width: int = 5,
+    smooth_width: int | None = 31,
+    smooth_mode: str = "full",
+    strict_nan: bool = False,
+    feb29_interp: bool = True,
+) -> DataFrame:
+    """Compute ``clim(cell_id, doy, seas, thresh)`` from a long-format
+    time series — the reference's `compute_climatology` +
+    `compute_threshold` in one pass over the data.
+
+    strict_nan=False reproduces the vendored oracle's nan-skipping
+    `nanmean`/`nanpercentile`; strict_nan=True reproduces the xarray
+    port's skipna=False contract — any measured-but-NULL sample in the
+    pool nullifies the bucket (legacy/climatology.py:243-252).
+    """
+    doy = clim_doy(F.col(time_col))
+    d = ts.select(
+        F.col(cell_col).alias("cell_id"),
+        F.col(time_col).alias("time"),
+        F.col(temp_col).alias("temp"),
+        doy.alias("doy"),
+    )
+    if baseline is not None:
+        in_base = F.year("time").between(baseline[0], baseline[1])
+    else:
+        in_base = F.lit(True)
+
+    # Each row's +/-W series neighbors that are baseline occurrences of a
+    # (non-Feb-29) DOY define the buckets this row's temp contributes to.
+    w = (
+        Window.partitionBy("cell_id")
+        .orderBy("time")
+        .rowsBetween(-window_half_width, window_half_width)
+    )
+    target = F.when(in_base & (F.col("doy") != FEB29), F.col("doy"))
+    pooled = (
+        d.withColumn("__targets", F.collect_list(target).over(w))
+        .select("cell_id", "temp", F.explode("__targets").alias("doy"))
+    )
+
+    aggs = [
+        F.avg("temp").alias("seas"),
+        F.expr(f"percentile(temp, {pctile / 100.0!r})").alias("thresh"),
+    ]
+    if strict_nan:
+        aggs.append(F.max(F.col("temp").isNull().cast("int")).alias("__has_missing"))
+    clim = pooled.groupBy("cell_id", "doy").agg(*aggs)
+    if strict_nan:
+        clim = clim.select(
+            "cell_id",
+            "doy",
+            F.when(F.col("__has_missing") == 0, F.col("seas")).alias("seas"),
+            F.when(F.col("__has_missing") == 0, F.col("thresh")).alias("thresh"),
+        )
+
+    clim = densify_doy(clim)
+    if feb29_interp:
+        clim = interp_feb29(clim)
+    if smooth_width:
+        clim = smooth_doy_circular(clim, width=smooth_width, mode=smooth_mode)
+    return clim.select("cell_id", "doy", "seas", "thresh")
+
+
+def simple_climatology(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    baseline: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Best-practice per-DOY plain mean (no pooling): groupby('dayofyear')
+    .mean() then reindex 1..366 (reference: best_practice/climatology.py:99-105).
+    """
+    d = ts.select(
+        F.col(cell_col).alias("cell_id"),
+        F.col(temp_col).alias("temp"),
+        clim_doy(F.col(time_col)).alias("doy"),
+        F.year(time_col).alias("__yr"),
+    )
+    if baseline is not None:
+        d = d.filter(F.col("__yr").between(*baseline))
+    out = d.groupBy("cell_id", "doy").agg(F.avg("temp").alias("seas"))
+    return densify_doy(out)

@@ -1,0 +1,58 @@
+"""SparkSession construction and session-level configuration.
+
+The engine targets a large multi-executor cluster; locally it runs on
+``local[N]``. All settings below are plain public Spark SQL confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to apply to an externally-supplied
+# session at runtime — e.g. the test-data `events` table stores
+# TIMESTAMP(NANOS) which Spark's parquet reader only accepts as int64
+# nanoseconds behind this legacy flag.
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not runtime-settable in this build — non-fatal; the
+            # loaders have pure-python fallbacks.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "mhw3d_detection_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a local session sized for this machine.
+
+    On a real cluster the user supplies their own session; everything in
+    the engine only assumes the confs in :data:`RUNTIME_CONFS`.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure(spark)

@@ -1,0 +1,70 @@
+"""Table loaders for the driver's synthetic parquet tables.
+
+At engine level every scan is ``spark.read.parquet(...)`` (reference
+equivalent: ``xr.open_dataset`` / ``open_mfdataset`` lazy scans,
+reference README.md:51). Predicate pushdown / column pruning is left
+to Catalyst — callers `.select()`/`.filter()` and the parquet scan
+prunes (verified via `.explain` in tests).
+
+The `events` table stores int64 TIMESTAMP(NANOS); Spark reads it as
+LongType under `spark.sql.legacy.parquet.nanosAsLong` and we derive a
+microsecond TimestampType column (truncation, consistent with how the
+engine's oracles truncate).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; normalizes the `events` ns-timestamp."""
+    configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanoseconds -> microsecond timestamp (truncating), keep
+        # the raw nanos for exact integer comparisons in oracles.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def events_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `events` stream table re-shaped as the engine's canonical
+    long-format time series: ts(cell_id, time, temp).
+
+    user_id plays the grid-cell role, ts the time axis, value the
+    temperature variable (reference data model: temp(time, lat, lon) ->
+    one row per (cell, time) sample).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("cell_id"),
+        F.col("ts").alias("time"),
+        F.col("value").alias("temp"),
+    )
