@@ -1,0 +1,315 @@
+"""Event detection + per-event metrics (the reference's EP3).
+
+The reference detects events per grid cell with a hand-rolled RLE kernel
+(src/mhw3d/common/core.py:37-86) or `scipy.ndimage.label`
+(tests/data/legacy/marineHeatWaves.py:319), then computes per-event
+metrics over a time x event interval mask (common/core.py:110-123;
+marineHeatWaves.py:350-411).
+
+Spark-first design
+------------------
+Detection is classic gaps-and-islands sessionization — two window
+passes and two hash aggregates, no fixed-width event matrix, no
+iterative gap-merge loop:
+
+1. W3  run-length encode the boolean exceedance series per cell:
+       ``changed = flag != lag(flag)`` -> ``run_id = running sum``.
+2. W4  min-duration filter: ``groupBy(cell, run_id) HAVING count >= d``.
+3. W5  gap joining: a *second* sessionization over the surviving runs
+       themselves: ``gap = start - lag(end) - 1``; runs chain into one
+       event while ``gap <= maxGap``. The reference merges iteratively
+       (first short gap, repeat: marineHeatWaves.py:330-345); a single
+       cumulative-sum pass is equivalent because merging is
+       chain-transitive (A-B merge never *increases* the B-C gap).
+4. A5/W6/W7  metrics: expand each event to its member days
+       (``explode(sequence(start, end))`` -> equi-join back to the
+       series — cheaper at scale than a range join), one hash
+       aggregate for every intensity/category/rate metric.
+
+Shuffle budget for the whole flow: one window sort per cell (W3), one
+agg (W4), one tiny window over runs (W5), one equi-join + agg (A5).
+All operators are stock DataFrame ops -> Catalyst/AQE handle skew,
+partial aggregation, and broadcast of the small events side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.functions.scalar import CATEGORIES
+
+
+def exceedance(
+    ts_sev: DataFrame,
+    *,
+    temp_col: str = "temp",
+    seas_col: str = "seas",
+    thresh_col: str = "thresh",
+    fill_missing: bool = True,
+) -> DataFrame:
+    """Boolean exceedance series (reference: marineHeatWaves.py:303-317).
+
+    Missing temps are replaced by the climatology (so data gaps
+    terminate events) and a ``was_missing`` flag is kept; exceedance is
+    strictly ``temp > thresh`` with NULL -> false.
+    """
+    out = ts_sev.withColumn("was_missing", F.col(temp_col).isNull())
+    if fill_missing:
+        out = out.withColumn(temp_col, F.coalesce(F.col(temp_col), F.col(seas_col)))
+    return out.withColumn(
+        "exceed",
+        F.coalesce(F.col(temp_col) > F.col(thresh_col), F.lit(False)),
+    )
+
+
+def detect_events(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    flag_col: str = "exceed",
+    min_duration: int = 5,
+    max_gap: int = 2,
+    join_across_gaps: bool = True,
+) -> DataFrame:
+    """Sessionize a boolean series into events(cell_id, event_id,
+    date_start, date_end, duration).
+
+    Implements W3 (RLE), W4 (min-duration HAVING) and W5 (gap joining)
+    from SURVEY.md §2.6; semantics match marineHeatWaves.py:319-345 and
+    common/core.py:53-74. ``duration`` counts every calendar day from
+    start to end inclusive (joined gaps count: marineHeatWaves.py:371
+    takes ``len(temp[tt_start:tt_end+1])``).
+    """
+    w = Window.partitionBy(cell_col).orderBy(time_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    flag = F.coalesce(F.col(flag_col), F.lit(False))
+    lagged = F.lag(flag).over(w)
+    changed = F.when(lagged.isNull() | (flag != lagged), 1).otherwise(0)
+
+    runs = (
+        ts.withColumn("__flag", flag)
+        .withColumn("__run", F.sum(changed).over(wcum))
+        .filter(F.col("__flag"))
+        .groupBy(cell_col, "__run")
+        .agg(
+            F.min(time_col).alias("run_start"),
+            F.max(time_col).alias("run_end"),
+            F.count(F.lit(1)).alias("run_days"),
+        )
+        .filter(F.col("run_days") >= min_duration)
+    )
+
+    if join_across_gaps:
+        w2 = Window.partitionBy(cell_col).orderBy("run_start")
+        gap = F.datediff("run_start", F.lag("run_end").over(w2)) - 1
+        new_event = F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
+        grouped = runs.withColumn(
+            "__evt",
+            F.sum(new_event).over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    else:
+        grouped = runs.withColumn("__evt", F.col("__run"))
+
+    events = grouped.groupBy(cell_col, "__evt").agg(
+        F.min("run_start").alias("date_start"),
+        F.max("run_end").alias("date_end"),
+    )
+    return events.select(
+        cell_col,
+        F.row_number()
+        .over(Window.partitionBy(cell_col).orderBy("date_start"))
+        .alias("event_id"),
+        "date_start",
+        "date_end",
+        (F.datediff("date_end", "date_start") + 1).alias("duration"),
+    )
+
+
+def _sqrt_var_pop(c: Column) -> Column:
+    """np.var is ddof=0 -> var_pop; reference takes sqrt(var), i.e. the
+    population standard deviation (marineHeatWaves.py:373)."""
+    return F.sqrt(F.var_pop(c))
+
+
+def event_metrics(
+    ts_sev: DataFrame,
+    events: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    seas_col: str = "seas",
+    thresh_col: str = "thresh",
+    with_rates: bool = True,
+    with_categories: bool = True,
+) -> DataFrame:
+    """Per-event intensity / category / rate metrics
+    (A5 + W6 + W7 + W8 + S6 of SURVEY.md §2; semantics:
+    marineHeatWaves.py:350-411, common/core.py:89-127).
+
+    ``ts_sev`` must carry temp (already gap-filled with seas if that
+    mode is on), seas and thresh per (cell, day). Member days are
+    generated with ``explode(sequence(date_start, date_end))`` and
+    equi-joined back — at 100 TB this shuffles only (event-days) rows
+    on the same (cell, time) key as the series, and the events side is
+    AQE-broadcastable.
+
+    Peak = argmax of (temp - seas) with *earliest-day* tie-break
+    (np.argmax first-occurrence, marineHeatWaves.py:366); the category
+    peak is separately argmax of the normalized exceedance
+    (marineHeatWaves.py:385-388).
+    """
+    # Per-day series values needed at event boundaries (W7): the
+    # neighbors just outside the event and the series extent per cell.
+    w = Window.partitionBy(cell_col).orderBy(time_col)
+    wall = Window.partitionBy(cell_col)
+    anom = F.col(temp_col) - F.col(seas_col)
+    d = ts_sev.select(
+        F.col(cell_col).alias("cell_id"),
+        F.col(time_col).alias("time"),
+        anom.alias("rel_seas"),
+        (F.col(temp_col) - F.col(thresh_col)).alias("rel_thresh"),
+        ((F.col(temp_col) - F.col(thresh_col)) / (F.col(thresh_col) - F.col(seas_col))).alias(
+            "rel_thresh_norm"
+        ),
+        F.col(temp_col).alias("t_abs"),
+    )
+    d = (
+        d.withColumn("prev_rel_seas", F.lag("rel_seas").over(w))
+        .withColumn("next_rel_seas", F.lead("rel_seas").over(w))
+        .withColumn("series_start", F.min("time").over(wall))
+        .withColumn("series_end", F.max("time").over(wall))
+    )
+
+    member = events.select(
+        F.col(cell_col).alias("cell_id"),
+        "event_id",
+        "date_start",
+        "date_end",
+        "duration",
+        F.explode(
+            F.sequence(F.to_date("date_start"), F.to_date("date_end"))
+        ).alias("__day"),
+    )
+    # The series time axis may be DATE or day-resolution TIMESTAMP; join
+    # on the date value.
+    j = member.join(
+        d.withColumn("__day", F.to_date("time")),
+        ["cell_id", "__day"],
+        "inner",
+    )
+
+    offset = F.datediff("__day", "date_start")  # 0-based index within event
+    is_first = F.col("__day") == F.to_date("date_start")
+    is_last = F.col("__day") == F.to_date("date_end")
+    cat_band = F.floor(F.lit(1.0) + F.col("rel_thresh_norm"))
+
+    def first_of(cond: Column, val: Column) -> Column:
+        return F.max(F.when(cond, val))
+
+    aggs = [
+        # W6 peak: earliest max of rel_seas
+        F.max_by(
+            F.struct(F.col("__day").alias("date_peak"), offset.alias("peak_offset")),
+            F.struct(F.col("rel_seas").alias("v"), (-offset).alias("tb")),
+        ).alias("__peak"),
+        F.max("rel_seas").alias("intensity_max"),
+        F.avg("rel_seas").alias("intensity_mean"),
+        _sqrt_var_pop(F.col("rel_seas")).alias("intensity_var"),
+        F.sum("rel_seas").alias("intensity_cumulative"),
+        F.avg("rel_thresh").alias("intensity_mean_relThresh"),
+        _sqrt_var_pop(F.col("rel_thresh")).alias("intensity_var_relThresh"),
+        F.sum("rel_thresh").alias("intensity_cumulative_relThresh"),
+        F.avg("t_abs").alias("intensity_mean_abs"),
+        _sqrt_var_pop(F.col("t_abs")).alias("intensity_var_abs"),
+        F.sum("t_abs").alias("intensity_cumulative_abs"),
+        # values *at* the rel_seas peak (earliest tie-break)
+        F.max_by(
+            F.struct(
+                F.col("rel_thresh").alias("rt"), F.col("t_abs").alias("ab")
+            ),
+            F.struct(F.col("rel_seas").alias("v"), (-offset).alias("tb")),
+        ).alias("__at_peak"),
+    ]
+    if with_categories:
+        aggs += [
+            # S6: category at the *normalized* peak (separate argmax)
+            F.max_by(cat_band, F.struct(F.col("rel_thresh_norm"), -offset)).alias(
+                "__peak_cat_band"
+            ),
+            F.sum((cat_band == 1).cast("long")).alias("duration_moderate"),
+            F.sum((cat_band == 2).cast("long")).alias("duration_strong"),
+            F.sum((cat_band == 3).cast("long")).alias("duration_severe"),
+            F.sum((cat_band >= 4).cast("long")).alias("duration_extreme"),
+        ]
+    if with_rates:
+        aggs += [
+            first_of(is_first, F.col("rel_seas")).alias("__first_rel_seas"),
+            first_of(is_last, F.col("rel_seas")).alias("__last_rel_seas"),
+            first_of(is_first, F.col("prev_rel_seas")).alias("__before_rel_seas"),
+            first_of(is_last, F.col("next_rel_seas")).alias("__after_rel_seas"),
+            first_of(is_first, F.col("__day") == F.to_date("series_start")).alias(
+                "__starts_at_series_start"
+            ),
+            first_of(is_last, F.col("__day") == F.to_date("series_end")).alias(
+                "__ends_at_series_end"
+            ),
+        ]
+
+    g = j.groupBy("cell_id", "event_id", "date_start", "date_end", "duration").agg(*aggs)
+
+    out = g.select(
+        "*",
+        F.col("__peak.date_peak").alias("date_peak"),
+        F.col("__peak.peak_offset").alias("__tt_peak"),
+        F.col("__at_peak.rt").alias("intensity_max_relThresh"),
+        F.col("__at_peak.ab").alias("intensity_max_abs"),
+    ).drop("__peak", "__at_peak")
+
+    if with_categories:
+        out = out.withColumn(
+            "category",
+            F.element_at(
+                F.array(*[F.lit(c) for c in CATEGORIES]),
+                F.least(F.col("__peak_cat_band"), F.lit(4)).cast("int"),
+            ),
+        ).drop("__peak_cat_band")
+
+    if with_rates:
+        # W7 onset/decline (marineHeatWaves.py:394-411): half-day
+        # boundary convention with 4 edge cases at the series extremes.
+        tt_peak = F.col("__tt_peak").cast("double")
+        imax = F.col("intensity_max")
+        dur = F.col("duration").cast("double")
+        onset = (
+            F.when(
+                ~F.col("__starts_at_series_start"),
+                (imax - 0.5 * (F.col("__first_rel_seas") + F.col("__before_rel_seas")))
+                / (tt_peak + 0.5),
+            )
+            .when(F.col("__tt_peak") == 0, F.lit(0.0))  # (imax - first)/1 with peak==first -> 0
+            .otherwise((imax - F.col("__first_rel_seas")) / tt_peak)
+        )
+        decline_days = dur - 1 - tt_peak
+        decline = (
+            F.when(
+                ~F.col("__ends_at_series_end"),
+                (imax - 0.5 * (F.col("__last_rel_seas") + F.col("__after_rel_seas")))
+                / (decline_days + 0.5),
+            )
+            .when(F.col("__tt_peak") == F.col("duration") - 1, F.lit(0.0))
+            .otherwise((imax - F.col("__last_rel_seas")) / decline_days)
+        )
+        out = out.withColumn("rate_onset", onset).withColumn("rate_decline", decline)
+        out = out.drop(
+            "__first_rel_seas",
+            "__last_rel_seas",
+            "__before_rel_seas",
+            "__after_rel_seas",
+            "__starts_at_series_start",
+            "__ends_at_series_end",
+        )
+    return out.drop("__tt_peak").withColumnRenamed("cell_id", cell_col)

@@ -1,0 +1,106 @@
+"""End-to-end pipeline compositions (the reference's public API surface).
+
+The canonical flow (reference README.md:53-64, design doc steps 1-3):
+
+    compute_climatology + compute_threshold   ->  clim(cell, doy, seas, thresh)
+    calculate_severity                        ->  ts + (t_anom, severity)
+    detect + calculate_mhw_metrics            ->  events table
+
+Physical plan at scale (SURVEY.md §4): scan(pruned) -> shuffle on
+(cell, doy) for the clim agg -> broadcast-join clim back -> window
+sort per cell for sessionization -> event agg. Three shuffles of the
+big table total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.climatology import pooled_climatology
+from mhw3d_detection_spark.operators.detection import (
+    detect_events,
+    event_metrics,
+    exceedance,
+)
+from mhw3d_detection_spark.operators.severity import calculate_severity
+
+
+def detect_mhw(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    baseline: tuple[int, int] | None = None,
+    pctile: float = 90.0,
+    window_half_width: int = 5,
+    smooth_width: int | None = 31,
+    min_duration: int = 5,
+    max_gap: int = 2,
+    join_across_gaps: bool = True,
+    cold_spells: bool = False,
+    clim_ts: DataFrame | None = None,
+    with_rates: bool = True,
+    with_categories: bool = True,
+) -> DataFrame:
+    """Full MHW detection: long-format series -> per-event metrics table.
+
+    Parameters mirror the vendored oracle's `detect`
+    (tests/data/legacy/marineHeatWaves.py:17 defaults: minDuration=5,
+    maxGap=2, pctile=90, windowHalfWidth=5, smoothWidth=31).
+
+    cold_spells=True detects cold events: negate input, detect with the
+    mirrored percentile, negate intensities on the way out
+    (marineHeatWaves.py:105-106,244-247,413-426).
+    clim_ts, if given, supplies an *alternate* series to build the
+    climatology from (marineHeatWaves.py:107-113) — free in relational
+    form: clim built from table B, joined to table A.
+    """
+    sign = -1.0 if cold_spells else 1.0
+
+    def signed(df: DataFrame) -> DataFrame:
+        return df.withColumn(temp_col, sign * F.col(temp_col)) if cold_spells else df
+
+    ts_s = signed(ts)
+    clim_src = signed(clim_ts) if clim_ts is not None else ts_s
+    clim = pooled_climatology(
+        clim_src,
+        cell_col=cell_col,
+        time_col=time_col,
+        temp_col=temp_col,
+        baseline=baseline,
+        pctile=pctile,
+        window_half_width=window_half_width,
+        smooth_width=smooth_width,
+    )
+    sev = calculate_severity(
+        ts_s, clim, cell_col=cell_col, time_col=time_col, temp_col=temp_col
+    )
+    flagged = exceedance(sev, temp_col=temp_col)
+    events = detect_events(
+        flagged,
+        cell_col=cell_col,
+        time_col=time_col,
+        min_duration=min_duration,
+        max_gap=max_gap,
+        join_across_gaps=join_across_gaps,
+    )
+    metrics = event_metrics(
+        flagged,
+        events,
+        cell_col=cell_col,
+        time_col=time_col,
+        temp_col=temp_col,
+        with_rates=with_rates,
+        with_categories=with_categories,
+    )
+    if cold_spells:
+        # Negate every intensity metric; durations/dates/rates keep sign
+        # conventions of the reference (rates are computed on the negated
+        # series and reported as-is, marineHeatWaves.py:413-426 touches
+        # only the 9 intensity columns).
+        for c in metrics.columns:
+            if c.startswith("intensity_") and "_var" not in c:
+                metrics = metrics.withColumn(c, -F.col(c))
+    return metrics

@@ -1,0 +1,66 @@
+"""Differential tests of the climatology/threshold block against the
+independent NumPy oracle (mirrors the reference's exactness contract on
+leap-only data, tests/test_threshold.py:84,91 at atol=1e-10)."""
+
+import numpy as np
+import pandas as pd
+
+from mhw3d_detection_spark.operators.climatology import pooled_climatology
+from tests.fixtures_mhw import leap_only_series, oliver_synthetic
+from tests.oracle_np import pooled_clim_threshold_np
+
+
+def _spark_clim(spark, pdf, **kw):
+    ts = spark.createDataFrame(pdf)
+    clim = pooled_climatology(ts, **kw).orderBy("doy").toPandas()
+    assert list(clim["doy"]) == list(range(1, 367))
+    return clim
+
+
+def test_leap_only_exact(spark):
+    pdf = leap_only_series()
+    clim = _spark_clim(spark, pdf, baseline=(1984, 2012))
+    seas, thresh = pooled_clim_threshold_np(
+        pd.DatetimeIndex(pdf["time"]), pdf["temp"].values, baseline=(1984, 2012)
+    )
+    np.testing.assert_allclose(clim["seas"].values, seas, atol=1e-10)
+    np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-10)
+
+
+def test_full_mixed_year_exact_vs_np(spark):
+    # Same index-pooling convention on mixed leap/non-leap years: the
+    # Spark engine and the NumPy oracle implement the identical
+    # convention, so agreement here is exact (not the 0.01-degree
+    # cross-convention residual of CLAUDE.md:221-224).
+    pdf = oliver_synthetic()
+    clim = _spark_clim(spark, pdf)
+    seas, thresh = pooled_clim_threshold_np(
+        pd.DatetimeIndex(pdf["time"]), pdf["temp"].values
+    )
+    np.testing.assert_allclose(clim["seas"].values, seas, atol=1e-9)
+    np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
+
+
+def test_strict_nan_semantics(spark):
+    # F5: a NULL (measured-but-missing) sample nullifies every DOY bucket
+    # whose pool touches it under strict_nan; absent rows do not.
+    pdf = oliver_synthetic()
+    pdf.loc[2000:2020, "temp"] = np.nan  # inclusive slice: 21 nulls
+    pdf = pdf.drop(pdf.index[3000:3011])  # absent rows
+    ts = spark.createDataFrame(pdf)
+
+    strict = (
+        pooled_climatology(ts, strict_nan=True, smooth_width=None, feb29_interp=False)
+        .orderBy("doy")
+        .toPandas()
+    )
+    lax = (
+        pooled_climatology(ts, strict_nan=False, smooth_width=None, feb29_interp=False)
+        .orderBy("doy")
+        .toPandas()
+    )
+    # The nulled block spans ~21 days -> >= that many poisoned DOYs
+    n_null_strict = strict["thresh"].isna().sum()
+    assert n_null_strict >= 21
+    # lax mode skips NaNs: only doy 60 (feb29, no interp) may be null
+    assert lax["thresh"].isna().sum() <= 1
