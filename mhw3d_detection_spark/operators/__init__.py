@@ -9,4 +9,15 @@ from mhw3d_detection_spark.operators.severity import calculate_severity  # noqa:
 from mhw3d_detection_spark.operators.detection import (  # noqa: F401
     detect_events,
     event_metrics,
+    exceedance,
+    rle_runs,
+)
+from mhw3d_detection_spark.operators.analysis import (  # noqa: F401
+    block_average,
+    block_temp_stats,
+    category_days_per_block,
+    detrend_linear,
+    mean_trend_ols,
+    pad_interpolate,
+    rank_return_periods,
 )

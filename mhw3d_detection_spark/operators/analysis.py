@@ -1,0 +1,337 @@
+"""Post-detection analysis operators: pad-interpolation, detrending,
+OLS mean/trend, event ranking / return periods, block averages.
+
+Reference semantics (cited per function) come from the vendored oracle
+``tests/data/legacy/marineHeatWaves.py`` and
+``src/mhw3d/best_practice/climatology.py``. All are stock DataFrame
+ops — window functions + hash aggregates; no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pad_interpolate(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    max_pad_length: int | None = None,
+    out_col: str = "temp_filled",
+) -> DataFrame:
+    """Linearly interpolate NULL gaps in a series, per cell, by *series
+    position* (row index), matching ``pad`` in the vendored oracle
+    (marineHeatWaves.py:888-916): interior NULL runs are linearly
+    interpolated between the surrounding valid samples; leading/trailing
+    runs are constant-extrapolated from the nearest valid sample
+    (``np.interp`` clamps at the edges); runs strictly longer than
+    ``max_pad_length`` are left NULL.
+
+    Spark-first: two window passes (backward + forward), no
+    sessionization pass needed — the run length around a NULL row is
+    ``next_valid_rn - prev_valid_rn - 1`` which the same two windows
+    already provide.
+    """
+    w = Window.partitionBy(cell_col).orderBy(time_col)
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    wall = Window.partitionBy(cell_col)
+
+    valid_rn = F.when(F.col(temp_col).isNotNull(), F.col("__rn"))
+    d = (
+        ts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .withColumn("__prev_rn", F.max(valid_rn).over(wb))
+        .withColumn("__next_rn", F.min(valid_rn).over(wf))
+        .withColumn("__prev_val", F.last(temp_col, ignorenulls=True).over(wb))
+        .withColumn("__next_val", F.first(temp_col, ignorenulls=True).over(wf))
+    )
+    # Length of the NULL run containing this row (valid rows: 0-length).
+    run_len = (
+        F.coalesce(F.col("__next_rn"), F.col("__n") + 1)
+        - F.coalesce(F.col("__prev_rn"), F.lit(0))
+        - 1
+    )
+    frac = (F.col("__rn") - F.col("__prev_rn")).cast("double") / (
+        F.col("__next_rn") - F.col("__prev_rn")
+    ).cast("double")
+    interp = F.when(
+        F.col("__prev_rn").isNotNull() & F.col("__next_rn").isNotNull(),
+        F.col("__prev_val") + frac * (F.col("__next_val") - F.col("__prev_val")),
+    ).otherwise(F.coalesce(F.col("__prev_val"), F.col("__next_val")))
+    filled = F.when(F.col(temp_col).isNotNull(), F.col(temp_col)).otherwise(
+        F.when(F.lit(max_pad_length is None) | (run_len <= F.lit(max_pad_length or 0)), interp)
+    )
+    return d.withColumn(out_col, filled).drop(
+        "__rn", "__n", "__prev_rn", "__next_rn", "__prev_val", "__next_val"
+    )
+
+
+def detrend_linear(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    baseline: tuple[int, int] | None = None,
+    out_col: str = "temp_detrended",
+) -> DataFrame:
+    """Remove a per-cell linear trend: fit ``temp ~ a + b*ordinal`` by
+    OLS on the baseline period, evaluate over the *full* record,
+    subtract (reference: best_practice/climatology.py:43-75 `detrend`,
+    deg-1 ``polyfit``/``polyval`` path).
+
+    Closed form via ``regr_slope``/``regr_intercept`` grouped per cell,
+    broadcast-joined back — no UDF, one tiny agg + one narrow join.
+    """
+    x = F.datediff(F.col(time_col), F.lit("1970-01-01")).cast("double")
+    d = ts.withColumn("__x", x)
+    fit_src = d
+    if baseline is not None:
+        fit_src = d.filter(F.year(time_col).between(*baseline))
+    coefs = fit_src.groupBy(cell_col).agg(
+        F.expr(f"regr_slope({temp_col}, __x)").alias("__b"),
+        F.expr(f"regr_intercept({temp_col}, __x)").alias("__a"),
+    )
+    out = d.join(F.broadcast(coefs), [cell_col], "left").withColumn(
+        out_col, F.col(temp_col) - (F.col("__a") + F.col("__b") * F.col("__x"))
+    )
+    return out.drop("__x", "__a", "__b")
+
+
+def mean_trend_ols(
+    series: DataFrame,
+    value_cols: list[str],
+    *,
+    key_cols: list[str] | None = None,
+    t_col: str = "year",
+) -> DataFrame:
+    """Per key: OLS mean + trend of each value column against centered
+    time, ``y ~ b0 + b1*(t - mean(t))`` (reference `meanTrend`,
+    marineHeatWaves.py:687-782 — lstsq on the centered design matrix;
+    b0 is then the mean, b1 the trend per t-unit).
+
+    Emits ``{col}_mean`` (= b0 = avg over non-null y) and
+    ``{col}_trend`` (= regr_slope, identical to the centered-design b1).
+    The reference's CI half-width needs a Student-t quantile (scipy);
+    that stays driver-side and is out of the relational surface.
+    """
+    key_cols = key_cols or []
+    aggs = []
+    for c in value_cols:
+        aggs.append(F.avg(F.col(c)).alias(f"{c}_mean"))
+        aggs.append(F.expr(f"regr_slope({c}, {t_col})").alias(f"{c}_trend"))
+    g = series.groupBy(*key_cols) if key_cols else series.groupBy()
+    return g.agg(*aggs)
+
+
+def rank_return_periods(
+    events: DataFrame,
+    metric_cols: list[str],
+    n_years: int,
+    *,
+    tie_cols: list[str] = ("cell_id", "event_id"),
+) -> DataFrame:
+    """Descending rank + return period per metric across all events
+    (reference `rank`, marineHeatWaves.py:785-855): double-argsort gives
+    *distinct* ordinal ranks (row_number semantics, ties broken by array
+    order → here by ``tie_cols`` for determinism);
+    ``returnPeriod = (nYears + 1) / rank``.
+    """
+    out = events
+    for c in metric_cols:
+        w = Window.orderBy(F.desc(c), *[F.col(t) for t in tie_cols])
+        rank = F.row_number().over(w)
+        out = out.withColumn(f"{c}_rank", rank).withColumn(
+            f"{c}_return_period", F.lit(float(n_years + 1)) / F.col(f"{c}_rank")
+        )
+    return out
+
+
+def _cell_spans(ts: DataFrame, cell_col: str, time_col: str) -> DataFrame:
+    """Per-cell series year range (the reference derives blocks from the
+    *series*, not the events: marineHeatWaves.py:513-516)."""
+    yr = F.year(time_col)
+    return ts.groupBy(cell_col).agg(F.min(yr).alias("__y0"), F.max(yr).alias("__y1"))
+
+
+def _block_spine(spans: DataFrame, cell_col: str, block_length: int) -> DataFrame:
+    """One row per (cell, block), including event-free blocks
+    (marineHeatWaves.py:575-578)."""
+    return spans.select(
+        cell_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("__y1") - F.col("__y0")) / block_length).cast("int"),
+            )
+        ).alias("__blk"),
+        F.col("__y0"),
+    ).select(
+        cell_col,
+        (F.col("__y0") + F.col("__blk") * block_length).cast("int").alias("years_start"),
+        (F.col("__y0") + F.col("__blk") * block_length + block_length - 1)
+        .cast("int")
+        .alias("years_end"),
+    )
+
+
+def _with_block(df: DataFrame, spans: DataFrame, cell_col: str, year_col, block_length: int) -> DataFrame:
+    """Attach ``years_start`` = the block a year falls into (broadcast
+    join of the tiny per-cell span table)."""
+    return df.join(F.broadcast(spans), [cell_col], "left").withColumn(
+        "years_start",
+        (
+            F.floor((year_col - F.col("__y0")) / block_length) * block_length
+            + F.col("__y0")
+        ).cast("int"),
+    ).drop("__y0", "__y1")
+
+
+def block_average(
+    metrics: DataFrame,
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    block_length: int = 1,
+) -> DataFrame:
+    """Block (multi-year) averages of event metrics — the reference's
+    `blockAverage` (marineHeatWaves.py:431-684) minus the temp/category
+    add-ons (those are separate queries).
+
+    Per block (an event belongs to the block of its *start* year):
+    ``count``, averages of duration/intensity/rate metrics, max of
+    intensity_max, total_icum; ``total_days`` splits multi-year events
+    across blocks by each member day's year (marineHeatWaves.py:604-610).
+    Blocks with no events keep NULL stats (reference: count→NaN
+    propagates); the block spine comes from the series' year span.
+    """
+    spans = _cell_spans(ts, cell_col, time_col)
+    spine = _block_spine(spans, cell_col, block_length)
+
+    ev = _with_block(metrics, spans, cell_col, F.year("date_start"), block_length)
+    mean_cols = [
+        "duration",
+        "intensity_max",
+        "intensity_mean",
+        "intensity_var",
+        "intensity_cumulative",
+        "intensity_max_relThresh",
+        "intensity_mean_relThresh",
+        "intensity_var_relThresh",
+        "intensity_cumulative_relThresh",
+        "intensity_max_abs",
+        "intensity_mean_abs",
+        "intensity_var_abs",
+        "intensity_cumulative_abs",
+        "rate_onset",
+        "rate_decline",
+    ]
+    mean_cols = [c for c in mean_cols if c in metrics.columns]
+    per_block = ev.groupBy(cell_col, "years_start").agg(
+        F.count(F.lit(1)).alias("count"),
+        *[F.avg(F.col(c)).alias(c) for c in mean_cols],
+        F.max("intensity_max").alias("intensity_max_max"),
+        F.sum("intensity_cumulative").alias("total_icum"),
+    )
+
+    # total_days: each member day counts toward the block of ITS year.
+    member_days = _with_block(
+        metrics.select(
+            cell_col,
+            F.explode(
+                F.sequence(F.to_date("date_start"), F.to_date("date_end"))
+            ).alias("__day"),
+        ),
+        spans,
+        cell_col,
+        F.year("__day"),
+        block_length,
+    )
+    total_days = member_days.groupBy(cell_col, "years_start").agg(
+        F.count(F.lit(1)).alias("total_days")
+    )
+
+    out = (
+        spine.join(per_block, [cell_col, "years_start"], "left")
+        .join(total_days, [cell_col, "years_start"], "left")
+        .withColumn("count", F.coalesce("count", F.lit(0)))
+        .withColumn("total_days", F.coalesce("total_days", F.lit(0)))
+    )
+    return out
+
+
+def block_temp_stats(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    block_length: int = 1,
+) -> DataFrame:
+    """Per-block mean/max/min of the raw series
+    (marineHeatWaves.py:644-649 `temp_mean/temp_max/temp_min`)."""
+    spans = _cell_spans(ts, cell_col, time_col)
+    spine = _block_spine(spans, cell_col, block_length)
+    d = _with_block(ts, spans, cell_col, F.year(time_col), block_length)
+    stats = d.groupBy(cell_col, "years_start").agg(
+        F.avg(temp_col).alias("temp_mean"),
+        F.max(temp_col).alias("temp_max"),
+        F.min(temp_col).alias("temp_min"),
+    )
+    return spine.join(stats, [cell_col, "years_start"], "left")
+
+
+def category_days_per_block(
+    ts_sev: DataFrame,
+    events: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    seas_col: str = "seas",
+    thresh_col: str = "thresh",
+    block_length: int = 1,
+) -> DataFrame:
+    """Per-block counts of moderate/strong/severe/extreme days:
+    ``cats = floor(1 + (temp - thresh)/(thresh - seas))`` over *all*
+    days, masked to days inside any event (marineHeatWaves.py:562-571,
+    614-620). A semi-join supplies the mask; a conditional aggregate
+    replaces the reference's per-block boolean products.
+    """
+    member = events.select(
+        F.col(cell_col).alias(cell_col),
+        F.explode(F.sequence(F.to_date("date_start"), F.to_date("date_end"))).alias(
+            "__day"
+        ),
+    ).distinct()
+    spans = _cell_spans(ts_sev, cell_col, time_col)
+    spine = _block_spine(spans, cell_col, block_length)
+    cat = F.floor(
+        F.lit(1.0)
+        + (F.col(temp_col) - F.col(thresh_col))
+        / (F.col(thresh_col) - F.col(seas_col))
+    )
+    d = _with_block(
+        ts_sev.withColumn("__day", F.to_date(time_col)).join(
+            member, [cell_col, "__day"], "left_semi"
+        ),
+        spans,
+        cell_col,
+        F.year(time_col),
+        block_length,
+    ).withColumn("__cat", cat)
+    counts = d.groupBy(cell_col, "years_start").agg(
+        F.sum((F.col("__cat") == 1).cast("long")).alias("moderate_days"),
+        F.sum((F.col("__cat") == 2).cast("long")).alias("strong_days"),
+        F.sum((F.col("__cat") == 3).cast("long")).alias("severe_days"),
+        F.sum((F.col("__cat") >= 4).cast("long")).alias("extreme_days"),
+    )
+    out = spine.join(counts, [cell_col, "years_start"], "left")
+    for c in ("moderate_days", "strong_days", "severe_days", "extreme_days"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

@@ -189,6 +189,7 @@ def pooled_climatology(
     smooth_mode: str = "full",
     strict_nan: bool = False,
     feb29_interp: bool = True,
+    densify: bool = True,
 ) -> DataFrame:
     """Compute ``clim(cell_id, doy, seas, thresh)`` from a long-format
     time series — the reference's `compute_climatology` +
@@ -239,7 +240,8 @@ def pooled_climatology(
             F.when(F.col("__has_missing") == 0, F.col("thresh")).alias("thresh"),
         )
 
-    clim = densify_doy(clim)
+    if densify:
+        clim = densify_doy(clim)
     if feb29_interp:
         clim = interp_feb29(clim)
     if smooth_width:

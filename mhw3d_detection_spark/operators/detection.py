@@ -63,6 +63,46 @@ def exceedance(
     )
 
 
+def rle_runs(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    flag_col: str = "exceed",
+    min_duration: int = 1,
+) -> DataFrame:
+    """W3+W4: run-length encode a boolean series into
+    ``runs(cell_id, run_id, run_start, run_end, run_days)``, keeping
+    runs of at least ``min_duration`` rows.
+
+    Gaps-and-islands: change-point flag vs the lagged value, cumulative
+    sum as run id (reference RLE kernel common/core.py:53-69; Oliver
+    uses scipy.ndimage.label, marineHeatWaves.py:319-327). ``run_id``
+    numbers both true and false runs (only true runs survive), so ids
+    are increasing but not consecutive — both engines derive them the
+    same way.
+    """
+    w = Window.partitionBy(cell_col).orderBy(time_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    flag = F.coalesce(F.col(flag_col), F.lit(False))
+    lagged = F.lag(flag).over(w)
+    changed = F.when(lagged.isNull() | (flag != lagged), 1).otherwise(0)
+
+    return (
+        ts.withColumn("__flag", flag)
+        .withColumn("run_id", F.sum(changed).over(wcum).cast("long"))
+        .filter(F.col("__flag"))
+        .groupBy(cell_col, "run_id")
+        .agg(
+            F.min(time_col).alias("run_start"),
+            F.max(time_col).alias("run_end"),
+            F.count(F.lit(1)).alias("run_days"),
+        )
+        .filter(F.col("run_days") >= min_duration)
+    )
+
+
 def detect_events(
     ts: DataFrame,
     *,
@@ -82,25 +122,13 @@ def detect_events(
     start to end inclusive (joined gaps count: marineHeatWaves.py:371
     takes ``len(temp[tt_start:tt_end+1])``).
     """
-    w = Window.partitionBy(cell_col).orderBy(time_col)
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-
-    flag = F.coalesce(F.col(flag_col), F.lit(False))
-    lagged = F.lag(flag).over(w)
-    changed = F.when(lagged.isNull() | (flag != lagged), 1).otherwise(0)
-
-    runs = (
-        ts.withColumn("__flag", flag)
-        .withColumn("__run", F.sum(changed).over(wcum))
-        .filter(F.col("__flag"))
-        .groupBy(cell_col, "__run")
-        .agg(
-            F.min(time_col).alias("run_start"),
-            F.max(time_col).alias("run_end"),
-            F.count(F.lit(1)).alias("run_days"),
-        )
-        .filter(F.col("run_days") >= min_duration)
-    )
+    runs = rle_runs(
+        ts,
+        cell_col=cell_col,
+        time_col=time_col,
+        flag_col=flag_col,
+        min_duration=min_duration,
+    ).withColumnRenamed("run_id", "__run")
 
     if join_across_gaps:
         w2 = Window.partitionBy(cell_col).orderBy("run_start")

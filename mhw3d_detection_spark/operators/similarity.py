@@ -1,0 +1,100 @@
+"""Vector-similarity operators over embedding columns (SURVEY.md §2.11
+E3, beyond-reference): brute-force cosine top-k as the correctness
+baseline, and a bucketed (IVF-style) variant as the 100 TB scale path.
+
+The dot product stays JVM-side: ``aggregate(zip_with(a, b, *), +)`` on
+``array<double>`` columns — no Python UDF, whole-stage codegen'd.
+Embeddings are cast float→double up front so results are reproducible
+across engines (the DuckDB oracle computes in double too).
+
+Scale notes: brute force is a broadcast of the (small) probe set
+against a full scan of the corpus — one narrow stage + a per-probe
+top-k (`row_number <= k`), no all-pairs shuffle. The IVF variant
+equi-joins probe and corpus on the coarse cell id first, cutting the
+scanned fraction to 1/n_cells; at real scale cell ids come from a
+trained quantizer — here the pre-assigned ``label`` column plays that
+role (the plumbing, partitioning and join shape are identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    probe_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors for each probe (probe_pred selects probe
+    ids). ``bucket_col`` switches brute-force → IVF: candidates must
+    share the probe's bucket (coarse cell)."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
+    ).withColumn("n", norm(F.col("v")))
+    probes = base.filter(probe_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("n").alias("pn"),
+        *([F.col("bucket")] if bucket_col else []),
+    )
+    if bucket_col:
+        j = base.join(F.broadcast(probes), on="bucket", how="inner")
+    else:
+        j = base.crossJoin(F.broadcast(probes))
+    j = j.filter(
+        (F.col("vec_id") != F.col("probe_id")) & (F.col("n") > 0) & (F.col("pn") > 0)
+    ).withColumn("cosine", dot(F.col("v"), F.col("pv")) / (F.col("n") * F.col("pn")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    probe_pred,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, probes ×
+    corpus (probe_pred bounds the left side; at scale the left side is
+    an LSH/IVF bucket join, not a predicate)."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    probes = base.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    ).filter(probe_pred(F.col("doc_a")))
+    pairs = (
+        base.crossJoin(F.broadcast(probes))
+        .filter((F.col("doc_a") < F.col("vec_id")) & (F.col("n") > 0) & (F.col("na") > 0))
+        .withColumn("cosine", dot(F.col("v"), F.col("va")) / (F.col("n") * F.col("na")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("doc_a", F.col("vec_id").alias("doc_b"), "cosine")

@@ -1,0 +1,258 @@
+"""Text-analysis & dedup operators for large-scale training-data
+pipelines (SURVEY.md §2.11, beyond-reference): tokenization, quality
+scoring, language ID, fingerprinting, exact / MinHash / SimHash /
+n-gram-Jaccard deduplication.
+
+Everything is pure Column expressions + hash aggregates (JVM-side,
+codegen'd) — no Python UDFs anywhere on the hot path. Hash functions
+are md5-based so the DuckDB oracles can reproduce them bit-for-bit
+(`xxhash64` would be faster at 100 TB; md5 keeps the differential gate
+exact — swap via the ``hash_fn`` hook).
+
+Scale notes: every op here is embarrassingly parallel per document
+(narrow until the final aggregate); MinHash banding turns all-pairs
+near-dup (O(n^2)) into an equi-join on (band, signature) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+#: tiny built-in stopword lists for the language-ID heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "for"),
+    "de": ("der", "die", "und", "ist", "das", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+    "es": ("el", "los", "las", "una", "por", "con", "que"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens (BPE-ish regex over [a-z0-9] runs)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per (doc, position, token) — posexplode so downstream
+    shingling keeps sequence order."""
+    return docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc, derived by direct array slicing
+    (no window pass): shingle_i = tokens[i..i+n-1] joined by spaces."""
+    toks = tokens_col(F.col(text_col))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality stats: token/char counts, punctuation ratio,
+    stopword ratio, mean token length, and a composite quality score.
+    All closed-form column expressions over the token array."""
+    toks = tokens_col(F.col(text_col))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, stop))  # distinct-hit count
+    alnum_sp = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    punct_ratio = (F.length(text_col) - F.length(alnum_sp)) / F.length(text_col)
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    quality = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(n_stop / F.lit(5.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.length(text_col).cast("int").alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        (n_stop / F.greatest(n_tok, F.lit(1))).alias("stop_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free stopword-vote language ID: count token hits per
+    language wordlist; predict the argmax with a fixed priority order
+    (en > de > fr > es > und) for deterministic ties."""
+    tok = tokenize(docs, text_col)
+    aggs = [
+        F.sum(F.col("token").isin(*LANG_STOPWORDS[lang]).cast("long")).alias(
+            f"n_{lang}"
+        )
+        for lang in LANG_STOPWORDS
+    ]
+    counts = tok.groupBy("doc_id").agg(*aggs)
+    best = F.greatest(*[F.col(f"n_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # dict order = priority order
+        pred = pred.when(F.col(f"n_{lang}") == best, F.lit(lang))
+    return counts.select(
+        "doc_id", *[f"n_{lang}" for lang in LANG_STOPWORDS], pred.alias("lang_pred")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (a set-hash; near-dup-stable under reordering)."""
+    toks = tokens_col(F.col(text_col))
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select(
+        "doc_id", F.md5(canon.cast("binary")).alias("fingerprint")
+    )
+
+
+def exact_dedup(docs: DataFrame, key_col: str = "text") -> DataFrame:
+    """E1: exact duplicate groups — hash-groupBy on the content key,
+    keep the smallest doc_id as the canonical representative."""
+    return docs.groupBy(key_col).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    ).select("keep_id", "n_copies")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """E2: MinHash signatures, banded for LSH.
+
+    Each of ``n_hashes`` hash families is md5 seeded by index; the
+    minhash is the lexicographic min of the seeded digests over the
+    doc's shingle set (a uniform permutation proxy). Bands concatenate
+    ``band_size`` adjacent minhashes; candidate pairs collide on
+    (band_id, band_sig) — the equi-join that makes near-dup scale.
+    """
+    sh = shingles(docs, text_col, n=shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
+            f"h{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(
+                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+    )
+
+
+def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """LSH bucket self-join: docs sharing any band signature are
+    candidate near-dups. Equi-join on (band_id, band_sig) — shuffle is
+    on the bucket key, never all-pairs."""
+    a = signatures.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_sig"
+    )
+    b = signatures.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_sig"
+    )
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+HEX = "0123456789abcdef"
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over the token multiset.
+
+    Per token, the first 4 md5 nibbles supply 16 hash bits; each bit
+    position accumulates +1/-1 votes across tokens; the sign vector is
+    packed into an int fingerprint. Two-level aggregate: (doc, bit) →
+    vote sign, then doc → packed fingerprint. Width 16 keeps the
+    DuckDB oracle exact; widen by taking more nibbles for production.
+    """
+    tok = tokenize(docs, text_col).withColumn(
+        "h4", F.substring(F.md5(F.col("token").cast("binary")), 1, 4)
+    )
+    bits = tok.select(
+        "doc_id",
+        "h4",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
+    )
+    nib_char = F.substring(F.col("h4"), ((F.col("j") - 1) / 4).cast("int") + 1, F.lit(1))
+    nib_val = F.position(nib_char, F.lit(HEX)) - 1
+    bit = F.floor(
+        nib_val / F.pow(F.lit(2.0), F.lit(3) - ((F.col("j") - 1) % 4))
+    ).cast("int") % 2
+    votes = (
+        bits.withColumn("vote", (bit * 2 - 1))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("v"))
+    )
+    packed = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.pow(F.lit(2.0), F.lit(16) - F.col("j")))
+            .otherwise(F.lit(0.0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+    return packed
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    probe_pred: Column,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard between a probe subset and the corpus:
+    |A ∩ B| via an equi-join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
+    The probe predicate bounds the candidate set (at full scale this
+    runs AFTER MinHash banding has pruned the pairs)."""
+    sh = shingles(docs, text_col, n=shingle_n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    probes = sh.filter(probe_pred(F.col("doc_id")))
+    inter = (
+        probes.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")

@@ -1,0 +1,631 @@
+"""Detection-chain queries (SURVEY.md §2.6 W3-W9, §2.5 A5/A7-A10) —
+RLE sessionization, min-duration, gap joining, per-event metrics,
+onset/decline rates, block averages, ranking, cold spells.
+
+All run on the ``orders_daily`` series (1995-2001) against a per-cell
+threshold (75th percentile) + seasonal mean dim table. The DuckDB
+oracles re-derive every stage with plain window functions, mirroring
+the Spark operators 1:1 (same change-point → cumulative-sum → HAVING →
+re-sessionize chain).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.analysis import (
+    block_average,
+    block_temp_stats,
+    category_days_per_block,
+    rank_return_periods,
+)
+from mhw3d_detection_spark.operators.detection import (
+    detect_events,
+    event_metrics,
+    rle_runs,
+)
+from mhw3d_detection_spark.plans.pipeline import detect_mhw
+from mhw3d_detection_spark.queries.base import ORDERS_DAILY_SQL, register, rq, rq_sql
+from mhw3d_detection_spark.queries.base import orders_daily
+
+MIN_DUR = 3
+MAX_GAP = 2
+N_YEARS = 7  # orders series spans 1995..2001
+
+# --- shared SQL fragments (composable WITH-clause bodies) ----------------
+FL_SQL = (
+    f"od AS ({ORDERS_DAILY_SQL}), "
+    "thr AS (SELECT cell_id, quantile_cont(temp, 0.75) AS thresh, avg(temp) AS seas "
+    "  FROM od GROUP BY 1), "
+    "fl AS (SELECT od.cell_id, od.time, od.temp, thr.seas, thr.thresh, "
+    "  od.temp > thr.thresh AS exceed FROM od JOIN thr ON od.cell_id = thr.cell_id)"
+)
+
+RUNS_SQL = FL_SQL + (
+    ", chg AS (SELECT *, CASE WHEN lag(exceed) OVER (PARTITION BY cell_id ORDER BY time) IS NULL "
+    "  OR exceed <> lag(exceed) OVER (PARTITION BY cell_id ORDER BY time) THEN 1 ELSE 0 END AS is_chg "
+    "  FROM fl), "
+    "runs_all AS (SELECT *, sum(is_chg) OVER (PARTITION BY cell_id ORDER BY time "
+    "  ROWS UNBOUNDED PRECEDING) AS run_id FROM chg), "
+    "runs AS (SELECT cell_id, CAST(run_id AS BIGINT) AS run_id, min(time) AS run_start, "
+    "  max(time) AS run_end, count(*) AS run_days FROM runs_all WHERE exceed GROUP BY 1, 2)"
+)
+
+EV_SQL = RUNS_SQL + (
+    f", kept AS (SELECT * FROM runs WHERE run_days >= {MIN_DUR}), "
+    "g0 AS (SELECT *, CASE WHEN lag(run_end) OVER (PARTITION BY cell_id ORDER BY run_start) IS NULL "
+    f"  OR date_diff('day', lag(run_end) OVER (PARTITION BY cell_id ORDER BY run_start), run_start) - 1 > {MAX_GAP} "
+    "  THEN 1 ELSE 0 END AS newev FROM kept), "
+    "g1 AS (SELECT *, sum(newev) OVER (PARTITION BY cell_id ORDER BY run_start "
+    "  ROWS UNBOUNDED PRECEDING) AS evt FROM g0), "
+    "evg AS (SELECT cell_id, evt, min(run_start) AS date_start, max(run_end) AS date_end "
+    "  FROM g1 GROUP BY 1, 2), "
+    "ev AS (SELECT cell_id, CAST(row_number() OVER (PARTITION BY cell_id ORDER BY date_start) AS INT) AS event_id, "
+    "  date_start, date_end, CAST(date_diff('day', date_start, date_end) + 1 AS INT) AS duration FROM evg)"
+)
+
+#: event member rows: every present series day inside an event interval
+MEMBER_SQL = EV_SQL + (
+    ", member AS (SELECT e.cell_id, e.event_id, e.date_start, e.date_end, e.duration, "
+    "  f.time, f.temp - f.seas AS rel_seas, f.temp - f.thresh AS rel_thresh, "
+    "  (f.temp - f.thresh) / (f.thresh - f.seas) AS rel_tn, f.temp AS t_abs "
+    "  FROM ev e JOIN fl f ON f.cell_id = e.cell_id "
+    "  AND f.time BETWEEN e.date_start AND e.date_end)"
+)
+
+
+def _flagged(spark, sf_dir):
+    od = orders_daily(spark, sf_dir)
+    thr = od.groupBy("cell_id").agg(
+        F.expr("percentile(temp, 0.75)").alias("thresh"),
+        F.avg("temp").alias("seas"),
+    )
+    return od.join(F.broadcast(thr), ["cell_id"]).withColumn(
+        "exceed", F.coalesce(F.col("temp") > F.col("thresh"), F.lit(False))
+    )
+
+
+def _events(spark, sf_dir):
+    return detect_events(
+        _flagged(spark, sf_dir), min_duration=MIN_DUR, max_gap=MAX_GAP
+    )
+
+
+# =========================================================================
+# W3 — run-length encoding (gaps-and-islands pass 1)
+# =========================================================================
+@register(
+    "q_rle_runs",
+    f"WITH {RUNS_SQL} "
+    "SELECT cell_id, run_id, run_start, run_end, run_days FROM runs",
+)
+def q_rle_runs(spark, sf_dir):
+    """W3: contiguous exceedance runs via change-point + cumulative sum
+    (reference RLE kernel common/core.py:53-65; scipy.ndimage.label in
+    marineHeatWaves.py:319)."""
+    return rle_runs(_flagged(spark, sf_dir)).select(
+        "cell_id", "run_id", "run_start", "run_end", "run_days"
+    )
+
+
+# =========================================================================
+# W4 — min-duration filter (HAVING)
+# =========================================================================
+@register(
+    "q_min_duration_filter",
+    f"WITH {RUNS_SQL} "
+    f"SELECT cell_id, run_id, run_start, run_end, run_days FROM runs WHERE run_days >= {MIN_DUR}",
+)
+def q_min_duration_filter(spark, sf_dir):
+    """W4: drop runs shorter than minDuration (reference
+    common/core.py:67-69; marineHeatWaves.py:322-327)."""
+    return rle_runs(_flagged(spark, sf_dir), min_duration=MIN_DUR).select(
+        "cell_id", "run_id", "run_start", "run_end", "run_days"
+    )
+
+
+# =========================================================================
+# W5 — gap joining (second sessionization over the runs)
+# =========================================================================
+@register(
+    "q_gap_join_events",
+    f"WITH {EV_SQL} SELECT cell_id, event_id, date_start, date_end, duration FROM ev",
+)
+def q_gap_join_events(spark, sf_dir):
+    """W5: merge runs separated by <= maxGap days — single cumulative
+    pass, equivalent to the reference's iterative merge loop because
+    merging is chain-transitive (marineHeatWaves.py:330-345;
+    common/core.py:71-74). Duration counts calendar days inclusive."""
+    return _events(spark, sf_dir)
+
+
+# =========================================================================
+# A10 — events per cell
+# =========================================================================
+@register(
+    "q_events_per_cell",
+    f"WITH {EV_SQL} SELECT cell_id, count(*) AS n_events FROM ev GROUP BY 1",
+)
+def q_events_per_cell(spark, sf_dir):
+    """A10: (~isnull(date_start)).sum('event') per cell (reference
+    speed_benchmark.ipynb cell 9) — a trivial count in relational form."""
+    return _events(spark, sf_dir).groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# =========================================================================
+# W6 — peak argmax with earliest-day tie-break
+# =========================================================================
+@register(
+    "q_event_peak_argmax",
+    f"WITH {MEMBER_SQL} "
+    f"SELECT cell_id, event_id, time AS date_peak, {rq_sql('rel_seas', 2)} AS intensity_max "
+    "FROM (SELECT m.*, row_number() OVER (PARTITION BY cell_id, event_id "
+    "  ORDER BY rel_seas DESC, time ASC) AS rn FROM member m) WHERE rn = 1",
+)
+def q_event_peak_argmax(spark, sf_dir):
+    """W6: within each event, the date of max T_anom; np.nanargmax takes
+    the FIRST occurrence on ties -> explicit earliest-day tie-break
+    (reference common/core.py:113-120; marineHeatWaves.py:366-369)."""
+    m = event_metrics(
+        _flagged(spark, sf_dir),
+        _events(spark, sf_dir),
+        with_rates=False,
+        with_categories=False,
+    )
+    return m.select(
+        "cell_id", "event_id", "date_peak", rq("intensity_max", 2).alias("intensity_max")
+    )
+
+
+# =========================================================================
+# A5 — full per-event intensity metrics (12 metric variants)
+# =========================================================================
+@register(
+    "q_event_metrics",
+    f"WITH {MEMBER_SQL}, "
+    "peak AS (SELECT cell_id, event_id, time AS date_peak, "
+    "  rel_thresh AS imax_rt, t_abs AS imax_abs FROM ("
+    "  SELECT m.*, row_number() OVER (PARTITION BY cell_id, event_id "
+    "    ORDER BY rel_seas DESC, time ASC) AS rn FROM member m) WHERE rn = 1), "
+    "agg AS (SELECT cell_id, event_id, date_start, date_end, duration, "
+    "  max(rel_seas) AS intensity_max, avg(rel_seas) AS intensity_mean, "
+    "  sqrt(var_pop(rel_seas)) AS intensity_var, sum(rel_seas) AS intensity_cumulative, "
+    "  avg(rel_thresh) AS intensity_mean_relthresh, "
+    "  sqrt(var_pop(rel_thresh)) AS intensity_var_relthresh, "
+    "  sum(rel_thresh) AS intensity_cumulative_relthresh, "
+    "  avg(t_abs) AS intensity_mean_abs, sqrt(var_pop(t_abs)) AS intensity_var_abs, "
+    "  sum(t_abs) AS intensity_cumulative_abs "
+    "  FROM member GROUP BY 1, 2, 3, 4, 5) "
+    "SELECT a.cell_id, a.event_id, a.date_start, a.date_end, a.duration, p.date_peak, "
+    f"{rq_sql('a.intensity_max', 2)} AS intensity_max, {rq_sql('a.intensity_mean', 2)} AS intensity_mean, "
+    f"{rq_sql('a.intensity_var', 2)} AS intensity_var, {rq_sql('a.intensity_cumulative', 2)} AS intensity_cumulative, "
+    f"{rq_sql('p.imax_rt', 2)} AS intensity_max_relthresh, {rq_sql('a.intensity_mean_relthresh', 2)} AS intensity_mean_relthresh, "
+    f"{rq_sql('a.intensity_var_relthresh', 2)} AS intensity_var_relthresh, "
+    f"{rq_sql('a.intensity_cumulative_relthresh', 2)} AS intensity_cumulative_relthresh, "
+    f"{rq_sql('p.imax_abs', 2)} AS intensity_max_abs, {rq_sql('a.intensity_mean_abs', 2)} AS intensity_mean_abs, "
+    f"{rq_sql('a.intensity_var_abs', 2)} AS intensity_var_abs, "
+    f"{rq_sql('a.intensity_cumulative_abs', 2)} AS intensity_cumulative_abs "
+    "FROM agg a JOIN peak p ON a.cell_id = p.cell_id AND a.event_id = p.event_id",
+)
+def q_event_metrics(spark, sf_dir):
+    """A5+W6: one hash aggregate per event over its member days —
+    duration/max/mean/var/cumulative for rel-seas, rel-thresh and
+    absolute variants; var is sqrt(var_pop) (np.var ddof=0)
+    (reference marineHeatWaves.py:370-392; common/core.py:89-127)."""
+    m = event_metrics(
+        _flagged(spark, sf_dir),
+        _events(spark, sf_dir),
+        with_rates=False,
+        with_categories=False,
+    )
+    sel = ["cell_id", "event_id", "date_start", "date_end", "duration", "date_peak"]
+    out = m.select(
+        *sel,
+        *[
+            rq(c, 2).alias(c.lower())
+            for c in (
+                "intensity_max",
+                "intensity_mean",
+                "intensity_var",
+                "intensity_cumulative",
+                "intensity_max_relThresh",
+                "intensity_mean_relThresh",
+                "intensity_var_relThresh",
+                "intensity_cumulative_relThresh",
+                "intensity_max_abs",
+                "intensity_mean_abs",
+                "intensity_var_abs",
+                "intensity_cumulative_abs",
+            )
+        ],
+    )
+    return out
+
+
+# =========================================================================
+# W7 — onset / decline rates (half-day boundary convention)
+# =========================================================================
+@register(
+    "q_onset_decline_rates",
+    f"WITH {EV_SQL}, "
+    "flx AS (SELECT *, temp - seas AS rel_seas, "
+    "  lag(temp - seas) OVER w AS prev_rel_seas, lead(temp - seas) OVER w AS next_rel_seas, "
+    "  min(time) OVER (PARTITION BY cell_id) AS series_start, "
+    "  max(time) OVER (PARTITION BY cell_id) AS series_end "
+    "  FROM fl WINDOW w AS (PARTITION BY cell_id ORDER BY time)), "
+    "member AS (SELECT e.cell_id, e.event_id, e.date_start, e.date_end, e.duration, f.* EXCLUDE (cell_id) "
+    "  FROM ev e JOIN flx f ON f.cell_id = e.cell_id AND f.time BETWEEN e.date_start AND e.date_end), "
+    "peak AS (SELECT cell_id, event_id, time AS date_peak, rel_seas AS imax, "
+    "  date_diff('day', date_start, time) AS tt_peak FROM ("
+    "  SELECT m.*, row_number() OVER (PARTITION BY cell_id, event_id "
+    "    ORDER BY rel_seas DESC, time ASC) AS rn FROM member m) WHERE rn = 1), "
+    "edges AS (SELECT cell_id, event_id, duration, "
+    "  max(CASE WHEN time = date_start THEN rel_seas END) AS first_rs, "
+    "  max(CASE WHEN time = date_end THEN rel_seas END) AS last_rs, "
+    "  max(CASE WHEN time = date_start THEN prev_rel_seas END) AS before_rs, "
+    "  max(CASE WHEN time = date_end THEN next_rel_seas END) AS after_rs, "
+    "  bool_or(time = date_start AND time = series_start) AS at_series_start, "
+    "  bool_or(time = date_end AND time = series_end) AS at_series_end "
+    "  FROM member GROUP BY 1, 2, 3) "
+    "SELECT e.cell_id, e.event_id, p.date_peak, "
+    + rq_sql(
+        "CASE WHEN NOT e.at_series_start THEN "
+        "(p.imax - 0.5 * (e.first_rs + e.before_rs)) / (p.tt_peak + 0.5) "
+        "WHEN p.tt_peak = 0 THEN 0.0 "
+        "ELSE (p.imax - e.first_rs) / p.tt_peak END",
+        2,
+    )
+    + " AS rate_onset, "
+    + rq_sql(
+        "CASE WHEN NOT e.at_series_end THEN "
+        "(p.imax - 0.5 * (e.last_rs + e.after_rs)) / (e.duration - 1 - p.tt_peak + 0.5) "
+        "WHEN p.tt_peak = e.duration - 1 THEN 0.0 "
+        "ELSE (p.imax - e.last_rs) / (e.duration - 1 - p.tt_peak) END",
+        2,
+    )
+    + " AS rate_decline "
+    "FROM edges e JOIN peak p ON e.cell_id = p.cell_id AND e.event_id = p.event_id",
+)
+def q_onset_decline_rates(spark, sf_dir):
+    """W7: onset = (i_max - i_start)/(tt_peak + 0.5) with the half-day
+    boundary convention; i_start averages the first in-event day with the
+    day *before* the event (series-position neighbor); 4 edge cases at
+    the series extremes (reference marineHeatWaves.py:394-411).
+
+    Deviation from the vendored oracle, documented: when an event ends at
+    the series end with its peak on the last day, Oliver's `tt_peak==T-1`
+    branch yields 0/0 -> NaN unless the event spans the whole series; this
+    engine returns 0.0 for every peak-at-edge case (the symmetric onset
+    convention)."""
+    m = event_metrics(
+        _flagged(spark, sf_dir),
+        _events(spark, sf_dir),
+        with_rates=True,
+        with_categories=False,
+    )
+    return m.select(
+        "cell_id",
+        "event_id",
+        "date_peak",
+        rq("rate_onset", 2).alias("rate_onset"),
+        rq("rate_decline", 2).alias("rate_decline"),
+    )
+
+
+# =========================================================================
+# W8 + S6 — per-event category durations & label
+# =========================================================================
+@register(
+    "q_event_categories",
+    f"WITH {MEMBER_SQL}, "
+    "pkc AS (SELECT cell_id, event_id, least(floor(1.0 + rel_tn), 4) AS peak_band FROM ("
+    "  SELECT m.*, row_number() OVER (PARTITION BY cell_id, event_id "
+    "    ORDER BY rel_tn DESC, time ASC) AS rn FROM member m) WHERE rn = 1), "
+    "cats AS (SELECT cell_id, event_id, "
+    "  CAST(sum(CASE WHEN floor(1.0 + rel_tn) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS duration_moderate, "
+    "  CAST(sum(CASE WHEN floor(1.0 + rel_tn) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS duration_strong, "
+    "  CAST(sum(CASE WHEN floor(1.0 + rel_tn) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS duration_severe, "
+    "  CAST(sum(CASE WHEN floor(1.0 + rel_tn) >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS duration_extreme "
+    "  FROM member GROUP BY 1, 2) "
+    "SELECT c.cell_id, c.event_id, "
+    "CASE p.peak_band WHEN 1 THEN 'Moderate' WHEN 2 THEN 'Strong' WHEN 3 THEN 'Severe' "
+    "ELSE 'Extreme' END AS category, c.duration_moderate, c.duration_strong, "
+    "c.duration_severe, c.duration_extreme "
+    "FROM cats c JOIN pkc p ON c.cell_id = p.cell_id AND c.event_id = p.event_id",
+)
+def q_event_categories(spark, sf_dir):
+    """W8+S6: category of the event = label of the capped band at the
+    *normalized-exceedance* peak (separate argmax from the rel-seas
+    peak); duration_<cat> counts member days in each band
+    (reference marineHeatWaves.py:384-392)."""
+    m = event_metrics(
+        _flagged(spark, sf_dir),
+        _events(spark, sf_dir),
+        with_rates=False,
+        with_categories=True,
+    )
+    return m.select(
+        "cell_id",
+        "event_id",
+        "category",
+        "duration_moderate",
+        "duration_strong",
+        "duration_severe",
+        "duration_extreme",
+    )
+
+
+# =========================================================================
+# A7 — block averages (2-year blocks)
+# =========================================================================
+BLOCK_SQL = (
+    ", spans AS (SELECT cell_id, min(year(time)) AS y0, max(year(time)) AS y1 FROM fl GROUP BY 1), "
+    "spine AS (SELECT cell_id, CAST(y0 + b.b * 2 AS INT) AS years_start, "
+    "  CAST(y0 + b.b * 2 + 1 AS INT) AS years_end FROM spans, "
+    "  (SELECT unnest(generate_series(0, 3)) AS b) b "
+    "  WHERE y0 + b.b * 2 <= y1)"
+)
+
+
+@register(
+    "q_block_average",
+    f"WITH {MEMBER_SQL}{BLOCK_SQL}, "
+    "evb AS (SELECT e.*, CAST(s.y0 + floor((year(e.date_start) - s.y0) / 2) * 2 AS INT) AS years_start, "
+    "  m.intensity_max, m.intensity_mean, m.intensity_cumulative FROM ev e "
+    "  JOIN spans s ON e.cell_id = s.cell_id "
+    "  JOIN (SELECT cell_id, event_id, max(rel_seas) AS intensity_max, "
+    "    avg(rel_seas) AS intensity_mean, sum(rel_seas) AS intensity_cumulative "
+    "    FROM member GROUP BY 1, 2) m ON e.cell_id = m.cell_id AND e.event_id = m.event_id), "
+    "per_block AS (SELECT cell_id, years_start, count(*) AS count, "
+    "  avg(duration) AS duration, avg(intensity_max) AS intensity_max, "
+    "  max(intensity_max) AS intensity_max_max, avg(intensity_mean) AS intensity_mean, "
+    "  avg(intensity_cumulative) AS intensity_cumulative, "
+    "  sum(intensity_cumulative) AS total_icum FROM evb GROUP BY 1, 2), "
+    "days AS (SELECT e.cell_id, CAST(s.y0 + floor((year(d.d) - s.y0) / 2) * 2 AS INT) AS years_start, "
+    "  count(*) AS total_days FROM ev e JOIN spans s ON e.cell_id = s.cell_id, "
+    "  LATERAL (SELECT unnest(generate_series(e.date_start, e.date_end, INTERVAL 1 DAY)) AS d) d "
+    "  GROUP BY 1, 2) "
+    "SELECT sp.cell_id, sp.years_start, sp.years_end, "
+    f"coalesce(pb.count, 0) AS count, {rq_sql('pb.duration', 2)} AS duration, "
+    f"{rq_sql('pb.intensity_max', 2)} AS intensity_max, {rq_sql('pb.intensity_max_max', 2)} AS intensity_max_max, "
+    f"{rq_sql('pb.intensity_mean', 2)} AS intensity_mean, {rq_sql('pb.intensity_cumulative', 2)} AS intensity_cumulative, "
+    f"coalesce(dy.total_days, 0) AS total_days, {rq_sql('pb.total_icum', 2)} AS total_icum "
+    "FROM spine sp LEFT JOIN per_block pb ON sp.cell_id = pb.cell_id AND sp.years_start = pb.years_start "
+    "LEFT JOIN days dy ON sp.cell_id = dy.cell_id AND sp.years_start = dy.years_start",
+)
+def q_block_average(spark, sf_dir):
+    """A7: events grouped into 2-year blocks by start year; per-block
+    count / metric averages / max-of-max / total_icum; total_days splits
+    multi-year events across blocks by each member day's year; block
+    spine from the series span, empty blocks keep NULL stats
+    (reference `blockAverage` marineHeatWaves.py:431-684)."""
+    fl = _flagged(spark, sf_dir)
+    m = event_metrics(
+        fl, _events(spark, sf_dir), with_rates=False, with_categories=False
+    )
+    blk = block_average(m, fl, block_length=2)
+    return blk.select(
+        "cell_id",
+        "years_start",
+        "years_end",
+        "count",
+        rq("duration", 2).alias("duration"),
+        rq("intensity_max", 2).alias("intensity_max"),
+        rq("intensity_max_max", 2).alias("intensity_max_max"),
+        rq("intensity_mean", 2).alias("intensity_mean"),
+        rq("intensity_cumulative", 2).alias("intensity_cumulative"),
+        "total_days",
+        rq("total_icum", 2).alias("total_icum"),
+    )
+
+
+# =========================================================================
+# A8 — per-block raw-temperature stats
+# =========================================================================
+@register(
+    "q_block_temp_stats",
+    f"WITH {FL_SQL}{BLOCK_SQL}, "
+    "d AS (SELECT f.cell_id, CAST(s.y0 + floor((year(f.time) - s.y0) / 2) * 2 AS INT) AS years_start, "
+    "  f.temp FROM fl f JOIN spans s ON f.cell_id = s.cell_id), "
+    "st AS (SELECT cell_id, years_start, avg(temp) AS temp_mean, max(temp) AS temp_max, "
+    "  min(temp) AS temp_min FROM d GROUP BY 1, 2) "
+    f"SELECT sp.cell_id, sp.years_start, sp.years_end, {rq_sql('st.temp_mean', 2)} AS temp_mean, "
+    f"{rq_sql('st.temp_max', 2)} AS temp_max, {rq_sql('st.temp_min', 2)} AS temp_min "
+    "FROM spine sp LEFT JOIN st ON sp.cell_id = st.cell_id AND sp.years_start = st.years_start",
+)
+def q_block_temp_stats(spark, sf_dir):
+    """A8: per-block nanmean/nanmax/nanmin of the raw series
+    (reference marineHeatWaves.py:644-649)."""
+    od = orders_daily(spark, sf_dir)
+    blk = block_temp_stats(od, block_length=2)
+    return blk.select(
+        "cell_id",
+        "years_start",
+        "years_end",
+        rq("temp_mean", 2).alias("temp_mean"),
+        rq("temp_max", 2).alias("temp_max"),
+        rq("temp_min", 2).alias("temp_min"),
+    )
+
+
+# =========================================================================
+# A9 — category-day counts per block (conditional-agg pivot)
+# =========================================================================
+@register(
+    "q_category_days_pivot",
+    f"WITH {EV_SQL}{BLOCK_SQL}, "
+    "md AS (SELECT f.cell_id, f.time, f.temp, f.seas, f.thresh FROM fl f "
+    "  WHERE EXISTS (SELECT 1 FROM ev e WHERE e.cell_id = f.cell_id "
+    "    AND f.time BETWEEN e.date_start AND e.date_end)), "
+    "d AS (SELECT md.cell_id, CAST(s.y0 + floor((year(md.time) - s.y0) / 2) * 2 AS INT) AS years_start, "
+    "  floor(1.0 + (md.temp - md.thresh) / (md.thresh - md.seas)) AS cat "
+    "  FROM md JOIN spans s ON md.cell_id = s.cell_id), "
+    "cnt AS (SELECT cell_id, years_start, "
+    "  CAST(sum(CASE WHEN cat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS moderate_days, "
+    "  CAST(sum(CASE WHEN cat = 2 THEN 1 ELSE 0 END) AS BIGINT) AS strong_days, "
+    "  CAST(sum(CASE WHEN cat = 3 THEN 1 ELSE 0 END) AS BIGINT) AS severe_days, "
+    "  CAST(sum(CASE WHEN cat >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS extreme_days "
+    "  FROM d GROUP BY 1, 2) "
+    "SELECT sp.cell_id, sp.years_start, sp.years_end, "
+    "coalesce(c.moderate_days, 0) AS moderate_days, coalesce(c.strong_days, 0) AS strong_days, "
+    "coalesce(c.severe_days, 0) AS severe_days, coalesce(c.extreme_days, 0) AS extreme_days "
+    "FROM spine sp LEFT JOIN cnt c ON sp.cell_id = c.cell_id AND sp.years_start = c.years_start",
+)
+def q_category_days_pivot(spark, sf_dir):
+    """A9: per block, days inside any event at category band 1/2/3/>=4
+    (reference marineHeatWaves.py:562-571,614-620) — an event-mask
+    semi-join + conditional aggregate."""
+    fl = _flagged(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    out = category_days_per_block(fl, ev, block_length=2)
+    return out.select(
+        "cell_id",
+        "years_start",
+        "years_end",
+        "moderate_days",
+        "strong_days",
+        "severe_days",
+        "extreme_days",
+    )
+
+
+# =========================================================================
+# W9 — event ranking & return periods
+# =========================================================================
+@register(
+    "q_event_rank_return",
+    f"WITH {MEMBER_SQL}, "
+    "m AS (SELECT cell_id, event_id, max(rel_seas) AS intensity_max FROM member GROUP BY 1, 2) "
+    f"SELECT cell_id, event_id, {rq_sql('intensity_max', 2)} AS intensity_max, "
+    "CAST(row_number() OVER (ORDER BY intensity_max DESC, cell_id, event_id) AS INT) AS intensity_max_rank, "
+    + rq_sql(
+        f"({N_YEARS} + 1.0) / row_number() OVER (ORDER BY intensity_max DESC, cell_id, event_id)",
+        4,
+    )
+    + " AS intensity_max_return_period FROM m",
+)
+def q_event_rank_return(spark, sf_dir):
+    """W9: distinct ordinal ranks (double-argsort = row_number), ties
+    broken by (cell_id, event_id) for determinism; returnPeriod =
+    (nYears+1)/rank (reference `rank` marineHeatWaves.py:785-855)."""
+    m = event_metrics(
+        _flagged(spark, sf_dir),
+        _events(spark, sf_dir),
+        with_rates=False,
+        with_categories=False,
+    )
+    ranked = rank_return_periods(m, ["intensity_max"], n_years=N_YEARS)
+    return ranked.select(
+        "cell_id",
+        "event_id",
+        rq("intensity_max", 2).alias("intensity_max"),
+        F.col("intensity_max_rank").cast("int").alias("intensity_max_rank"),
+        rq("intensity_max_return_period", 4).alias("intensity_max_return_period"),
+    )
+
+
+# =========================================================================
+# M1 — cold-spell mode (rows-only: full pipeline with pooled climatology)
+# =========================================================================
+@register("q_cold_spells", None)
+def q_cold_spells(spark, sf_dir):
+    """M1: negate input, detect against the mirrored (10th) percentile,
+    negate intensities on the way out (reference
+    marineHeatWaves.py:105-106,244-247,413-426). Rows-only: the full
+    pooled-climatology pipeline is not practical as one SQL oracle."""
+    od = orders_daily(spark, sf_dir)
+    m = detect_mhw(
+        od,
+        baseline=(1995, 2000),
+        min_duration=MIN_DUR,
+        max_gap=MAX_GAP,
+        cold_spells=True,
+        with_rates=False,
+        with_categories=False,
+    )
+    return m.select(
+        "cell_id",
+        "event_id",
+        "date_start",
+        "date_end",
+        "duration",
+        F.round("intensity_max", 4).alias("intensity_max"),
+        F.round("intensity_mean", 4).alias("intensity_mean"),
+    )
+
+
+# =========================================================================
+# U1 — applyInPandas escape hatch (per-cell numpy kernel)
+# =========================================================================
+@register(
+    "q_apply_in_pandas_kernel",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "x AS (SELECT cell_id, CAST(date_diff('day', DATE '1970-01-01', time) AS DOUBLE) AS xv, "
+    "  temp FROM od) "
+    f"SELECT cell_id, {rq_sql('regr_slope(temp, xv)', 4)} AS slope, "
+    f"{rq_sql('regr_intercept(temp, xv)', 1)} AS intercept FROM x GROUP BY 1",
+)
+def q_apply_in_pandas_kernel(spark, sf_dir):
+    """U1: the designated escape hatch for per-cell NumPy kernels —
+    applyInPandas grouped by cell_id (reference apply_ufunc
+    vectorize/dask='parallelized', common/core.py:167-176). The kernel
+    here is a deg-1 polyfit, so the DuckDB oracle can check it exactly
+    via regr_slope/regr_intercept."""
+    import numpy as np
+
+    od = orders_daily(spark, sf_dir).withColumn(
+        "xv", F.datediff("time", F.lit("1970-01-01")).cast("double")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        b, a = np.polyfit(pdf["xv"].to_numpy(), pdf["temp"].to_numpy(), 1)
+        return pd.DataFrame(
+            {"cell_id": [pdf["cell_id"].iloc[0]], "slope": [b], "intercept": [a]}
+        )
+
+    out = od.groupBy("cell_id").applyInPandas(
+        fit, schema="cell_id bigint, slope double, intercept double"
+    )
+    return out.select(
+        "cell_id",
+        rq("slope", 4).alias("slope"),
+        rq("intercept", 1).alias("intercept"),
+    )
+
+
+# =========================================================================
+# Flagship — the full MHW pipeline (rows-only; golden-tested in tests/)
+# =========================================================================
+@register("q_mhw_pipeline", None)
+def q_mhw_pipeline(spark, sf_dir):
+    """EP1+EP2+EP3 fused: pooled clim/threshold -> severity -> detection
+    -> event metrics, three shuffles of the big table total
+    (SURVEY.md §3/§4). Correctness gate: the seed-42 golden fixture
+    (tests/test_detection_golden.py) reproducing the reference's known
+    events; here rows-only."""
+    od = orders_daily(spark, sf_dir)
+    m = detect_mhw(
+        od,
+        baseline=(1995, 2000),
+        min_duration=MIN_DUR,
+        max_gap=MAX_GAP,
+        with_rates=True,
+        with_categories=True,
+    )
+    return m.select(
+        "cell_id",
+        "event_id",
+        "date_start",
+        "date_end",
+        "duration",
+        "date_peak",
+        "category",
+        F.round("intensity_max", 4).alias("intensity_max"),
+        F.round("intensity_mean", 4).alias("intensity_mean"),
+        F.round("intensity_cumulative", 4).alias("intensity_cumulative"),
+        F.round("rate_onset", 4).alias("rate_onset"),
+        F.round("rate_decline", 4).alias("rate_decline"),
+    )

@@ -1,0 +1,390 @@
+"""Beyond-reference extension queries (SURVEY.md §2.11): dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+search (brute-force + IVF-bucketed top-k), text analysis (tokens,
+quality, language-ID, token counts, fingerprints), multimodal plumbing.
+
+These run on the driver's ``documents`` / ``embeddings`` tables. Hash
+functions are md5-based so every pipeline is exactly reproducible in
+the DuckDB oracle (swap to xxhash64 for raw speed at 100 TB — the
+plans are identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+)
+from mhw3d_detection_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from mhw3d_detection_spark.operators.textops import (
+    LANG_STOPWORDS,
+    exact_dedup,
+    fingerprint,
+    language_id,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+    text_stats,
+    tokenize,
+)
+from mhw3d_detection_spark.queries.base import register, rq, rq_sql
+from mhw3d_detection_spark.sources.tables import load_table
+
+TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+#: word 3-gram shingles via direct array slicing (mirror of
+#: operators.textops.shingles)
+SHINGLES_SQL = (
+    "d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "sh AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle "
+    "  FROM d, (SELECT unnest(generate_series(1, 2000)) AS i) g "
+    "  WHERE i <= len(toks) - 2)"
+)
+
+
+# =========================================================================
+# E1 — exact dedup
+# =========================================================================
+@register(
+    "q_dedup_exact",
+    "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM documents GROUP BY text",
+)
+def q_dedup_exact(spark, sf_dir):
+    """E1: hash-groupBy on the exact content; smallest doc_id is the
+    canonical survivor. At scale: group on md5(text) to keep shuffle
+    keys small."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+# =========================================================================
+# E2 — MinHash signatures + LSH candidate pairs
+# =========================================================================
+@register(
+    "q_dedup_minhash",
+    f"WITH {SHINGLES_SQL}, "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    )
+    + " FROM sh GROUP BY 1) "
+    "SELECT doc_id, b.band_id, CASE b.band_id "
+    + " ".join(
+        f"WHEN {b} THEN h{2 * b} || h{2 * b + 1}" for b in range(4)
+    )
+    + " END AS band_sig "
+    "FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b",
+)
+def q_dedup_minhash(spark, sf_dir):
+    """E2: MinHash signatures over word-3-gram shingles, banded 4x2 for
+    LSH (shingle → seeded-md5 min-hash → band concat). The lexicographic
+    min of seeded digests is the permutation proxy; identical in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, n_hashes=8, band_size=2)
+
+
+@register(
+    "q_dedup_minhash_pairs",
+    f"WITH {SHINGLES_SQL}, "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    )
+    + " FROM sh GROUP BY 1), "
+    "bands AS (SELECT doc_id, b.band_id, CASE b.band_id "
+    + " ".join(
+        f"WHEN {b} THEN h{2 * b} || h{2 * b + 1}" for b in range(4)
+    )
+    + " END AS band_sig "
+    "FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b) "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+    "WHERE a.doc_id < b.doc_id AND a.doc_id < 100",
+)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """E2: the LSH bucket self-join — docs colliding on any (band,
+    signature) bucket are near-dup candidates. Equi-join on the bucket
+    key: the step that turns O(n²) all-pairs into a shuffle on bucket
+    ids. Probe side bounded (doc_id < 100) to keep test output small."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, band_size=2)
+    pairs = minhash_candidate_pairs(sig)
+    return pairs.filter(F.col("doc_a") < 100)
+
+
+# =========================================================================
+# E2 — SimHash fingerprints
+# =========================================================================
+@register(
+    "q_dedup_simhash",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "h AS (SELECT doc_id, substr(md5(token), 1, 4) AS h4 FROM tok), "
+    "bits AS (SELECT doc_id, j.j, "
+    "  CAST(floor((strpos('0123456789abcdef', substr(h4, (j.j - 1) // 4 + 1, 1)) - 1) "
+    "    / power(2, 3 - ((j.j - 1) % 4))) AS INT) % 2 AS bit "
+    "  FROM h, (SELECT unnest(generate_series(1, 16)) AS j) j), "
+    "votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN power(2, 16 - j) ELSE 0 END) AS BIGINT) AS simhash "
+    "FROM votes GROUP BY 1",
+)
+def q_dedup_simhash(spark, sf_dir):
+    """E2: 16-bit SimHash — per-token md5 nibbles vote ±1 per bit
+    position; sign vector packs into the fingerprint. Near-dups differ
+    in few bits (compare via popcount(xor) downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)
+
+
+# =========================================================================
+# E2 — exact n-gram Jaccard on a probe set
+# =========================================================================
+@register(
+    "q_dedup_ngram_jaccard",
+    f"WITH {SHINGLES_SQL}, "
+    "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
+    "  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "  WHERE a.doc_id % 50 = 0 GROUP BY 1, 2) "
+    f"SELECT i.doc_a, i.doc_b, {rq_sql('i.inter / (sa.sz + sb.sz - i.inter)', 4)} AS jaccard "
+    "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.05",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """E2: exact shingle-set Jaccard for a probe subset (doc_id % 50 = 0)
+    — |A∩B| by equi-join on shingle, |A∪B| closed-form. At scale this
+    verifies MinHash candidates, not all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, probe_pred=lambda c: c % 50 == 0, min_jaccard=0.05
+    )
+    return pairs.select("doc_a", "doc_b", rq("jaccard", 4).alias("jaccard"))
+
+
+# =========================================================================
+# E3 — brute-force cosine top-k
+# =========================================================================
+@register(
+    "q_similarity_topk",
+    "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id % 50 = 0), "
+    "sims AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine FROM base b, probes p "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM sims) "
+    f"SELECT probe_id, vec_id, {rq_sql('cosine', 4)} AS cosine, rank "
+    "FROM ranked WHERE rank <= 5",
+)
+def q_similarity_topk(spark, sf_dir):
+    """E3: brute-force cosine top-5 per probe (vec_id % 50 = 0) — the
+    ANN correctness baseline. Probe set broadcasts; corpus scans once;
+    per-probe top-k via row_number, ties → smallest vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, probe_pred=lambda c: c % 50 == 0, k=5).select(
+        "probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+# =========================================================================
+# E3 — IVF-bucketed top-k (the scale path)
+# =========================================================================
+@register(
+    "q_similarity_ivf",
+    "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, label, v AS pv FROM base WHERE vec_id % 50 = 0), "
+    "sims AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine "
+    "  FROM base b JOIN probes p ON b.label = p.label "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM sims) "
+    f"SELECT probe_id, vec_id, {rq_sql('cosine', 4)} AS cosine, rank "
+    "FROM ranked WHERE rank <= 5",
+)
+def q_similarity_ivf(spark, sf_dir):
+    """E3: IVF-style ANN — candidates restricted to the probe's coarse
+    cell (the pre-assigned `label` plays the quantizer-cell role). The
+    equi-join on the cell id is what scales: 1/n_cells of the corpus
+    shuffles per probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="label"
+    ).select("probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank")
+
+
+# =========================================================================
+# E2/E3 — embedding-cosine near-dup pairs
+# =========================================================================
+@register(
+    "q_dedup_embedding",
+    "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "probes AS (SELECT vec_id AS doc_a, v AS va FROM base WHERE vec_id % 50 = 0) "
+    f"SELECT p.doc_a, b.vec_id AS doc_b, {rq_sql('list_cosine_similarity(b.v, p.va)', 4)} AS cosine "
+    "FROM base b, probes p WHERE p.doc_a < b.vec_id "
+    "AND list_cosine_similarity(b.v, p.va) >= 0.2",
+)
+def q_dedup_embedding(spark, sf_dir):
+    """E2: near-dup by embedding cosine >= τ for a probe set — the
+    semantic-dedup primitive (probe side becomes an LSH bucket join at
+    scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, probe_pred=lambda c: c % 50 == 0, threshold=0.2
+    )
+    return pairs.select("doc_a", "doc_b", rq("cosine", 4).alias("cosine"))
+
+
+# =========================================================================
+# E4 — token frequencies
+# =========================================================================
+@register(
+    "q_text_tokens",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents) "
+    "SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df "
+    "FROM tok GROUP BY 1",
+)
+def q_text_tokens(spark, sf_dir):
+    """E4: corpus term/document frequencies — explode + two-level hash
+    aggregate (partial map-side combine keeps the shuffle small)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+# =========================================================================
+# E4 — per-doc token counts
+# =========================================================================
+@register(
+    "q_text_token_count",
+    "SELECT doc_id, CAST(len(" + TOKENS_SQL + ") AS INT) AS n_tokens, "
+    "CAST(length(text) AS INT) AS n_chars FROM documents",
+)
+def q_text_token_count(spark, sf_dir):
+    """E4: per-doc token + char counts (whitespace/regex tokenizer) —
+    the basic length signal for quality filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
+        .cast("int")
+        .alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+# =========================================================================
+# E4 — quality scoring
+# =========================================================================
+@register(
+    "q_text_quality",
+    "WITH d AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+    "s AS (SELECT doc_id, len(toks) AS n_tokens, "
+    "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+    "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+    "    / length(text) AS punct_ratio, "
+    "  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mean_token_len "
+    "  FROM d) "
+    "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+    f"{rq_sql('punct_ratio', 4)} AS punct_ratio, "
+    f"{rq_sql('n_stop / greatest(n_tokens, 1)', 4)} AS stop_ratio, "
+    f"{rq_sql('mean_token_len', 4)} AS mean_token_len, "
+    + rq_sql(
+        "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+        "+ 0.2 * least(n_stop / 5.0, 1.0)",
+        4,
+    )
+    + " AS quality_score FROM s",
+)
+def q_text_quality(spark, sf_dir):
+    """E4: composite quality score from length, punctuation ratio and
+    (distinct) stopword hits — all closed-form array expressions, no
+    explode on the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = text_stats(docs)
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        rq("punct_ratio", 4).alias("punct_ratio"),
+        rq("stop_ratio", 4).alias("stop_ratio"),
+        rq("mean_token_len", 4).alias("mean_token_len"),
+        rq("quality_score", 4).alias("quality_score"),
+    )
+
+
+# =========================================================================
+# E4 — language ID
+# =========================================================================
+_LANG_SQL_COUNTS = ", ".join(
+    "sum(CASE WHEN token IN ({}) THEN 1 ELSE 0 END) AS n_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in LANG_STOPWORDS.items()
+)
+_LANG_SQL_PRED = (
+    "CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN n_{lang} = greatest(n_en, n_de, n_fr, n_es) THEN '{lang}'"
+        for lang in LANG_STOPWORDS
+    )
+    + " END"
+)
+
+
+@register(
+    "q_text_langid",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    f"c AS (SELECT doc_id, {_LANG_SQL_COUNTS} FROM tok GROUP BY 1) "
+    "SELECT doc_id, CAST(n_en AS BIGINT) AS n_en, CAST(n_de AS BIGINT) AS n_de, "
+    "CAST(n_fr AS BIGINT) AS n_fr, CAST(n_es AS BIGINT) AS n_es, "
+    f"{_LANG_SQL_PRED} AS lang_pred FROM c",
+)
+def q_text_langid(spark, sf_dir):
+    """E4: stopword-vote language ID with a fixed tie priority
+    (en > de > fr > es, 'und' when no hits) — a deterministic n-gram
+    heuristic; swap wordlists for real fastText-style models offline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+# =========================================================================
+# E4 — document fingerprints
+# =========================================================================
+@register(
+    "q_text_fingerprint",
+    "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+    + TOKENS_SQL
+    + ")), ' ')) AS fingerprint FROM documents",
+)
+def q_text_fingerprint(spark, sf_dir):
+    """E4: md5 of the sorted distinct token set — an order-insensitive
+    content fingerprint (bag-of-words canonical form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+# =========================================================================
+# E5 — multimodal column plumbing (stubbed decode, real Arrow plumbing)
+# =========================================================================
+@register(
+    "q_multimodal_meta",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+    "CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte, "
+    "substr(md5(text), 1, 16) AS phash FROM documents",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """E5: binary media column → typed metadata via Arrow-batched
+    mapInPandas. The codec is a deterministic STUB (no media libs in
+    this env); the schema/batch plumbing and the oracle check are real."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(documents_as_media(docs))

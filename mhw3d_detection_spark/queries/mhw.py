@@ -1,0 +1,571 @@
+"""Calendar / climatology / severity queries (SURVEY.md §2.3, §2.5
+A1-A6, §2.6 W1/W10/W11, §2.7 O5, §2.4 J1, §2.2 P5).
+
+Every query runs the engine operator on the driver's synthetic tables
+and declares a DuckDB oracle that re-derives the same result in ANSI
+SQL — the differential test the reference performs against its vendored
+``marineHeatWaves.py`` (SURVEY §5), re-targeted at DuckDB.
+
+Series used:
+- ``orders_daily`` — multi-year (1995-2001, two leap years) daily series,
+  the calendar-sensitive workhorse.
+- ``daily_nulls``  — the events stream with measured-but-NULL days
+  (§1.2 NaN-vs-NULL distinction) for strictness/interp/padding ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.functions.calendar import clim_doy, clim_doy_sql
+from mhw3d_detection_spark.functions.scalar import from_ordinal, to_ordinal
+from mhw3d_detection_spark.operators.analysis import (
+    detrend_linear,
+    mean_trend_ols,
+    pad_interpolate,
+)
+from mhw3d_detection_spark.operators.climatology import (
+    densify_doy,
+    interp_feb29,
+    pooled_climatology,
+    simple_climatology,
+    smooth_doy_circular,
+)
+from mhw3d_detection_spark.operators.detection import exceedance
+from mhw3d_detection_spark.operators.severity import calculate_severity
+from mhw3d_detection_spark.queries.base import (
+    DAILY_NULLS_SQL,
+    ORDERS_DAILY_SQL,
+    register,
+    rq,
+    rq_sql,
+)
+from mhw3d_detection_spark.queries.base import daily_nulls, orders_daily
+
+DOY = clim_doy_sql("time")
+BASELINE = (1995, 2000)
+
+# --- shared: the simple per-(cell, DOY) clim/thresh dim table ------------
+# (A1-style: plain per-DOY mean + exact 90th percentile on the baseline
+# years; the pooled variant has its own queries below)
+SIMPLE_CLIM_SQL = (
+    f"SELECT cell_id, {DOY} AS doy, avg(temp) AS seas, "
+    f"quantile_cont(temp, 0.9) AS thresh FROM od "
+    f"WHERE year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]} GROUP BY 1, 2"
+)
+
+
+def simple_clim_table(spark, sf_dir):
+    od = orders_daily(spark, sf_dir)
+    return (
+        od.filter(F.year("time").between(*BASELINE))
+        .groupBy("cell_id", clim_doy(F.col("time")).alias("doy"))
+        .agg(
+            F.avg("temp").alias("seas"),
+            F.expr("percentile(temp, 0.9)").alias("thresh"),
+        )
+    )
+
+
+# =========================================================================
+# S1 — leap-normalized DOY calendar
+# =========================================================================
+@register(
+    "q_clim_doy",
+    f"WITH od AS ({ORDERS_DAILY_SQL}) "
+    f"SELECT cell_id, time, CAST(dayofyear(time) AS INT) AS natural_doy, {DOY} AS doy "
+    f"FROM od",
+)
+def q_clim_doy(spark, sf_dir):
+    """S1: Mar 1 is always DOY 61, Dec 31 always 366; non-leap years
+    shift natural DOY >= 60 by +1 (reference common/core.py:5-17)."""
+    od = orders_daily(spark, sf_dir)
+    return od.select(
+        "cell_id",
+        "time",
+        F.dayofyear("time").alias("natural_doy"),
+        clim_doy(F.col("time")).cast("int").alias("doy"),
+    )
+
+
+# =========================================================================
+# S3 — proleptic-Gregorian ordinal round trip
+# =========================================================================
+@register(
+    "q_ordinal_roundtrip",
+    f"WITH od AS ({ORDERS_DAILY_SQL}) "
+    "SELECT cell_id, time, "
+    "CAST(date_diff('day', DATE '0001-01-01', time) + 1 AS INT) AS ord, "
+    "DATE '0001-01-01' + CAST(date_diff('day', DATE '0001-01-01', time) AS INT) AS back "
+    "FROM od",
+)
+def q_ordinal_roundtrip(spark, sf_dir):
+    """S3: date.toordinal()/fromordinal round trip (reference
+    marineHeatWaves.py:26,196 stores time as int ordinals)."""
+    od = orders_daily(spark, sf_dir)
+    return od.select(
+        "cell_id",
+        "time",
+        to_ordinal(F.col("time")).cast("int").alias("ord"),
+        from_ordinal(to_ordinal(F.col("time"))).alias("back"),
+    )
+
+
+# =========================================================================
+# A1 + O5 — best-practice per-DOY mean, reindexed to the dense 1..366 axis
+# =========================================================================
+@register(
+    "q_clim_groupby_mean",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS (SELECT cell_id, {DOY} AS doy, avg(temp) AS seas FROM od "
+    f"  WHERE year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]} GROUP BY 1, 2), "
+    "spine AS (SELECT DISTINCT cell_id, g.d AS doy FROM clim, "
+    "  (SELECT unnest(generate_series(1, 366)) AS d) g) "
+    f"SELECT s.cell_id, CAST(s.doy AS INT) AS doy, {rq_sql('c.seas', 2)} AS seas "
+    "FROM spine s LEFT JOIN clim c ON s.cell_id = c.cell_id AND s.doy = c.doy",
+)
+def q_clim_groupby_mean(spark, sf_dir):
+    """A1: groupby('dayofyear').mean() then reindex 1..366 (reference
+    best_practice/climatology.py:99-105)."""
+    od = orders_daily(spark, sf_dir)
+    clim = simple_climatology(od, baseline=BASELINE)
+    return clim.select(
+        "cell_id", F.col("doy").cast("int").alias("doy"), rq("seas", 2).alias("seas")
+    )
+
+
+# =========================================================================
+# O5 — densify observable: per-cell row/NULL counts of the dense axis
+# =========================================================================
+@register(
+    "q_reindex_dense_doy",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS (SELECT cell_id, {DOY} AS doy, avg(temp) AS seas FROM od "
+    f"  WHERE year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]} GROUP BY 1, 2), "
+    "spine AS (SELECT DISTINCT cell_id, g.d AS doy FROM clim, "
+    "  (SELECT unnest(generate_series(1, 366)) AS d) g), "
+    "dense AS (SELECT s.cell_id, s.doy, c.seas FROM spine s "
+    "  LEFT JOIN clim c ON s.cell_id = c.cell_id AND s.doy = c.doy) "
+    "SELECT cell_id, count(*) AS n_rows, "
+    "CAST(sum(CASE WHEN seas IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing "
+    "FROM dense GROUP BY 1",
+)
+def q_reindex_dense_doy(spark, sf_dir):
+    """O5: reindex(doy=1..366) materializes missing DOYs as NULL rows
+    (reference legacy/climatology.py:79,92)."""
+    od = orders_daily(spark, sf_dir)
+    dense = densify_doy(
+        simple_climatology(od, baseline=BASELINE).filter(F.col("seas").isNotNull())
+    )
+    return dense.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("seas").isNull().cast("int")).cast("long").alias("n_missing"),
+    )
+
+
+# =========================================================================
+# A2 / A3 — pooled-window climatology & exact percentile threshold
+# =========================================================================
+#: the explode-and-group pool re-derived relationally for DuckDB: bucket
+#: owners are baseline non-Feb-29 rows; every row within +/-5 *series
+#: positions* contributes its temp to the owner's DOY bucket (reference
+#: pooling is index-based: legacy/climatology.py:61-119,
+#: marineHeatWaves.py:266-281).
+POOL_SQL = (
+    f"od AS ({ORDERS_DAILY_SQL}), "
+    f"s AS (SELECT cell_id, time, temp, {DOY} AS doy, "
+    "  row_number() OVER (PARTITION BY cell_id ORDER BY time) AS rn FROM od), "
+    "pool AS (SELECT b.cell_id, b.doy, t.temp FROM s b "
+    "  JOIN s t ON t.cell_id = b.cell_id AND t.rn BETWEEN b.rn - 5 AND b.rn + 5 "
+    f"  WHERE b.doy <> 60 AND year(b.time) BETWEEN {BASELINE[0]} AND {BASELINE[1]})"
+)
+
+
+@register(
+    "q_pooled_clim_mean",
+    f"WITH {POOL_SQL} "
+    f"SELECT cell_id, CAST(doy AS INT) AS doy, {rq_sql('avg(temp)', 2)} AS seas "
+    "FROM pool GROUP BY 1, 2",
+)
+def q_pooled_clim_mean(spark, sf_dir):
+    """A2: mean over all samples within the +/-5-position window of each
+    baseline occurrence of a DOY (reference `_pool_window` + nanmean,
+    legacy/climatology.py:61-119,167-176)."""
+    od = orders_daily(spark, sf_dir)
+    clim = pooled_climatology(
+        od,
+        baseline=BASELINE,
+        smooth_width=None,
+        feb29_interp=False,
+        densify=False,
+    )
+    return clim.select(
+        "cell_id", F.col("doy").cast("int").alias("doy"), rq("seas", 2).alias("seas")
+    )
+
+
+@register(
+    "q_pooled_threshold_pctile",
+    f"WITH {POOL_SQL} "
+    "SELECT cell_id, CAST(doy AS INT) AS doy, "
+    f"{rq_sql('quantile_cont(temp, 0.9)', 2)} AS thresh FROM pool GROUP BY 1, 2",
+)
+def q_pooled_threshold_pctile(spark, sf_dir):
+    """A3: exact linear-interpolation 90th percentile over the same pool
+    (reference nanquantile method='linear', legacy/climatology.py:225-240;
+    Spark `percentile` — NOT approx — matches numpy 'linear')."""
+    od = orders_daily(spark, sf_dir)
+    clim = pooled_climatology(
+        od,
+        baseline=BASELINE,
+        smooth_width=None,
+        feb29_interp=False,
+        densify=False,
+    )
+    return clim.select(
+        "cell_id",
+        F.col("doy").cast("int").alias("doy"),
+        rq("thresh", 2).alias("thresh"),
+    )
+
+
+# =========================================================================
+# A4 — strict skipna=False: any measured-but-NULL sample poisons the pool
+# =========================================================================
+@register(
+    "q_threshold_strict_nan",
+    f"WITH dn AS ({DAILY_NULLS_SQL}), "
+    f"s AS (SELECT cell_id, time, temp, {DOY} AS doy, "
+    "  row_number() OVER (PARTITION BY cell_id ORDER BY time) AS rn FROM dn), "
+    "pool AS (SELECT b.cell_id, b.doy, t.temp FROM s b "
+    "  JOIN s t ON t.cell_id = b.cell_id AND t.rn BETWEEN b.rn - 2 AND b.rn + 2 "
+    "  WHERE b.doy <> 60), "
+    "agg AS (SELECT cell_id, doy, avg(temp) AS seas, "
+    "  quantile_cont(temp, 0.9) AS thresh, "
+    "  max(CASE WHEN temp IS NULL THEN 1 ELSE 0 END) AS has_null "
+    "  FROM pool GROUP BY 1, 2) "
+    "SELECT cell_id, CAST(doy AS INT) AS doy, "
+    f"{rq_sql('CASE WHEN has_null = 0 THEN seas END', 4)} AS seas, "
+    f"{rq_sql('CASE WHEN has_null = 0 THEN thresh END', 4)} AS thresh FROM agg",
+)
+def q_threshold_strict_nan(spark, sf_dir):
+    """A4: the xarray port's skipna=False contract — a NULL temp anywhere
+    in the pool nullifies the bucket (reference presence map,
+    legacy/climatology.py:84-95,243-252)."""
+    dn = daily_nulls(spark, sf_dir)
+    clim = pooled_climatology(
+        dn,
+        window_half_width=2,
+        strict_nan=True,
+        smooth_width=None,
+        feb29_interp=False,
+        densify=False,
+    )
+    return clim.select(
+        "cell_id",
+        F.col("doy").cast("int").alias("doy"),
+        rq("seas", 4).alias("seas"),
+        rq("thresh", 4).alias("thresh"),
+    )
+
+
+# =========================================================================
+# A6 — Feb 29 interpolation on the dense axis
+# =========================================================================
+@register(
+    "q_feb29_interp",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS ({SIMPLE_CLIM_SQL}), "
+    "spine AS (SELECT DISTINCT cell_id, g.d AS doy FROM clim, "
+    "  (SELECT unnest(generate_series(1, 366)) AS d) g), "
+    "dense AS (SELECT s.cell_id, s.doy, c.seas, c.thresh FROM spine s "
+    "  LEFT JOIN clim c ON s.cell_id = c.cell_id AND s.doy = c.doy), "
+    "nb AS (SELECT cell_id, "
+    "  0.5 * max(CASE WHEN doy = 59 THEN seas END) "
+    "    + 0.5 * max(CASE WHEN doy = 61 THEN seas END) AS f29_seas, "
+    "  0.5 * max(CASE WHEN doy = 59 THEN thresh END) "
+    "    + 0.5 * max(CASE WHEN doy = 61 THEN thresh END) AS f29_thresh "
+    "  FROM dense WHERE doy IN (59, 61) GROUP BY 1) "
+    "SELECT d.cell_id, CAST(d.doy AS INT) AS doy, "
+    f"{rq_sql('CASE WHEN d.doy = 60 THEN nb.f29_seas ELSE d.seas END', 2)} AS seas, "
+    f"{rq_sql('CASE WHEN d.doy = 60 THEN nb.f29_thresh ELSE d.thresh END', 2)} AS thresh "
+    "FROM dense d LEFT JOIN nb ON d.cell_id = nb.cell_id "
+    "WHERE d.doy BETWEEN 58 AND 62",
+)
+def q_feb29_interp(spark, sf_dir):
+    """A6: clim/thresh at DOY 60 := mean of DOY 59 and 61 (reference
+    `_interp_feb29` legacy/climatology.py:13-21;
+    marineHeatWaves.py:282-284)."""
+    clim = densify_doy(simple_clim_table(spark, sf_dir))
+    out = interp_feb29(clim)
+    return out.filter(F.col("doy").between(58, 62)).select(
+        "cell_id",
+        F.col("doy").cast("int").alias("doy"),
+        rq("seas", 2).alias("seas"),
+        rq("thresh", 2).alias("thresh"),
+    )
+
+
+# =========================================================================
+# W1 — 31-day circular running-mean smoother over the dense DOY axis
+# =========================================================================
+@register(
+    "q_circular_smooth_31d",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS ({SIMPLE_CLIM_SQL}), "
+    "spine AS (SELECT DISTINCT cell_id, g.d AS doy FROM clim, "
+    "  (SELECT unnest(generate_series(1, 366)) AS d) g), "
+    "dense AS (SELECT s.cell_id, s.doy, c.seas FROM spine s "
+    "  LEFT JOIN clim c ON s.cell_id = c.cell_id AND s.doy = c.doy), "
+    "copies AS (SELECT cell_id, doy, seas, doy + 366 * o.o AS pos FROM dense, "
+    "  (SELECT unnest([-1, 0, 1]) AS o) o), "
+    "sm AS (SELECT cell_id, doy, pos, avg(seas) OVER w AS s_avg, "
+    "  sum(CASE WHEN seas IS NULL THEN 1 ELSE 0 END) OVER w AS n_null "
+    "  FROM copies WINDOW w AS (PARTITION BY cell_id ORDER BY pos "
+    "  ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)) "
+    "SELECT cell_id, CAST(doy AS INT) AS doy, "
+    f"{rq_sql('CASE WHEN n_null = 0 THEN s_avg END', 2)} AS seas "
+    "FROM sm WHERE pos BETWEEN 1 AND 366",
+)
+def q_circular_smooth_31d(spark, sf_dir):
+    """W1: centered width-31 running mean over DOY, circular across the
+    year boundary; NULL (NaN) entries poison the window like the
+    reference's fixed-divisor convolution (reference `runavg`
+    marineHeatWaves.py:858-885; legacy/climatology.py:122-138)."""
+    od = orders_daily(spark, sf_dir)
+    clim = densify_doy(simple_climatology(od, baseline=BASELINE))
+    sm = smooth_doy_circular(clim, value_cols=("seas",), width=31, mode="full")
+    return sm.select(
+        "cell_id", F.col("doy").cast("int").alias("doy"), rq("seas", 2).alias("seas")
+    )
+
+
+# =========================================================================
+# J1 — broadcast climatology lookup join
+# =========================================================================
+@register(
+    "q_clim_lookup_join",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS ({SIMPLE_CLIM_SQL}) "
+    f"SELECT od.cell_id, od.time, {rq_sql('od.temp', 2)} AS temp, "
+    f"{rq_sql('clim.seas', 2)} AS seas, {rq_sql('clim.thresh', 2)} AS thresh "
+    f"FROM od LEFT JOIN clim ON od.cell_id = clim.cell_id AND {DOY} = clim.doy",
+)
+def q_clim_lookup_join(spark, sf_dir):
+    """J1: expand the 366-row clim dim to the full series — a broadcast
+    equi-join on (cell, doy) (reference `seas.sel(dayofyear=cdoy)`
+    common/core.py:217-219; Oliver fancy-index marineHeatWaves.py:300-301)."""
+    od = orders_daily(spark, sf_dir)
+    clim = simple_clim_table(spark, sf_dir)
+    joined = od.withColumn("doy", clim_doy(F.col("time"))).join(
+        F.broadcast(clim), ["cell_id", "doy"], "left"
+    )
+    return joined.select(
+        "cell_id",
+        "time",
+        rq("temp", 2).alias("temp"),
+        rq("seas", 2).alias("seas"),
+        rq("thresh", 2).alias("thresh"),
+    )
+
+
+# =========================================================================
+# S5 — severity projection (best-practice guarded divide)
+# =========================================================================
+@register(
+    "q_severity",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS ({SIMPLE_CLIM_SQL}) "
+    f"SELECT od.cell_id, od.time, {rq_sql('od.temp - clim.seas', 2)} AS t_anom, "
+    + rq_sql(
+        "CASE WHEN clim.thresh - clim.seas > 1e-9 "
+        "THEN (od.temp - clim.seas) / (clim.thresh - clim.seas) END",
+        4,
+    )
+    + " AS severity "
+    f"FROM od LEFT JOIN clim ON od.cell_id = clim.cell_id AND {DOY} = clim.doy",
+)
+def q_severity(spark, sf_dir):
+    """S5: severity = T_anom / (thresh - seas), best-practice guarded
+    divide (NULL where denom <= eps; reference mandate CLAUDE.md:83-86;
+    legacy +1e-9 variant is covered by the golden fixture tests)."""
+    od = orders_daily(spark, sf_dir)
+    clim = simple_clim_table(spark, sf_dir)
+    sev = calculate_severity(od, clim, mode="best_practice")
+    return sev.select(
+        "cell_id",
+        "time",
+        rq("t_anom", 2).alias("t_anom"),
+        rq("severity", 4).alias("severity"),
+    )
+
+
+# =========================================================================
+# P5 + M4 — exceedance predicate with missing→climatology fill
+# =========================================================================
+@register(
+    "q_exceedance_flag",
+    f"WITH dn AS ({DAILY_NULLS_SQL}), "
+    "thr AS (SELECT cell_id, quantile_cont(temp, 0.75) AS thresh, avg(temp) AS seas "
+    "  FROM dn GROUP BY 1) "
+    "SELECT dn.cell_id, dn.time, dn.temp IS NULL AS was_missing, "
+    "coalesce(coalesce(dn.temp, thr.seas) > thr.thresh, false) AS exceed, "
+    f"{rq_sql('coalesce(dn.temp, thr.seas)', 4)} AS temp "
+    "FROM dn JOIN thr ON dn.cell_id = thr.cell_id",
+)
+def q_exceedance_flag(spark, sf_dir):
+    """P5+M4: exceed = temp > thresh with NULL->false; missing temps
+    filled with the climatology so gaps terminate events, keeping a
+    was_missing flag (reference marineHeatWaves.py:303-317)."""
+    dn = daily_nulls(spark, sf_dir)
+    thr = dn.groupBy("cell_id").agg(
+        F.expr("percentile(temp, 0.75)").alias("thresh"),
+        F.avg("temp").alias("seas"),
+    )
+    flagged = exceedance(dn.join(F.broadcast(thr), ["cell_id"]))
+    return flagged.select(
+        "cell_id",
+        "time",
+        "was_missing",
+        "exceed",
+        rq("temp", 4).alias("temp"),
+    )
+
+
+# =========================================================================
+# S6 — category label ladder
+# =========================================================================
+@register(
+    "q_category_label",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS ({SIMPLE_CLIM_SQL}), "
+    "j AS (SELECT od.cell_id, od.time, "
+    "  floor(1.0 + (od.temp - clim.thresh) / (clim.thresh - clim.seas)) AS band "
+    f"  FROM od JOIN clim ON od.cell_id = clim.cell_id AND {DOY} = clim.doy "
+    "  WHERE clim.thresh - clim.seas > 1e-9 AND od.temp > clim.thresh) "
+    "SELECT cell_id, time, CAST(least(band, 4) AS INT) AS band, "
+    "CASE least(band, 4) WHEN 1 THEN 'Moderate' WHEN 2 THEN 'Strong' "
+    "WHEN 3 THEN 'Severe' ELSE 'Extreme' END AS category FROM j",
+)
+def q_category_label(spark, sf_dir):
+    """S6: band = floor(1 + relThreshNorm) capped at 4 ->
+    Moderate/Strong/Severe/Extreme (reference marineHeatWaves.py:386-392)."""
+    od = orders_daily(spark, sf_dir)
+    clim = simple_clim_table(spark, sf_dir)
+    j = (
+        od.withColumn("doy", clim_doy(F.col("time")))
+        .join(F.broadcast(clim), ["cell_id", "doy"])
+        .filter(
+            ((F.col("thresh") - F.col("seas")) > 1e-9)
+            & (F.col("temp") > F.col("thresh"))
+        )
+        .withColumn(
+            "band",
+            F.least(
+                F.floor(
+                    F.lit(1.0)
+                    + (F.col("temp") - F.col("thresh"))
+                    / (F.col("thresh") - F.col("seas"))
+                ),
+                F.lit(4),
+            ).cast("int"),
+        )
+    )
+    label = F.element_at(
+        F.array(F.lit("Moderate"), F.lit("Strong"), F.lit("Severe"), F.lit("Extreme")),
+        F.col("band"),
+    )
+    return j.select("cell_id", "time", "band", label.alias("category"))
+
+
+# =========================================================================
+# S7 — linear interpolation over NULL gaps (pad)
+# =========================================================================
+@register(
+    "q_pad_interpolate",
+    f"WITH dn AS ({DAILY_NULLS_SQL}), "
+    "s AS (SELECT cell_id, time, temp, "
+    "  row_number() OVER w AS rn, count(*) OVER (PARTITION BY cell_id) AS n, "
+    "  max(CASE WHEN temp IS NOT NULL THEN rn0 END) OVER wb AS prev_rn, "
+    "  min(CASE WHEN temp IS NOT NULL THEN rn0 END) OVER wf AS next_rn, "
+    "  last_value(temp IGNORE NULLS) OVER wb AS prev_val, "
+    "  first_value(temp IGNORE NULLS) OVER wf AS next_val "
+    "  FROM (SELECT *, row_number() OVER (PARTITION BY cell_id ORDER BY time) AS rn0 FROM dn) "
+    "  WINDOW w AS (PARTITION BY cell_id ORDER BY time), "
+    "  wb AS (PARTITION BY cell_id ORDER BY time ROWS UNBOUNDED PRECEDING), "
+    "  wf AS (PARTITION BY cell_id ORDER BY time "
+    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT cell_id, time, "
+    + rq_sql(
+        "CASE WHEN temp IS NOT NULL THEN temp "
+        "WHEN coalesce(next_rn, n + 1) - coalesce(prev_rn, 0) - 1 > 2 THEN NULL "
+        "WHEN prev_rn IS NOT NULL AND next_rn IS NOT NULL THEN "
+        "prev_val + (next_val - prev_val) * (rn - prev_rn) / (next_rn - prev_rn) "
+        "ELSE coalesce(prev_val, next_val) END",
+        4,
+    )
+    + " AS temp_filled FROM s",
+)
+def q_pad_interpolate(spark, sf_dir):
+    """S7: `pad` — linear interpolation over interior NULL runs by series
+    position, constant extrapolation at the edges (np.interp clamps),
+    runs longer than maxPadLength=2 stay NULL (reference
+    marineHeatWaves.py:888-916)."""
+    dn = daily_nulls(spark, sf_dir)
+    out = pad_interpolate(dn, max_pad_length=2)
+    return out.select(
+        "cell_id", "time", rq("temp_filled", 4).alias("temp_filled")
+    )
+
+
+# =========================================================================
+# W10 — per-cell linear detrend
+# =========================================================================
+@register(
+    "q_detrend_linear",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "x AS (SELECT cell_id, time, temp, "
+    "  CAST(date_diff('day', DATE '1970-01-01', time) AS DOUBLE) AS xv FROM od), "
+    "fit AS (SELECT cell_id, regr_slope(temp, xv) AS b, regr_intercept(temp, xv) AS a "
+    f"  FROM x WHERE year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]} GROUP BY 1) "
+    f"SELECT x.cell_id, x.time, {rq_sql('x.temp - (fit.a + fit.b * x.xv)', 2)} AS temp_detrended "
+    "FROM x LEFT JOIN fit ON x.cell_id = fit.cell_id",
+)
+def q_detrend_linear(spark, sf_dir):
+    """W10: OLS deg-1 fit on the baseline period, evaluated over the full
+    record, subtracted (reference `detrend`
+    best_practice/climatology.py:43-75); closed form via
+    regr_slope/regr_intercept — no UDF."""
+    od = orders_daily(spark, sf_dir)
+    out = detrend_linear(od, baseline=BASELINE)
+    return out.select(
+        "cell_id", "time", rq("temp_detrended", 2).alias("temp_detrended")
+    )
+
+
+# =========================================================================
+# W11 — OLS mean + trend of a yearly series
+# =========================================================================
+@register(
+    "q_mean_trend_ols",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "yearly AS (SELECT cell_id, CAST(year(time) AS INT) AS year, avg(temp) AS y "
+    "  FROM od GROUP BY 1, 2) "
+    f"SELECT cell_id, {rq_sql('avg(y)', 2)} AS y_mean, "
+    f"{rq_sql('regr_slope(y, year)', 4)} AS y_trend FROM yearly GROUP BY 1",
+)
+def q_mean_trend_ols(spark, sf_dir):
+    """W11: y ~ b0 + b1*(t - mean(t)) per cell on the yearly-mean series;
+    b0 = mean, b1 = regr_slope (reference `meanTrend`
+    marineHeatWaves.py:687-782; the CI half-width needs a scipy
+    t-quantile and stays out of the relational surface)."""
+    od = orders_daily(spark, sf_dir)
+    yearly = od.groupBy(
+        "cell_id", F.year("time").cast("int").alias("year")
+    ).agg(F.avg("temp").alias("y"))
+    out = mean_trend_ols(yearly, ["y"], key_cols=["cell_id"], t_col="year")
+    return out.select(
+        "cell_id",
+        rq("y_mean", 2).alias("y_mean"),
+        rq("y_trend", 4).alias("y_trend"),
+    )

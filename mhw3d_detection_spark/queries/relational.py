@@ -1,0 +1,288 @@
+"""Relational-surface queries (SURVEY.md §2.1, 2.2, 2.4, 2.5 A11, 2.7):
+scans, filters, joins (equi/semi/anti/interval/as-of), distinct/rollup,
+sort/top-k, union/except.
+
+The reference's analogues are cited per-query; J5-J8/A11/O2-O4 are
+surface-completeness operators the reference lacks (SURVEY §2.4 J5-J8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.queries.base import register, rq, rq_sql
+from mhw3d_detection_spark.sources.tables import load_table
+
+
+# --- SC1/P1: scan + projection (column pruning reaches the parquet scan) ---
+@register(
+    "q_scan_project",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+)
+def q_scan_project(spark, sf_dir):
+    """Reference: `_to_da` variable selection (common/core.py:20-34) —
+    projection prunes the parquet scan to 4 of 11 columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# --- P2: baseline-period filter (predicate pushdown) ---
+@register(
+    "q_filter_year_range",
+    "SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n, "
+    f"{rq_sql('sum(l_quantity)', 2)} AS sum_qty "
+    "FROM lineitem WHERE year(l_shipdate) BETWEEN 1996 AND 1998 GROUP BY 1",
+)
+def q_filter_year_range(spark, sf_dir):
+    """Reference: keep years y0<=y<=y1 before climatology
+    (legacy/climatology.py:159-161)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.year("l_shipdate").between(1996, 1998))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rq(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# --- P4: conjunctive range predicates (spatial box subset) ---
+@register(
+    "q_filter_spatial_box",
+    "SELECT c_custkey, c_nationkey, c_acctbal FROM customer "
+    "WHERE c_acctbal BETWEEN 1000 AND 5000 AND c_nationkey BETWEEN 5 AND 15",
+)
+def q_filter_spatial_box(spark, sf_dir):
+    """Reference: sel(lat=slice(...), lon=slice(...))
+    (Check_against_oliver.ipynb cell 2) as conjunctive ranges."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_acctbal").between(1000, 5000) & F.col("c_nationkey").between(5, 15)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+
+
+# --- J5: hash equi-join (broadcast: customer is the small dim) ---
+@register(
+    "q_join_hash_equi",
+    "SELECT c_nationkey AS nationkey, count(*) AS n_orders, "
+    f"{rq_sql('sum(o_totalprice)', 0)} AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1",
+)
+def q_join_hash_equi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rq(F.sum("o_totalprice"), 0).alias("revenue"),
+        )
+    )
+
+
+# --- J6: semi join ---
+@register(
+    "q_join_semi",
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def q_join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+# --- J7: anti join ---
+@register(
+    "q_join_anti",
+    "SELECT c_custkey FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def q_join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+# --- J2: event-interval / range join ---
+@register(
+    "q_event_interval_join",
+    f"SELECT o_orderpriority, count(*) AS n, {rq_sql('sum(l_extendedprice)', 0)} AS rev "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY "
+    "GROUP BY 1",
+)
+def q_event_interval_join(spark, sf_dir):
+    """Reference J2: interval-membership mask date_start<=t<=date_end
+    (common/core.py:110-111) as an equi+range join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.timestamp_add("DAY", F.lit(90), o.o_orderdate))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rq(F.sum("l_extendedprice"), 0).alias("rev"),
+        )
+    )
+
+
+# --- J8: as-of join (most recent prior 'click' for each 'error') ---
+@register(
+    "q_join_asof",
+    """
+    WITH err AS (SELECT user_id, epoch_us(ts) AS err_us FROM events WHERE event_type = 'error'),
+         clk AS (SELECT user_id, epoch_us(ts) AS clk_us FROM events WHERE event_type = 'click')
+    SELECT e.user_id, e.err_us, c.clk_us
+    FROM err e ASOF LEFT JOIN clk c
+      ON e.user_id = c.user_id AND e.err_us >= c.clk_us
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join, Spark-first: instead of a per-row backward search, a
+    single window pass over the unioned stream — `last(click_ts)
+    ignorenulls` over rows-unbounded-preceding. One shuffle on user_id;
+    no range join. Equal-timestamp ties order clicks first, matching
+    ASOF's >= bound. (Not in reference; SURVEY §2.4 J5-J8.)"""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    both = ev.filter(F.col("event_type").isin("error", "click")).select(
+        "user_id",
+        "us",
+        F.col("event_type"),
+        F.when(F.col("event_type") == "click", F.col("us")).alias("clk"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", F.when(F.col("event_type") == "click", 0).otherwise(1))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        both.withColumn("clk_us", F.last("clk", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("us").alias("err_us"), "clk_us")
+    )
+
+
+# --- A11: distinct aggregates ---
+@register(
+    "q_agg_distinct",
+    "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, "
+    "count(DISTINCT l_partkey) AS n_part, count(*) AS n FROM lineitem GROUP BY 1",
+)
+def q_agg_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- A11: rollup ---
+@register(
+    "q_agg_rollup",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n, "
+    f"{rq_sql('sum(l_extendedprice * (1 - l_discount))', 0)} AS net_rev "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def q_agg_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rq(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "net_rev"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "net_rev",
+        )
+    )
+
+
+# --- O2: top-k (rank <= k with deterministic tie-break) ---
+@register(
+    "q_topk_events",
+    "SELECT event_id, user_id, value FROM events "
+    "ORDER BY value DESC, event_id LIMIT 100",
+)
+def q_topk_events(spark, sf_dir):
+    """O2: orderBy(desc).limit(k). At cluster scale Spark executes this
+    as a TakeOrderedAndProject (per-partition top-k + merge), no full
+    sort. Tie-break on event_id keeps it deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), "event_id")
+        .select("event_id", "user_id", "value")
+        .limit(100)
+    )
+
+
+# --- O1: sort made observable via global rank ---
+@register(
+    "q_sort_events",
+    "SELECT event_id, value, CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS pos "
+    "FROM events QUALIFY pos <= 500",
+)
+def q_sort_events(spark, sf_dir):
+    """O1 sort: canonical total order (value desc, event_id) surfaced
+    as a rank column. Note: the single-partition global window is the
+    test-scale form; at 100 TB rank-by-sort = orderBy + zipWithIndex or
+    per-partition offsets."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("value"), "event_id")
+    return (
+        ev.select("event_id", "value", F.row_number().over(w).cast("long").alias("pos"))
+        .filter(F.col("pos") <= 500)
+    )
+
+
+# --- O3: union all ---
+@register(
+    "q_union_all",
+    "SELECT side, nationkey, count(*) AS n FROM ("
+    "  SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier "
+    "  UNION ALL SELECT 'customer', c_nationkey FROM customer"
+    ") GROUP BY 1, 2",
+)
+def q_union_all(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
+    )
+    return s.unionByName(c).groupBy("side", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- O4: except all ---
+@register(
+    "q_set_except",
+    "SELECT nationkey, count(*) AS n FROM ("
+    "  SELECT c_nationkey AS nationkey FROM customer "
+    "  EXCEPT ALL SELECT s_nationkey FROM supplier"
+    ") GROUP BY 1",
+)
+def q_set_except(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))

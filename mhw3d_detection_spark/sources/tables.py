@@ -43,8 +43,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanoseconds -> microsecond timestamp (truncating), keep
         # the raw nanos for exact integer comparisons in oracles.
+        # integer DIV, not float division: ns epochs exceed 2^53 and a
+        # double round-trip loses the low microsecond bit
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
         )
     return df
 

@@ -1,0 +1,115 @@
+"""Local differential harness: run every registered query on Spark AND
+its DuckDB oracle, compare row count + sorted value hash — a local
+mirror of the driver's CORRECTNESS gate. Usage:
+
+    python tools/verify_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mhw3d_detection_spark import queries as Q  # noqa: E402
+from mhw3d_detection_spark.session import get_spark  # noqa: E402
+from mhw3d_detection_spark.sources.tables import TABLES  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        # second rounding pass kills residual representation noise
+        return f"{round(v, 6):.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failures = []
+    for name, qd in Q.REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.spark_fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = [c.lower() for c in sdf.columns]
+        except Exception as e:
+            print(f"FAIL  {name:32s} spark error: {e}")
+            failures.append(name)
+            continue
+        if qd.sql is None:
+            print(f"ok?   {name:32s} rows-only: {len(srows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.sql(qd.sql)
+            drows = res.fetchall()
+            dcols = [c.lower() for c in res.columns]
+        except Exception as e:
+            print(f"FAIL  {name:32s} duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok_rows = len(srows) == len(drows)
+        ok_cols = sorted(scols) == sorted(dcols)
+        sh = table_hash([tuple(r) for r in srows], scols)
+        dh = table_hash(drows, dcols)
+        ok_hash = sh == dh
+        status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(
+            f"{status:5s} {name:32s} rows {len(srows)}/{len(drows)} "
+            f"cols={'ok' if ok_cols else scols + dcols} hash={'ok' if ok_hash else 'MISMATCH'} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_hash and ok_rows and ok_cols:
+                # print a few differing lines to debug
+                import itertools
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = sorted("\x01".join(norm_cell(r[i]) for i in order_s) for r in [tuple(x) for x in srows])
+                dset = sorted("\x01".join(norm_cell(r[i]) for i in order_d) for r in drows)
+                sonly = [x for x in sset if x not in set(dset)]
+                donly = [x for x in dset if x not in set(sset)]
+                for x in itertools.islice(sonly, 3):
+                    print("   spark-only:", x.replace("\x01", " | "))
+                for x in itertools.islice(donly, 3):
+                    print("   duck-only :", x.replace("\x01", " | "))
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
