@@ -126,6 +126,14 @@ def exact_dedup(docs: DataFrame, key_col: str = "text") -> DataFrame:
     ).select("keep_id", "n_copies")
 
 
+#: linear hash family h_i(x) = (A[i]*x + B[i]) mod M over the 48-bit
+#: base hash x. A[i] < 2^14 keeps A*x < 2^62 (no int64 overflow in
+#: either engine); M is the Mersenne prime 2^61-1.
+MINHASH_A = (12289, 12553, 13007, 13457, 14081, 14683, 15013, 15727)
+MINHASH_B = (7919, 17389, 27449, 37813, 48611, 59359, 70657, 81799)
+MINHASH_M = (1 << 61) - 1
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -135,15 +143,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """E2: MinHash signatures, banded for LSH.
 
-    Each of ``n_hashes`` hash families is md5 seeded by index; the
-    minhash is the lexicographic min of the seeded digests over the
-    doc's shingle set (a uniform permutation proxy). Bands concatenate
-    ``band_size`` adjacent minhashes; candidate pairs collide on
-    (band_id, band_sig) — the equi-join that makes near-dup scale.
+    Each shingle is hashed ONCE (md5 → first 48 bits as int); the
+    ``n_hashes`` permutation proxies are a linear hash family
+    ``(A[i]*x + B[i]) mod M`` over that base hash — 8x fewer digest
+    computations than seeded-md5-per-function, same exactness in the
+    DuckDB oracle. Bands concatenate ``band_size`` adjacent minhashes;
+    candidate pairs collide on (band_id, band_sig) — the equi-join that
+    makes near-dup scale.
     """
     sh = shingles(docs, text_col, n=shingle_n)
+    x = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    sh = sh.withColumn("__x", x)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
+        F.min((F.lit(MINHASH_A[i]) * F.col("__x") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_M)).alias(
             f"h{i}"
         )
         for i in range(n_hashes)
@@ -154,8 +168,8 @@ def minhash_signatures(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.concat(
-                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
                 ).alias("band_sig"),
             )
             for b in range(n_bands)

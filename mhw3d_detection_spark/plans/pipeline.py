@@ -36,6 +36,7 @@ def detect_mhw(
     pctile: float = 90.0,
     window_half_width: int = 5,
     smooth_width: int | None = 31,
+    smooth_mode: str = "full",
     min_duration: int = 5,
     max_gap: int = 2,
     join_across_gaps: bool = True,
@@ -73,6 +74,7 @@ def detect_mhw(
         pctile=pctile,
         window_half_width=window_half_width,
         smooth_width=smooth_width,
+        smooth_mode=smooth_mode,
     )
     sev = calculate_severity(
         ts_s, clim, cell_col=cell_col, time_col=time_col, temp_col=temp_col
@@ -85,7 +87,7 @@ def detect_mhw(
         min_duration=min_duration,
         max_gap=max_gap,
         join_across_gaps=join_across_gaps,
-    )
+    ).persist()  # tiny vs the series; metrics would otherwise re-run detection
     metrics = event_metrics(
         flagged,
         events,

@@ -610,6 +610,7 @@ def q_mhw_pipeline(spark, sf_dir):
     m = detect_mhw(
         od,
         baseline=(1995, 2000),
+        smooth_mode="valid",  # M3 Ly variant: the series is sparse in DOY
         min_duration=MIN_DUR,
         max_gap=MAX_GAP,
         with_rates=True,

@@ -23,6 +23,9 @@ from mhw3d_detection_spark.operators.similarity import (
 )
 from mhw3d_detection_spark.operators.textops import (
     LANG_STOPWORDS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_M,
     exact_dedup,
     fingerprint,
     language_id,
@@ -67,43 +70,43 @@ def q_dedup_exact(spark, sf_dir):
 # =========================================================================
 # E2 — MinHash signatures + LSH candidate pairs
 # =========================================================================
-@register(
-    "q_dedup_minhash",
-    f"WITH {SHINGLES_SQL}, "
+#: one md5 per shingle -> 48-bit int -> 8-member linear hash family
+#: (mirror of operators.textops.minhash_signatures)
+MINHASH_SIG_SQL = (
+    "shx AS (SELECT doc_id, "
+    "  ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM sh), "
     "sig AS (SELECT doc_id, "
     + ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+        f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_M}) AS h{i}"
+        for i in range(8)
     )
-    + " FROM sh GROUP BY 1) "
-    "SELECT doc_id, b.band_id, CASE b.band_id "
+    + " FROM shx GROUP BY 1), "
+    "bands AS (SELECT doc_id, b.band_id, CASE b.band_id "
     + " ".join(
-        f"WHEN {b} THEN h{2 * b} || h{2 * b + 1}" for b in range(4)
+        f"WHEN {b} THEN CAST(h{2 * b} AS VARCHAR) || '_' || CAST(h{2 * b + 1} AS VARCHAR)"
+        for b in range(4)
     )
     + " END AS band_sig "
-    "FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b",
+    "FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b)"
+)
+
+
+@register(
+    "q_dedup_minhash",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL} "
+    "SELECT doc_id, band_id, band_sig FROM bands",
 )
 def q_dedup_minhash(spark, sf_dir):
     """E2: MinHash signatures over word-3-gram shingles, banded 4x2 for
-    LSH (shingle → seeded-md5 min-hash → band concat). The lexicographic
-    min of seeded digests is the permutation proxy; identical in DuckDB."""
+    LSH: one md5 per shingle -> 48-bit base hash -> linear hash family
+    (A*x+B) mod M -> per-doc min -> band concat. Identical in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_signatures(docs, n_hashes=8, band_size=2)
 
 
 @register(
     "q_dedup_minhash_pairs",
-    f"WITH {SHINGLES_SQL}, "
-    "sig AS (SELECT doc_id, "
-    + ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
-    )
-    + " FROM sh GROUP BY 1), "
-    "bands AS (SELECT doc_id, b.band_id, CASE b.band_id "
-    + " ".join(
-        f"WHEN {b} THEN h{2 * b} || h{2 * b + 1}" for b in range(4)
-    )
-    + " END AS band_sig "
-    "FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b) "
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL} "
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
     "WHERE a.doc_id < b.doc_id AND a.doc_id < 100",
