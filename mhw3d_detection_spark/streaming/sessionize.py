@@ -1,0 +1,116 @@
+"""Structured-Streaming twins of the batch sessionization operators
+(SURVEY.md §2.10 — an *extension*: the reference is pure batch).
+
+The batch detection chain W3 (RLE) + W5 (gap joining) is exactly what
+``F.session_window`` computes incrementally: rows land in one session
+while consecutive timestamps differ by at most the gap. With daily
+samples and the reference's ``maxGap`` missing-day tolerance, the gap
+duration is ``maxGap + 1`` days.
+
+Semantic note, documented divergence: the frozen batch contract filters
+runs shorter than ``minDuration`` BEFORE gap joining; a streaming
+session window cannot re-order those stages, so the streaming twin
+sessionizes first and filters sessions afterwards (`min_total_days`).
+Events whose runs are individually short but chain across small gaps
+appear here and not in the batch output. This matches stock streaming
+session semantics and is the documented trade for incremental state.
+
+Scale notes: all operators below are keyed by cell — state partitions
+by the grouping key; the watermark bounds state size (late rows beyond
+it are dropped); output mode is append-only once a session closes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_event_sessions(
+    stream: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    flag_col: str = "exceed",
+    max_gap_days: int = 2,
+    min_total_days: int = 5,
+    watermark: str = "7 days",
+) -> DataFrame:
+    """W3+W5 streaming twin: exceedance rows -> closed event sessions
+    ``(cell_id, date_start, date_end, n_days)``.
+
+    A session admits the next row while it is within ``max_gap_days+1``
+    days of the previous one — identical interval-merging to the batch
+    gap join (detection.detect_events); the watermark closes sessions
+    and bounds per-cell state.
+    """
+    gap = f"{max_gap_days + 1} days"
+    sess = (
+        stream.filter(F.col(flag_col))
+        .withWatermark(time_col, watermark)
+        .groupBy(F.col(cell_col), F.session_window(F.col(time_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    return sess.select(
+        cell_col,
+        F.to_date(F.col("session_window.start")).alias("date_start"),
+        # session end = last event time + gap; the last *sample day* is
+        # end - gap (daily data), mirroring the batch max(time)
+        F.to_date(
+            F.col("session_window.end") - F.expr(f"INTERVAL {max_gap_days + 1} DAYS")
+        ).alias("date_end"),
+        "n_days",
+    ).filter(F.col("n_days") >= min_total_days)
+
+
+def streaming_windowed_stats(
+    stream: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    value_col: str = "temp",
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling/sliding windowed aggregation with late-data handling —
+    the streaming analogue of the per-DOY batch aggregates (A1)."""
+    w = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.col(cell_col), w)
+        .agg(
+            F.avg(value_col).alias("mean"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            cell_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "mean",
+            "min",
+            "max",
+            "n",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    time_col: str = "time",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """E1 streaming twin: exact dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps state only for the
+    watermark window — bounded memory at unbounded input)."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

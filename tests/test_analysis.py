@@ -1,0 +1,129 @@
+"""Unit tests for post-detection analysis operators (SURVEY.md §2 S7,
+W9-W11, A7-A9): pad interpolation semantics vs np.interp, detrend slope
+removal, rank/return-periods, block spine + multi-year day splitting."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.analysis import (
+    block_average,
+    block_temp_stats,
+    detrend_linear,
+    pad_interpolate,
+    rank_return_periods,
+)
+
+
+def _series(spark, vals, cell=1, start=dt.date(2000, 1, 1)):
+    rows = [
+        (cell, start + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "cell_id int, time date, temp double")
+
+
+class TestPadInterpolate:
+    def test_interior_gap_linear(self, spark):
+        out = pad_interpolate(_series(spark, [1.0, None, None, 4.0])).orderBy("time")
+        got = [r.temp_filled for r in out.collect()]
+        assert got == [1.0, 2.0, 3.0, 4.0]
+
+    def test_edges_clamp(self, spark):
+        # np.interp constant-extrapolates at the edges (pad docstring,
+        # reference marineHeatWaves.py:888-916)
+        out = pad_interpolate(_series(spark, [None, 5.0, None])).orderBy("time")
+        assert [r.temp_filled for r in out.collect()] == [5.0, 5.0, 5.0]
+
+    def test_max_pad_length(self, spark):
+        out = pad_interpolate(
+            _series(spark, [1.0, None, None, None, 5.0, None, 7.0]),
+            max_pad_length=2,
+        ).orderBy("time")
+        got = [r.temp_filled for r in out.collect()]
+        # 3-long run stays NULL, 1-long run interpolates
+        assert got == [1.0, None, None, None, 5.0, 6.0, 7.0]
+
+    def test_all_null_cell(self, spark):
+        out = pad_interpolate(_series(spark, [None, None]))
+        assert [r.temp_filled for r in out.collect()] == [None, None]
+
+
+class TestDetrend:
+    def test_removes_known_slope(self, spark):
+        # y = 2 + 0.5*day -> detrended residual ~ 0 (mirrors the
+        # reference test: detrend removes a known slope, residual<1e-6)
+        vals = [2.0 + 0.5 * i for i in range(50)]
+        out = detrend_linear(_series(spark, vals))
+        resid = out.agg(F.max(F.abs("temp_detrended"))).first()[0]
+        assert resid == pytest.approx(0.0, abs=1e-6)
+
+    def test_baseline_fit_evaluated_over_full_record(self, spark):
+        # slope fitted on 2000 only; 2001 data keeps its offset
+        vals = [float(i) for i in range(400)]
+        out = detrend_linear(
+            _series(spark, vals), baseline=(2000, 2000)
+        )
+        resid = out.agg(F.max(F.abs("temp_detrended"))).first()[0]
+        assert resid == pytest.approx(0.0, abs=1e-6)
+
+
+class TestRankReturn:
+    def test_distinct_ordinal_ranks(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 1, 5.0), (1, 2, 5.0), (2, 1, 7.0)],
+            "cell_id int, event_id int, intensity_max double",
+        )
+        out = rank_return_periods(ev, ["intensity_max"], n_years=9).orderBy(
+            "intensity_max_rank"
+        )
+        rows = out.collect()
+        # row_number semantics: ties get distinct ranks by (cell, event)
+        assert [r.intensity_max_rank for r in rows] == [1, 2, 3]
+        assert rows[0].intensity_max == 7.0
+        assert rows[0].intensity_max_return_period == pytest.approx(10.0)
+        assert rows[2].intensity_max_return_period == pytest.approx(10.0 / 3)
+
+
+class TestBlocks:
+    def test_multi_year_event_splits_total_days(self, spark):
+        # series 2000-2003 (1461 days); one event spanning 2001/2002
+        ts = _series(spark, [0.0] * 1461)
+        m = spark.createDataFrame(
+            [
+                (
+                    1,
+                    1,
+                    dt.date(2001, 12, 25),
+                    dt.date(2002, 1, 5),
+                    12,
+                    2.0,
+                    1.0,
+                    0.1,
+                    12.0,
+                )
+            ],
+            "cell_id int, event_id int, date_start date, date_end date, "
+            "duration int, intensity_max double, intensity_mean double, "
+            "intensity_var double, intensity_cumulative double",
+        )
+        blk = block_average(m, ts, block_length=1).orderBy("years_start")
+        rows = {r.years_start: r for r in blk.collect()}
+        assert sorted(rows) == [2000, 2001, 2002, 2003]
+        # event belongs to its start-year block; total_days split by day-year
+        assert rows[2001]["count"] == 1
+        assert rows[2002]["count"] == 0
+        assert rows[2001].total_days == 7   # Dec 25-31
+        assert rows[2002].total_days == 5   # Jan 1-5
+        assert rows[2001].total_icum == pytest.approx(12.0)
+        assert rows[2000]["count"] == 0
+        assert rows[2000].intensity_max is None
+
+    def test_block_temp_stats(self, spark):
+        ts = _series(spark, [float(i) for i in range(731)])  # 2000-2001
+        blk = block_temp_stats(ts, block_length=1).orderBy("years_start")
+        rows = blk.collect()
+        assert rows[0].years_start == 2000
+        assert rows[0].temp_min == 0.0
+        assert rows[0].temp_max == 365.0  # leap year: 366 days
+        assert rows[1].temp_min == 366.0

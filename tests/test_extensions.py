@@ -1,0 +1,132 @@
+"""Unit tests for the beyond-reference extension operators (SURVEY.md
+§2.11): dedup family, similarity search, text analysis, multimodal
+plumbing. Recall properties are tested with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+)
+from mhw3d_detection_spark.operators.similarity import cosine_topk
+from mhw3d_detection_spark.operators.textops import (
+    exact_dedup,
+    fingerprint,
+    language_id,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash16,
+    text_stats,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (3, "completely different words about spark window aggregation logic"),
+    (4, "der hund und die katze sind nicht das problem"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = {r.keep_id: r.n_copies for r in exact_dedup(docs).collect()}
+        assert out[0] == 2  # docs 0,1 identical; keeper is min id
+        assert out[2] == 1
+
+    def test_minhash_recall_on_exact_dup(self, docs):
+        sig = minhash_signatures(docs)
+        pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(sig).collect()}
+        assert (0, 1) in pairs  # identical docs collide on every band
+        assert (0, 3) not in pairs and (1, 3) not in pairs
+
+    def test_simhash_identical_and_near(self, docs):
+        h = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+        assert h[0] == h[1]
+        # near-dup differs in few bits, disjoint doc differs in many
+        near = bin(h[0] ^ h[2]).count("1")
+        far = bin(h[0] ^ h[3]).count("1")
+        assert near < far
+
+    def test_ngram_jaccard(self, spark, docs):
+        pairs = ngram_jaccard_pairs(
+            docs, probe_pred=lambda c: c == 0, min_jaccard=0.1
+        ).collect()
+        by_pair = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+        assert by_pair[(0, 1)] == pytest.approx(1.0)
+        assert 0.1 < by_pair[(0, 2)] < 1.0
+        assert (0, 3) not in by_pair
+
+
+class TestText:
+    def test_shingles_order(self, spark):
+        d = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        got = [r.shingle for r in shingles(d).collect()]
+        assert got == ["a b c", "b c d"]
+
+    def test_stats(self, docs):
+        st = {r.doc_id: r for r in text_stats(docs).collect()}
+        assert st[0].n_tokens == 12
+        assert st[0].stop_ratio > 0
+        assert 0 <= st[0].quality_score <= 1
+
+    def test_langid(self, docs):
+        lang = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+        assert lang[0] == "en"
+        assert lang[4] == "de"
+
+    def test_fingerprint_order_insensitive(self, spark):
+        d = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+            "doc_id long, text string",
+        )
+        fp = {r.doc_id: r.fingerprint for r in fingerprint(d).collect()}
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[2]
+
+
+class TestSimilarity:
+    def test_topk_finds_identical_vector(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical to probe
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [0.9, 0.1, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = cosine_topk(emb, probe_pred=lambda c: c == 0, k=2).collect()
+        assert [r.vec_id for r in out] == [1, 3]
+        assert out[0].cosine == pytest.approx(1.0)
+
+    def test_ivf_restricts_to_bucket(self, spark):
+        rows = [
+            (0, [1.0, 0.0], 7),
+            (1, [1.0, 0.0], 7),
+            (2, [1.0, 0.0], 8),  # identical but other bucket -> excluded
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = cosine_topk(
+            emb, probe_pred=lambda c: c == 0, k=5, bucket_col="label"
+        ).collect()
+        assert [r.vec_id for r in out] == [1]
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, docs):
+        media = documents_as_media(docs)
+        out = {r.doc_id: r for r in decode_media(media).collect()}
+        assert out[0].n_bytes == len(DOCS[0][1])
+        assert out[0].first_byte == ord("t")
+        assert out[0].phash == out[1].phash  # identical payloads
+        assert out[0].phash != out[3].phash
+        assert len(out[0].phash) == 16

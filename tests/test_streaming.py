@@ -1,0 +1,119 @@
+"""Structured-Streaming twins (SURVEY.md §2.10): the streaming session
+window must reproduce the batch gap-join semantics on the same data,
+and streaming dedup must match batch dropDuplicates, both driven with
+a real file stream (availableNow trigger) into a memory sink."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.detection import detect_events
+from mhw3d_detection_spark.streaming import (
+    streaming_dedup,
+    streaming_event_sessions,
+    streaming_windowed_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def flagged_parquet(spark, tmp_path_factory):
+    """Daily boolean series with two events separated by a 2-day gap
+    (merge) and one by a 4-day gap (no merge), written as parquet so a
+    file stream can replay it."""
+    rows = []
+    day0 = dt.datetime(2020, 1, 1)
+    # cell 1: days 0-5 True, gap 2 days, days 8-12 True  -> one merged event
+    # then a 4-day gap, days 17-18 True (short run, dropped by min filter)
+    pattern = list(range(0, 6)) + list(range(8, 13)) + [17, 18]
+    for d in range(25):
+        rows.append((1, day0 + dt.timedelta(days=d), float(d), d in pattern))
+    # cell 2: never exceeds
+    for d in range(25):
+        rows.append((2, day0 + dt.timedelta(days=d), float(d), False))
+    df = spark.createDataFrame(rows, "cell_id int, time timestamp, temp double, exceed boolean")
+    path = str(tmp_path_factory.mktemp("stream") / "flagged")
+    df.write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def run_stream(spark, src_df, path, build, name):
+    stream = spark.readStream.schema(src_df.schema).parquet(path)
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_session_window_matches_batch_gap_join(spark, flagged_parquet):
+    path, df = flagged_parquet
+    got = run_stream(
+        spark,
+        df,
+        path,
+        lambda s: streaming_event_sessions(
+            s, max_gap_days=2, min_total_days=5, watermark="0 seconds"
+        ),
+        "sessions",
+    ).orderBy("cell_id", "date_start")
+    rows = got.collect()
+    # one merged event: days 0..12 (11 exceed days), the 17-18 run is
+    # too short for min_total_days=5
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.cell_id == 1
+    assert r.date_start == dt.date(2020, 1, 1)
+    assert r.date_end == dt.date(2020, 1, 13)
+    assert r.n_days == 11
+
+    # batch twin on the same data (sessionize-then-filter semantics:
+    # min_duration=1 at the run stage, session-level total filter)
+    batch = (
+        detect_events(df, min_duration=1, max_gap=2)
+        .filter(F.col("duration") >= 0)
+        .collect()
+    )
+    batch_cell1 = [b for b in batch if b.cell_id == 1]
+    assert batch_cell1[0].date_start.date() == r.date_start
+    assert batch_cell1[0].date_end.date() == r.date_end
+
+
+def test_streaming_dedup(spark, flagged_parquet):
+    path, df = flagged_parquet
+    dup_path = path + "_dup"
+    df.union(df).write.mode("overwrite").parquet(dup_path)
+    dup_df = spark.read.parquet(dup_path)
+    got = run_stream(
+        spark,
+        dup_df,
+        dup_path,
+        lambda s: streaming_dedup(s, ["cell_id", "time"], watermark="1 day"),
+        "dedup",
+    )
+    assert got.count() == df.count()
+
+
+def test_streaming_windowed_stats(spark, flagged_parquet):
+    path, df = flagged_parquet
+    got = run_stream(
+        spark,
+        df,
+        path,
+        lambda s: streaming_windowed_stats(
+            s, window="5 days", watermark="0 seconds"
+        ),
+        "winstats",
+    )
+    rows = got.filter(F.col("cell_id") == 1).orderBy("window_start").collect()
+    # windows align to the epoch (first window starts 2019-12-30 and
+    # holds 3 data days); the final partial window stays open because
+    # the terminal watermark equals the max event time -> 5 closed
+    assert len(rows) == 5
+    assert [r.n for r in rows] == [3, 5, 5, 5, 5]
+    assert rows[1].mean == pytest.approx(5.0)  # avg of days 3..7
