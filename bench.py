@@ -55,6 +55,7 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()  # drop per-run persisted dims
             t0 = time.time()
             df = Q.REGISTRY[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

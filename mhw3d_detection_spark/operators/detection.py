@@ -63,6 +63,52 @@ def exceedance(
     )
 
 
+def enrich_series(
+    ts_sev: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    seas_col: str = "seas",
+    thresh_col: str = "thresh",
+    flag_col: str = "exceed",
+) -> DataFrame:
+    """Fuse every per-cell sequential derivation the detection chain
+    needs into ONE window pass (one exchange + one sort of the big
+    table): anomaly projections, RLE run ids (W3), boundary neighbors
+    for the rate formulas (W7), and the series extent.
+
+    The full pipeline consumes this twice (event sessionization and
+    event metrics); materializing it once replaces three separate
+    exchange+sort subtrees — the dominant cost at scale.
+    """
+    w = Window.partitionBy(cell_col).orderBy(time_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(cell_col)
+
+    flag = F.coalesce(F.col(flag_col), F.lit(False))
+    lagged = F.lag(flag).over(w)
+    changed = F.when(lagged.isNull() | (flag != lagged), 1).otherwise(0)
+    rel_seas = F.col(temp_col) - F.col(seas_col)
+
+    return (
+        ts_sev.withColumn("rel_seas", rel_seas)
+        .withColumn("rel_thresh", F.col(temp_col) - F.col(thresh_col))
+        .withColumn(
+            "rel_thresh_norm",
+            (F.col(temp_col) - F.col(thresh_col))
+            / (F.col(thresh_col) - F.col(seas_col)),
+        )
+        .withColumn("t_abs", F.col(temp_col))
+        .withColumn("prev_rel_seas", F.lag("rel_seas").over(w))
+        .withColumn("next_rel_seas", F.lead("rel_seas").over(w))
+        .withColumn("series_start", F.min(time_col).over(wall))
+        .withColumn("series_end", F.max(time_col).over(wall))
+        .withColumn("__flag", flag)
+        .withColumn("__run", F.sum(changed).over(wcum).cast("long"))
+    )
+
+
 def rle_runs(
     ts: DataFrame,
     *,
@@ -112,6 +158,7 @@ def detect_events(
     min_duration: int = 5,
     max_gap: int = 2,
     join_across_gaps: bool = True,
+    run_col: str | None = None,
 ) -> DataFrame:
     """Sessionize a boolean series into events(cell_id, event_id,
     date_start, date_end, duration).
@@ -121,14 +168,29 @@ def detect_events(
     common/core.py:53-74. ``duration`` counts every calendar day from
     start to end inclusive (joined gaps count: marineHeatWaves.py:371
     takes ``len(temp[tt_start:tt_end+1])``).
+
+    ``run_col`` short-circuits the RLE window pass when the input is an
+    :func:`enrich_series` output that already carries run ids.
     """
-    runs = rle_runs(
-        ts,
-        cell_col=cell_col,
-        time_col=time_col,
-        flag_col=flag_col,
-        min_duration=min_duration,
-    ).withColumnRenamed("run_id", "__run")
+    if run_col is not None:
+        runs = (
+            ts.filter(F.col(flag_col))
+            .groupBy(cell_col, F.col(run_col).alias("__run"))
+            .agg(
+                F.min(time_col).alias("run_start"),
+                F.max(time_col).alias("run_end"),
+                F.count(F.lit(1)).alias("run_days"),
+            )
+            .filter(F.col("run_days") >= min_duration)
+        )
+    else:
+        runs = rle_runs(
+            ts,
+            cell_col=cell_col,
+            time_col=time_col,
+            flag_col=flag_col,
+            min_duration=min_duration,
+        ).withColumnRenamed("run_id", "__run")
 
     if join_across_gaps:
         w2 = Window.partitionBy(cell_col).orderBy("run_start")
@@ -173,6 +235,8 @@ def event_metrics(
     thresh_col: str = "thresh",
     with_rates: bool = True,
     with_categories: bool = True,
+    broadcast_events: bool = True,
+    enriched: bool = False,
 ) -> DataFrame:
     """Per-event intensity / category / rate metrics
     (A5 + W6 + W7 + W8 + S6 of SURVEY.md §2; semantics:
@@ -192,25 +256,44 @@ def event_metrics(
     """
     # Per-day series values needed at event boundaries (W7): the
     # neighbors just outside the event and the series extent per cell.
-    w = Window.partitionBy(cell_col).orderBy(time_col)
-    wall = Window.partitionBy(cell_col)
-    anom = F.col(temp_col) - F.col(seas_col)
-    d = ts_sev.select(
-        F.col(cell_col).alias("cell_id"),
-        F.col(time_col).alias("time"),
-        anom.alias("rel_seas"),
-        (F.col(temp_col) - F.col(thresh_col)).alias("rel_thresh"),
-        ((F.col(temp_col) - F.col(thresh_col)) / (F.col(thresh_col) - F.col(seas_col))).alias(
-            "rel_thresh_norm"
-        ),
-        F.col(temp_col).alias("t_abs"),
-    )
-    d = (
-        d.withColumn("prev_rel_seas", F.lag("rel_seas").over(w))
-        .withColumn("next_rel_seas", F.lead("rel_seas").over(w))
-        .withColumn("series_start", F.min("time").over(wall))
-        .withColumn("series_end", F.max("time").over(wall))
-    )
+    # With enriched=True these come precomputed from enrich_series —
+    # no extra exchange+sort of the big table.
+    cols = [
+        "rel_seas",
+        "rel_thresh",
+        "rel_thresh_norm",
+        "t_abs",
+        "prev_rel_seas",
+        "next_rel_seas",
+        "series_start",
+        "series_end",
+    ]
+    if enriched:
+        d = ts_sev.select(
+            F.col(cell_col).alias("cell_id"),
+            F.col(time_col).alias("time"),
+            *cols,
+        )
+    else:
+        w = Window.partitionBy(cell_col).orderBy(time_col)
+        wall = Window.partitionBy(cell_col)
+        anom = F.col(temp_col) - F.col(seas_col)
+        d = ts_sev.select(
+            F.col(cell_col).alias("cell_id"),
+            F.col(time_col).alias("time"),
+            anom.alias("rel_seas"),
+            (F.col(temp_col) - F.col(thresh_col)).alias("rel_thresh"),
+            ((F.col(temp_col) - F.col(thresh_col)) / (F.col(thresh_col) - F.col(seas_col))).alias(
+                "rel_thresh_norm"
+            ),
+            F.col(temp_col).alias("t_abs"),
+        )
+        d = (
+            d.withColumn("prev_rel_seas", F.lag("rel_seas").over(w))
+            .withColumn("next_rel_seas", F.lead("rel_seas").over(w))
+            .withColumn("series_start", F.min("time").over(wall))
+            .withColumn("series_end", F.max("time").over(wall))
+        )
 
     member = events.select(
         F.col(cell_col).alias("cell_id"),
@@ -223,9 +306,16 @@ def event_metrics(
         ).alias("__day"),
     )
     # The series time axis may be DATE or day-resolution TIMESTAMP; join
-    # on the date value.
-    j = member.join(
-        d.withColumn("__day", F.to_date("time")),
+    # on the date value. The member-days side is events x duration —
+    # orders of magnitude smaller than the series — so broadcast it
+    # explicitly rather than letting a full-series shuffle join sneak in
+    # (AQE only broadcasts when stats are known pre-shuffle). Disable
+    # broadcast_events when total event-days outgrow executor memory;
+    # the join then shuffles on the same (cell, day) key as the series.
+    if broadcast_events:
+        member = F.broadcast(member)
+    j = d.withColumn("__day", F.to_date("time")).join(
+        member,
         ["cell_id", "__day"],
         "inner",
     )

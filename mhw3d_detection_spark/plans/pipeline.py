@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from mhw3d_detection_spark.operators.climatology import pooled_climatology
 from mhw3d_detection_spark.operators.detection import (
     detect_events,
+    enrich_series,
     event_metrics,
     exceedance,
 )
@@ -44,6 +45,7 @@ def detect_mhw(
     clim_ts: DataFrame | None = None,
     with_rates: bool = True,
     with_categories: bool = True,
+    materialize_series: bool = True,
 ) -> DataFrame:
     """Full MHW detection: long-format series -> per-event metrics table.
 
@@ -80,22 +82,35 @@ def detect_mhw(
         ts_s, clim, cell_col=cell_col, time_col=time_col, temp_col=temp_col
     )
     flagged = exceedance(sev, temp_col=temp_col)
+    # One fused window pass derives run ids + boundary neighbors +
+    # series extent (one exchange + one sort of the big table); the two
+    # consumers (sessionization, metrics) share the materialized result
+    # instead of re-sorting the series once each. MEMORY_AND_DISK: at
+    # cluster scale this is a deliberate disk-backed materialization of
+    # a multi-consumer intermediate.
+    enriched = enrich_series(
+        flagged, cell_col=cell_col, time_col=time_col, temp_col=temp_col
+    )
+    if materialize_series:
+        enriched = enriched.persist()
     events = detect_events(
-        flagged,
+        enriched,
         cell_col=cell_col,
         time_col=time_col,
         min_duration=min_duration,
         max_gap=max_gap,
         join_across_gaps=join_across_gaps,
+        run_col="__run",
     ).persist()  # tiny vs the series; metrics would otherwise re-run detection
     metrics = event_metrics(
-        flagged,
+        enriched,
         events,
         cell_col=cell_col,
         time_col=time_col,
         temp_col=temp_col,
         with_rates=with_rates,
         with_categories=with_categories,
+        enriched=True,
     )
     if cold_spells:
         # Negate every intensity metric; durations/dates/rates keep sign

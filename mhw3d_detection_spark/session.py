@@ -47,7 +47,9 @@ def get_spark(app_name: str = "mhw3d_detection_spark", cpus: int | None = None) 
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        # 48g leaves headroom for the OS page cache and keeps G1 pause
+        # times sane; 90g+ heaps measurably degrade repeated heavy jobs
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
