@@ -193,10 +193,9 @@ def smooth_doy_circular(
         .orderBy("__pos_ext")
         .rowsBetween(-half, half)
     )
-    sm = copies
-    for c in value_cols:
-        sm = sm.withColumn(c, F.avg(F.col(c)).over(w))
-    sm = sm.filter(F.col("__copy") == 0)
+    sm = copies.withColumns(
+        {c: F.avg(F.col(c)).over(w) for c in value_cols}
+    ).filter(F.col("__copy") == 0)
 
     if mode == "full":
         out = sm.withColumn(doy_col, F.col("__pos"))

@@ -54,12 +54,15 @@ def exceedance(
     terminate events) and a ``was_missing`` flag is kept; exceedance is
     strictly ``temp > thresh`` with NULL -> false.
     """
-    out = ts_sev.withColumn("was_missing", F.col(temp_col).isNull())
+    temp = F.col(temp_col)
     if fill_missing:
-        out = out.withColumn(temp_col, F.coalesce(F.col(temp_col), F.col(seas_col)))
-    return out.withColumn(
-        "exceed",
-        F.coalesce(F.col(temp_col) > F.col(thresh_col), F.lit(False)),
+        temp = F.coalesce(temp, F.col(seas_col))
+    return ts_sev.withColumns(
+        {
+            "was_missing": F.col(temp_col).isNull(),
+            temp_col: temp,
+            "exceed": F.coalesce(temp > F.col(thresh_col), F.lit(False)),
+        }
     )
 
 
@@ -91,21 +94,21 @@ def enrich_series(
     changed = F.when(lagged.isNull() | (flag != lagged), 1).otherwise(0)
     rel_seas = F.col(temp_col) - F.col(seas_col)
 
-    return (
-        ts_sev.withColumn("rel_seas", rel_seas)
-        .withColumn("rel_thresh", F.col(temp_col) - F.col(thresh_col))
-        .withColumn(
-            "rel_thresh_norm",
-            (F.col(temp_col) - F.col(thresh_col))
+    # single batched projection: one analysis pass, one Window node
+    return ts_sev.withColumns(
+        {
+            "rel_seas": rel_seas,
+            "rel_thresh": F.col(temp_col) - F.col(thresh_col),
+            "rel_thresh_norm": (F.col(temp_col) - F.col(thresh_col))
             / (F.col(thresh_col) - F.col(seas_col)),
-        )
-        .withColumn("t_abs", F.col(temp_col))
-        .withColumn("prev_rel_seas", F.lag("rel_seas").over(w))
-        .withColumn("next_rel_seas", F.lead("rel_seas").over(w))
-        .withColumn("series_start", F.min(time_col).over(wall))
-        .withColumn("series_end", F.max(time_col).over(wall))
-        .withColumn("__flag", flag)
-        .withColumn("__run", F.sum(changed).over(wcum).cast("long"))
+            "t_abs": F.col(temp_col),
+            "prev_rel_seas": F.lag(rel_seas).over(w),
+            "next_rel_seas": F.lead(rel_seas).over(w),
+            "series_start": F.min(time_col).over(wall),
+            "series_end": F.max(time_col).over(wall),
+            "__flag": flag,
+            "__run": F.sum(changed).over(wcum).cast("long"),
+        }
     )
 
 
@@ -288,11 +291,13 @@ def event_metrics(
             ),
             F.col(temp_col).alias("t_abs"),
         )
-        d = (
-            d.withColumn("prev_rel_seas", F.lag("rel_seas").over(w))
-            .withColumn("next_rel_seas", F.lead("rel_seas").over(w))
-            .withColumn("series_start", F.min("time").over(wall))
-            .withColumn("series_end", F.max("time").over(wall))
+        d = d.withColumns(
+            {
+                "prev_rel_seas": F.lag("rel_seas").over(w),
+                "next_rel_seas": F.lead("rel_seas").over(w),
+                "series_start": F.min("time").over(wall),
+                "series_end": F.max("time").over(wall),
+            }
         )
 
     member = events.select(
@@ -421,8 +426,7 @@ def event_metrics(
             .when(F.col("__tt_peak") == F.col("duration") - 1, F.lit(0.0))
             .otherwise((imax - F.col("__last_rel_seas")) / decline_days)
         )
-        out = out.withColumn("rate_onset", onset).withColumn("rate_decline", decline)
-        out = out.drop(
+        out = out.withColumns({"rate_onset": onset, "rate_decline": decline}).drop(
             "__first_rel_seas",
             "__last_rel_seas",
             "__before_rel_seas",

@@ -117,7 +117,11 @@ def detect_mhw(
         # conventions of the reference (rates are computed on the negated
         # series and reported as-is, marineHeatWaves.py:413-426 touches
         # only the 9 intensity columns).
-        for c in metrics.columns:
-            if c.startswith("intensity_") and "_var" not in c:
-                metrics = metrics.withColumn(c, -F.col(c))
+        metrics = metrics.withColumns(
+            {
+                c: -F.col(c)
+                for c in metrics.columns
+                if c.startswith("intensity_") and "_var" not in c
+            }
+        )
     return metrics

@@ -35,8 +35,18 @@ TABLES = (
 )
 
 
+# Per-session scan memo: spark.read.parquet redoes file listing +
+# footer/schema reads (driver-side JVM work) on every call; the scan
+# DataFrame is immutable, so queries in one session can share it.
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalizes the `events` ns-timestamp."""
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -48,6 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
         )
+    _SCAN_CACHE[key] = df
     return df
 
 
