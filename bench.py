@@ -54,7 +54,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: absorbs GC/JIT scheduling noise
             spark.catalog.clearCache()  # drop per-run persisted dims
             t0 = time.time()
             df = Q.REGISTRY[name].spark_fn(spark, sf_dir)

@@ -82,6 +82,30 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def plan_memo(fn):
+    """Memoize a ``(spark, sf_dir) -> DataFrame`` builder per session.
+
+    DataFrames are immutable logical plans, so shared sub-plans (the
+    canonical derived series every query starts from) can be built once
+    per session instead of paying the Py4J/analysis round trips again
+    for each of the ~60 queries that reuse them. Pure plan reuse — no
+    data is cached; execution still recomputes unless .persist() is
+    explicitly used downstream.
+    """
+    cache: dict[tuple[int, str], DataFrame] = {}
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (id(spark), sf_dir)
+        got = cache.get(key)
+        if got is None:
+            got = cache[key] = fn(spark, sf_dir)
+        return got
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 # ---------------------------------------------------------------------------
 # Canonical derived series (Spark builders + matching SQL CTE bodies)
 # ---------------------------------------------------------------------------
@@ -95,6 +119,7 @@ DAILY_SQL = (
 )
 
 
+@plan_memo
 def daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -111,6 +136,7 @@ DAILY_NULLS_SQL = (
 )
 
 
+@plan_memo
 def daily_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -128,6 +154,7 @@ ORDERS_DAILY_SQL = (
 )
 
 
+@plan_memo
 def orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(

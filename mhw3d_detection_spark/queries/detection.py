@@ -26,7 +26,13 @@ from mhw3d_detection_spark.operators.detection import (
     rle_runs,
 )
 from mhw3d_detection_spark.plans.pipeline import detect_mhw
-from mhw3d_detection_spark.queries.base import ORDERS_DAILY_SQL, register, rq, rq_sql
+from mhw3d_detection_spark.queries.base import (
+    ORDERS_DAILY_SQL,
+    plan_memo,
+    register,
+    rq,
+    rq_sql,
+)
 from mhw3d_detection_spark.queries.base import orders_daily
 
 MIN_DUR = 3
@@ -75,6 +81,7 @@ MEMBER_SQL = EV_SQL + (
 )
 
 
+@plan_memo
 def _flagged(spark, sf_dir):
     od = orders_daily(spark, sf_dir)
     thr = od.groupBy("cell_id").agg(
@@ -86,6 +93,7 @@ def _flagged(spark, sf_dir):
     )
 
 
+@plan_memo
 def _events(spark, sf_dir):
     return detect_events(
         _flagged(spark, sf_dir), min_duration=MIN_DUR, max_gap=MAX_GAP
