@@ -24,11 +24,23 @@ the per-cell window sort, one for the (cell, doy) aggregate; partial
 aggregation (map-side combine) keeps the exploded 11x rows from ever
 hitting the shuffle in full.
 
-Pooling is by *series position* (row adjacency per cell), exactly like
-the reference's index arithmetic — for contiguous daily data this is
-identical to calendar-day distance, and for gapped records (e.g. the
-leap-years-only test fixture) it reproduces the reference's behavior
-where calendar distance would not.
+Two pooling modes, matching the two reference implementations:
+
+- ``pool_mode="series"`` — +/-W *series positions* per cell (the
+  vendored Oliver loop, marineHeatWaves.py:266-281: index windows over
+  the time axis, truncated at the series edges). Needs one per-cell
+  window sort of the big table before the aggregate.
+- ``pool_mode="grid"`` — +/-W positions on the *(year, doy) grid* (the
+  xarray legacy module, legacy/climatology.py:61-119: rolling over the
+  doy axis with cross-year pads into adjacent *baseline* years). Pure
+  projection + explode + filter — NO window pass, one shuffle of the
+  big table total. This is the scale path: at 100 TB it removes an
+  entire exchange+sort of the input.
+
+The two coincide on dense daily leap-year-only data and differ by the
+documented ~0.01 °C residual at DOYs 45-75 on mixed years (reference
+CLAUDE.md:221-224) — that residual is *between the two reference
+implementations themselves*, not an artifact of this engine.
 """
 
 from __future__ import annotations
@@ -222,6 +234,7 @@ def pooled_climatology(
     feb29_interp: bool = True,
     densify: bool = True,
     materialize: bool = True,
+    pool_mode: str = "series",
 ) -> DataFrame:
     """Compute ``clim(cell_id, doy, seas, thresh)`` from a long-format
     time series — the reference's `compute_climatology` +
@@ -251,18 +264,63 @@ def pooled_climatology(
     else:
         in_base = F.lit(True)
 
-    # Each row's +/-W series neighbors that are baseline occurrences of a
-    # (non-Feb-29) DOY define the buckets this row's temp contributes to.
-    w = (
-        Window.partitionBy("cell_id")
-        .orderBy("time")
-        .rowsBetween(-window_half_width, window_half_width)
-    )
-    target = F.when(in_base & (F.col("doy") != FEB29), F.col("doy"))
-    pooled = (
-        d.withColumn("__targets", F.collect_list(target).over(w))
-        .select("cell_id", "temp", F.explode("__targets").alias("doy"))
-    )
+    if pool_mode == "series":
+        # Each row's +/-W series neighbors that are baseline occurrences
+        # of a (non-Feb-29) DOY define the buckets this row's temp
+        # contributes to (Oliver index-window semantics).
+        w = (
+            Window.partitionBy("cell_id")
+            .orderBy("time")
+            .rowsBetween(-window_half_width, window_half_width)
+        )
+        target = F.when(in_base & (F.col("doy") != FEB29), F.col("doy"))
+        pooled = (
+            d.withColumn("__targets", F.collect_list(target).over(w))
+            .select("cell_id", "temp", F.explode("__targets").alias("doy"))
+        )
+    elif pool_mode == "grid":
+        # (year, doy)-grid semantics (legacy/climatology.py:61-119):
+        # sample (y, d) contributes to bucket t = d + o for o in +/-W;
+        # wrapping across the year boundary lands in the adjacent year's
+        # grid row, which exists only if that year is in the baseline
+        # (the reference's cross-year pads, _build_cross_year_pad:24-58;
+        # the first year's left pad / last year's right pad are NaN).
+        # Only baseline samples enter the grid at all (legacy:159-161).
+        # No window: projection + explode + filter, one shuffle total.
+        if baseline is not None:
+            lo_y, hi_y = baseline
+        else:
+            lo_y, hi_y = None, None
+        t_raw = F.col("doy") + F.col("__o")
+        t_wrap = ((t_raw - 1 + 366) % 366) + 1
+        y_row = F.year("time") + F.when(t_raw > 366, 1).when(t_raw < 1, -1).otherwise(0)
+        row_in_base = (
+            y_row.between(lo_y, hi_y) if baseline is not None else F.lit(True)
+        )
+        # Shuffle the series BEFORE the 11x explode: hash-partitioning on
+        # cell_id alone satisfies the (cell_id, doy) clustered
+        # distribution of the aggregate, so the explode + partial/final
+        # agg all run map-side after one exchange of the *un-exploded*
+        # input — 11x less shuffle volume than grouping the pooled rows.
+        pooled = (
+            d.filter(in_base)
+            .repartition("cell_id")
+            .select(
+                "cell_id",
+                "time",
+                "temp",
+                "doy",
+                F.explode(
+                    F.sequence(
+                        F.lit(-window_half_width), F.lit(window_half_width)
+                    )
+                ).alias("__o"),
+            )
+            .filter(row_in_base & (t_wrap != FEB29))
+            .select("cell_id", "temp", t_wrap.alias("doy"))
+        )
+    else:
+        raise ValueError(f"unknown pool_mode {pool_mode!r}")
 
     aggs = [
         F.avg("temp").alias("seas"),
@@ -285,7 +343,11 @@ def pooled_climatology(
     if materialize:
         clim = clim.persist()
     if densify:
-        clim = densify_doy(clim, cells=d.select("cell_id").distinct())
+        # Cell universe from the (tiny, persisted) aggregate, not a
+        # second scan of the source: a cell with no baseline samples
+        # has no clim rows either way (reference reindexes over doy
+        # only: legacy/climatology.py:79).
+        clim = densify_doy(clim, cells=clim.select("cell_id").distinct())
     if feb29_interp:
         clim = interp_feb29(clim)
     if smooth_width:

@@ -46,6 +46,8 @@ def detect_mhw(
     with_rates: bool = True,
     with_categories: bool = True,
     materialize_series: bool = True,
+    materialize_input: bool = False,
+    pool_mode: str = "series",
 ) -> DataFrame:
     """Full MHW detection: long-format series -> per-event metrics table.
 
@@ -66,6 +68,13 @@ def detect_mhw(
         return df.withColumn(temp_col, sign * F.col(temp_col)) if cold_spells else df
 
     ts_s = signed(ts)
+    if materialize_input:
+        # The cleaned daily series feeds two independent subtrees (the
+        # clim aggregate and the severity join); when it is itself a
+        # derived aggregate (e.g. raw samples -> daily means), persist
+        # it so the upstream shuffle runs once. Off by default: at
+        # 100 TB the caller decides whether the series fits the cache.
+        ts_s = ts_s.persist()
     clim_src = signed(clim_ts) if clim_ts is not None else ts_s
     clim = pooled_climatology(
         clim_src,
@@ -77,6 +86,7 @@ def detect_mhw(
         window_half_width=window_half_width,
         smooth_width=smooth_width,
         smooth_mode=smooth_mode,
+        pool_mode=pool_mode,
     )
     sev = calculate_severity(
         ts_s, clim, cell_col=cell_col, time_col=time_col, temp_col=temp_col

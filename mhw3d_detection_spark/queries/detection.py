@@ -623,6 +623,7 @@ def q_mhw_pipeline(spark, sf_dir):
         max_gap=MAX_GAP,
         with_rates=True,
         with_categories=True,
+        pool_mode="grid",  # windowless legacy-grid pooling: scale path
     )
     return m.select(
         "cell_id",

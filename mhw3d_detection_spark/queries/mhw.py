@@ -230,6 +230,55 @@ def q_pooled_threshold_pctile(spark, sf_dir):
 
 
 # =========================================================================
+# A2/A3 grid mode — (year, doy)-grid pooling (legacy/climatology.py:61-119):
+# the xarray legacy module's calendar-arithmetic semantics; the engine's
+# windowless scale path (one shuffle of the big table, no per-cell sort)
+# =========================================================================
+GRID_POOL_SQL = (
+    f"od AS ({ORDERS_DAILY_SQL}), "
+    f"s AS (SELECT cell_id, time, temp, {DOY} AS d, year(time) AS y FROM od "
+    f"  WHERE year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]}), "
+    "pool AS (SELECT s.cell_id, ((s.d + o.o - 1 + 366) % 366) + 1 AS doy, s.temp "
+    "  FROM s CROSS JOIN (SELECT unnest(generate_series(-5, 5)) AS o) o "
+    "  WHERE (s.y + CASE WHEN s.d + o.o > 366 THEN 1 "
+    "                    WHEN s.d + o.o < 1 THEN -1 ELSE 0 END) "
+    f"        BETWEEN {BASELINE[0]} AND {BASELINE[1]} "
+    "    AND ((s.d + o.o - 1 + 366) % 366) + 1 <> 60)"
+)
+
+
+@register(
+    "q_pooled_grid_clim",
+    f"WITH {GRID_POOL_SQL} "
+    "SELECT cell_id, CAST(doy AS INT) AS doy, "
+    f"{rq_sql('avg(temp)', 2)} AS seas, "
+    f"{rq_sql('quantile_cont(temp, 0.9)', 2)} AS thresh "
+    "FROM pool GROUP BY 1, 2",
+)
+def q_pooled_grid_clim(spark, sf_dir):
+    """A2+A3 in (year, doy)-grid mode: each baseline sample contributes
+    to the +/-5 DOY buckets with cross-year wrap into adjacent baseline
+    years (reference legacy/climatology.py:61-119 `_pool_window` +
+    `_build_cross_year_pad`:24-58). Pure explode+filter+group — no
+    window sort of the input (the scale path)."""
+    od = orders_daily(spark, sf_dir)
+    clim = pooled_climatology(
+        od,
+        baseline=BASELINE,
+        smooth_width=None,
+        feb29_interp=False,
+        densify=False,
+        pool_mode="grid",
+    )
+    return clim.select(
+        "cell_id",
+        F.col("doy").cast("int").alias("doy"),
+        rq("seas", 2).alias("seas"),
+        rq("thresh", 2).alias("thresh"),
+    )
+
+
+# =========================================================================
 # A4 — strict skipna=False: any measured-but-NULL sample poisons the pool
 # =========================================================================
 @register(

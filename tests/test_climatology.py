@@ -27,6 +27,21 @@ def test_leap_only_exact(spark):
     np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-10)
 
 
+def test_grid_mode_leap_only_exact(spark):
+    # pool_mode="grid" ((year,doy)-grid arithmetic, the windowless scale
+    # path) coincides with the series-position convention exactly on
+    # leap-only data — the same domain where the reference's two
+    # implementations agree at 1e-14 (CLAUDE.md:221-224): every year has
+    # a full 366-column row, so grid-row adjacency == series adjacency.
+    pdf = leap_only_series()
+    clim = _spark_clim(spark, pdf, baseline=(1984, 2012), pool_mode="grid")
+    seas, thresh = pooled_clim_threshold_np(
+        pd.DatetimeIndex(pdf["time"]), pdf["temp"].values, baseline=(1984, 2012)
+    )
+    np.testing.assert_allclose(clim["seas"].values, seas, atol=1e-10)
+    np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-10)
+
+
 def test_full_mixed_year_exact_vs_np(spark):
     # Same index-pooling convention on mixed leap/non-leap years: the
     # Spark engine and the NumPy oracle implement the identical
