@@ -3,3 +3,6 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_event_sessions,
     streaming_windowed_stats,
 )
+from mhw3d_detection_spark.streaming.stateful import (  # noqa: F401
+    streaming_detect_events_exact,
+)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from mhw3d_detection_spark.operators.detection import detect_events
 from mhw3d_detection_spark.streaming import (
     streaming_dedup,
+    streaming_detect_events_exact,
     streaming_event_sessions,
     streaming_windowed_stats,
 )
@@ -82,6 +83,55 @@ def test_session_window_matches_batch_gap_join(spark, flagged_parquet):
     batch_cell1 = [b for b in batch if b.cell_id == 1]
     assert batch_cell1[0].date_start.date() == r.date_start
     assert batch_cell1[0].date_end.date() == r.date_end
+
+
+@pytest.fixture(scope="module")
+def tricky_parquet(spark, tmp_path_factory):
+    """Series where sessionize-then-filter DIVERGES from the batch
+    contract: short runs chained by small gaps (a session_window merges
+    them into one long session; the batch drops each run at W4)."""
+    rows = []
+    day0 = dt.datetime(2021, 1, 1)
+    # cell 1: three 3-day runs with 1-day gaps (days 0-2, 4-6, 8-10):
+    #   batch (min_duration=5): every run dropped -> no events
+    # then days 14-20 (7 days, qualifies) -> event 1
+    # then 2-day gap, days 23-27 (5 days, qualifies, gap<=2) -> merges
+    pattern = (
+        list(range(0, 3)) + list(range(4, 7)) + list(range(8, 11))
+        + list(range(14, 21)) + list(range(23, 28))
+    )
+    for d in range(40):
+        rows.append((1, day0 + dt.timedelta(days=d), d in pattern))
+    df = spark.createDataFrame(rows, "cell_id int, time timestamp, exceed boolean")
+    path = str(tmp_path_factory.mktemp("stream") / "tricky")
+    df.write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def test_stateful_exact_matches_batch(spark, tricky_parquet):
+    path, df = tricky_parquet
+    got = run_stream(
+        spark,
+        df,
+        path,
+        lambda s: streaming_detect_events_exact(
+            s, min_duration=5, max_gap=2, watermark="0 seconds"
+        ),
+        "stateful_exact",
+    ).orderBy("cell_id", "event_id")
+    batch = (
+        detect_events(df, min_duration=5, max_gap=2)
+        .orderBy("cell_id", "event_id")
+        .collect()
+    )
+    srows = got.collect()
+    assert len(batch) == 1  # the three short runs must NOT form events
+    assert len(srows) == len(batch)
+    for s, b in zip(srows, batch):
+        assert (s.cell_id, s.event_id) == (b.cell_id, b.event_id)
+        assert s.date_start == b.date_start.date()
+        assert s.date_end == b.date_end.date()
+        assert s.duration == b.duration
 
 
 def test_streaming_dedup(spark, flagged_parquet):
