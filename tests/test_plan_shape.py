@@ -1,0 +1,106 @@
+"""Physical-plan regression tests — the 100 TB performance contract.
+
+Correctness tests prove the operators compute the right answer; these
+prove the PLANS stay the plans we designed (SURVEY.md §4): filters and
+projections reach the parquet scan, small dimensions broadcast, and the
+grid-mode climatology keeps its single-exchange shape. A refactor that
+silently adds a shuffle or un-pushes a filter fails here long before a
+cluster run would reveal it.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.climatology import pooled_climatology
+from mhw3d_detection_spark.operators.severity import calculate_severity
+from mhw3d_detection_spark.sources.tables import load_table
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count_exchanges(plan: str) -> int:
+    # ignore broadcast exchanges (tiny sides) and AQE reuse markers
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _executed(q)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_orderkey" in m.group(1) and "l_comment" not in m.group(1)
+
+
+def test_year_filter_pushdown_through_projection(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    q = (
+        o.select(
+            (F.col("o_custkey") % 10).alias("cell_id"),
+            F.to_date("o_orderdate").alias("time"),
+            F.col("o_totalprice").alias("temp"),
+        )
+        .filter(F.year("time").between(1995, 1996))
+    )
+    plan = _executed(q)
+    # the year() predicate cannot push as-is, but the scan must not
+    # read pruned columns
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "o_comment" not in m.group(1)
+
+
+def test_clim_lookup_is_broadcast_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    ts = o.groupBy(
+        (F.col("o_custkey") % 10).alias("cell_id"),
+        F.to_date("o_orderdate").alias("time"),
+    ).agg(F.avg("o_totalprice").alias("temp"))
+    clim = pooled_climatology(
+        ts, baseline=(1995, 2000), smooth_width=None, pool_mode="grid",
+        materialize=False,
+    )
+    sev = calculate_severity(ts, clim)
+    plan = _executed(sev)
+    assert "BroadcastHashJoin" in plan  # J1 must broadcast the clim dim
+
+
+def test_grid_pooling_single_exchange(spark, sf_dir):
+    # The windowless scale path: ONE hash exchange of the (un-exploded)
+    # series; explode + partial/final aggregate all run co-partitioned.
+    o = load_table(spark, sf_dir, "orders")
+    ts = o.groupBy(
+        (F.col("o_custkey") % 10).alias("cell_id"),
+        F.to_date("o_orderdate").alias("time"),
+    ).agg(F.avg("o_totalprice").alias("temp"))
+    clim = pooled_climatology(
+        ts, baseline=(1995, 2000), smooth_width=None, feb29_interp=False,
+        densify=False, materialize=False, pool_mode="grid",
+    )
+    plan = _executed(clim)
+    gen = plan.index("Generate explode")
+    # below the explode: the pre-pool repartition + the input groupBy;
+    # above it: partial+final agg with NO further exchange
+    above = plan[:gen]
+    assert _count_exchanges(above) == 0, above
+    assert "partial_collect_list" in plan or "partial_" in plan
+
+
+def test_window_partitioning_reused_by_aggregate(spark, sf_dir):
+    # series-mode pooling: the window's hashpartitioning(cell_id) must
+    # satisfy the (cell_id, doy) aggregate -> exactly one exchange of
+    # the big table in the whole subtree
+    ev = load_table(spark, sf_dir, "events")
+    ts = ev.select(
+        F.col("user_id").alias("cell_id"),
+        F.col("ts").alias("time"),
+        F.col("value").alias("temp"),
+    )
+    clim = pooled_climatology(
+        ts, smooth_width=None, feb29_interp=False, densify=False,
+        materialize=False, pool_mode="series",
+    )
+    plan = _executed(clim)
+    assert _count_exchanges(plan) == 1, plan
