@@ -1,0 +1,121 @@
+"""Ingestion bridges: dense gridded arrays -> the engine's long format
+(SURVEY.md §2.1 SC1/SC4/SC5).
+
+The reference consumes dense labeled arrays (`xr.open_dataset`,
+reference README.md:51); this engine's canonical input is the long
+table ``ts(cell_id, time[, coords...], temp)``. The melt happens ONCE
+at ingestion and everything downstream is relational.
+
+Scale notes: the melt streams spatial blocks (never materializes the
+full cube in driver memory), writes partitioned/bucketed parquet so the
+per-cell operators start co-located, and the `cell_id` key is a dense
+integer (`lat_idx * n_lon + lon_idx`), which hash-partitions uniformly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dense_to_long(
+    spark: SparkSession,
+    temp: "np.ndarray",
+    times: "pd.DatetimeIndex",
+    coords: dict[str, "np.ndarray"] | None = None,
+    *,
+    value_col: str = "temp",
+    block_cells: int = 4096,
+) -> DataFrame:
+    """Melt a dense ``(time, *spatial)`` array into the long table.
+
+    ``coords`` maps spatial dim name -> 1-D coordinate array (in axis
+    order after time), e.g. ``{"lat": lats, "lon": lons}``; cell_id is
+    the row-major flat index over the spatial axes. NaNs become NULLs
+    (measured-but-missing rows are kept — the §1.2 presence semantics).
+
+    Blocks of ``block_cells`` cells are melted and unioned lazily, so
+    driver memory is O(block) not O(cube).
+    """
+    coords = coords or {}
+    t = np.asarray(temp)
+    n_time = t.shape[0]
+    if len(times) != n_time:
+        raise ValueError("times length must match temp.shape[0]")
+    spatial_shape = t.shape[1:]
+    n_cells = int(np.prod(spatial_shape)) if spatial_shape else 1
+    flat = t.reshape(n_time, n_cells)
+
+    coord_names = list(coords)
+    if coord_names and len(coord_names) != len(spatial_shape):
+        raise ValueError("one coord array per spatial axis")
+    grids = (
+        np.meshgrid(*[coords[c] for c in coord_names], indexing="ij")
+        if coord_names
+        else []
+    )
+    flat_coords = {
+        c: g.reshape(n_cells) for c, g in zip(coord_names, grids)
+    }
+
+    time_vals = pd.DatetimeIndex(times)
+
+    def blocks() -> Iterator[pd.DataFrame]:
+        for lo in range(0, n_cells, block_cells):
+            hi = min(lo + block_cells, n_cells)
+            width = hi - lo
+            pdf = pd.DataFrame(
+                {
+                    "cell_id": np.repeat(
+                        np.arange(lo, hi, dtype=np.int64), n_time
+                    ),
+                    "time": np.tile(time_vals.values, width),
+                    value_col: flat[:, lo:hi].T.reshape(-1),
+                }
+            )
+            for c in coord_names:
+                pdf[c] = np.repeat(flat_coords[c][lo:hi], n_time)
+            yield pdf
+
+    out: DataFrame | None = None
+    for pdf in blocks():
+        part = spark.createDataFrame(pdf)
+        out = part if out is None else out.unionByName(part)
+    assert out is not None
+    return out
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *, by_year: bool = True, time_col: str = "time"
+) -> None:
+    """Parquet sink (SC4) with year partition folders: baseline filters
+    (P2) become partition pruning instead of row-group skipping."""
+    from pyspark.sql import functions as F
+
+    if by_year:
+        df.withColumn("year", F.year(time_col)).write.mode(
+            "overwrite"
+        ).partitionBy("year").parquet(path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    key: str = "cell_id",
+    buckets: int = 64,
+    sort_by: str | None = "time",
+) -> None:
+    """Bucketed managed-table sink (SC5): pre-shuffles by ``key`` at
+    write time so every downstream per-cell window/agg/join starts
+    co-located — scans of two tables bucketed on the same key join with
+    NO exchange (asserted in tests/test_plan_shape.py)."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
