@@ -235,6 +235,7 @@ def pooled_climatology(
     densify: bool = True,
     materialize: bool = True,
     pool_mode: str = "series",
+    exact: bool = True,
 ) -> DataFrame:
     """Compute ``clim(cell_id, doy, seas, thresh)`` from a long-format
     time series — the reference's `compute_climatology` +
@@ -345,33 +346,61 @@ def pooled_climatology(
 
         # ONE aggregate over the union — both branches are partitioned
         # by cell_id already, so no join and no further exchange
-        bucket_aggs = [
-            F.when(F.sum("__c") > 0, F.sum("__s") / F.sum("__c")).alias("seas"),
-            F.sort_array(F.flatten(F.collect_list("__v"))).alias("__sorted"),
-        ]
-        if strict_nan:
-            bucket_aggs.append(F.max("__m").alias("__has_missing"))
-        clim = (
-            nw.unionByName(wrapped)
-            .groupBy("cell_id", "doy")
-            .agg(*bucket_aggs)
-        )
+        contrib = nw.unionByName(wrapped)
+        if exact:
+            bucket_aggs = [
+                F.when(F.sum("__c") > 0, F.sum("__s") / F.sum("__c")).alias(
+                    "seas"
+                ),
+                F.sort_array(F.flatten(F.collect_list("__v"))).alias(
+                    "__sorted"
+                ),
+            ]
+            if strict_nan:
+                bucket_aggs.append(F.max("__m").alias("__has_missing"))
+            clim = contrib.groupBy("cell_id", "doy").agg(*bucket_aggs)
+        else:
+            # documented scale escape hatch (SURVEY.md §4): fixed-size
+            # t-digest sketch instead of per-bucket value buffers —
+            # bounded memory per bucket no matter how many baseline
+            # years pool into it
+            vals = contrib.select(
+                "cell_id",
+                "doy",
+                F.explode_outer("__v").alias("__val"),
+                *(["__m"] if strict_nan else []),
+            )
+            bucket_aggs = [
+                F.avg("__val").alias("seas"),
+                F.expr(
+                    f"approx_percentile(__val, {pctile / 100.0!r}, 10000)"
+                ).alias("thresh"),
+            ]
+            if strict_nan:
+                bucket_aggs.append(F.max("__m").alias("__has_missing"))
+            clim = vals.groupBy("cell_id", "doy").agg(*bucket_aggs)
     else:
         raise ValueError(f"unknown pool_mode {pool_mode!r}")
 
     if pooled is not None:
-        aggs = [
-            F.avg("temp").alias("seas"),
-            F.sort_array(F.collect_list("temp")).alias("__sorted"),
-        ]
+        aggs = [F.avg("temp").alias("seas")]
+        if exact:
+            aggs.append(F.sort_array(F.collect_list("temp")).alias("__sorted"))
+        else:
+            aggs.append(
+                F.expr(
+                    f"approx_percentile(temp, {pctile / 100.0!r}, 10000)"
+                ).alias("thresh")
+            )
         if strict_nan:
             aggs.append(
                 F.max(F.col("temp").isNull().cast("int")).alias("__has_missing")
             )
         clim = pooled.groupBy("cell_id", "doy").agg(*aggs)
-    clim = clim.withColumn(
-        "thresh", exact_percentile_sorted(F.col("__sorted"), pctile / 100.0)
-    ).drop("__sorted")
+    if "__sorted" in clim.columns:
+        clim = clim.withColumn(
+            "thresh", exact_percentile_sorted(F.col("__sorted"), pctile / 100.0)
+        ).drop("__sorted")
     if strict_nan:
         clim = clim.select(
             "cell_id",

@@ -450,6 +450,51 @@ def q_severity(spark, sf_dir):
 
 
 # =========================================================================
+# M2 — alternate climatology source: clim built from a DIFFERENT series
+# than the one scored (marineHeatWaves.py:107-113,222-242) — free in
+# relational form: clim from subseries B, left-joined to series A
+# =========================================================================
+@register(
+    "q_alt_clim_source",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"alt AS (SELECT * FROM od WHERE year(time) BETWEEN 1995 AND 1996), "
+    f"clim AS (SELECT cell_id, {DOY} AS doy, avg(temp) AS seas, "
+    "  quantile_cont(temp, 0.9) AS thresh FROM alt GROUP BY 1, 2) "
+    f"SELECT od.cell_id, od.time, {rq_sql('od.temp - clim.seas', 2)} AS t_anom, "
+    + rq_sql(
+        "CASE WHEN clim.thresh - clim.seas > 1e-9 "
+        "THEN (od.temp - clim.seas) / (clim.thresh - clim.seas) END",
+        4,
+    )
+    + " AS severity "
+    f"FROM od LEFT JOIN clim ON od.cell_id = clim.cell_id AND {DOY} = clim.doy "
+    "WHERE year(od.time) >= 1998",
+)
+def q_alt_clim_source(spark, sf_dir):
+    """M2: climatology from the 1995-96 subseries scores the 1998+
+    rows — the alternateClimatology mode (marineHeatWaves.py:107-113)
+    as a clim-from-B-joined-to-A relational plan."""
+    od = orders_daily(spark, sf_dir)
+    alt = od.filter(F.year("time").between(1995, 1996))
+    clim = (
+        alt.groupBy("cell_id", clim_doy(F.col("time")).alias("doy"))
+        .agg(
+            F.avg("temp").alias("seas"),
+            F.expr("percentile(temp, 0.9)").alias("thresh"),
+        )
+    )
+    sev = calculate_severity(
+        od.filter(F.year("time") >= 1998), clim, mode="best_practice"
+    )
+    return sev.select(
+        "cell_id",
+        "time",
+        rq("t_anom", 2).alias("t_anom"),
+        rq("severity", 4).alias("severity"),
+    )
+
+
+# =========================================================================
 # P5 + M4 — exceedance predicate with missing→climatology fill
 # =========================================================================
 @register(

@@ -56,6 +56,22 @@ def test_full_mixed_year_exact_vs_np(spark):
     np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
 
 
+def test_approx_percentile_escape_hatch(spark):
+    # exact=False (the documented 100-TB fallback, SURVEY §4): sketch-
+    # based threshold within a small tolerance of the exact one, for
+    # both pooling modes
+    pdf = oliver_synthetic()
+    for mode in ("grid", "series"):
+        ex = _spark_clim(
+            spark, pdf, pool_mode=mode, baseline=(1983, 2012)
+        )
+        ap = _spark_clim(
+            spark, pdf, pool_mode=mode, baseline=(1983, 2012), exact=False
+        )
+        np.testing.assert_allclose(ap["seas"], ex["seas"], atol=1e-9)
+        np.testing.assert_allclose(ap["thresh"], ex["thresh"], atol=0.05)
+
+
 def test_strict_nan_semantics(spark):
     # F5: a NULL (measured-but-missing) sample nullifies every DOY bucket
     # whose pool touches it under strict_nan; absent rows do not.
