@@ -67,9 +67,27 @@ def cosine_topk(
     j = j.filter(
         (F.col("vec_id") != F.col("probe_id")) & (F.col("n") > 0) & (F.col("pn") > 0)
     ).withColumn("cosine", dot(F.col("v"), F.col("pv")) / (F.col("n") * F.col("pn")))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    scored = j.select("probe_id", "vec_id", "cosine")
+
+    # Two-phase salted top-k: a single window partitioned by probe_id
+    # alone funnels EVERY scored candidate into n_probes partitions —
+    # catastrophic skew when probes are few and the corpus is 100 TB.
+    # Phase 1 ranks within (probe, salt) — corpus-wide parallelism,
+    # keeps <= k per salt; phase 2 ranks the surviving
+    # n_probes x SALTS x k rows. Identical output, no hot partition.
+    SALTS = 64
+    salt = F.pmod(F.hash("vec_id"), F.lit(SALTS))
+    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    pruned = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
