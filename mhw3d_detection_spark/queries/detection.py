@@ -566,6 +566,60 @@ def q_cold_spells(spark, sf_dir):
 
 
 # =========================================================================
+# M1 exact-oracle variant — cold spells against the mirrored simple
+# threshold: negate input, detect, negate intensities on the way out
+# (marineHeatWaves.py:105-106,244-247,413-426). The SQL oracle rebuilds
+# the whole negate->RLE->gap-join->metrics chain on -temp.
+# =========================================================================
+COLD_FL_SQL = (
+    f"od0 AS ({ORDERS_DAILY_SQL}), "
+    "od AS (SELECT cell_id, time, -temp AS temp FROM od0), "
+    "thr AS (SELECT cell_id, quantile_cont(temp, 0.75) AS thresh, avg(temp) AS seas "
+    "  FROM od GROUP BY 1), "
+    "fl AS (SELECT od.cell_id, od.time, od.temp, thr.seas, thr.thresh, "
+    "  od.temp > thr.thresh AS exceed FROM od JOIN thr ON od.cell_id = thr.cell_id)"
+)
+# splice the shared RLE/gap-join chains onto the negated fl CTE
+COLD_EV_SQL = COLD_FL_SQL + RUNS_SQL[len(FL_SQL):] + EV_SQL[len(RUNS_SQL):]
+
+
+@register(
+    "q_cold_spells_simple",
+    f"WITH {COLD_EV_SQL}, "
+    "member AS (SELECT e.cell_id, e.event_id, e.date_start, e.date_end, e.duration, "
+    "  f.temp - f.seas AS rel_seas FROM ev e JOIN fl f ON f.cell_id = e.cell_id "
+    "  AND f.time BETWEEN e.date_start AND e.date_end) "
+    "SELECT cell_id, event_id, date_start, date_end, duration, "
+    f"{rq_sql('-max(rel_seas)', 2)} AS intensity_max, "
+    f"{rq_sql('-avg(rel_seas)', 2)} AS intensity_mean "
+    "FROM member GROUP BY 1, 2, 3, 4, 5",
+)
+def q_cold_spells_simple(spark, sf_dir):
+    """M1 with an exact oracle: cold events = heat detection on the
+    negated series against the mirrored percentile; intensity columns
+    negated on the way out (marineHeatWaves.py:244-247,413-426)."""
+    od = orders_daily(spark, sf_dir).withColumn("temp", -F.col("temp"))
+    thr_n = od.groupBy("cell_id").agg(
+        F.expr("percentile(temp, 0.75)").alias("thresh"),
+        F.avg("temp").alias("seas"),
+    )
+    fl = od.join(F.broadcast(thr_n), ["cell_id"]).withColumn(
+        "exceed", F.coalesce(F.col("temp") > F.col("thresh"), F.lit(False))
+    )
+    ev = detect_events(fl, min_duration=MIN_DUR, max_gap=MAX_GAP)
+    m = event_metrics(fl, ev, with_rates=False, with_categories=False)
+    return m.select(
+        "cell_id",
+        "event_id",
+        "date_start",
+        "date_end",
+        "duration",
+        rq(-F.col("intensity_max"), 2).alias("intensity_max"),
+        rq(-F.col("intensity_mean"), 2).alias("intensity_mean"),
+    )
+
+
+# =========================================================================
 # U1 — applyInPandas escape hatch (per-cell numpy kernel)
 # =========================================================================
 @register(
