@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
+from mhw3d_detection_spark.functions.calendar import clim_doy_sql
 from mhw3d_detection_spark.operators.analysis import (
     block_average,
     block_temp_stats,
@@ -661,7 +662,109 @@ def q_apply_in_pandas_kernel(spark, sf_dir):
 # =========================================================================
 # Flagship — the full MHW pipeline (rows-only; golden-tested in tests/)
 # =========================================================================
-@register("q_mhw_pipeline", None)
+# Full-pipeline oracle: grid-pooled clim (+densify +Feb29 +smooth31)
+# -> severity/exceedance -> RLE/gap-join detection -> event metrics,
+# peaks, categories and onset/decline rates — every stage re-derived in
+# ANSI SQL so the flagship is hash-checked end to end, not rows-only.
+_PDOY = clim_doy_sql("od.time")
+PIPE_SQL = (
+    f"od AS ({ORDERS_DAILY_SQL}), "
+    # grid pooling, baseline 1995-2000, +/-5, excluding target doy 60
+    f"s AS (SELECT cell_id, time, temp, {clim_doy_sql('time')} AS d, year(time) AS y "
+    "  FROM od WHERE year(time) BETWEEN 1995 AND 2000), "
+    "pool AS (SELECT s.cell_id, ((s.d + o.o - 1 + 366) % 366) + 1 AS doy, s.temp "
+    "  FROM s CROSS JOIN (SELECT unnest(generate_series(-5, 5)) AS o) o "
+    "  WHERE (s.y + CASE WHEN s.d + o.o > 366 THEN 1 "
+    "                    WHEN s.d + o.o < 1 THEN -1 ELSE 0 END) BETWEEN 1995 AND 2000 "
+    "    AND ((s.d + o.o - 1 + 366) % 366) + 1 <> 60), "
+    "cg AS (SELECT cell_id, doy, avg(temp) AS seas, "
+    "  quantile_cont(temp, 0.9) AS thresh FROM pool GROUP BY 1, 2), "
+    # densify to 1..366, Feb-29 interpolation, 31-day circular smooth
+    "spine AS (SELECT DISTINCT cell_id, g.d AS doy FROM cg, "
+    "  (SELECT unnest(generate_series(1, 366)) AS d) g), "
+    "dense AS (SELECT sp.cell_id, sp.doy, c.seas, c.thresh FROM spine sp "
+    "  LEFT JOIN cg c ON sp.cell_id = c.cell_id AND sp.doy = c.doy), "
+    "f29 AS (SELECT cell_id, "
+    "  0.5 * max(CASE WHEN doy = 59 THEN seas END) + 0.5 * max(CASE WHEN doy = 61 THEN seas END) AS s60, "
+    "  0.5 * max(CASE WHEN doy = 59 THEN thresh END) + 0.5 * max(CASE WHEN doy = 61 THEN thresh END) AS t60 "
+    "  FROM dense WHERE doy IN (59, 61) GROUP BY 1), "
+    "d2 AS (SELECT d.cell_id, d.doy, "
+    "  CASE WHEN d.doy = 60 THEN f.s60 ELSE d.seas END AS seas, "
+    "  CASE WHEN d.doy = 60 THEN f.t60 ELSE d.thresh END AS thresh "
+    "  FROM dense d LEFT JOIN f29 f ON d.cell_id = f.cell_id), "
+    "copies AS (SELECT cell_id, doy, seas, thresh, doy + 366 * o.o AS pos FROM d2, "
+    "  (SELECT unnest([-1, 0, 1]) AS o) o), "
+    "smw AS (SELECT cell_id, doy, pos, "
+    "  avg(seas) OVER w AS sa, sum(CASE WHEN seas IS NULL THEN 1 ELSE 0 END) OVER w AS sn, "
+    "  avg(thresh) OVER w AS ta, sum(CASE WHEN thresh IS NULL THEN 1 ELSE 0 END) OVER w AS tn "
+    "  FROM copies WINDOW w AS (PARTITION BY cell_id ORDER BY pos "
+    "  ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)), "
+    "clim AS (SELECT cell_id, doy, CASE WHEN sn = 0 THEN sa END AS seas, "
+    "  CASE WHEN tn = 0 THEN ta END AS thresh FROM smw WHERE pos BETWEEN 1 AND 366), "
+    # severity join + exceedance
+    "fl AS (SELECT od.cell_id, od.time, od.temp, c.seas, c.thresh, "
+    "  coalesce(od.temp > c.thresh, false) AS exceed "
+    f"  FROM od LEFT JOIN clim c ON od.cell_id = c.cell_id AND {_PDOY} = c.doy)"
+)
+PIPE_EV_SQL = PIPE_SQL + RUNS_SQL[len(FL_SQL):] + EV_SQL[len(RUNS_SQL):]
+
+
+@register(
+    "q_mhw_pipeline",
+    f"WITH {PIPE_EV_SQL}, "
+    "flx AS (SELECT *, temp - seas AS rel_seas, "
+    "  (temp - thresh) / (thresh - seas) AS rel_tn, "
+    "  lag(temp - seas) OVER w AS prev_rs, lead(temp - seas) OVER w AS next_rs, "
+    "  min(time) OVER (PARTITION BY cell_id) AS series_start, "
+    "  max(time) OVER (PARTITION BY cell_id) AS series_end "
+    "  FROM fl WINDOW w AS (PARTITION BY cell_id ORDER BY time)), "
+    "member AS (SELECT e.cell_id, e.event_id, e.date_start, e.date_end, e.duration, "
+    "  f.* EXCLUDE (cell_id) FROM ev e JOIN flx f ON f.cell_id = e.cell_id "
+    "  AND f.time BETWEEN e.date_start AND e.date_end), "
+    "agg AS (SELECT cell_id, event_id, date_start, date_end, duration, "
+    "  max(rel_seas) AS imax, avg(rel_seas) AS imean, sum(rel_seas) AS icum "
+    "  FROM member GROUP BY 1, 2, 3, 4, 5), "
+    "peak AS (SELECT cell_id, event_id, time AS date_peak, rel_seas AS imax, "
+    "  date_diff('day', date_start, time) AS tt_peak FROM ("
+    "  SELECT m.*, row_number() OVER (PARTITION BY cell_id, event_id "
+    "    ORDER BY rel_seas DESC, time ASC) AS rn FROM member m) WHERE rn = 1), "
+    "pkc AS (SELECT cell_id, event_id, least(floor(1.0 + rel_tn), 4) AS band FROM ("
+    "  SELECT m.*, row_number() OVER (PARTITION BY cell_id, event_id "
+    "    ORDER BY rel_tn DESC, time ASC) AS rn FROM member m) WHERE rn = 1), "
+    "edges AS (SELECT cell_id, event_id, duration, "
+    "  max(CASE WHEN time = date_start THEN rel_seas END) AS first_rs, "
+    "  max(CASE WHEN time = date_end THEN rel_seas END) AS last_rs, "
+    "  max(CASE WHEN time = date_start THEN prev_rs END) AS before_rs, "
+    "  max(CASE WHEN time = date_end THEN next_rs END) AS after_rs, "
+    "  bool_or(time = date_start AND time = series_start) AS at_start, "
+    "  bool_or(time = date_end AND time = series_end) AS at_end "
+    "  FROM member GROUP BY 1, 2, 3) "
+    "SELECT a.cell_id, a.event_id, a.date_start, a.date_end, a.duration, p.date_peak, "
+    "CASE k.band WHEN 1 THEN 'Moderate' WHEN 2 THEN 'Strong' WHEN 3 THEN 'Severe' "
+    "ELSE 'Extreme' END AS category, "
+    f"{rq_sql('a.imax', 2)} AS intensity_max, {rq_sql('a.imean', 2)} AS intensity_mean, "
+    f"{rq_sql('a.icum', 2)} AS intensity_cumulative, "
+    + rq_sql(
+        "CASE WHEN NOT e.at_start THEN "
+        "(p.imax - 0.5 * (e.first_rs + e.before_rs)) / (p.tt_peak + 0.5) "
+        "WHEN p.tt_peak = 0 THEN 0.0 "
+        "ELSE (p.imax - e.first_rs) / p.tt_peak END",
+        2,
+    )
+    + " AS rate_onset, "
+    + rq_sql(
+        "CASE WHEN NOT e.at_end THEN "
+        "(p.imax - 0.5 * (e.last_rs + e.after_rs)) / (e.duration - 1 - p.tt_peak + 0.5) "
+        "WHEN p.tt_peak = e.duration - 1 THEN 0.0 "
+        "ELSE (p.imax - e.last_rs) / (e.duration - 1 - p.tt_peak) END",
+        2,
+    )
+    + " AS rate_decline "
+    "FROM agg a "
+    "JOIN peak p ON a.cell_id = p.cell_id AND a.event_id = p.event_id "
+    "JOIN pkc k ON a.cell_id = k.cell_id AND a.event_id = k.event_id "
+    "JOIN edges e ON a.cell_id = e.cell_id AND a.event_id = e.event_id",
+)
 def q_mhw_pipeline(spark, sf_dir):
     """EP1+EP2+EP3 fused: pooled clim/threshold -> severity -> detection
     -> event metrics, three shuffles of the big table total
@@ -687,9 +790,9 @@ def q_mhw_pipeline(spark, sf_dir):
         "duration",
         "date_peak",
         "category",
-        F.round("intensity_max", 4).alias("intensity_max"),
-        F.round("intensity_mean", 4).alias("intensity_mean"),
-        F.round("intensity_cumulative", 4).alias("intensity_cumulative"),
-        F.round("rate_onset", 4).alias("rate_onset"),
-        F.round("rate_decline", 4).alias("rate_decline"),
+        rq("intensity_max", 2).alias("intensity_max"),
+        rq("intensity_mean", 2).alias("intensity_mean"),
+        rq("intensity_cumulative", 2).alias("intensity_cumulative"),
+        rq("rate_onset", 2).alias("rate_onset"),
+        rq("rate_decline", 2).alias("rate_decline"),
     )
