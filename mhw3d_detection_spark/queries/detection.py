@@ -536,34 +536,6 @@ def q_event_rank_return(spark, sf_dir):
     )
 
 
-# =========================================================================
-# M1 — cold-spell mode (rows-only: full pipeline with pooled climatology)
-# =========================================================================
-@register("q_cold_spells", None)
-def q_cold_spells(spark, sf_dir):
-    """M1: negate input, detect against the mirrored (10th) percentile,
-    negate intensities on the way out (reference
-    marineHeatWaves.py:105-106,244-247,413-426). Rows-only: the full
-    pooled-climatology pipeline is not practical as one SQL oracle."""
-    od = orders_daily(spark, sf_dir)
-    m = detect_mhw(
-        od,
-        baseline=(1995, 2000),
-        min_duration=MIN_DUR,
-        max_gap=MAX_GAP,
-        cold_spells=True,
-        with_rates=False,
-        with_categories=False,
-    )
-    return m.select(
-        "cell_id",
-        "event_id",
-        "date_start",
-        "date_end",
-        "duration",
-        F.round("intensity_max", 4).alias("intensity_max"),
-        F.round("intensity_mean", 4).alias("intensity_mean"),
-    )
 
 
 # =========================================================================
@@ -795,4 +767,55 @@ def q_mhw_pipeline(spark, sf_dir):
         rq("intensity_cumulative", 2).alias("intensity_cumulative"),
         rq("rate_onset", 2).alias("rate_onset"),
         rq("rate_decline", 2).alias("rate_decline"),
+    )
+
+
+# =========================================================================
+# M1 — cold-spell mode: the FULL pooled-clim pipeline on negated input,
+# oracle = the flagship pipeline SQL with -temp spliced in at the scan
+# =========================================================================
+_COLD_PIPE_EV_SQL = PIPE_EV_SQL.replace(
+    f"od AS ({ORDERS_DAILY_SQL}), ",
+    f"od0 AS ({ORDERS_DAILY_SQL}), "
+    "od AS (SELECT cell_id, time, -temp AS temp FROM od0), ",
+    1,
+)
+
+
+@register(
+    "q_cold_spells",
+    f"WITH {_COLD_PIPE_EV_SQL}, "
+    "flx AS (SELECT *, temp - seas AS rel_seas FROM fl), "
+    "member AS (SELECT e.cell_id, e.event_id, e.date_start, e.date_end, e.duration, "
+    "  f.rel_seas FROM ev e JOIN flx f ON f.cell_id = e.cell_id "
+    "  AND f.time BETWEEN e.date_start AND e.date_end) "
+    "SELECT cell_id, event_id, date_start, date_end, duration, "
+    f"{rq_sql('-max(rel_seas)', 2)} AS intensity_max, "
+    f"{rq_sql('-avg(rel_seas)', 2)} AS intensity_mean "
+    "FROM member GROUP BY 1, 2, 3, 4, 5",
+)
+def q_cold_spells(spark, sf_dir):
+    """M1: negate input, detect against the mirrored (10th) percentile,
+    negate intensities on the way out (reference
+    marineHeatWaves.py:105-106,244-247,413-426) — the full pooled-clim
+    pipeline, hash-checked against the flagship oracle on -temp."""
+    od = orders_daily(spark, sf_dir)
+    m = detect_mhw(
+        od,
+        baseline=(1995, 2000),
+        min_duration=MIN_DUR,
+        max_gap=MAX_GAP,
+        cold_spells=True,
+        with_rates=False,
+        with_categories=False,
+        pool_mode="grid",
+    )
+    return m.select(
+        "cell_id",
+        "event_id",
+        "date_start",
+        "date_end",
+        "duration",
+        rq("intensity_max", 2).alias("intensity_max"),
+        rq("intensity_mean", 2).alias("intensity_mean"),
     )
