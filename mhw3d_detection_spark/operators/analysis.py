@@ -197,11 +197,18 @@ def block_average(
     *,
     cell_col: str = "cell_id",
     time_col: str = "time",
+    temp_col: str = "temp",
     block_length: int = 1,
+    remove_missing: bool = False,
 ) -> DataFrame:
     """Block (multi-year) averages of event metrics — the reference's
     `blockAverage` (marineHeatWaves.py:431-684) minus the temp/category
     add-ons (those are separate queries).
+
+    ``remove_missing``: NULL out every stat of any block containing a
+    year with at least one missing (NULL-temp) sample — the reference's
+    removeMissing anti-join (marineHeatWaves.py:654-682; ``count`` and
+    ``total_days`` go NULL too, matching the NaN overwrite there).
 
     Per block (an event belongs to the block of its *start* year):
     ``count``, averages of duration/intensity/rate metrics, max of
@@ -262,6 +269,32 @@ def block_average(
         .withColumn("count", F.coalesce("count", F.lit(0)))
         .withColumn("total_days", F.coalesce("total_days", F.lit(0)))
     )
+    if remove_missing:
+        missing_blocks = (
+            _with_block(
+                ts.filter(F.col(temp_col).isNull()).select(
+                    cell_col, F.year(time_col).alias("__y")
+                ),
+                spans,
+                cell_col,
+                F.col("__y"),
+                block_length,
+            )
+            .select(cell_col, "years_start")
+            .distinct()
+            .withColumn("__missing", F.lit(1))
+        )
+        out = out.join(
+            F.broadcast(missing_blocks), [cell_col, "years_start"], "left"
+        )
+        keep = {cell_col, "years_start", "years_end", "__missing"}
+        out = out.withColumns(
+            {
+                c: F.when(F.col("__missing").isNull(), F.col(c))
+                for c in out.columns
+                if c not in keep
+            }
+        ).drop("__missing")
     return out
 
 

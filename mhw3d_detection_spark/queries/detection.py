@@ -24,6 +24,7 @@ from mhw3d_detection_spark.operators.analysis import (
 from mhw3d_detection_spark.operators.detection import (
     detect_events,
     event_metrics,
+    exceedance,
     rle_runs,
 )
 from mhw3d_detection_spark.plans.pipeline import detect_mhw
@@ -498,6 +499,84 @@ def q_category_days_pivot(spark, sf_dir):
         "strong_days",
         "severe_days",
         "extreme_days",
+    )
+
+
+# =========================================================================
+# A7 removeMissing — blocks containing a year with missing samples have
+# every stat NaN'd (marineHeatWaves.py:654-682). A deterministic NULL
+# is injected on 1996-02-13 so exactly the 1995-96 block trips.
+# =========================================================================
+NFL_SQL = (
+    f"od0 AS ({ORDERS_DAILY_SQL}), "
+    "odn AS (SELECT cell_id, time, CASE WHEN time = DATE '1996-02-13' "
+    "  THEN NULL ELSE temp END AS temp FROM od0), "
+    "thr AS (SELECT cell_id, quantile_cont(temp, 0.75) AS thresh, avg(temp) AS seas "
+    "  FROM odn GROUP BY 1), "
+    "fl AS (SELECT odn.cell_id, odn.time, coalesce(odn.temp, thr.seas) AS temp, "
+    "  thr.seas, thr.thresh, odn.temp IS NULL AS was_missing, "
+    "  coalesce(coalesce(odn.temp, thr.seas) > thr.thresh, false) AS exceed "
+    "  FROM odn JOIN thr ON odn.cell_id = thr.cell_id)"
+)
+NEV_SQL = NFL_SQL + RUNS_SQL[len(FL_SQL):] + EV_SQL[len(RUNS_SQL):]
+
+
+@register(
+    "q_block_remove_missing",
+    f"WITH {NEV_SQL}{BLOCK_SQL}, "
+    "evb AS (SELECT e.*, CAST(s.y0 + floor((year(e.date_start) - s.y0) / 2) * 2 AS INT) AS years_start, "
+    "  m.intensity_max FROM ev e JOIN spans s ON e.cell_id = s.cell_id "
+    "  JOIN (SELECT f.cell_id, e2.event_id, max(f.temp - f.seas) AS intensity_max "
+    "    FROM ev e2 JOIN fl f ON f.cell_id = e2.cell_id "
+    "    AND f.time BETWEEN e2.date_start AND e2.date_end GROUP BY 1, 2) m "
+    "  ON e.cell_id = m.cell_id AND e.event_id = m.event_id), "
+    "per_block AS (SELECT cell_id, years_start, count(*) AS count, "
+    "  avg(duration) AS duration, avg(intensity_max) AS intensity_max FROM evb GROUP BY 1, 2), "
+    "days AS (SELECT e.cell_id, CAST(s.y0 + floor((year(d.d) - s.y0) / 2) * 2 AS INT) AS years_start, "
+    "  count(*) AS total_days FROM ev e JOIN spans s ON e.cell_id = s.cell_id, "
+    "  LATERAL (SELECT unnest(generate_series(e.date_start, e.date_end, INTERVAL 1 DAY)) AS d) d "
+    "  GROUP BY 1, 2), "
+    "miss AS (SELECT DISTINCT f.cell_id, CAST(s.y0 + floor((year(f.time) - s.y0) / 2) * 2 AS INT) AS years_start "
+    "  FROM fl f JOIN spans s ON f.cell_id = s.cell_id WHERE f.was_missing) "
+    "SELECT sp.cell_id, sp.years_start, sp.years_end, "
+    "CASE WHEN ms.years_start IS NULL THEN coalesce(pb.count, 0) END AS count, "
+    + rq_sql("CASE WHEN ms.years_start IS NULL THEN pb.duration END", 2)
+    + " AS duration, "
+    + rq_sql("CASE WHEN ms.years_start IS NULL THEN pb.intensity_max END", 2)
+    + " AS intensity_max, "
+    "CASE WHEN ms.years_start IS NULL THEN coalesce(dy.total_days, 0) END AS total_days "
+    "FROM spine sp "
+    "LEFT JOIN per_block pb ON sp.cell_id = pb.cell_id AND sp.years_start = pb.years_start "
+    "LEFT JOIN days dy ON sp.cell_id = dy.cell_id AND sp.years_start = dy.years_start "
+    "LEFT JOIN miss ms ON sp.cell_id = ms.cell_id AND sp.years_start = ms.years_start",
+)
+def q_block_remove_missing(spark, sf_dir):
+    """A7 removeMissing: any block containing a year with a missing
+    (NULL-temp) sample has every stat overwritten with NULL — the
+    reference's NaN anti-join (marineHeatWaves.py:654-682). A NULL is
+    injected deterministically on 1996-02-13 in both engines."""
+    od = orders_daily(spark, sf_dir).withColumn(
+        "temp",
+        F.when(F.col("time") == F.lit("1996-02-13").cast("date"), None).otherwise(
+            F.col("temp")
+        ),
+    )
+    thr_t = od.groupBy("cell_id").agg(
+        F.expr("percentile(temp, 0.75)").alias("thresh"),
+        F.avg("temp").alias("seas"),
+    )
+    fl = exceedance(od.join(F.broadcast(thr_t), ["cell_id"]))
+    ev = detect_events(fl, min_duration=MIN_DUR, max_gap=MAX_GAP)
+    m = event_metrics(fl, ev, with_rates=False, with_categories=False)
+    blk = block_average(m, od, block_length=2, remove_missing=True)
+    return blk.select(
+        "cell_id",
+        "years_start",
+        "years_end",
+        "count",
+        rq("duration", 2).alias("duration"),
+        rq("intensity_max", 2).alias("intensity_max"),
+        "total_days",
     )
 
 
