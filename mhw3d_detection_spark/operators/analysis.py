@@ -114,16 +114,26 @@ def mean_trend_ols(
     marineHeatWaves.py:687-782 — lstsq on the centered design matrix;
     b0 is then the mean, b1 the trend per t-unit).
 
-    Emits ``{col}_mean`` (= b0 = avg over non-null y) and
-    ``{col}_trend`` (= regr_slope, identical to the centered-design b1).
-    The reference's CI half-width needs a Student-t quantile (scipy);
-    that stays driver-side and is out of the relational surface.
+    Emits ``{col}_mean`` (= b0 = avg over non-null y), ``{col}_trend``
+    (= regr_slope, identical to the centered-design b1) and
+    ``{col}_trend_se`` — the slope's standard error
+    ``s/sqrt(Sxx) = sqrt(Syy(1-r^2)/(n-2)/Sxx)``, exactly the factor the
+    reference multiplies by the Student-t quantile for its CI half-width
+    ``dtrend`` (marineHeatWaves.py:774-779): ``dtrend = t_{a/2,n-2} *
+    trend_se``. The t-quantile itself needs scipy and stays with the
+    caller; everything data-dependent is computed here, JVM-side.
     """
     key_cols = key_cols or []
     aggs = []
     for c in value_cols:
         aggs.append(F.avg(F.col(c)).alias(f"{c}_mean"))
         aggs.append(F.expr(f"regr_slope({c}, {t_col})").alias(f"{c}_trend"))
+        aggs.append(
+            F.expr(
+                f"sqrt(regr_syy({c}, {t_col}) * (1 - regr_r2({c}, {t_col})) "
+                f"/ (regr_count({c}, {t_col}) - 2) / regr_sxx({c}, {t_col}))"
+            ).alias(f"{c}_trend_se")
+        )
     g = series.groupBy(*key_cols) if key_cols else series.groupBy()
     return g.agg(*aggs)
 

@@ -646,13 +646,20 @@ def q_detrend_linear(spark, sf_dir):
     "yearly AS (SELECT cell_id, CAST(year(time) AS INT) AS year, avg(temp) AS y "
     "  FROM od GROUP BY 1, 2) "
     f"SELECT cell_id, {rq_sql('avg(y)', 2)} AS y_mean, "
-    f"{rq_sql('regr_slope(y, year)', 4)} AS y_trend FROM yearly GROUP BY 1",
+    f"{rq_sql('regr_slope(y, year)', 4)} AS y_trend, "
+    + rq_sql(
+        "sqrt(regr_syy(y, year) * (1 - regr_r2(y, year)) "
+        "/ (regr_count(y, year) - 2) / regr_sxx(y, year))",
+        4,
+    )
+    + " AS y_trend_se FROM yearly GROUP BY 1",
 )
 def q_mean_trend_ols(spark, sf_dir):
     """W11: y ~ b0 + b1*(t - mean(t)) per cell on the yearly-mean series;
     b0 = mean, b1 = regr_slope (reference `meanTrend`
-    marineHeatWaves.py:687-782; the CI half-width needs a scipy
-    t-quantile and stays out of the relational surface)."""
+    marineHeatWaves.py:687-782); trend_se is the slope standard
+    error, the data-dependent factor of the reference's CI half-width
+    dtrend = t_{a/2,n-2} * trend_se (marineHeatWaves.py:774-779)."""
     od = orders_daily(spark, sf_dir)
     yearly = od.groupBy(
         "cell_id", F.year("time").cast("int").alias("year")
@@ -662,4 +669,5 @@ def q_mean_trend_ols(spark, sf_dir):
         "cell_id",
         rq("y_mean", 2).alias("y_mean"),
         rq("y_trend", 4).alias("y_trend"),
+        rq("y_trend_se", 4).alias("y_trend_se"),
     )
