@@ -65,6 +65,55 @@ def decode_media(
     return media.select(id_col, payload_col).mapInPandas(batches, schema=schema)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_payload binary, frame_hash string"
+
+
+def fake_frame_extract(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Deterministic stand-in for video frame sampling: treat the bytes
+    as a stream of 16-byte 'frames', keep every ``every_n``-th.
+
+    STUB — production swaps this for pyav keyframe extraction; the
+    Spark-side contract (one input row -> many output rows, Arrow
+    batches, schema) is the real, tested part.
+    """
+    frames = []
+    for idx, off in enumerate(range(0, len(payload), 16)):
+        if idx % every_n == 0:
+            frames.append((idx, payload[off : off + 16]))
+    return frames
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    extract_fn: Callable[[bytes, int], list] = fake_frame_extract,
+    schema: str = FRAME_SCHEMA,
+) -> DataFrame:
+    """UDTF-shaped frame sampler: each media row expands to one row per
+    sampled frame via ``mapInPandas`` (the §2.8 U3 one-to-many surface).
+
+    Narrow (no shuffle): expansion happens inside the scan partition;
+    downstream per-frame feature extraction chains onto the same stage.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_payload": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, frame in extract_fn(bytes(payload), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(frame)
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the synthetic documents' text as an opaque binary
     payload (the driver's tables have no real media column)."""

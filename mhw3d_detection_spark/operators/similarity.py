@@ -93,6 +93,70 @@ def cosine_topk(
     )
 
 
+def kmeans_ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF coarse quantizer with Lloyd's k-means expressed as
+    pure DataFrame ops — the iterative-algorithm shape at scale.
+
+    Deterministic: centroids init from the k smallest ids. Each
+    iteration is (assign: broadcast-join centroids, argmin distance) ->
+    (update: posexplode + groupBy(cluster, dim) elementwise mean). The
+    big table is scanned once per iteration, centroids stay driver-side
+    tiny; at 100 TB you run this on a sample, then one final assign
+    pass over everything.
+
+    Returns ``(vec_id, bucket)`` assignments after ``iters`` rounds.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    w = Window.orderBy("vec_id")
+    cents = (
+        base.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select((F.col("__r") - 1).alias("bucket"), F.col("v").alias("c"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = base.crossJoin(F.broadcast(centroids)).withColumn("__d2", d2)
+        best = Window.partitionBy("vec_id").orderBy("__d2", "bucket")
+        return (
+            scored.withColumn("__rn", F.row_number().over(best))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "v", "bucket")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        cents = (
+            assigned.select("bucket", F.posexplode("v").alias("dim", "x"))
+            .groupBy("bucket", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("__dm")
+            )
+            .select(
+                "bucket", F.transform(F.col("__dm"), lambda s: s["m"]).alias("c")
+            )
+        )
+    out = assign(cents).select("vec_id", "bucket")
+    base.unpersist()
+    return out
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     probe_pred,

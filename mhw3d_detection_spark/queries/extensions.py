@@ -225,6 +225,27 @@ def q_similarity_ivf(spark, sf_dir):
 
 
 # =========================================================================
+# E3 — IVF quantizer training (iterative k-means; rows-only per the
+# driver contract for iterative algorithms)
+# =========================================================================
+@register("q_similarity_ivf_train", None)
+def q_similarity_ivf_train(spark, sf_dir):
+    """E3 training half: Lloyd's k-means as pure DataFrame ops
+    (deterministic init from the k smallest ids, 3 iterations) produces
+    the coarse-cell assignment the IVF search path buckets on.
+    Iterative -> rows-only check per the driver contract."""
+    from mhw3d_detection_spark.operators.similarity import kmeans_ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_ivf_train(emb, k=8, iters=3)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+# =========================================================================
 # E2/E3 — embedding-cosine near-dup pairs
 # =========================================================================
 @register(

@@ -121,7 +121,40 @@ class TestSimilarity:
         assert [r.vec_id for r in out] == [1]
 
 
+class TestKMeansIVF:
+    def test_separates_two_blobs(self, spark):
+        # two tight blobs -> k=2 must split them exactly
+        rows = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+            (100 + i, [0.0, 10.0 + 0.01 * i]) for i in range(5)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from mhw3d_detection_spark.operators.similarity import kmeans_ivf_train
+
+        out = kmeans_ivf_train(emb, k=2, iters=3).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, set()).add(r.vec_id)
+        assert sorted(map(len, by_bucket.values())) == [5, 5]
+        blob_a = {i for i in range(5)}
+        assert blob_a in [set(v) for v in by_bucket.values()]
+
+
 class TestMultimodal:
+    def test_frame_sampling_one_to_many(self, spark):
+        from mhw3d_detection_spark.operators.multimodal import sample_frames
+
+        rows = [(1, bytes(range(64))), (2, b"x" * 16)]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = sample_frames(media, every_n=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1: 4 frames of 16 bytes -> indices 0,2 kept
+        assert [r.frame_idx for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [0, 2]
+        assert bytes(by_doc[1][0].frame_payload) == bytes(range(16))
+        assert [r.frame_idx for r in by_doc[2]] == [0]
+        assert all(len(r.frame_hash) == 16 for r in out)
+
     def test_decode_plumbing(self, docs):
         media = documents_as_media(docs)
         out = {r.doc_id: r for r in decode_media(media).collect()}
