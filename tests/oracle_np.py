@@ -27,6 +27,58 @@ def runavg_circular(x: np.ndarray, w: int) -> np.ndarray:
     return sm[n : 2 * n]
 
 
+def grid_clim_threshold_np(
+    times,
+    temp: np.ndarray,
+    *,
+    pctile: float = 90.0,
+    window_half_width: int = 5,
+    smooth_width: int | None = 31,
+    baseline: tuple[int, int] | None = None,
+):
+    """(year, doy)-GRID pooling oracle, written to the reference's own
+    pivot/cross-year-pad design (legacy/climatology.py:24-58,61-119):
+    baseline samples pivot to a (year, 366) grid; each row gets left/
+    right pads copied from the ADJACENT GRID ROW's last/first W columns
+    (NaN where no adjacent row exists); bucket t pools columns t-W..t+W
+    of every padded row. Independent of the engine's explode+wrap
+    formulation — a conceptual error there cannot hide here."""
+    W = window_half_width
+    doy = clim_doy_np(times)
+    years = times.year.values
+    in_base = (
+        (years >= baseline[0]) & (years <= baseline[1])
+        if baseline is not None
+        else np.ones(len(temp), dtype=bool)
+    )
+    ys = np.unique(years[in_base])
+    yidx = {y: i for i, y in enumerate(ys)}
+    grid = np.full((len(ys), 366), np.nan)
+    for t, d, y, b in zip(temp, doy, years, in_base):
+        if b:
+            grid[yidx[y], d - 1] = t
+    padded = np.full((len(ys), 366 + 2 * W), np.nan)
+    padded[:, W : W + 366] = grid
+    padded[1:, :W] = grid[:-1, -W:]  # left pad from previous grid row
+    padded[:-1, W + 366 :] = grid[1:, :W]  # right pad from next grid row
+    seas = np.full(366, np.nan)
+    thresh = np.full(366, np.nan)
+    for d in range(1, 367):
+        if d == 60:
+            continue
+        pool = padded[:, d - 1 : d - 1 + 2 * W + 1].ravel()
+        pool = pool[~np.isnan(pool)]
+        if len(pool):
+            seas[d - 1] = pool.mean()
+            thresh[d - 1] = np.percentile(pool, pctile)
+    seas[59] = 0.5 * seas[58] + 0.5 * seas[60]
+    thresh[59] = 0.5 * thresh[58] + 0.5 * thresh[60]
+    if smooth_width:
+        seas = runavg_circular(seas, smooth_width)
+        thresh = runavg_circular(thresh, smooth_width)
+    return seas, thresh
+
+
 def pooled_clim_threshold_np(
     times,
     temp: np.ndarray,

@@ -7,7 +7,7 @@ import pandas as pd
 
 from mhw3d_detection_spark.operators.climatology import pooled_climatology
 from tests.fixtures_mhw import leap_only_series, oliver_synthetic
-from tests.oracle_np import pooled_clim_threshold_np
+from tests.oracle_np import grid_clim_threshold_np, pooled_clim_threshold_np
 
 
 def _spark_clim(spark, pdf, **kw):
@@ -51,6 +51,22 @@ def test_full_mixed_year_exact_vs_np(spark):
     clim = _spark_clim(spark, pdf)
     seas, thresh = pooled_clim_threshold_np(
         pd.DatetimeIndex(pdf["time"]), pdf["temp"].values
+    )
+    np.testing.assert_allclose(clim["seas"].values, seas, atol=1e-9)
+    np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
+
+
+def test_grid_mode_mixed_years_vs_pad_oracle(spark):
+    # grid mode on MIXED leap/non-leap years vs an independent NumPy
+    # oracle built the reference's own way (pivot + cross-year pads,
+    # legacy/climatology.py:24-58) — the engine's explode+wrap
+    # formulation and the pad formulation must agree exactly. This is
+    # the check the DuckDB oracle can't provide (it shares the
+    # engine's formulation).
+    pdf = oliver_synthetic()
+    clim = _spark_clim(spark, pdf, baseline=(1983, 2012), pool_mode="grid")
+    seas, thresh = grid_clim_threshold_np(
+        pd.DatetimeIndex(pdf["time"]), pdf["temp"].values, baseline=(1983, 2012)
     )
     np.testing.assert_allclose(clim["seas"].values, seas, atol=1e-9)
     np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
