@@ -134,6 +134,48 @@ def test_stateful_exact_matches_batch(spark, tricky_parquet):
         assert s.duration == b.duration
 
 
+def test_stateful_exact_across_microbatches(spark, tmp_path):
+    # an event split across TWO microbatches (maxFilesPerTrigger=1) must
+    # come out identical to the batch result: run/event state carries
+    # over the batch boundary and the final flush happens on timeout
+    day0 = dt.datetime(2022, 1, 1)
+    pattern = set(range(0, 9)) | set(range(11, 16))  # merges via 2-day gap
+    rows = [(1, day0 + dt.timedelta(days=d), d in pattern) for d in range(30)]
+    df = spark.createDataFrame(rows, "cell_id int, time timestamp, exceed boolean")
+    path = str(tmp_path / "multibatch")
+    # file 1: days 0..12 (event still open), file 2: the rest
+    df.filter(F.col("time") < day0 + dt.timedelta(days=13)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df.filter(F.col("time") >= day0 + dt.timedelta(days=13)).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    out = streaming_detect_events_exact(
+        stream, min_duration=5, max_gap=2, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("multibatch").orderBy("event_id").collect()
+    batch = (
+        detect_events(df, min_duration=5, max_gap=2).orderBy("event_id").collect()
+    )
+    assert len(batch) == 1 and batch[0].duration == 16  # days 0..15 merged
+    assert len(got) == 1
+    assert got[0].date_start == batch[0].date_start.date()
+    assert got[0].date_end == batch[0].date_end.date()
+    assert got[0].duration == batch[0].duration
+
+
 def test_streaming_dedup(spark, flagged_parquet):
     path, df = flagged_parquet
     dup_path = path + "_dup"
