@@ -219,6 +219,91 @@ def smooth_doy_circular(
     return out.drop("__pos", "__pos_ext", "__copy", "__n")
 
 
+def clim_arrays(
+    clim: DataFrame,
+    value_cols: tuple[str, ...] = ("seas", "thresh"),
+    *,
+    cell_col: str = "cell_id",
+    doy_col: str = "doy",
+    feb29: bool = True,
+    smooth_width: int | None = 31,
+) -> DataFrame:
+    """Collapse row-form clim into ONE dense 366-slot array per cell and
+    value column, then apply Feb-29 interpolation and the width-W
+    circular running mean as array transforms.
+
+    Semantically identical to densify_doy + interp_feb29 +
+    smooth_doy_circular(mode="full") — missing DOYs become NaN slots
+    that poison their windows exactly like the reference's
+    fixed-divisor convolution (marineHeatWaves.py:858-885) — but the
+    physical plan is a single per-cell aggregate plus JVM higher-order
+    functions: no densify join, no Feb-29 broadcast join, no 3-copy
+    explode + window sort. At scale this removes three operators and
+    two joins from the clim tail and shrinks the severity broadcast
+    from cells*366 rows to one row per cell.
+
+    Output: (cell_id, <col>_arr ...) — slot d (1-based) is DOY d.
+    Read back with ``element_at(arr, doy)`` and NaN->NULL
+    (:func:`_denanify`) for row-path-identical values.
+    """
+    nan = F.lit(float("nan"))
+    g = clim.groupBy(F.col(cell_col).alias("cell_id")).agg(
+        *[
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(doy_col), F.col(c)))
+            ).alias(f"__m_{c}")
+            for c in value_cols
+        ]
+    )
+    doys = F.sequence(F.lit(1), F.lit(366))
+
+    # NB: PySpark infers lambda arity by inspection — closures must not
+    # add default parameters, so bind the column name via a factory.
+    def densifier(c: str):
+        return F.transform(
+            doys, lambda d: F.coalesce(F.element_at(F.col(f"__m_{c}"), d), nan)
+        )
+
+    out = g.withColumns({f"{c}_arr": densifier(c) for c in value_cols}).drop(
+        *[f"__m_{c}" for c in value_cols]
+    )
+
+    if feb29:
+
+        def interp(c: str):
+            a = F.col(f"{c}_arr")
+            return F.transform(
+                a,
+                lambda x, i: F.when(
+                    i == FEB29 - 1,  # 0-based slot of DOY 60
+                    0.5 * F.element_at(a, FEB29 - 1)
+                    + 0.5 * F.element_at(a, FEB29 + 1),
+                ).otherwise(x),
+            )
+
+        out = out.withColumns({f"{c}_arr": interp(c) for c in value_cols})
+    if smooth_width:
+        if smooth_width % 2 != 1:
+            raise ValueError("smoothing width must be odd")
+        half = smooth_width // 2
+
+        def smooth(c: str):
+            a = F.col(f"{c}_arr")
+            ext = F.concat(F.slice(a, 366 - half + 1, half), a, F.slice(a, 1, half))
+            return F.transform(
+                doys,
+                lambda d: F.aggregate(
+                    F.slice(ext, d, smooth_width),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / smooth_width,
+            )
+
+        out = out.withColumns({f"{c}_arr": smooth(c) for c in value_cols})
+    return out
+
+
 def pooled_climatology(
     ts: DataFrame,
     *,
@@ -236,6 +321,7 @@ def pooled_climatology(
     materialize: bool = True,
     pool_mode: str = "series",
     exact: bool = True,
+    output: str = "rows",
 ) -> DataFrame:
     """Compute ``clim(cell_id, doy, seas, thresh)`` from a long-format
     time series — the reference's `compute_climatology` +
@@ -409,6 +495,18 @@ def pooled_climatology(
             F.when(F.col("__has_missing") == 0, F.col("thresh")).alias("thresh"),
         )
 
+    if output == "arrays":
+        # Single-consumer dense-array form (see clim_arrays): the whole
+        # tail — densify + Feb 29 + circular smooth — becomes per-cell
+        # array transforms on the agg output (O(cells) rows), and the
+        # caller broadcasts one row per cell instead of cells*366.
+        # No persist: the array table is consumed exactly once by the
+        # severity join (broadcast materializes it anyway).
+        if smooth_width and smooth_mode != "full":
+            raise ValueError("output='arrays' supports smooth_mode='full' only")
+        return clim_arrays(clim, feb29=feb29_interp, smooth_width=smooth_width)
+    if output != "rows":
+        raise ValueError(f"unknown output {output!r}")
     if materialize:
         clim = clim.persist()
     if densify:

@@ -35,10 +35,30 @@ def calculate_severity(
     speed_benchmark.ipynb cell 8's graph-size warning).
     """
     c = F.broadcast(clim) if broadcast_clim else clim
-    joined = (
-        ts.withColumn("doy", clim_doy(F.col(time_col)))
-        .join(c, on=[cell_col, "doy"], how="left")
-    )
+    if "seas_arr" in clim.columns:
+        # Dense-array clim (pooled_climatology(output="arrays")): one row
+        # per cell, seas/thresh read out by DOY slot. The broadcast table
+        # is cells rows instead of cells*366 and the join key is cell_id
+        # alone. NaN slots (missing DOYs / poisoned windows) map back to
+        # NULL so every downstream null-skipping aggregate behaves
+        # identically to the row-form path.
+        nn = lambda x: F.when(~F.isnan(x), x)  # noqa: E731
+        joined = (
+            ts.withColumn("doy", clim_doy(F.col(time_col)))
+            .join(c, on=[cell_col], how="left")
+            .withColumns(
+                {
+                    "seas": nn(F.element_at("seas_arr", F.col("doy"))),
+                    "thresh": nn(F.element_at("thresh_arr", F.col("doy"))),
+                }
+            )
+            .drop("seas_arr", "thresh_arr")
+        )
+    else:
+        joined = (
+            ts.withColumn("doy", clim_doy(F.col(time_col)))
+            .join(c, on=[cell_col, "doy"], how="left")
+        )
     t_anom = F.col(temp_col) - F.col("seas")
     if mode == "legacy":
         sev = severity_legacy(t_anom, F.col("thresh"), F.col("seas"))

@@ -67,6 +67,12 @@ def detect_mhw(
     def signed(df: DataFrame) -> DataFrame:
         return df.withColumn(temp_col, sign * F.col(temp_col)) if cold_spells else df
 
+    # Dense-array clim path: when the smoother runs in "full" mode (the
+    # dense 366-slot axis) the whole clim tail collapses into per-cell
+    # array transforms and the severity broadcast shrinks to one row per
+    # cell — no densify join, no Feb-29 join, no smooth window. The
+    # sparse-calendar "valid" mode (M3/Ly) keeps the row-form path.
+    clim_output = "arrays" if (not smooth_width or smooth_mode == "full") else "rows"
     ts_s = signed(ts)
     if materialize_input:
         # The cleaned daily series feeds two independent subtrees (the
@@ -87,6 +93,7 @@ def detect_mhw(
         smooth_width=smooth_width,
         smooth_mode=smooth_mode,
         pool_mode=pool_mode,
+        output=clim_output,
     )
     sev = calculate_severity(
         ts_s, clim, cell_col=cell_col, time_col=time_col, temp_col=temp_col
