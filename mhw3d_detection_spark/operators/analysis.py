@@ -138,6 +138,41 @@ def mean_trend_ols(
     return g.agg(*aggs)
 
 
+def _global_row_number(df: DataFrame, sort_cols, out_col: str) -> DataFrame:
+    """Distributed exact global row_number over ``sort_cols`` — the
+    two-phase rank that replaces an un-partitioned ``Window.orderBy``
+    (which funnels the whole table through ONE partition):
+
+    1. range-repartition on the sort key (Exchange rangepartitioning —
+       sampled boundaries, even partitions, no hot spot);
+    2. rank locally within each range partition;
+    3. offset by the cumulative size of the preceding partitions — a
+       tiny per-partition count table (``shuffle.partitions`` rows), on
+       which the single-partition prefix-sum window is O(partitions),
+       bounded regardless of data size.
+
+    Same output bits as ``row_number().over(Window.orderBy(...))``.
+    """
+    d = df.repartitionByRange(*sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*sort_cols)
+    d = d.withColumn("__lr", F.row_number().over(w_local))
+    # tiny: one row per range partition; prefix sum over it is bounded
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .drop("__cnt")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lr")).cast("int"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
 def rank_return_periods(
     events: DataFrame,
     metric_cols: list[str],
@@ -150,12 +185,15 @@ def rank_return_periods(
     *distinct* ordinal ranks (row_number semantics, ties broken by array
     order → here by ``tie_cols`` for determinism);
     ``returnPeriod = (nYears + 1) / rank``.
+
+    The global ordering is computed with a two-phase rank (see
+    :func:`_global_row_number`) — no single-partition window anywhere,
+    so the plan survives an events table of any size.
     """
     out = events
     for c in metric_cols:
-        w = Window.orderBy(F.desc(c), *[F.col(t) for t in tie_cols])
-        rank = F.row_number().over(w)
-        out = out.withColumn(f"{c}_rank", rank).withColumn(
+        sort_cols = [F.desc(c), *[F.col(t) for t in tie_cols]]
+        out = _global_row_number(out, sort_cols, f"{c}_rank").withColumn(
             f"{c}_return_period", F.lit(float(n_years + 1)) / F.col(f"{c}_rank")
         )
     return out

@@ -115,10 +115,13 @@ def kmeans_ivf_train(
     base = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).persist()
-    w = Window.orderBy("vec_id")
+    # Deterministic init from the k smallest ids via orderBy().limit(k):
+    # plans as TakeOrderedAndProject (per-partition top-k + driver merge
+    # of k-row heads) — the full corpus never funnels through one
+    # partition. The row_number window after the limit runs on <= k rows.
+    seeds = base.orderBy("vec_id").limit(k)
     cents = (
-        base.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
+        seeds.withColumn("__r", F.row_number().over(Window.orderBy("vec_id")))
         .select((F.col("__r") - 1).alias("bucket"), F.col("v").alias("c"))
     )
 

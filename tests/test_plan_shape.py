@@ -88,6 +88,37 @@ def test_grid_pooling_single_exchange(spark, sf_dir):
     assert "partial_collect_list" in plan or "partial_" in plan
 
 
+def test_rank_return_periods_two_phase(spark, sf_dir):
+    # W9 must NOT rank via an un-partitioned window (one partition for
+    # the whole events table). The two-phase shape: a rangepartitioning
+    # exchange + per-partition rank; the only SinglePartition exchange
+    # allowed is the prefix-sum over the tiny per-partition count table
+    # (bounded at shuffle.partitions rows), which sits above a
+    # HashAggregate — never above the raw events.
+    from mhw3d_detection_spark.operators.analysis import rank_return_periods
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = o.select(
+        (F.col("o_custkey") % 10).alias("cell_id"),
+        F.col("o_orderkey").alias("event_id"),
+        F.col("o_totalprice").alias("intensity_max"),
+    )
+    plan = _executed(rank_return_periods(ev, ["intensity_max"], n_years=7))
+    assert "rangepartitioning" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_kmeans_init_is_take_ordered(spark, sf_dir):
+    # E3 trainer init must plan as TakeOrderedAndProject (per-partition
+    # top-k + k-row merge), not a full-corpus single-partition window.
+    from mhw3d_detection_spark.operators.similarity import kmeans_ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_ivf_train(emb, k=4, iters=1)
+    plan = _executed(out)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_window_partitioning_reused_by_aggregate(spark, sf_dir):
     # series-mode pooling: the window's hashpartitioning(cell_id) must
     # satisfy the (cell_id, doy) aggregate -> exactly one exchange of
