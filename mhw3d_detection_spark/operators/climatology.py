@@ -338,6 +338,12 @@ def pooled_climatology(
     Feb-29 / severity / detection stages all reference clim, so without
     persisting, the expensive pool+percentile subtree re-executes once
     per branch (measured: 4x scans of the source at sf0.1).
+
+    output="arrays" returns ONE row per cell with dense 366-slot
+    seas/thresh arrays (see :func:`clim_arrays`); it requires
+    smooth_mode="full" and densify=True (raises otherwise), and
+    materialize is a no-op for this form (single consumer; the severity
+    broadcast materializes it).
     """
     doy = clim_doy(F.col(time_col))
     d = ts.select(
@@ -500,10 +506,16 @@ def pooled_climatology(
         # tail — densify + Feb 29 + circular smooth — becomes per-cell
         # array transforms on the agg output (O(cells) rows), and the
         # caller broadcasts one row per cell instead of cells*366.
-        # No persist: the array table is consumed exactly once by the
-        # severity join (broadcast materializes it anyway).
+        # materialize is intentionally a no-op here: the array table is
+        # consumed exactly once by the severity join, whose broadcast
+        # materializes it anyway.
         if smooth_width and smooth_mode != "full":
             raise ValueError("output='arrays' supports smooth_mode='full' only")
+        if not densify:
+            raise ValueError(
+                "output='arrays' is inherently dense (366 slots/cell); "
+                "densify=False only applies to output='rows'"
+            )
         return clim_arrays(clim, feb29=feb29_interp, smooth_width=smooth_width)
     if output != "rows":
         raise ValueError(f"unknown output {output!r}")

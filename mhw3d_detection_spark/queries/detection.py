@@ -760,8 +760,12 @@ PIPE_SQL = (
 PIPE_EV_SQL = PIPE_SQL + RUNS_SQL[len(FL_SQL):] + EV_SQL[len(RUNS_SQL):]
 
 
-@register(
-    "q_mhw_pipeline",
+#: the full flagship oracle — shared by q_mhw_pipeline (row-form clim,
+#: smooth_mode="valid") and q_mhw_pipeline_dense (dense-array clim,
+#: smooth_mode="full"): on this dense daily series every DOY is present,
+#: so the compressed-circular and dense-366 smoothers coincide and both
+#: engines must produce identical events.
+PIPE_METRICS_SQL = (
     f"WITH {PIPE_EV_SQL}, "
     "flx AS (SELECT *, temp - seas AS rel_seas, "
     "  (temp - thresh) / (thresh - seas) AS rel_tn, "
@@ -814,25 +818,11 @@ PIPE_EV_SQL = PIPE_SQL + RUNS_SQL[len(FL_SQL):] + EV_SQL[len(RUNS_SQL):]
     "FROM agg a "
     "JOIN peak p ON a.cell_id = p.cell_id AND a.event_id = p.event_id "
     "JOIN pkc k ON a.cell_id = k.cell_id AND a.event_id = k.event_id "
-    "JOIN edges e ON a.cell_id = e.cell_id AND a.event_id = e.event_id",
+    "JOIN edges e ON a.cell_id = e.cell_id AND a.event_id = e.event_id"
 )
-def q_mhw_pipeline(spark, sf_dir):
-    """EP1+EP2+EP3 fused: pooled clim/threshold -> severity -> detection
-    -> event metrics, three shuffles of the big table total
-    (SURVEY.md §3/§4). Correctness gate: the seed-42 golden fixture
-    (tests/test_detection_golden.py) reproducing the reference's known
-    events; here rows-only."""
-    od = orders_daily(spark, sf_dir)
-    m = detect_mhw(
-        od,
-        baseline=(1995, 2000),
-        smooth_mode="valid",  # M3 Ly variant: the series is sparse in DOY
-        min_duration=MIN_DUR,
-        max_gap=MAX_GAP,
-        with_rates=True,
-        with_categories=True,
-        pool_mode="grid",  # windowless legacy-grid pooling: scale path
-    )
+
+
+def _pipeline_select(m):
     return m.select(
         "cell_id",
         "event_id",
@@ -847,6 +837,51 @@ def q_mhw_pipeline(spark, sf_dir):
         rq("rate_onset", 2).alias("rate_onset"),
         rq("rate_decline", 2).alias("rate_decline"),
     )
+
+
+@register("q_mhw_pipeline", PIPE_METRICS_SQL)
+def q_mhw_pipeline(spark, sf_dir):
+    """EP1+EP2+EP3 fused: pooled clim/threshold -> severity -> detection
+    -> event metrics, three shuffles of the big table total
+    (SURVEY.md §3/§4). Hash-checked end to end against the full SQL
+    oracle (clim + smooth + detection + metrics + rates); the seed-42
+    golden fixture (tests/test_detection_golden.py) additionally pins
+    the reference's known events."""
+    od = orders_daily(spark, sf_dir)
+    m = detect_mhw(
+        od,
+        baseline=(1995, 2000),
+        smooth_mode="valid",  # M3 Ly variant: row-form compressed smooth
+        min_duration=MIN_DUR,
+        max_gap=MAX_GAP,
+        with_rates=True,
+        with_categories=True,
+        pool_mode="grid",  # windowless legacy-grid pooling: scale path
+    )
+    return _pipeline_select(m)
+
+
+@register("q_mhw_pipeline_dense", PIPE_METRICS_SQL)
+def q_mhw_pipeline_dense(spark, sf_dir):
+    """The DEFAULT detect_mhw plan: smooth_mode="full" selects the
+    dense-array clim tail (pooled_climatology(output="arrays") ->
+    clim_arrays -> array-readout severity join, plans/pipeline.py:75;
+    operators/climatology.py:222-304) — the path the bench exercises.
+    Same oracle as q_mhw_pipeline: on this dense daily series the
+    dense-366 and compressed-circular smoothers coincide, so this row
+    pins the arrays path end to end under the DuckDB hash gate."""
+    od = orders_daily(spark, sf_dir)
+    m = detect_mhw(
+        od,
+        baseline=(1995, 2000),
+        smooth_mode="full",  # arrays path (the default plan)
+        min_duration=MIN_DUR,
+        max_gap=MAX_GAP,
+        with_rates=True,
+        with_categories=True,
+        pool_mode="grid",
+    )
+    return _pipeline_select(m)
 
 
 # =========================================================================

@@ -42,12 +42,16 @@ from mhw3d_detection_spark.sources.tables import load_table
 TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 #: word 3-gram shingles via direct array slicing (mirror of
-#: operators.textops.shingles)
+#: operators.textops.shingles). Positions come from a PER-ROW
+#: generate_series over the doc's own token count — no fixed cap, so
+#: the oracle cannot silently diverge from the (uncapped) Spark side
+#: on very long documents.
 SHINGLES_SQL = (
     "d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "shp AS (SELECT doc_id, toks, "
+    "  unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM d), "
     "sh AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle "
-    "  FROM d, (SELECT unnest(generate_series(1, 2000)) AS i) g "
-    "  WHERE i <= len(toks) - 2)"
+    "  FROM shp)"
 )
 
 
@@ -155,20 +159,21 @@ def q_dedup_simhash(spark, sf_dir):
     "sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1), "
     "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
     "  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-    "  WHERE a.doc_id % 50 = 0 GROUP BY 1, 2) "
+    "  GROUP BY 1, 2) "
     f"SELECT i.doc_a, i.doc_b, {rq_sql('i.inter / (sa.sz + sb.sz - i.inter)', 4)} AS jaccard "
     "FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id "
     "JOIN sizes sb ON i.doc_b = sb.doc_id "
-    "WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.05",
+    "WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """E2: exact shingle-set Jaccard for a probe subset (doc_id % 50 = 0)
-    — |A∩B| by equi-join on shingle, |A∪B| closed-form. At scale this
-    verifies MinHash candidates, not all pairs."""
+    """E2 verify stage: exact shingle-set Jaccard — |A∩B| by equi-join
+    on shingle, |A∪B| closed-form; pairs at >= 0.2 are the corpus's
+    injected near-dups (~25 at sf0.01 — a non-trivial oracle). The
+    whole 500-doc corpus probes here; at scale the left side is the
+    MinHash candidate-pair set (q_dedup_minhash_pairs), never all
+    documents."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, probe_pred=lambda c: c % 50 == 0, min_jaccard=0.05
-    )
+    pairs = ngram_jaccard_pairs(docs, probe_pred=lambda c: c >= 0, min_jaccard=0.2)
     return pairs.select("doc_a", "doc_b", rq("jaccard", 4).alias("jaccard"))
 
 
