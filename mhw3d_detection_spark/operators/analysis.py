@@ -102,6 +102,113 @@ def detrend_linear(
     return out.drop("__x", "__a", "__b")
 
 
+def detrend_poly(
+    ts: DataFrame,
+    deg: int = 2,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    baseline: tuple[int, int] | None = None,
+    out_col: str = "temp_detrended",
+) -> DataFrame:
+    """General-degree polynomial detrend (reference `detrend`,
+    best_practice/climatology.py:43-75: ``polyfit(deg=deg)`` on the
+    baseline period, ``polyval`` over the full record, subtract).
+
+    - deg=1 delegates to :func:`detrend_linear` (regr_* closed form);
+    - deg=2 is the closed-form normal equations over per-cell moments of
+      the CENTERED abscissa (u = x - mean(x) keeps the 3x3 system well
+      conditioned in double precision) solved by Cramer's rule — pure
+      JVM aggregates + one broadcast join, fully SQL-checkable;
+    - deg>2 uses the designated U1 escape hatch (applyInPandas per-cell
+      ``np.polyfit`` kernel — a dense Vandermonde lstsq has no stable
+      closed form worth hand-rolling in SQL).
+    """
+    if deg == 1:
+        return detrend_linear(
+            ts,
+            cell_col=cell_col,
+            time_col=time_col,
+            temp_col=temp_col,
+            baseline=baseline,
+            out_col=out_col,
+        )
+    x = F.datediff(F.col(time_col), F.lit("1970-01-01")).cast("double")
+    d = ts.withColumn("__x", x)
+    fit_src = d.filter(F.col(temp_col).isNotNull())
+    if baseline is not None:
+        fit_src = fit_src.filter(F.year(time_col).between(*baseline))
+
+    if deg > 2:
+        import numpy as np
+        import pandas as pd
+
+        def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            coefs = np.polyfit(pdf["__x"].to_numpy(), pdf[temp_col].to_numpy(), deg)
+            out = {cell_col: [pdf[cell_col].iloc[0]]}
+            for i, c in enumerate(coefs[::-1]):  # ascending powers
+                out[f"c{i}"] = [float(c)]
+            return pd.DataFrame(out)
+
+        schema = f"{cell_col} bigint, " + ", ".join(
+            f"c{i} double" for i in range(deg + 1)
+        )
+        coefs = fit_src.groupBy(cell_col).applyInPandas(fit, schema=schema)
+        fitted = None
+        for i in range(deg + 1):
+            term = F.col(f"c{i}") * F.pow(F.col("__x"), F.lit(float(i)))
+            fitted = term if fitted is None else fitted + term
+        out = d.join(F.broadcast(coefs), [cell_col], "left").withColumn(
+            out_col, F.col(temp_col) - fitted
+        )
+        return out.drop("__x", *[f"c{i}" for i in range(deg + 1)])
+
+    # deg == 2: center per cell, aggregate moments, Cramer's rule.
+    center = fit_src.groupBy(cell_col).agg(F.avg("__x").alias("__xc"))
+    u = F.col("__x") - F.col("__xc")
+    m = (
+        fit_src.join(F.broadcast(center), [cell_col])
+        .withColumn("__u", u)
+        .groupBy(cell_col)
+        .agg(
+            # u*u (not pow): guarantees the same IEEE ops as the SQL
+            # oracle's u*u products, so sums agree to engine-order noise
+            F.count(F.lit(1)).cast("double").alias("m0"),
+            F.sum("__u").alias("m1"),
+            F.sum(F.col("__u") * F.col("__u")).alias("m2"),
+            F.sum(F.col("__u") * F.col("__u") * F.col("__u")).alias("m3"),
+            F.sum(F.col("__u") * F.col("__u") * F.col("__u") * F.col("__u")).alias("m4"),
+            F.sum(temp_col).alias("p0"),
+            F.sum(F.col("__u") * F.col(temp_col)).alias("p1"),
+            F.sum(F.col("__u") * F.col("__u") * F.col(temp_col)).alias("p2"),
+        )
+    )
+    m0, m1, m2 = F.col("m0"), F.col("m1"), F.col("m2")
+    m3, m4 = F.col("m3"), F.col("m4")
+    p0, p1, p2 = F.col("p0"), F.col("p1"), F.col("p2")
+    det = m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)
+    det_a = p0 * (m2 * m4 - m3 * m3) - m1 * (p1 * m4 - m3 * p2) + m2 * (p1 * m3 - m2 * p2)
+    det_b = m0 * (p1 * m4 - m3 * p2) - p0 * (m1 * m4 - m3 * m2) + m2 * (m1 * p2 - p1 * m2)
+    det_c = m0 * (m2 * p2 - m3 * p1) - m1 * (m1 * p2 - m3 * p0) + p0 * (m1 * m3 - m2 * m2)
+    fit2 = m.select(
+        cell_col,
+        (det_a / det).alias("__a"),
+        (det_b / det).alias("__b"),
+        (det_c / det).alias("__c"),
+    )
+    out = (
+        d.join(F.broadcast(fit2), [cell_col], "left")
+        .join(F.broadcast(center), [cell_col], "left")
+        .withColumn(
+            out_col,
+            F.col(temp_col)
+            - (F.col("__a") + F.col("__b") * u + F.col("__c") * u * u),
+        )
+    )
+    return out.drop("__x", "__xc", "__a", "__b", "__c")
+
+
 def mean_trend_ols(
     series: DataFrame,
     value_cols: list[str],

@@ -21,6 +21,7 @@ from mhw3d_detection_spark.functions.calendar import clim_doy, clim_doy_sql
 from mhw3d_detection_spark.functions.scalar import from_ordinal, to_ordinal
 from mhw3d_detection_spark.operators.analysis import (
     detrend_linear,
+    detrend_poly,
     mean_trend_ols,
     pad_interpolate,
 )
@@ -390,6 +391,48 @@ def q_circular_smooth_31d(spark, sf_dir):
 
 
 # =========================================================================
+# M3 — 360-day (`Ly`) calendar: compressed-circular smoothing over only
+# the DOYs that exist, in their own sequence (reference
+# marineHeatWaves.py:114-116,288-293: sub-366-day calendars smooth the
+# length-Ly axis circularly, NOT a dense 366-slot axis)
+# =========================================================================
+@register(
+    "q_clim_360day",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"f AS (SELECT * FROM od WHERE {DOY} <= 360), "
+    f"clim AS (SELECT cell_id, {DOY} AS doy, avg(temp) AS seas FROM f "
+    f"  WHERE year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]} GROUP BY 1, 2), "
+    "pos AS (SELECT *, row_number() OVER (PARTITION BY cell_id ORDER BY doy) AS p, "
+    "  count(*) OVER (PARTITION BY cell_id) AS n FROM clim), "
+    "copies AS (SELECT cell_id, doy, seas, n, p + n * o.o AS pos FROM pos, "
+    "  (SELECT unnest([-1, 0, 1]) AS o) o), "
+    "sm AS (SELECT cell_id, doy, pos, n, avg(seas) OVER w AS sa "
+    "  FROM copies WINDOW w AS (PARTITION BY cell_id ORDER BY pos "
+    "  ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)) "
+    f"SELECT cell_id, CAST(doy AS INT) AS doy, {rq_sql('sa', 2)} AS seas "
+    "FROM sm WHERE pos BETWEEN 1 AND n",
+)
+def q_clim_360day(spark, sf_dir):
+    """M3: a sub-366-DOY series (DOYs 1..360 — the 360-day model
+    calendar shape) smoothed with mode="valid": width-31 circular
+    running mean over the COMPRESSED sequence of existing DOYs, so the
+    wrap joins DOY 360 back to DOY 1 with no phantom dense slots
+    (reference marineHeatWaves.py:114-116,288-293; engine
+    operators/climatology.py smooth_doy_circular mode="valid")."""
+    od = orders_daily(spark, sf_dir)
+    sub = od.filter(clim_doy(F.col("time")) <= 360)
+    clim = (
+        sub.filter(F.year("time").between(*BASELINE))
+        .groupBy("cell_id", clim_doy(F.col("time")).alias("doy"))
+        .agg(F.avg("temp").alias("seas"))
+    )
+    sm = smooth_doy_circular(clim, value_cols=("seas",), width=31, mode="valid")
+    return sm.select(
+        "cell_id", F.col("doy").cast("int").alias("doy"), rq("seas", 2).alias("seas")
+    )
+
+
+# =========================================================================
 # J1 — broadcast climatology lookup join
 # =========================================================================
 @register(
@@ -632,6 +675,52 @@ def q_detrend_linear(spark, sf_dir):
     regr_slope/regr_intercept — no UDF."""
     od = orders_daily(spark, sf_dir)
     out = detrend_linear(od, baseline=BASELINE)
+    return out.select(
+        "cell_id", "time", rq("temp_detrended", 2).alias("temp_detrended")
+    )
+
+
+# =========================================================================
+# W10 deg-2 — general-degree polynomial detrend (closed-form quadratic)
+# =========================================================================
+@register(
+    "q_detrend_poly2",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "x AS (SELECT cell_id, time, temp, "
+    "  CAST(date_diff('day', DATE '1970-01-01', time) AS DOUBLE) AS xv FROM od), "
+    "b AS (SELECT * FROM x WHERE temp IS NOT NULL "
+    f"  AND year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]}), "
+    "c AS (SELECT cell_id, avg(xv) AS xc FROM b GROUP BY 1), "
+    "uu AS (SELECT b.cell_id, b.temp, b.xv - c.xc AS u FROM b JOIN c ON b.cell_id = c.cell_id), "
+    "m AS (SELECT cell_id, CAST(count(*) AS DOUBLE) AS m0, sum(u) AS m1, "
+    "  sum(u * u) AS m2, sum(u * u * u) AS m3, sum(u * u * u * u) AS m4, "
+    "  sum(temp) AS p0, sum(u * temp) AS p1, sum(u * u * temp) AS p2 "
+    "  FROM uu GROUP BY 1), "
+    "fit AS (SELECT cell_id, "
+    "  (p0 * (m2 * m4 - m3 * m3) - m1 * (p1 * m4 - m3 * p2) + m2 * (p1 * m3 - m2 * p2)) "
+    "  / (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)) AS ca, "
+    "  (m0 * (p1 * m4 - m3 * p2) - p0 * (m1 * m4 - m3 * m2) + m2 * (m1 * p2 - p1 * m2)) "
+    "  / (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)) AS cb, "
+    "  (m0 * (m2 * p2 - m3 * p1) - m1 * (m1 * p2 - m3 * p0) + p0 * (m1 * m3 - m2 * m2)) "
+    "  / (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)) AS cc "
+    "  FROM m) "
+    "SELECT x.cell_id, x.time, "
+    + rq_sql(
+        "x.temp - (f.ca + f.cb * (x.xv - c.xc) + f.cc * (x.xv - c.xc) * (x.xv - c.xc))",
+        2,
+    )
+    + " AS temp_detrended "
+    "FROM x JOIN fit f ON x.cell_id = f.cell_id JOIN c ON x.cell_id = c.cell_id",
+)
+def q_detrend_poly2(spark, sf_dir):
+    """W10 general degree: quadratic detrend — polyfit(deg=2) on the
+    baseline, evaluated over the full record, subtracted (reference
+    best_practice/climatology.py:43-75 takes arbitrary ``deg``).
+    Closed-form normal equations over centered-abscissa moments solved
+    by Cramer's rule, identically in both engines; deg>2 runs through
+    the applyInPandas polyfit kernel (U1 hatch)."""
+    od = orders_daily(spark, sf_dir)
+    out = detrend_poly(od, deg=2, baseline=BASELINE)
     return out.select(
         "cell_id", "time", rq("temp_detrended", 2).alias("temp_detrended")
     )

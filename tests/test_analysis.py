@@ -11,6 +11,7 @@ from mhw3d_detection_spark.operators.analysis import (
     block_average,
     block_temp_stats,
     detrend_linear,
+    detrend_poly,
     pad_interpolate,
     rank_return_periods,
 )
@@ -47,6 +48,44 @@ class TestPadInterpolate:
     def test_all_null_cell(self, spark):
         out = pad_interpolate(_series(spark, [None, None]))
         assert [r.temp_filled for r in out.collect()] == [None, None]
+
+
+class TestDetrendPoly:
+    def test_deg2_removes_known_quadratic(self, spark):
+        # y = 3 - 0.2*d + 0.01*d^2 -> quadratic detrend residual ~ 0
+        vals = [3.0 - 0.2 * i + 0.01 * i * i for i in range(60)]
+        out = detrend_poly(_series(spark, vals), deg=2)
+        resid = out.agg(F.max(F.abs("temp_detrended"))).first()[0]
+        assert resid == pytest.approx(0.0, abs=1e-6)
+
+    def test_deg3_matches_numpy_polyfit(self, spark):
+        # deg>2 escape hatch (applyInPandas np.polyfit) vs a direct
+        # NumPy residual on the same series
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        x = np.arange(80, dtype=float)
+        y = 1.0 + 0.3 * x - 0.02 * x**2 + 1e-4 * x**3 + rng.normal(0, 0.1, 80)
+        out = detrend_poly(_series(spark, [float(v) for v in y]), deg=3).orderBy(
+            "time"
+        )
+        got = np.array([r.temp_detrended for r in out.collect()])
+        # np.polyfit x here is days-since-epoch; recompute identically
+        x_ord = np.array(
+            [
+                (dt.date(2000, 1, 1) + dt.timedelta(days=int(i)) - dt.date(1970, 1, 1)).days
+                for i in range(80)
+            ],
+            dtype=float,
+        )
+        want = y - np.polyval(np.polyfit(x_ord, y, 3), x_ord)
+        assert np.allclose(got, want, atol=1e-6)
+
+    def test_deg1_delegates_to_linear(self, spark):
+        vals = [2.0 + 0.5 * i for i in range(50)]
+        out = detrend_poly(_series(spark, vals), deg=1)
+        resid = out.agg(F.max(F.abs("temp_detrended"))).first()[0]
+        assert resid == pytest.approx(0.0, abs=1e-6)
 
 
 class TestDetrend:
