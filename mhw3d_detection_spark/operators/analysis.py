@@ -222,14 +222,17 @@ def mean_trend_ols(
     b0 is then the mean, b1 the trend per t-unit).
 
     Emits ``{col}_mean`` (= b0 = avg over non-null y), ``{col}_trend``
-    (= regr_slope, identical to the centered-design b1) and
+    (= regr_slope, identical to the centered-design b1),
     ``{col}_trend_se`` — the slope's standard error
-    ``s/sqrt(Sxx) = sqrt(Syy(1-r^2)/(n-2)/Sxx)``, exactly the factor the
-    reference multiplies by the Student-t quantile for its CI half-width
-    ``dtrend`` (marineHeatWaves.py:774-779): ``dtrend = t_{a/2,n-2} *
-    trend_se``. The t-quantile itself needs scipy and stays with the
-    caller; everything data-dependent is computed here, JVM-side.
+    ``s/sqrt(Sxx) = sqrt(Syy(1-r^2)/(n-2)/Sxx)`` — and ``{col}_dtrend``,
+    the reference's CI half-width ``dtrend = t_{a/2,n-2} * trend_se``
+    (marineHeatWaves.py:774-779). The t quantile comes from the
+    precomputed table in :mod:`functions.stats` (dof 1..200 as an array
+    literal — Catalyst folds the lookup; dof > 200 uses the asymptotic
+    normal quantile); NULL when n <= 2 (no CI is defined).
     """
+    from mhw3d_detection_spark.functions.stats import MAX_DOF, Z_975, t_table_95
+
     key_cols = key_cols or []
     aggs = []
     for c in value_cols:
@@ -241,8 +244,19 @@ def mean_trend_ols(
                 f"/ (regr_count({c}, {t_col}) - 2) / regr_sxx({c}, {t_col}))"
             ).alias(f"{c}_trend_se")
         )
+        aggs.append(
+            F.expr(f"regr_count({c}, {t_col})").cast("int").alias(f"__n_{c}")
+        )
     g = series.groupBy(*key_cols) if key_cols else series.groupBy()
-    return g.agg(*aggs)
+    out = g.agg(*aggs)
+    ttab = F.lit(list(t_table_95()))
+    for c in value_cols:
+        dof = F.col(f"__n_{c}") - 2
+        tq = F.when(dof > MAX_DOF, F.lit(Z_975)).when(
+            dof >= 1, F.element_at(ttab, dof)
+        )
+        out = out.withColumn(f"{c}_dtrend", tq * F.col(f"{c}_trend_se"))
+    return out.drop(*[f"__n_{c}" for c in value_cols])
 
 
 def _global_row_number(df: DataFrame, sort_cols, out_col: str) -> DataFrame:

@@ -729,6 +729,28 @@ def q_detrend_poly2(spark, sf_dir):
 # =========================================================================
 # W11 — OLS mean + trend of a yearly series
 # =========================================================================
+#: shared SE expression + the literal t table (identical float reprs on
+#: both sides — see functions/stats.py)
+_SE_SQL = (
+    "sqrt(regr_syy(y, year) * (1 - regr_r2(y, year)) "
+    "/ (regr_count(y, year) - 2) / regr_sxx(y, year))"
+)
+
+
+def _TQ_SQL() -> str:
+    from mhw3d_detection_spark.functions.stats import (
+        MAX_DOF,
+        Z_975,
+        t_table_sql_literal,
+    )
+
+    dof = "CAST(regr_count(y, year) AS INT) - 2"
+    return (
+        f"(CASE WHEN {dof} > {MAX_DOF} THEN {Z_975!r} "
+        f"WHEN {dof} >= 1 THEN ({t_table_sql_literal()})[{dof}] END)"
+    )
+
+
 @register(
     "q_mean_trend_ols",
     f"WITH od AS ({ORDERS_DAILY_SQL}), "
@@ -736,19 +758,17 @@ def q_detrend_poly2(spark, sf_dir):
     "  FROM od GROUP BY 1, 2) "
     f"SELECT cell_id, {rq_sql('avg(y)', 2)} AS y_mean, "
     f"{rq_sql('regr_slope(y, year)', 4)} AS y_trend, "
-    + rq_sql(
-        "sqrt(regr_syy(y, year) * (1 - regr_r2(y, year)) "
-        "/ (regr_count(y, year) - 2) / regr_sxx(y, year))",
-        4,
-    )
-    + " AS y_trend_se FROM yearly GROUP BY 1",
+    f"{rq_sql(_SE_SQL, 4)} AS y_trend_se, "
+    f"{rq_sql(f'{_TQ_SQL()} * {_SE_SQL}', 4)} AS y_dtrend "
+    "FROM yearly GROUP BY 1",
 )
 def q_mean_trend_ols(spark, sf_dir):
     """W11: y ~ b0 + b1*(t - mean(t)) per cell on the yearly-mean series;
     b0 = mean, b1 = regr_slope (reference `meanTrend`
-    marineHeatWaves.py:687-782); trend_se is the slope standard
-    error, the data-dependent factor of the reference's CI half-width
-    dtrend = t_{a/2,n-2} * trend_se (marineHeatWaves.py:774-779)."""
+    marineHeatWaves.py:687-782); trend_se is the slope standard error and
+    dtrend = t_{a/2,n-2} * trend_se is the reference's full CI half-width
+    (marineHeatWaves.py:774-779) — the t quantile from the shared literal
+    table in functions/stats.py, identical in both engines."""
     od = orders_daily(spark, sf_dir)
     yearly = od.groupBy(
         "cell_id", F.year("time").cast("int").alias("year")
@@ -759,4 +779,5 @@ def q_mean_trend_ols(spark, sf_dir):
         rq("y_mean", 2).alias("y_mean"),
         rq("y_trend", 4).alias("y_trend"),
         rq("y_trend_se", 4).alias("y_trend_se"),
+        rq("y_dtrend", 4).alias("y_dtrend"),
     )
