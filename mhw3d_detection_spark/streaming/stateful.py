@@ -6,28 +6,42 @@ semantic divergence from the frozen batch contract: a session window
 cannot apply the min-duration filter to *runs* before gap-joining
 (reference order: common/core.py:67-74 — W4 strictly before W5). This
 operator closes that gap with ``applyInPandasWithState``: per-cell
-state carries the in-progress run, the open (already gap-joined) event,
-and the per-cell event counter, so the emitted events are byte-for-byte
-the batch ``detect_events`` output — same run/min-duration/gap-join
-ordering, same event_id numbering.
+state buffers the exceed days still inside the watermark window plus
+the open (already gap-joined) event and the per-cell event counter, so
+the emitted events equal the batch ``detect_events`` output — same
+run/min-duration/gap-join ordering, same event_id numbering — for ANY
+arrival order of the rows, as long as late data respects the watermark
+(rows later than the declared delay are dropped by Spark itself before
+they reach the state function; that is the standard streaming contract,
+not an extra assumption of this operator).
 
-State machine per cell (ordinals are days since 1970-01-01):
+Incremental design (ordinals are days since 1970-01-01):
 
-- ``run``   — current contiguous exceed-day run ``[run_s, run_e]``.
-- ``event`` — open event ``[ev_s, ev_e]``: concatenation of qualifying
-  (>= min_duration) runs whose gaps are <= max_gap.
-- a run *closes* when a non-adjacent day arrives; if it qualifies it
-  either extends the open event (gap <= max_gap), or *emits* the open
-  event and replaces it.
-- event-time timeout at ``latest_activity + max_gap + 2 days``: once
-  the watermark passes that point no admissible row can extend the run
-  (adjacency) or merge with the event (gap bound), so the pending
-  run/event are finalized and flushed. State is then removed —
-  per-cell state is O(1) and bounded by the watermark.
+- ``days``  — the pending exceed-day buffer: days whose run membership
+  could still change. Out-of-order days (a late day that PREPENDS a
+  run, or bridges two runs) are handled by re-deriving runs from the
+  buffer each batch instead of keeping a single ``[run_s, run_e]``
+  frontier.
+- fold frontier: with watermark ``wm``, any future row has day >=
+  ``wm_day = floor(wm / 1 day)``. A run ending at ``e`` with
+  ``e + 1 < wm_day`` can never again be extended, prepended or bridged,
+  and no earlier day can arrive — so the run is FINAL and flows through
+  the batch chain (min-duration check, gap-join into the open event,
+  emit on gap > max_gap). Folded days leave the buffer: state is
+  bounded by the watermark delay per cell, independent of history.
+- ``event`` — open event ``[ev_s, ev_e]`` built from folded qualifying
+  runs, exactly the batch W5 chain.
+- event-time timeout at ``latest_activity + max_gap + 2 days``
+  (clamped to watermark + 1 ms — Spark rejects timestamps at or below
+  the current watermark): once the watermark passes that point no
+  admissible row can extend any pending run (adjacency) or merge with
+  the open event (gap bound), so everything pending folds and the open
+  event flushes. Only the event counter survives, so a later burst for
+  the cell continues the numbering.
 
 Scale: state partitions by cell (the same key every other per-cell
-operator shuffles on); each cell holds 5 longs of state regardless of
-history length.
+operator shuffles on); per-cell state is the event counter plus at most
+``watermark_delay + max_gap + 2`` buffered day ordinals.
 """
 
 from __future__ import annotations
@@ -39,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DateType,
     IntegerType,
     LongType,
@@ -46,7 +61,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+_MS_PER_DAY = 86400 * 1000
 
 _OUT_SCHEMA = StructType(
     [
@@ -60,13 +75,23 @@ _OUT_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("run_s", LongType()),
-        StructField("run_e", LongType()),
+        StructField("days", ArrayType(LongType())),
         StructField("ev_s", LongType()),
         StructField("ev_e", LongType()),
         StructField("next_id", LongType()),
     ]
 )
+
+
+def _runs(sorted_days: list[int]) -> Iterator[tuple[int, int]]:
+    """RLE over sorted distinct day ordinals -> (start, end) runs."""
+    i, n = 0, len(sorted_days)
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_days[j + 1] == sorted_days[j] + 1:
+            j += 1
+        yield sorted_days[i], sorted_days[j]
+        i = j + 1
 
 
 def streaming_detect_events_exact(
@@ -80,7 +105,8 @@ def streaming_detect_events_exact(
     watermark: str = "7 days",
 ) -> DataFrame:
     """Streaming twin of :func:`detect_events` with IDENTICAL semantics
-    (min-duration on runs BEFORE gap joining, batch event_id parity).
+    (min-duration on runs BEFORE gap joining, batch event_id parity),
+    robust to out-of-order arrival within the watermark window.
 
     Input: a stream of daily rows carrying a boolean ``flag_col``.
     Output (append mode): closed events
@@ -93,10 +119,10 @@ def streaming_detect_events_exact(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            run_s, run_e, ev_s, ev_e, next_id = state.get
+            buf, ev_s, ev_e, next_id = state.get
+            pending = set(buf)
         else:
-            run_s = run_e = ev_s = ev_e = -1
-            next_id = 1
+            pending, ev_s, ev_e, next_id = set(), -1, -1, 1
         emitted: list[tuple] = []
 
         def emit_event() -> None:
@@ -105,49 +131,56 @@ def streaming_detect_events_exact(
             next_id += 1
             ev_s = ev_e = -1
 
-        def close_run() -> None:
+        def fold_run(rs: int, re_: int) -> None:
             # W4 before W5, exactly like the batch chain.
-            nonlocal run_s, run_e, ev_s, ev_e
-            if run_s >= 0 and run_e - run_s + 1 >= min_duration:
+            nonlocal ev_s, ev_e
+            if re_ - rs + 1 >= min_duration:
                 if ev_s < 0:
-                    ev_s, ev_e = run_s, run_e
-                elif run_s - ev_e - 1 <= max_gap:
-                    ev_e = run_e
+                    ev_s, ev_e = rs, re_
+                elif rs - ev_e - 1 <= max_gap:
+                    ev_e = re_
                 else:
                     emit_event()
-                    ev_s, ev_e = run_s, run_e
-            run_s = run_e = -1
+                    ev_s, ev_e = rs, re_
 
         if state.hasTimedOut:
-            close_run()
+            # watermark passed latest + max_gap + 2: every pending run
+            # is final and nothing can merge with the open event
+            for rs, re_ in _runs(sorted(pending)):
+                fold_run(rs, re_)
             if ev_s >= 0:
                 emit_event()
-            # keep only the event counter (5 longs/cell, O(cells) state):
-            # a later burst for this cell must continue the numbering
-            state.update((-1, -1, -1, -1, next_id))
+            # keep only the event counter: a later burst for this cell
+            # must continue the numbering
+            state.update(([], -1, -1, next_id))
         else:
-            days: set[int] = set()
             for pdf in pdfs:
                 hit = pdf[pdf[flag_col].fillna(False)]
                 ts = pd.to_datetime(hit[time_col])
-                days.update(
+                pending.update(
                     (ts.values.astype("datetime64[D]").astype("int64")).tolist()
                 )
-            for d in sorted(days):
-                if run_s >= 0 and d <= run_e:
-                    continue  # duplicate day
-                if run_s >= 0 and d == run_e + 1:
-                    run_e = d
+            # fold the final prefix: future rows have day >= wm_day, so
+            # a run ending at e with e + 1 < wm_day can never change
+            wm_ms = state.getCurrentWatermarkMs()
+            wm_day = wm_ms // _MS_PER_DAY
+            keep: set[int] = set()
+            for rs, re_ in _runs(sorted(pending)):
+                if re_ + 1 < wm_day:
+                    fold_run(rs, re_)
                 else:
-                    close_run()
-                    run_s = run_e = d
-            state.update((run_s, run_e, ev_s, ev_e, next_id))
-            latest = max(run_e, ev_e)
-            if latest >= 0:
-                # ms epoch; fires once no admissible row can merge
-                state.setTimeoutTimestamp(
-                    (latest + max_gap + 2) * 86400 * 1000
-                )
+                    # frontier run (and everything after): keep buffered
+                    keep.update(range(rs, re_ + 1))
+            pending = keep
+            latest = max(pending) if pending else ev_e
+            if pending or ev_s >= 0 or state.exists:
+                state.update((sorted(pending), ev_s, ev_e, next_id))
+                if latest >= 0:
+                    # flush horizon; clamped above the watermark (Spark
+                    # rejects timeout timestamps <= current watermark,
+                    # which a very late resumed cell would otherwise hit)
+                    horizon = (latest + max_gap + 2) * _MS_PER_DAY
+                    state.setTimeoutTimestamp(max(horizon, wm_ms + 1))
 
         if emitted:
             yield pd.DataFrame(

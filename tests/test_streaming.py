@@ -176,6 +176,54 @@ def test_stateful_exact_across_microbatches(spark, tmp_path):
     assert got[0].duration == batch[0].duration
 
 
+def test_stateful_exact_out_of_order_across_batches(spark, tmp_path):
+    # a LATE day that PREPENDS an already-buffered run arrives in a
+    # later microbatch (within the watermark): day 4 is missing from
+    # file 1 (which carries days 5..9 of the run) and shows up in
+    # file 2. Batch semantics: days 4..9 are ONE 6-day run -> one event
+    # starting day 4. A frontier that only tracks [run_s, run_e] and
+    # skips d <= run_e as a duplicate would emit [5..9] instead.
+    day0 = dt.datetime(2023, 1, 1)
+
+    def row(d, ex):
+        return (1, day0 + dt.timedelta(days=d), ex)
+
+    f1 = [row(d, d in range(5, 10)) for d in range(10) if d != 4]
+    f2 = [row(4, True)] + [row(d, d in (11, 12, 13)) for d in range(10, 31)]
+    schema = "cell_id int, time timestamp, exceed boolean"
+    path = str(tmp_path / "outoforder")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    out = streaming_detect_events_exact(
+        stream, min_duration=5, max_gap=2, watermark="7 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("outoforder")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("outoforder").orderBy("event_id").collect()
+    batch_df = spark.createDataFrame(f1 + f2, schema)
+    batch = (
+        detect_events(batch_df, min_duration=5, max_gap=2)
+        .orderBy("event_id")
+        .collect()
+    )
+    # one event, days 4..9 (the 11-13 run is below min_duration)
+    assert len(batch) == 1 and batch[0].duration == 6
+    assert len(got) == 1
+    assert got[0].date_start == batch[0].date_start.date() == dt.date(2023, 1, 5)
+    assert got[0].date_end == batch[0].date_end.date()
+    assert got[0].duration == batch[0].duration
+
+
 def test_streaming_dedup(spark, flagged_parquet):
     path, df = flagged_parquet
     dup_path = path + "_dup"
