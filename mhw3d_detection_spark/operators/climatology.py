@@ -374,11 +374,13 @@ def pooled_climatology(
     elif pool_mode == "grid":
         # (year, doy)-grid semantics (legacy/climatology.py:61-119):
         # sample (y, d) contributes to bucket t = d + o for o in +/-W;
-        # wrapping across the year boundary lands in the adjacent year's
-        # grid row, which exists only if that year is in the baseline
-        # (the reference's cross-year pads, _build_cross_year_pad:24-58;
-        # the first year's left pad / last year's right pad are NaN).
-        # Only baseline samples enter the grid at all (legacy:159-161).
+        # wrapping across the year boundary lands in the ADJACENT GRID
+        # ROW, which exists only while the sample's year is not the
+        # cell's first/last PRESENT baseline year (the reference's
+        # cross-year pads, _build_cross_year_pad:24-58: the first row's
+        # left pad / last row's right pad are NaN; rows exist for
+        # observed years only). Only baseline samples enter the grid at
+        # all (legacy:159-161).
         #
         # No window — and no 11x blow-up of individual samples either:
         # non-wrapping contributions are pre-aggregated into per-
@@ -415,13 +417,25 @@ def pooled_climatology(
         )
 
         # wrapped: rows within W days of the year edge contribute as
-        # singleton day-groups (per-sample year decides row existence)
+        # singleton day-groups. A wrap survives iff the sample's year
+        # has an ADJACENT GRID ROW in the wrap direction: the reference
+        # pivots to rows of years PRESENT in the baseline-filtered data
+        # and pads each row from the neighboring ROW, NaN at the grid
+        # edges (_build_cross_year_pad:24-58 operates on the unstacked
+        # year axis, not the calendar) — so the gate is the cell's
+        # first/last present year, NOT the baseline range (which
+        # diverges whenever the range extends beyond the data, or no
+        # baseline is given). One tiny extent row per cell, broadcast
+        # into the ~2W/366-selectivity edge branch.
         t_raw = F.col("doy") + F.col("__o")
         t_wrap = ((t_raw - 1 + 366) % 366) + 1
-        y_row = F.year("time") + F.when(t_raw > 366, 1).otherwise(-1)
-        wrap_in_base = (
-            y_row.between(*baseline) if baseline is not None else F.lit(True)
+        yext = base.groupBy("cell_id").agg(
+            F.min(F.year("time")).alias("__y_min"),
+            F.max(F.year("time")).alias("__y_max"),
         )
+        wrap_ok = F.when(
+            t_raw > 366, F.year("time") < F.col("__y_max")
+        ).otherwise(F.year("time") > F.col("__y_min"))
         row_cols = [
             F.filter(F.array("temp"), lambda x: x.isNotNull()).alias("__v"),
             F.col("temp").alias("__s"),
@@ -431,8 +445,9 @@ def pooled_climatology(
             row_cols.append(miss.alias("__m"))
         wrapped = (
             base.filter((F.col("doy") <= W) | (F.col("doy") > 366 - W))
-            .select("cell_id", "time", "temp", "doy", offs)
-            .filter(~t_raw.between(1, 366) & wrap_in_base & (t_wrap != FEB29))
+            .join(F.broadcast(yext), "cell_id")
+            .select("cell_id", "time", "temp", "doy", "__y_min", "__y_max", offs)
+            .filter(~t_raw.between(1, 366) & wrap_ok & (t_wrap != FEB29))
             .select("cell_id", t_wrap.alias("doy"), *row_cols)
         )
 

@@ -72,6 +72,36 @@ def test_grid_mode_mixed_years_vs_pad_oracle(spark):
     np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
 
 
+def test_grid_mode_wraps_gate_on_present_years(spark):
+    # The wrap gate must follow the PRESENT-year grid rows, not the
+    # baseline range (reference pads copy the adjacent unstacked ROW,
+    # NaN at the grid edges — _build_cross_year_pad:24-58). Two traps:
+    # the baseline range extends beyond the data on both sides (range
+    # gating would wrongly wrap the first/last data years), and an
+    # interior year is entirely absent (its neighbors become adjacent
+    # rows — their wraps must survive).
+    pdf = oliver_synthetic()
+    pdf = pdf[pd.DatetimeIndex(pdf["time"]).year != 1990]
+    clim = _spark_clim(spark, pdf, baseline=(1980, 2015), pool_mode="grid")
+    seas, thresh = grid_clim_threshold_np(
+        pd.DatetimeIndex(pdf["time"]), pdf["temp"].values, baseline=(1980, 2015)
+    )
+    np.testing.assert_allclose(clim["seas"].values, seas, atol=1e-9)
+    np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
+
+
+def test_grid_mode_no_baseline_edges_unwrapped(spark):
+    # baseline=None: the first/last data years are still grid edges
+    # (old behavior wrapped them unconditionally)
+    pdf = oliver_synthetic()
+    clim = _spark_clim(spark, pdf, pool_mode="grid")
+    seas, thresh = grid_clim_threshold_np(
+        pd.DatetimeIndex(pdf["time"]), pdf["temp"].values, baseline=None
+    )
+    np.testing.assert_allclose(clim["seas"].values, seas, atol=1e-9)
+    np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
+
+
 def test_approx_percentile_escape_hatch(spark):
     # exact=False (the documented 100-TB fallback, SURVEY §4): sketch-
     # based threshold within a small tolerance of the exact one, for
