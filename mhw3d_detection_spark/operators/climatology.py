@@ -397,56 +397,86 @@ def pooled_climatology(
         W = window_half_width
         offs = F.explode(F.sequence(F.lit(-W), F.lit(W))).alias("__o")
 
+        # ONE aggregate over ONE scan of the source feeds all three
+        # consumers below (non-wrap contributions, wrapped edge rows,
+        # per-cell year extents). Without the persist barrier, Catalyst
+        # pushes each consumer's filters/pruning into its own copy of
+        # the subtree, the copies stop being canonically equal, exchange
+        # reuse never fires, and the SOURCE is scanned once per branch
+        # (measured: 3 FileScans + 3 daily-agg shuffles in the final
+        # AQE plan) — at 100 TB that triples the most expensive stage.
+        # The cached table is cells x 366 rows (the daily series
+        # compressed ~n_years x), partitioned by cell_id, which
+        # satisfies every downstream distribution. materialize=False
+        # keeps the old duplicated-subtree behavior for plan tests.
+        edge = (F.col("doy") <= W) | (F.col("doy") > 366 - W)
+        miss = F.col("temp").isNull().cast("int")
         dg_aggs = [
             F.collect_list("temp").alias("__v"),
             F.sum("temp").alias("__s"),
             F.count("temp").alias("__c"),
+            F.min(F.year("time")).alias("__dg_y0"),
+            F.max(F.year("time")).alias("__dg_y1"),
+            # per-sample (year, temp) pairs, kept ONLY for the ~2W/366
+            # edge DOYs whose wraps need per-sample year gating
+            # (collect_list skips the NULL struct of non-edge rows but
+            # keeps edge structs whose temp field is NULL)
+            F.collect_list(
+                F.when(
+                    edge,
+                    F.struct(F.year("time").alias("y"), F.col("temp").alias("t")),
+                )
+            ).alias("__edge_rows"),
         ]
-        miss = F.col("temp").isNull().cast("int")
         if strict_nan:
             dg_aggs.append(F.max(miss).alias("__m"))
         day_groups = base.groupBy("cell_id", "doy").agg(*dg_aggs)
+        if materialize:
+            day_groups = day_groups.persist()
 
         # non-wrap: whole day-groups contribute to in-range targets
         t_nw = F.col("doy") + F.col("__o")
         contrib_cols = ["__v", "__s", "__c"] + (["__m"] if strict_nan else [])
         nw = (
-            day_groups.select("*", offs)
+            day_groups.select("cell_id", "doy", *contrib_cols, offs)
             .filter(t_nw.between(1, 366) & (t_nw != FEB29))
             .select("cell_id", t_nw.alias("doy"), *contrib_cols)
         )
 
-        # wrapped: rows within W days of the year edge contribute as
-        # singleton day-groups. A wrap survives iff the sample's year
-        # has an ADJACENT GRID ROW in the wrap direction: the reference
-        # pivots to rows of years PRESENT in the baseline-filtered data
-        # and pads each row from the neighboring ROW, NaN at the grid
-        # edges (_build_cross_year_pad:24-58 operates on the unstacked
-        # year axis, not the calendar) — so the gate is the cell's
-        # first/last present year, NOT the baseline range (which
-        # diverges whenever the range extends beyond the data, or no
-        # baseline is given). One tiny extent row per cell, broadcast
-        # into the ~2W/366-selectivity edge branch.
+        # wrapped: edge-DOY samples contribute as singleton day-groups.
+        # A wrap survives iff the sample's year has an ADJACENT GRID ROW
+        # in the wrap direction: the reference pivots to rows of years
+        # PRESENT in the baseline-filtered data and pads each row from
+        # the neighboring ROW, NaN at the grid edges
+        # (_build_cross_year_pad:24-58 operates on the unstacked year
+        # axis, not the calendar) — so the gate is the cell's first/last
+        # present year, NOT the baseline range (which diverges whenever
+        # the range extends beyond the data, or no baseline is given).
+        # The extent table is one tiny row per cell, aggregated from the
+        # cached day groups and broadcast into the edge branch.
         t_raw = F.col("doy") + F.col("__o")
         t_wrap = ((t_raw - 1 + 366) % 366) + 1
-        yext = base.groupBy("cell_id").agg(
-            F.min(F.year("time")).alias("__y_min"),
-            F.max(F.year("time")).alias("__y_max"),
+        yext = day_groups.groupBy("cell_id").agg(
+            F.min("__dg_y0").alias("__y_min"),
+            F.max("__dg_y1").alias("__y_max"),
         )
-        wrap_ok = F.when(
-            t_raw > 366, F.year("time") < F.col("__y_max")
-        ).otherwise(F.year("time") > F.col("__y_min"))
+        yr = F.col("__r.y")
+        tv = F.col("__r.t")
+        wrap_ok = F.when(t_raw > 366, yr < F.col("__y_max")).otherwise(
+            yr > F.col("__y_min")
+        )
         row_cols = [
-            F.filter(F.array("temp"), lambda x: x.isNotNull()).alias("__v"),
-            F.col("temp").alias("__s"),
-            F.col("temp").isNotNull().cast("long").alias("__c"),
+            F.filter(F.array(tv), lambda x: x.isNotNull()).alias("__v"),
+            tv.alias("__s"),
+            tv.isNotNull().cast("long").alias("__c"),
         ]
         if strict_nan:
-            row_cols.append(miss.alias("__m"))
+            row_cols.append(tv.isNull().cast("int").alias("__m"))
         wrapped = (
-            base.filter((F.col("doy") <= W) | (F.col("doy") > 366 - W))
+            day_groups.filter(edge)
+            .select("cell_id", "doy", F.explode("__edge_rows").alias("__r"))
             .join(F.broadcast(yext), "cell_id")
-            .select("cell_id", "time", "temp", "doy", "__y_min", "__y_max", offs)
+            .select("cell_id", "doy", "__r", "__y_min", "__y_max", offs)
             .filter(~t_raw.between(1, 366) & wrap_ok & (t_wrap != FEB29))
             .select("cell_id", t_wrap.alias("doy"), *row_cols)
         )

@@ -160,6 +160,103 @@ def kmeans_ivf_train(
     return out
 
 
+def rhp_signs(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix (n_bits x dim), derived
+    from md5 so the identical literal matrix is embeddable in the DuckDB
+    oracle. Sign-LSH (SimHash for vectors, Charikar 2002): for unit-ish
+    vectors, P[sign(w·a) == sign(w·b)] = 1 - angle(a,b)/pi — so cosine
+    near-dups collide on banded sign bits."""
+    import hashlib
+
+    out = []
+    for j in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"rhp:{j}:{i}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_bits: int = 24,
+    band_size: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane sign
+    signatures, banded like MinHash-LSH — candidates are pairs colliding
+    on any (band, sign-pattern) bucket, verified by exact cosine.
+
+    The plan is the 100 TB shape: signature projection is a narrow
+    per-row map (n_bits JVM dot products against literal ±1 rows);
+    the candidate join shuffles on the bucket key, never all-pairs;
+    only the (tiny) candidate set pays the exact-cosine verify. This is
+    the bucketed replacement for the probe-bounded
+    :func:`embedding_near_dup_pairs` baseline.
+    """
+    signs = rhp_signs(n_bits, dim)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    # one batched projection (not n_bits chained withColumns — each is a
+    # Py4J/analysis round trip; see the plan-memo note in queries/base.py)
+    base = base.select(
+        "*",
+        *[
+            (dot(F.col("v"), F.lit(signs[j])) >= 0).cast("int").alias(f"__b{j}")
+            for j in range(n_bits)
+        ],
+    )
+    n_bands = n_bits // band_size
+
+    def band_sig(b: int):
+        s = F.lit(0)
+        for j in range(band_size):
+            s = s + F.col(f"__b{b * band_size + j}") * F.lit(
+                1 << (band_size - 1 - j)
+            )
+        return s
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                band_sig(b).cast("int").alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig = base.select(
+        "vec_id", "v", "n", F.explode(bands).alias("bb")
+    ).select("vec_id", "v", "n", F.col("bb.band_id").alias("band_id"), F.col("bb.band_sig").alias("band_sig"))
+    a = sig.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "band_id", "band_sig",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "band_id", "band_sig",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "va", "vb", "na", "nb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn(
+            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     probe_pred,

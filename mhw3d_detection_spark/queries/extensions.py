@@ -19,6 +19,7 @@ from mhw3d_detection_spark.operators.multimodal import (
 )
 from mhw3d_detection_spark.operators.similarity import (
     cosine_topk,
+    embedding_lsh_pairs,
     embedding_near_dup_pairs,
 )
 from mhw3d_detection_spark.operators.textops import (
@@ -269,6 +270,61 @@ def q_dedup_embedding(spark, sf_dir):
     pairs = embedding_near_dup_pairs(
         emb, probe_pred=lambda c: c % 50 == 0, threshold=0.2
     )
+    return pairs.select("doc_a", "doc_b", rq("cosine", 4).alias("cosine"))
+
+
+# =========================================================================
+# E2/E3 — embedding near-dup via random-hyperplane LSH (the bucketed
+# 100 TB path; no probe bound anywhere)
+# =========================================================================
+def _RHP_SQL() -> str:
+    from mhw3d_detection_spark.operators.similarity import rhp_signs
+
+    n_bits, band_size, dim = 24, 6, 64
+    signs = rhp_signs(n_bits, dim)
+    bit_cols = ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in signs[j])
+        + f"]) >= 0.0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(n_bits)
+    )
+    n_bands = n_bits // band_size
+    sig_case = " ".join(
+        f"WHEN {b} THEN "
+        + " + ".join(
+            f"b{b * band_size + j} * {1 << (band_size - 1 - j)}"
+            for j in range(band_size)
+        )
+        for b in range(n_bands)
+    )
+    return (
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"bits AS (SELECT vec_id, v, {bit_cols} FROM base), "
+        "sig AS (SELECT vec_id, v, g.band_id, "
+        f"CAST(CASE g.band_id {sig_case} END AS INT) AS band_sig "
+        f"FROM bits, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_id) g), "
+        "cand AS (SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b "
+        "  FROM sig a JOIN sig b2 ON a.band_id = b2.band_id AND a.band_sig = b2.band_sig "
+        "  WHERE a.vec_id < b2.vec_id)"
+    )
+
+
+@register(
+    "q_dedup_embedding_lsh",
+    f"WITH {_RHP_SQL()} "
+    f"SELECT c.doc_a, c.doc_b, {rq_sql('list_cosine_similarity(x.v, y.v)', 4)} AS cosine "
+    "FROM cand c JOIN base x ON c.doc_a = x.vec_id JOIN base y ON c.doc_b = y.vec_id "
+    "WHERE list_cosine_similarity(x.v, y.v) >= 0.2",
+)
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """E2 at scale: sign-LSH (random hyperplanes, Charikar 2002) banded
+    4x6 over 24 deterministic md5-derived hyperplanes; candidates are
+    bucket collisions (equi-join on (band, sign-pattern) — never
+    all-pairs), verified by exact cosine >= 0.2. The identical ±1
+    matrix is inlined in the DuckDB oracle, so signatures, candidates
+    and survivors are all hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_lsh_pairs(emb, threshold=0.2, n_bits=24, band_size=6)
     return pairs.select("doc_a", "doc_b", rq("cosine", 4).alias("cosine"))
 
 
