@@ -55,6 +55,23 @@ SHINGLES_SQL = (
     "  FROM shp)"
 )
 
+#: per-language stopword-hit counters + argmax predictor (shared by the
+#: language-ID query and the composite data-prep pipeline)
+_LANG_SQL_COUNTS = ", ".join(
+    "sum(CASE WHEN token IN ({}) THEN 1 ELSE 0 END) AS n_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in LANG_STOPWORDS.items()
+)
+_LANG_SQL_PRED = (
+    "CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN n_{lang} = greatest(n_en, n_de, n_fr, n_es) THEN '{lang}'"
+        for lang in LANG_STOPWORDS
+    )
+    + " END"
+)
+
 
 # =========================================================================
 # E1 — exact dedup
@@ -369,6 +386,108 @@ def q_text_token_count(spark, sf_dir):
 
 
 # =========================================================================
+# E4 — TF-IDF scoring
+# =========================================================================
+@register(
+    "q_text_tfidf",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), "
+    "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents) "
+    "SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf, "
+    "CAST(df.df AS BIGINT) AS df, "
+    f"{rq_sql('tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df))', 4)} AS tfidf "
+    "FROM tf JOIN df ON tf.token = df.token CROSS JOIN n "
+    "WHERE tf.doc_id < 50",
+)
+def q_text_tfidf(spark, sf_dir):
+    """E4: smoothed TF-IDF — tf * ln((1+N)/(1+df)) per (doc, token).
+    Two hash aggregates (term freq per doc, doc freq per token) and a
+    broadcast join of the token-level df dim onto the per-doc rows; the
+    corpus size is a scalar broadcast. Output bounded to doc_id < 50
+    to keep the oracle compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    out = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))  # scalar corpus size, stays lazy
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.lit(1.0) + F.col("__n_docs")) / (F.lit(1.0) + F.col("df"))),
+        )
+        .filter(F.col("doc_id") < 50)
+    )
+    return out.select(
+        "doc_id", "token", "tf", "df", rq("tfidf", 4).alias("tfidf")
+    )
+
+
+# =========================================================================
+# E1+E4 — composite training-data prep: quality filter -> exact dedup
+# -> language histogram (the end-to-end curation shape)
+# =========================================================================
+@register(
+    "q_data_prep_pipeline",
+    "WITH d AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+    "s AS (SELECT doc_id, text, toks, len(toks) AS n_tokens, "
+    "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+    "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+    "    / length(text) AS punct_ratio FROM d), "
+    "q AS (SELECT *, 0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+    "  + 0.2 * least(n_stop / 5.0, 1.0) AS quality FROM s), "
+    "kept AS (SELECT * FROM q WHERE quality >= 0.5), "
+    "dedup AS (SELECT min(doc_id) AS doc_id, any_value(toks) AS toks FROM kept GROUP BY text), "
+    "tok AS (SELECT doc_id, unnest(toks) AS token FROM dedup), "
+    f"c AS (SELECT doc_id, {_LANG_SQL_COUNTS} FROM tok GROUP BY 1), "
+    f"lp AS (SELECT doc_id, {_LANG_SQL_PRED} AS lang_pred FROM c) "
+    "SELECT lang_pred, count(*) AS n_docs FROM lp GROUP BY 1",
+)
+def q_data_prep_pipeline(spark, sf_dir):
+    """E1+E4 fused: the canonical curation pipeline — quality-score
+    filter (>= 0.5), exact dedup of the survivors (min doc_id per text),
+    language-ID histogram of the deduped set. Every stage is the same
+    operator the standalone queries use; the composition stays three
+    hash aggregates + narrow projections (no window, no all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        text_stats(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .join(docs, "doc_id")
+        .select("doc_id", "text")
+    )
+    survivors = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    langs = language_id(survivors.select("doc_id", "text"))
+    return langs.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# =========================================================================
+# E3 — trained-IVF search: quantizer training feeding the bucketed
+# search (rows-only: the trainer is iterative)
+# =========================================================================
+@register("q_similarity_ivf_trained", None)
+def q_similarity_ivf_trained(spark, sf_dir):
+    """E3 end-to-end: Lloyd's k-means (pure DataFrame ops) trains the
+    coarse quantizer, its bucket assignment joins back onto the corpus,
+    and the IVF search runs against the TRAINED cells instead of the
+    pre-assigned labels — train -> assign -> bucket-join search, the
+    full ANN shape. Iterative trainer -> rows-only check."""
+    from mhw3d_detection_spark.operators.similarity import kmeans_ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = kmeans_ivf_train(emb, k=8, iters=3)
+    tagged = emb.join(buckets, emb["vec_id"] == buckets["vec_id"]).select(
+        emb["vec_id"], emb["embedding"], buckets["bucket"]
+    )
+    return cosine_topk(
+        tagged, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="bucket"
+    ).select("probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank")
+
+
+# =========================================================================
 # E4 — quality scoring
 # =========================================================================
 @register(
@@ -410,22 +529,6 @@ def q_text_quality(spark, sf_dir):
 # =========================================================================
 # E4 — language ID
 # =========================================================================
-_LANG_SQL_COUNTS = ", ".join(
-    "sum(CASE WHEN token IN ({}) THEN 1 ELSE 0 END) AS n_{}".format(
-        ", ".join(f"'{w}'" for w in words), lang
-    )
-    for lang, words in LANG_STOPWORDS.items()
-)
-_LANG_SQL_PRED = (
-    "CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und' "
-    + " ".join(
-        f"WHEN n_{lang} = greatest(n_en, n_de, n_fr, n_es) THEN '{lang}'"
-        for lang in LANG_STOPWORDS
-    )
-    + " END"
-)
-
-
 @register(
     "q_text_langid",
     "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
