@@ -227,24 +227,37 @@ def clim_arrays(
     doy_col: str = "doy",
     feb29: bool = True,
     smooth_width: int | None = 31,
+    smooth_mode: str = "full",
 ) -> DataFrame:
     """Collapse row-form clim into ONE dense 366-slot array per cell and
     value column, then apply Feb-29 interpolation and the width-W
     circular running mean as array transforms.
 
-    Semantically identical to densify_doy + interp_feb29 +
-    smooth_doy_circular(mode="full") — missing DOYs become NaN slots
-    that poison their windows exactly like the reference's
-    fixed-divisor convolution (marineHeatWaves.py:858-885) — but the
-    physical plan is a single per-cell aggregate plus JVM higher-order
-    functions: no densify join, no Feb-29 broadcast join, no 3-copy
-    explode + window sort. At scale this removes three operators and
-    two joins from the clim tail and shrinks the severity broadcast
-    from cells*366 rows to one row per cell.
+    smooth_mode="full": semantically identical to densify_doy +
+    interp_feb29 + smooth_doy_circular(mode="full") — missing DOYs
+    become NaN slots that poison their windows exactly like the
+    reference's fixed-divisor convolution (marineHeatWaves.py:858-885).
 
-    Output: (cell_id, <col>_arr ...) — slot d (1-based) is DOY d.
-    Read back with ``element_at(arr, doy)`` and NaN->NULL
-    (:func:`_denanify`) for row-path-identical values.
+    smooth_mode="valid": the M3/`Ly` compressed-circular variant
+    (marineHeatWaves.py:288-293; smooth_doy_circular mode="valid") —
+    the smoother runs over only the PRESENT DOYs (any value column
+    non-NaN, evaluated after the Feb-29 interpolation, exactly like the
+    row path's valid filter), circularly in their own sequence via the
+    same 3-copy construction with edge-truncated windows; absent slots
+    stay NaN.
+
+    Either way the physical plan is a single per-cell aggregate plus
+    JVM higher-order functions: no densify join, no Feb-29 broadcast
+    join, no 3-copy explode + window sort. At scale this removes three
+    operators and two joins from the clim tail and shrinks the severity
+    broadcast from cells*366 rows to one row per cell.
+
+    Output: (cell_id, <col>_arr ...) — in "full" mode a dense 366-slot
+    array (slot d, 1-based, is DOY d); in "valid" mode a doy->value MAP
+    over the present DOYs (see the in-code note on why a dense scatter
+    is a Catalyst anti-pattern). Either way, read back with
+    ``element_at(<col>_arr, doy)`` and NaN->NULL (:func:`_denanify`):
+    absent DOYs yield NULL, exactly like the row path's left join.
     """
     nan = F.lit(float("nan"))
     g = clim.groupBy(F.col(cell_col).alias("cell_id")).agg(
@@ -287,20 +300,101 @@ def clim_arrays(
             raise ValueError("smoothing width must be odd")
         half = smooth_width // 2
 
-        def smooth(c: str):
-            a = F.col(f"{c}_arr")
-            ext = F.concat(F.slice(a, 366 - half + 1, half), a, F.slice(a, 1, half))
-            return F.transform(
-                doys,
-                lambda d: F.aggregate(
-                    F.slice(ext, d, smooth_width),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+        if smooth_mode == "full":
+
+            def smooth(c: str):
+                a = F.col(f"{c}_arr")
+                ext = F.concat(
+                    F.slice(a, 366 - half + 1, half), a, F.slice(a, 1, half)
                 )
-                / smooth_width,
+                return F.transform(
+                    doys,
+                    lambda d: F.aggregate(
+                        F.slice(ext, d, smooth_width),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / smooth_width,
+                )
+
+            out = out.withColumns({f"{c}_arr": smooth(c) for c in value_cols})
+        elif smooth_mode == "valid":
+            # Every intermediate below is materialized as a COLUMN
+            # before a lambda references it: an expression embedded in a
+            # higher-order-function lambda is re-evaluated per element
+            # (366x per slot for the scatter), which turns this O(n*W)
+            # computation into O(366 * n * W) per row — measured as a
+            # ~100x slowdown. Column references are evaluated once per
+            # row.
+
+            # present DOYs: any value column non-NaN (the row path's
+            # valid_pred, evaluated post-Feb-29)
+            def any_present(d):
+                p = None
+                for c in value_cols:
+                    q = ~F.isnan(F.element_at(F.col(f"{c}_arr"), d))
+                    p = q if p is None else (p | q)
+                return p
+
+            out = out.withColumn(
+                "__vp", F.filter(doys, any_present)
+            ).withColumn("__n", F.size("__vp"))
+            n = F.col("__n")
+
+            # compressed 3-copy sequences, one column per value col
+            def ext_col(c: str):
+                cv = F.transform(
+                    F.col("__vp"), lambda d: F.element_at(F.col(f"{c}_arr"), d)
+                )
+                return F.concat(cv, cv, cv)
+
+            out = out.withColumns({f"__ext_{c}": ext_col(c) for c in value_cols})
+
+            # middle-copy position j (1..n) sits at i = n + j in the
+            # 3n-long ext; the rows-window truncates at the frame edges
+            # exactly like the row path when n <= half, and divides by
+            # the ACTUAL window size like the window avg
+            positions = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
             )
 
-        out = out.withColumns({f"{c}_arr": smooth(c) for c in value_cols})
+            def smoothed_col(c: str):
+                ext = F.col(f"__ext_{c}")
+
+                def win_avg(j):
+                    i = n + j
+                    lo = F.greatest(i - half, F.lit(1))
+                    hi = F.least(i + half, 3 * n)
+                    w = F.slice(ext, lo, hi - lo + 1)
+                    return (
+                        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + x)
+                        / F.size(w)
+                    )
+
+                return F.transform(positions, win_avg)
+
+            # emit doy -> smoothed-value MAPS (not 366-slot arrays): a
+            # scatter back to the dense axis would reference the heavy
+            # smoothing chain inside a per-slot lambda, and Catalyst's
+            # project collapse inlines single-use columns into lambda
+            # bodies where they are re-evaluated PER ELEMENT (measured
+            # ~100x). element_at() on a map behaves exactly like the
+            # dense-array readout in calculate_severity — absent DOY ->
+            # NULL — so consumers are agnostic to the representation.
+            out = out.withColumns(
+                {
+                    f"{c}_arr": F.map_from_arrays(
+                        F.col("__vp"), smoothed_col(c)
+                    )
+                    for c in value_cols
+                }
+            ).drop(
+                "__vp",
+                "__n",
+                *[f"__ext_{c}" for c in value_cols],
+            )
+        else:
+            raise ValueError(f"unknown smoothing mode {smooth_mode!r}")
     return out
 
 
@@ -554,14 +648,17 @@ def pooled_climatology(
         # materialize is intentionally a no-op here: the array table is
         # consumed exactly once by the severity join, whose broadcast
         # materializes it anyway.
-        if smooth_width and smooth_mode != "full":
-            raise ValueError("output='arrays' supports smooth_mode='full' only")
         if not densify:
             raise ValueError(
                 "output='arrays' is inherently dense (366 slots/cell); "
                 "densify=False only applies to output='rows'"
             )
-        return clim_arrays(clim, feb29=feb29_interp, smooth_width=smooth_width)
+        return clim_arrays(
+            clim,
+            feb29=feb29_interp,
+            smooth_width=smooth_width,
+            smooth_mode=smooth_mode,
+        )
     if output != "rows":
         raise ValueError(f"unknown output {output!r}")
     if materialize:

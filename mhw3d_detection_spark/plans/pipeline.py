@@ -67,12 +67,13 @@ def detect_mhw(
     def signed(df: DataFrame) -> DataFrame:
         return df.withColumn(temp_col, sign * F.col(temp_col)) if cold_spells else df
 
-    # Dense-array clim path: when the smoother runs in "full" mode (the
-    # dense 366-slot axis) the whole clim tail collapses into per-cell
-    # array transforms and the severity broadcast shrinks to one row per
-    # cell — no densify join, no Feb-29 join, no smooth window. The
-    # sparse-calendar "valid" mode (M3/Ly) keeps the row-form path.
-    clim_output = "arrays" if (not smooth_width or smooth_mode == "full") else "rows"
+    # Dense-array clim path for BOTH smoothing modes: the whole clim
+    # tail (densify + Feb-29 + circular smooth — full's dense-366 axis
+    # or valid's compressed M3/Ly sequence) collapses into per-cell
+    # array transforms and the severity broadcast shrinks to one row
+    # per cell — no densify join, no Feb-29 join, no smooth window
+    # exchange (operators/climatology.py clim_arrays).
+    clim_output = "arrays"
     ts_s = signed(ts)
     if materialize_input:
         # The cleaned daily series feeds two independent subtrees (the

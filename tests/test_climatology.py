@@ -102,6 +102,61 @@ def test_grid_mode_no_baseline_edges_unwrapped(spark):
     np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
 
 
+def test_arrays_valid_mode_matches_row_path(spark):
+    # clim_arrays(smooth_mode="valid") must reproduce the row path
+    # (densify -> feb29 -> smooth_doy_circular mode="valid") slot for
+    # slot on SPARSE DOY data — including NaN poisoning and the
+    # compressed-circular wrap. Drop DOYs > 350 and a mid-year block to
+    # make the valid sequence genuinely sparse.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mhw3d_detection_spark.operators.climatology import _denanify
+
+    pdf = oliver_synthetic()
+    doy_np = pd.DatetimeIndex(pdf["time"]).dayofyear
+    pdf = pdf[(doy_np <= 350) & ~((doy_np >= 100) & (doy_np <= 120))]
+
+    kw = dict(baseline=(1983, 2012), pool_mode="grid", smooth_mode="valid")
+    rows = (
+        pooled_climatology(spark.createDataFrame(pdf), **kw)
+        .orderBy("doy")
+        .toPandas()
+    )
+    arr = pooled_climatology(
+        spark.createDataFrame(pdf), output="arrays", **kw
+    )
+    doys = spark.range(1, 367).select(F.col("id").cast("int").alias("doy"))
+    readout = (
+        arr.crossJoin(doys)
+        .select(
+            "cell_id",
+            "doy",
+            _denanify(F.element_at("seas_arr", F.col("doy"))).alias("seas"),
+            _denanify(F.element_at("thresh_arr", F.col("doy"))).alias("thresh"),
+        )
+        .orderBy("doy")
+        .toPandas()
+    )
+    # the row path emits only PRESENT doys; the arrays form covers the
+    # dense axis with NaN->NULL at absent slots (what the severity left
+    # join sees either way)
+    assert len(readout) == 366 and len(rows) < 366
+    merged = readout.merge(rows, on=["cell_id", "doy"], how="left",
+                           suffixes=("_arr", "_row"))
+    present = merged["seas_row"].notna() | merged["thresh_row"].notna()
+    assert present.sum() == len(rows)
+    for c in ("seas", "thresh"):
+        np.testing.assert_allclose(
+            merged.loc[present, f"{c}_arr"].values.astype(float),
+            merged.loc[present, f"{c}_row"].values.astype(float),
+            atol=1e-12,
+            equal_nan=True,
+        )
+        # absent slots must read back NULL
+        assert merged.loc[~present, f"{c}_arr"].isna().all()
+
+
 def test_approx_percentile_escape_hatch(spark):
     # exact=False (the documented 100-TB fallback, SURVEY §4): sketch-
     # based threshold within a small tolerance of the exact one, for
