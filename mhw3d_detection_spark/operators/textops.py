@@ -239,6 +239,50 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return packed
 
 
+def connected_components_bounded(
+    edges: DataFrame,
+    iters: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the
+    near-dup pair graph by ``iters`` rounds of min-label propagation —
+    the step that turns pairwise near-dup hits into dedup groups (keep
+    min doc per component, drop the rest).
+
+    Each round: label(v) <- min(label(v), min over neighbors label(u)).
+    Labels converge to the component's min id once ``iters`` >= the
+    component diameter; LSH-derived components are band-bucket cliques
+    glued at shared docs, so small fixed ``iters`` suffices (callers at
+    scale loop until a round changes nothing — same plan per round).
+
+    Pure DataFrame ops: the symmetric edge list is shuffled on the
+    vertex key once per round (join + min-aggregate). No driver-side
+    state; the label frontier is O(vertices).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionByName(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    labels = (
+        sym.select("v")
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(iters):
+        # labels derives from sym -> alias both sides of the self-join
+        via_nb = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.u") == F.col("l.v"), "inner")
+            .select(F.col("e.v").alias("v"), F.col("l.label").alias("label"))
+        )
+        labels = (
+            labels.unionByName(via_nb)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     probe_pred: Column,

@@ -27,6 +27,7 @@ from mhw3d_detection_spark.operators.textops import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_M,
+    connected_components_bounded,
     exact_dedup,
     fingerprint,
     language_id,
@@ -145,8 +146,37 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 # =========================================================================
-# E2 — SimHash fingerprints
+# E2 — duplicate clusters: connected components of the LSH pair graph
 # =========================================================================
+_CC_ITER = (
+    "l{next} AS (SELECT x.v, min(x.label) AS label FROM "
+    "(SELECT v, label FROM l{cur} UNION ALL "
+    " SELECT e.v, l{cur}.label FROM e JOIN l{cur} ON e.u = l{cur}.v) x "
+    "GROUP BY 1)"
+)
+
+
+@register(
+    "q_dedup_components",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+    "  WHERE a.doc_id < b.doc_id), "
+    "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+    "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+    + ", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + " SELECT v AS doc_id, label AS component FROM l3",
+)
+def q_dedup_components(spark, sf_dir):
+    """E2 final stage: near-dup PAIRS (MinHash-LSH bucket collisions)
+    -> dedup GROUPS via 3 rounds of min-label propagation (bounded
+    connected components; LSH components are bucket cliques, diameter
+    tiny). Iterative DataFrame algorithm with an EXACT oracle: the
+    DuckDB side unrolls the same three join+min rounds, and labels are
+    integers, so the hash gate is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs, n_hashes=8, band_size=2))
+    return connected_components_bounded(pairs, iters=3)
 @register(
     "q_dedup_simhash",
     "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
