@@ -88,6 +88,48 @@ class TestDetrendPoly:
         assert resid == pytest.approx(0.0, abs=1e-6)
 
 
+class TestTwoPhaseRank:
+    def _events(self, spark, metrics):
+        rows = [(i % 3, i, float(v)) for i, v in enumerate(metrics)]
+        return spark.createDataFrame(
+            rows, "cell_id int, event_id int, intensity_max double"
+        )
+
+    def test_matches_reference_ranking_with_ties(self, spark):
+        # duplicates force the (cell_id, event_id) tie-break; result must
+        # equal the single-window row_number semantics exactly
+        vals = [5.0, 3.0, 5.0, 1.0, 3.0, 5.0, 2.0, 1.0]
+        ev = self._events(spark, vals)
+        got = {
+            r.event_id: (r.intensity_max_rank, r.intensity_max_return_period)
+            for r in rank_return_periods(ev, ["intensity_max"], n_years=7).collect()
+        }
+        rows = sorted(
+            ((v, i % 3, i) for i, v in enumerate(vals)),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        for rank, (v, cell, eid) in enumerate(rows, start=1):
+            assert got[eid] == (rank, pytest.approx(8.0 / rank))
+
+    def test_empty_and_single_row(self, spark):
+        empty = self._events(spark, [])
+        assert rank_return_periods(empty, ["intensity_max"], n_years=7).count() == 0
+        one = self._events(spark, [4.2])
+        r = rank_return_periods(one, ["intensity_max"], n_years=7).collect()[0]
+        assert r.intensity_max_rank == 1 and r.intensity_max_return_period == 8.0
+
+    def test_multi_metric_ranks_independent(self, spark):
+        ev = self._events(spark, [1.0, 2.0, 3.0]).withColumn(
+            "duration", 10.0 - F.col("intensity_max")
+        )
+        out = rank_return_periods(
+            ev, ["intensity_max", "duration"], n_years=4
+        ).collect()
+        by_id = {r.event_id: r for r in out}
+        assert by_id[2].intensity_max_rank == 1 and by_id[2].duration_rank == 3
+        assert by_id[0].intensity_max_rank == 3 and by_id[0].duration_rank == 1
+
+
 class TestDetrend:
     def test_removes_known_slope(self, spark):
         # y = 2 + 0.5*day -> detrended residual ~ 0 (mirrors the

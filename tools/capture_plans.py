@@ -1,0 +1,62 @@
+"""Regenerate docs/PLANS.md: captured `.explain("formatted")` trees for
+the headline plans at sf0.01. Usage:
+
+    python tools/capture_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mhw3d_detection_spark import queries as Q  # noqa: E402
+from mhw3d_detection_spark.session import get_spark  # noqa: E402
+
+PLANS = [
+    "q_mhw_pipeline",
+    "q_mhw_pipeline_dense",
+    "q_pooled_grid_clim",
+    "q_similarity_topk",
+    "q_dedup_minhash_pairs",
+    "q_dedup_embedding_lsh",
+    "q_event_rank_return",
+]
+
+HEADER = """# Physical plans — explain evidence
+
+Captured `.explain("formatted")` operator trees for the headline plans
+(sf0.01 inputs; regenerate with `python tools/capture_plans.py`). What
+to look for, per README's scale design: parquet scans carry
+PushedFilters / pruned ReadSchema; the clim dim enters severity via
+BroadcastHashJoin (one row per cell in the array form); grid pooling is
+ONE source scan behind the persisted day-group aggregate, with no
+exchange between the explode and the final aggregate; top-k shows the
+two-phase salted windows; ranking shows rangepartitioning + a
+per-partition rank (no single-partition window over the data). These
+shapes are pinned by tests/test_plan_shape.py.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plans")
+    out = [HEADER]
+    for name in PLANS:
+        df = Q.REGISTRY[name].spark_fn(spark, sf_dir)
+        tree = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # keep the operator tree, drop the verbose per-node detail dump
+        tree = tree.split("\n\n\n")[0].rstrip()
+        out.append(f"## {name}\n\n```\n{tree}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path} ({len(PLANS)} plans)")
+
+
+if __name__ == "__main__":
+    main()
