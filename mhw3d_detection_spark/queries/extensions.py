@@ -177,6 +177,40 @@ def q_dedup_components(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(minhash_signatures(docs, n_hashes=8, band_size=2))
     return connected_components_bounded(pairs, iters=3)
+
+
+# =========================================================================
+# E2 — dedup APPLIED: the surviving corpus after near-dup removal
+# =========================================================================
+@register(
+    "q_dedup_apply",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+    "  WHERE a.doc_id < b.doc_id), "
+    "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+    "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+    + ", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + ", drops AS (SELECT v AS doc_id FROM l3 WHERE v <> label) "
+    "SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars FROM documents d "
+    "LEFT JOIN drops x ON d.doc_id = x.doc_id WHERE x.doc_id IS NULL",
+)
+def q_dedup_apply(spark, sf_dir):
+    """E2 applied: the dedup pipeline's OUTPUT corpus — every document
+    except non-canonical members of a near-dup component (keep = min
+    doc_id per component; docs in no component survive untouched).
+    Signatures -> bucket pairs -> bounded components -> anti-join: the
+    shape a 100 TB curation job materializes. The drop list broadcasts
+    into a left-anti join; the corpus itself is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs, n_hashes=8, band_size=2))
+    comp = connected_components_bounded(pairs, iters=3)
+    drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", F.length("text").cast("int").alias("n_chars")
+    )
+
+
 @register(
     "q_dedup_simhash",
     "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
