@@ -101,6 +101,39 @@ def streaming_windowed_stats(
     )
 
 
+def streaming_severity(
+    stream: DataFrame,
+    clim: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """EP2 streaming twin: score a live sample stream against a STATIC
+    climatology — the stream-static broadcast join (each micro-batch
+    joins the dim table; no streaming state at all). The projection is
+    the batch ``calculate_severity`` contract: ``t_anom = temp - seas``,
+    ``severity = t_anom / (thresh - seas)`` NULL-guarded, plus the
+    exceedance flag that feeds the stateful detector downstream — i.e.
+    this is the operator that turns a raw sensor stream into the input
+    of :func:`streaming.stateful.streaming_detect_events_exact`.
+    """
+    from mhw3d_detection_spark.functions.calendar import clim_doy
+
+    joined = stream.withColumn("doy", clim_doy(F.col(time_col))).join(
+        F.broadcast(clim), [cell_col, "doy"], "left"
+    )
+    t_anom = F.col(temp_col) - F.col("seas")
+    denom = F.col("thresh") - F.col("seas")
+    return (
+        joined.withColumn("t_anom", t_anom)
+        .withColumn("severity", F.when(denom > 1e-9, t_anom / denom))
+        .withColumn(
+            "exceed", F.coalesce(F.col(temp_col) > F.col("thresh"), F.lit(False))
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],

@@ -13,6 +13,7 @@ from mhw3d_detection_spark.streaming import (
     streaming_dedup,
     streaming_detect_events_exact,
     streaming_event_sessions,
+    streaming_severity,
     streaming_windowed_stats,
 )
 
@@ -222,6 +223,62 @@ def test_stateful_exact_out_of_order_across_batches(spark, tmp_path):
     assert got[0].date_start == batch[0].date_start.date() == dt.date(2023, 1, 5)
     assert got[0].date_end == batch[0].date_end.date()
     assert got[0].duration == batch[0].duration
+
+
+def test_streaming_severity_into_stateful_detector(spark, tmp_path):
+    # the full streaming MHW pipeline: raw temp stream -> stream-static
+    # broadcast join against a static clim (EP2 twin) -> exceed flag ->
+    # stateful exact detector; result must equal the batch chain on the
+    # same data
+    day0 = dt.datetime(2020, 1, 1)
+    rows = [
+        (1, day0 + dt.timedelta(days=d), 20.0 + (5.0 if 10 <= d <= 20 else 0.0))
+        for d in range(60)
+    ]
+    schema = "cell_id int, time timestamp, temp double"
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "sevstream")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    clim = spark.createDataFrame(
+        [(1, doy, 20.0, 22.0) for doy in range(1, 367)],
+        "cell_id int, doy int, seas double, thresh double",
+    )
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    scored = streaming_severity(stream, clim)
+    out = streaming_detect_events_exact(
+        scored, min_duration=5, max_gap=2, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sevstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sevstream").orderBy("event_id").collect()
+
+    from mhw3d_detection_spark.operators.severity import calculate_severity
+    from mhw3d_detection_spark.operators.detection import exceedance
+
+    batch = (
+        detect_events(
+            exceedance(calculate_severity(df, clim)),
+            min_duration=5,
+            max_gap=2,
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    assert len(batch) == 1 and batch[0].duration == 11
+    assert len(got) == 1
+    assert got[0].date_start == batch[0].date_start.date()
+    assert got[0].date_end == batch[0].date_end.date()
+    assert got[0].duration == batch[0].duration
+    # severity values flow through the stream projection too
+    sev_rows = calculate_severity(df, clim).filter(F.col("severity") > 1).count()
+    assert sev_rows == 11
 
 
 def test_streaming_dedup(spark, flagged_parquet):
