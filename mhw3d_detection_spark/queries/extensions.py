@@ -640,3 +640,41 @@ def q_multimodal_meta(spark, sf_dir):
     this env); the schema/batch plumbing and the oracle check are real."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(documents_as_media(docs))
+
+
+# =========================================================================
+# E5 / U3 — one-to-many frame sampling (UDTF shape), exact oracle
+# =========================================================================
+@register(
+    "q_multimodal_frames",
+    # the corpus is pure ASCII (checked: octet_length(encode(text)) ==
+    # length(text) for every row), so VARCHAR chunking here equals the
+    # stub's byte chunking and md5(varchar) equals md5(utf8-bytes)
+    "WITH d AS (SELECT doc_id, text AS p FROM documents WHERE doc_id < 50), "
+    "idx AS (SELECT doc_id, p, "
+    "  unnest(generate_series(0, CAST(ceil(length(p) / 16.0) AS INT) - 1)) AS i "
+    "  FROM d), "
+    "f AS (SELECT doc_id, i, substring(p, i * 16 + 1, 16) AS frame_payload "
+    "  FROM idx WHERE i % 4 = 0) "
+    "SELECT doc_id, CAST(i AS INT) AS frame_idx, frame_payload, "
+    "substr(md5(frame_payload), 1, 16) AS frame_hash FROM f",
+)
+def q_multimodal_frames(spark, sf_dir):
+    """E5/U3: the one-to-many mapInPandas frame sampler — each media
+    row expands to one row per sampled 'frame' (every 4th 16-byte
+    chunk of the payload in the deterministic stub; pyav keyframes in
+    production). The expansion is narrow (inside the scan partition);
+    the stub's chunking/hashing is reproduced exactly in the DuckDB
+    oracle, so the UDTF surface is hash-checked, not just pytested.
+    Bounded to doc_id < 50 to keep the oracle compact; the binary frame
+    is cast to string for the cross-engine compare (ASCII corpus)."""
+    from mhw3d_detection_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    frames = sample_frames(documents_as_media(docs), every_n=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.col("frame_payload").cast("string").alias("frame_payload"),
+        "frame_hash",
+    )
