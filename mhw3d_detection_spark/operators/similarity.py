@@ -99,21 +99,29 @@ def kmeans_ivf_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Train an IVF coarse quantizer with Lloyd's k-means expressed as
     pure DataFrame ops — the iterative-algorithm shape at scale.
 
     Deterministic: centroids init from the k smallest ids. Each
     iteration is (assign: broadcast-join centroids, argmin distance) ->
-    (update: posexplode + groupBy(cluster, dim) elementwise mean). The
-    big table is scanned once per iteration, centroids stay driver-side
-    tiny; at 100 TB you run this on a sample, then one final assign
-    pass over everything.
+    (update: posexplode + groupBy(cluster, dim) elementwise mean).
+    ``sample_fraction`` is the 100 TB path: the iterative loop runs on
+    a seeded sample (only the sample is cached and rescanned per
+    iteration) and the full corpus pays exactly ONE final assign pass
+    against the trained centroids. Without it the full table is scanned
+    once per iteration.
 
     Returns ``(vec_id, bucket)`` assignments after ``iters`` rounds.
     """
-    base = emb.select(
+    full = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    base = (
+        full.sample(fraction=sample_fraction, seed=42)
+        if sample_fraction is not None
+        else full
     ).persist()
     # Deterministic init from the k smallest ids via orderBy().limit(k):
     # plans as TakeOrderedAndProject (per-partition top-k + driver merge
@@ -125,13 +133,13 @@ def kmeans_ivf_train(
         .select((F.col("__r") - 1).alias("bucket"), F.col("v").alias("c"))
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    def assign(centroids: DataFrame, src: DataFrame) -> DataFrame:
         d2 = F.aggregate(
             F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        scored = base.crossJoin(F.broadcast(centroids)).withColumn("__d2", d2)
+        scored = src.crossJoin(F.broadcast(centroids)).withColumn("__d2", d2)
         best = Window.partitionBy("vec_id").orderBy("__d2", "bucket")
         return (
             scored.withColumn("__rn", F.row_number().over(best))
@@ -140,7 +148,7 @@ def kmeans_ivf_train(
         )
 
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = assign(cents, base)
         cents = (
             assigned.select("bucket", F.posexplode("v").alias("dim", "x"))
             .groupBy("bucket", "dim")
@@ -155,7 +163,9 @@ def kmeans_ivf_train(
                 "bucket", F.transform(F.col("__dm"), lambda s: s["m"]).alias("c")
             )
         )
-    out = assign(cents).select("vec_id", "bucket")
+    # the ONE full-corpus pass (identical to the loop's pass when no
+    # sample was taken)
+    out = assign(cents, full).select("vec_id", "bucket")
     base.unpersist()
     return out
 
