@@ -241,15 +241,21 @@ def q_topk_events(spark, sf_dir):
 )
 def q_sort_events(spark, sf_dir):
     """O1 sort: canonical total order (value desc, event_id) surfaced
-    as a rank column. Note: the single-partition global window is the
-    test-scale form; at 100 TB rank-by-sort = orderBy + zipWithIndex or
-    per-partition offsets."""
+    as a rank column via the distributed two-phase rank
+    (operators.analysis._global_row_number: range-repartition +
+    per-partition rank + broadcast prefix-sum offsets — no
+    single-partition window over the data)."""
+    from mhw3d_detection_spark.operators.analysis import _global_row_number
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.desc("value"), "event_id")
-    return (
-        ev.select("event_id", "value", F.row_number().over(w).cast("long").alias("pos"))
-        .filter(F.col("pos") <= 500)
+    ranked = _global_row_number(
+        ev.select("event_id", "value"),
+        [F.desc("value"), F.col("event_id")],
+        "pos",
     )
+    return ranked.select(
+        "event_id", "value", F.col("pos").cast("long").alias("pos")
+    ).filter(F.col("pos") <= 500)
 
 
 # --- O3: union all ---
