@@ -102,12 +102,27 @@ def test_grid_mode_no_baseline_edges_unwrapped(spark):
     np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
 
 
-def test_arrays_valid_mode_matches_row_path(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "keep",
+    [
+        # 360-day-ish tail cut + mid-year hole (the M3 shape)
+        lambda d: (d <= 350) & ~((d >= 100) & (d <= 120)),
+        # dense: every doy present (valid must equal full-mode wrap)
+        lambda d: d > 0,
+        # extreme sparsity: one 11-day season -> valid sequence shorter
+        # than the 31-wide smoother (edge-truncated windows)
+        lambda d: (d >= 50) & (d <= 60),
+    ],
+)
+def test_arrays_valid_mode_matches_row_path(spark, keep):
     # clim_arrays(smooth_mode="valid") must reproduce the row path
     # (densify -> feb29 -> smooth_doy_circular mode="valid") slot for
-    # slot on SPARSE DOY data — including NaN poisoning and the
-    # compressed-circular wrap. Drop DOYs > 350 and a mid-year block to
-    # make the valid sequence genuinely sparse.
+    # slot on SPARSE DOY data — including NaN poisoning, the
+    # compressed-circular wrap, and edge-truncated windows when the
+    # valid sequence is shorter than the smoothing width.
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -115,7 +130,7 @@ def test_arrays_valid_mode_matches_row_path(spark):
 
     pdf = oliver_synthetic()
     doy_np = pd.DatetimeIndex(pdf["time"]).dayofyear
-    pdf = pdf[(doy_np <= 350) & ~((doy_np >= 100) & (doy_np <= 120))]
+    pdf = pdf[keep(doy_np)]
 
     kw = dict(baseline=(1983, 2012), pool_mode="grid", smooth_mode="valid")
     rows = (
@@ -141,7 +156,7 @@ def test_arrays_valid_mode_matches_row_path(spark):
     # the row path emits only PRESENT doys; the arrays form covers the
     # dense axis with NaN->NULL at absent slots (what the severity left
     # join sees either way)
-    assert len(readout) == 366 and len(rows) < 366
+    assert len(readout) == 366 and len(rows) <= 366
     merged = readout.merge(rows, on=["cell_id", "doy"], how="left",
                            suffixes=("_arr", "_row"))
     present = merged["seas_row"].notna() | merged["thresh_row"].notna()
