@@ -718,7 +718,8 @@ def q_apply_in_pandas_kernel(spark, sf_dir):
 # peaks, categories and onset/decline rates — every stage re-derived in
 # ANSI SQL so the flagship is hash-checked end to end, not rows-only.
 _PDOY = clim_doy_sql("od.time")
-PIPE_SQL = (
+#: head: grid-pooled clim, densified, Feb-29-interpolated (through d2)
+PIPE_HEAD_SQL = (
     f"od AS ({ORDERS_DAILY_SQL}), "
     # grid pooling, baseline 1995-2000, +/-5, excluding target doy 60
     f"s AS (SELECT cell_id, time, temp, {clim_doy_sql('time')} AS d, year(time) AS y "
@@ -730,7 +731,7 @@ PIPE_SQL = (
     "    AND ((s.d + o.o - 1 + 366) % 366) + 1 <> 60), "
     "cg AS (SELECT cell_id, doy, avg(temp) AS seas, "
     "  quantile_cont(temp, 0.9) AS thresh FROM pool GROUP BY 1, 2), "
-    # densify to 1..366, Feb-29 interpolation, 31-day circular smooth
+    # densify to 1..366, Feb-29 interpolation
     "spine AS (SELECT DISTINCT cell_id, g.d AS doy FROM cg, "
     "  (SELECT unnest(generate_series(1, 366)) AS d) g), "
     "dense AS (SELECT sp.cell_id, sp.doy, c.seas, c.thresh FROM spine sp "
@@ -743,6 +744,9 @@ PIPE_SQL = (
     "  CASE WHEN d.doy = 60 THEN f.s60 ELSE d.seas END AS seas, "
     "  CASE WHEN d.doy = 60 THEN f.t60 ELSE d.thresh END AS thresh "
     "  FROM dense d LEFT JOIN f29 f ON d.cell_id = f.cell_id), "
+)
+#: dense-366 smoother (smooth_mode="full"): NULL slots poison windows
+PIPE_SMOOTH_FULL_SQL = (
     "copies AS (SELECT cell_id, doy, seas, thresh, doy + 366 * o.o AS pos FROM d2, "
     "  (SELECT unnest([-1, 0, 1]) AS o) o), "
     "smw AS (SELECT cell_id, doy, pos, "
@@ -752,21 +756,46 @@ PIPE_SQL = (
     "  ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)), "
     "clim AS (SELECT cell_id, doy, CASE WHEN sn = 0 THEN sa END AS seas, "
     "  CASE WHEN tn = 0 THEN ta END AS thresh FROM smw WHERE pos BETWEEN 1 AND 366), "
-    # severity join + exceedance
+)
+#: compressed-circular smoother (smooth_mode="valid", M3/Ly): only the
+#: PRESENT doys smooth, circularly in their own sequence — the two tails
+#: coincide on dense data (sf0.01) but diverge when DOYs are absent
+#: (sf0.001), so each pipeline query declares its matching tail
+PIPE_SMOOTH_VALID_SQL = (
+    "v AS (SELECT cell_id, doy, seas, thresh, "
+    "  row_number() OVER (PARTITION BY cell_id ORDER BY doy) AS p, "
+    "  count(*) OVER (PARTITION BY cell_id) AS n FROM d2 "
+    "  WHERE seas IS NOT NULL OR thresh IS NOT NULL), "
+    "copies AS (SELECT cell_id, doy, seas, thresh, n, p + n * o.o AS pos FROM v, "
+    "  (SELECT unnest([-1, 0, 1]) AS o) o), "
+    "smw AS (SELECT cell_id, doy, pos, n, "
+    "  avg(seas) OVER w AS sa, sum(CASE WHEN seas IS NULL THEN 1 ELSE 0 END) OVER w AS sn, "
+    "  avg(thresh) OVER w AS ta, sum(CASE WHEN thresh IS NULL THEN 1 ELSE 0 END) OVER w AS tn "
+    "  FROM copies WINDOW w AS (PARTITION BY cell_id ORDER BY pos "
+    "  ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING)), "
+    "clim AS (SELECT cell_id, doy, CASE WHEN sn = 0 THEN sa END AS seas, "
+    "  CASE WHEN tn = 0 THEN ta END AS thresh FROM smw WHERE pos BETWEEN 1 AND n), "
+)
+#: severity join + exceedance (shared tail)
+PIPE_FL_SQL = (
     "fl AS (SELECT od.cell_id, od.time, od.temp, c.seas, c.thresh, "
     "  coalesce(od.temp > c.thresh, false) AS exceed "
     f"  FROM od LEFT JOIN clim c ON od.cell_id = c.cell_id AND {_PDOY} = c.doy)"
 )
+PIPE_SQL = PIPE_HEAD_SQL + PIPE_SMOOTH_VALID_SQL + PIPE_FL_SQL
+PIPE_SQL_DENSE = PIPE_HEAD_SQL + PIPE_SMOOTH_FULL_SQL + PIPE_FL_SQL
 PIPE_EV_SQL = PIPE_SQL + RUNS_SQL[len(FL_SQL):] + EV_SQL[len(RUNS_SQL):]
+PIPE_EV_SQL_DENSE = (
+    PIPE_SQL_DENSE + RUNS_SQL[len(FL_SQL):] + EV_SQL[len(RUNS_SQL):]
+)
 
 
-#: the full flagship oracle — shared by q_mhw_pipeline (row-form clim,
-#: smooth_mode="valid") and q_mhw_pipeline_dense (dense-array clim,
-#: smooth_mode="full"): on this dense daily series every DOY is present,
-#: so the compressed-circular and dense-366 smoothers coincide and both
-#: engines must produce identical events.
-PIPE_METRICS_SQL = (
-    f"WITH {PIPE_EV_SQL}, "
+#: the full flagship metrics tail, parameterized by the events chain so
+#: q_mhw_pipeline (compressed-circular smoother) and
+#: q_mhw_pipeline_dense (dense-366 smoother) each get the oracle that
+#: matches THEIR smoothing semantics — the two coincide on dense daily
+#: data (sf0.01) but diverge when DOYs are absent (sf0.001).
+_PIPE_METRICS_TAIL = (
     "flx AS (SELECT *, temp - seas AS rel_seas, "
     "  (temp - thresh) / (thresh - seas) AS rel_tn, "
     "  lag(temp - seas) OVER w AS prev_rs, lead(temp - seas) OVER w AS next_rs, "
@@ -820,6 +849,8 @@ PIPE_METRICS_SQL = (
     "JOIN pkc k ON a.cell_id = k.cell_id AND a.event_id = k.event_id "
     "JOIN edges e ON a.cell_id = e.cell_id AND a.event_id = e.event_id"
 )
+PIPE_METRICS_SQL = f"WITH {PIPE_EV_SQL}, " + _PIPE_METRICS_TAIL
+PIPE_METRICS_SQL_DENSE = f"WITH {PIPE_EV_SQL_DENSE}, " + _PIPE_METRICS_TAIL
 
 
 def _pipeline_select(m):
@@ -861,7 +892,7 @@ def q_mhw_pipeline(spark, sf_dir):
     return _pipeline_select(m)
 
 
-@register("q_mhw_pipeline_dense", PIPE_METRICS_SQL)
+@register("q_mhw_pipeline_dense", PIPE_METRICS_SQL_DENSE)
 def q_mhw_pipeline_dense(spark, sf_dir):
     """The DEFAULT detect_mhw plan: smooth_mode="full" selects the
     dense-array clim tail (pooled_climatology(output="arrays") ->
@@ -888,7 +919,8 @@ def q_mhw_pipeline_dense(spark, sf_dir):
 # M1 — cold-spell mode: the FULL pooled-clim pipeline on negated input,
 # oracle = the flagship pipeline SQL with -temp spliced in at the scan
 # =========================================================================
-_COLD_PIPE_EV_SQL = PIPE_EV_SQL.replace(
+# dense tail: q_cold_spells runs detect_mhw's default smooth_mode="full"
+_COLD_PIPE_EV_SQL = PIPE_EV_SQL_DENSE.replace(
     f"od AS ({ORDERS_DAILY_SQL}), ",
     f"od0 AS ({ORDERS_DAILY_SQL}), "
     "od AS (SELECT cell_id, time, -temp AS temp FROM od0), ",
