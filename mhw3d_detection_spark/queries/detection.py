@@ -718,10 +718,9 @@ def q_apply_in_pandas_kernel(spark, sf_dir):
 # peaks, categories and onset/decline rates — every stage re-derived in
 # ANSI SQL so the flagship is hash-checked end to end, not rows-only.
 _PDOY = clim_doy_sql("od.time")
-#: head: grid-pooled clim, densified, Feb-29-interpolated (through d2)
-PIPE_HEAD_SQL = (
+#: grid pooling, baseline 1995-2000, +/-5, excluding target doy 60
+PIPE_POOL_GRID_SQL = (
     f"od AS ({ORDERS_DAILY_SQL}), "
-    # grid pooling, baseline 1995-2000, +/-5, excluding target doy 60
     f"s AS (SELECT cell_id, time, temp, {clim_doy_sql('time')} AS d, year(time) AS y "
     "  FROM od WHERE year(time) BETWEEN 1995 AND 2000), "
     "pool AS (SELECT s.cell_id, ((s.d + o.o - 1 + 366) % 366) + 1 AS doy, s.temp "
@@ -729,9 +728,12 @@ PIPE_HEAD_SQL = (
     "  WHERE (s.y + CASE WHEN s.d + o.o > 366 THEN 1 "
     "                    WHEN s.d + o.o < 1 THEN -1 ELSE 0 END) BETWEEN 1995 AND 2000 "
     "    AND ((s.d + o.o - 1 + 366) % 366) + 1 <> 60), "
+)
+#: clim aggregate + densify to 1..366 + Feb-29 interpolation (shared by
+#: every pooling head — expects a `pool(cell_id, doy, temp)` CTE)
+PIPE_DENSIFY_SQL = (
     "cg AS (SELECT cell_id, doy, avg(temp) AS seas, "
     "  quantile_cont(temp, 0.9) AS thresh FROM pool GROUP BY 1, 2), "
-    # densify to 1..366, Feb-29 interpolation
     "spine AS (SELECT DISTINCT cell_id, g.d AS doy FROM cg, "
     "  (SELECT unnest(generate_series(1, 366)) AS d) g), "
     "dense AS (SELECT sp.cell_id, sp.doy, c.seas, c.thresh FROM spine sp "
@@ -745,6 +747,8 @@ PIPE_HEAD_SQL = (
     "  CASE WHEN d.doy = 60 THEN f.t60 ELSE d.thresh END AS thresh "
     "  FROM dense d LEFT JOIN f29 f ON d.cell_id = f.cell_id), "
 )
+#: head: grid-pooled clim, densified, Feb-29-interpolated (through d2)
+PIPE_HEAD_SQL = PIPE_POOL_GRID_SQL + PIPE_DENSIFY_SQL
 #: dense-366 smoother (smooth_mode="full"): NULL slots poison windows
 PIPE_SMOOTH_FULL_SQL = (
     "copies AS (SELECT cell_id, doy, seas, thresh, doy + 366 * o.o AS pos FROM d2, "
@@ -911,6 +915,54 @@ def q_mhw_pipeline_dense(spark, sf_dir):
         with_rates=True,
         with_categories=True,
         pool_mode="grid",
+    )
+    return _pipeline_select(m)
+
+
+# =========================================================================
+# Flagship, series-mode pooling — the vendored-Oliver index-window
+# semantics end to end (the third pipeline combination: grid+valid and
+# grid+full are covered above; this is series+full)
+# =========================================================================
+#: +/-5 series-position pooling (marineHeatWaves.py:266-281): bucket
+#: owners are baseline non-Feb-29 rows; every row within +/-5 positions
+#: contributes
+PIPE_POOL_SERIES_SQL = (
+    f"od AS ({ORDERS_DAILY_SQL}), "
+    f"s AS (SELECT cell_id, time, temp, {clim_doy_sql('time')} AS doy, "
+    "  row_number() OVER (PARTITION BY cell_id ORDER BY time) AS rn FROM od), "
+    "pool AS (SELECT b.cell_id, b.doy, t.temp FROM s b "
+    "  JOIN s t ON t.cell_id = b.cell_id AND t.rn BETWEEN b.rn - 5 AND b.rn + 5 "
+    "  WHERE b.doy <> 60 AND year(b.time) BETWEEN 1995 AND 2000), "
+)
+SERIES_PIPE_EV_SQL = (
+    PIPE_POOL_SERIES_SQL
+    + PIPE_DENSIFY_SQL
+    + PIPE_SMOOTH_FULL_SQL
+    + PIPE_FL_SQL
+    + RUNS_SQL[len(FL_SQL):]
+    + EV_SQL[len(RUNS_SQL):]
+)
+
+
+@register(
+    "q_mhw_pipeline_series",
+    f"WITH {SERIES_PIPE_EV_SQL}, " + _PIPE_METRICS_TAIL,
+)
+def q_mhw_pipeline_series(spark, sf_dir):
+    """The full pipeline under pool_mode="series" (the vendored Oliver
+    index-window convention, one per-cell window sort) with the default
+    dense-array smoother — the remaining pooling x smoothing
+    combination, hash-checked end to end like the other two."""
+    od = orders_daily(spark, sf_dir)
+    m = detect_mhw(
+        od,
+        baseline=(1995, 2000),
+        min_duration=MIN_DUR,
+        max_gap=MAX_GAP,
+        with_rates=True,
+        with_categories=True,
+        pool_mode="series",
     )
     return _pipeline_select(m)
 
