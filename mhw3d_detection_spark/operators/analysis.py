@@ -278,7 +278,15 @@ def _global_row_number(df: DataFrame, sort_cols, out_col: str) -> DataFrame:
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*sort_cols)
-    d = d.withColumn("__lr", F.row_number().over(w_local))
+    # PERSIST is load-bearing, not a cache hint: the ranked table feeds
+    # two consumers (the count-per-partition branch and the final join),
+    # and without the barrier Catalyst specializes each branch's
+    # subtree (column pruning), exchange reuse stops firing, and the
+    # two branches would execute repartitionByRange INDEPENDENTLY —
+    # whose sampled boundaries are not guaranteed identical across
+    # executions, silently corrupting the offsets. The cached table is
+    # the events-scale input (orders of magnitude below the series).
+    d = d.withColumn("__lr", F.row_number().over(w_local)).persist()
     # tiny: one row per range partition; prefix sum over it is bounded
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
