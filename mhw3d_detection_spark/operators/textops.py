@@ -16,7 +16,7 @@ near-dup (O(n^2)) into an equi-join on (band, signature) buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
@@ -237,6 +237,44 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("simhash")
     )
     return packed
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible content-keyed sampling: keep a row iff the md5-derived
+    uniform of its key falls under ``rate``. Unlike ``df.sample`` (seeded
+    per-partition RNG — resampling changes with partitioning/layout),
+    the decision is a pure function of the KEY: the same document is
+    in/out of the sample across reruns, repartitions, engines and data
+    layouts — the property a reproducible training-data pipeline needs.
+    Narrow (a filter), trivially pushed to the scan."""
+    u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 48))
+    return docs.filter(u < rate)
+
+
+def stratified_quota(
+    docs_with_group: DataFrame,
+    quota: int,
+    group_col: str = "lang_pred",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quota sampling: keep at most ``quota`` rows per group,
+    chosen by the deterministic md5 order of the key (so the selection
+    is stable under reruns and layout, like :func:`deterministic_sample`).
+    One window partitioned BY GROUP — parallel across groups; skewed
+    groups bound their own partition at quota candidates."""
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, key_col)
+    return (
+        docs_with_group.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
 
 
 def connected_components_bounded(

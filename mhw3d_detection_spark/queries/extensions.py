@@ -28,6 +28,7 @@ from mhw3d_detection_spark.operators.textops import (
     MINHASH_B,
     MINHASH_M,
     connected_components_bounded,
+    deterministic_sample,
     exact_dedup,
     fingerprint,
     language_id,
@@ -35,6 +36,7 @@ from mhw3d_detection_spark.operators.textops import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
+    stratified_quota,
     text_stats,
     tokenize,
 )
@@ -623,6 +625,46 @@ def q_text_fingerprint(spark, sf_dir):
     content fingerprint (bag-of-words canonical form)."""
     docs = load_table(spark, sf_dir, "documents")
     return fingerprint(docs)
+
+
+# =========================================================================
+# E6 — reproducible sampling (content-keyed + stratified quotas)
+# =========================================================================
+@register(
+    "q_sample_deterministic",
+    "SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents "
+    "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+    f"/ {float(1 << 48)!r} < 0.3",
+)
+def q_sample_deterministic(spark, sf_dir):
+    """E6: content-keyed 30% sample — keep iff the md5-derived uniform
+    of doc_id < rate. Unlike seeded per-partition RNG sampling, the
+    decision is a pure function of the key: stable across reruns,
+    repartitions and engines (which is WHY the DuckDB oracle can check
+    it row-for-row). A narrow filter — pushes to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, rate=0.3).select(
+        "doc_id", F.length("text").cast("int").alias("n_chars")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    f"c AS (SELECT doc_id, {_LANG_SQL_COUNTS} FROM tok GROUP BY 1), "
+    f"lp AS (SELECT doc_id, {_LANG_SQL_PRED} AS lang_pred FROM c), "
+    "rk AS (SELECT doc_id, lang_pred, row_number() OVER (PARTITION BY lang_pred "
+    "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM lp) "
+    "SELECT doc_id, lang_pred FROM rk WHERE rk <= 20",
+)
+def q_sample_stratified(spark, sf_dir):
+    """E6: stratified quota — at most 20 docs per predicted language,
+    chosen by the deterministic md5 order of doc_id (stable selection,
+    balanced corpus). The window partitions BY GROUP, so the plan is
+    parallel across strata — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = language_id(docs).select("doc_id", "lang_pred")
+    return stratified_quota(langs, quota=20).select("doc_id", "lang_pred")
 
 
 # =========================================================================
