@@ -163,3 +163,36 @@ class TestMultimodal:
         assert out[0].phash == out[1].phash  # identical payloads
         assert out[0].phash != out[3].phash
         assert len(out[0].phash) == 16
+
+
+class TestReproducibleSampling:
+    def test_layout_independence(self, spark):
+        # the whole point vs df.sample: identical membership under any
+        # partitioning/order
+        from mhw3d_detection_spark.operators.textops import deterministic_sample
+
+        docs = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text")
+        )
+        a = {r.doc_id for r in deterministic_sample(docs, 0.3).collect()}
+        b = {
+            r.doc_id
+            for r in deterministic_sample(
+                docs.repartition(7).orderBy(F.desc("doc_id")), 0.3
+            ).collect()
+        }
+        assert a == b
+        assert 0.2 < len(a) / 1000 < 0.4  # md5 uniform lands near the rate
+
+    def test_stratified_quota_stable_and_capped(self, spark):
+        from mhw3d_detection_spark.operators.textops import stratified_quota
+
+        rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang_pred string")
+        out = stratified_quota(df, quota=10)
+        counts = {r.lang_pred: r.n for r in out.groupBy("lang_pred").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert all(v == 10 for v in counts.values())
+        again = {(r.doc_id, r.lang_pred) for r in stratified_quota(
+            df.repartition(5), quota=10).collect()}
+        assert again == {(r.doc_id, r.lang_pred) for r in out.collect()}
