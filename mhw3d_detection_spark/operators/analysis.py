@@ -116,6 +116,7 @@ def detrend_poly(
     best_practice/climatology.py:43-75: ``polyfit(deg=deg)`` on the
     baseline period, ``polyval`` over the full record, subtract).
 
+    - deg=0 subtracts the per-cell baseline mean (polyfit's constant);
     - deg=1 delegates to :func:`detrend_linear` (regr_* closed form);
     - deg=2 is the closed-form normal equations over per-cell moments of
       the CENTERED abscissa (u = x - mean(x) keeps the 3x3 system well
@@ -125,6 +126,18 @@ def detrend_poly(
       ``np.polyfit`` kernel — a dense Vandermonde lstsq has no stable
       closed form worth hand-rolling in SQL).
     """
+    if deg < 0:
+        raise ValueError(f"deg must be >= 0, got {deg}")
+    if deg == 0:
+        fit_src = ts.filter(F.col(temp_col).isNotNull())
+        if baseline is not None:
+            fit_src = fit_src.filter(F.year(time_col).between(*baseline))
+        mean = fit_src.groupBy(cell_col).agg(F.avg(temp_col).alias("__m0"))
+        return (
+            ts.join(F.broadcast(mean), [cell_col], "left")
+            .withColumn(out_col, F.col(temp_col) - F.col("__m0"))
+            .drop("__m0")
+        )
     if deg == 1:
         return detrend_linear(
             ts,
@@ -151,7 +164,8 @@ def detrend_poly(
                 out[f"c{i}"] = [float(c)]
             return pd.DataFrame(out)
 
-        schema = f"{cell_col} bigint, " + ", ".join(
+        cell_type = ts.schema[cell_col].dataType.simpleString()
+        schema = f"{cell_col} {cell_type}, " + ", ".join(
             f"c{i} double" for i in range(deg + 1)
         )
         coefs = fit_src.groupBy(cell_col).applyInPandas(fit, schema=schema)
@@ -190,7 +204,10 @@ def detrend_poly(
     det = m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)
     det_a = p0 * (m2 * m4 - m3 * m3) - m1 * (p1 * m4 - m3 * p2) + m2 * (p1 * m3 - m2 * p2)
     det_b = m0 * (p1 * m4 - m3 * p2) - p0 * (m1 * m4 - m3 * m2) + m2 * (m1 * p2 - p1 * m2)
-    det_c = m0 * (m2 * p2 - m3 * p1) - m1 * (m1 * p2 - m3 * p0) + p0 * (m1 * m3 - m2 * m2)
+    # middle cofactor is (m1*p2 - p1*m2) — the m1-multiplied term is
+    # analytically ~0 under centering, so a wrong minor here would be
+    # masked in both engines simultaneously; keep the expansion exact
+    det_c = m0 * (m2 * p2 - m3 * p1) - m1 * (m1 * p2 - p1 * m2) + p0 * (m1 * m3 - m2 * m2)
     fit2 = m.select(
         cell_col,
         (det_a / det).alias("__a"),
@@ -285,7 +302,10 @@ def _global_row_number(df: DataFrame, sort_cols, out_col: str) -> DataFrame:
     # two branches would execute repartitionByRange INDEPENDENTLY —
     # whose sampled boundaries are not guaranteed identical across
     # executions, silently corrupting the offsets. The cached table is
-    # the events-scale input (orders of magnitude below the series).
+    # the events-scale input (orders of magnitude below the series);
+    # the entry stays until the caller's session drops it
+    # (spark.catalog.clearCache) — there is no point in the lazy plan
+    # where this function could safely unpersist it itself.
     d = d.withColumn("__lr", F.row_number().over(w_local)).persist()
     # tiny: one row per range partition; prefix sum over it is bounded
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

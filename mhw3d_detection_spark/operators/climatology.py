@@ -433,11 +433,13 @@ def pooled_climatology(
     persisting, the expensive pool+percentile subtree re-executes once
     per branch (measured: 4x scans of the source at sf0.1).
 
-    output="arrays" returns ONE row per cell with dense 366-slot
-    seas/thresh arrays (see :func:`clim_arrays`); it requires
-    smooth_mode="full" and densify=True (raises otherwise), and
-    materialize is a no-op for this form (single consumer; the severity
-    broadcast materializes it).
+    output="arrays" returns ONE row per cell: dense 366-slot
+    seas/thresh arrays for smooth_mode="full", doy->value maps for
+    smooth_mode="valid" (see :func:`clim_arrays` — both read back with
+    the same ``element_at``). densify=False raises (the form is
+    inherently dense); materialize still controls the grid-mode
+    day-group barrier but the clim output itself is not persisted
+    (single consumer; the severity broadcast materializes it).
     """
     doy = clim_doy(F.col(time_col))
     d = ts.select(

@@ -164,10 +164,13 @@ def kmeans_ivf_train(
             )
         )
     # the ONE full-corpus pass (identical to the loop's pass when no
-    # sample was taken)
-    out = assign(cents, full).select("vec_id", "bucket")
-    base.unpersist()
-    return out
+    # sample was taken). base stays persisted: unpersisting here would
+    # be BEFORE any action runs (the whole train is one lazy plan), so
+    # the cache would never materialize and every nested iteration
+    # would rescan the source. The entry lives until the caller's
+    # session clears it (spark.catalog.clearCache, or a short-lived
+    # job session — the normal shape for a training run).
+    return assign(cents, full).select("vec_id", "bucket")
 
 
 def rhp_signs(n_bits: int, dim: int) -> list[list[float]]:

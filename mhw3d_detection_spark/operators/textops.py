@@ -265,15 +265,29 @@ def stratified_quota(
 ) -> DataFrame:
     """Per-group quota sampling: keep at most ``quota`` rows per group,
     chosen by the deterministic md5 order of the key (so the selection
-    is stable under reruns and layout, like :func:`deterministic_sample`).
-    One window partitioned BY GROUP — parallel across groups; skewed
-    groups bound their own partition at quota candidates."""
+    is stable under reruns and layout, like
+    :func:`deterministic_sample`).
+
+    Two-phase salted top-k (same pattern as the similarity top-k): a
+    single window partitioned by group alone would funnel EVERY row of
+    a skewed stratum (think: 90 % of a corpus predicted 'en') through
+    one partition. Phase 1 ranks within (group, salt) — corpus-wide
+    parallelism, keeps <= quota per salt; phase 2 ranks the surviving
+    <= SALTS x quota rows per group. Identical output, no hot
+    partition."""
+    SALTS = 64
     h = F.md5(F.col(key_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(h, key_col)
+    salt = F.pmod(F.hash(F.col(key_col)), F.lit(SALTS))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy("__h", key_col)
+    w2 = Window.partitionBy(group_col).orderBy("__h", key_col)
     return (
-        docs_with_group.withColumn("__rk", F.row_number().over(w))
+        docs_with_group.withColumn("__h", h)
+        .withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= quota)
+        .withColumn("__rk", F.row_number().over(w2))
         .filter(F.col("__rk") <= quota)
-        .drop("__rk")
+        .drop("__h", "__salt", "__r1", "__rk")
     )
 
 

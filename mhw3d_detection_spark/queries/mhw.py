@@ -701,7 +701,7 @@ def q_detrend_linear(spark, sf_dir):
     "  / (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)) AS ca, "
     "  (m0 * (p1 * m4 - m3 * p2) - p0 * (m1 * m4 - m3 * m2) + m2 * (m1 * p2 - p1 * m2)) "
     "  / (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)) AS cb, "
-    "  (m0 * (m2 * p2 - m3 * p1) - m1 * (m1 * p2 - m3 * p0) + p0 * (m1 * m3 - m2 * m2)) "
+    "  (m0 * (m2 * p2 - m3 * p1) - m1 * (m1 * p2 - p1 * m2) + p0 * (m1 * m3 - m2 * m2)) "
     "  / (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2) + m2 * (m1 * m3 - m2 * m2)) AS cc "
     "  FROM m) "
     "SELECT x.cell_id, x.time, "

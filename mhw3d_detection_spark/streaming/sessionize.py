@@ -108,26 +108,36 @@ def streaming_severity(
     cell_col: str = "cell_id",
     time_col: str = "time",
     temp_col: str = "temp",
+    mode: str = "legacy",
 ) -> DataFrame:
     """EP2 streaming twin: score a live sample stream against a STATIC
     climatology — the stream-static broadcast join (each micro-batch
-    joins the dim table; no streaming state at all). The projection is
-    the batch ``calculate_severity`` contract: ``t_anom = temp - seas``,
-    ``severity = t_anom / (thresh - seas)`` NULL-guarded, plus the
+    joins the dim table; no streaming state at all). The projection
+    reuses the exact batch severity kernels (``functions.scalar``),
+    same ``mode`` default as ``calculate_severity``, plus the
     exceedance flag that feeds the stateful detector downstream — i.e.
     this is the operator that turns a raw sensor stream into the input
     of :func:`streaming.stateful.streaming_detect_events_exact`.
     """
     from mhw3d_detection_spark.functions.calendar import clim_doy
+    from mhw3d_detection_spark.functions.scalar import (
+        severity_best_practice,
+        severity_legacy,
+    )
 
     joined = stream.withColumn("doy", clim_doy(F.col(time_col))).join(
         F.broadcast(clim), [cell_col, "doy"], "left"
     )
     t_anom = F.col(temp_col) - F.col("seas")
-    denom = F.col("thresh") - F.col("seas")
+    if mode == "legacy":
+        sev = severity_legacy(t_anom, F.col("thresh"), F.col("seas"))
+    elif mode == "best_practice":
+        sev = severity_best_practice(t_anom, F.col("thresh"), F.col("seas"))
+    else:
+        raise ValueError(f"unknown severity mode {mode!r}")
     return (
         joined.withColumn("t_anom", t_anom)
-        .withColumn("severity", F.when(denom > 1e-9, t_anom / denom))
+        .withColumn("severity", sev)
         .withColumn(
             "exceed", F.coalesce(F.col(temp_col) > F.col("thresh"), F.lit(False))
         )

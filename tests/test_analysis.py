@@ -87,6 +87,14 @@ class TestDetrendPoly:
         resid = out.agg(F.max(F.abs("temp_detrended"))).first()[0]
         assert resid == pytest.approx(0.0, abs=1e-6)
 
+    def test_deg0_demeans(self, spark):
+        out = detrend_poly(_series(spark, [4.0, 6.0, 8.0]), deg=0).orderBy("time")
+        assert [r.temp_detrended for r in out.collect()] == [-2.0, 0.0, 2.0]
+
+    def test_negative_deg_raises(self, spark):
+        with pytest.raises(ValueError):
+            detrend_poly(_series(spark, [1.0]), deg=-1)
+
 
 class TestTwoPhaseRank:
     def _events(self, spark, metrics):
