@@ -628,6 +628,42 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 # =========================================================================
+# E4 — unigram LM log-probability (the perplexity-filter shape)
+# =========================================================================
+@register(
+    "q_text_logprob",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "uni AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1), "
+    "tot AS (SELECT sum(tf) AS n FROM uni), "
+    "scored AS (SELECT t.doc_id, ln(u.tf / (1.0 * tot.n)) AS lp "
+    "  FROM tok t JOIN uni u ON t.token = u.token CROSS JOIN tot) "
+    f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, {rq_sql('avg(lp)', 4)} AS mean_logprob "
+    "FROM scored GROUP BY 1",
+)
+def q_text_logprob(spark, sf_dir):
+    """E4: mean unigram log-probability per document under the corpus's
+    own unigram LM — the shape of a perplexity quality filter (CCNet
+    style: score against an LM, drop the tail). The unigram table is a
+    broadcast dim; the corpus total is a scalar broadcast; scoring is a
+    narrow join + one aggregate. Swap the self-trained unigram table
+    for a reference-corpus LM at production scale — the plan is
+    identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = uni.agg(F.sum("tf").cast("double").alias("__n"))
+    scored = (
+        tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.log(F.col("tf") / F.col("__n")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rq(F.avg("lp"), 4).alias("mean_logprob"),
+    )
+
+
+# =========================================================================
 # E6 — reproducible sampling (content-keyed + stratified quotas)
 # =========================================================================
 @register(

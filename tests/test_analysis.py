@@ -216,3 +216,32 @@ class TestBlocks:
         assert rows[0].temp_min == 0.0
         assert rows[0].temp_max == 365.0  # leap year: 366 days
         assert rows[1].temp_min == 366.0
+
+
+class TestTwoPhaseRankProperty:
+    def test_random_metrics_match_python_ranking(self, spark):
+        # hypothesis-style differential, deterministic seeds: the
+        # two-phase distributed rank must equal the single-sequence
+        # Python ranking for arbitrary value multisets (heavy ties,
+        # negatives, skew), across partition counts
+        import random
+
+        for seed, n in ((1, 17), (2, 200), (3, 64)):
+            rng = random.Random(seed)
+            vals = [float(rng.choice([1, 2, 2, 3, 5, 5, 5, 9])) for _ in range(n)]
+            rows = [(i % 5, i, v) for i, v in enumerate(vals)]
+            ev = spark.createDataFrame(
+                rows, "cell_id int, event_id int, intensity_max double"
+            ).repartition(rng.choice([1, 3, 8]))
+            got = {
+                r.event_id: r.intensity_max_rank
+                for r in rank_return_periods(
+                    ev, ["intensity_max"], n_years=3
+                ).collect()
+            }
+            want_order = sorted(
+                ((v, i % 5, i) for i, v in enumerate(vals)),
+                key=lambda t: (-t[0], t[1], t[2]),
+            )
+            for rank, (_, _, eid) in enumerate(want_order, start=1):
+                assert got[eid] == rank, (seed, eid)
