@@ -45,11 +45,17 @@ def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles per doc, derived by direct array slicing
-    (no window pass): shingle_i = tokens[i..i+n-1] joined by spaces."""
+    (no window pass): shingle_i = tokens[i..i+n-1] joined by spaces.
+
+    Docs shorter than ``n`` tokens yield no shingles — guarded with an
+    explicit CASE because Spark's ``sequence(1, 0)`` is DESCENDING
+    ``[1, 0]`` (not empty), which would feed ``slice`` a zero start."""
     toks = tokens_col(F.col(text_col))
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+        f"case when size(__toks) >= {n} then "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+        f"else array() end"
     )
     return (
         docs.withColumn("__toks", toks)
@@ -366,3 +372,235 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
     )
     return j.select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_repetition(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1, "repetitious text" filters): the fraction of the document
+    covered by its most frequent word 2-gram (``top_2gram_frac``) and
+    the fraction of word-3-gram occurrences whose gram appears more
+    than once (``dup_3gram_frac``). High values flag boilerplate /
+    degenerate generations.
+
+    Plan: both gram sizes share ONE explode + hash-aggregate chain —
+    the 2- and 3-gram streams are unioned with a size tag, counted per
+    ``(doc, n, gram)``, then collapsed per doc. Keyed by ``doc_id``
+    throughout, so parallelism is per-document at any corpus size; no
+    windows, no joins except the left join back to ``docs`` that keeps
+    sub-2-token documents in the output with zero fractions."""
+    toks = tokens_col(F.col(text_col))
+
+    def grams(n: int) -> Column:
+        # CASE guard: Spark's sequence(1, 0) is descending [1, 0], so
+        # sub-n-token docs must short-circuit to an empty array.
+        return F.expr(
+            f"case when size(__toks) >= {n} then "
+            f"transform(sequence(1, size(__toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+            f"else array() end"
+        )
+
+    base = docs.withColumn("__toks", toks)
+    g = base.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(grams(2)).alias("gram")
+    ).unionByName(
+        base.select(
+            "doc_id", F.lit(3).alias("n"), F.explode(grams(3)).alias("gram")
+        )
+    )
+    per_gram = g.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    two = F.col("n") == 2
+    three = F.col("n") == 3
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(two, F.col("c"))).alias("__max2"),
+        F.sum(F.when(two, F.col("c"))).alias("__tot2"),
+        F.sum(F.when(three & (F.col("c") > 1), F.col("c"))).alias("__dup3"),
+        F.sum(F.when(three, F.col("c"))).alias("__tot3"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("__max2"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("__tot2"), F.lit(0)), F.lit(1))
+            ).alias("top_2gram_frac"),
+            (
+                F.coalesce(F.col("__dup3"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("__tot3"), F.lit(0)), F.lit(1))
+            ).alias("dup_3gram_frac"),
+        )
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 8.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as a pure map — one
+    boolean flag per rule plus the conjunction. Every signal is a
+    closed-form array expression over the token array (no explode, no
+    shuffle): token-count bounds, mean-token-length bounds, fraction of
+    tokens containing an alphabetic character, and a minimum number of
+    distinct stopword hits. The whole operator is narrow, so it pushes
+    to the scan and costs one pass at any scale."""
+    toks = tokens_col(F.col(text_col))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / F.greatest(n_tok, F.lit(1))
+    n_stop = F.size(F.array_intersect(toks, stop))
+    f_len = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    f_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    f_alpha = alpha_frac >= min_alpha_frac
+    f_stop = n_stop >= min_stop_hits
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stop_hits"),
+        f_len.cast("int").alias("flag_len"),
+        f_mean.cast("int").alias("flag_mean_len"),
+        f_alpha.cast("int").alias("flag_alpha"),
+        f_stop.cast("int").alias("flag_stop"),
+        (f_len & f_mean & f_alpha & f_stop).cast("int").alias("pass_gopher"),
+    )
+
+
+def pii_mask(
+    df: DataFrame,
+    col: str,
+    key_col: str,
+    pattern: str = "[0-9]+",
+    replacement: str = "<NUM>",
+) -> DataFrame:
+    """PII scrubbing as a narrow projection: replace every match of
+    ``pattern`` (digit runs by default — account numbers, phone
+    fragments, numeric ids) with a typed placeholder token, and emit
+    the match count so downstream filters can drop high-PII rows.
+    Swap the pattern for email/SSN/credit-card regexes in production;
+    the plan (pure map over the scan, zero shuffles) is unchanged."""
+    c = F.col(col)
+    return df.select(
+        F.col(key_col),
+        F.regexp_replace(c, pattern, replacement).alias(f"{col}_masked"),
+        F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+        .cast("int")
+        .alias("n_pii"),
+    )
+
+
+def vocab_oov(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = 20
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage signal
+    a training pipeline computes before committing to a vocab.
+
+    The vocabulary is ``orderBy(tf desc, token).limit(k)`` — planned as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k-row
+    heads, never a single-partition global sort) and broadcast to the
+    per-token probe join. Ties at the frequency cut break on the token
+    string, so the vocab is deterministic across engines."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).cast("int").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.col("n_oov") / F.greatest(F.col("n_tokens"), F.lit(1)),
+        )
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame, text_col: str = "text", size: int = 32
+) -> DataFrame:
+    """Sequence chunking for training-data prep: split each document's
+    token stream into fixed-``size`` windows (the pre-packing step of
+    an LLM data pipeline). One row per (doc, chunk) with the chunk's
+    token count and a content hash for downstream chunk-level dedup.
+
+    Pure array arithmetic — ``sequence`` over the chunk indices +
+    ``slice`` — exploded row-locally: narrow until the explode, no
+    shuffle at all, so it streams at scan speed at any corpus size."""
+    n = F.size(F.col("__toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, cast(floor((size(__toks) - 1) / {size}) as int)), "
+        f"i -> slice(__toks, i * {size} + 1, {size}))"
+    )
+    return (
+        docs.withColumn("__toks", tokens_col(F.col(text_col)))
+        .filter(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "__chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("__chunk").cast("int").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.col("__chunk"), " ").cast("binary")).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame, group_col: str = "lang", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-corpus
+    rebalancing rule, Conneau & Lample 2019 §3.1): sample group ``g``
+    with probability proportional to ``n_g ** alpha``, flattening a
+    skewed source/language mix toward uniform as ``alpha -> 0``. The
+    per-group keep rate is ``(min_n / n_g) ** (1 - alpha)`` — the
+    smallest group is kept whole, larger groups are down-sampled.
+
+    Selection is content-keyed (md5 uniform of ``doc_id``, same as
+    :func:`deterministic_sample`) so the sample is reproducible across
+    reruns, layouts and engines. Plan: one hash-aggregate for the group
+    counts (a tiny dim), broadcast back, narrow filter."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        group_col,
+        F.pow(F.col("__min_n") / F.col("__n"), F.lit(1.0 - alpha)).alias(
+            "keep_rate"
+        ),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("double") / F.lit(float(1 << 48))
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("keep_rate"))
+    )

@@ -756,3 +756,193 @@ def q_multimodal_frames(spark, sf_dir):
         F.col("frame_payload").cast("string").alias("frame_payload"),
         "frame_hash",
     )
+
+
+# =========================================================================
+# E4 — Gopher repetition signals (dup/top n-gram fractions)
+# =========================================================================
+@register(
+    "q_text_repetition",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "g2 AS (SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i + 1] AS gram "
+    "  FROM (SELECT doc_id, toks, "
+    "        unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i FROM d)), "
+    "g3 AS (SELECT doc_id, 3 AS n, "
+    "       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram "
+    "  FROM (SELECT doc_id, toks, "
+    "        unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM d)), "
+    "u AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3), "
+    "pg AS (SELECT doc_id, n, gram, count(*) AS c FROM u GROUP BY 1, 2, 3), "
+    "pd AS (SELECT doc_id, "
+    "  max(CASE WHEN n = 2 THEN c END) AS max2, "
+    "  sum(CASE WHEN n = 2 THEN c END) AS tot2, "
+    "  sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS dup3, "
+    "  sum(CASE WHEN n = 3 THEN c END) AS tot3 "
+    "  FROM pg GROUP BY 1) "
+    "SELECT doc_id, "
+    f"{rq_sql('coalesce(max2, 0) / greatest(coalesce(tot2, 0), 1)', 4)} AS top_2gram_frac, "
+    f"{rq_sql('coalesce(dup3, 0) / greatest(coalesce(tot3, 0), 1)', 4)} AS dup_3gram_frac "
+    "FROM (SELECT doc_id FROM documents) docs LEFT JOIN pd USING (doc_id)",
+)
+def q_text_repetition(spark, sf_dir):
+    """E4: Gopher-style repetition filters — fraction of the doc in its
+    most frequent 2-gram + duplicate-3-gram occurrence fraction. One
+    explode + two hash aggregates, keyed by doc_id throughout."""
+    from mhw3d_detection_spark.operators.textops import ngram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = ngram_repetition(docs)
+    return rep.select(
+        "doc_id",
+        rq("top_2gram_frac", 4).alias("top_2gram_frac"),
+        rq("dup_3gram_frac", 4).alias("dup_3gram_frac"),
+    )
+
+
+# =========================================================================
+# E4 — Gopher quality rules (composite boolean filter)
+# =========================================================================
+_GOPHER_STOP = ", ".join(f"'{w}'" for w in
+                         ("the", "and", "of", "to", "in", "is", "a", "for"))
+@register(
+    "q_gopher_rules",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "s AS (SELECT doc_id, len(toks) AS n_tokens, "
+    "  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mean_len, "
+    "  len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) "
+    "    / greatest(len(toks), 1) AS alpha_frac, "
+    f"  len(list_intersect(toks, [{_GOPHER_STOP}])) AS n_stop FROM d) "
+    "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+    f"{rq_sql('mean_len', 4)} AS mean_token_len, "
+    f"{rq_sql('alpha_frac', 4)} AS alpha_frac, "
+    "CAST(n_stop AS INT) AS n_stop_hits, "
+    "CAST(n_tokens BETWEEN 10 AND 1000 AS INT) AS flag_len, "
+    "CAST(mean_len BETWEEN 2.0 AND 8.0 AS INT) AS flag_mean_len, "
+    "CAST(alpha_frac >= 0.8 AS INT) AS flag_alpha, "
+    "CAST(n_stop >= 2 AS INT) AS flag_stop, "
+    "CAST((n_tokens BETWEEN 10 AND 1000) AND (mean_len BETWEEN 2.0 AND 8.0) "
+    "  AND alpha_frac >= 0.8 AND n_stop >= 2 AS INT) AS pass_gopher FROM s",
+)
+def q_gopher_rules(spark, sf_dir):
+    """E4: Gopher quality rules (Rae et al. 2021 §A1.1) — per-rule
+    boolean flags + conjunction, all closed-form array expressions
+    (no explode, no shuffle; the filter pushes to the scan)."""
+    from mhw3d_detection_spark.operators.textops import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs)
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        rq("mean_token_len", 4).alias("mean_token_len"),
+        rq("alpha_frac", 4).alias("alpha_frac"),
+        "n_stop_hits",
+        "flag_len",
+        "flag_mean_len",
+        "flag_alpha",
+        "flag_stop",
+        "pass_gopher",
+    )
+
+
+# =========================================================================
+# E4 — PII scrubbing (typed placeholder masking + match counts)
+# =========================================================================
+@register(
+    "q_pii_scrub",
+    "SELECT c_custkey, "
+    "regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS c_name_masked, "
+    "CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT) AS n_pii "
+    "FROM customer",
+)
+def q_pii_scrub(spark, sf_dir):
+    """E4: PII scrub — digit runs (ids, account/phone fragments)
+    replaced by a typed <NUM> placeholder, with a per-row match count
+    for drop-high-PII filters. Pure projection: zero shuffles."""
+    from mhw3d_detection_spark.operators.textops import pii_mask
+
+    cust = load_table(spark, sf_dir, "customer")
+    return pii_mask(cust, "c_name", "c_custkey")
+
+
+# =========================================================================
+# E4 — vocabulary coverage / OOV rate
+# =========================================================================
+@register(
+    "q_text_vocab_oov",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "uni AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1), "
+    "vocab AS (SELECT token FROM uni ORDER BY tf DESC, token LIMIT 20) "
+    "SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens, "
+    "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov, "
+    + rq_sql(
+        "sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / greatest(count(*), 1)",
+        4,
+    )
+    + " AS oov_frac "
+    "FROM tok t LEFT JOIN vocab v ON t.token = v.token GROUP BY 1",
+)
+def q_text_vocab_oov(spark, sf_dir):
+    """E4: out-of-vocabulary rate vs the corpus's own top-20 token
+    vocabulary. The vocab is orderBy(tf desc, token).limit(k) —
+    TakeOrderedAndProject, never a global single-partition sort — and
+    broadcasts into the probe join."""
+    from mhw3d_detection_spark.operators.textops import vocab_oov
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = vocab_oov(docs, vocab_size=20)
+    return v.select(
+        "doc_id", "n_tokens", "n_oov", rq("oov_frac", 4).alias("oov_frac")
+    )
+
+
+# =========================================================================
+# E4 — sequence chunking (pre-packing for LLM training)
+# =========================================================================
+@register(
+    "q_text_chunks",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, "
+    "  unnest(generate_series(0, CAST(floor((len(toks) - 1) / 32.0) AS INT))) AS i "
+    "  FROM d WHERE len(toks) > 0) "
+    "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
+    "CAST(len(list_slice(toks, i * 32 + 1, i * 32 + 32)) AS INT) AS n_chunk_tokens, "
+    "md5(array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')) AS chunk_hash "
+    "FROM c",
+)
+def q_text_chunks(spark, sf_dir):
+    """E4/E6: fixed-size (32-token) sequence chunking — the pre-packing
+    step of a training pipeline; emits a chunk content hash for
+    chunk-level dedup. Pure array arithmetic, row-local explode, zero
+    shuffles."""
+    from mhw3d_detection_spark.operators.textops import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, size=32)
+
+
+# =========================================================================
+# E6 — temperature-scaled mixture sampling
+# =========================================================================
+@register(
+    "q_sample_temperature",
+    "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), "
+    "m AS (SELECT min(n) AS mn FROM c), "
+    "r AS (SELECT lang, pow(mn * 1.0 / n, 0.5) AS keep_rate FROM c CROSS JOIN m) "
+    "SELECT d.doc_id, d.lang, "
+    f"{rq_sql('keep_rate', 6)} AS keep_rate "
+    "FROM documents d JOIN r USING (lang) "
+    "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT "
+    f"/ {float(1 << 48)!r} < keep_rate",
+)
+def q_sample_temperature(spark, sf_dir):
+    """E6: temperature-scaled mixture sampling (alpha = 0.5): keep rate
+    (min_n / n_g)^(1-alpha) per language flattens the skewed lang mix
+    toward uniform; selection is content-keyed (md5 of doc_id) so the
+    sample is reproducible across engines, reruns and layouts. Group
+    counts are a broadcast dim; the filter is narrow."""
+    from mhw3d_detection_spark.operators.textops import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = temperature_sample(docs, group_col="lang", alpha=0.5)
+    return s.select("doc_id", "lang", rq("keep_rate", 6).alias("keep_rate"))

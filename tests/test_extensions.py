@@ -196,3 +196,119 @@ class TestReproducibleSampling:
         again = {(r.doc_id, r.lang_pred) for r in stratified_quota(
             df.repartition(5), quota=10).collect()}
         assert again == {(r.doc_id, r.lang_pred) for r in out.collect()}
+
+
+class TestCurationOps:
+    """Round-4 additions: repetition filters, Gopher rules, PII mask,
+    vocab coverage, sequence chunking, temperature sampling."""
+
+    def test_repetition_fracs(self, spark):
+        from mhw3d_detection_spark.operators.textops import ngram_repetition
+
+        df = spark.createDataFrame(
+            [
+                (0, "a b a b a b"),     # 2-grams: ab,ba,ab,ba,ab -> top 3/5
+                (1, "one two three four"),  # no repeats
+                (2, "x"),               # too short for any gram
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in ngram_repetition(df).collect()
+        }
+        assert abs(out[0]["top_2gram_frac"] - 3 / 5) < 1e-12
+        assert abs(out[0]["dup_3gram_frac"] - 1.0) < 1e-12  # aba,bab x2 each
+        assert abs(out[1]["top_2gram_frac"] - 1 / 3) < 1e-12
+        assert out[1]["dup_3gram_frac"] == 0.0
+        assert out[2]["top_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+
+    def test_gopher_rules_flags(self, spark):
+        from mhw3d_detection_spark.operators.textops import gopher_rules
+
+        df = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat and it is a good day for all"),
+                (1, "too short"),                       # fails flag_len
+                (2, "1234 5678 " * 10),                 # fails alpha + stop
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+        assert out[0]["pass_gopher"] == 1
+        assert out[1]["flag_len"] == 0 and out[1]["pass_gopher"] == 0
+        assert out[2]["flag_alpha"] == 0 and out[2]["flag_stop"] == 0
+
+    def test_pii_mask(self, spark):
+        from mhw3d_detection_spark.operators.textops import pii_mask
+
+        df = spark.createDataFrame(
+            [(1, "Customer#000123 ref 456"), (2, "no digits here")],
+            "k long, v string",
+        )
+        out = {r["k"]: r for r in pii_mask(df, "v", "k").collect()}
+        assert out[1]["v_masked"] == "Customer#<NUM> ref <NUM>"
+        assert out[1]["n_pii"] == 2
+        assert out[2]["v_masked"] == "no digits here" and out[2]["n_pii"] == 0
+
+    def test_vocab_oov(self, spark):
+        from mhw3d_detection_spark.operators.textops import vocab_oov
+
+        df = spark.createDataFrame(
+            [(0, "a a a b"), (1, "a b c")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in vocab_oov(df, vocab_size=1).collect()}
+        # vocab = {a} (tf 4); doc0: 1 oov of 4, doc1: 2 oov of 3
+        assert out[0]["n_oov"] == 1 and abs(out[0]["oov_frac"] - 0.25) < 1e-12
+        assert out[1]["n_oov"] == 2 and abs(out[1]["oov_frac"] - 2 / 3) < 1e-12
+
+    def test_chunk_tokens_shapes(self, spark):
+        from mhw3d_detection_spark.operators.textops import chunk_tokens
+
+        text = " ".join(f"t{i}" for i in range(70))
+        df = spark.createDataFrame(
+            [(0, text), (1, "solo")], "doc_id long, text string"
+        )
+        rows = chunk_tokens(df, size=32).collect()
+        d0 = sorted(
+            [(r["chunk_idx"], r["n_chunk_tokens"]) for r in rows if r["doc_id"] == 0]
+        )
+        assert d0 == [(0, 32), (1, 32), (2, 6)]
+        d1 = [r for r in rows if r["doc_id"] == 1]
+        assert len(d1) == 1 and d1[0]["n_chunk_tokens"] == 1
+        # chunk hashes are content hashes: equal chunks hash equal
+        h = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+        rows2 = chunk_tokens(
+            spark.createDataFrame([(9, "solo")], "doc_id long, text string"),
+            size=32,
+        ).collect()
+        assert {r["chunk_hash"] for r in rows2} == h
+
+    def test_temperature_sample_rates_and_determinism(self, spark):
+        from mhw3d_detection_spark.operators.textops import temperature_sample
+
+        rows = [(i, "small" if i < 4 else "big") for i in range(404)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = temperature_sample(df, group_col="lang", alpha=0.5)
+        got = out.collect()
+        rates = {r["lang"]: r["keep_rate"] for r in got}
+        assert abs(rates["small"] - 1.0) < 1e-12          # smallest kept whole
+        assert abs(rates["big"] - (4 / 400) ** 0.5) < 1e-12
+        assert sum(1 for r in got if r["lang"] == "small") == 4
+        # content-keyed: identical selection under a different layout
+        got2 = temperature_sample(
+            df.repartition(13), group_col="lang", alpha=0.5
+        ).collect()
+        assert sorted(r["doc_id"] for r in got) == sorted(
+            r["doc_id"] for r in got2
+        )
+
+    def test_shingles_short_doc_regression(self, spark):
+        # sequence(1, 0) in Spark is DESCENDING [1, 0]; docs shorter
+        # than the shingle width used to crash slice() with start=0.
+        df = spark.createDataFrame(
+            [(0, "x"), (1, "a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        rows = shingles(df, n=3).collect()
+        assert [(r["doc_id"], r["shingle"]) for r in rows] == [(2, "a b c")]
