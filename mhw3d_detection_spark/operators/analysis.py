@@ -565,3 +565,37 @@ def category_days_per_block(
     for c in ("moderate_days", "strong_days", "severe_days", "extreme_days"):
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def autocorrelation(
+    ts: DataFrame,
+    lags: tuple[int, ...] = (1, 7),
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """Per-cell lag-k autocorrelation of the daily series — the
+    persistence diagnostic used to pick event gap/duration parameters
+    (beyond-reference, in-domain: e.g. Oliver et al. 2018 report SST
+    decorrelation scales alongside MHW trends).
+
+    Time-aware lags: a pair (t, t−k) only counts when the previous row
+    is EXACTLY k days earlier, so data gaps never pair across holes
+    (row-offset lag would silently correlate across gaps). All lags
+    share ONE window exchange+sort per cell; each lag is then a
+    ``corr`` over the valid pairs (sample correlation, n−1 — same in
+    DuckDB/NumPy)."""
+    w = Window.partitionBy(cell_col).orderBy(time_col)
+    d = ts
+    aggs = []
+    for k in lags:
+        lv = F.lag(temp_col, k).over(w)
+        lt = F.lag(time_col, k).over(w)
+        ok = F.datediff(F.col(time_col), lt) == k
+        d = d.withColumn(f"__l{k}", F.when(ok, lv))
+        aggs += [
+            F.corr(F.when(F.col(f"__l{k}").isNotNull(), F.col(temp_col)),
+                   F.col(f"__l{k}")).alias(f"acf_{k}"),
+            F.count(F.col(f"__l{k}")).cast("int").alias(f"n_pairs_{k}"),
+        ]
+    return d.groupBy(cell_col).agg(*aggs)

@@ -545,7 +545,10 @@ def vocab_oov(
 
 
 def chunk_tokens(
-    docs: DataFrame, text_col: str = "text", size: int = 32
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 32,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequence chunking for training-data prep: split each document's
     token stream into fixed-``size`` windows (the pre-packing step of
@@ -560,12 +563,16 @@ def chunk_tokens(
         f"transform(sequence(0, cast(floor((size(__toks) - 1) / {size}) as int)), "
         f"i -> slice(__toks, i * {size} + 1, {size}))"
     )
+    carry = list(carry_cols)
     return (
         docs.withColumn("__toks", tokens_col(F.col(text_col)))
         .filter(n > 0)
-        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "__chunk"))
+        .select(
+            "doc_id", *carry, F.posexplode(chunks).alias("chunk_idx", "__chunk")
+        )
         .select(
             "doc_id",
+            *carry,
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
             F.size("__chunk").cast("int").alias("n_chunk_tokens"),
             F.md5(F.array_join(F.col("__chunk"), " ").cast("binary")).alias(
@@ -603,4 +610,83 @@ def temperature_sample(
     return (
         docs.join(F.broadcast(rates), group_col)
         .filter(u < F.col("keep_rate"))
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    probe_pred,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.05,
+) -> DataFrame:
+    """Benchmark-contamination screening: for each probe document (the
+    eval-set side), the fraction of ITS shingle set contained in each
+    corpus document — the asymmetric containment ``|A ∩ B| / |A|``
+    (Broder 1997's containment, the right measure when the probe is
+    much shorter than the training doc; Jaccard under-scores those
+    pairs). The standard decontamination step of an LLM data pipeline:
+    drop or flag training docs whose containment of any eval probe is
+    high.
+
+    Plan shape: the probe side is a filtered (tiny) subset of the
+    shingle explode — at production scale broadcast it; the corpus side
+    stays the full explode; one equi-join on shingle + one aggregate
+    per (probe, doc) pair. No all-pairs product anywhere."""
+    sh = shingles(docs, text_col, n=shingle_n).distinct()
+    probes = sh.filter(probe_pred(F.col("doc_id"))).select(
+        F.col("doc_id").alias("probe_id"), "shingle"
+    )
+    psz = probes.groupBy("probe_id").agg(F.count(F.lit(1)).alias("__psz"))
+    inter = (
+        probes.join(sh.select(F.col("doc_id").alias("doc_id"), "shingle"), "shingle")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(F.broadcast(psz), "probe_id")
+        .withColumn("containment", F.col("__inter") / F.col("__psz"))
+        .filter(F.col("containment") >= min_containment)
+        .select("probe_id", "doc_id", "containment")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 32,
+    target_tokens: int = 256,
+    group_col: str = "source",
+) -> DataFrame:
+    """Greedy in-order sequence packing (the pre-training batch-prep
+    step): chunk every document, then pack chunks into training
+    sequences of ~``target_tokens`` tokens by running a cumulative
+    token count in deterministic (doc_id, chunk_idx) order and cutting
+    a new sequence each time the count crosses the target. Sequences
+    never split a chunk; overshoot is bounded by ``chunk_size - 1``.
+
+    The window partitions by ``group_col`` (source/shard), so packing
+    parallelizes across groups — the within-group order IS the
+    contract (reproducible packing), not an implementation accident.
+    At 100 TB, group by shard/file so each partition's window stays
+    bounded."""
+    chunks = chunk_tokens(docs, text_col, size=chunk_size, carry_cols=(group_col,))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = F.floor(
+        F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0))
+        / F.lit(target_tokens)
+    )
+    return (
+        chunks.withColumn("seq_id", seq.cast("int"))
+        .groupBy(group_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("int").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        )
     )

@@ -946,3 +946,69 @@ def q_sample_temperature(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     s = temperature_sample(docs, group_col="lang", alpha=0.5)
     return s.select("doc_id", "lang", rq("keep_rate", 6).alias("keep_rate"))
+
+
+# =========================================================================
+# E2b — benchmark-contamination screening (asymmetric containment)
+# =========================================================================
+@register(
+    "q_contamination",
+    "WITH " + SHINGLES_SQL + ", "
+    "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+    "probe AS (SELECT doc_id AS probe_id, shingle FROM shd WHERE doc_id < 10), "
+    "psz AS (SELECT probe_id, count(*) AS psz FROM probe GROUP BY 1), "
+    "inter AS (SELECT p.probe_id, s.doc_id, count(*) AS n "
+    "  FROM probe p JOIN shd s USING (shingle) "
+    "  WHERE s.doc_id <> p.probe_id GROUP BY 1, 2) "
+    "SELECT probe_id, doc_id, "
+    f"{rq_sql('n * 1.0 / psz', 4)} AS containment "
+    "FROM inter JOIN psz USING (probe_id) WHERE n * 1.0 / psz >= 0.05",
+)
+def q_contamination(spark, sf_dir):
+    """E2b: eval-contamination screen — |probe ∩ doc| / |probe| shingle
+    containment (Broder's containment, asymmetric: right when probes
+    are short). Probe side = doc_id < 10; equi-join on shingle, no
+    all-pairs. The planted near-dup surfaces at ~0.99."""
+    from mhw3d_detection_spark.operators.textops import contamination_screen
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = contamination_screen(
+        docs, lambda d: d < 10, min_containment=0.05
+    )
+    return c.select(
+        "probe_id", "doc_id", rq("containment", 4).alias("containment")
+    )
+
+
+# =========================================================================
+# E6b — greedy in-order sequence packing
+# =========================================================================
+@register(
+    "q_pack_sequences",
+    "WITH d AS (SELECT doc_id, source, " + TOKENS_SQL + " AS toks FROM documents), "
+    "c AS (SELECT doc_id, source, toks, "
+    "  unnest(generate_series(0, CAST(floor((len(toks) - 1) / 32.0) AS INT))) AS i "
+    "  FROM d WHERE len(toks) > 0), "
+    "ch AS (SELECT doc_id, source, i AS chunk_idx, "
+    "  len(list_slice(toks, i * 32 + 1, i * 32 + 32)) AS n_chunk_tokens FROM c), "
+    "s AS (SELECT source, doc_id, chunk_idx, n_chunk_tokens, "
+    "  CAST(floor(coalesce(sum(n_chunk_tokens) OVER (PARTITION BY source "
+    "    ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "    / 256.0) AS INT) AS seq_id FROM ch) "
+    "SELECT source, seq_id, CAST(count(*) AS INT) AS n_chunks, "
+    "CAST(sum(n_chunk_tokens) AS INT) AS n_tokens, "
+    "CAST(count(DISTINCT doc_id) AS INT) AS n_docs "
+    "FROM s GROUP BY 1, 2",
+)
+def q_pack_sequences(spark, sf_dir):
+    """E6b: greedy in-order sequence packing — chunk all docs, then cut
+    ~256-token training sequences via a per-source running token count
+    in deterministic (doc_id, chunk_idx) order. Window partitions by
+    source, so packing parallelizes across shards; within-shard order
+    IS the reproducibility contract."""
+    from mhw3d_detection_spark.operators.textops import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, chunk_size=32, target_tokens=256, group_col="source"
+    )

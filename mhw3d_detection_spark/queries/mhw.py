@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from mhw3d_detection_spark.functions.calendar import clim_doy, clim_doy_sql
 from mhw3d_detection_spark.functions.scalar import from_ordinal, to_ordinal
 from mhw3d_detection_spark.operators.analysis import (
+    autocorrelation,
     detrend_linear,
     detrend_poly,
     mean_trend_ols,
@@ -780,4 +781,40 @@ def q_mean_trend_ols(spark, sf_dir):
         rq("y_trend", 4).alias("y_trend"),
         rq("y_trend_se", 4).alias("y_trend_se"),
         rq("y_dtrend", 4).alias("y_dtrend"),
+    )
+
+
+# =========================================================================
+# W13 (beyond-reference, in-domain) — per-cell lag-k autocorrelation
+# =========================================================================
+_ACF_WIN = "OVER (PARTITION BY cell_id ORDER BY time)"
+@register(
+    "q_autocorr",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "l AS (SELECT cell_id, time, temp, "
+    f"  lag(temp, 1) {_ACF_WIN} AS l1v, lag(time, 1) {_ACF_WIN} AS l1t, "
+    f"  lag(temp, 7) {_ACF_WIN} AS l7v, lag(time, 7) {_ACF_WIN} AS l7t "
+    "  FROM od), "
+    "p AS (SELECT cell_id, temp, "
+    "  CASE WHEN date_diff('day', l1t, time) = 1 THEN l1v END AS p1, "
+    "  CASE WHEN date_diff('day', l7t, time) = 7 THEN l7v END AS p7 FROM l) "
+    "SELECT cell_id, "
+    f"{rq_sql('corr(CASE WHEN p1 IS NOT NULL THEN temp END, p1)', 4)} AS acf_1, "
+    "CAST(count(p1) AS INT) AS n_pairs_1, "
+    f"{rq_sql('corr(CASE WHEN p7 IS NOT NULL THEN temp END, p7)', 4)} AS acf_7, "
+    "CAST(count(p7) AS INT) AS n_pairs_7 FROM p GROUP BY 1",
+)
+def q_autocorr(spark, sf_dir):
+    """Beyond-reference, in-domain: per-cell lag-1 / lag-7
+    autocorrelation of the daily series with time-aware lags (pairs
+    only count when exactly k days apart, so gaps never pair across
+    holes). One window pass per cell serves both lags."""
+    od = orders_daily(spark, sf_dir)
+    a = autocorrelation(od, lags=(1, 7))
+    return a.select(
+        "cell_id",
+        rq("acf_1", 4).alias("acf_1"),
+        "n_pairs_1",
+        rq("acf_7", 4).alias("acf_7"),
+        "n_pairs_7",
     )

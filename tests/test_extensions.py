@@ -312,3 +312,56 @@ class TestCurationOps:
         )
         rows = shingles(df, n=3).collect()
         assert [(r["doc_id"], r["shingle"]) for r in rows] == [(2, "a b c")]
+
+    def test_contamination_containment(self, spark):
+        from mhw3d_detection_spark.operators.textops import contamination_screen
+
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta"),            # probe: 2 shingles
+                (1, "alpha beta gamma delta epsilon x"),  # contains both
+                (2, "alpha beta gamma zzz"),              # contains 1 of 2
+                (3, "unrelated words entirely here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["probe_id"], r["doc_id"]): r["containment"]
+            for r in contamination_screen(
+                df, lambda d: d == 0, min_containment=0.01
+            ).collect()
+        }
+        assert abs(out[(0, 1)] - 1.0) < 1e-12
+        assert abs(out[(0, 2)] - 0.5) < 1e-12
+        assert (0, 3) not in out
+
+    def test_pack_sequences_greedy(self, spark):
+        from mhw3d_detection_spark.operators.textops import pack_sequences
+
+        # 3 docs x 10 tokens in one source; chunk_size=10 -> one chunk
+        # each; target 20 -> docs 1+2 pack into seq 0, doc 3 into seq 1.
+        rows = [(i, "s0", " ".join(f"w{i}t{j}" for j in range(10))) for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = sorted(
+            (r["seq_id"], r["n_chunks"], r["n_tokens"], r["n_docs"])
+            for r in pack_sequences(
+                df, chunk_size=10, target_tokens=20, group_col="source"
+            ).collect()
+        )
+        assert out == [(0, 2, 20, 2), (1, 1, 10, 1)]
+
+    def test_autocorrelation_gap_aware(self, spark):
+        import datetime as dt
+
+        from mhw3d_detection_spark.operators.analysis import autocorrelation
+
+        # strictly increasing series -> lag-1 acf == 1.0; a hole at day
+        # 5 must DROP the pair across the gap, not correlate it
+        days = [0, 1, 2, 3, 4, 6, 7, 8]
+        rows = [
+            (1, dt.date(2000, 1, 1) + dt.timedelta(days=d), float(d)) for d in days
+        ]
+        df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+        r = autocorrelation(df, lags=(1,)).collect()[0]
+        assert r["n_pairs_1"] == 6  # 7 consecutive-row pairs minus the gap pair
+        assert abs(r["acf_1"] - 1.0) < 1e-9
