@@ -135,3 +135,48 @@ def test_window_partitioning_reused_by_aggregate(spark, sf_dir):
     )
     plan = _executed(clim)
     assert _count_exchanges(plan) == 1, plan
+
+
+def test_vocab_is_take_ordered_and_broadcast(spark, sf_dir):
+    # E4b: the top-k vocabulary must plan as TakeOrderedAndProject
+    # (never a single-partition global sort) and join the per-token
+    # probe side as a broadcast.
+    from mhw3d_detection_spark.operators.textops import vocab_oov
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(vocab_oov(docs, vocab_size=20))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_window_partitioned_by_source(spark, sf_dir):
+    # E6b: the packing window must partition by source (parallel across
+    # shards) — an un-partitioned running sum would funnel the whole
+    # corpus through one partition.
+    from mhw3d_detection_spark.operators.textops import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(pack_sequences(docs))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
+def test_contamination_no_cartesian(spark, sf_dir):
+    # E2b: probe x corpus candidate generation must be an equi-join on
+    # shingle, never a cartesian/nested-loop product.
+    from mhw3d_detection_spark.operators.textops import contamination_screen
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(contamination_screen(docs, lambda d: d < 10))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_keyed_by_doc(spark, sf_dir):
+    # E4b: repetition signals aggregate per (doc, n, gram) then per doc
+    # — no single-partition exchange anywhere.
+    from mhw3d_detection_spark.operators.textops import ngram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(ngram_repetition(docs))
+    assert "Exchange SinglePartition" not in plan, plan
