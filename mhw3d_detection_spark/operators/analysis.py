@@ -579,23 +579,35 @@ def autocorrelation(
     (beyond-reference, in-domain: e.g. Oliver et al. 2018 report SST
     decorrelation scales alongside MHW trends).
 
-    Time-aware lags: a pair (t, t−k) only counts when the previous row
-    is EXACTLY k days earlier, so data gaps never pair across holes
-    (row-offset lag would silently correlate across gaps). All lags
-    share ONE window exchange+sort per cell; each lag is then a
-    ``corr`` over the valid pairs (sample correlation, n−1 — same in
-    DuckDB/NumPy)."""
-    w = Window.partitionBy(cell_col).orderBy(time_col)
-    d = ts
+    TRUE lag-k pairing: the pair (t, t−k) counts whenever BOTH days
+    exist in the data, regardless of how many interior days are
+    missing — implemented as a self-equi-join on the exact day offset.
+    (A row-offset ``lag(k)`` + datediff check would silently DROP valid
+    exact-k-day pairs whenever any of the k−1 interior days is absent,
+    e.g. days [0..4,6,7,8]: (day7, day0) is 7 days but 6 rows apart.)
+    The probe side explodes one row per lag, so every lag shares ONE
+    equi-join shuffle on ``(cell, day_index)``; each lag is then a
+    conditional ``corr`` over its valid pairs (sample correlation,
+    n−1 — same in DuckDB/NumPy)."""
+    di = F.datediff(F.col(time_col), F.lit("1970-01-01"))
+    base = ts.select(
+        F.col(cell_col), di.alias("__di"), F.col(temp_col).alias("__v")
+    )
+    probe = base.select(
+        cell_col,
+        "__di",
+        "__v",
+        F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("__k"),
+    ).withColumn("__pi", F.col("__di") - F.col("__k"))
+    prev = base.select(
+        F.col(cell_col), F.col("__di").alias("__pi"), F.col("__v").alias("__pv")
+    )
+    j = probe.join(prev, [cell_col, "__pi"], "left")
     aggs = []
     for k in lags:
-        lv = F.lag(temp_col, k).over(w)
-        lt = F.lag(time_col, k).over(w)
-        ok = F.datediff(F.col(time_col), lt) == k
-        d = d.withColumn(f"__l{k}", F.when(ok, lv))
+        pv = F.when(F.col("__k") == k, F.col("__pv"))
         aggs += [
-            F.corr(F.when(F.col(f"__l{k}").isNotNull(), F.col(temp_col)),
-                   F.col(f"__l{k}")).alias(f"acf_{k}"),
-            F.count(F.col(f"__l{k}")).cast("int").alias(f"n_pairs_{k}"),
+            F.corr(F.when(F.col("__k") == k, F.col("__v")), pv).alias(f"acf_{k}"),
+            F.count(pv).cast("int").alias(f"n_pairs_{k}"),
         ]
-    return d.groupBy(cell_col).agg(*aggs)
+    return j.groupBy(cell_col).agg(*aggs)

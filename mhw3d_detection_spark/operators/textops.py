@@ -378,11 +378,14 @@ def ngram_repetition(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021
-    §A1.1, "repetitious text" filters): the fraction of the document
-    covered by its most frequent word 2-gram (``top_2gram_frac``) and
-    the fraction of word-3-gram occurrences whose gram appears more
-    than once (``dup_3gram_frac``). High values flag boilerplate /
-    degenerate generations.
+    §A1.1, "repetitious text" filters): the fraction of the document's
+    2-gram OCCURRENCES taken by its most frequent word 2-gram
+    (``top_2gram_frac``) and the fraction of word-3-gram occurrences
+    whose gram appears more than once (``dup_3gram_frac``). High
+    values flag boilerplate / degenerate generations. Note: Gopher's
+    paper definition is a CHARACTER-coverage fraction; this operator
+    uses the occurrence-count proxy (same signal shape, cheaper — no
+    per-gram character weighting), and its oracle matches that choice.
 
     Plan: both gram sizes share ONE explode + hash-aggregate chain —
     the 2- and 3-gram streams are unioned with a size tag, counted per

@@ -808,7 +808,8 @@ _GOPHER_STOP = ", ".join(f"'{w}'" for w in
     "q_gopher_rules",
     "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
     "s AS (SELECT doc_id, len(toks) AS n_tokens, "
-    "  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mean_len, "
+    "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+    "    / greatest(len(toks), 1) AS mean_len, "
     "  len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) "
     "    / greatest(len(toks), 1) AS alpha_frac, "
     f"  len(list_intersect(toks, [{_GOPHER_STOP}])) AS n_stop FROM d) "

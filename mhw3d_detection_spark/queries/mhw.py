@@ -787,28 +787,27 @@ def q_mean_trend_ols(spark, sf_dir):
 # =========================================================================
 # W13 (beyond-reference, in-domain) — per-cell lag-k autocorrelation
 # =========================================================================
-_ACF_WIN = "OVER (PARTITION BY cell_id ORDER BY time)"
 @register(
     "q_autocorr",
     f"WITH od AS ({ORDERS_DAILY_SQL}), "
-    "l AS (SELECT cell_id, time, temp, "
-    f"  lag(temp, 1) {_ACF_WIN} AS l1v, lag(time, 1) {_ACF_WIN} AS l1t, "
-    f"  lag(temp, 7) {_ACF_WIN} AS l7v, lag(time, 7) {_ACF_WIN} AS l7t "
-    "  FROM od), "
-    "p AS (SELECT cell_id, temp, "
-    "  CASE WHEN date_diff('day', l1t, time) = 1 THEN l1v END AS p1, "
-    "  CASE WHEN date_diff('day', l7t, time) = 7 THEN l7v END AS p7 FROM l) "
+    "p AS (SELECT a.cell_id, k.k AS k, a.temp AS v, b.temp AS pv "
+    "  FROM od a CROSS JOIN (SELECT unnest([1, 7]) AS k) k "
+    "  LEFT JOIN od b ON b.cell_id = a.cell_id AND b.time = a.time - k.k) "
     "SELECT cell_id, "
-    f"{rq_sql('corr(CASE WHEN p1 IS NOT NULL THEN temp END, p1)', 4)} AS acf_1, "
-    "CAST(count(p1) AS INT) AS n_pairs_1, "
-    f"{rq_sql('corr(CASE WHEN p7 IS NOT NULL THEN temp END, p7)', 4)} AS acf_7, "
-    "CAST(count(p7) AS INT) AS n_pairs_7 FROM p GROUP BY 1",
+    f"{rq_sql('corr(CASE WHEN k = 1 THEN v END, CASE WHEN k = 1 THEN pv END)', 4)}"
+    " AS acf_1, "
+    "CAST(count(CASE WHEN k = 1 THEN pv END) AS INT) AS n_pairs_1, "
+    f"{rq_sql('corr(CASE WHEN k = 7 THEN v END, CASE WHEN k = 7 THEN pv END)', 4)}"
+    " AS acf_7, "
+    "CAST(count(CASE WHEN k = 7 THEN pv END) AS INT) AS n_pairs_7 "
+    "FROM p GROUP BY 1",
 )
 def q_autocorr(spark, sf_dir):
     """Beyond-reference, in-domain: per-cell lag-1 / lag-7
-    autocorrelation of the daily series with time-aware lags (pairs
-    only count when exactly k days apart, so gaps never pair across
-    holes). One window pass per cell serves both lags."""
+    autocorrelation of the daily series with TRUE lag-k pairing — a
+    pair (t, t−k) counts whenever both days exist, however many
+    interior days are missing (self-equi-join on the exact day
+    offset; one join shuffle serves both lags)."""
     od = orders_daily(spark, sf_dir)
     a = autocorrelation(od, lags=(1, 7))
     return a.select(

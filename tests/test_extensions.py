@@ -365,3 +365,37 @@ class TestCurationOps:
         r = autocorrelation(df, lags=(1,)).collect()[0]
         assert r["n_pairs_1"] == 6  # 7 consecutive-row pairs minus the gap pair
         assert abs(r["acf_1"] - 1.0) < 1e-9
+
+    def test_autocorrelation_true_lag_k_across_holes(self, spark):
+        import datetime as dt
+
+        from mhw3d_detection_spark.operators.analysis import autocorrelation
+
+        # TRUE lag-k semantics: (day7, day0) and (day8, day1) are valid
+        # lag-7 pairs even though day 5 is missing (they are 6 rows
+        # apart — a row-offset lag(7) would find neither).
+        days = [0, 1, 2, 3, 4, 6, 7, 8]
+        rows = [
+            (1, dt.date(2000, 1, 1) + dt.timedelta(days=d), float(d)) for d in days
+        ]
+        df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+        r = autocorrelation(df, lags=(7,)).collect()[0]
+        assert r["n_pairs_7"] == 2
+        assert abs(r["acf_7"] - 1.0) < 1e-9
+
+    def test_gopher_rules_zero_token_doc(self, spark):
+        from mhw3d_detection_spark.operators.textops import gopher_rules
+
+        # punctuation-only doc tokenizes to zero tokens: every ratio
+        # must be a real 0.0 (not NULL) so the DuckDB differential and
+        # downstream flag conjunctions agree (ADVICE round-4 item)
+        df = spark.createDataFrame(
+            [(1, "!!! ??? ..."), (2, "the cat and the hat is in a tree here now")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+        assert out[1]["n_tokens"] == 0
+        assert out[1]["mean_token_len"] == 0.0
+        assert out[1]["flag_mean_len"] == 0
+        assert out[1]["pass_gopher"] == 0
+        assert out[2]["pass_gopher"] == 1
