@@ -50,13 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_dtype == "bigint":
         # int64 nanoseconds -> microsecond timestamp (truncating), keep
         # the raw nanos for exact integer comparisons in oracles.
         # integer DIV, not float division: ns epochs exceed 2^53 and a
         # double round-trip loses the low microsecond bit
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    elif ts_dtype == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ; cast
+        # to the session-UTC instant type so micro-exact functions
+        # (unix_micros etc.) resolve. Same wall-clock DuckDB sees when
+        # it reads the naive column.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros("ts") * F.lit(1000)
         )
     _SCAN_CACHE[key] = df
     return df
