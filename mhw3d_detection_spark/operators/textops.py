@@ -693,3 +693,135 @@ def pack_sequences(
             F.countDistinct("doc_id").cast("int").alias("n_docs"),
         )
     )
+
+
+def dup_span_frac(
+    docs: DataFrame, text_col: str = "text", span: int = 4
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the fraction of its token span-grams (length-``span``
+    sliding windows) that also occur verbatim in at least one OTHER
+    document. High values mark boilerplate carriers / partial copies
+    that document-level (MinHash) dedup misses; the production
+    counterpart cuts the duplicated spans themselves out of the text.
+
+    Plan: span slicing is row-local array arithmetic (the same slice
+    trick as :func:`shingles`); positions collapse to per-(doc, span)
+    counts in one hash aggregate; a second aggregate over the span key
+    counts how many docs carry each span; that (already span-keyed)
+    side joins straight back and a final per-doc aggregate emits the
+    fraction. Every shuffle is an equi-key hash exchange — no
+    all-pairs product at any corpus size. At 100 TB, group on
+    md5(span) to keep shuffle keys fixed-width."""
+    toks = tokens_col(F.col(text_col))
+    sp = F.expr(
+        f"case when size(__toks) >= {span} then "
+        f"transform(sequence(1, size(__toks) - {span - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {span}))) "
+        f"else array() end"
+    )
+    per = (
+        docs.withColumn("__toks", toks)
+        .select("doc_id", F.explode(sp).alias("span"))
+        .groupBy("doc_id", "span")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    carriers = per.groupBy("span").agg(F.count(F.lit(1)).alias("__n_docs"))
+    per_doc = (
+        per.join(carriers, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("int").alias("n_spans"),
+            F.sum(F.when(F.col("__n_docs") > 1, F.col("__c")).otherwise(0))
+            .cast("int")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1))
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the unigram token distribution plus
+    type-token ratio — the gibberish/degenerate-text detectors a
+    curation pipeline runs alongside the Gopher rules (low entropy =
+    repetitive spam, entropy near ln(n) with TTR 1 = random noise).
+
+    Closed form from two aggregates: H = ln(n) − Σ c·ln(c) / n over
+    the per-(doc, token) counts, so the plan is one explode + two
+    doc-keyed hash aggregates — no windows, no joins except the left
+    join that keeps zero-token docs in the output with entropy 0."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    per = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clc"),
+        F.count(F.lit(1)).alias("__nd"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__n", F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce("__nd", F.lit(0)).cast("int").alias("n_distinct"),
+            F.coalesce(
+                F.log("__n") - F.col("__clc") / F.col("__n"), F.lit(0.0)
+            ).alias("entropy"),
+            F.coalesce(F.col("__nd") / F.col("__n"), F.lit(0.0)).alias("ttr"),
+        )
+    )
+
+
+def length_quantile_band(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group token-length quantile banding — the length-outlier
+    filter of a curation pipeline, computed per language/source so a
+    short-form group's normal range isn't judged by a long-form one's.
+    Exact linear-interpolation percentiles (numpy ``'linear'`` /
+    DuckDB ``quantile_cont`` semantics, same contract as the
+    climatology thresholds) per group form a tiny dim (one row per
+    group) that broadcasts back; each doc gets its band and an in-band
+    flag. At 100 TB swap the exact percentile for
+    ``approx_percentile`` — the band edges don't need exactness, and
+    the plan is otherwise unchanged (one agg + one broadcast join)."""
+    n_tok = F.size(tokens_col(F.col(text_col)))
+    d = docs.select(
+        "doc_id", F.col(group_col), n_tok.cast("int").alias("n_tokens")
+    )
+    qs = d.groupBy(group_col).agg(
+        F.expr(f"percentile(n_tokens, {q_lo})").alias("len_lo"),
+        F.expr(f"percentile(n_tokens, {q_hi})").alias("len_hi"),
+    )
+    return d.join(F.broadcast(qs), group_col).select(
+        "doc_id",
+        group_col,
+        "n_tokens",
+        "len_lo",
+        "len_hi",
+        (
+            (F.col("n_tokens") >= F.col("len_lo"))
+            & (F.col("n_tokens") <= F.col("len_hi"))
+        )
+        .cast("int")
+        .alias("in_band"),
+    )

@@ -1013,3 +1013,110 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(
         docs, chunk_size=32, target_tokens=256, group_col="source"
     )
+
+
+# =========================================================================
+# E2c — exact-substring duplication signal (duplicated-span fraction)
+# =========================================================================
+@register(
+    "q_dup_span_frac",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "sp AS (SELECT doc_id, toks, "
+    "  unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i FROM d), "
+    "s AS (SELECT doc_id, "
+    "  list_aggregate(toks[i:i+3], 'string_agg', ' ') AS span FROM sp), "
+    "per AS (SELECT doc_id, span, count(*) AS c FROM s GROUP BY 1, 2), "
+    "g AS (SELECT span, count(*) AS n_docs FROM per GROUP BY 1), "
+    "pd AS (SELECT doc_id, sum(c) AS n_spans, "
+    "  sum(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS n_dup_spans "
+    "  FROM per JOIN g USING (span) GROUP BY 1) "
+    "SELECT doc_id, CAST(coalesce(n_spans, 0) AS INT) AS n_spans, "
+    "CAST(coalesce(n_dup_spans, 0) AS INT) AS n_dup_spans, "
+    f"{rq_sql('coalesce(n_dup_spans, 0) / greatest(coalesce(n_spans, 0), 1)', 4)}"
+    " AS dup_span_frac "
+    "FROM (SELECT doc_id FROM documents) docs LEFT JOIN pd USING (doc_id)",
+)
+def q_dup_span_frac(spark, sf_dir):
+    """E2c: exact-substring duplication signal (Lee et al. 2021) —
+    fraction of each doc's token 4-gram spans that occur verbatim in
+    at least one other document. Catches boilerplate / partial copies
+    that document-level MinHash dedup misses. Equi-keyed hash
+    aggregates + one span-keyed join; no all-pairs."""
+    from mhw3d_detection_spark.operators.textops import dup_span_frac
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = dup_span_frac(docs, span=4)
+    return d.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        rq("dup_span_frac", 4).alias("dup_span_frac"),
+    )
+
+
+# =========================================================================
+# E4 — unigram entropy + type-token ratio (gibberish detectors)
+# =========================================================================
+@register(
+    "q_token_entropy",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2), "
+    "a AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clc, "
+    "  count(*) AS nd FROM per GROUP BY 1) "
+    "SELECT doc_id, CAST(coalesce(n, 0) AS INT) AS n_tokens, "
+    "CAST(coalesce(nd, 0) AS INT) AS n_distinct, "
+    f"{rq_sql('coalesce(ln(n) - clc / n, 0)', 4)} AS entropy, "
+    f"{rq_sql('coalesce(nd * 1.0 / n, 0)', 4)} AS ttr "
+    "FROM (SELECT doc_id FROM documents) docs LEFT JOIN a USING (doc_id)",
+)
+def q_token_entropy(spark, sf_dir):
+    """E4: per-doc unigram Shannon entropy + type-token ratio — the
+    gibberish/degenerate-text detectors (low entropy = repetitive
+    spam; max entropy + TTR 1 = random noise). Closed form
+    H = ln(n) − Σ c·ln(c)/n from two doc-keyed hash aggregates."""
+    from mhw3d_detection_spark.operators.textops import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = token_entropy(docs)
+    return e.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        rq("entropy", 4).alias("entropy"),
+        rq("ttr", 4).alias("ttr"),
+    )
+
+
+# =========================================================================
+# E4b — per-language length-quantile banding (length-outlier filter)
+# =========================================================================
+@register(
+    "q_length_band",
+    "WITH d AS (SELECT doc_id, lang, "
+    "  len(" + TOKENS_SQL + ") AS n_tokens FROM documents), "
+    "q AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS len_lo, "
+    "  quantile_cont(n_tokens, 0.95) AS len_hi FROM d GROUP BY 1) "
+    "SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, "
+    f"{rq_sql('len_lo', 4)} AS len_lo, {rq_sql('len_hi', 4)} AS len_hi, "
+    "CAST(n_tokens BETWEEN len_lo AND len_hi AS INT) AS in_band "
+    "FROM d JOIN q USING (lang)",
+)
+def q_length_band(spark, sf_dir):
+    """E4b: per-language token-length quantile band (p05–p95) — the
+    length-outlier filter computed per group so short-form languages
+    aren't clipped by long-form ones. Exact linear-interp percentile
+    (group dim is tiny), broadcast back, narrow flag projection;
+    approx_percentile is the documented 100 TB escape hatch."""
+    from mhw3d_detection_spark.operators.textops import length_quantile_band
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = length_quantile_band(docs, group_col="lang")
+    return b.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        rq("len_lo", 4).alias("len_lo"),
+        rq("len_hi", 4).alias("len_hi"),
+        "in_band",
+    )

@@ -399,3 +399,55 @@ class TestCurationOps:
         assert out[1]["flag_mean_len"] == 0
         assert out[1]["pass_gopher"] == 0
         assert out[2]["pass_gopher"] == 1
+
+
+class TestCurationOps2:
+    def test_dup_span_frac(self, spark):
+        from mhw3d_detection_spark.operators.textops import dup_span_frac
+
+        # docs 1/2 share the exact 4-token span "a b c d"; doc 3 is
+        # unique; doc 4 is too short for any span -> zeros, still present
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "x a b c d"),
+                (3, "p q r s t"),
+                (4, "one two"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dup_span_frac(df, span=4).collect()}
+        assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+        assert abs(out[1]["dup_span_frac"] - 0.5) < 1e-9
+        assert out[3]["n_dup_spans"] == 0
+        assert out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+
+    def test_token_entropy(self, spark):
+        import math
+
+        from mhw3d_detection_spark.operators.textops import token_entropy
+
+        df = spark.createDataFrame(
+            [(1, "a a a a"), (2, "a b c d"), (3, "...")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+        assert abs(out[1]["entropy"]) < 1e-9  # constant doc -> 0
+        assert abs(out[2]["entropy"] - math.log(4)) < 1e-9  # uniform -> ln 4
+        assert out[2]["ttr"] == 1.0
+        assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
+
+    def test_length_quantile_band(self, spark):
+        from mhw3d_detection_spark.operators.textops import length_quantile_band
+
+        rows = [(i, "en", "w " * n) for i, n in enumerate([5, 10, 10, 10, 100])]
+        df = spark.createDataFrame(
+            [(i, lang, t.strip()) for i, lang, t in rows],
+            "doc_id long, lang string, text string",
+        )
+        out = {r["doc_id"]: r for r in length_quantile_band(df).collect()}
+        # p05/p95 of [5,10,10,10,100] interpolate between extremes ->
+        # the 5- and 100-token outliers fall outside, the 10s inside
+        assert out[0]["in_band"] == 0
+        assert out[4]["in_band"] == 0
+        assert all(out[i]["in_band"] == 1 for i in (1, 2, 3))
