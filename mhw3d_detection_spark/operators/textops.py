@@ -825,3 +825,103 @@ def length_quantile_band(
         .cast("int")
         .alias("in_band"),
     )
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", max_postings: int = 32
+) -> DataFrame:
+    """Corpus inverted index: one row per token with document
+    frequency, total term frequency, and a postings string
+    ``"doc:tf;doc:tf;..."`` over the first ``max_postings`` doc_ids —
+    the retrieval-side artifact a text pipeline builds once per corpus.
+
+    Scale design: postings are BOUNDED before any buffering — a
+    per-token ``row_number`` window (streaming, no per-group state)
+    keeps only the first ``max_postings`` docs, so the collect_list
+    holds at most that many entries even for stopword-grade tokens
+    that appear in every document. The truncation is NOT silent:
+    ``df`` always carries the true document frequency from the
+    unbounded (scalar-only) aggregate, so ``df > max_postings`` marks
+    a truncated postings list. Shuffles: one (token, doc) hash agg,
+    one token window, one token-keyed join."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    pt = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    totals = pt.groupBy("token").agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.sum("tf").cast("int").alias("tf_total"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    post = (
+        pt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda p: F.concat_ws(
+                        ":", p["doc_id"].cast("string"), p["tf"].cast("string")
+                    ),
+                ),
+                ";",
+            ).alias("postings")
+        )
+    )
+    return totals.join(post, "token")
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Windowed co-occurrence counts with pointwise mutual information
+    (Church & Hanks 1990) — the word-association statistic behind
+    collocation mining and distributional embeddings. An ordered pair
+    (a, b) counts once per position pair at distance 1..``window``
+    within a document.
+
+    Plan: positions come from one posexplode; the pair construction is
+    the same offset-explode + self-equi-join shape as the lag-k
+    autocorrelation (probe side explodes ``window`` offsets, joins on
+    ``(doc, pos + o)``) — never a quadratic product. Marginals are
+    re-aggregates of the pair-count table (vocab-sized, broadcast
+    back), and PMI = ln(c_ab · N / (c_a · c_b)) is a closed-form
+    projection. ``min_count`` prunes the long noisy tail."""
+    tok = tokenize(docs, text_col)
+    probe = tok.select(
+        "doc_id",
+        "pos",
+        F.col("token").alias("a"),
+        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias(
+            "__o"
+        ),
+    ).withColumn("__pj", F.col("pos") + F.col("__o"))
+    right = tok.select(
+        "doc_id", F.col("pos").alias("__pj"), F.col("token").alias("b")
+    )
+    c = (
+        probe.join(right, ["doc_id", "__pj"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    tot = c.agg(F.sum("c_ab").alias("__N"))
+    ca = c.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    cb = c.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    return (
+        c.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("int").alias("c_ab"),
+            F.log(
+                F.col("c_ab") * F.col("__N") / (F.col("c_a") * F.col("c_b"))
+            ).alias("pmi"),
+        )
+    )

@@ -1120,3 +1120,64 @@ def q_length_band(spark, sf_dir):
         rq("len_hi", 4).alias("len_hi"),
         "in_band",
     )
+
+
+# =========================================================================
+# E4c — corpus inverted index (bounded postings)
+# =========================================================================
+@register(
+    "q_inverted_index",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "tokp AS (SELECT doc_id, toks[i] AS token FROM "
+    "  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d)), "
+    "pt AS (SELECT token, doc_id, count(*) AS tf FROM tokp GROUP BY 1, 2), "
+    "totals AS (SELECT token, CAST(count(*) AS INT) AS df, "
+    "  CAST(sum(tf) AS INT) AS tf_total FROM pt GROUP BY 1), "
+    "rp AS (SELECT token, doc_id, tf, "
+    "  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM pt), "
+    "post AS (SELECT token, string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) "
+    "  AS postings FROM rp WHERE rn <= 32 GROUP BY 1) "
+    "SELECT token, df, tf_total, postings FROM totals JOIN post USING (token)",
+)
+def q_inverted_index(spark, sf_dir):
+    """E4c: corpus inverted index — per token: document frequency,
+    total tf, and a doc:tf postings string bounded to the first 32
+    docs BEFORE any buffering (row_number window, so stopword-grade
+    tokens can't blow per-group state; df carries the true count so
+    truncation is visible, never silent)."""
+    from mhw3d_detection_spark.operators.textops import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, max_postings=32)
+
+
+# =========================================================================
+# E4c — windowed co-occurrence + PMI (collocation mining)
+# =========================================================================
+@register(
+    "q_cooc_pmi",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "tokp AS (SELECT doc_id, i AS pos, toks[i] AS token FROM "
+    "  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d)), "
+    "pairs AS (SELECT p.token AS a, r.token AS b FROM tokp p "
+    "  CROSS JOIN (SELECT unnest([1, 2]) AS o) o "
+    "  JOIN tokp r ON r.doc_id = p.doc_id AND r.pos = p.pos + o.o), "
+    "c AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2), "
+    "tot AS (SELECT sum(c_ab) AS n FROM c), "
+    "ca AS (SELECT a, sum(c_ab) AS c_a FROM c GROUP BY 1), "
+    "cb AS (SELECT b, sum(c_ab) AS c_b FROM c GROUP BY 1) "
+    "SELECT a, b, CAST(c_ab AS INT) AS c_ab, "
+    f"{rq_sql('ln(c_ab * n / (c_a * c_b))', 4)} AS pmi "
+    "FROM c JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot "
+    "WHERE c_ab >= 5",
+)
+def q_cooc_pmi(spark, sf_dir):
+    """E4c: windowed co-occurrence counts + PMI (Church & Hanks 1990)
+    at distance <= 2 — offset-explode + self-equi-join on (doc, pos),
+    pair-count hash agg, vocab-sized marginals broadcast back. Never a
+    quadratic product."""
+    from mhw3d_detection_spark.operators.textops import cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = cooccurrence_pmi(docs, window=2, min_count=5)
+    return p.select("a", "b", "c_ab", rq("pmi", 4).alias("pmi"))

@@ -451,3 +451,33 @@ class TestCurationOps2:
         assert out[0]["in_band"] == 0
         assert out[4]["in_band"] == 0
         assert all(out[i]["in_band"] == 1 for i in (1, 2, 3))
+
+    def test_inverted_index_bounded_postings(self, spark):
+        from mhw3d_detection_spark.operators.textops import inverted_index
+
+        df = spark.createDataFrame(
+            [(1, "x x y"), (2, "x z"), (3, "x")],
+            "doc_id long, text string",
+        )
+        out = {r["token"]: r for r in inverted_index(df, max_postings=2).collect()}
+        assert out["x"]["df"] == 3  # true df survives the postings cap
+        assert out["x"]["tf_total"] == 4
+        assert out["x"]["postings"] == "1:2;2:1"  # capped at 2, doc order
+        assert out["y"]["postings"] == "1:1"
+
+    def test_cooccurrence_pmi_counts(self, spark):
+        import math
+
+        from mhw3d_detection_spark.operators.textops import cooccurrence_pmi
+
+        # "a b" x2 in one doc: pairs at distance<=2 from doc "a b a b":
+        # (a,b) d1 x2, (b,a) d1 x1, (a,a) d2 x1, (b,b) d2 x1 -> N=5
+        df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        out = {
+            (r["a"], r["b"]): r
+            for r in cooccurrence_pmi(df, window=2, min_count=1).collect()
+        }
+        assert out[("a", "b")]["c_ab"] == 2
+        assert out[("b", "a")]["c_ab"] == 1
+        # marginals: c_a(a)=3, c_b(b)=3 -> pmi(a,b) = ln(2*5/9)
+        assert abs(out[("a", "b")]["pmi"] - math.log(2 * 5 / 9)) < 1e-9
