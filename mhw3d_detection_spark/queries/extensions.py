@@ -1181,3 +1181,98 @@ def q_cooc_pmi(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     p = cooccurrence_pmi(docs, window=2, min_count=5)
     return p.select("a", "b", "c_ab", rq("pmi", 4).alias("pmi"))
+
+
+# =========================================================================
+# E4d — curation funnel: keep/drop + first-failing-reason per document
+# =========================================================================
+@register(
+    "q_curation_funnel",
+    "WITH toks AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    # gopher quality rules (same thresholds as q_gopher_rules)
+    "gs AS (SELECT doc_id, len(toks) AS n_tokens, "
+    "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+    "    / greatest(len(toks), 1) AS mean_len, "
+    "  len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) "
+    "    / greatest(len(toks), 1) AS alpha_frac, "
+    f"  len(list_intersect(toks, [{_GOPHER_STOP}])) AS n_stop FROM toks), "
+    "g AS (SELECT doc_id, CAST((n_tokens BETWEEN 10 AND 1000) "
+    "  AND (mean_len BETWEEN 2.0 AND 8.0) AND alpha_frac >= 0.8 "
+    "  AND n_stop >= 2 AS INT) AS pass_gopher FROM gs), "
+    # per-language length band (same as q_length_band)
+    "ln AS (SELECT doc_id, lang, len(toks) AS n_tokens "
+    "  FROM toks JOIN documents USING (doc_id)), "
+    "qb AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS len_lo, "
+    "  quantile_cont(n_tokens, 0.95) AS len_hi FROM ln GROUP BY 1), "
+    "b AS (SELECT doc_id, CAST(n_tokens BETWEEN len_lo AND len_hi AS INT) "
+    "  AS in_band FROM ln JOIN qb USING (lang)), "
+    # duplicated-span fraction (same as q_dup_span_frac, span=4)
+    "sp AS (SELECT doc_id, toks, "
+    "  unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i FROM toks), "
+    "s AS (SELECT doc_id, "
+    "  list_aggregate(toks[i:i+3], 'string_agg', ' ') AS span FROM sp), "
+    "per AS (SELECT doc_id, span, count(*) AS c FROM s GROUP BY 1, 2), "
+    "gd AS (SELECT span, count(*) AS n_docs FROM per GROUP BY 1), "
+    "pd AS (SELECT doc_id, sum(c) AS n_spans, "
+    "  sum(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS n_dup "
+    "  FROM per JOIN gd USING (span) GROUP BY 1), "
+    "ds AS (SELECT doc_id, coalesce(n_dup, 0) / greatest(coalesce(n_spans, 0), 1) "
+    "  AS dup_frac FROM (SELECT doc_id FROM documents) LEFT JOIN pd USING (doc_id)), "
+    # exact-dup canonical survivor
+    "canon AS (SELECT doc_id, CASE WHEN doc_id = min(doc_id) "
+    "  OVER (PARTITION BY text) THEN 1 ELSE 0 END AS is_canon FROM documents) "
+    "SELECT doc_id, "
+    "CASE WHEN is_canon = 0 THEN 'exact_dup' "
+    "  WHEN pass_gopher = 0 THEN 'gopher' "
+    "  WHEN in_band = 0 THEN 'length' "
+    "  WHEN dup_frac >= 0.5 THEN 'dup_span' "
+    "  ELSE 'keep' END AS reason, "
+    "CAST(is_canon = 1 AND pass_gopher = 1 AND in_band = 1 "
+    "  AND dup_frac < 0.5 AS INT) AS keep "
+    "FROM canon JOIN g USING (doc_id) JOIN b USING (doc_id) "
+    "JOIN ds USING (doc_id)",
+)
+def q_curation_funnel(spark, sf_dir):
+    """E4d: the end-to-end curation decision — per document, keep/drop
+    plus the FIRST failing stage in the funnel order a production
+    pipeline applies them: exact-dup canonicalization -> Gopher
+    quality rules -> per-language length band -> duplicated-span
+    fraction (>= 0.5 marks the planted near-dup carriers). Every
+    signal is rational arithmetic (integer counts, exact percentile
+    interpolation), so the cross-engine comparison is exact — no
+    transcendental-threshold flakiness. Plan: four doc-keyed
+    equi-joins of per-doc signal tables; all join keys share the same
+    hash partitioning, so the join tree stays one doc_id exchange
+    deep at any corpus size."""
+    from pyspark.sql import Window
+
+    from mhw3d_detection_spark.operators.textops import (
+        dup_span_frac,
+        gopher_rules,
+        length_quantile_band,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs).select("doc_id", "pass_gopher")
+    b = length_quantile_band(docs, group_col="lang").select("doc_id", "in_band")
+    ds = dup_span_frac(docs, span=4).select("doc_id", "dup_span_frac")
+    w = Window.partitionBy("text")
+    canon = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias(
+            "is_canon"
+        ),
+    )
+    j = canon.join(g, "doc_id").join(b, "doc_id").join(ds, "doc_id")
+    reason = (
+        F.when(F.col("is_canon") == 0, F.lit("exact_dup"))
+        .when(F.col("pass_gopher") == 0, F.lit("gopher"))
+        .when(F.col("in_band") == 0, F.lit("length"))
+        .when(F.col("dup_span_frac") >= 0.5, F.lit("dup_span"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "keep").cast("int").alias("keep"),
+    )
