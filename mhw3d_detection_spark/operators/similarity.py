@@ -293,3 +293,80 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs.select("doc_a", F.col("vec_id").alias("doc_b"), "cosine")
+
+
+def jl_matrix(out_dim: int, dim: int) -> list[list[float]]:
+    """Deterministic Johnson-Lindenstrauss projection matrix
+    (out_dim x dim): entries uniform in [-1, 1] derived from md5, so
+    the identical literal matrix is embeddable in the DuckDB oracle
+    (same determinism contract as :func:`rhp_signs`). Scaled by
+    1/sqrt(out_dim) so projected L2 norms are distance-preserving in
+    expectation (JL lemma)."""
+    import hashlib
+    import math
+
+    s = 1.0 / math.sqrt(out_dim)
+    out = []
+    for j in range(out_dim):
+        row = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"jl:{j}:{i}".encode()).digest()[:6], "big"
+            )
+            row.append(s * (2.0 * h / float(1 << 48) - 1.0))
+        out.append(row)
+    return out
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-
+    Lindenstrauss): project each embedding onto ``out_dim`` fixed
+    pseudo-random directions — the standard pre-step that shrinks
+    vectors before LSH bucketing or brute-force scoring at corpus
+    scale (8x fewer multiplies per comparison downstream).
+
+    Pure narrow projection: each output dim is one JVM-side
+    ``aggregate(zip_with(vec, literal_row, *), +)`` fold — no shuffle,
+    no UDF, streams at scan speed. The matrix is a deterministic md5
+    literal, so the DuckDB oracle multiplies the exact same numbers in
+    the exact same index order (bit-identical folds)."""
+    mat = jl_matrix(out_dim, dim)
+    v = as_double(F.col(vec_col))
+    cols = [
+        dot(v, F.array(*[F.lit(c) for c in row])).alias(f"r{j}")
+        for j, row in enumerate(mat)
+    ]
+    return emb.select(F.col(id_col), *cols)
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid components — the building block of k-means
+    assignment quality checks, class prototypes, and IVF cell stats.
+    One row per (label, dim_idx) with the mean component value.
+
+    Plan: posexplode the vector (row-local), then ONE hash aggregate
+    on (label, dim_idx) — partial aggregation (map-side combine) does
+    almost all the work before the only shuffle, whose key count is
+    labels x dims regardless of corpus size."""
+    return (
+        emb.select(
+            F.col(label_col),
+            F.posexplode(as_double(F.col(vec_col))).alias("dim_idx", "__x"),
+        )
+        .groupBy(label_col, "dim_idx")
+        .agg(
+            F.avg("__x").alias("mean_val"),
+            F.count(F.lit(1)).cast("int").alias("n_vecs"),
+        )
+    )

@@ -1276,3 +1276,61 @@ def q_curation_funnel(spark, sf_dir):
         reason.alias("reason"),
         (reason == "keep").cast("int").alias("keep"),
     )
+
+
+# =========================================================================
+# E3b — random-projection dimensionality reduction (JL) + label centroids
+# =========================================================================
+def _JL_SQL() -> str:
+    from mhw3d_detection_spark.operators.similarity import jl_matrix
+
+    mat = jl_matrix(8, 64)
+    cols = ", ".join(
+        rq_sql(
+            " + ".join(f"embedding[{i + 1}] * {c!r}" for i, c in enumerate(row)),
+            4,
+        )
+        + f" AS r{j}"
+        for j, row in enumerate(mat)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+@register("q_embed_random_projection", _JL_SQL())
+def q_embed_random_projection(spark, sf_dir):
+    """E3b: Johnson-Lindenstrauss random projection 64 -> 8 dims — the
+    pre-step that shrinks vectors before LSH/brute-force scoring at
+    corpus scale. Pure narrow fold per output dim (no shuffle, no
+    UDF); the md5-derived matrix is embedded as the same literal in
+    the DuckDB oracle, multiplied in the same index order."""
+    from mhw3d_detection_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = random_projection(emb, out_dim=8, dim=64)
+    return p.select(
+        "vec_id", *[rq(f"r{j}", 4).alias(f"r{j}") for j in range(8)]
+    )
+
+
+@register(
+    "q_embed_centroids",
+    "WITH x AS (SELECT label, CAST(i - 1 AS INT) AS dim_idx, "
+    "  CAST(embedding[i] AS DOUBLE) AS v FROM "
+    "  (SELECT label, embedding, "
+    "   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)) "
+    "SELECT label, dim_idx, "
+    f"{rq_sql('avg(v)', 4)} AS mean_val, "
+    "CAST(count(*) AS INT) AS n_vecs FROM x GROUP BY 1, 2",
+)
+def q_embed_centroids(spark, sf_dir):
+    """E3b: per-label centroid components (class prototypes / IVF cell
+    stats) — posexplode (row-local) + ONE hash aggregate on
+    (label, dim_idx); map-side combine does the work, and the shuffle
+    key count is labels x dims regardless of corpus size."""
+    from mhw3d_detection_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = label_centroids(emb)
+    return c.select(
+        "label", "dim_idx", rq("mean_val", 4).alias("mean_val"), "n_vecs"
+    )

@@ -481,3 +481,35 @@ class TestCurationOps2:
         assert out[("b", "a")]["c_ab"] == 1
         # marginals: c_a(a)=3, c_b(b)=3 -> pmi(a,b) = ln(2*5/9)
         assert abs(out[("a", "b")]["pmi"] - math.log(2 * 5 / 9)) < 1e-9
+
+    def test_random_projection_preserves_geometry(self, spark):
+        import math
+
+        from mhw3d_detection_spark.operators.similarity import random_projection
+
+        # identical vectors project identically; distances contract
+        # toward expectation (JL) — just check identical ones coincide
+        # and distinct ones stay distinct
+        base = [1.0] * 32 + [0.0] * 32
+        other = [0.0] * 32 + [1.0] * 32
+        emb = spark.createDataFrame(
+            [(0, base), (1, list(base)), (2, other)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: [r[f"r{j}"] for j in range(8)]
+               for r in random_projection(emb, out_dim=8, dim=64).collect()}
+        assert out[0] == out[1]
+        d02 = math.dist(out[0], out[2])
+        assert d02 > 0.1  # orthogonal inputs stay separated
+
+    def test_label_centroids(self, spark):
+        from mhw3d_detection_spark.operators.similarity import label_centroids
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 3.0], 7), (1, [3.0, 5.0], 7), (2, [10.0, 10.0], 8)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {(r["label"], r["dim_idx"]): r for r in label_centroids(emb).collect()}
+        assert out[(7, 0)]["mean_val"] == 2.0 and out[(7, 1)]["mean_val"] == 4.0
+        assert out[(7, 0)]["n_vecs"] == 2
+        assert out[(8, 1)]["mean_val"] == 10.0

@@ -180,3 +180,37 @@ def test_repetition_keyed_by_doc(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _executed(ngram_repetition(docs))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_autocorrelation_has_no_window_pass(spark, sf_dir):
+    # true lag-k pairing is a self-equi-join, not a per-cell window
+    # sort — and never a single-partition exchange
+    from mhw3d_detection_spark.operators.analysis import autocorrelation
+    from mhw3d_detection_spark.queries.base import orders_daily
+
+    plan = _executed(autocorrelation(orders_daily(spark, sf_dir), lags=(1, 7)))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_no_global_exchange(spark, sf_dir):
+    # the postings cap runs per-token (parallel across the vocab);
+    # nothing funnels through one partition
+    from mhw3d_detection_spark.operators.textops import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(inverted_index(docs))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cooc_pmi_broadcasts_marginals(spark, sf_dir):
+    # vocab-sized marginals must broadcast; the pair construction must
+    # be an equi-join, never a cartesian product
+    from mhw3d_detection_spark.operators.textops import cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(cooccurrence_pmi(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
