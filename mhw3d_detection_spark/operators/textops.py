@@ -925,3 +925,70 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The training-mixture design table (the planning counterpart of
+    :func:`temperature_sample`): per group, its raw token share, its
+    temperature-scaled target share ``n_g^alpha / Σ n^alpha`` (Conneau
+    & Lample 2019 §3.1), and the relative sampling weight = target /
+    raw — the number a sampler multiplies each group's natural rate by
+    (equivalently, expected epochs over that group when the total
+    token budget equals the corpus size).
+
+    Plan: one hash aggregate to a groups-sized dim, then scalar
+    totals broadcast back — O(groups) state anywhere past the first
+    aggregate, at any corpus size."""
+    n_tok = F.size(tokens_col(F.col(text_col)))
+    per = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__t"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "__ta"
+        ),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("__t")).alias("raw_share"),
+        (
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__ta")
+        ).alias("target_share"),
+        (
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            / F.col("__ta")
+            / (F.col("n_tokens") / F.col("__t"))
+        ).alias("rel_weight"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.9),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5-uniform of the
+    content key lands each row in train (< ``fractions[0]``), val
+    (< ``fractions[1]``) or test — a pure function of the key, so the
+    split is identical across reruns, partitionings and engines, and a
+    document can never leak between splits when the corpus is
+    re-sharded (the failure mode of seeded per-partition RNG splits).
+    Narrow projection; zero shuffles."""
+    u = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10
+    ).cast("double") / F.lit(float(1 << 48))
+    return docs.withColumn(
+        "split",
+        F.when(u < fractions[0], F.lit("train"))
+        .when(u < fractions[1], F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

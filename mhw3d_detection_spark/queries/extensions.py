@@ -1334,3 +1334,93 @@ def q_embed_centroids(spark, sf_dir):
     return c.select(
         "label", "dim_idx", rq("mean_val", 4).alias("mean_val"), "n_vecs"
     )
+
+
+# =========================================================================
+# E6c — mixture design + deterministic split + per-source profile
+# =========================================================================
+@register(
+    "q_mixture_weights",
+    "WITH per AS (SELECT source, CAST(count(*) AS INT) AS n_docs, "
+    "  CAST(sum(len(" + TOKENS_SQL + ")) AS BIGINT) AS n_tokens "
+    "  FROM documents GROUP BY 1), "
+    "tot AS (SELECT sum(n_tokens) AS t, sum(pow(n_tokens, 0.5)) AS ta FROM per) "
+    "SELECT source, n_docs, n_tokens, "
+    f"{rq_sql('n_tokens / t', 4)} AS raw_share, "
+    f"{rq_sql('pow(n_tokens, 0.5) / ta', 4)} AS target_share, "
+    f"{rq_sql('pow(n_tokens, 0.5) / ta / (n_tokens / t)', 4)} AS rel_weight "
+    "FROM per CROSS JOIN tot",
+)
+def q_mixture_weights(spark, sf_dir):
+    """E6c: training-mixture design table — per source: raw token
+    share, temperature-scaled target share (alpha=0.5, Conneau &
+    Lample 2019), and the relative sampling weight a sampler applies.
+    One groups-sized aggregate + broadcast totals."""
+    from mhw3d_detection_spark.operators.textops import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = mixture_weights(docs, group_col="source", alpha=0.5)
+    return m.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rq("raw_share", 4).alias("raw_share"),
+        rq("target_share", 4).alias("target_share"),
+        rq("rel_weight", 4).alias("rel_weight"),
+    )
+
+
+@register(
+    "q_split_assign",
+    "SELECT doc_id, CASE "
+    "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+    "  / 281474976710656.0 < 0.8 THEN 'train' "
+    "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+    "  / 281474976710656.0 < 0.9 THEN 'val' "
+    "ELSE 'test' END AS split FROM documents",
+)
+def q_split_assign(spark, sf_dir):
+    """E6c: deterministic 80/10/10 train/val/test split — md5-uniform
+    of the content key, a pure key function (layout/engine/rerun
+    invariant; documents cannot leak between splits on reshard).
+    Narrow projection, zero shuffles."""
+    from mhw3d_detection_spark.operators.textops import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "split")
+
+
+@register(
+    "q_source_stats",
+    "WITH d AS (SELECT doc_id, source, " + TOKENS_SQL + " AS toks FROM documents), "
+    "s AS (SELECT doc_id, source, len(toks) AS n_tok, "
+    "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+    "    / greatest(len(toks), 1) AS mean_len, "
+    "  len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) "
+    "    / greatest(len(toks), 1) AS alpha_frac, "
+    f"  len(list_intersect(toks, [{_GOPHER_STOP}])) AS n_stop FROM d) "
+    "SELECT source, CAST(count(*) AS INT) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+    f"{rq_sql('avg(n_tok)', 4)} AS mean_tokens, "
+    f"{rq_sql('avg(CAST((n_tok BETWEEN 10 AND 1000) AND (mean_len BETWEEN 2.0 AND 8.0) AND alpha_frac >= 0.8 AND n_stop >= 2 AS INT))', 4)}"
+    " AS gopher_pass_rate "
+    "FROM s GROUP BY 1",
+)
+def q_source_stats(spark, sf_dir):
+    """E6c: per-source corpus profile — doc/token counts, mean length,
+    Gopher pass rate — the table a mixture designer reads before
+    setting weights. Composite of the quality signals re-aggregated by
+    source: one doc-level narrow pass + one source-keyed hash agg."""
+    from mhw3d_detection_spark.operators.textops import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs).select("doc_id", "n_tokens", "pass_gopher")
+    j = docs.select("doc_id", "source").join(g, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        rq(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        rq(F.avg(F.col("pass_gopher").cast("double")), 4).alias(
+            "gopher_pass_rate"
+        ),
+    )

@@ -513,3 +513,38 @@ class TestCurationOps2:
         assert out[(7, 0)]["mean_val"] == 2.0 and out[(7, 1)]["mean_val"] == 4.0
         assert out[(7, 0)]["n_vecs"] == 2
         assert out[(8, 1)]["mean_val"] == 10.0
+
+    def test_mixture_weights_flatten_toward_uniform(self, spark):
+        from mhw3d_detection_spark.operators.textops import mixture_weights
+
+        # 9:1 token skew; alpha=0.5 target shares must sit strictly
+        # between raw shares and uniform, and sum to 1
+        rows = [(i, "big", "w " * 90) for i in range(10)] + [
+            (100 + i, "small", "w " * 10) for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            [(i, s, t.strip()) for i, s, t in rows],
+            "doc_id long, source string, text string",
+        )
+        out = {r["source"]: r for r in mixture_weights(df, alpha=0.5).collect()}
+        assert abs(out["big"]["raw_share"] - 0.9) < 1e-9
+        assert 0.5 < out["big"]["target_share"] < 0.9
+        assert 0.1 < out["small"]["target_share"] < 0.5
+        assert abs(out["big"]["target_share"] + out["small"]["target_share"] - 1.0) < 1e-9
+        assert out["small"]["rel_weight"] > 1.0 > out["big"]["rel_weight"]
+
+    def test_split_assign_deterministic_and_partitioned(self, spark):
+        from mhw3d_detection_spark.operators.textops import split_assign
+
+        docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+        a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in split_assign(docs.repartition(13)).collect()
+        }
+        assert a == b  # layout-independent
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert 700 < c["train"] < 900 and 50 < c["val"] < 150 and 50 < c["test"] < 150
+        assert set(c) == {"train", "val", "test"}
