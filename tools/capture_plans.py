@@ -22,6 +22,10 @@ PLANS = [
     "q_dedup_minhash_pairs",
     "q_dedup_embedding_lsh",
     "q_event_rank_return",
+    "q_autocorr",
+    "q_inverted_index",
+    "q_cooc_pmi",
+    "q_dup_span_frac",
 ]
 
 HEADER = """# Physical plans — explain evidence
