@@ -370,3 +370,72 @@ def label_centroids(
             F.count(F.lit(1)).cast("int").alias("n_vecs"),
         )
     )
+
+
+def projected_rerank_topk(
+    emb: DataFrame,
+    probe_pred,
+    k: int = 5,
+    k_coarse: int = 20,
+    out_dim: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN retrieval: score the WHOLE corpus on cheap
+    ``out_dim``-dim JL projections (out_dim/dim of the multiply cost),
+    keep the ``k_coarse`` best candidates per probe, then re-rank only
+    those with the exact full-dimension cosine — the classic
+    coarse-quantize-then-rerank shape (IVF-Flat / two-tower retrieval)
+    expressed as DataFrame ops.
+
+    Scale: stage 1 is a broadcast of the (small) probe projections
+    against a narrow projection of the corpus — no shuffle of the big
+    side; stage 2 touches ``probes x k_coarse`` rows only, equi-joined
+    back to the full vectors. The per-probe windows rank bounded sets
+    (corpus-side candidates for stage 2; stage 1's window ranks the
+    broadcast-join output exactly like :func:`cosine_topk`, whose
+    salted two-phase variant is the drop-in at extreme probe skew)."""
+    proj = random_projection(emb, out_dim, dim, id_col, vec_col)
+    parr = F.array(*[F.col(f"r{j}") for j in range(out_dim)])
+    pr = proj.select(F.col(id_col), parr.alias("__pv"))
+    probes = pr.filter(probe_pred(F.col(id_col))).select(
+        F.col(id_col).alias("probe_id"), F.col("__pv").alias("__qv")
+    )
+    coarse = (
+        pr.crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .withColumn(
+            "__ccos",
+            dot(F.col("__pv"), F.col("__qv"))
+            / (norm(F.col("__pv")) * norm(F.col("__qv"))),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("__ccos").desc(), F.col(id_col)
+    )
+    cand = (
+        coarse.withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= k_coarse)
+        .select("probe_id", id_col)
+    )
+    full = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__fv"))
+    probes_full = emb.filter(probe_pred(F.col(id_col))).select(
+        F.col(id_col).alias("probe_id"),
+        as_double(F.col(vec_col)).alias("__qfv"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.join(full, id_col)
+        .join(F.broadcast(probes_full), "probe_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("__fv"), F.col("__qfv"))
+            / (norm(F.col("__fv")) * norm(F.col("__qfv"))),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "cosine", "rank")
+    )

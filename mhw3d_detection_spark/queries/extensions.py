@@ -1281,17 +1281,21 @@ def q_curation_funnel(spark, sf_dir):
 # =========================================================================
 # E3b — random-projection dimensionality reduction (JL) + label centroids
 # =========================================================================
-def _JL_SQL() -> str:
+def _jl_exprs() -> list[str]:
+    """Raw SQL expressions for the 8 JL projection components, in the
+    exact index order Spark's fold evaluates (same literals, same
+    left-associated additions)."""
     from mhw3d_detection_spark.operators.similarity import jl_matrix
 
-    mat = jl_matrix(8, 64)
+    return [
+        " + ".join(f"embedding[{i + 1}] * {c!r}" for i, c in enumerate(row))
+        for row in jl_matrix(8, 64)
+    ]
+
+
+def _JL_SQL() -> str:
     cols = ", ".join(
-        rq_sql(
-            " + ".join(f"embedding[{i + 1}] * {c!r}" for i, c in enumerate(row)),
-            4,
-        )
-        + f" AS r{j}"
-        for j, row in enumerate(mat)
+        rq_sql(e, 4) + f" AS r{j}" for j, e in enumerate(_jl_exprs())
     )
     return f"SELECT vec_id, {cols} FROM embeddings"
 
@@ -1424,3 +1428,50 @@ def q_source_stats(spark, sf_dir):
             "gopher_pass_rate"
         ),
     )
+
+
+# =========================================================================
+# E3b — two-stage ANN: coarse JL scoring + exact re-rank
+# =========================================================================
+def _RERANK_SQL() -> str:
+    exprs = _jl_exprs()
+    raw = ", ".join(f"{e} AS r{j}" for j, e in enumerate(exprs))
+    dot8 = " + ".join(f"c.r{j} * p.r{j}" for j in range(8))
+    n8 = lambda a: "sqrt(" + " + ".join(f"{a}.r{j} * {a}.r{j}" for j in range(8)) + ")"
+    return (
+        f"WITH proj AS (SELECT vec_id, {raw} FROM embeddings), "
+        "probes AS (SELECT * FROM proj WHERE vec_id % 50 = 0), "
+        "coarse AS (SELECT p.vec_id AS probe_id, c.vec_id, "
+        f"  ({dot8}) / ({n8('c')} * {n8('p')}) AS ccos "
+        "  FROM proj c, probes p WHERE c.vec_id <> p.vec_id), "
+        "cand AS (SELECT probe_id, vec_id FROM (SELECT *, "
+        "  row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, vec_id) "
+        "  AS crank FROM coarse) WHERE crank <= 20), "
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "rr AS (SELECT cand.probe_id, cand.vec_id, "
+        "  list_cosine_similarity(b.v, q.v) AS cosine "
+        "  FROM cand JOIN base b ON b.vec_id = cand.vec_id "
+        "  JOIN base q ON q.vec_id = cand.probe_id) "
+        "SELECT probe_id, vec_id, "
+        f"{rq_sql('cosine', 4)} AS cosine, "
+        "CAST(row_number() OVER (PARTITION BY probe_id "
+        "  ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+        "FROM rr QUALIFY rank <= 5"
+    )
+
+
+@register("q_similarity_rerank", _RERANK_SQL())
+def q_similarity_rerank(spark, sf_dir):
+    """E3b: two-stage ANN — the whole corpus scored on 8-dim JL
+    projections (1/8 the multiplies), top-20 candidates per probe
+    exact-reranked on the full 64 dims for the final top-5. Stage 1
+    broadcasts probe projections (no big-side shuffle); stage 2
+    touches probes x 20 rows. The coarse-quantize-then-rerank shape of
+    production vector retrieval."""
+    from mhw3d_detection_spark.operators.similarity import projected_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = projected_rerank_topk(
+        emb, probe_pred=lambda c: c % 50 == 0, k=5, k_coarse=20
+    )
+    return r.select("probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank")

@@ -548,3 +548,21 @@ class TestCurationOps2:
         c = Counter(a.values())
         assert 700 < c["train"] < 900 and 50 < c["val"] < 150 and 50 < c["test"] < 150
         assert set(c) == {"train", "val", "test"}
+
+    def test_projected_rerank_finds_identical_vector(self, spark):
+        from mhw3d_detection_spark.operators.similarity import projected_rerank_topk
+
+        # 20 structured vectors; vec 1 is an exact copy of probe 0 ->
+        # JL projections coincide, so it must survive the coarse stage
+        # and re-rank at 1 with cosine 1
+        rows = [(0, [1.0] * 32 + [0.0] * 32), (1, [1.0] * 32 + [0.0] * 32)]
+        rows += [
+            (i, [float((i * j) % 7 - 3) for j in range(64)]) for i in range(2, 20)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = projected_rerank_topk(
+            emb, probe_pred=lambda c: c == 0, k=3, k_coarse=5
+        ).collect()
+        top = [r for r in out if r["rank"] == 1][0]
+        assert top["vec_id"] == 1
+        assert abs(top["cosine"] - 1.0) < 1e-9
