@@ -2,6 +2,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_dedup,
     streaming_event_sessions,
     streaming_severity,
+    streaming_similarity,
     streaming_windowed_stats,
 )
 from mhw3d_detection_spark.streaming.stateful import (  # noqa: F401

@@ -157,3 +157,41 @@ def streaming_dedup(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def streaming_similarity(
+    stream: DataFrame,
+    probes: DataFrame,
+    *,
+    min_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming vector-similarity twin (continuous matching of an
+    embedding stream against a static probe set — the online shape of
+    E3, cf. the streaming time-series similarity line of work in
+    PAPERS.md): each micro-batch broadcast-joins the (small) probe
+    dim, scores cosine JVM-side with the exact batch kernels, and
+    emits matches above ``min_cosine``. Stateless per batch — no
+    watermark, no store — so it scales exactly like the batch
+    broadcast scorer. Typical sinks: an alerts topic, or a dedup gate
+    dropping incoming docs that match an eval probe too closely."""
+    from mhw3d_detection_spark.operators.similarity import as_double, dot, norm
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        as_double(F.col(vec_col)).alias("__qv"),
+    )
+    s = stream.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__sv")
+    )
+    cos = dot(F.col("__sv"), F.col("__qv")) / (
+        norm(F.col("__sv")) * norm(F.col("__qv"))
+    )
+    return (
+        s.crossJoin(F.broadcast(p))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= min_cosine)
+        .select(id_col, "probe_id", "cosine")
+    )

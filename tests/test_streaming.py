@@ -314,3 +314,35 @@ def test_streaming_windowed_stats(spark, flagged_parquet):
     assert len(rows) == 5
     assert [r.n for r in rows] == [3, 5, 5, 5, 5]
     assert rows[1].mean == pytest.approx(5.0)  # avg of days 3..7
+
+
+def test_streaming_similarity_matches_batch(spark, tmp_path):
+    from mhw3d_detection_spark.streaming import streaming_similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb_stream")
+    emb.write.mode("overwrite").parquet(path)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+
+    stream = spark.readStream.schema(emb.schema).parquet(path)
+    q = (
+        streaming_similarity(stream, probes, min_cosine=0.3)
+        .writeStream.format("memory")
+        .queryName("sim_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["probe_id"])
+        for r in spark.table("sim_stream").collect()
+    }
+    # the streaming scorer is stateless per batch: results must equal
+    # the identical batch-side broadcast join
+    want = {
+        (r["vec_id"], r["probe_id"])
+        for r in streaming_similarity(emb, probes, min_cosine=0.3).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # planted near-dups guarantee matches
