@@ -1284,11 +1284,18 @@ def q_curation_funnel(spark, sf_dir):
 def _jl_exprs() -> list[str]:
     """Raw SQL expressions for the 8 JL projection components, in the
     exact index order Spark's fold evaluates (same literals, same
-    left-associated additions)."""
+    left-associated additions). Both operands are cast to DOUBLE
+    explicitly: DuckDB parses a bare 17-digit decimal literal as
+    DECIMAL(18,17), whose multiply rounds differently from the IEEE
+    double product Spark computes (observed 1e-8 divergence — enough
+    to flip a quantization boundary)."""
     from mhw3d_detection_spark.operators.similarity import jl_matrix
 
     return [
-        " + ".join(f"embedding[{i + 1}] * {c!r}" for i, c in enumerate(row))
+        " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST({c!r} AS DOUBLE)"
+            for i, c in enumerate(row)
+        )
         for row in jl_matrix(8, 64)
     ]
 
