@@ -47,8 +47,25 @@ def table_hash(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    # accept space- and/or comma-separated names; tolerate an --only flag
+    only = {
+        n
+        for a in args[1:]
+        if a != "--only"
+        for n in a.split(",")
+        if n
+    }
+    unknown = only - set(Q.REGISTRY)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     spark = get_spark("verify")
     con = duckdb.connect()
     for t in TABLES:
@@ -57,6 +74,7 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
+    results = {}
     for name, qd in Q.REGISTRY.items():
         if only and name not in only:
             continue
@@ -68,10 +86,16 @@ def main():
         except Exception as e:
             print(f"FAIL  {name:32s} spark error: {e}")
             failures.append(name)
+            results[name] = {"err": str(e)[:200]}
             continue
         if qd.sql is None:
             print(f"ok?   {name:32s} rows-only: {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
+            results[name] = {
+                "rows_only": True,
+                "spark_rows": len(srows),
+                "err": None,
+            }
             continue
         try:
             res = con.sql(qd.sql)
@@ -80,6 +104,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name:32s} duckdb error: {e}")
             failures.append(name)
+            results[name] = {"err": str(e)[:200]}
             continue
         ok_rows = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
@@ -87,6 +112,14 @@ def main():
         dh = table_hash(drows, dcols)
         ok_hash = sh == dh
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        results[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         print(
             f"{status:5s} {name:32s} rows {len(srows)}/{len(drows)} "
             f"cols={'ok' if ok_cols else scols + dcols} hash={'ok' if ok_hash else 'MISMATCH'} "
@@ -107,6 +140,15 @@ def main():
                     print("   spark-only:", x.replace("\x01", " | "))
                 for x in itertools.islice(donly, 3):
                     print("   duck-only :", x.replace("\x01", " | "))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
+    if not results:
+        print("\nNO QUERIES MATCHED — nothing verified")
+        return 2
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
