@@ -292,3 +292,43 @@ def q_set_except(spark, sf_dir):
         F.col("s_nationkey").alias("nationkey")
     )
     return c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- data-profiling utility: per-column stats in one scan ---
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, "
+    f"{rq_sql(f'min({c})', 4)} AS min_val, "
+    f"{rq_sql(f'max({c})', 4)} AS max_val, "
+    f"{rq_sql(f'avg({c})', 4)} AS mean_val, "
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
+    "FROM lineitem"
+    for c in _PROFILE_COLS
+)
+
+
+@register("q_profile_columns", _PROFILE_SQL)
+def q_profile_columns(spark, sf_dir):
+    """Ingestion-validation profile: min/max/mean/null-count/distinct
+    for the numeric lineitem columns, one row per column — the check a
+    pipeline runs on every new shard before accepting it. ONE scan:
+    all per-column aggregates run in a single global hash aggregate
+    (plus one countDistinct expand); at 100 TB swap countDistinct for
+    approx_count_distinct (HLL) — the plan shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            li.agg(
+                rq(F.min(c), 4).alias("min_val"),
+                rq(F.max(c), 4).alias("max_val"),
+                rq(F.avg(c), 4).alias("mean_val"),
+                F.sum(F.isnull(c).cast("long")).alias("n_null"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
