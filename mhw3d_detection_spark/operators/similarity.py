@@ -300,12 +300,13 @@ def jl_matrix(out_dim: int, dim: int) -> list[list[float]]:
     (out_dim x dim): entries uniform in [-1, 1] derived from md5, so
     the identical literal matrix is embeddable in the DuckDB oracle
     (same determinism contract as :func:`rhp_signs`). Scaled by
-    1/sqrt(out_dim) so projected L2 norms are distance-preserving in
-    expectation (JL lemma)."""
+    sqrt(3/out_dim): uniform[-1,1] entries have variance 1/3, so this
+    scale gives E[||Px||^2] = ||x||^2 — projected L2 norms are
+    distance-preserving in expectation (JL lemma)."""
     import hashlib
     import math
 
-    s = 1.0 / math.sqrt(out_dim)
+    s = math.sqrt(3.0 / out_dim)
     out = []
     for j in range(out_dim):
         row = []

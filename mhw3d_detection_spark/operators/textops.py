@@ -714,16 +714,9 @@ def dup_span_frac(
     fraction. Every shuffle is an equi-key hash exchange — no
     all-pairs product at any corpus size. At 100 TB, group on
     md5(span) to keep shuffle keys fixed-width."""
-    toks = tokens_col(F.col(text_col))
-    sp = F.expr(
-        f"case when size(__toks) >= {span} then "
-        f"transform(sequence(1, size(__toks) - {span - 1}), "
-        f"i -> concat_ws(' ', slice(__toks, i, {span}))) "
-        f"else array() end"
-    )
     per = (
-        docs.withColumn("__toks", toks)
-        .select("doc_id", F.explode(sp).alias("span"))
+        shingles(docs, text_col, n=span)
+        .withColumnRenamed("shingle", "span")
         .groupBy("doc_id", "span")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -955,19 +948,22 @@ def mixture_weights(
             "__ta"
         ),
     )
+    # a zero-token group (punctuation-only shard) would make
+    # rel_weight 0/0 — NULL in Spark, NaN in DuckDB: define it as 0
+    # explicitly so both engines (and downstream samplers) agree
+    raw = F.col("n_tokens") / F.col("__t")
+    target = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col(
+        "__ta"
+    )
     return per.crossJoin(F.broadcast(tot)).select(
         group_col,
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.col("__t")).alias("raw_share"),
-        (
-            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__ta")
-        ).alias("target_share"),
-        (
-            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
-            / F.col("__ta")
-            / (F.col("n_tokens") / F.col("__t"))
-        ).alias("rel_weight"),
+        raw.alias("raw_share"),
+        target.alias("target_share"),
+        F.when(F.col("n_tokens") > 0, target / raw)
+        .otherwise(F.lit(0.0))
+        .alias("rel_weight"),
     )
 
 

@@ -1359,7 +1359,8 @@ def q_embed_centroids(spark, sf_dir):
     "SELECT source, n_docs, n_tokens, "
     f"{rq_sql('n_tokens / t', 4)} AS raw_share, "
     f"{rq_sql('pow(n_tokens, 0.5) / ta', 4)} AS target_share, "
-    f"{rq_sql('pow(n_tokens, 0.5) / ta / (n_tokens / t)', 4)} AS rel_weight "
+    f"{rq_sql('CASE WHEN n_tokens > 0 THEN pow(n_tokens, 0.5) / ta / (n_tokens / t) ELSE 0 END', 4)}"
+    " AS rel_weight "
     "FROM per CROSS JOIN tot",
 )
 def q_mixture_weights(spark, sf_dir):

@@ -296,15 +296,22 @@ def q_set_except(spark, sf_dir):
 
 # --- data-profiling utility: per-column stats in one scan ---
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-_PROFILE_SQL = " UNION ALL ".join(
-    f"SELECT '{c}' AS col_name, "
-    f"{rq_sql(f'min({c})', 4)} AS min_val, "
-    f"{rq_sql(f'max({c})', 4)} AS max_val, "
-    f"{rq_sql(f'avg({c})', 4)} AS mean_val, "
-    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
-    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
-    "FROM lineitem"
-    for c in _PROFILE_COLS
+_PROFILE_SQL = (
+    "WITH a AS (SELECT "
+    + ", ".join(
+        f"{rq_sql(f'min({c})', 4)} AS min_{i}, "
+        f"{rq_sql(f'max({c})', 4)} AS max_{i}, "
+        f"{rq_sql(f'avg({c})', 4)} AS mean_{i}, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{i}, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, min_{i} AS min_val, max_{i} AS max_val, "
+        f"mean_{i} AS mean_val, null_{i} AS n_null, nd_{i} AS n_distinct FROM a"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
 )
 
 
@@ -313,22 +320,28 @@ def q_profile_columns(spark, sf_dir):
     """Ingestion-validation profile: min/max/mean/null-count/distinct
     for the numeric lineitem columns, one row per column — the check a
     pipeline runs on every new shard before accepting it. ONE scan:
-    all per-column aggregates run in a single global hash aggregate
-    (plus one countDistinct expand); at 100 TB swap countDistinct for
-    approx_count_distinct (HLL) — the plan shape is unchanged."""
+    every per-column aggregate runs in a single global aggregate over
+    one pass of the table, and the 1-row result is unpivoted to
+    per-column rows with `stack` (row-local). At 100 TB swap
+    countDistinct for approx_count_distinct (HLL) — same plan shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = []
-    for c in _PROFILE_COLS:
-        parts.append(
-            li.agg(
-                rq(F.min(c), 4).alias("min_val"),
-                rq(F.max(c), 4).alias("max_val"),
-                rq(F.avg(c), 4).alias("mean_val"),
-                F.sum(F.isnull(c).cast("long")).alias("n_null"),
-                F.countDistinct(c).cast("long").alias("n_distinct"),
-            ).select(F.lit(c).alias("col_name"), "*")
+    aggs = []
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            rq(F.min(c), 4).alias(f"min_{i}"),
+            rq(F.max(c), 4).alias(f"max_{i}"),
+            rq(F.avg(c), 4).alias(f"mean_{i}"),
+            F.sum(F.isnull(c).cast("long")).alias(f"null_{i}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{i}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', min_{i}, max_{i}, mean_{i}, null_{i}, nd_{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, min_val, max_val, mean_val, n_null, n_distinct)"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )

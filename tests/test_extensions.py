@@ -566,3 +566,16 @@ class TestCurationOps2:
         top = [r for r in out if r["rank"] == 1][0]
         assert top["vec_id"] == 1
         assert abs(top["cosine"] - 1.0) < 1e-9
+
+    def test_mixture_weights_zero_token_group(self, spark):
+        from mhw3d_detection_spark.operators.textops import mixture_weights
+
+        df = spark.createDataFrame(
+            [(1, "a", "w w w w"), (2, "b", "!!! ...")],
+            "doc_id long, source string, text string",
+        )
+        out = {r["source"]: r for r in mixture_weights(df, group_col="source").collect()}
+        # zero-token group: defined 0 weight, never NULL/NaN
+        assert out["b"]["n_tokens"] == 0
+        assert out["b"]["rel_weight"] == 0.0
+        assert out["a"]["rel_weight"] is not None
