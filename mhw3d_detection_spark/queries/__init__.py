@@ -21,10 +21,13 @@ from mhw3d_detection_spark.queries import extensions as _extensions  # noqa: E40
 # and q_apply_in_pandas_kernel (U1 surface, also exercised by
 # detrend_poly deg>2 and tests) — so the three end-to-end pipeline rows
 # (q_mhw_pipeline, q_mhw_pipeline_dense, q_cold_spells) stay official.
-# q_profile_columns (a data-validation utility declared alongside the
-# relational surface) is likewise demoted so it cannot displace them.
+# q_profile_columns / q_user_sessions / q_event_funnel (utility and
+# event-analytics rows declared alongside the relational surface) are
+# likewise demoted so they cannot displace them.
 for _demoted in (
     "q_profile_columns",
+    "q_user_sessions",
+    "q_event_funnel",
     "q_cold_spells_simple",
     "q_apply_in_pandas_kernel",
 ):

@@ -345,3 +345,96 @@ def q_profile_columns(spark, sf_dir):
             "(col_name, min_val, max_val, mean_val, n_null, n_distinct)"
         )
     )
+
+
+# --- event-log analytics: per-user sessionization (clickstream shape) ---
+_SESS_WIN = "OVER (PARTITION BY user_id ORDER BY us, event_id)"
+@register(
+    "q_user_sessions",
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), "
+    f"l AS (SELECT user_id, event_id, us, lag(us) {_SESS_WIN} AS pus FROM e), "
+    "m AS (SELECT user_id, event_id, us, "
+    "  CASE WHEN pus IS NULL OR us - pus > 7200000000 THEN 1 ELSE 0 END AS new_s "
+    "  FROM l), "
+    "s AS (SELECT user_id, us, CAST(sum(new_s) "
+    f"{_SESS_WIN.replace('ORDER BY', 'ORDER BY').rstrip(')')} "
+    "  ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM m) "
+    "SELECT user_id, session_id, CAST(count(*) AS INT) AS n_events, "
+    "min(us) AS start_us, max(us) AS end_us, "
+    "max(us) - min(us) AS duration_us "
+    "FROM s GROUP BY 1, 2",
+)
+def q_user_sessions(spark, sf_dir):
+    """Per-user event sessionization (the clickstream twin of the MHW
+    gaps-and-islands chain, on REAL sub-second timestamps): a new
+    session starts when the gap to the previous event exceeds 2 h.
+    One window pass partitioned by user (parallel across users at any
+    log size) + one hash aggregate; all times emitted as integer epoch
+    micros so the cross-engine compare is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.isnull(F.lag("us").over(w))
+        | (F.col("us") - F.lag("us").over(w) > 7_200_000_000)
+    ).cast("int")
+    sess = (
+        ev.withColumn("__new", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("__new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+# --- event-log analytics: view -> purchase conversion funnel ---
+@register(
+    "q_event_funnel",
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), "
+    "v AS (SELECT user_id, min(us) AS first_view_us FROM e "
+    "  WHERE event_type = 'view' GROUP BY 1), "
+    "p AS (SELECT e.user_id, min(e.us) AS first_purchase_us "
+    "  FROM e JOIN v USING (user_id) "
+    "  WHERE e.event_type = 'purchase' AND e.us >= v.first_view_us GROUP BY 1) "
+    "SELECT v.user_id, v.first_view_us, p.first_purchase_us, "
+    "CAST(p.first_purchase_us IS NOT NULL AS INT) AS converted, "
+    "p.first_purchase_us - v.first_view_us AS ttc_us "
+    "FROM v LEFT JOIN p ON p.user_id = v.user_id",
+)
+def q_event_funnel(spark, sf_dir):
+    """View -> purchase conversion funnel: for each user with a view,
+    the first purchase at-or-after their first view, the conversion
+    flag and time-to-convert. Two tiny per-user aggregates + one
+    equi-join — every step keyed by user_id, so the plan is one
+    partitioning shared end to end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    return v.join(p, "user_id", "left").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        F.col("first_purchase_us").isNotNull().cast("int").alias("converted"),
+        (F.col("first_purchase_us") - F.col("first_view_us")).alias("ttc_us"),
+    )
