@@ -948,13 +948,18 @@ def mixture_weights(
             "__ta"
         ),
     )
-    # a zero-token group (punctuation-only shard) would make
-    # rel_weight 0/0 — NULL in Spark, NaN in DuckDB: define it as 0
-    # explicitly so both engines (and downstream samplers) agree
-    raw = F.col("n_tokens") / F.col("__t")
-    target = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col(
-        "__ta"
-    )
+    # zero-token guards, found by the property fuzz: a zero-token
+    # GROUP makes rel_weight 0/0 (NULL in Spark, NaN in DuckDB), and a
+    # zero-token CORPUS makes every share x/0 — a hard ANSI
+    # DIVIDE_BY_ZERO error in Spark 4. Both degenerate cases are
+    # defined as 0 so engines and downstream samplers agree.
+    raw = F.when(
+        F.col("__t") > 0, F.col("n_tokens") / F.col("__t")
+    ).otherwise(F.lit(0.0))
+    target = F.when(
+        F.col("__ta") > 0,
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__ta"),
+    ).otherwise(F.lit(0.0))
     return per.crossJoin(F.broadcast(tot)).select(
         group_col,
         "n_docs",

@@ -1357,8 +1357,9 @@ def q_embed_centroids(spark, sf_dir):
     "  FROM documents GROUP BY 1), "
     "tot AS (SELECT sum(n_tokens) AS t, sum(pow(n_tokens, 0.5)) AS ta FROM per) "
     "SELECT source, n_docs, n_tokens, "
-    f"{rq_sql('n_tokens / t', 4)} AS raw_share, "
-    f"{rq_sql('pow(n_tokens, 0.5) / ta', 4)} AS target_share, "
+    f"{rq_sql('CASE WHEN t > 0 THEN n_tokens / t ELSE 0 END', 4)} AS raw_share, "
+    f"{rq_sql('CASE WHEN ta > 0 THEN pow(n_tokens, 0.5) / ta ELSE 0 END', 4)}"
+    " AS target_share, "
     f"{rq_sql('CASE WHEN n_tokens > 0 THEN pow(n_tokens, 0.5) / ta / (n_tokens / t) ELSE 0 END', 4)}"
     " AS rel_weight "
     "FROM per CROSS JOIN tot",

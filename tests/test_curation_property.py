@@ -94,3 +94,75 @@ import pytest  # noqa: E402
 def _bind_spark(spark):
     TestCurationProperties._spark = spark
     yield
+
+
+class TestPackingProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(doc_strategy)
+    def test_pack_sequences_invariants(self, texts):
+        from mhw3d_detection_spark.operators.textops import (
+            chunk_tokens,
+            pack_sequences,
+        )
+
+        spark = TestCurationProperties._spark
+        df = spark.createDataFrame(
+            [(i, "s", t) for i, t in enumerate(texts)],
+            "doc_id long, source string, text string",
+        )
+        chunk_size, target = 4, 8
+        packs = pack_sequences(
+            df, chunk_size=chunk_size, target_tokens=target, group_col="source"
+        ).collect()
+        chunks = chunk_tokens(df, size=chunk_size).collect()
+        # conservation: every chunk lands in exactly one sequence
+        assert sum(r["n_chunks"] for r in packs) == len(chunks)
+        assert sum(r["n_tokens"] for r in packs) == sum(
+            r["n_chunk_tokens"] for r in chunks
+        )
+        # every sequence except possibly the last crosses the target
+        # only by appending its final chunk (overshoot < chunk_size)
+        for r in packs:
+            assert r["n_tokens"] < target + chunk_size
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 20)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_mixture_weights_shares_sum_to_one(self, rows):
+        from mhw3d_detection_spark.operators.textops import mixture_weights
+
+        spark = TestCurationProperties._spark
+        df = spark.createDataFrame(
+            [(i, g, "w " * n) for i, (g, n) in enumerate(rows)],
+            "doc_id long, source string, text string",
+        )
+        out = mixture_weights(df, group_col="source", alpha=0.5).collect()
+        total_tokens = sum(n for _, n in rows)
+        if total_tokens == 0:
+            return  # degenerate corpus: shares undefined, guarded to 0s
+        assert abs(sum(r["raw_share"] for r in out) - 1.0) < 1e-9
+        assert abs(sum(r["target_share"] for r in out) - 1.0) < 1e-9
+
+    @settings(max_examples=10, deadline=None)
+    @given(doc_strategy)
+    def test_inverted_index_reconstructs_tf(self, texts):
+        from mhw3d_detection_spark.operators.textops import inverted_index
+
+        spark = TestCurationProperties._spark
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = inverted_index(df, max_postings=1000).collect()
+        want = Counter(t for x in texts for t in _toks(x))
+        got_tf = {r["token"]: r["tf_total"] for r in out}
+        assert got_tf == dict(want)
+        for r in out:
+            # uncapped postings must sum exactly to tf_total
+            parts = [p.split(":") for p in r["postings"].split(";")]
+            assert sum(int(tf) for _, tf in parts) == r["tf_total"]
+            assert len(parts) == r["df"]
