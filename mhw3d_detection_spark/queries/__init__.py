@@ -11,6 +11,7 @@ from mhw3d_detection_spark.queries import relational as _relational  # noqa: E40
 from mhw3d_detection_spark.queries import mhw as _mhw  # noqa: E402,F401
 from mhw3d_detection_spark.queries import detection as _detection  # noqa: E402,F401
 from mhw3d_detection_spark.queries import extensions as _extensions  # noqa: E402,F401
+from mhw3d_detection_spark.queries import spatial as _spatial  # noqa: E402,F401
 
 # The driver's per-round CORRECTNESS artifact records the first 50
 # registry rows; everything beyond it is still verified locally by

@@ -1,0 +1,91 @@
+"""Spatial queries (SURVEY.md §2 rows SP1-SP2) — area-weighted regional
+statistics and 3-D spatially coherent event objects over the
+orders_daily grid (cells 0..9 laid out as a 2 x 5 lat/lon grid).
+
+The DuckDB oracle for the 3-D objects computes connected components by
+transitive closure with a recursive CTE (exact on test scale); the
+Spark side uses pointer-doubled min-label propagation (the shape that
+holds at 100 TB). Both must land on identical component sets — that
+equivalence IS the differential test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.spatial import (
+    area_weighted_daily,
+    spatial_events_3d,
+)
+from mhw3d_detection_spark.queries.base import register, rq, rq_sql
+from mhw3d_detection_spark.queries.detection import EV_SQL, FL_SQL, _events, _flagged
+
+GRID_W = 5  # 10 cells -> 2 rows x 5 columns
+
+
+# =========================================================================
+# SP1 — cos(lat) area-weighted daily regional summary
+# =========================================================================
+_AW_SQL = (
+    f"WITH {FL_SQL}, "
+    f"g AS (SELECT time, temp, exceed, CAST(floor(cell_id / {GRID_W}.0) AS INT) AS y FROM fl), "
+    "wt AS (SELECT time, temp, cos(radians(-60.0 + 5.0 * y)) AS w, "
+    "  CASE WHEN exceed THEN 1.0 ELSE 0.0 END AS a FROM g) "
+    "SELECT time, count(*) AS n_cells, CAST(sum(a) AS BIGINT) AS n_active, "
+    f"  {rq_sql('sum(w * a) / sum(w)', 6)} AS area_frac_active, "
+    f"  {rq_sql('sum(w * temp) / sum(w)', 4)} AS w_mean_temp "
+    "FROM wt GROUP BY 1"
+)
+
+
+@register("q_area_weighted_stats", _AW_SQL)
+def q_area_weighted_stats(spark, sf_dir):
+    """SP1: per-day regional coverage and means with cos(latitude) area
+    weights — the equal-area correction needed for the reference's
+    global-OISST goal (docs/MHW_code_Design_Document.docx Project Goals
+    §1; the reference itself has no cross-cell operator). One hash
+    aggregate keyed by day; output is |days| rows at any grid size."""
+    out = area_weighted_daily(_flagged(spark, sf_dir), width=GRID_W)
+    return out.select(
+        "time",
+        "n_cells",
+        "n_active",
+        rq("area_frac_active", 6).alias("area_frac_active"),
+        rq("w_mean_temp", 4).alias("w_mean_temp"),
+    )
+
+
+# =========================================================================
+# SP2 — spatially coherent 3-D event objects (connected components)
+# =========================================================================
+_E3D_SQL = (
+    f"WITH RECURSIVE {EV_SQL}, "
+    "nodes AS (SELECT cell_id, event_id, date_start, date_end, duration, "
+    "  cell_id * 1000000 + event_id AS v, "
+    f"  CAST(floor(cell_id / {GRID_W}.0) AS INT) AS y, "
+    f"  CAST(cell_id % {GRID_W} AS INT) AS x FROM ev), "
+    "edges AS (SELECT a.v AS u, b.v AS v FROM nodes a JOIN nodes b "
+    "  ON ((a.y = b.y AND b.x = a.x + 1) OR (a.x = b.x AND b.y = a.y + 1)) "
+    "  AND a.date_start <= b.date_end AND b.date_start <= a.date_end), "
+    "sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges), "
+    "reach(v, lab) AS (SELECT v, v FROM nodes "
+    "  UNION SELECT s.v, r.lab FROM sym s JOIN reach r ON r.v = s.u), "
+    "comp AS (SELECT v, min(lab) AS component FROM reach GROUP BY v) "
+    "SELECT c.component, CAST(count(*) AS INT) AS n_events, "
+    "  CAST(count(DISTINCT n.cell_id) AS INT) AS n_cells, "
+    "  min(n.date_start) AS date_start, max(n.date_end) AS date_end, "
+    "  CAST(sum(n.duration) AS BIGINT) AS total_days, "
+    "  CAST(max(n.duration) AS INT) AS max_duration "
+    "FROM nodes n JOIN comp c ON n.v = c.v GROUP BY 1"
+)
+
+
+@register("q_events_3d", _E3D_SQL)
+def q_events_3d(spark, sf_dir):
+    """SP2: merge per-cell events that overlap in time across 4-adjacent
+    grid cells into coherent 3-D heatwave objects (the standard 3-D MHW
+    tracking methodology; the reference stops at per-cell events,
+    common/core.py:167-176). Spark: events-sized neighbour equi-join +
+    pointer-doubled distributed connected components; oracle: recursive
+    transitive closure."""
+    return spatial_events_3d(_events(spark, sf_dir), width=GRID_W)
