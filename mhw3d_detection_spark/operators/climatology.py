@@ -699,3 +699,83 @@ def simple_climatology(
         d = d.filter(F.col("__yr").between(*baseline))
     out = d.groupBy("cell_id", "doy").agg(F.avg("temp").alias("seas"))
     return densify_doy(out, cells=d.select("cell_id").distinct())
+
+
+# ---------------------------------------------------------------------------
+# Mergeable partial-aggregate climatology states (incremental updates)
+# ---------------------------------------------------------------------------
+
+def clim_partials(
+    ts: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """Per-(cell, doy) MERGEABLE partial climatology state: valid-sample
+    count, sum, min, max, plus the measured-but-NULL count feeding the
+    strict skipna rule (reference legacy/climatology.py:243-252).
+
+    This is the incremental-update shape the reference cannot express
+    (its climatology is a monolithic recompute): a rolling 100 TB
+    archive computes one partial table per ingest batch (a year, a
+    month, one new satellite granule), stores it (|cells| x 366 rows —
+    tiny), and a new baseline is ONE groups-sized merge away instead of
+    a full-history rescan. count/sum/min/max form commutative monoids,
+    so merging is associative and layout-independent. Exact linear-
+    interpolation percentiles are deliberately NOT in the state — they
+    do not merge; the documented scale path for mergeable quantiles is
+    the approx_percentile t-digest sketch (see pooled_climatology
+    exact=False).
+    """
+    return (
+        ts.groupBy(
+            F.col(cell_col).alias("cell_id"),
+            clim_doy(F.col(time_col)).alias("doy"),
+        )
+        .agg(
+            F.count(temp_col).alias("n"),
+            F.sum(temp_col).alias("s"),
+            F.min(temp_col).alias("mn"),
+            F.max(temp_col).alias("mx"),
+            F.sum(
+                F.when(F.col(temp_col).isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_null"),
+        )
+    )
+
+
+def merge_clim_partials(*parts: DataFrame) -> DataFrame:
+    """Merge any number of partial-state tables into one (UNION ALL +
+    one groups-sized hash aggregate; associative, so batches can be
+    merged pairwise, hierarchically, or all at once)."""
+    it = iter(parts)
+    u = next(it)
+    for p in it:
+        u = u.unionByName(p)
+    return u.groupBy("cell_id", "doy").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("n_null").alias("n_null"),
+    )
+
+
+def finalize_clim_partials(partials: DataFrame) -> DataFrame:
+    """Resolve a (merged) partial-state table into the climatology
+    outputs: nanmean `seas`, strict-rule `seas_strict` (NULL whenever
+    any pooled sample was measured-but-NULL — the skipna=False
+    contract), and the min/max envelope."""
+    # n > 0 guard: an all-NULL group has n = 0, and Spark 4's ANSI mode
+    # makes 0-division an error, not a NULL.
+    mean = F.when(F.col("n") > 0, F.col("s") / F.col("n"))
+    return partials.select(
+        "cell_id",
+        "doy",
+        F.col("n").alias("n_samples"),
+        mean.alias("seas"),
+        F.when(F.col("n_null") == 0, mean).alias("seas_strict"),
+        F.col("mn").alias("temp_min"),
+        F.col("mx").alias("temp_max"),
+    )

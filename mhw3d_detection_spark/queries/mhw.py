@@ -27,8 +27,11 @@ from mhw3d_detection_spark.operators.analysis import (
     pad_interpolate,
 )
 from mhw3d_detection_spark.operators.climatology import (
+    clim_partials,
     densify_doy,
+    finalize_clim_partials,
     interp_feb29,
+    merge_clim_partials,
     pooled_climatology,
     simple_climatology,
     smooth_doy_circular,
@@ -816,4 +819,62 @@ def q_autocorr(spark, sf_dir):
         "n_pairs_1",
         rq("acf_7", 4).alias("acf_7"),
         "n_pairs_7",
+    )
+
+
+# =========================================================================
+# A13 — mergeable partial-aggregate climatology (incremental updates)
+# =========================================================================
+# The Spark side computes one partial-state table PER INGEST BATCH
+# (1995-1997, then 1998-2000), merges the states, and finalizes; the
+# oracle computes the same climatology directly over the union — the
+# hash match is the merge-equivalence proof (count/sum/min/max are
+# commutative monoids, so batch boundaries cannot change the result).
+# Temps on the 13th of each month are nulled (same expression in both
+# engines) so the strict skipna=False rule and the all-NULL-group guard
+# are actually exercised.
+_P13 = "CASE WHEN day(time) = 13 THEN NULL ELSE temp END"
+
+_PARTIAL_SQL = (
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"od13 AS (SELECT cell_id, time, {_P13} AS temp FROM od), "
+    f"base AS (SELECT cell_id, {DOY} AS doy, temp FROM od13 "
+    f"  WHERE year(time) BETWEEN {BASELINE[0]} AND {BASELINE[1]}), "
+    "agg AS (SELECT cell_id, doy, count(temp) AS n, sum(temp) AS s, "
+    "  min(temp) AS mn, max(temp) AS mx, "
+    "  CAST(sum(CASE WHEN temp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null "
+    "  FROM base GROUP BY 1, 2) "
+    "SELECT cell_id, CAST(doy AS INT) AS doy, n AS n_samples, "
+    f"  CASE WHEN n > 0 THEN {rq_sql('s / n', 2)} END AS seas, "
+    f"  CASE WHEN n > 0 AND n_null = 0 THEN {rq_sql('s / n', 2)} END AS seas_strict, "
+    f"  {rq_sql('mn', 2)} AS temp_min, {rq_sql('mx', 2)} AS temp_max "
+    "FROM agg"
+)
+
+
+@register("q_clim_partial_merge", _PARTIAL_SQL)
+def q_clim_partial_merge(spark, sf_dir):
+    """A13: incremental climatology via mergeable partial-aggregate
+    states — one partials table per ingest batch, merged and finalized
+    (the reference's climatology is a monolithic full-history recompute;
+    legacy/climatology.py:193-269). Strict-NULL rule preserved through
+    the merge (legacy/climatology.py:243-252)."""
+    od = orders_daily(spark, sf_dir).withColumn(
+        "temp",
+        F.when(F.dayofmonth("time") == 13, F.lit(None)).otherwise(F.col("temp")),
+    )
+    batches = [
+        od.filter(F.year("time").between(BASELINE[0], 1997)),
+        od.filter(F.year("time").between(1998, BASELINE[1])),
+    ]
+    merged = merge_clim_partials(*[clim_partials(b) for b in batches])
+    out = finalize_clim_partials(merged)
+    return out.select(
+        "cell_id",
+        F.col("doy").cast("int").alias("doy"),
+        "n_samples",
+        rq("seas", 2).alias("seas"),
+        rq("seas_strict", 2).alias("seas_strict"),
+        rq("temp_min", 2).alias("temp_min"),
+        rq("temp_max", 2).alias("temp_max"),
     )

@@ -211,3 +211,50 @@ def test_strict_nan_semantics(spark):
     assert n_null_strict >= 21
     # lax mode skips NaNs: only doy 60 (feb29, no interp) may be null
     assert lax["thresh"].isna().sum() <= 1
+
+
+def test_clim_partials_merge_invariance(spark):
+    """Merging partial states over ANY batch split must equal the
+    direct single-pass computation (count/sum/min/max are commutative
+    monoids), including strict-NULL propagation and all-NULL groups."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mhw3d_detection_spark.operators.climatology import (
+        clim_partials,
+        finalize_clim_partials,
+        merge_clim_partials,
+    )
+
+    d0 = dt.date(1999, 1, 1)
+    rows = []
+    for i in range(400):
+        for cell in (0, 1):
+            t = None if (i % 7 == 3 and cell == 0) else float(10 + (i * 13 + cell) % 50)
+            rows.append((cell, d0 + dt.timedelta(days=i), t))
+    ts = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+
+    direct = finalize_clim_partials(clim_partials(ts))
+    # three-way split on an arbitrary non-temporal key (day mod 3)
+    parts = [
+        clim_partials(ts.filter(F.dayofmonth("time") % 3 == k)) for k in range(3)
+    ]
+    merged = finalize_clim_partials(merge_clim_partials(*parts))
+
+    a = {(r["cell_id"], r["doy"]): r for r in direct.collect()}
+    b = {(r["cell_id"], r["doy"]): r for r in merged.collect()}
+    assert a.keys() == b.keys()
+    strict_nulls = 0
+    for k in a:
+        ra, rb = a[k], b[k]
+        assert ra["n_samples"] == rb["n_samples"], k
+        for c in ("seas", "seas_strict", "temp_min", "temp_max"):
+            va, vb = ra[c], rb[c]
+            if va is None or vb is None:
+                assert va == vb, (k, c)
+            else:
+                assert abs(va - vb) < 1e-9, (k, c)
+        if ra["seas_strict"] is None and ra["seas"] is not None:
+            strict_nulls += 1
+    assert strict_nulls > 0  # the strict rule actually fired somewhere
