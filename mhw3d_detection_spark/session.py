@@ -28,13 +28,6 @@ RUNTIME_CONFS = {
     # sample) pipeline, with no change at bench scale (AQE coalesces
     # the small shuffles back to a handful of tasks).
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "1024",
-    # Without this, cached-plan materialization ignores AQE and runs
-    # every shuffle at the full initialPartitionNum (1024 tasks for an
-    # events-sized frame): the iterative connected-components loop
-    # (operators/spatial.py), which persists its label frontier each
-    # round, measured 343 s -> 51 s at sf0.1 with AQE allowed to
-    # re-plan cached output partitioning.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
