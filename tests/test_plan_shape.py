@@ -214,3 +214,46 @@ def test_cooc_pmi_broadcasts_marginals(spark, sf_dir):
     plan = _executed(cooccurrence_pmi(docs))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_adjacency_edges_equi_join_no_cartesian(spark):
+    """SP2: the neighbour join must plan as a hash equi-join on the
+    neighbour cell id — never a cartesian/nested-loop over event pairs
+    (the overlap predicate is a post-join filter, not the join key)."""
+    import datetime as dt
+
+    from mhw3d_detection_spark.operators.spatial import event_adjacency_edges
+
+    d0 = dt.date(2000, 1, 1)
+    evs = [
+        (c, e, d0 + dt.timedelta(days=10 * e), d0 + dt.timedelta(days=10 * e + 8), 9)
+        for c in range(10)
+        for e in (1, 2)
+    ]
+    df = spark.createDataFrame(
+        evs, "cell_id long, event_id int, date_start date, date_end date, duration int"
+    )
+    plan = _executed(event_adjacency_edges(df, width=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan or "HashJoin" in plan
+
+
+def test_area_weighted_stats_single_aggregate_no_join(spark):
+    """SP1: the regional daily summary is a projection + ONE hash
+    aggregate — no window pass, no join, one exchange on the day key."""
+    import datetime as dt
+
+    from mhw3d_detection_spark.operators.spatial import area_weighted_daily
+
+    d0 = dt.date(2000, 1, 1)
+    rows = [
+        (c, d0 + dt.timedelta(days=i), float(c + i), i % 3 == 0)
+        for c in range(10)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "cell_id long, time date, temp double, exceed boolean")
+    plan = _executed(area_weighted_daily(df, width=5))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert _count_exchanges(plan) == 1
