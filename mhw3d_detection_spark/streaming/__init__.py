@@ -1,4 +1,5 @@
 from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
+    streaming_area_stats,
     streaming_dedup,
     streaming_event_sessions,
     streaming_severity,

@@ -195,3 +195,58 @@ def streaming_similarity(
         .filter(F.col("cosine") >= min_cosine)
         .select(id_col, "probe_id", "cosine")
     )
+
+
+def streaming_area_stats(
+    stream: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    flag_col: str = "exceed",
+    width: int = 5,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """SP1 streaming twin: live regional MHW coverage — cos(latitude)
+    area-weighted active fraction and weighted mean per time window over
+    an already-scored sample stream (the output of
+    :func:`streaming_severity`).
+
+    The weight is a stateless per-row projection (grid geometry from the
+    cell id, exactly the batch :func:`operators.spatial.grid_coords`
+    rule), so the only streaming state is the windowed aggregate —
+    O(open windows) rows, bounded by the watermark. This is the live
+    dashboard counterpart of the batch ``area_weighted_daily``: regional
+    "% of basin in heatwave" updating as microbatches land.
+    """
+    from mhw3d_detection_spark.operators.spatial import grid_coords
+
+    g = grid_coords(stream, cell_col=cell_col, width=width)
+    w = F.cos(F.radians(F.col("lat")))
+    act = F.col(flag_col).cast("double")
+    return (
+        g.select(
+            F.col(time_col),
+            w.alias("__w"),
+            (w * act).alias("__wa"),
+            (w * F.col(temp_col)).alias("__wt"),
+            act.alias("__a"),
+        )
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("__a").cast("bigint").alias("n_active"),
+            (F.sum("__wa") / F.sum("__w")).alias("area_frac_active"),
+            (F.sum("__wt") / F.sum("__w")).alias("w_mean_temp"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_cells",
+            "n_active",
+            "area_frac_active",
+            "w_mean_temp",
+        )
+    )

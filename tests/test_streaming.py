@@ -346,3 +346,39 @@ def test_streaming_similarity_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # planted near-dups guarantee matches
+
+
+def test_streaming_area_stats_matches_batch(spark, flagged_parquet):
+    """The windowed area-weighted coverage over a replayed file stream
+    must equal the batch area_weighted_daily on the same data (daily
+    tumbling windows <=> per-day group keys)."""
+    from mhw3d_detection_spark.operators.spatial import area_weighted_daily
+    from mhw3d_detection_spark.streaming import streaming_area_stats
+
+    path, df = flagged_parquet
+    got = run_stream(
+        spark,
+        df,
+        path,
+        lambda s: streaming_area_stats(s, width=5, watermark="0 seconds"),
+        "area_stream",
+    )
+    stream_rows = {
+        r["window_start"].date(): r
+        for r in got.collect()
+    }
+    batch = area_weighted_daily(
+        df.withColumn("time", F.to_date("time")), width=5
+    )
+    batch_rows = {r["time"]: r for r in batch.collect()}
+    # terminal watermark leaves the last day's window open in the
+    # append-mode sink; every emitted window must match batch exactly
+    assert len(stream_rows) >= len(batch_rows) - 1
+    for day, sr in stream_rows.items():
+        br = batch_rows[day]
+        assert sr["n_cells"] == br["n_cells"]
+        assert sr["n_active"] == br["n_active"]
+        assert sr["area_frac_active"] == pytest.approx(
+            br["area_frac_active"], rel=1e-12
+        )
+        assert sr["w_mean_temp"] == pytest.approx(br["w_mean_temp"], rel=1e-12)
