@@ -26,6 +26,8 @@ PLANS = [
     "q_inverted_index",
     "q_cooc_pmi",
     "q_dup_span_frac",
+    "q_area_weighted_stats",
+    "q_clim_partial_merge",
 ]
 
 HEADER = """# Physical plans — explain evidence
