@@ -993,3 +993,85 @@ def split_assign(
         .when(u < fractions[1], F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source corpus overlap: per source pair, the EXACT Jaccard
+    of the two sources' distinct shingle sets plus the MinHash-estimated
+    Jaccard from per-source union signatures — the curation diagnostic
+    that answers "how much of source B is already in source A" before
+    deciding mixture weights or dedup order.
+
+    Scale shape: one shingle scan feeds both sides. The estimate is
+    O(sources x n_hashes) state after a single min-aggregate (the
+    100 TB path — signatures of the UNION of each source's shingles,
+    mergeable exactly like any min); the exact intersection is an
+    equi-join on the shingle key whose per-key blowup is bounded by
+    sources^2 (sources are few; at petabyte scale drop the exact
+    column and keep the signature estimate). Pair universe comes from
+    the sources-sized signature table self-join, so zero-overlap pairs
+    still appear with jaccard 0.
+    """
+    sh = shingles(docs, text_col, n=shingle_n).join(
+        docs.select("doc_id", group_col), "doc_id"
+    )
+    ss = sh.select(group_col, "shingle").distinct()
+    x = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 12), 16, 10
+    ).cast("long")
+    hx = ss.withColumn("__x", x)
+    sig = hx.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("__x") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_M)
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    inter = (
+        ss.alias("a")
+        .join(ss.alias("b"), "shingle")
+        .filter(F.col(f"a.{group_col}") < F.col(f"b.{group_col}"))
+        .groupBy(
+            F.col(f"a.{group_col}").alias("src_a"),
+            F.col(f"b.{group_col}").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sig.select(
+        F.col(group_col).alias("src_a"),
+        F.col("n_shingles").alias("n_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col(group_col).alias("src_b"),
+        F.col("n_shingles").alias("n_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(n_hashes)],
+    )
+    pairs = sa.join(sb, F.col("src_a") < F.col("src_b"))
+    est = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(n_hashes)
+    ) / F.lit(float(n_hashes))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0)).cast("long")
+    return (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            n_inter.alias("n_inter"),
+            (n_inter / (F.col("n_a") + F.col("n_b") - n_inter)).alias(
+                "exact_jaccard"
+            ),
+            est.alias("est_jaccard"),
+        )
+    )

@@ -36,6 +36,7 @@ from mhw3d_detection_spark.operators.textops import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
+    source_overlap,
     stratified_quota,
     text_stats,
     tokenize,
@@ -1484,3 +1485,54 @@ def q_similarity_rerank(spark, sf_dir):
         emb, probe_pred=lambda c: c % 50 == 0, k=5, k_coarse=20
     )
     return r.select("probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank")
+
+
+# =========================================================================
+# E7 — cross-source corpus overlap (exact + MinHash-estimated Jaccard)
+# =========================================================================
+_SO_H = ", ".join(
+    f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_M}) AS h{i}"
+    for i in range(8)
+)
+_SO_EST = " + ".join(
+    f"CASE WHEN p.ha{i} = p.hb{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+_SO_SQL = (
+    f"WITH {SHINGLES_SQL}, "
+    "ds AS (SELECT doc_id, source FROM documents), "
+    "ss AS (SELECT DISTINCT ds.source AS source, sh.shingle AS shingle "
+    "  FROM sh JOIN ds USING (doc_id)), "
+    "hx AS (SELECT source, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM ss), "
+    f"sig AS (SELECT source, count(*) AS n, {_SO_H} FROM hx GROUP BY 1), "
+    "inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter "
+    "  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source "
+    "  GROUP BY 1, 2), "
+    "pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b, "
+    + ", ".join(f"a.h{i} AS ha{i}, b.h{i} AS hb{i}" for i in range(8))
+    + "  FROM sig a JOIN sig b ON a.source < b.source) "
+    "SELECT p.src_a, p.src_b, p.n_a, p.n_b, "
+    "  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter, "
+    f"  {rq_sql('coalesce(i.n_inter, 0) / (p.n_a + p.n_b - coalesce(i.n_inter, 0))', 6)} AS exact_jaccard, "
+    f"  ({_SO_EST}) / 8.0 AS est_jaccard "
+    "FROM pairs p LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b"
+)
+
+
+@register("q_source_overlap", _SO_SQL)
+def q_source_overlap(spark, sf_dir):
+    """E7: per source pair, exact shingle-set Jaccard + the MinHash
+    union-signature estimate — the 'is source B already inside source A'
+    curation diagnostic. One shingle scan; the estimate path is
+    O(sources x 8) mergeable state (the 100 TB shape), the exact path an
+    equi-join on the shingle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_overlap(docs)
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        rq("exact_jaccard", 6).alias("exact_jaccard"),
+        "est_jaccard",
+    )

@@ -579,3 +579,38 @@ class TestCurationOps2:
         assert out["b"]["n_tokens"] == 0
         assert out["b"]["rel_weight"] == 0.0
         assert out["a"]["rel_weight"] is not None
+
+
+def test_source_overlap_toy(spark):
+    """Known-answer overlap: A and B share exactly one of their two
+    distinct shingle-bearing docs; C is disjoint. Exact Jaccard must be
+    combinatorial truth; the 8-hash estimate must be 1.0 for identical
+    sets and 0.0 for disjoint ones."""
+    from mhw3d_detection_spark.operators.textops import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "A"),
+            (2, "epsilon zeta eta theta", "A"),
+            (3, "alpha beta gamma delta", "B"),   # dup of doc 1
+            (4, "iota kappa lambda mu", "B"),
+            (5, "nu xi omicron pi", "C"),
+            (6, "alpha beta gamma delta", "D"),   # D identical to... just doc1's shingles
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {(r["src_a"], r["src_b"]): r for r in source_overlap(docs).collect()}
+    # each 4-token doc has 2 distinct 3-gram shingles
+    ab = got[("A", "B")]
+    assert ab["n_a"] == 4 and ab["n_b"] == 4 and ab["n_inter"] == 2
+    assert abs(ab["exact_jaccard"] - 2 / 6) < 1e-12
+    ac = got[("A", "C")]
+    assert ac["n_inter"] == 0 and ac["exact_jaccard"] == 0.0
+    assert ac["est_jaccard"] == 0.0
+    bd = got[("B", "D")]
+    assert bd["n_inter"] == 2  # D == doc1's shingle set, half of B's
+    ad = got[("A", "D")]
+    # D's shingle set is a strict subset of A's -> est from union sigs
+    # cannot exceed 1; exact = 2/4
+    assert abs(ad["exact_jaccard"] - 0.5) < 1e-12
+    assert len(got) == 6  # all C(4,2) pairs present, zero-overlap included
