@@ -27,6 +27,7 @@ from mhw3d_detection_spark.queries import spatial as _spatial  # noqa: E402,F401
 # likewise demoted so they cannot displace them.
 for _demoted in (
     "q_profile_columns",
+    "q_profile_quantiles",
     "q_user_sessions",
     "q_event_funnel",
     "q_cold_spells_simple",

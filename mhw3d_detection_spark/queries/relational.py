@@ -438,3 +438,52 @@ def q_event_funnel(spark, sf_dir):
         F.col("first_purchase_us").isNotNull().cast("int").alias("converted"),
         (F.col("first_purchase_us") - F.col("first_view_us")).alias("ttc_us"),
     )
+
+
+# --- quantile profile: exact p25/p50/p75 per numeric column, one scan ---
+_QPROF_SQL = (
+    "WITH a AS (SELECT "
+    + ", ".join(
+        f"quantile_cont({c}, 0.25) AS q25_{i}, "
+        f"quantile_cont({c}, 0.50) AS q50_{i}, "
+        f"quantile_cont({c}, 0.75) AS q75_{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {rq_sql(f'q25_{i}', 4)} AS p25, "
+        f"{rq_sql(f'q50_{i}', 4)} AS p50, {rq_sql(f'q75_{i}', 4)} AS p75, "
+        f"{rq_sql(f'q75_{i} - q25_{i}', 4)} AS iqr FROM a"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+)
+
+
+@register("q_profile_quantiles", _QPROF_SQL)
+def q_profile_quantiles(spark, sf_dir):
+    """A12b: robust per-column location/spread — exact linear-interp
+    p25/p50/p75 and IQR for the numeric lineitem columns, one row per
+    column from ONE scan (all percentile aggregates share a single
+    global aggregate; the 1-row result unpivots row-locally via stack).
+    Per-group state is the sorted value buffer; at 100 TB swap
+    percentile -> approx_percentile (t-digest) with the identical plan
+    shape — same trade the threshold kernel documents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(
+            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"q_{i}")
+        )
+    one = li.agg(*aggs)
+    stack = ", ".join(f"'{c}', q_{i}[0], q_{i}[1], q_{i}[2]" for i, c in enumerate(_PROFILE_COLS))
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, p25, p50, p75)"
+        )
+    ).select(
+        "col_name",
+        rq("p25", 4).alias("p25"),
+        rq("p50", 4).alias("p50"),
+        rq("p75", 4).alias("p75"),
+        rq(F.col("p75") - F.col("p25"), 4).alias("iqr"),
+    )
