@@ -749,6 +749,8 @@ def merge_clim_partials(*parts: DataFrame) -> DataFrame:
     """Merge any number of partial-state tables into one (UNION ALL +
     one groups-sized hash aggregate; associative, so batches can be
     merged pairwise, hierarchically, or all at once)."""
+    if not parts:
+        raise ValueError("merge_clim_partials: at least one partials table required")
     it = iter(parts)
     u = next(it)
     for p in it:

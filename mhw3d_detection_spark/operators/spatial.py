@@ -197,12 +197,15 @@ def connected_components(
     # fault-tolerant cluster run, swap for .checkpoint() against a
     # reliable checkpoint dir (same plan, durable storage).
     #
-    # Scoped conf: by default Spark materializes cached/checkpointed
-    # plans WITHOUT AQE re-planning, so every round's label frontier
-    # (an events-sized frame) would run at the session's wide-start
-    # initialPartitionNum (1024 tasks/round; measured 343 s -> 15 s at
-    # sf0.1 with AQE allowed). Scoped to this loop — flagship batch
-    # plans keep the conservative default.
+    # Loop-scoped conf: by default Spark materializes cached/
+    # checkpointed plans WITHOUT AQE re-planning, so every round's
+    # label frontier (an events-sized frame) would run at the session's
+    # wide-start initialPartitionNum (1024 tasks/round; measured
+    # 343 s -> 15 s at sf0.1 with AQE allowed). The set/restore
+    # brackets this driver-side loop; anything another thread
+    # materializes while the loop runs also sees the flag (session
+    # confs are session-global — acceptable for the single-threaded
+    # driver pattern this engine uses).
     spark = edges.sparkSession
     _KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     try:
@@ -248,6 +251,7 @@ def _cc_loop(
         .localCheckpoint()
     )
     prev = checksum(labels)
+    converged = False
     for _ in range(max_rounds):
         via_nb = (
             sym.alias("e")
@@ -268,8 +272,17 @@ def _cc_loop(
         )
         chk = checksum(labels)
         if chk == prev:
+            converged = True
             break
         prev = chk
+    if not converged:
+        # Returning partially-propagated labels would silently split
+        # one component into several objects.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; raise max_rounds (rounds needed ~ log2 of the "
+            "largest component diameter)"
+        )
     return labels.select(F.col("v").alias(node_col), F.col("label").alias("component"))
 
 
@@ -298,7 +311,7 @@ def spatial_events_3d(
     )
     edges = event_adjacency_edges(events, cell_col=cell_col, width=width)
     comp = connected_components(edges, nodes, max_rounds=max_rounds)
-    return (
+    out = (
         nodes.join(comp, "u")
         .groupBy("component")
         .agg(
@@ -309,4 +322,9 @@ def spatial_events_3d(
             F.sum("duration").cast("bigint").alias("total_days"),
             F.max("duration").cast("int").alias("max_duration"),
         )
+        # objects-sized: materialize eagerly so the events cache can be
+        # released instead of leaking for the session lifetime
+        .localCheckpoint()
     )
+    events.unpersist()
+    return out

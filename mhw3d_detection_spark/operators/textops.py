@@ -140,6 +140,20 @@ MINHASH_B = (7919, 17389, 27449, 37813, 48611, 59359, 70657, 81799)
 MINHASH_M = (1 << 61) - 1
 
 
+def minhash_base(col: Column) -> Column:
+    """The shared 48-bit base hash: md5(shingle) -> first 12 hex chars
+    as int. Must stay in lockstep with the oracle idiom
+    ``('0x' || substr(md5(shingle), 1, 12))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast("long")
+
+
+def minhash_member(i: int, x: Column) -> Column:
+    """Member i of the linear hash family ``(A[i]*x + B[i]) mod M``
+    over the 48-bit base hash (A[i] < 2^14 keeps A*x < 2^62 — no int64
+    overflow in either engine)."""
+    return (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % F.lit(MINHASH_M)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -158,14 +172,9 @@ def minhash_signatures(
     makes near-dup scale.
     """
     sh = shingles(docs, text_col, n=shingle_n)
-    x = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 12), 16, 10).cast(
-        "long"
-    )
-    sh = sh.withColumn("__x", x)
+    sh = sh.withColumn("__x", minhash_base(F.col("shingle")))
     aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("__x") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_M)).alias(
-            f"h{i}"
-        )
+        F.min(minhash_member(i, F.col("__x"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -311,8 +320,12 @@ def connected_components_bounded(
     Each round: label(v) <- min(label(v), min over neighbors label(u)).
     Labels converge to the component's min id once ``iters`` >= the
     component diameter; LSH-derived components are band-bucket cliques
-    glued at shared docs, so small fixed ``iters`` suffices (callers at
-    scale loop until a round changes nothing — same plan per round).
+    glued at shared docs, so small fixed ``iters`` suffices. The fixed
+    unroll is deliberate: the DuckDB oracle replays the SAME rounds, so
+    the differential gate is bit-exact even pre-convergence. For
+    general graphs with unknown diameter use
+    ``operators.spatial.connected_components`` — the converged variant
+    (pointer doubling, convergence detection, lineage truncation).
 
     Pure DataFrame ops: the symmetric edge list is shuffled on the
     vertex key once per round (join + min-aggregate). No driver-side
@@ -1015,27 +1028,27 @@ def source_overlap(
     equi-join on the shingle key whose per-key blowup is bounded by
     sources^2 (sources are few; at petabyte scale drop the exact
     column and keep the signature estimate). Pair universe comes from
-    the sources-sized signature table self-join, so zero-overlap pairs
-    still appear with jaccard 0.
+    the distinct sources present in ``docs`` — zero-overlap pairs AND
+    sources with no shingles at all (every doc shorter than
+    ``shingle_n`` tokens) still appear, with jaccard 0.
     """
     sh = shingles(docs, text_col, n=shingle_n).join(
         docs.select("doc_id", group_col), "doc_id"
     )
     ss = sh.select(group_col, "shingle").distinct()
-    x = F.conv(
-        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 12), 16, 10
-    ).cast("long")
-    hx = ss.withColumn("__x", x)
-    sig = hx.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("__x") + F.lit(MINHASH_B[i]))
-                % F.lit(MINHASH_M)
-            ).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-    )
+    hx = ss.withColumn("__x", minhash_base(F.col("shingle")))
+    srcs = docs.select(group_col).distinct()
+    sig = srcs.join(
+        hx.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            *[
+                F.min(minhash_member(i, F.col("__x"))).alias(f"h{i}")
+                for i in range(n_hashes)
+            ],
+        ),
+        group_col,
+        "left",
+    ).withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)))
     inter = (
         ss.alias("a")
         .join(ss.alias("b"), "shingle")
@@ -1057,10 +1070,16 @@ def source_overlap(
         *[F.col(f"h{i}").alias(f"hb{i}") for i in range(n_hashes)],
     )
     pairs = sa.join(sb, F.col("src_a") < F.col("src_b"))
+    # NULL signatures (shingle-less source) and the 0/0 union guard both
+    # resolve to jaccard 0 — an empty set overlaps nothing.
     est = sum(
-        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(n_hashes)
+        F.coalesce(
+            (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int"), F.lit(0)
+        )
+        for i in range(n_hashes)
     ) / F.lit(float(n_hashes))
     n_inter = F.coalesce(F.col("n_inter"), F.lit(0)).cast("long")
+    union_sz = F.col("n_a") + F.col("n_b") - n_inter
     return (
         pairs.join(inter, ["src_a", "src_b"], "left")
         .select(
@@ -1069,9 +1088,9 @@ def source_overlap(
             "n_a",
             "n_b",
             n_inter.alias("n_inter"),
-            (n_inter / (F.col("n_a") + F.col("n_b") - n_inter)).alias(
-                "exact_jaccard"
-            ),
+            F.when(union_sz > 0, n_inter / union_sz)
+            .otherwise(F.lit(0.0))
+            .alias("exact_jaccard"),
             est.alias("est_jaccard"),
         )
     )

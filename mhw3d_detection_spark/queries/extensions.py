@@ -1503,7 +1503,11 @@ _SO_SQL = (
     "ss AS (SELECT DISTINCT ds.source AS source, sh.shingle AS shingle "
     "  FROM sh JOIN ds USING (doc_id)), "
     "hx AS (SELECT source, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM ss), "
-    f"sig AS (SELECT source, count(*) AS n, {_SO_H} FROM hx GROUP BY 1), "
+    f"sig0 AS (SELECT source, count(*) AS n, {_SO_H} FROM hx GROUP BY 1), "
+    "srcs AS (SELECT DISTINCT source FROM documents), "
+    "sig AS (SELECT s.source, CAST(coalesce(g.n, 0) AS BIGINT) AS n, "
+    + ", ".join(f"g.h{i} AS h{i}" for i in range(8))
+    + "  FROM srcs s LEFT JOIN sig0 g ON s.source = g.source), "
     "inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter "
     "  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source "
     "  GROUP BY 1, 2), "
@@ -1512,7 +1516,8 @@ _SO_SQL = (
     + "  FROM sig a JOIN sig b ON a.source < b.source) "
     "SELECT p.src_a, p.src_b, p.n_a, p.n_b, "
     "  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter, "
-    f"  {rq_sql('coalesce(i.n_inter, 0) / (p.n_a + p.n_b - coalesce(i.n_inter, 0))', 6)} AS exact_jaccard, "
+    "  CASE WHEN p.n_a + p.n_b - coalesce(i.n_inter, 0) > 0 THEN "
+    f"  {rq_sql('coalesce(i.n_inter, 0) / (p.n_a + p.n_b - coalesce(i.n_inter, 0))', 6)} ELSE 0.0 END AS exact_jaccard, "
     f"  ({_SO_EST}) / 8.0 AS est_jaccard "
     "FROM pairs p LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b"
 )

@@ -614,3 +614,22 @@ def test_source_overlap_toy(spark):
     # cannot exceed 1; exact = 2/4
     assert abs(ad["exact_jaccard"] - 0.5) < 1e-12
     assert len(got) == 6  # all C(4,2) pairs present, zero-overlap included
+
+
+def test_source_overlap_shingleless_source_present(spark):
+    """A source whose docs are all shorter than the shingle width must
+    still appear in every pair, with jaccard 0 (not vanish)."""
+    from mhw3d_detection_spark.operators.textops import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "A"),
+            (2, "tiny doc", "E"),  # 2 tokens < shingle_n=3 -> no shingles
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {(r["src_a"], r["src_b"]): r for r in source_overlap(docs).collect()}
+    assert ("A", "E") in got
+    ae = got[("A", "E")]
+    assert ae["n_b"] == 0 and ae["n_inter"] == 0
+    assert ae["exact_jaccard"] == 0.0 and ae["est_jaccard"] == 0.0

@@ -157,3 +157,10 @@ def test_area_weighted_daily_matches_manual(spark):
     d2 = got[dt.date(2000, 1, 2)]
     assert d2["area_frac_active"] == pytest.approx(1.0)
     assert d2["w_mean_temp"] == pytest.approx(30.0)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(40)], ["u"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(39)], ["u", "v"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_rounds=2)
