@@ -280,7 +280,30 @@ def clim_arrays(
     out = g.withColumns({f"{c}_arr": densifier(c) for c in value_cols}).drop(
         *[f"__m_{c}" for c in value_cols]
     )
+    return _arrays_tail(
+        out,
+        value_cols,
+        feb29=feb29,
+        smooth_width=smooth_width,
+        smooth_mode=smooth_mode,
+    )
 
+
+def _arrays_tail(
+    out: DataFrame,
+    value_cols: tuple[str, ...],
+    *,
+    feb29: bool,
+    smooth_width: int | None,
+    smooth_mode: str,
+) -> DataFrame:
+    """Shared tail of the dense-array clim forms: Feb-29 interpolation +
+    circular running mean, as per-cell array transforms over the
+    ``{col}_arr`` dense 366-slot columns (NaN = absent DOY). Factored
+    out of :func:`clim_arrays` so the fused grid-pooling path
+    (:func:`pooled_climatology` pool_mode="grid", output="arrays") can
+    reuse it on arrays it builds directly from day groups."""
+    doys = F.sequence(F.lit(1), F.lit(366))
     if feb29:
 
         def interp(c: str):
@@ -398,6 +421,175 @@ def clim_arrays(
     return out
 
 
+#: element type of the per-sample edge buffers in the fused grid path
+_EDGE_ARR_T = "array<struct<y:int,t:double>>"
+
+
+def _grid_clim_arrays_fused(
+    base: DataFrame,
+    *,
+    pctile: float,
+    window_half_width: int,
+    feb29_interp: bool,
+    smooth_width: int | None,
+    smooth_mode: str,
+) -> DataFrame:
+    """Grid-mode pooled climatology straight to dense per-cell arrays in
+    ONE aggregation cascade — the production plan behind
+    ``pooled_climatology(pool_mode="grid", output="arrays")``.
+
+    Two hash aggregates, zero joins, zero persists:
+
+    1. ``groupBy(cell, doy)`` compresses the baseline series into day
+       groups (value buffer + sum/count + year extent + per-sample
+       (year, temp) rows for the ~2W/366 edge DOYs whose cross-year
+       wraps need per-sample year gating — reference
+       legacy/climatology.py:61-119, _build_cross_year_pad:24-58).
+    2. ``groupBy(cell)`` collects the day groups into per-cell maps.
+
+    All pooling then happens as JVM higher-order functions on the one
+    row per cell: bucket t draws whole day-groups d in [t-W, t+W] and
+    year-gated edge samples from the opposite year edge, the exact
+    percentile is an ``array_sort`` + closed-form readout per slot, and
+    the Feb-29 + circular-smooth tail is shared with
+    :func:`clim_arrays`.
+
+    Scale shape: the previous plan exploded every day group 11x into a
+    second full exchange before the bucket aggregate; here each day
+    group crosses the wire ONCE (the per-cell collect shuffles
+    cells x 366 rows), removing an 11x-amplified shuffle and the
+    multi-consumer persist barrier. Per-cell state is
+    O(baseline samples per cell) — the same order as the dense arrays
+    the operator emits anyway.
+
+    Hash-partitioning the input by cell_id alone satisfies BOTH
+    aggregates' distributions, so a pre-partitioned/bucketed source
+    reaches the arrays with no exchange at all.
+    """
+    W = window_half_width
+    q = pctile / 100.0
+    nan = F.lit(float("nan"))
+    edge = (F.col("doy") <= W) | (F.col("doy") > 366 - W)
+
+    # collect_list skips NULL temps, so mean(pool) == skipna sum/count —
+    # the value buffer alone carries everything seas AND thresh need
+    day_groups = base.groupBy("cell_id", "doy").agg(
+        F.collect_list("temp").alias("__v"),
+        F.min(F.year("time")).alias("__y0"),
+        F.max(F.year("time")).alias("__y1"),
+        # per-sample (year, temp) pairs, kept ONLY for edge DOYs
+        # (collect_list drops the NULL struct of non-edge rows but keeps
+        # edge structs whose temp field is NULL)
+        F.collect_list(
+            F.when(
+                edge,
+                F.struct(F.year("time").alias("y"), F.col("temp").alias("t")),
+            )
+        ).alias("__e"),
+    )
+    percell = day_groups.groupBy("cell_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("doy"), F.col("__v")))
+        ).alias("__dgm"),
+        F.map_from_entries(
+            F.collect_list(F.when(edge, F.struct(F.col("doy"), F.col("__e"))))
+        ).alias("__edgem"),
+        F.min("__y0").alias("__y_min"),
+        F.max("__y1").alias("__y_max"),
+    )
+
+    empty_d = F.array().cast("array<double>")
+    empty_e = F.array().cast(_EDGE_ARR_T)
+    doys = F.sequence(F.lit(1), F.lit(366))
+    # Interpreted-eval economics (no codegen inside higher-order
+    # functions): map element_at is a linear key scan, so convert each
+    # map to a DENSE 366-slot array ONCE per row and index it O(1) in
+    # the per-slot lambdas. The dense forms are materialized as real
+    # columns (referenced many times -> CollapseProject keeps them).
+    percell = percell.withColumns(
+        {
+            "__dga": F.transform(
+                doys, lambda d: F.coalesce(F.element_at("__dgm", d), empty_d)
+            ),
+            "__edgea": F.transform(
+                doys, lambda d: F.coalesce(F.element_at("__edgem", d), empty_e)
+            ),
+        }
+    )
+
+    dga = F.col("__dga")
+    edgea = F.col("__edgea")
+    ymin = F.col("__y_min")
+    ymax = F.col("__y_max")
+
+    def pool_slot(t: Column) -> Column:
+        """Sorted pooled-value buffer of bucket t (empty at Feb 29)."""
+        # whole day-groups d in [t-W, t+W] that exist on the calendar:
+        # a SLICE of the dense per-doy buffers — no membership lambda
+        lo = F.greatest(t - W, F.lit(1))
+        hi = F.least(t + W, F.lit(366))
+        vals_nw = F.flatten(F.slice(dga, lo, hi - lo + 1))
+        # cross-year wraps: bucket t <= W receives the tail-of-year edge
+        # samples of years BEFORE the cell's last present year; bucket
+        # t >= 367-W receives head-of-year samples of years AFTER the
+        # first (the reference's adjacent-grid-row rule: NaN pads at the
+        # year-grid edges, _build_cross_year_pad:24-58)
+        hi_rows = F.when(
+            F.lit(W) >= t,
+            F.filter(
+                F.flatten(F.slice(edgea, t + 366 - W, F.lit(W) - t + 1)),
+                lambda r: r["y"] < ymax,
+            ),
+        ).otherwise(empty_e)
+        lo_rows = F.when(
+            t >= 367 - W,
+            F.filter(
+                F.flatten(F.slice(edgea, F.lit(1), t - 366 + W)),
+                lambda r: r["y"] > ymin,
+            ),
+        ).otherwise(empty_e)
+        w_vals = F.filter(
+            F.transform(F.concat(hi_rows, lo_rows), lambda r: r["t"]),
+            lambda x: x.isNotNull(),
+        )
+        return F.when(
+            t != FEB29, F.array_sort(F.concat(vals_nw, w_vals))
+        ).otherwise(empty_d)
+
+    # Materialize the 366 sorted pools ONCE per cell. The seas/thresh
+    # readouts below reference each pool many times (the percentile
+    # formula alone indexes it ~8x); if the pool were an inline
+    # subexpression the optimizer would clone the slice+flatten+sort
+    # chain into every reference (measured ~15x re-evaluation). As a
+    # column consumed by two downstream expressions it is evaluated
+    # once, and every readout is an O(1) array index.
+    percell = percell.withColumn("__pool", F.transform(doys, pool_slot))
+    pool = F.col("__pool")
+
+    def seas_slot(t: Column) -> Column:
+        v = F.element_at(pool, t)
+        return F.when(
+            F.size(v) > 0,
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v),
+        ).otherwise(nan)
+
+    def thr_slot(t: Column) -> Column:
+        return F.coalesce(exact_percentile_sorted(F.element_at(pool, t), q), nan)
+
+    out = percell.select(
+        "cell_id",
+        F.transform(doys, seas_slot).alias("seas_arr"),
+        F.transform(doys, thr_slot).alias("thresh_arr"),
+    )
+    return _arrays_tail(
+        out,
+        ("seas", "thresh"),
+        feb29=feb29_interp,
+        smooth_width=smooth_width,
+        smooth_mode=smooth_mode,
+    )
+
+
 def pooled_climatology(
     ts: DataFrame,
     *,
@@ -490,6 +682,22 @@ def pooled_climatology(
         # on cell_id alone satisfies every downstream distribution).
         pooled = None
         base = d.filter(in_base).repartition("cell_id")
+        if output == "arrays" and exact and not strict_nan:
+            # fused per-cell form: two aggregates, no 11x exploded
+            # shuffle, no persist barrier (see _grid_clim_arrays_fused)
+            if not densify:
+                raise ValueError(
+                    "output='arrays' is inherently dense (366 slots/cell); "
+                    "densify=False only applies to output='rows'"
+                )
+            return _grid_clim_arrays_fused(
+                base,
+                pctile=pctile,
+                window_half_width=window_half_width,
+                feb29_interp=feb29_interp,
+                smooth_width=smooth_width,
+                smooth_mode=smooth_mode,
+            )
         W = window_half_width
         offs = F.explode(F.sequence(F.lit(-W), F.lit(W))).alias("__o")
 

@@ -88,6 +88,31 @@ def test_grid_pooling_single_exchange(spark, sf_dir):
     assert "partial_collect_list" in plan or "partial_" in plan
 
 
+def test_grid_arrays_fused_two_aggregates_no_explode(spark, sf_dir):
+    # The production clim form (detect_mhw's pool_mode="grid" +
+    # output="arrays"): a fused two-aggregate cascade. The contract:
+    # no Generate/explode of the data (each day group crosses the wire
+    # once, not 11x), no persist barrier (single-consumer tree), and at
+    # most two hash exchanges — (cell, doy) then (cell); both are
+    # satisfied by hashpartitioning(cell_id), so a pre-partitioned
+    # source needs none.
+    o = load_table(spark, sf_dir, "orders")
+    ts = o.groupBy(
+        (F.col("o_custkey") % 10).alias("cell_id"),
+        F.to_date("o_orderdate").alias("time"),
+    ).agg(F.avg("o_totalprice").alias("temp"))
+    clim = pooled_climatology(
+        ts, baseline=(1995, 2000), pool_mode="grid", output="arrays"
+    )
+    plan = _executed(clim)
+    assert "Generate explode" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+    # exchanges: one for the input groupBy that builds ts, then the
+    # day-group aggregate; the per-cell aggregate reuses cell_id
+    # partitioning from the operator's own repartition("cell_id")
+    assert _count_exchanges(plan) <= 3, plan
+
+
 def test_rank_return_periods_two_phase(spark, sf_dir):
     # W9 must NOT rank via an un-partitioned window (one partition for
     # the whole events table). The two-phase shape: a rangepartitioning
