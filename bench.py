@@ -119,7 +119,10 @@ def _baseline_equivalent(spark) -> dict:
     )
     n = ts.count()
     best = float("inf")
-    for _ in range(3):
+    # best-of-5 (vs 3 for the per-query table): this is the headline
+    # number and the host shows multi-second external-load spikes;
+    # more draws = better odds of one quiet window
+    for _ in range(5):
         spark.catalog.clearCache()
         ts.persist().count()
         # settle the heap between iterations: best-of-N should measure

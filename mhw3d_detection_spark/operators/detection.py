@@ -227,6 +227,261 @@ def _sqrt_var_pop(c: Column) -> Column:
     return F.sqrt(F.var_pop(c))
 
 
+def fused_detect_metrics(
+    enriched: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    min_duration: int = 5,
+    max_gap: int = 2,
+    join_across_gaps: bool = True,
+    with_rates: bool = True,
+    with_categories: bool = True,
+    materialize_runs: bool = True,
+) -> DataFrame:
+    """Detection + per-event metrics in ONE pass over the series: the
+    production tail of :func:`~mhw3d_detection_spark.plans.detect_mhw`.
+
+    The separate ``detect_events`` + ``event_metrics`` composition
+    consumes the enriched series twice (sessionization, then an
+    event-days join back) and therefore materializes the full big-table
+    window output. Here the big table is touched exactly once: a
+    per-(cell, run) aggregate computes *mergeable partials* for every
+    metric — sums / counts / sums-of-squares for the mean/var family,
+    argmax structs (value, earliest-day tie-break) for the peaks,
+    category-band day counts, boundary values for the rate formulas —
+    and everything downstream (min-duration filter, gap joining, the
+    metric merge) happens on the tiny runs table.
+
+    Gap-day semantics are preserved exactly: runs partition the
+    per-cell timeline, and a joined event [date_start, date_end] spans
+    whole runs only (its boundaries are qualifying-run boundaries), so
+    the event's member days — INCLUDING the sub-``max_gap`` non-exceed
+    days the reference also aggregates over
+    (marineHeatWaves.py:350-411 slices tt_start:tt_end+1) — are exactly
+    the runs with ``run_lo <= run_id <= run_hi``. False runs before the
+    first / after the last qualifying run fall outside that range.
+
+    Variance uses the closed form sqrt(E[x^2] - E[x]^2) over merged
+    partials (population, like np.var ddof=0); clamped at 0 against
+    floating-point cancellation.
+
+    Scale shape: hashpartitioning(cell) from the enrich window
+    satisfies the (cell, run) aggregate, so the partial agg adds NO
+    exchange; the runs table is O(flag transitions) per cell — orders
+    of magnitude smaller than the series — and every later step
+    (window over runs, broadcast range join, final merge) operates on
+    it alone. Replaces: a full-series persist + a second series pass +
+    the event-days explode-join.
+    """
+    day = F.to_date(time_col)
+    tb = -F.unix_date(day)  # earliest-day tie-break under max()
+    rs = F.col("rel_seas")
+    rt = F.col("rel_thresh")
+    rtn = F.col("rel_thresh_norm")
+    ab = F.col("t_abs")
+    cat_band = F.floor(F.lit(1.0) + rtn)
+
+    aggs = [
+        F.first("__flag").alias("flag"),
+        F.min(time_col).alias("run_start"),
+        F.max(time_col).alias("run_end"),
+        F.count(F.lit(1)).alias("run_days"),
+        # mean/var/cumulative partials (nulls skipped, like avg/var_pop)
+        F.count(rs).alias("n_rs"),
+        F.sum(rs).alias("s_rs"),
+        F.sum(rs * rs).alias("q_rs"),
+        F.count(rt).alias("n_rt"),
+        F.sum(rt).alias("s_rt"),
+        F.sum(rt * rt).alias("q_rt"),
+        F.count(ab).alias("n_ab"),
+        F.sum(ab).alias("s_ab"),
+        F.sum(ab * ab).alias("q_ab"),
+        # W6 peak partials: ordering key + payload at the key's argmax
+        F.max(F.struct(rs.alias("v"), tb.alias("tb"))).alias("pk_key"),
+        F.max_by(
+            F.struct(
+                day.alias("date_peak"), rt.alias("rt"), ab.alias("ab")
+            ),
+            F.struct(rs.alias("v"), tb.alias("tb")),
+        ).alias("pk_val"),
+    ]
+    if with_categories:
+        aggs += [
+            F.max(F.struct(rtn.alias("v"), tb.alias("tb"))).alias("pkc_key"),
+            F.max_by(cat_band, F.struct(rtn.alias("v"), tb.alias("tb"))).alias(
+                "pkc_val"
+            ),
+            F.sum((cat_band == 1).cast("long")).alias("d_mod"),
+            F.sum((cat_band == 2).cast("long")).alias("d_str"),
+            F.sum((cat_band == 3).cast("long")).alias("d_sev"),
+            F.sum((cat_band >= 4).cast("long")).alias("d_ext"),
+        ]
+    if with_rates:
+        aggs += [
+            F.min_by(rs, F.col(time_col)).alias("first_rs"),
+            F.max_by(rs, F.col(time_col)).alias("last_rs"),
+            F.min_by("prev_rel_seas", F.col(time_col)).alias("before_rs"),
+            F.max_by("next_rel_seas", F.col(time_col)).alias("after_rs"),
+            F.first("series_start").alias("series_start"),
+            F.first("series_end").alias("series_end"),
+        ]
+    p = enriched.groupBy(
+        F.col(cell_col).alias("cell_id"), F.col("__run").alias("__run")
+    ).agg(*aggs)
+    if materialize_runs:
+        p = p.persist()  # tiny: O(flag transitions), consumed twice
+
+    # W4 + W5 on qualifying true runs (same logic as detect_events)
+    runs_q = p.filter(F.col("flag") & (F.col("run_days") >= min_duration))
+    if join_across_gaps:
+        w2 = Window.partitionBy("cell_id").orderBy("run_start")
+        gap = F.datediff("run_start", F.lag("run_end").over(w2)) - 1
+        new_event = F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
+        grouped = runs_q.withColumn(
+            "__evt",
+            F.sum(new_event).over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    else:
+        grouped = runs_q.withColumn("__evt", F.col("__run"))
+    events = (
+        grouped.groupBy("cell_id", "__evt")
+        .agg(
+            F.min("run_start").alias("date_start"),
+            F.max("run_end").alias("date_end"),
+            F.min("__run").alias("__run_lo"),
+            F.max("__run").alias("__run_hi"),
+        )
+        .select(
+            "cell_id",
+            F.row_number()
+            .over(Window.partitionBy("cell_id").orderBy("date_start"))
+            .alias("event_id"),
+            "date_start",
+            "date_end",
+            (F.datediff("date_end", "date_start") + 1).alias("duration"),
+            "__run_lo",
+            "__run_hi",
+        )
+    )
+
+    # member runs: equi on cell + integer run-id range; both sides tiny,
+    # events broadcast (the range predicate rides on the hash join)
+    ev = events.withColumnRenamed("cell_id", "__ev_cell")
+    j = p.join(
+        F.broadcast(ev),
+        (p["cell_id"] == ev["__ev_cell"])
+        & (p["__run"] >= ev["__run_lo"])
+        & (p["__run"] <= ev["__run_hi"]),
+    ).drop("__ev_cell", "__run_lo", "__run_hi")
+
+    def merged_std(n, s, q2):
+        n, s, q2 = F.sum(n), F.sum(s), F.sum(q2)
+        nd = n.cast("double")
+        return F.when(
+            n > 0,
+            F.sqrt(F.greatest(q2 / nd - (s / nd) * (s / nd), F.lit(0.0))),
+        )
+
+    m_aggs = [
+        F.max("pk_key").alias("__pk_key"),
+        F.max_by("pk_val", "pk_key").alias("__pk_val"),
+        (F.sum("s_rs") / F.sum("n_rs")).alias("intensity_mean"),
+        merged_std("n_rs", "s_rs", "q_rs").alias("intensity_var"),
+        F.sum("s_rs").alias("intensity_cumulative"),
+        (F.sum("s_rt") / F.sum("n_rt")).alias("intensity_mean_relThresh"),
+        merged_std("n_rt", "s_rt", "q_rt").alias("intensity_var_relThresh"),
+        F.sum("s_rt").alias("intensity_cumulative_relThresh"),
+        (F.sum("s_ab") / F.sum("n_ab")).alias("intensity_mean_abs"),
+        merged_std("n_ab", "s_ab", "q_ab").alias("intensity_var_abs"),
+        F.sum("s_ab").alias("intensity_cumulative_abs"),
+    ]
+    if with_categories:
+        m_aggs += [
+            F.max("pkc_key").alias("__pkc_key"),
+            F.max_by("pkc_val", "pkc_key").alias("__pkc_val"),
+            F.sum("d_mod").alias("duration_moderate"),
+            F.sum("d_str").alias("duration_strong"),
+            F.sum("d_sev").alias("duration_severe"),
+            F.sum("d_ext").alias("duration_extreme"),
+        ]
+    if with_rates:
+        m_aggs += [
+            F.min_by("first_rs", "run_start").alias("__first_rel_seas"),
+            F.max_by("last_rs", "run_end").alias("__last_rel_seas"),
+            F.min_by("before_rs", "run_start").alias("__before_rel_seas"),
+            F.max_by("after_rs", "run_end").alias("__after_rel_seas"),
+            F.min_by(
+                F.col("run_start") == F.col("series_start"), "run_start"
+            ).alias("__starts_at_series_start"),
+            F.max_by(
+                F.col("run_end") == F.col("series_end"), "run_end"
+            ).alias("__ends_at_series_end"),
+        ]
+
+    g = j.groupBy("cell_id", "event_id", "date_start", "date_end", "duration").agg(
+        *m_aggs
+    )
+
+    out = g.select(
+        "*",
+        F.col("__pk_key.v").alias("intensity_max"),
+        F.col("__pk_val.date_peak").alias("date_peak"),
+        F.col("__pk_val.rt").alias("intensity_max_relThresh"),
+        F.col("__pk_val.ab").alias("intensity_max_abs"),
+        F.datediff(F.col("__pk_val.date_peak"), F.to_date("date_start")).alias(
+            "__tt_peak"
+        ),
+    ).drop("__pk_key", "__pk_val")
+
+    if with_categories:
+        out = out.withColumn(
+            "category",
+            F.element_at(
+                F.array(*[F.lit(c) for c in CATEGORIES]),
+                F.least(F.col("__pkc_val"), F.lit(4)).cast("int"),
+            ),
+        ).drop("__pkc_key", "__pkc_val")
+
+    if with_rates:
+        # W7 onset/decline (marineHeatWaves.py:394-411) — identical
+        # formulas to event_metrics, fed from merged run boundaries
+        tt_peak = F.col("__tt_peak").cast("double")
+        imax = F.col("intensity_max")
+        dur = F.col("duration").cast("double")
+        onset = (
+            F.when(
+                ~F.col("__starts_at_series_start"),
+                (imax - 0.5 * (F.col("__first_rel_seas") + F.col("__before_rel_seas")))
+                / (tt_peak + 0.5),
+            )
+            .when(F.col("__tt_peak") == 0, F.lit(0.0))
+            .otherwise((imax - F.col("__first_rel_seas")) / tt_peak)
+        )
+        decline_days = dur - 1 - tt_peak
+        decline = (
+            F.when(
+                ~F.col("__ends_at_series_end"),
+                (imax - 0.5 * (F.col("__last_rel_seas") + F.col("__after_rel_seas")))
+                / (decline_days + 0.5),
+            )
+            .when(F.col("__tt_peak") == F.col("duration") - 1, F.lit(0.0))
+            .otherwise((imax - F.col("__last_rel_seas")) / decline_days)
+        )
+        out = out.withColumns({"rate_onset": onset, "rate_decline": decline}).drop(
+            "__first_rel_seas",
+            "__last_rel_seas",
+            "__before_rel_seas",
+            "__after_rel_seas",
+            "__starts_at_series_start",
+            "__ends_at_series_end",
+        )
+    return (
+        out.drop("__tt_peak", "__run_lo", "__run_hi")
+        .withColumnRenamed("cell_id", cell_col)
+    )
+
+
 def event_metrics(
     ts_sev: DataFrame,
     events: DataFrame,

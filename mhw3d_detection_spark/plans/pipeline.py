@@ -19,10 +19,9 @@ from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.operators.climatology import pooled_climatology
 from mhw3d_detection_spark.operators.detection import (
-    detect_events,
     enrich_series,
-    event_metrics,
     exceedance,
+    fused_detect_metrics,
 )
 from mhw3d_detection_spark.operators.severity import calculate_severity
 
@@ -101,51 +100,26 @@ def detect_mhw(
     )
     flagged = exceedance(sev, temp_col=temp_col)
     # One fused window pass derives run ids + boundary neighbors +
-    # series extent (one exchange + one sort of the big table); the two
-    # consumers (sessionization, metrics) share the materialized result
-    # instead of re-sorting the series once each. MEMORY_AND_DISK: at
-    # cluster scale this is a deliberate disk-backed materialization of
-    # a multi-consumer intermediate.
+    # series extent (one exchange + one sort of the big table), and
+    # fused_detect_metrics consumes it in a SINGLE per-(cell, run)
+    # partial aggregate — the big table is never materialized and never
+    # read twice; sessionization, gap joining and the metric merge all
+    # run on the tiny runs table (operators/detection.py
+    # fused_detect_metrics). materialize_series now governs the runs
+    # table persist (two consumers: event assembly + metric merge).
     enriched = enrich_series(
         flagged, cell_col=cell_col, time_col=time_col, temp_col=temp_col
-    ).select(
-        # trim to what sessionization + metrics consume before caching:
-        # temp/seas/thresh/severity are already folded into the rel_*
-        # projections, so dropping them cuts the cached bytes ~40%
-        cell_col,
-        time_col,
-        "rel_seas",
-        "rel_thresh",
-        "rel_thresh_norm",
-        "t_abs",
-        "prev_rel_seas",
-        "next_rel_seas",
-        "series_start",
-        "series_end",
-        "__flag",
-        "__run",
     )
-    if materialize_series:
-        enriched = enriched.persist()
-    events = detect_events(
+    metrics = fused_detect_metrics(
         enriched,
         cell_col=cell_col,
         time_col=time_col,
-        flag_col="__flag",
         min_duration=min_duration,
         max_gap=max_gap,
         join_across_gaps=join_across_gaps,
-        run_col="__run",
-    ).persist()  # tiny vs the series; metrics would otherwise re-run detection
-    metrics = event_metrics(
-        enriched,
-        events,
-        cell_col=cell_col,
-        time_col=time_col,
-        temp_col=temp_col,
         with_rates=with_rates,
         with_categories=with_categories,
-        enriched=True,
+        materialize_runs=materialize_series,
     )
     if cold_spells:
         # Negate every intensity metric; durations/dates/rates keep sign

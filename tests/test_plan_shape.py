@@ -113,6 +113,48 @@ def test_grid_arrays_fused_two_aggregates_no_explode(spark, sf_dir):
     assert _count_exchanges(plan) <= 3, plan
 
 
+def test_fused_detection_tail_single_series_exchange(spark, sf_dir):
+    # The pipeline's detection tail (enrich window -> per-run partial
+    # aggregate -> event assembly -> metric merge) must touch the big
+    # series ONCE: with the input pre-partitioned by cell_id, the only
+    # hash exchange in the whole plan is that repartition — the window
+    # reuses it, the (cell, run) aggregate shares the window's
+    # partitioning, and every runs-table step (gap-join window, event
+    # groupBy, broadcast member join, final merge) inherits cell_id
+    # clustering. No second pass, no big-table persist.
+    from mhw3d_detection_spark.operators.detection import (
+        enrich_series,
+        exceedance,
+        fused_detect_metrics,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    ts = (
+        o.groupBy(
+            (F.col("o_custkey") % 10).alias("cell_id"),
+            F.to_date("o_orderdate").alias("time"),
+        )
+        .agg(F.avg("o_totalprice").alias("temp"))
+        .withColumns(
+            {
+                "seas": F.lit(150000.0),
+                "thresh": F.lit(180000.0),
+            }
+        )
+        .repartition("cell_id")
+    )
+    enr = enrich_series(exceedance(ts))
+    partials = enr.groupBy("cell_id", "__run").agg(
+        F.count(F.lit(1)).alias("run_days")
+    )
+    plan = _executed(partials)
+    # the input groupBy exchange + the explicit repartition; the window
+    # runs on the repartition's cell_id hashpartitioning and the
+    # (cell, __run) aggregate is satisfied by the same clustering — no
+    # third exchange anywhere in the plan
+    assert _count_exchanges(plan) <= 2, plan
+
+
 def test_rank_return_periods_two_phase(spark, sf_dir):
     # W9 must NOT rank via an un-partitioned window (one partition for
     # the whole events table). The two-phase shape: a rangepartitioning
