@@ -36,12 +36,19 @@ Captured `.explain("formatted")` operator trees for the headline plans
 (sf0.01 inputs; regenerate with `python tools/capture_plans.py`). What
 to look for, per README's scale design: parquet scans carry
 PushedFilters / pruned ReadSchema; the clim dim enters severity via
-BroadcastHashJoin (one row per cell in the array form); grid pooling is
-ONE source scan behind the persisted day-group aggregate, with no
-exchange between the explode and the final aggregate; top-k shows the
-two-phase salted windows; ranking shows rangepartitioning + a
-per-partition rank (no single-partition window over the data). These
-shapes are pinned by tests/test_plan_shape.py.
+BroadcastHashJoin (one row per cell in the array form); the production
+grid+arrays clim is a fused two-aggregate cascade — (cell, doy) day
+groups then a per-cell collect, no Generate/explode, no persist
+barrier, all pooling as per-cell higher-order functions (the row-form
+grid plan keeps the explode + persisted day-group shape); the
+detection tail is one per-(cell, run) partial aggregate fed directly
+by the enrich window (no exchange between them — the SortAggregate
+there reflects the struct-ordered argmax buffers, its Sort riding the
+window's partitioning), with event assembly and the metric merge on
+the tiny runs table; top-k shows the two-phase salted windows;
+ranking shows rangepartitioning + a per-partition rank (no
+single-partition window over the data). These shapes are pinned by
+tests/test_plan_shape.py.
 """
 
 
