@@ -19,6 +19,7 @@ from mhw3d_detection_spark.operators.analysis import (
     block_average,
     block_temp_stats,
     category_days_per_block,
+    detrend_linear,
     rank_return_periods,
 )
 from mhw3d_detection_spark.operators.detection import (
@@ -963,6 +964,54 @@ def q_mhw_pipeline_series(spark, sf_dir):
         with_rates=True,
         with_categories=True,
         pool_mode="series",
+    )
+    return _pipeline_select(m)
+
+
+# =========================================================================
+# Best-practice workflow — detrend THEN detect: the reference's
+# current-literature method (best_practice/climatology.py:43-75 detrend
+# feeding the climatology/threshold; reference
+# tests/test_best_practice.py full-workflow cases). Oracle = the dense
+# pipeline SQL with the OLS-detrend CTE spliced in at the scan, exactly
+# like the cold-spells splice.
+# =========================================================================
+_DETREND_PIPE_SQL = PIPE_METRICS_SQL_DENSE.replace(
+    f"od AS ({ORDERS_DAILY_SQL}), ",
+    f"od0 AS ({ORDERS_DAILY_SQL}), "
+    "xx AS (SELECT cell_id, time, temp, "
+    "  CAST(date_diff('day', DATE '1970-01-01', time) AS DOUBLE) AS xv FROM od0), "
+    "fitx AS (SELECT cell_id, regr_slope(temp, xv) AS b, "
+    "  regr_intercept(temp, xv) AS a FROM xx "
+    "  WHERE year(time) BETWEEN 1995 AND 2000 GROUP BY 1), "
+    "od AS (SELECT x.cell_id, x.time, x.temp - (f.a + f.b * x.xv) AS temp "
+    "  FROM xx x LEFT JOIN fitx f ON x.cell_id = f.cell_id), ",
+    1,
+)
+
+
+@register("q_mhw_pipeline_detrended", _DETREND_PIPE_SQL)
+def q_mhw_pipeline_detrended(spark, sf_dir):
+    """The best-practice composite: per-cell OLS detrend (baseline-fit,
+    full-record evaluate, reference best_practice/climatology.py:43-75)
+    feeding the FULL grid-pooled detection pipeline — so the threshold
+    reflects variability around the trend, not the trend itself. The
+    detrend coefficients are a per-cell broadcast dim; everything
+    downstream is the standard fused pipeline plan. Hash-checked end to
+    end like the other pipeline combinations."""
+    od = orders_daily(spark, sf_dir)
+    dd = detrend_linear(od, baseline=(1995, 2000)).select(
+        "cell_id", "time", F.col("temp_detrended").alias("temp")
+    )
+    m = detect_mhw(
+        dd,
+        baseline=(1995, 2000),
+        smooth_mode="full",
+        min_duration=MIN_DUR,
+        max_gap=MAX_GAP,
+        with_rates=True,
+        with_categories=True,
+        pool_mode="grid",
     )
     return _pipeline_select(m)
 
