@@ -472,9 +472,12 @@ def _grid_clim_arrays_fused(
     edge = (F.col("doy") <= W) | (F.col("doy") > 366 - W)
 
     # collect_list skips NULL temps, so mean(pool) == skipna sum/count —
-    # the value buffer alone carries everything seas AND thresh need
+    # the value buffer alone carries everything seas AND thresh need.
+    # sort_array here makes every per-slot pool a concat of 11 sorted
+    # runs, which array_sort's TimSort merges near-linearly instead of
+    # re-sorting from scratch 366x per cell.
     day_groups = base.groupBy("cell_id", "doy").agg(
-        F.collect_list("temp").alias("__v"),
+        F.sort_array(F.collect_list("temp")).alias("__v"),
         F.min(F.year("time")).alias("__y0"),
         F.max(F.year("time")).alias("__y1"),
         # per-sample (year, temp) pairs, kept ONLY for edge DOYs
