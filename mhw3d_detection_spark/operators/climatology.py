@@ -632,8 +632,12 @@ def pooled_climatology(
     seas/thresh arrays for smooth_mode="full", doy->value maps for
     smooth_mode="valid" (see :func:`clim_arrays` — both read back with
     the same ``element_at``). densify=False raises (the form is
-    inherently dense); materialize still controls the grid-mode
-    day-group barrier but the clim output itself is not persisted
+    inherently dense). The production grid+arrays combination
+    (exact=True, strict_nan=False) takes the fused single-consumer
+    cascade (:func:`_grid_clim_arrays_fused`) where materialize is a
+    no-op — there is no multi-consumer barrier left to control; on the
+    strict_nan / exact=False arrays paths materialize still governs
+    the day-group persist. The clim output itself is never persisted
     (single consumer; the severity broadcast materializes it).
     """
     doy = clim_doy(F.col(time_col))

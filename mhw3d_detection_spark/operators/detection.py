@@ -195,6 +195,38 @@ def detect_events(
             min_duration=min_duration,
         ).withColumnRenamed("run_id", "__run")
 
+    return _assemble_events(
+        runs,
+        cell_col=cell_col,
+        max_gap=max_gap,
+        join_across_gaps=join_across_gaps,
+    )
+
+
+def _sqrt_var_pop(c: Column) -> Column:
+    """np.var is ddof=0 -> var_pop; reference takes sqrt(var), i.e. the
+    population standard deviation (marineHeatWaves.py:373)."""
+    return F.sqrt(F.var_pop(c))
+
+
+def _assemble_events(
+    runs: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    max_gap: int,
+    join_across_gaps: bool,
+    with_run_range: bool = False,
+) -> DataFrame:
+    """W5 gap joining + event assembly over a qualifying-runs table
+    (cell, __run, run_start, run_end): chain runs while the gap is
+    <= max_gap (one cumulative pass — equivalent to the reference's
+    iterative first-gap merge by chain-transitivity,
+    marineHeatWaves.py:330-345), then emit per-cell event ids ordered
+    by date_start. Shared by :func:`detect_events` and
+    :func:`fused_detect_metrics` so the gap semantics cannot drift
+    between the component and fused paths. ``with_run_range``
+    additionally carries each event's [__run_lo, __run_hi] member-run
+    id range (the fused metric merge keys on it)."""
     if join_across_gaps:
         w2 = Window.partitionBy(cell_col).orderBy("run_start")
         gap = F.datediff("run_start", F.lag("run_end").over(w2)) - 1
@@ -205,10 +237,15 @@ def detect_events(
         )
     else:
         grouped = runs.withColumn("__evt", F.col("__run"))
-
+    extra = (
+        [F.min("__run").alias("__run_lo"), F.max("__run").alias("__run_hi")]
+        if with_run_range
+        else []
+    )
     events = grouped.groupBy(cell_col, "__evt").agg(
         F.min("run_start").alias("date_start"),
         F.max("run_end").alias("date_end"),
+        *extra,
     )
     return events.select(
         cell_col,
@@ -218,13 +255,66 @@ def detect_events(
         "date_start",
         "date_end",
         (F.datediff("date_end", "date_start") + 1).alias("duration"),
+        *(["__run_lo", "__run_hi"] if with_run_range else []),
     )
 
 
-def _sqrt_var_pop(c: Column) -> Column:
-    """np.var is ddof=0 -> var_pop; reference takes sqrt(var), i.e. the
-    population standard deviation (marineHeatWaves.py:373)."""
-    return F.sqrt(F.var_pop(c))
+def _category_and_rates(
+    out: DataFrame,
+    *,
+    with_categories: bool,
+    with_rates: bool,
+    band_col: str,
+) -> DataFrame:
+    """S6 category readout + W7 onset/decline rate formulas
+    (marineHeatWaves.py:385-411: half-day boundary convention, 4 edge
+    cases at the series extremes) — the shared tail of
+    :func:`event_metrics` and :func:`fused_detect_metrics`. Expects
+    ``__tt_peak``, ``intensity_max``, ``duration``, the peak-band
+    column named by ``band_col`` (when with_categories) and the
+    ``__first/__last/__before/__after_rel_seas`` +
+    ``__starts/__ends_at_series_*`` boundary columns (when
+    with_rates)."""
+    if with_categories:
+        out = out.withColumn(
+            "category",
+            F.element_at(
+                F.array(*[F.lit(c) for c in CATEGORIES]),
+                F.least(F.col(band_col), F.lit(4)).cast("int"),
+            ),
+        ).drop(band_col)
+    if with_rates:
+        tt_peak = F.col("__tt_peak").cast("double")
+        imax = F.col("intensity_max")
+        dur = F.col("duration").cast("double")
+        onset = (
+            F.when(
+                ~F.col("__starts_at_series_start"),
+                (imax - 0.5 * (F.col("__first_rel_seas") + F.col("__before_rel_seas")))
+                / (tt_peak + 0.5),
+            )
+            .when(F.col("__tt_peak") == 0, F.lit(0.0))  # peak==first -> 0
+            .otherwise((imax - F.col("__first_rel_seas")) / tt_peak)
+        )
+        decline_days = dur - 1 - tt_peak
+        decline = (
+            F.when(
+                ~F.col("__ends_at_series_end"),
+                (imax - 0.5 * (F.col("__last_rel_seas") + F.col("__after_rel_seas")))
+                / (decline_days + 0.5),
+            )
+            .when(F.col("__tt_peak") == F.col("duration") - 1, F.lit(0.0))
+            .otherwise((imax - F.col("__last_rel_seas")) / decline_days)
+        )
+        out = out.withColumns({"rate_onset": onset, "rate_decline": decline}).drop(
+            "__first_rel_seas",
+            "__last_rel_seas",
+            "__before_rel_seas",
+            "__after_rel_seas",
+            "__starts_at_series_start",
+            "__ends_at_series_end",
+        )
+    return out.drop("__tt_peak")
 
 
 def fused_detect_metrics(
@@ -263,8 +353,14 @@ def fused_detect_metrics(
     first / after the last qualifying run fall outside that range.
 
     Variance uses the closed form sqrt(E[x^2] - E[x]^2) over merged
-    partials (population, like np.var ddof=0); clamped at 0 against
-    floating-point cancellation.
+    partials (population, like np.var ddof=0) — computed on values
+    CENTERED by a per-cell constant (the cell's first value of each
+    metric) so the squares are of anomaly-sized deviations, not of
+    |x| ~ 1e5 absolutes: without the shift, q/n - (s/n)^2 loses ~6
+    significant digits at the repo's own TPC-H-derived temp magnitudes
+    (catastrophic cancellation). Shifting by a constant leaves the
+    variance unchanged, and mean/cumulative are recovered by adding
+    the center back. Clamped at 0 against residual rounding.
 
     Scale shape: hashpartitioning(cell) from the enrich window
     satisfies the (cell, run) aggregate, so the partial agg adds NO
@@ -276,10 +372,29 @@ def fused_detect_metrics(
     """
     day = F.to_date(time_col)
     tb = -F.unix_date(day)  # earliest-day tie-break under max()
+    # per-cell centering constants for the moment partials: first
+    # non-null value of each metric, over the same (cell, time) ordered
+    # frame the enrich window already sorts — one shared sort, full
+    # frame, deterministic
+    wc = (
+        Window.partitionBy(cell_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    enriched = enriched.withColumns(
+        {
+            "__c_rs": F.first("rel_seas", ignorenulls=True).over(wc),
+            "__c_rt": F.first("rel_thresh", ignorenulls=True).over(wc),
+            "__c_ab": F.first("t_abs", ignorenulls=True).over(wc),
+        }
+    )
     rs = F.col("rel_seas")
     rt = F.col("rel_thresh")
     rtn = F.col("rel_thresh_norm")
     ab = F.col("t_abs")
+    crs = F.col("__c_rs")
+    crt = F.col("__c_rt")
+    cab = F.col("__c_ab")
     cat_band = F.floor(F.lit(1.0) + rtn)
 
     aggs = [
@@ -287,16 +402,20 @@ def fused_detect_metrics(
         F.min(time_col).alias("run_start"),
         F.max(time_col).alias("run_end"),
         F.count(F.lit(1)).alias("run_days"),
-        # mean/var/cumulative partials (nulls skipped, like avg/var_pop)
+        # centered mean/var/cumulative partials (nulls skipped, like
+        # avg/var_pop); the center constants ride along per run
         F.count(rs).alias("n_rs"),
-        F.sum(rs).alias("s_rs"),
-        F.sum(rs * rs).alias("q_rs"),
+        F.sum(rs - crs).alias("s_rs"),
+        F.sum((rs - crs) * (rs - crs)).alias("q_rs"),
+        F.first("__c_rs").alias("c_rs"),
         F.count(rt).alias("n_rt"),
-        F.sum(rt).alias("s_rt"),
-        F.sum(rt * rt).alias("q_rt"),
+        F.sum(rt - crt).alias("s_rt"),
+        F.sum((rt - crt) * (rt - crt)).alias("q_rt"),
+        F.first("__c_rt").alias("c_rt"),
         F.count(ab).alias("n_ab"),
-        F.sum(ab).alias("s_ab"),
-        F.sum(ab * ab).alias("q_ab"),
+        F.sum(ab - cab).alias("s_ab"),
+        F.sum((ab - cab) * (ab - cab)).alias("q_ab"),
+        F.first("__c_ab").alias("c_ab"),
         # W6 peak partials: ordering key + payload at the key's argmax
         F.max(F.struct(rs.alias("v"), tb.alias("tb"))).alias("pk_key"),
         F.max_by(
@@ -332,37 +451,14 @@ def fused_detect_metrics(
     if materialize_runs:
         p = p.persist()  # tiny: O(flag transitions), consumed twice
 
-    # W4 + W5 on qualifying true runs (same logic as detect_events)
+    # W4 + W5 on qualifying true runs — shared event assembly with
+    # detect_events, plus each event's member-run id range
     runs_q = p.filter(F.col("flag") & (F.col("run_days") >= min_duration))
-    if join_across_gaps:
-        w2 = Window.partitionBy("cell_id").orderBy("run_start")
-        gap = F.datediff("run_start", F.lag("run_end").over(w2)) - 1
-        new_event = F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
-        grouped = runs_q.withColumn(
-            "__evt",
-            F.sum(new_event).over(w2.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    else:
-        grouped = runs_q.withColumn("__evt", F.col("__run"))
-    events = (
-        grouped.groupBy("cell_id", "__evt")
-        .agg(
-            F.min("run_start").alias("date_start"),
-            F.max("run_end").alias("date_end"),
-            F.min("__run").alias("__run_lo"),
-            F.max("__run").alias("__run_hi"),
-        )
-        .select(
-            "cell_id",
-            F.row_number()
-            .over(Window.partitionBy("cell_id").orderBy("date_start"))
-            .alias("event_id"),
-            "date_start",
-            "date_end",
-            (F.datediff("date_end", "date_start") + 1).alias("duration"),
-            "__run_lo",
-            "__run_hi",
-        )
+    events = _assemble_events(
+        runs_q,
+        max_gap=max_gap,
+        join_across_gaps=join_across_gaps,
+        with_run_range=True,
     )
 
     # member runs: equi on cell + integer run-id range; both sides tiny,
@@ -383,22 +479,30 @@ def fused_detect_metrics(
             F.sqrt(F.greatest(q2 / nd - (s / nd) * (s / nd), F.lit(0.0))),
         )
 
+    def mean_of(n, s, c):
+        # centered partials: mean = center + sum(x - c) / count
+        return F.first(c) + F.sum(s) / F.sum(n)
+
+    def cum_of(n, s, c):
+        # sum(x) = sum(x - c) + c * count; all-null events stay NULL
+        # (sum of no non-null partials is NULL, + c*0 propagates it)
+        return F.sum(s) + F.first(c) * F.sum(n)
+
     m_aggs = [
         F.max("pk_key").alias("__pk_key"),
         F.max_by("pk_val", "pk_key").alias("__pk_val"),
-        (F.sum("s_rs") / F.sum("n_rs")).alias("intensity_mean"),
+        mean_of("n_rs", "s_rs", "c_rs").alias("intensity_mean"),
         merged_std("n_rs", "s_rs", "q_rs").alias("intensity_var"),
-        F.sum("s_rs").alias("intensity_cumulative"),
-        (F.sum("s_rt") / F.sum("n_rt")).alias("intensity_mean_relThresh"),
+        cum_of("n_rs", "s_rs", "c_rs").alias("intensity_cumulative"),
+        mean_of("n_rt", "s_rt", "c_rt").alias("intensity_mean_relThresh"),
         merged_std("n_rt", "s_rt", "q_rt").alias("intensity_var_relThresh"),
-        F.sum("s_rt").alias("intensity_cumulative_relThresh"),
-        (F.sum("s_ab") / F.sum("n_ab")).alias("intensity_mean_abs"),
+        cum_of("n_rt", "s_rt", "c_rt").alias("intensity_cumulative_relThresh"),
+        mean_of("n_ab", "s_ab", "c_ab").alias("intensity_mean_abs"),
         merged_std("n_ab", "s_ab", "q_ab").alias("intensity_var_abs"),
-        F.sum("s_ab").alias("intensity_cumulative_abs"),
+        cum_of("n_ab", "s_ab", "c_ab").alias("intensity_cumulative_abs"),
     ]
     if with_categories:
         m_aggs += [
-            F.max("pkc_key").alias("__pkc_key"),
             F.max_by("pkc_val", "pkc_key").alias("__pkc_val"),
             F.sum("d_mod").alias("duration_moderate"),
             F.sum("d_str").alias("duration_strong"),
@@ -434,51 +538,14 @@ def fused_detect_metrics(
         ),
     ).drop("__pk_key", "__pk_val")
 
-    if with_categories:
-        out = out.withColumn(
-            "category",
-            F.element_at(
-                F.array(*[F.lit(c) for c in CATEGORIES]),
-                F.least(F.col("__pkc_val"), F.lit(4)).cast("int"),
-            ),
-        ).drop("__pkc_key", "__pkc_val")
-
-    if with_rates:
-        # W7 onset/decline (marineHeatWaves.py:394-411) — identical
-        # formulas to event_metrics, fed from merged run boundaries
-        tt_peak = F.col("__tt_peak").cast("double")
-        imax = F.col("intensity_max")
-        dur = F.col("duration").cast("double")
-        onset = (
-            F.when(
-                ~F.col("__starts_at_series_start"),
-                (imax - 0.5 * (F.col("__first_rel_seas") + F.col("__before_rel_seas")))
-                / (tt_peak + 0.5),
-            )
-            .when(F.col("__tt_peak") == 0, F.lit(0.0))
-            .otherwise((imax - F.col("__first_rel_seas")) / tt_peak)
-        )
-        decline_days = dur - 1 - tt_peak
-        decline = (
-            F.when(
-                ~F.col("__ends_at_series_end"),
-                (imax - 0.5 * (F.col("__last_rel_seas") + F.col("__after_rel_seas")))
-                / (decline_days + 0.5),
-            )
-            .when(F.col("__tt_peak") == F.col("duration") - 1, F.lit(0.0))
-            .otherwise((imax - F.col("__last_rel_seas")) / decline_days)
-        )
-        out = out.withColumns({"rate_onset": onset, "rate_decline": decline}).drop(
-            "__first_rel_seas",
-            "__last_rel_seas",
-            "__before_rel_seas",
-            "__after_rel_seas",
-            "__starts_at_series_start",
-            "__ends_at_series_end",
-        )
-    return (
-        out.drop("__tt_peak", "__run_lo", "__run_hi")
-        .withColumnRenamed("cell_id", cell_col)
+    out = _category_and_rates(
+        out,
+        with_categories=with_categories,
+        with_rates=with_rates,
+        band_col="__pkc_val",
+    )
+    return out.drop("__run_lo", "__run_hi").withColumnRenamed(
+        "cell_id", cell_col
     )
 
 
@@ -647,46 +714,10 @@ def event_metrics(
         F.col("__at_peak.ab").alias("intensity_max_abs"),
     ).drop("__peak", "__at_peak")
 
-    if with_categories:
-        out = out.withColumn(
-            "category",
-            F.element_at(
-                F.array(*[F.lit(c) for c in CATEGORIES]),
-                F.least(F.col("__peak_cat_band"), F.lit(4)).cast("int"),
-            ),
-        ).drop("__peak_cat_band")
-
-    if with_rates:
-        # W7 onset/decline (marineHeatWaves.py:394-411): half-day
-        # boundary convention with 4 edge cases at the series extremes.
-        tt_peak = F.col("__tt_peak").cast("double")
-        imax = F.col("intensity_max")
-        dur = F.col("duration").cast("double")
-        onset = (
-            F.when(
-                ~F.col("__starts_at_series_start"),
-                (imax - 0.5 * (F.col("__first_rel_seas") + F.col("__before_rel_seas")))
-                / (tt_peak + 0.5),
-            )
-            .when(F.col("__tt_peak") == 0, F.lit(0.0))  # (imax - first)/1 with peak==first -> 0
-            .otherwise((imax - F.col("__first_rel_seas")) / tt_peak)
-        )
-        decline_days = dur - 1 - tt_peak
-        decline = (
-            F.when(
-                ~F.col("__ends_at_series_end"),
-                (imax - 0.5 * (F.col("__last_rel_seas") + F.col("__after_rel_seas")))
-                / (decline_days + 0.5),
-            )
-            .when(F.col("__tt_peak") == F.col("duration") - 1, F.lit(0.0))
-            .otherwise((imax - F.col("__last_rel_seas")) / decline_days)
-        )
-        out = out.withColumns({"rate_onset": onset, "rate_decline": decline}).drop(
-            "__first_rel_seas",
-            "__last_rel_seas",
-            "__before_rel_seas",
-            "__after_rel_seas",
-            "__starts_at_series_start",
-            "__ends_at_series_end",
-        )
-    return out.drop("__tt_peak").withColumnRenamed("cell_id", cell_col)
+    out = _category_and_rates(
+        out,
+        with_categories=with_categories,
+        with_rates=with_rates,
+        band_col="__peak_cat_band",
+    )
+    return out.withColumnRenamed("cell_id", cell_col)
