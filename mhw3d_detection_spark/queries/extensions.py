@@ -665,6 +665,79 @@ def q_text_logprob(spark, sf_dir):
 
 
 # =========================================================================
+# E4 — bigram LM with unigram interpolation (the KenLM-filter shape)
+# =========================================================================
+@register(
+    "q_text_logprob_bigram",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "bgp AS (SELECT doc_id, toks, "
+    "  unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i FROM d), "
+    "bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bgp), "
+    "tok AS (SELECT unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "uni AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1), "
+    "tot AS (SELECT sum(tf) AS n FROM uni), "
+    "bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+    "hc AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1), "
+    "scored AS (SELECT g.doc_id, "
+    "  ln(0.7 * bc.c2 / hc.c1 + 0.3 * u.tf / (1.0 * tot.n)) AS lp "
+    "  FROM bg g JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2 "
+    "  JOIN hc ON g.w1 = hc.w1 JOIN uni u ON g.w2 = u.token CROSS JOIN tot) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    f"{rq_sql('avg(lp)', 4)} AS mean_logprob_bigram "
+    "FROM scored GROUP BY 1",
+)
+def q_text_logprob_bigram(spark, sf_dir):
+    """E4: mean interpolated-bigram log-probability per document —
+    P(w2|w1) = 0.7*c(w1 w2)/c(w1 ·) + 0.3*P_uni(w2), the shape of a
+    KenLM-style perplexity filter one order up from q_text_logprob.
+    Bigrams come from direct array slicing (arrays_zip of the token
+    array against its own shift — no window pass, mirroring the
+    shingle derivation); the bigram/head/unigram count tables are all
+    vocabulary-sized broadcast dims, so scoring is three narrow
+    broadcast joins + one aggregate and the corpus is never shuffled.
+    Docs with <2 tokens have no bigrams and drop out on both engines."""
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    bg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n_bg), F.slice("toks", 2, n_bg)
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    )
+    tok = tokenize(docs)
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = uni.agg(F.sum("tf").cast("double").alias("__n"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    hc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(hc), "w1")
+        .join(F.broadcast(uni), F.col("w2") == F.col("token"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp",
+            F.log(
+                0.7 * F.col("c2") / F.col("c1")
+                + 0.3 * F.col("tf") / F.col("__n")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rq(F.avg("lp"), 4).alias("mean_logprob_bigram"),
+    )
+
+
+# =========================================================================
 # E6 — reproducible sampling (content-keyed + stratified quotas)
 # =========================================================================
 @register(
