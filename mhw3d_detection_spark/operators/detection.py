@@ -370,6 +370,41 @@ def fused_detect_metrics(
     it alone. Replaces: a full-series persist + a second series pass +
     the event-days explode-join.
     """
+    p = _run_partials(
+        enriched,
+        cell_col=cell_col,
+        time_col=time_col,
+        with_rates=with_rates,
+        with_categories=with_categories,
+    )
+    if materialize_runs:
+        p = p.persist()  # tiny: O(flag transitions), consumed twice
+    return _metrics_from_partials(
+        p,
+        cell_col=cell_col,
+        min_duration=min_duration,
+        max_gap=max_gap,
+        join_across_gaps=join_across_gaps,
+        with_rates=with_rates,
+        with_categories=with_categories,
+    )
+
+
+def _run_partials(
+    enriched: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    with_rates: bool = True,
+    with_categories: bool = True,
+) -> DataFrame:
+    """The per-(cell, run) mergeable-partial aggregate behind
+    :func:`fused_detect_metrics` — ONE pass over the enriched series
+    producing, per run, everything any per-event metric needs:
+    centered moment sums, argmax peak structs, category-day counters,
+    and (with_rates) run-boundary values + series extents. The output
+    rows are associative state: same-flag time-adjacent runs merge by
+    summing/maxing partials (see :func:`merge_detect_partials`)."""
     day = F.to_date(time_col)
     tb = -F.unix_date(day)  # earliest-day tie-break under max()
     # per-cell centering constants for the moment partials: first
@@ -445,12 +480,25 @@ def fused_detect_metrics(
             F.first("series_start").alias("series_start"),
             F.first("series_end").alias("series_end"),
         ]
-    p = enriched.groupBy(
+    return enriched.groupBy(
         F.col(cell_col).alias("cell_id"), F.col("__run").alias("__run")
     ).agg(*aggs)
-    if materialize_runs:
-        p = p.persist()  # tiny: O(flag transitions), consumed twice
 
+
+def _metrics_from_partials(
+    p: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    min_duration: int = 5,
+    max_gap: int = 2,
+    join_across_gaps: bool = True,
+    with_rates: bool = True,
+    with_categories: bool = True,
+) -> DataFrame:
+    """Event assembly + metric merge over a run-partials table
+    (:func:`_run_partials` output, normalized to a ``cell_id`` column):
+    W4 min-duration filter, W5 gap joining, the [run_lo, run_hi]
+    member-run merge, and the category/rate tail."""
     # W4 + W5 on qualifying true runs — shared event assembly with
     # detect_events, plus each event's member-run id range
     runs_q = p.filter(F.col("flag") & (F.col("run_days") >= min_duration))
@@ -546,6 +594,196 @@ def fused_detect_metrics(
     )
     return out.drop("__run_lo", "__run_hi").withColumnRenamed(
         "cell_id", cell_col
+    )
+
+
+def detect_partials(
+    ts_sev: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    seas_col: str = "seas",
+    thresh_col: str = "thresh",
+    with_rates: bool = True,
+    with_categories: bool = True,
+) -> DataFrame:
+    """Incremental detection, map side: compress ONE time-batch of a
+    severity-joined series (cell, time, temp, seas, thresh) into
+    mergeable run partials — the detection analogue of
+    ``clim_partials`` for chunked / backfill processing (the
+    reference's chunk-at-a-time dask model, reprocessed relationally).
+
+    Each output row is one exceedance run of the batch carrying
+    associative state: centered moment sums, argmax peak structs,
+    category-day counters, boundary values. Feed the union of all
+    batches' partials to :func:`merge_detect_partials`; the result is
+    bit-for-bit the whole-series :func:`fused_detect_metrics` output
+    (events spanning batch boundaries included — a run cut by the
+    boundary is re-joined at merge, since the whole-series RLE would
+    never have split it). Batches must partition the time axis per
+    cell; they may arrive in any order.
+
+    At 100 TB this is the shape that avoids ever holding the full
+    series in one job: per-batch partials are a tiny table per chunk,
+    and the merge is runs-sized."""
+    flagged = exceedance(
+        ts_sev, temp_col=temp_col, seas_col=seas_col, thresh_col=thresh_col
+    )
+    enriched = enrich_series(
+        flagged,
+        cell_col=cell_col,
+        time_col=time_col,
+        temp_col=temp_col,
+        seas_col=seas_col,
+        thresh_col=thresh_col,
+        flag_col="exceed",
+    )
+    return _run_partials(
+        enriched,
+        cell_col=cell_col,
+        time_col=time_col,
+        with_rates=with_rates,
+        with_categories=with_categories,
+    )
+
+
+def merge_detect_partials(
+    partials: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    min_duration: int = 5,
+    max_gap: int = 2,
+    join_across_gaps: bool = True,
+    with_rates: bool = True,
+    with_categories: bool = True,
+    materialize_runs: bool = True,
+) -> DataFrame:
+    """Incremental detection, reduce side: union of per-batch
+    :func:`detect_partials` rows -> the whole-series event metrics.
+
+    Three runs-sized steps (the series itself never reappears):
+
+    1. Coalesce runs across batch boundaries: order each cell's runs by
+       run_start and merge consecutive SAME-FLAG runs (the whole-series
+       RLE is row-based, so a flag run cut by a batch boundary — even
+       across a calendar gap in the data — is one run). Moments are
+       re-centered to the cell's earliest batch center first
+       (shift identity: sum((x-C)) = s + n*(c_i - C),
+       sum((x-C)^2) = q + 2*(c_i - C)*s + n*(c_i - C)^2).
+    2. Recompute the cross-run boundary state the batches could not
+       see: before/after = the neighboring run's edge value (a run's
+       previous row IS the previous run's last row), series extents =
+       min/max over the cell's runs.
+    3. Renumber runs (alternating flags -> consecutive ids) and run the
+       standard event assembly + metric merge
+       (:func:`_metrics_from_partials`).
+    """
+    w = Window.partitionBy("cell_id").orderBy("run_start")
+    wall = Window.partitionBy("cell_id")
+
+    # canonical per-cell centers: the earliest run's (first batch's)
+    cent = partials.withColumns(
+        {
+            "__C_rs": F.min_by("c_rs", "run_start").over(wall),
+            "__C_rt": F.min_by("c_rt", "run_start").over(wall),
+            "__C_ab": F.min_by("c_ab", "run_start").over(wall),
+        }
+    )
+
+    def recenter(s, q, n, c, C):
+        d = F.col(c) - F.col(C)
+        s2 = (F.col(s) + F.col(n) * d).alias(s)
+        q2 = (
+            F.col(q) + 2 * d * F.col(s) + F.col(n) * d * d
+        ).alias(q)
+        return s2, q2
+
+    s_rs, q_rs = recenter("s_rs", "q_rs", "n_rs", "c_rs", "__C_rs")
+    s_rt, q_rt = recenter("s_rt", "q_rt", "n_rt", "c_rt", "__C_rt")
+    s_ab, q_ab = recenter("s_ab", "q_ab", "n_ab", "c_ab", "__C_ab")
+    keep = [
+        c
+        for c in partials.columns
+        if c
+        not in {
+            "__run",
+            "s_rs", "q_rs", "c_rs",
+            "s_rt", "q_rt", "c_rt",
+            "s_ab", "q_ab", "c_ab",
+            # batch-local boundary state — recomputed below
+            "before_rs", "after_rs", "series_start", "series_end",
+        }
+    ]
+    cent = cent.select(
+        *keep,
+        s_rs, q_rs, F.col("__C_rs").alias("c_rs"),
+        s_rt, q_rt, F.col("__C_rt").alias("c_rt"),
+        s_ab, q_ab, F.col("__C_ab").alias("c_ab"),
+    )
+
+    # 1. coalesce same-flag consecutive runs (gaps-and-islands over the
+    # runs themselves)
+    changed = F.when(
+        F.lag("flag").over(w).isNull() | (F.col("flag") != F.lag("flag").over(w)),
+        1,
+    ).otherwise(0)
+    g = cent.withColumn(
+        "__g", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merge_aggs = [
+        F.first("flag").alias("flag"),
+        F.min("run_start").alias("run_start"),
+        F.max("run_end").alias("run_end"),
+        F.sum("run_days").alias("run_days"),
+        F.sum("n_rs").alias("n_rs"), F.sum("s_rs").alias("s_rs"),
+        F.sum("q_rs").alias("q_rs"), F.first("c_rs").alias("c_rs"),
+        F.sum("n_rt").alias("n_rt"), F.sum("s_rt").alias("s_rt"),
+        F.sum("q_rt").alias("q_rt"), F.first("c_rt").alias("c_rt"),
+        F.sum("n_ab").alias("n_ab"), F.sum("s_ab").alias("s_ab"),
+        F.sum("q_ab").alias("q_ab"), F.first("c_ab").alias("c_ab"),
+        F.max("pk_key").alias("pk_key"),
+        F.max_by("pk_val", "pk_key").alias("pk_val"),
+    ]
+    if with_categories:
+        merge_aggs += [
+            F.max("pkc_key").alias("pkc_key"),
+            F.max_by("pkc_val", "pkc_key").alias("pkc_val"),
+            F.sum("d_mod").alias("d_mod"), F.sum("d_str").alias("d_str"),
+            F.sum("d_sev").alias("d_sev"), F.sum("d_ext").alias("d_ext"),
+        ]
+    if with_rates:
+        merge_aggs += [
+            F.min_by("first_rs", "run_start").alias("first_rs"),
+            F.max_by("last_rs", "run_end").alias("last_rs"),
+        ]
+    runs = g.groupBy("cell_id", "__g").agg(*merge_aggs)
+
+    # 2. cross-run boundary state + 3. contiguous ids in time order
+    cols = {
+        "__run": F.row_number().over(w).cast("long"),
+    }
+    if with_rates:
+        cols.update(
+            {
+                "before_rs": F.lag("last_rs").over(w),
+                "after_rs": F.lead("first_rs").over(w),
+                "series_start": F.min("run_start").over(wall),
+                "series_end": F.max("run_end").over(wall),
+            }
+        )
+    runs = runs.withColumns(cols).drop("__g")
+    if materialize_runs:
+        runs = runs.persist()
+
+    return _metrics_from_partials(
+        runs,
+        cell_col=cell_col,
+        min_duration=min_duration,
+        max_gap=max_gap,
+        join_across_gaps=join_across_gaps,
+        with_rates=with_rates,
+        with_categories=with_categories,
     )
 
 

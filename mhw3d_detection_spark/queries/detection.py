@@ -24,8 +24,10 @@ from mhw3d_detection_spark.operators.analysis import (
 )
 from mhw3d_detection_spark.operators.detection import (
     detect_events,
+    detect_partials,
     event_metrics,
     exceedance,
+    merge_detect_partials,
     rle_runs,
 )
 from mhw3d_detection_spark.plans.pipeline import detect_mhw
@@ -965,6 +967,39 @@ def q_mhw_pipeline_series(spark, sf_dir):
         with_categories=True,
         pool_mode="series",
     )
+    return _pipeline_select(m)
+
+
+# =========================================================================
+# Incremental detection — per-batch run partials merged across a time
+# split must equal the whole-series pipeline, so the ORACLE IS the
+# whole-series dense pipeline SQL. This is the chunk-at-a-time shape
+# (the reference's dask chunking, reprocessed relationally): clim from
+# the full baseline, then each time-batch compressed independently to
+# mergeable run partials (operators/detection.py detect_partials /
+# merge_detect_partials), with events spanning the split re-joined at
+# merge.
+# =========================================================================
+@register("q_mhw_pipeline_incremental", PIPE_METRICS_SQL_DENSE)
+def q_mhw_pipeline_incremental(spark, sf_dir):
+    """Incremental twin of q_mhw_pipeline_dense: the severity series is
+    split at a mid-record date into two batches, each batch collapses
+    to run partials in isolation, and the merge reproduces the
+    whole-series events — hash-checked against the SAME oracle as the
+    whole-series query (boundary-spanning runs re-join exactly)."""
+    from mhw3d_detection_spark.operators.climatology import pooled_climatology
+    from mhw3d_detection_spark.operators.severity import calculate_severity
+
+    od = orders_daily(spark, sf_dir)
+    clim = pooled_climatology(
+        od, baseline=(1995, 2000), pool_mode="grid", output="arrays"
+    )
+    sev = calculate_severity(od, clim)
+    cut = F.lit("1997-07-01").cast("date")
+    parts = detect_partials(sev.filter(F.col("time") < cut)).unionByName(
+        detect_partials(sev.filter(F.col("time") >= cut))
+    )
+    m = merge_detect_partials(parts, min_duration=MIN_DUR, max_gap=MAX_GAP)
     return _pipeline_select(m)
 
 
