@@ -8,8 +8,12 @@ from mhw3d_detection_spark.operators.climatology import (  # noqa: F401
 from mhw3d_detection_spark.operators.severity import calculate_severity  # noqa: F401
 from mhw3d_detection_spark.operators.detection import (  # noqa: F401
     detect_events,
+    detect_partials,
+    enrich_series,
     event_metrics,
     exceedance,
+    fused_detect_metrics,
+    merge_detect_partials,
     rle_runs,
 )
 from mhw3d_detection_spark.operators.analysis import (  # noqa: F401
