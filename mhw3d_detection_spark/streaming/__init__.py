@@ -1,6 +1,7 @@
 from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_area_stats,
     streaming_dedup,
+    streaming_detect_partials,
     streaming_event_sessions,
     streaming_severity,
     streaming_similarity,

@@ -250,3 +250,56 @@ def streaming_area_stats(
             "w_mean_temp",
         )
     )
+
+
+def streaming_detect_partials(
+    stream: DataFrame,
+    partials_path: str,
+    *,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    seas_col: str = "seas",
+    thresh_col: str = "thresh",
+    with_rates: bool = True,
+    with_categories: bool = True,
+):
+    """Streaming face of incremental detection: every micro-batch of a
+    severity-scored stream is compressed to mergeable run partials
+    (:func:`~mhw3d_detection_spark.operators.detection.detect_partials`)
+    and APPENDED to a partials store; running
+    :func:`~mhw3d_detection_spark.operators.detection.merge_detect_partials`
+    over the store at any point yields the exact whole-history batch
+    events — including events still growing across micro-batch
+    boundaries, which the run coalescing re-joins.
+
+    Returns a configured ``DataStreamWriter`` (foreachBatch sink); the
+    caller adds checkpoint/trigger and ``.start()``s. Unlike the
+    windowed twins this emits a SIDE STORE rather than a result stream:
+    the partials table is the durable, replayable state, and the merge
+    is a cheap runs-sized batch job — the lambda-architecture shape for
+    a 100 TB backfill + live tail.
+
+    CONTRACT: micro-batches must partition the time axis per cell into
+    non-interleaved slices (e.g. time-ordered file arrival). A batch's
+    internal RLE treats its own rows as consecutive, so rows of one
+    cell arriving out of time order across batches would mis-join runs
+    — the same in-order requirement as the stateful detector.
+    """
+    from mhw3d_detection_spark.operators.detection import detect_partials
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        detect_partials(
+            batch_df,
+            cell_col=cell_col,
+            time_col=time_col,
+            temp_col=temp_col,
+            seas_col=seas_col,
+            thresh_col=thresh_col,
+            with_rates=with_rates,
+            with_categories=with_categories,
+        ).write.mode("append").parquet(partials_path)
+
+    return stream.writeStream.foreachBatch(sink)

@@ -382,3 +382,73 @@ def test_streaming_area_stats_matches_batch(spark, flagged_parquet):
             br["area_frac_active"], rel=1e-12
         )
         assert sr["w_mean_temp"] == pytest.approx(br["w_mean_temp"], rel=1e-12)
+
+
+def test_streaming_partials_merge_matches_batch(spark, tmp_path):
+    # incremental-detection streaming twin: three time-slice files
+    # replayed one per micro-batch, each compressed to run partials via
+    # foreachBatch; merging the partials store must equal the batch
+    # fused pipeline on the whole series — including the event that
+    # spans the first file boundary.
+    import math
+
+    from mhw3d_detection_spark.operators.detection import (
+        enrich_series,
+        exceedance,
+        fused_detect_metrics,
+        merge_detect_partials,
+    )
+    from mhw3d_detection_spark.streaming import streaming_detect_partials
+
+    day0 = dt.datetime(2022, 1, 1)
+    hot = set(range(3, 12)) | set(range(14, 17)) | set(range(30, 33))
+    rows = [
+        (
+            1,
+            day0 + dt.timedelta(days=d),
+            14.0 if d in hot else 10.0,
+            9.0,
+            12.0,
+        )
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "cell_id int, time timestamp, temp double, seas double, thresh double"
+    )
+    src = str(tmp_path / "sev_stream")
+    for lo, hi in [(0, 10), (10, 25), (25, 40)]:  # file 1 cuts run 3..11
+        df.filter(
+            (F.col("time") >= day0 + dt.timedelta(days=lo))
+            & (F.col("time") < day0 + dt.timedelta(days=hi))
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "partials_store")
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_detect_partials(stream, store)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = merge_detect_partials(
+        spark.read.parquet(store), min_duration=5, max_gap=2
+    )
+    whole = fused_detect_metrics(
+        enrich_series(exceedance(df)), min_duration=5, max_gap=2
+    )
+    cols = sorted(whole.columns)
+    assert set(merged.columns) == set(whole.columns)
+    a = sorted(whole.select(*cols).collect(), key=lambda r: r["event_id"])
+    b = sorted(merged.select(*cols).collect(), key=lambda r: r["event_id"])
+    assert len(a) == len(b) == 1  # 3..16 merges via the 2-day gap
+    for ra, rb in zip(a, b):
+        for c in cols:
+            va, vb = ra[c], rb[c]
+            if isinstance(va, float):
+                assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9), (c, va, vb)
+            else:
+                assert va == vb, (c, va, vb)
