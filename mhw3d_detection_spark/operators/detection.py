@@ -617,12 +617,14 @@ def detect_partials(
     Each output row is one exceedance run of the batch carrying
     associative state: centered moment sums, argmax peak structs,
     category-day counters, boundary values. Feed the union of all
-    batches' partials to :func:`merge_detect_partials`; the result is
-    bit-for-bit the whole-series :func:`fused_detect_metrics` output
-    (events spanning batch boundaries included — a run cut by the
-    boundary is re-joined at merge, since the whole-series RLE would
-    never have split it). Batches must partition the time axis per
-    cell; they may arrive in any order.
+    batches' partials to :func:`merge_detect_partials`; the result
+    equals the whole-series :func:`fused_detect_metrics` output up to
+    floating-point reassociation in the re-centered moments (~1e-12
+    relative; all other columns exactly), events spanning batch
+    boundaries included — a run cut by the boundary is re-joined at
+    merge, since the whole-series RLE would never have split it.
+    Batches must partition the time axis per cell; they may arrive in
+    any order.
 
     At 100 TB this is the shape that avoids ever holding the full
     series in one job: per-batch partials are a tiny table per chunk,

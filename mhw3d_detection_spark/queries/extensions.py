@@ -692,10 +692,11 @@ def q_text_logprob_bigram(spark, sf_dir):
     KenLM-style perplexity filter one order up from q_text_logprob.
     Bigrams come from direct array slicing (arrays_zip of the token
     array against its own shift — no window pass, mirroring the
-    shingle derivation); the bigram/head/unigram count tables are all
-    vocabulary-sized broadcast dims, so scoring is three narrow
-    broadcast joins + one aggregate and the corpus is never shuffled.
-    Docs with <2 tokens have no bigrams and drop out on both engines."""
+    shingle derivation). The head/unigram count tables are
+    vocabulary-sized broadcast dims; the bigram-type table grows with
+    the corpus, so its join is left to AQE (broadcast when small,
+    shuffle on the bigram key otherwise). Docs with <2 tokens have no
+    bigrams and drop out on both engines."""
     from mhw3d_detection_spark.operators.textops import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -719,7 +720,10 @@ def q_text_logprob_bigram(spark, sf_dir):
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     hc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
-        bg.join(F.broadcast(bc), ["w1", "w2"])
+        # bc (distinct bigram TYPES) grows with the corpus, unlike the
+        # genuinely vocab-sized hc/uni dims — leave its join strategy
+        # to AQE rather than forcing a broadcast that would OOM at scale
+        bg.join(bc, ["w1", "w2"])
         .join(F.broadcast(hc), "w1")
         .join(F.broadcast(uni), F.col("w2") == F.col("token"))
         .crossJoin(F.broadcast(tot))

@@ -267,18 +267,25 @@ def streaming_detect_partials(
     """Streaming face of incremental detection: every micro-batch of a
     severity-scored stream is compressed to mergeable run partials
     (:func:`~mhw3d_detection_spark.operators.detection.detect_partials`)
-    and APPENDED to a partials store; running
+    and written to a partials store; running
     :func:`~mhw3d_detection_spark.operators.detection.merge_detect_partials`
-    over the store at any point yields the exact whole-history batch
-    events — including events still growing across micro-batch
-    boundaries, which the run coalescing re-joins.
+    over the store at any point yields the whole-history batch events
+    (equal up to floating-point reassociation in the re-centered
+    moments, ~1e-12 relative) — including events still growing across
+    micro-batch boundaries, which the run coalescing re-joins.
 
     Returns a configured ``DataStreamWriter`` (foreachBatch sink); the
     caller adds checkpoint/trigger and ``.start()``s. Unlike the
     windowed twins this emits a SIDE STORE rather than a result stream:
     the partials table is the durable, replayable state, and the merge
     is a cheap runs-sized batch job — the lambda-architecture shape for
-    a 100 TB backfill + live tail.
+    a 100 TB backfill + live tail. Each micro-batch OVERWRITES its own
+    ``batch=<id>`` partition directory, so foreachBatch's at-least-once
+    replays are idempotent — a re-run batch replaces its rows instead
+    of appending duplicates (duplicated run partials would double
+    run_days/moment sums in the merge). The extra ``batch`` partition
+    column is inert downstream: the merge's run coalescing drops it at
+    the first aggregate.
 
     CONTRACT: micro-batches must partition the time axis per cell into
     non-interleaved slices (e.g. time-ordered file arrival). A batch's
@@ -289,8 +296,9 @@ def streaming_detect_partials(
     from mhw3d_detection_spark.operators.detection import detect_partials
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # unconditional write: an empty batch writes an empty partition
+        # (harmless), and skipping an emptiness probe avoids evaluating
+        # the batch plan twice
         detect_partials(
             batch_df,
             cell_col=cell_col,
@@ -300,6 +308,6 @@ def streaming_detect_partials(
             thresh_col=thresh_col,
             with_rates=with_rates,
             with_categories=with_categories,
-        ).write.mode("append").parquet(partials_path)
+        ).write.mode("overwrite").parquet(f"{partials_path}/batch={batch_id}")
 
     return stream.writeStream.foreachBatch(sink)

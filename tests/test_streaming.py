@@ -444,7 +444,10 @@ def test_streaming_partials_merge_matches_batch(spark, tmp_path):
     assert set(merged.columns) == set(whole.columns)
     a = sorted(whole.select(*cols).collect(), key=lambda r: r["event_id"])
     b = sorted(merged.select(*cols).collect(), key=lambda r: r["event_id"])
-    assert len(a) == len(b) == 1  # 3..16 merges via the 2-day gap
+    # one event, days 3..11: the 3-day run 14..16 fails min_duration=5
+    # BEFORE gap joining (the frozen W4-before-W5 contract), so no merge
+    assert len(a) == len(b) == 1
+    assert a[0]["duration"] == 9
     for ra, rb in zip(a, b):
         for c in cols:
             va, vb = ra[c], rb[c]
