@@ -684,12 +684,25 @@ def merge_detect_partials(
     w = Window.partitionBy("cell_id").orderBy("run_start")
     wall = Window.partitionBy("cell_id")
 
-    # canonical per-cell centers: the earliest run's (first batch's)
+    # canonical per-cell centers: the earliest run WITH a non-null
+    # center (min_by skips rows whose ordering key is NULL). A batch
+    # whose slice has no non-null value for a metric (e.g. seas NULL
+    # throughout, so rel_seas is NULL) carries c_* = NULL; taking the
+    # plain earliest run's center would then NULL the re-centering
+    # delta for EVERY batch and wipe the moment sums — the
+    # whole-series fused path centers on the first non-null value, and
+    # batches partition the time axis, so the earliest non-null batch
+    # center IS that value.
+    def first_center(c: str) -> Column:
+        return F.min_by(
+            c, F.when(F.col(c).isNotNull(), F.col("run_start"))
+        ).over(wall)
+
     cent = partials.withColumns(
         {
-            "__C_rs": F.min_by("c_rs", "run_start").over(wall),
-            "__C_rt": F.min_by("c_rt", "run_start").over(wall),
-            "__C_ab": F.min_by("c_ab", "run_start").over(wall),
+            "__C_rs": first_center("c_rs"),
+            "__C_rt": first_center("c_rt"),
+            "__C_ab": first_center("c_ab"),
         }
     )
 
