@@ -93,27 +93,66 @@ def cosine_topk(
     )
 
 
-def kmeans_ivf_train(
+def _kmeans_seeds(base: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-means init: the k smallest ids' vectors, via
+    ``orderBy().limit(k)`` — plans as TakeOrderedAndProject
+    (per-partition top-k + driver merge of k-row heads), so the corpus
+    never funnels through one partition."""
+    return base.orderBy("vec_id").limit(k)
+
+
+def _assign_bucket_expr(
+    cents: list[tuple[int, list[float]]], vec: Column
+) -> Column:
+    """Nearest-centroid id for the (double) vector column against
+    LITERAL centroids: an array of (squared-distance, bucket) structs
+    reduced by ``array_min`` (lexicographic struct order == ORDER BY
+    d2, bucket). Entirely narrow — no join, no window, no shuffle; the
+    assignment streams at scan speed, which is the shape a 100 TB
+    final-assign pass needs."""
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(vec, F.lit(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(int(b)).alias("b"),
+        )
+        for b, c in cents
+    ]
+    return F.array_min(F.array(*structs))["b"]
+
+
+def kmeans_ivf_centroids(
     emb: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
-) -> DataFrame:
-    """Train an IVF coarse quantizer with Lloyd's k-means expressed as
-    pure DataFrame ops — the iterative-algorithm shape at scale.
+) -> list[tuple[int, list[float]]]:
+    """Train an IVF coarse quantizer with Lloyd's k-means: the driver
+    holds the k x dim centroids (tiny), the cluster does the per-row
+    work — the textbook iterative-algorithm split.
 
-    Deterministic: centroids init from the k smallest ids. Each
-    iteration is (assign: broadcast-join centroids, argmin distance) ->
-    (update: posexplode + groupBy(cluster, dim) elementwise mean).
-    ``sample_fraction`` is the 100 TB path: the iterative loop runs on
-    a seeded sample (only the sample is cached and rescanned per
-    iteration) and the full corpus pays exactly ONE final assign pass
-    against the trained centroids. Without it the full table is scanned
-    once per iteration.
+    Deterministic: centroids init from the k smallest ids
+    (:func:`_kmeans_seeds`). Each iteration runs eagerly: assign via
+    the narrow literal-argmin expression (no join/window/shuffle), then
+    ONE hash aggregate on (bucket, dim) — map-side combine leaves
+    k x dim rows to shuffle regardless of corpus size — collected to
+    the driver (k x dim doubles). Eager per-iteration execution keeps
+    every plan shallow (a lazily nested train would re-analyze a plan
+    that doubles per round) and lets the input cache be released before
+    returning: nothing persisted outlives this call.
 
-    Returns ``(vec_id, bucket)`` assignments after ``iters`` rounds.
+    ``sample_fraction`` is the 100 TB path: the loop trains on a seeded
+    sample (only the sample is cached and rescanned per iteration); the
+    full corpus pays nothing here — the caller's final assign is a
+    narrow map. An empty cluster drops out of the returned list (same
+    as the reference Lloyd's shape).
+
+    Returns ``[(bucket, centroid_vector), ...]`` sorted by bucket.
     """
     full = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
@@ -123,54 +162,67 @@ def kmeans_ivf_train(
         if sample_fraction is not None
         else full
     ).persist()
-    # Deterministic init from the k smallest ids via orderBy().limit(k):
-    # plans as TakeOrderedAndProject (per-partition top-k + driver merge
-    # of k-row heads) — the full corpus never funnels through one
-    # partition. The row_number window after the limit runs on <= k rows.
-    seeds = base.orderBy("vec_id").limit(k)
-    cents = (
-        seeds.withColumn("__r", F.row_number().over(Window.orderBy("vec_id")))
-        .select((F.col("__r") - 1).alias("bucket"), F.col("v").alias("c"))
+    try:
+        seeds = sorted(
+            _kmeans_seeds(base, k).collect(), key=lambda r: r["vec_id"]
+        )
+        cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
+        for _ in range(iters):
+            assigned = base.select(
+                "v", _assign_bucket_expr(cents, F.col("v")).alias("bucket")
+            )
+            rows = (
+                assigned.select("bucket", F.posexplode("v").alias("dim", "x"))
+                .groupBy("bucket", "dim")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_bucket: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_bucket.setdefault(r["bucket"], {})[r["dim"]] = r["m"]
+            cents = [
+                (b, [dims[i] for i in sorted(dims)])
+                for b, dims in sorted(by_bucket.items())
+            ]
+    finally:
+        base.unpersist()
+    return cents
+
+
+def assign_buckets(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag every row with its nearest trained centroid — a pure narrow
+    projection (the literal-argmin expression), so the 100 TB corpus
+    pays one scan and zero shuffles. Keeps all input columns and adds
+    ``bucket``."""
+    return emb.withColumn(
+        "bucket", _assign_bucket_expr(cents, as_double(F.col(vec_col)))
     )
 
-    def assign(centroids: DataFrame, src: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = src.crossJoin(F.broadcast(centroids)).withColumn("__d2", d2)
-        best = Window.partitionBy("vec_id").orderBy("__d2", "bucket")
-        return (
-            scored.withColumn("__rn", F.row_number().over(best))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "v", "bucket")
-        )
 
-    for _ in range(iters):
-        assigned = assign(cents, base)
-        cents = (
-            assigned.select("bucket", F.posexplode("v").alias("dim", "x"))
-            .groupBy("bucket", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("bucket")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("__dm")
-            )
-            .select(
-                "bucket", F.transform(F.col("__dm"), lambda s: s["m"]).alias("c")
-            )
-        )
-    # the ONE full-corpus pass (identical to the loop's pass when no
-    # sample was taken). base stays persisted: unpersisting here would
-    # be BEFORE any action runs (the whole train is one lazy plan), so
-    # the cache would never materialize and every nested iteration
-    # would rescan the source. The entry lives until the caller's
-    # session clears it (spark.catalog.clearCache, or a short-lived
-    # job session — the normal shape for a training run).
-    return assign(cents, full).select("vec_id", "bucket")
+def kmeans_ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Train + assign: Lloyd's k-means (:func:`kmeans_ivf_centroids`)
+    followed by the narrow full-corpus assign. Returns
+    ``(vec_id, bucket)``. The returned plan has no cached or iterative
+    dependencies — the training cache is released before this returns."""
+    cents = kmeans_ivf_centroids(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample_fraction=sample_fraction,
+    )
+    return assign_buckets(emb, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"), "bucket"
+    )
 
 
 def rhp_signs(n_bits: int, dim: int) -> list[list[float]]:

@@ -315,15 +315,64 @@ def q_similarity_ivf(spark, sf_dir):
 
 
 # =========================================================================
-# E3 — IVF quantizer training (iterative k-means; rows-only per the
-# driver contract for iterative algorithms)
+# E3 — IVF quantizer training (iterative k-means, unrolled in the
+# oracle: the trainer is deterministic — TakeOrdered init, fixed
+# iteration count — so DuckDB replays the exact same Lloyd's rounds)
 # =========================================================================
-@register("q_similarity_ivf_train", None)
+def _KMEANS_SQL(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means as DuckDB CTEs, mirroring
+    ``kmeans_ivf_centroids`` exactly: init = the k smallest vec_ids
+    (buckets 0..k-1 in id order), assignment = argmin squared distance
+    with ties to the lowest bucket, update = per-(bucket, dim)
+    elementwise mean, ``iters`` rounds, then one final full-corpus
+    assign (`afin`). Ends WITHOUT a trailing comma; callers append
+    their own CTEs / SELECT."""
+
+    def d2(c_alias: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (b.v[i] - {c_alias}.c[i]) * (b.v[i] - {c_alias}.c[i])))"
+        )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, v, bucket FROM ("
+            f"SELECT b.vec_id, b.v, c.bucket, "
+            f"row_number() OVER (PARTITION BY b.vec_id "
+            f"ORDER BY {d2('c')} ASC, c.bucket ASC) AS rn "
+            f"FROM base b CROSS JOIN {cents} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) "
+        f"AS bucket, v AS c FROM "
+        f"(SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {k}))",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(assign_cte(f"a{it}", f"c{it - 1}"))
+        ctes.append(
+            f"c{it} AS (SELECT bucket, list(m ORDER BY i) AS c FROM ("
+            f"SELECT bucket, i, avg(v[i]) AS m FROM a{it} "
+            f"CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) "
+            f"GROUP BY bucket, i) GROUP BY bucket)"
+        )
+    ctes.append(assign_cte("afin", f"c{iters}"))
+    return "WITH " + ", ".join(ctes)
+
+
+@register(
+    "q_similarity_ivf_train",
+    _KMEANS_SQL()
+    + " SELECT bucket, count(*) AS n_vectors FROM afin GROUP BY bucket",
+)
 def q_similarity_ivf_train(spark, sf_dir):
-    """E3 training half: Lloyd's k-means as pure DataFrame ops
-    (deterministic init from the k smallest ids, 3 iterations) produces
-    the coarse-cell assignment the IVF search path buckets on.
-    Iterative -> rows-only check per the driver contract."""
+    """E3 training half: Lloyd's k-means (deterministic init from the k
+    smallest ids, 3 iterations) produces the coarse-cell assignment the
+    IVF search path buckets on. The trainer runs eagerly (per-iteration
+    centroid collect — k x dim doubles to the driver) and the oracle
+    unrolls the identical iterations in SQL, so the bucket VALUES are
+    hash-checked, not just row counts."""
     from mhw3d_detection_spark.operators.similarity import kmeans_ivf_train
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -331,7 +380,6 @@ def q_similarity_ivf_train(spark, sf_dir):
         kmeans_ivf_train(emb, k=8, iters=3)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("bucket")
     )
 
 
@@ -533,22 +581,39 @@ def q_data_prep_pipeline(spark, sf_dir):
 
 # =========================================================================
 # E3 — trained-IVF search: quantizer training feeding the bucketed
-# search (rows-only: the trainer is iterative)
+# search (oracle replays the unrolled trainer, then the IVF search
+# against the trained cells)
 # =========================================================================
-@register("q_similarity_ivf_trained", None)
+@register(
+    "q_similarity_ivf_trained",
+    _KMEANS_SQL()
+    + ", probes AS (SELECT vec_id AS probe_id, bucket, v AS pv FROM afin "
+    "WHERE vec_id % 50 = 0), "
+    "sims AS (SELECT p.probe_id, t.vec_id, "
+    "  list_cosine_similarity(t.v, p.pv) AS cosine "
+    "  FROM afin t JOIN probes p ON t.bucket = p.bucket "
+    "  WHERE t.vec_id <> p.probe_id), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM sims) "
+    f"SELECT probe_id, vec_id, {rq_sql('cosine', 4)} AS cosine, rank "
+    "FROM ranked WHERE rank <= 5",
+)
 def q_similarity_ivf_trained(spark, sf_dir):
-    """E3 end-to-end: Lloyd's k-means (pure DataFrame ops) trains the
-    coarse quantizer, its bucket assignment joins back onto the corpus,
-    and the IVF search runs against the TRAINED cells instead of the
-    pre-assigned labels — train -> assign -> bucket-join search, the
-    full ANN shape. Iterative trainer -> rows-only check."""
-    from mhw3d_detection_spark.operators.similarity import kmeans_ivf_train
+    """E3 end-to-end: Lloyd's k-means trains the coarse quantizer, the
+    corpus is tagged by the NARROW literal-argmin assign (no join — the
+    trained centroids are driver-side literals), and the IVF search
+    runs against the TRAINED cells instead of the pre-assigned labels —
+    train -> assign -> bucket-join search, the full ANN shape. The
+    oracle unrolls the identical Lloyd's rounds in SQL, so the top-k
+    VALUES are hash-checked end to end."""
+    from mhw3d_detection_spark.operators.similarity import (
+        assign_buckets,
+        kmeans_ivf_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = kmeans_ivf_train(emb, k=8, iters=3)
-    tagged = emb.join(buckets, emb["vec_id"] == buckets["vec_id"]).select(
-        emb["vec_id"], emb["embedding"], buckets["bucket"]
-    )
+    cents = kmeans_ivf_centroids(emb, k=8, iters=3)
+    tagged = assign_buckets(emb, cents).select("vec_id", "embedding", "bucket")
     return cosine_topk(
         tagged, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="bucket"
     ).select("probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank")

@@ -10,6 +10,7 @@ from mhw3d_detection_spark.operators.multimodal import (
     documents_as_media,
 )
 from mhw3d_detection_spark.operators.similarity import cosine_topk
+from mhw3d_detection_spark.sources.tables import load_table
 from mhw3d_detection_spark.operators.textops import (
     exact_dedup,
     fingerprint,
@@ -137,6 +138,51 @@ class TestKMeansIVF:
         assert sorted(map(len, by_bucket.values())) == [5, 5]
         blob_a = {i for i in range(5)}
         assert blob_a in [set(v) for v in by_bucket.values()]
+
+    def test_lloyds_matches_numpy_oracle(self, spark, sf_dir):
+        # Exact differential against an independent NumPy Lloyd's
+        # implementation on the real driver table: same deterministic
+        # init (k smallest ids), same tie rule (lowest bucket), same
+        # iteration count -> bucket assignments must match EXACTLY and
+        # centroids to ~1e-9 (float reassociation only).
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from mhw3d_detection_spark.operators.similarity import (
+            kmeans_ivf_centroids,
+            kmeans_ivf_train,
+        )
+
+        k, iters = 4, 3
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        order = t["vec_id"].to_numpy().argsort()
+        ids = t["vec_id"].to_numpy()[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+        )[order]
+
+        def np_assign(C_ids, C):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return np.array(C_ids)[d2.argmin(axis=1)]  # ties -> first
+
+        C_ids, C = list(range(k)), X[:k].copy()
+        for _ in range(iters):
+            a = np_assign(C_ids, C)
+            live = [b for b in C_ids if (a == b).any()]
+            C = np.stack([X[a == b].mean(axis=0) for b in live])
+            C_ids = live
+        expected = dict(zip(ids.tolist(), np_assign(C_ids, C).tolist()))
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_ivf_centroids(emb, k=k, iters=iters)
+        assert [b for b, _ in cents] == C_ids
+        for (_, cv), nv in zip(cents, C):
+            np.testing.assert_allclose(np.array(cv), nv, rtol=1e-9)
+        got = {
+            r["vec_id"]: r["bucket"]
+            for r in kmeans_ivf_train(emb, k=k, iters=iters).collect()
+        }
+        assert got == expected
 
 
 class TestMultimodal:

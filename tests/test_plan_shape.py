@@ -178,12 +178,30 @@ def test_rank_return_periods_two_phase(spark, sf_dir):
 def test_kmeans_init_is_take_ordered(spark, sf_dir):
     # E3 trainer init must plan as TakeOrderedAndProject (per-partition
     # top-k + k-row merge), not a full-corpus single-partition window.
+    from mhw3d_detection_spark.operators.similarity import (
+        _kmeans_seeds,
+        as_double,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    )
+    plan = _executed(_kmeans_seeds(base, 4))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kmeans_assign_is_narrow(spark, sf_dir):
+    # E3 trained assign: literal-centroid argmin must be a pure map —
+    # zero shuffles, no join, no window over the corpus (the 100 TB
+    # final-assign pass is one scan).
     from mhw3d_detection_spark.operators.similarity import kmeans_ivf_train
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = kmeans_ivf_train(emb, k=4, iters=1)
     plan = _executed(out)
-    assert "TakeOrderedAndProject" in plan, plan
+    assert _count_exchanges(plan) == 0, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
 
 
 def test_window_partitioning_reused_by_aggregate(spark, sf_dir):
