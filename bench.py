@@ -8,6 +8,12 @@ The headline set covers every heavy plan shape: the fused MHW pipeline
 (two window passes + two aggregates), event metrics (explode-join+agg),
 MinHash dedup (shingle explode + banded self-join), similarity top-k
 (broadcast brute force), and a TPC-H-ish join+agg.
+
+`baseline_equivalent` reports BOTH `pipeline_wall_cold_sec` (one run on
+a fresh JVM: input synthesis + Janino codegen + JIT included — the
+r1-r4 series methodology) and `pipeline_wall_sec` (steady state from a
+cached input, best-of-5 — the reference notebook's warm-client
+conditions), so round-over-round comparisons stay like-for-like.
 """
 
 from __future__ import annotations
@@ -38,6 +44,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
+
+    # COLD baseline-equivalent first, before anything warms the JVM:
+    # one end-to-end run on a fresh session — input synthesis, Janino
+    # codegen and JIT all included (the r1-r4 methodology, kept as the
+    # like-for-like trend number next to the steady-state one).
+    cold = _one_baseline_run(spark, _baseline_input(spark))
 
     # Warm the JVM (codegen/JIT) on the tiny sf so per-query timings
     # measure plan execution, not first-compile; throughput at scale is
@@ -72,6 +84,7 @@ def main() -> None:
     # 12053-day x 256-cell series (~3.1 M samples). Run the full fused
     # pipeline on a synthetic series of exactly that shape.
     base_equiv = _baseline_equivalent(spark)
+    base_equiv["pipeline_wall_cold_sec"] = round(cold, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -86,6 +99,46 @@ def main() -> None:
             }
         )
     )
+
+
+def _baseline_input(spark):
+    """The reference benchmark's exact data shape (BASELINE.md: OISST
+    subset, 12053 daily steps x 16 x 16 cells), synthesized — returned
+    UNPERSISTED."""
+    from pyspark.sql import functions as F
+
+    cells = spark.range(256).select(F.col("id").alias("cell_id"))
+    days = spark.range(12053).select(
+        F.date_add(F.lit("1982-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "time"
+        ),
+        F.col("id").alias("t"),
+    )
+    return (
+        cells.crossJoin(days)
+        .select(
+            "cell_id",
+            "time",
+            (
+                15.0
+                + 5.0 * F.sin(F.col("t") * 2 * 3.14159 / 365.25)
+                + (F.hash("cell_id", "t") % 1000) / 500.0
+            ).alias("temp"),
+        )
+        .repartition(32, "cell_id")
+    )
+
+
+def _one_baseline_run(spark, ts) -> float:
+    """One timed end-to-end detect_mhw run on the given input."""
+    from mhw3d_detection_spark.plans import detect_mhw
+
+    spark._jvm.System.gc()
+    t0 = time.time()
+    detect_mhw(ts, baseline=(1982, 2011), pool_mode="grid").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.time() - t0
 
 
 def _baseline_equivalent(spark) -> dict:
@@ -107,58 +160,25 @@ def _baseline_equivalent(spark) -> dict:
     one-time Janino/JIT compilation (~5 s driver-side) — the analogue
     of the reference's precompiled kernels, not of its per-run work.
     """
-    from pyspark.sql import functions as F
-
-    from mhw3d_detection_spark.plans import detect_mhw
-
-    cells = spark.range(256).select(F.col("id").alias("cell_id"))
-    days = spark.range(12053).select(
-        F.date_add(F.lit("1982-01-01").cast("date"), F.col("id").cast("int")).alias(
-            "time"
-        ),
-        F.col("id").alias("t"),
-    )
-    ts = (
-        cells.crossJoin(days)
-        .select(
-            "cell_id",
-            "time",
-            (
-                15.0
-                + 5.0 * F.sin(F.col("t") * 2 * 3.14159 / 365.25)
-                + (F.hash("cell_id", "t") % 1000) / 500.0
-            ).alias("temp"),
-        )
-        .repartition(32, "cell_id")
-        .persist()
-    )
+    ts = _baseline_input(spark).persist()
     n = ts.count()
-
-    def one_run() -> float:
-        # settle the heap between iterations: best-of-N should measure
-        # the plan, not whichever iteration inherited a full old-gen
-        spark._jvm.System.gc()
-        t0 = time.time()
-        # fresh plan per iteration: its internal runs-table persist is
-        # newly created, so every stage recomputes from the input cache
-        detect_mhw(ts, baseline=(1982, 2011), pool_mode="grid").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        return time.time() - t0
 
     # drop the headline suite's persisted leftovers, then re-materialize
     # the input ONCE — clearing between iterations would re-instantiate
     # the input cache and re-trigger the codegen compile this warm-up
     # exists to exclude. Each iteration's fresh plan does persist its
     # own tiny runs table (a few MB each, bounded at 6 here); that is
-    # per-plan state, not reuse of prior compute.
+    # per-plan state, not reuse of prior compute. Per iteration a
+    # fresh detect_mhw plan executes every pipeline stage in full; a
+    # System.gc settles the heap so best-of-N measures the plan, not
+    # whichever iteration inherited a full old-gen.
     spark.catalog.clearCache()
     ts.persist().count()
-    one_run()  # uncounted warm-up: Janino/JIT compile of the plan's codegen
+    _one_baseline_run(spark, ts)  # uncounted warm-up: Janino/JIT compile
     # best-of-5 (vs 3 for the per-query table): this is the headline
     # number and the host shows multi-second external-load spikes;
     # more draws = better odds of one quiet window
-    best = min(one_run() for _ in range(5))
+    best = min(_one_baseline_run(spark, ts) for _ in range(5))
     spark.catalog.clearCache()
     return {
         "pipeline_wall_sec": round(best, 3),

@@ -300,7 +300,16 @@ def spatial_events_3d(
     member-event and distinct-cell counts, the object's overall time
     span, and summed/maximum member durations. The component id is
     deterministic (min of packed ids), so output is reproducible under
-    any partitioning."""
+    any partitioning.
+
+    Caveat: while the internal label-propagation loop runs, the
+    SESSION-GLOBAL conf
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` is
+    set to true (restored on exit — see :func:`connected_components`).
+    A concurrent caller materializing a cached plan on another thread
+    of the same session during that window inherits the flag; run this
+    operator from the single-threaded driver pattern, or in its own
+    session, if that matters to you."""
     events = events.persist()  # consumed by nodes, edges, and the final agg
     nodes = events.select(
         (F.col(cell_col) * _NODE_STRIDE + F.col("event_id")).alias("u"),
