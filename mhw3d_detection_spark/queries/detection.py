@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.functions.calendar import clim_doy_sql
 from mhw3d_detection_spark.operators.analysis import (
+    annual_event_stats,
     block_average,
     block_temp_stats,
     category_days_per_block,
@@ -1100,4 +1101,67 @@ def q_cold_spells(spark, sf_dir):
         "duration",
         rq("intensity_max", 2).alias("intensity_max"),
         rq("intensity_mean", 2).alias("intensity_mean"),
+    )
+
+
+# =========================================================================
+# Beyond-reference, in-domain — annual MHW load + "longer and more
+# frequent" decadal trends (Oliver et al. 2018 headline analysis)
+# =========================================================================
+_AET_SQL = (
+    f"WITH {EV_SQL}, "
+    "py AS (SELECT cell_id, CAST(year(date_start) AS INT) AS year, "
+    "  CAST(count(*) AS INT) AS n_events, CAST(sum(duration) AS BIGINT) AS mhw_days, "
+    "  avg(duration) AS mean_duration FROM ev GROUP BY 1, 2), "
+    "spine AS (SELECT c.cell_id, CAST(y.year AS INT) AS year "
+    "  FROM (SELECT DISTINCT cell_id FROM ev) c "
+    f"  CROSS JOIN (SELECT unnest(generate_series(1995, {1995 + N_YEARS - 1})) AS year) y), "
+    "dense AS (SELECT s.cell_id, s.year, coalesce(py.n_events, 0) AS n_events, "
+    "  coalesce(py.mhw_days, 0) AS mhw_days, py.mean_duration AS mean_duration "
+    "  FROM spine s LEFT JOIN py ON py.cell_id = s.cell_id AND py.year = s.year) "
+    "SELECT cell_id, "
+    f"{rq_sql('avg(n_events)', 4)} AS n_events_mean, "
+    f"{rq_sql('regr_slope(n_events, year)', 4)} AS n_events_trend, "
+    f"{rq_sql('avg(mhw_days)', 4)} AS mhw_days_mean, "
+    f"{rq_sql('regr_slope(mhw_days, year)', 4)} AS mhw_days_trend, "
+    f"{rq_sql('CASE WHEN regr_count(mean_duration, year) >= 2 THEN regr_slope(mean_duration, year) END', 4)}"
+    "  AS mean_duration_trend "
+    "FROM dense GROUP BY 1"
+)
+
+
+@register("q_annual_event_trends", _AET_SQL)
+def q_annual_event_trends(spark, sf_dir):
+    """Beyond-reference, in-domain: per-cell annual MHW event count /
+    total days / mean duration (zero-event years densified to explicit
+    zeros) and their OLS trends across years — the "longer and more
+    frequent marine heatwaves" analysis of Oliver et al. 2018 run on
+    the reference detector's own event output (marineHeatWaves.py:
+    350-411 gives the events; this is the cross-event rollup the
+    reference leaves to the user).
+
+    Scale: events-sized hash agg -> |cells| x |years| densify (literal
+    year explode against the events' distinct cells) -> cells-sized
+    trend agg. Nothing here ever touches the daily series again.
+    ``mean_duration_trend`` is guarded to >= 2 event-bearing years (a
+    one-point regression has no defined slope in either engine)."""
+    ev = _events(spark, sf_dir)
+    dense = annual_event_stats(ev, (1995, 1995 + N_YEARS - 1))
+    out = dense.groupBy("cell_id").agg(
+        F.avg("n_events").alias("__ne_mean"),
+        F.expr("regr_slope(n_events, year)").alias("__ne_tr"),
+        F.avg("mhw_days").alias("__md_mean"),
+        F.expr("regr_slope(mhw_days, year)").alias("__md_tr"),
+        F.expr(
+            "CASE WHEN regr_count(mean_duration, year) >= 2 "
+            "THEN regr_slope(mean_duration, year) END"
+        ).alias("__du_tr"),
+    )
+    return out.select(
+        "cell_id",
+        rq("__ne_mean", 4).alias("n_events_mean"),
+        rq("__ne_tr", 4).alias("n_events_trend"),
+        rq("__md_mean", 4).alias("mhw_days_mean"),
+        rq("__md_tr", 4).alias("mhw_days_trend"),
+        rq("__du_tr", 4).alias("mean_duration_trend"),
     )

@@ -89,3 +89,50 @@ def q_events_3d(spark, sf_dir):
     pointer-doubled distributed connected components; oracle: recursive
     transitive closure."""
     return spatial_events_3d(_events(spark, sf_dir), width=GRID_W)
+
+
+# =========================================================================
+# Beyond-reference, in-domain — trend of the annual area-weighted MHW
+# coverage fraction (the "what fraction of the ocean is in a heatwave,
+# and is it growing" global signal; cf. Oliver et al. 2018 Fig. 1)
+# =========================================================================
+_AAT_SQL = (
+    f"WITH {FL_SQL}, "
+    f"g AS (SELECT time, exceed, CAST(floor(cell_id / {GRID_W}.0) AS INT) AS y FROM fl), "
+    "wt AS (SELECT time, cos(radians(-60.0 + 5.0 * y)) AS w, "
+    "  CASE WHEN exceed THEN 1.0 ELSE 0.0 END AS a FROM g), "
+    "daily AS (SELECT time, sum(w * a) / sum(w) AS frac FROM wt GROUP BY 1), "
+    "yearly AS (SELECT CAST(year(time) AS INT) AS year, avg(frac) AS frac "
+    "  FROM daily GROUP BY 1) "
+    "SELECT CAST(count(*) AS INT) AS n_years, "
+    f"{rq_sql('avg(frac)', 6)} AS frac_mean, "
+    f"{rq_sql('regr_slope(frac, year)', 6)} AS frac_trend "
+    "FROM yearly"
+)
+
+
+@register("q_annual_area_trend", _AAT_SQL)
+def q_annual_area_trend(spark, sf_dir):
+    """Beyond-reference, in-domain: the yearly mean of the daily
+    cos(lat)-area-weighted exceedance fraction, and its OLS trend over
+    the record — the single-number "is MHW coverage expanding" signal
+    built on SP1's daily summary.
+
+    Scale: daily summary is one hash agg (|days| rows at any grid
+    size); the yearly rollup and the one-row trend agg are |days| and
+    |years|-sized. The final aggregate is a global (single-group) agg
+    over |years| rows — tiny by construction, not a scale risk."""
+    daily = area_weighted_daily(_flagged(spark, sf_dir), width=GRID_W)
+    yearly = daily.groupBy(
+        F.year("time").cast("int").alias("year")
+    ).agg(F.avg("area_frac_active").alias("frac"))
+    out = yearly.agg(
+        F.count(F.lit(1)).cast("int").alias("n_years"),
+        F.avg("frac").alias("__fm"),
+        F.expr("regr_slope(frac, year)").alias("__ft"),
+    )
+    return out.select(
+        "n_years",
+        rq("__fm", 6).alias("frac_mean"),
+        rq("__ft", 6).alias("frac_trend"),
+    )

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.operators.analysis import (
+    annual_event_stats,
     block_average,
     block_temp_stats,
     detrend_linear,
@@ -245,3 +246,32 @@ class TestTwoPhaseRankProperty:
             )
             for rank, (_, _, eid) in enumerate(want_order, start=1):
                 assert got[eid] == rank, (seed, eid)
+
+
+class TestAnnualEventStats:
+    def test_densify_attribution_and_zero_years(self, spark):
+        # cell 1: one event starting Dec 30 1996 spanning New Year (must
+        # count ONCE, in 1996), one in 1998; 1995/1997/1999 are zero
+        # years and must exist as explicit zero rows. cell 2: no 1996+
+        # events at all -> all-zero except 1995.
+        ev = spark.createDataFrame(
+            [
+                (1, dt.date(1996, 12, 30), dt.date(1997, 1, 5), 7),
+                (1, dt.date(1998, 3, 1), dt.date(1998, 3, 5), 5),
+                (2, dt.date(1995, 6, 1), dt.date(1995, 6, 3), 3),
+            ],
+            "cell_id int, date_start date, date_end date, duration int",
+        )
+        out = annual_event_stats(ev, (1995, 1999))
+        rows = {(r.cell_id, r.year): r for r in out.collect()}
+        assert len(rows) == 10  # 2 cells x 5 years, densified
+        assert rows[(1, 1996)].n_events == 1
+        assert rows[(1, 1996)].mhw_days == 7  # spans New Year, counted once
+        assert rows[(1, 1997)].n_events == 0  # NOT attributed to end year
+        assert rows[(1, 1997)].mean_duration is None  # mean of nothing
+        assert rows[(1, 1998)].mean_duration == 5.0
+        assert rows[(2, 1995)].n_events == 1
+        assert all(
+            rows[(2, y)].n_events == 0 and rows[(2, y)].mhw_days == 0
+            for y in (1996, 1997, 1998, 1999)
+        )
