@@ -213,6 +213,78 @@ def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
+def minhash_bands_rowlocal(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Zero-shuffle variant of :func:`minhash_signatures`: the whole
+    shingle → base-hash → linear-family-min → band chain runs as
+    row-local array expressions (``transform`` + ``array_min``), so a
+    doc's banded signature exists on the SAME row as the doc — no
+    explode-then-groupBy exchange.
+
+    Bit-identical to the grouped path by construction: ``min`` over the
+    exploded shingle rows equals ``array_min`` over the shingle array
+    (duplicate shingles are idempotent under min; every op is exact
+    int64 — A[i] < 2^14 keeps A*x < 2^62). Pinned by a differential
+    test against :func:`minhash_signatures`.
+
+    This is the signature builder a STREAM can use: per-row means no
+    stateful aggregation, so it composes with stream-static joins
+    (see :func:`streaming.sessionize.streaming_lsh_dedup`). Docs with
+    fewer than ``shingle_n`` tokens have no signature and are dropped,
+    matching the grouped path (their groupBy had zero rows).
+
+    Output schema matches :func:`minhash_signatures`:
+    ``(doc_id, band_id, band_sig)``, one row per band per doc.
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = F.expr(
+        f"case when size(__toks) >= {shingle_n} then "
+        f"transform(sequence(1, size(__toks) - {shingle_n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {shingle_n}))) "
+        f"else array() end"
+    )
+    # per-shingle 48-bit base hash, then one array_min per family member
+    xs = (
+        "transform(__sh, s -> "
+        "CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 12), 16, 10) AS BIGINT))"
+    )
+    mins = [
+        F.expr(
+            f"array_min(transform({xs}, x -> "
+            f"(x * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_M}L))"
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = (
+        docs.withColumn("__toks", toks)
+        .withColumn("__sh", sh)
+        .filter(F.size("__sh") > 0)
+        .select("doc_id", *mins)
+    )
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_sig").alias("band_sig"),
+    )
+
+
 HEX = "0123456789abcdef"
 
 

@@ -3,6 +3,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_dedup,
     streaming_detect_partials,
     streaming_event_sessions,
+    streaming_lsh_dedup,
     streaming_severity,
     streaming_similarity,
     streaming_windowed_stats,

@@ -197,6 +197,58 @@ def streaming_similarity(
     )
 
 
+def streaming_lsh_dedup(
+    stream: DataFrame,
+    corpus_bands: DataFrame,
+    *,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup gate at ingest: match an incoming document stream
+    against a static corpus's LSH band index (E2's streaming face —
+    the online shape of data-pipeline dedup: drop or flag new docs
+    that collide with anything already ingested).
+
+    Signatures come from :func:`operators.textops.minhash_bands_rowlocal`
+    — the zero-state, row-local variant (a streaming frame cannot run
+    the batch path's explode-then-groupBy aggregation without unbounded
+    state; per-row array expressions need none) — and are bit-identical
+    to the batch signatures, so the stream joins the SAME index the
+    batch pipeline built (``minhash_signatures`` over the corpus,
+    written once and read here as a static frame).
+
+    Stateless stream-static equi-join on (band_id, band_sig): per
+    micro-batch the corpus side broadcasts (or AQE picks shuffle-hash
+    at index scale); no watermark, no store. A doc colliding with the
+    same corpus doc in several bands emits one row per band — the
+    downstream gate treats any row as "duplicate", so per-pair
+    distinctness (which would need state) is deliberately not enforced;
+    aggregate in the sink's foreachBatch if unique pairs matter.
+
+    Output: ``(doc_id, dup_of, band_id)`` — the incoming doc, the
+    colliding corpus doc, and which band fired.
+    """
+    from mhw3d_detection_spark.operators.textops import minhash_bands_rowlocal
+
+    new_bands = minhash_bands_rowlocal(
+        stream,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    idx = corpus_bands.select(
+        F.col("doc_id").alias("dup_of"), "band_id", "band_sig"
+    )
+    return (
+        new_bands.join(idx, ["band_id", "band_sig"])
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of", "band_id")
+    )
+
+
 def streaming_area_stats(
     stream: DataFrame,
     *,

@@ -455,3 +455,53 @@ def test_streaming_partials_merge_matches_batch(spark, tmp_path):
                 assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9), (c, va, vb)
             else:
                 assert va == vb, (c, va, vb)
+
+
+def test_streaming_lsh_dedup_matches_batch_pairs(spark, tmp_path):
+    from mhw3d_detection_spark.operators.textops import (
+        minhash_bands_rowlocal,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from mhw3d_detection_spark.streaming import streaming_lsh_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # corpus = even doc_ids (indexed up front, batch path);
+    # stream = odd doc_ids arriving later
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "doc_stream")
+    incoming.write.mode("overwrite").parquet(path)
+
+    # the rowlocal signature the stream uses must be bit-identical to
+    # the grouped batch signature it joins against
+    a = minhash_signatures(docs)
+    b = minhash_bands_rowlocal(docs)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    idx = minhash_signatures(corpus)
+    stream = spark.readStream.schema(incoming.schema).parquet(path)
+    q = (
+        streaming_lsh_dedup(stream, idx)
+        .writeStream.format("memory")
+        .queryName("lsh_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.table("lsh_dedup_stream").collect()
+    }
+    # ground truth: the batch LSH candidate pairs restricted to
+    # (odd incoming, even corpus) — pairs emits doc_a < doc_b, so
+    # normalize to (incoming, corpus) orientation
+    pairs = minhash_candidate_pairs(minhash_signatures(docs)).collect()
+    want = set()
+    for r in pairs:
+        for x, y in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if x % 2 == 1 and y % 2 == 0:
+                want.add((x, y))
+    assert got == want
+    assert len(want) > 0  # planted near-dups guarantee cross-parity hits
