@@ -43,13 +43,23 @@ def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Word n-gram shingles per doc, derived by direct array slicing
     (no window pass): shingle_i = tokens[i..i+n-1] joined by spaces.
 
     Docs shorter than ``n`` tokens yield no shingles — guarded with an
     explicit CASE because Spark's ``sequence(1, 0)`` is DESCENDING
-    ``[1, 0]`` (not empty), which would feed ``slice`` a zero start."""
+    ``[1, 0]`` (not empty), which would feed ``slice`` a zero start.
+
+    ``carry_cols`` rides extra doc attributes through the explode —
+    callers that need (shingle, attribute) rows avoid a data-sized
+    join back to the doc table (attaching an attribute post-explode
+    shuffles the whole shingle table on doc_id; carrying it is free)."""
     toks = tokens_col(F.col(text_col))
     sh = F.expr(
         f"case when size(__toks) >= {n} then "
@@ -59,7 +69,7 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
     return (
         docs.withColumn("__toks", toks)
-        .select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", *carry_cols, F.explode(sh).alias("shingle"))
     )
 
 
@@ -1104,9 +1114,7 @@ def source_overlap(
     sources with no shingles at all (every doc shorter than
     ``shingle_n`` tokens) still appear, with jaccard 0.
     """
-    sh = shingles(docs, text_col, n=shingle_n).join(
-        docs.select("doc_id", group_col), "doc_id"
-    )
+    sh = shingles(docs, text_col, n=shingle_n, carry_cols=(group_col,))
     ss = sh.select(group_col, "shingle").distinct()
     hx = ss.withColumn("__x", minhash_base(F.col("shingle")))
     srcs = docs.select(group_col).distinct()

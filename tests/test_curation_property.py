@@ -166,3 +166,34 @@ class TestPackingProperties:
             parts = [p.split(":") for p in r["postings"].split(";")]
             assert sum(int(tf) for _, tf in parts) == r["tf_total"]
             assert len(parts) == r["df"]
+
+
+class TestRowlocalMinhashProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet="ab1 .!é中",  # unicode + punct + digits
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_rowlocal_bands_equal_grouped(self, texts):
+        # the zero-shuffle row-local signature must be BIT-identical to
+        # the grouped explode+groupBy path on arbitrary text: empty
+        # docs, sub-shingle docs, unicode, duplicate shingles
+        from mhw3d_detection_spark.operators.textops import (
+            minhash_bands_rowlocal,
+            minhash_signatures,
+        )
+
+        spark = TestCurationProperties._spark
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, minhash_signatures(docs).collect()))
+        b = sorted(map(tuple, minhash_bands_rowlocal(docs).collect()))
+        assert a == b

@@ -62,12 +62,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_similarity_topk": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_similarity_rerank": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_dedup_embedding": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # the sources x sources pair frame plans as CartesianProduct or
+    # BroadcastNestedLoopJoin depending on estimated sizes — same join,
+    # both sides are per-SOURCE aggregates (|sources| rows, ~tens), not
+    # per-document; O(|sources|^2) pairs is the output itself
     "q_source_overlap": {
-        "CartesianProduct": (
-            "sources x sources pair frame: both sides are per-SOURCE "
-            "aggregates (|sources| rows, ~tens), not per-document — "
-            "O(|sources|^2) pairs is the output itself"
-        )
+        "CartesianProduct": "sources x sources pair frame (see above)",
+        "BroadcastNestedLoopJoin": "sources x sources pair frame (see above)",
     },
 }
 
