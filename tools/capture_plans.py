@@ -28,6 +28,8 @@ PLANS = [
     "q_dup_span_frac",
     "q_area_weighted_stats",
     "q_clim_partial_merge",
+    "q_annual_event_trends",
+    "q_source_overlap",
 ]
 
 HEADER = """# Physical plans — explain evidence
@@ -52,6 +54,11 @@ tests/test_plan_shape.py.
 """
 
 
+#: everything from this line on in docs/PLANS.md is hand-written
+#: analysis (profiling notes, audit summaries) and survives regeneration
+NOTES_MARKER = "<!-- NOTES -->"
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plans")
@@ -66,9 +73,16 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{tree}\n```\n")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "PLANS.md")
+    notes = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if NOTES_MARKER in old:
+            notes = old[old.index(NOTES_MARKER):]
     with open(path, "w") as f:
         f.write("\n".join(out))
-    print(f"wrote {path} ({len(PLANS)} plans)")
+        if notes:
+            f.write("\n" + notes)
+    print(f"wrote {path} ({len(PLANS)} plans, notes preserved: {bool(notes)})")
 
 
 if __name__ == "__main__":
