@@ -10,10 +10,12 @@ MinHash dedup (shingle explode + banded self-join), similarity top-k
 (broadcast brute force), and a TPC-H-ish join+agg.
 
 `baseline_equivalent` reports BOTH `pipeline_wall_cold_sec` (one run on
-a fresh JVM: input synthesis + Janino codegen + JIT included — the
-r1-r4 series methodology) and `pipeline_wall_sec` (steady state from a
-cached input, best-of-5 — the reference notebook's warm-client
-conditions), so round-over-round comparisons stay like-for-like.
+a fresh JVM: input synthesis + Janino codegen + JIT included — strictly
+COLDER than the r1-r4 protocol, which persisted the input outside the
+wall and took best-of-5 with a warm codegen cache from run 2; compare
+cold-to-cold from r6 onward only) and `pipeline_wall_sec` (steady state
+from a cached input, best-of-5 — the reference notebook's warm-client
+conditions).
 """
 
 from __future__ import annotations
@@ -47,8 +49,11 @@ def main() -> None:
 
     # COLD baseline-equivalent first, before anything warms the JVM:
     # one end-to-end run on a fresh session — input synthesis, Janino
-    # codegen and JIT all included (the r1-r4 methodology, kept as the
-    # like-for-like trend number next to the steady-state one).
+    # codegen and JIT all included. NOTE: this is STRICTLY colder than
+    # the r1-r4 protocol (which persisted+counted the input OUTSIDE the
+    # wall and took best-of-5, where runs 2-5 reuse the codegen cache),
+    # so compare cold-to-cold only from r6 onward — not against the
+    # r1-r4 column.
     cold = _one_baseline_run(spark, _baseline_input(spark))
 
     # Warm the JVM (codegen/JIT) on the tiny sf so per-query timings

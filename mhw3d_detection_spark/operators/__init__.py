@@ -17,6 +17,7 @@ from mhw3d_detection_spark.operators.detection import (  # noqa: F401
     rle_runs,
 )
 from mhw3d_detection_spark.operators.analysis import (  # noqa: F401
+    annual_event_stats,
     block_average,
     block_temp_stats,
     category_days_per_block,

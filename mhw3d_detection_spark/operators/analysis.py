@@ -620,6 +620,7 @@ def annual_event_stats(
     cell_col: str = "cell_id",
     start_col: str = "date_start",
     duration_col: str = "duration",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Per (cell, year) marine-heatwave load: event count, total MHW
     days, mean event duration — the annual series behind the headline
@@ -635,6 +636,14 @@ def annual_event_stats(
     over event-bearing years is biased high, so the zeros must exist.
     ``mean_duration`` stays NULL in those years (mean of nothing).
 
+    The same bias argument applies across CELLS: by default the spine
+    comes from the events' own distinct cells, so a cell with zero
+    events in the whole record contributes nothing — fine for per-cell
+    trends, but any cross-cell average of these stats is then biased
+    high. Pass ``cells`` (a one-column ``cell_id`` universe, e.g. the
+    series' distinct cells) to densify never-event cells to all-zero
+    rows as well.
+
     Scale shape: one hash aggregate over the events table (events-sized,
     never series-sized), then a cells x years densify built by exploding
     a literal year sequence against the events' own distinct-cell set —
@@ -649,8 +658,13 @@ def annual_event_stats(
         F.sum(duration_col).cast("long").alias("mhw_days"),
         F.avg(duration_col).alias("mean_duration"),
     )
+    universe = (
+        cells.select(F.col(cell_col).alias("cell_id"))
+        if cells is not None
+        else events.select(F.col(cell_col).alias("cell_id"))
+    )
     spine = (
-        events.select(F.col(cell_col).alias("cell_id"))
+        universe
         .distinct()
         .select(
             "cell_id",

@@ -93,6 +93,25 @@ def cosine_topk(
     )
 
 
+def _q6(x: float) -> float:
+    """Dyadic centroid quantization — the Python twin of
+    ``queries/base.py:rq`` at d=6 (same IEEE ops, same
+    boundary-absorbing 2^-16 nudge, so identical input bits give
+    identical output bits in Python, Spark and DuckDB). Centroid means
+    are quantized to this grid after every Lloyd's round: double
+    summation ORDER differs between engines (Spark merges partial avgs
+    in shuffle-fetch order; DuckDB sums in scan order; NumPy pairwise),
+    so raw means carry ~1e-13 order noise — harmless numerically, but
+    the downstream bucket assignment is compared EXACTLY across
+    engines, and an unquantized near-tie vector could bucket
+    differently. Quantizing the centroids (the only cross-engine float
+    boundary in the loop) makes every subsequent round bit-identical
+    by induction."""
+    import math
+
+    return math.floor(x * 1000000.0 + (0.5 + 2.0**-16)) / 1000000.0
+
+
 def _kmeans_seeds(base: DataFrame, k: int) -> DataFrame:
     """Deterministic k-means init: the k smallest ids' vectors, via
     ``orderBy().limit(k)`` — plans as TakeOrderedAndProject
@@ -110,6 +129,13 @@ def _assign_bucket_expr(
     d2, bucket). Entirely narrow — no join, no window, no shuffle; the
     assignment streams at scan speed, which is the shape a 100 TB
     final-assign pass needs."""
+    if not cents:
+        # array_min over zero structs would fail deep in analysis with
+        # an opaque type error — surface the real problem instead
+        raise ValueError(
+            "no centroids to assign against (empty training corpus or "
+            "an empty seeded sample — raise sample_fraction)"
+        )
     structs = [
         F.struct(
             F.aggregate(
@@ -180,8 +206,11 @@ def kmeans_ivf_centroids(
             by_bucket: dict[int, dict[int, float]] = {}
             for r in rows:
                 by_bucket.setdefault(r["bucket"], {})[r["dim"]] = r["m"]
+            # quantize each round's means (see _q6): kills cross-engine
+            # and run-to-run summation-order bit drift at the one float
+            # boundary the exact-assignment oracle depends on
             cents = [
-                (b, [dims[i] for i in sorted(dims)])
+                (b, [_q6(dims[i]) for i in sorted(dims)])
                 for b, dims in sorted(by_bucket.items())
             ]
     finally:

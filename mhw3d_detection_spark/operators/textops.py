@@ -61,15 +61,26 @@ def shingles(
     join back to the doc table (attaching an attribute post-explode
     shuffles the whole shingle table on doc_id; carrying it is free)."""
     toks = tokens_col(F.col(text_col))
-    sh = F.expr(
-        f"case when size(__toks) >= {n} then "
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
-        f"else array() end"
-    )
     return (
         docs.withColumn("__toks", toks)
-        .select("doc_id", *carry_cols, F.explode(sh).alias("shingle"))
+        .select(
+            "doc_id",
+            *carry_cols,
+            F.explode(F.expr(shingle_array_sql("__toks", n))).alias("shingle"),
+        )
+    )
+
+
+def shingle_array_sql(toks_col: str, n: int) -> str:
+    """The shared shingle-array SQL over a token-array column — the
+    ONE copy of the sub-``n``-tokens guard (see :func:`shingles`) so
+    the exploded batch path and the row-local streaming path
+    (:func:`minhash_bands_rowlocal`) cannot drift apart."""
+    return (
+        f"case when size({toks_col}) >= {n} then "
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
+        f"else array() end"
     )
 
 
@@ -188,6 +199,14 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
+    return _explode_bands(sig, n_hashes, band_size)
+
+
+def _explode_bands(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """Shared banding tail: a frame with ``doc_id, h0..h{n-1}`` minhash
+    columns → one ``(doc_id, band_id, band_sig)`` row per band. The ONE
+    copy of the band concat idiom, so the batch and row-local signature
+    builders emit byte-identical band keys."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -252,47 +271,34 @@ def minhash_bands_rowlocal(
     ``(doc_id, band_id, band_sig)``, one row per band per doc.
     """
     toks = tokens_col(F.col(text_col))
-    sh = F.expr(
-        f"case when size(__toks) >= {shingle_n} then "
-        f"transform(sequence(1, size(__toks) - {shingle_n - 1}), "
-        f"i -> concat_ws(' ', slice(__toks, i, {shingle_n}))) "
-        f"else array() end"
-    )
-    # per-shingle 48-bit base hash, then one array_min per family member
+    # per-shingle 48-bit base hash computed ONCE into __xs (the md5 is
+    # the expensive op; each family member is then a cheap linear pass
+    # over __xs). The agg over an ARRAY of the h-structs — rather than
+    # 8 top-level column aliases referencing __xs — keeps Catalyst's
+    # CollapseProject from inlining the md5 transform 8x (lambda
+    # expressions are excluded from codegen subexpression elimination,
+    # so an 8x inline would really digest every shingle 8 times).
     xs = (
-        "transform(__sh, s -> "
+        f"transform({shingle_array_sql('__toks', shingle_n)}, s -> "
         "CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 12), 16, 10) AS BIGINT))"
     )
     mins = [
         F.expr(
-            f"array_min(transform({xs}, x -> "
+            f"array_min(transform(__xs, x -> "
             f"(x * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_M}L))"
         ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = (
         docs.withColumn("__toks", toks)
-        .withColumn("__sh", sh)
-        .filter(F.size("__sh") > 0)
+        # the emptiness filter reads __toks, NOT __xs: a size(__xs)
+        # predicate would inline the md5 transform into the Filter and
+        # digest every shingle a second time just to test emptiness
+        .filter(F.size("__toks") >= shingle_n)
+        .withColumn("__xs", F.expr(xs))
         .select("doc_id", *mins)
     )
-    n_bands = n_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    return sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_sig").alias("band_sig"),
-    )
+    return _explode_bands(sig, n_hashes, band_size)
 
 
 HEX = "0123456789abcdef"

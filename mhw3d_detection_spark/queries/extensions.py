@@ -32,8 +32,8 @@ from mhw3d_detection_spark.operators.textops import (
     exact_dedup,
     fingerprint,
     language_id,
+    minhash_bands_rowlocal,
     minhash_candidate_pairs,
-    minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
     source_overlap,
@@ -125,9 +125,13 @@ MINHASH_SIG_SQL = (
 def q_dedup_minhash(spark, sf_dir):
     """E2: MinHash signatures over word-3-gram shingles, banded 4x2 for
     LSH: one md5 per shingle -> 48-bit base hash -> linear hash family
-    (A*x+B) mod M -> per-doc min -> band concat. Identical in DuckDB."""
+    (A*x+B) mod M -> per-doc min -> band concat. Since r6 the Spark
+    side is the ROW-LOCAL builder (zero shuffles, md5 once per shingle
+    — bit-identical to the grouped path by differential test); the
+    DuckDB oracle keeps the grouped formulation, so the hash-match is
+    also a cross-formulation differential."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, n_hashes=8, band_size=2)
+    return minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
 
 
 @register(
@@ -143,7 +147,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     key: the step that turns O(n²) all-pairs into a shuffle on bucket
     ids. Probe side bounded (doc_id < 100) to keep test output small."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, n_hashes=8, band_size=2)
+    sig = minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
     pairs = minhash_candidate_pairs(sig)
     return pairs.filter(F.col("doc_a") < 100)
 
@@ -178,7 +182,7 @@ def q_dedup_components(spark, sf_dir):
     DuckDB side unrolls the same three join+min rounds, and labels are
     integers, so the hash gate is bit-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(minhash_signatures(docs, n_hashes=8, band_size=2))
+    pairs = minhash_candidate_pairs(minhash_bands_rowlocal(docs, n_hashes=8, band_size=2))
     return connected_components_bounded(pairs, iters=3)
 
 
@@ -206,7 +210,7 @@ def q_dedup_apply(spark, sf_dir):
     shape a 100 TB curation job materializes. The drop list broadcasts
     into a left-anti join; the corpus itself is never shuffled."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(minhash_signatures(docs, n_hashes=8, band_size=2))
+    pairs = minhash_candidate_pairs(minhash_bands_rowlocal(docs, n_hashes=8, band_size=2))
     comp = connected_components_bounded(pairs, iters=3)
     drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
@@ -351,9 +355,12 @@ def _KMEANS_SQL(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     ]
     for it in range(1, iters + 1):
         ctes.append(assign_cte(f"a{it}", f"c{it - 1}"))
+        # centroid means quantized per round (rq d=6) — mirrors the
+        # trainer's _q6: summation-order bit drift between engines must
+        # not reach the exact assignment comparison
         ctes.append(
             f"c{it} AS (SELECT bucket, list(m ORDER BY i) AS c FROM ("
-            f"SELECT bucket, i, avg(v[i]) AS m FROM a{it} "
+            f"SELECT bucket, i, {rq_sql('avg(v[i])', 6)} AS m FROM a{it} "
             f"CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) "
             f"GROUP BY bucket, i) GROUP BY bucket)"
         )

@@ -275,3 +275,14 @@ class TestAnnualEventStats:
             rows[(2, y)].n_events == 0 and rows[(2, y)].mhw_days == 0
             for y in (1996, 1997, 1998, 1999)
         )
+
+    def test_cells_universe_densifies_never_event_cells(self, spark):
+        ev = spark.createDataFrame(
+            [(1, dt.date(1995, 6, 1), dt.date(1995, 6, 3), 3)],
+            "cell_id int, date_start date, date_end date, duration int",
+        )
+        cells = spark.createDataFrame([(1,), (2,), (3,)], "cell_id int")
+        out = annual_event_stats(ev, (1995, 1996), cells=cells)
+        rows = {(r.cell_id, r.year): r for r in out.collect()}
+        assert len(rows) == 6  # 3 cells x 2 years
+        assert rows[(3, 1995)].n_events == 0 and rows[(3, 1996)].mhw_days == 0

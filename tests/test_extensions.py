@@ -143,8 +143,10 @@ class TestKMeansIVF:
         # Exact differential against an independent NumPy Lloyd's
         # implementation on the real driver table: same deterministic
         # init (k smallest ids), same tie rule (lowest bucket), same
-        # iteration count -> bucket assignments must match EXACTLY and
-        # centroids to ~1e-9 (float reassociation only).
+        # iteration count, same per-round dyadic centroid quantization
+        # (similarity._q6 — the device that makes the rounds
+        # bit-identical across engines) -> bucket assignments AND
+        # centroids must match EXACTLY.
         import numpy as np
         import pyarrow.parquet as pq
 
@@ -165,11 +167,15 @@ class TestKMeansIVF:
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             return np.array(C_ids)[d2.argmin(axis=1)]  # ties -> first
 
+        def q6(a):
+            # NumPy twin of similarity._q6 (same IEEE ops elementwise)
+            return np.floor(a * 1000000.0 + (0.5 + 2.0**-16)) / 1000000.0
+
         C_ids, C = list(range(k)), X[:k].copy()
         for _ in range(iters):
             a = np_assign(C_ids, C)
             live = [b for b in C_ids if (a == b).any()]
-            C = np.stack([X[a == b].mean(axis=0) for b in live])
+            C = q6(np.stack([X[a == b].mean(axis=0) for b in live]))
             C_ids = live
         expected = dict(zip(ids.tolist(), np_assign(C_ids, C).tolist()))
 
@@ -177,7 +183,7 @@ class TestKMeansIVF:
         cents = kmeans_ivf_centroids(emb, k=k, iters=iters)
         assert [b for b, _ in cents] == C_ids
         for (_, cv), nv in zip(cents, C):
-            np.testing.assert_allclose(np.array(cv), nv, rtol=1e-9)
+            assert cv == nv.tolist()  # bit-exact after shared quantization
         got = {
             r["vec_id"]: r["bucket"]
             for r in kmeans_ivf_train(emb, k=k, iters=iters).collect()

@@ -347,7 +347,10 @@ def test_area_weighted_stats_single_aggregate_no_join(spark):
 def test_full_registry_plan_audit(spark, sf_dir):
     # Sweep EVERY registered query's physical plan for the antipatterns
     # that kill cluster runs (cartesian / nested-loop joins,
-    # row-at-a-time Python UDFs). Plan-only — nothing executes. Known
+    # row-at-a-time Python UDFs). Plan builds are lazy except the IVF
+    # trainer pair, whose eager Lloyd's loop runs a few small jobs at
+    # sf0.001 while building its final assign plan (see
+    # tools/plan_audit.py's module docstring). Known
     # tiny-side broadcast patterns are exempted in tools/plan_audit.py's
     # ALLOWLIST, each with its scale argument inline; a new un-argued
     # hit anywhere in the registry fails here.

@@ -2,8 +2,15 @@
 plan-shape tests don't cover.
 
 ``tests/test_plan_shape.py`` pins 18 specific plans; this tool sweeps
-EVERY registered query, builds its physical plan (plan-only — nothing
-executes), and flags the antipatterns that kill 100 TB runs:
+EVERY registered query, builds its physical plan, and flags the
+antipatterns that kill 100 TB runs. Plan builds are lazy for all but
+two queries: the IVF trainer pair (``q_similarity_ivf_train`` /
+``q_similarity_ivf_trained``) runs its eager driver-side Lloyd's loop
+(a few small Spark jobs at the audited SF) while BUILDING the final
+assign plan, and only that final plan is audited — the training
+iterations' own plan shapes are pinned separately by
+``tests/test_plan_shape.py::test_kmeans_assign_is_narrow`` and the
+TakeOrdered-init test. Patterns flagged:
 
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — an unkeyed join.
   O(n*m) compare work; at cluster scale this is the difference between
