@@ -254,6 +254,92 @@ def kmeans_ivf_train(
     )
 
 
+def bucket_near_dup_pairs(
+    tagged: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Within-bucket embedding near-dup pairs: a self-equi-join on the
+    coarse-cell id (never all-pairs — the cluster assignment bounds the
+    candidate set, the SemDeDup trick), exact cosine >= threshold on
+    the survivors. Returns ``(doc_a, doc_b)`` with ``doc_a < doc_b``.
+
+    Scale: the join shuffles on the bucket key; per-bucket pair count
+    is (n/k)^2/2, so k is the knob that keeps the quadratic term local
+    (SemDeDup used k = 50 000 on LAION — cells of ~1e4 rows)."""
+    base = tagged.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.col(bucket_col).alias("bucket"),
+    ).withColumn("n", norm(F.col("v")))
+    a = base.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") > 0)
+            & (F.col("nb") > 0)
+        )
+        .withColumn(
+            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.2,
+    cc_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as DataFrame ops:
+    k-means clusters the embedding space (:func:`kmeans_ivf_centroids`,
+    deterministic trainer), each document is tagged by the narrow
+    literal-argmin assign, near-dup candidates are WITHIN-cluster pairs
+    only (:func:`bucket_near_dup_pairs` — the quadratic term stays
+    cluster-local), pairs above the cosine threshold form a graph whose
+    connected components are semantic-duplicate groups, and the min-id
+    member of each group survives. Returns the surviving corpus as
+    ``(vec_id, bucket)``.
+
+    Every stage is an already-verified operator: the trainer's
+    quantized rounds give exact cross-engine assignments, min-label
+    propagation is integer-exact, and the drop list broadcasts into a
+    left-anti join so the corpus itself is never reshuffled."""
+    from mhw3d_detection_spark.operators.textops import (
+        connected_components_bounded,
+    )
+
+    cents = kmeans_ivf_centroids(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    tagged = assign_buckets(emb, cents, id_col=id_col, vec_col=vec_col)
+    pairs = bucket_near_dup_pairs(
+        tagged, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    comp = connected_components_bounded(pairs, iters=cc_iters)
+    drops = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return tagged.join(F.broadcast(drops), id_col, "left_anti").select(
+        F.col(id_col).alias("vec_id"), "bucket"
+    )
+
+
 def rhp_signs(n_bits: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 random-hyperplane matrix (n_bits x dim), derived
     from md5 so the identical literal matrix is embeddable in the DuckDB

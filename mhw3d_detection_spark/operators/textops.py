@@ -113,6 +113,53 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: literal model weights for :func:`quality_classifier` — stands in for
+#: an offline-trained quality regressor (CCNet / FineWeb-Edu style);
+#: swap in real coefficients without touching the plan.
+QUALITY_LR = {
+    "intercept": -3.0,
+    "w_len": 3.0,       # x least(n_tokens/100, 1)
+    "w_punct": -4.0,    # x punct_ratio
+    "w_stop": 6.0,      # x stop_ratio
+    "w_tok_len": 0.25,  # x mean_token_len
+}
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filter: a logistic regression over the
+    :func:`text_stats` features with LITERAL weights — the shape of the
+    fastText / linear quality classifiers every production curation
+    pipeline runs (CCNet, FineWeb-Edu): featurize -> w.x + b -> sigmoid
+    -> threshold. The weights live driver-side as plan literals, so the
+    scoring pass is a pure narrow projection — the 100 TB corpus pays
+    one scan, zero shuffles, and the filter pushes into the same stage
+    as the parquet read.
+
+    The keep decision thresholds the LOGIT at 0 (== prob >= 0.5):
+    exact IEEE arithmetic both engines replay bit-identically, keeping
+    the decision out of transcendental-function territory (the reported
+    sigmoid probability is display-only).
+
+    Returns ``(doc_id, quality_logit, quality_prob, keep)``.
+    """
+    w = QUALITY_LR
+    st = text_stats(docs, text_col)
+    z = (
+        F.lit(w["intercept"])
+        + F.lit(w["w_len"])
+        * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + F.lit(w["w_punct"]) * F.col("punct_ratio")
+        + F.lit(w["w_stop"]) * F.col("stop_ratio")
+        + F.lit(w["w_tok_len"]) * F.col("mean_token_len")
+    )
+    return st.select(
+        "doc_id",
+        z.alias("quality_logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob"),
+        (z >= 0).cast("int").alias("keep"),
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram-free stopword-vote language ID: count token hits per
     language wordlist; predict the argmax with a fixed priority order

@@ -627,6 +627,42 @@ def q_similarity_ivf_trained(spark, sf_dir):
 
 
 # =========================================================================
+# E2+E3 — SemDeDup: semantic dedup via trained clusters (Abbas et al.
+# 2023) — k-means buckets bound the quadratic term, within-cluster
+# cosine pairs form the dup graph, min-id per component survives
+# =========================================================================
+@register(
+    "q_semantic_dedup",
+    _KMEANS_SQL()
+    + ", e0 AS (SELECT a.vec_id AS u, b2.vec_id AS v "
+    "  FROM afin a JOIN afin b2 ON a.bucket = b2.bucket "
+    "  WHERE a.vec_id < b2.vec_id "
+    "  AND list_cosine_similarity(a.v, b2.v) >= 0.35), "
+    "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+    "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+    + ", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + ", drops AS (SELECT v AS vec_id FROM l3 WHERE v <> label) "
+    "SELECT t.vec_id, t.bucket FROM afin t "
+    "LEFT JOIN drops d ON t.vec_id = d.vec_id WHERE d.vec_id IS NULL",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """E2+E3 composed: SemDeDup (Abbas et al. 2023) — the trained
+    k-means quantizer clusters the embedding space, near-dup candidates
+    are WITHIN-cluster pairs only (the cluster count k is the knob that
+    keeps the quadratic term local — never corpus-wide all-pairs),
+    cosine >= 0.35 pairs form the duplicate graph, bounded min-label
+    propagation groups them, and the min-id member of each group
+    survives (~23% of the sf0.01 corpus dedups away — a non-trivial
+    oracle). Oracle: the unrolled Lloyd's rounds (exact cross-engine
+    assignments via quantized centroids) + the same 3 propagation
+    rounds in SQL — survivors are hash-checked end to end."""
+    from mhw3d_detection_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=3, threshold=0.35, cc_iters=3)
+
+
+# =========================================================================
 # E4 — quality scoring
 # =========================================================================
 @register(
@@ -662,6 +698,57 @@ def q_text_quality(spark, sf_dir):
         rq("stop_ratio", 4).alias("stop_ratio"),
         rq("mean_token_len", 4).alias("mean_token_len"),
         rq("quality_score", 4).alias("quality_score"),
+    )
+
+
+# =========================================================================
+# E4 — model-based quality classifier (literal-weight logistic)
+# =========================================================================
+def _QLR_SQL() -> str:
+    """DuckDB mirror of ``operators.textops.quality_classifier``: the
+    same literal weights applied to the same feature expressions in the
+    same left-associative order, so the logit is bit-identical and the
+    keep decision (logit >= 0) needs no quantization."""
+    from mhw3d_detection_spark.operators.textops import QUALITY_LR as w
+
+    return (
+        "WITH d AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+        "s AS (SELECT doc_id, len(toks) AS n_tokens, "
+        "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) "
+        "    / greatest(len(toks), 1) AS stop_ratio, "
+        "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+        "    / length(text) AS punct_ratio, "
+        "  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mean_token_len "
+        "  FROM d), "
+        f"z AS (SELECT doc_id, {w['intercept']!r} "
+        f"  + {w['w_len']!r} * least(n_tokens / 100.0, 1.0) "
+        f"  + {w['w_punct']!r} * punct_ratio "
+        f"  + {w['w_stop']!r} * stop_ratio "
+        f"  + {w['w_tok_len']!r} * mean_token_len AS logit FROM s) "
+        f"SELECT doc_id, {rq_sql('logit', 4)} AS quality_logit, "
+        f"{rq_sql('1.0 / (1.0 + exp(-logit))', 4)} AS quality_prob, "
+        "CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep FROM z"
+    )
+
+
+@register("q_quality_classifier", _QLR_SQL())
+def q_quality_classifier(spark, sf_dir):
+    """E4: model-based quality scoring — a logistic regression with
+    literal (offline-trained-shaped) weights over the text_stats
+    features; the fastText/CCNet filter stage. Scoring is a pure narrow
+    projection (weights are plan literals), so the pass costs one scan
+    at any corpus size. The keep decision thresholds the exact-IEEE
+    logit, not the transcendental sigmoid, so it is bit-stable across
+    engines."""
+    from mhw3d_detection_spark.operators.textops import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_classifier(docs)
+    return out.select(
+        "doc_id",
+        rq("quality_logit", 4).alias("quality_logit"),
+        rq("quality_prob", 4).alias("quality_prob"),
+        "keep",
     )
 
 

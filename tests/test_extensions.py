@@ -685,3 +685,109 @@ def test_source_overlap_shingleless_source_present(spark):
     ae = got[("A", "E")]
     assert ae["n_b"] == 0 and ae["n_inter"] == 0
     assert ae["exact_jaccard"] == 0.0 and ae["est_jaccard"] == 0.0
+
+
+class TestSemanticDedup:
+    def test_planted_dup_groups_keep_min_id(self, spark):
+        # two clusters; within each, a planted near-identical group must
+        # collapse to its min id while distinct members survive
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),   # near-dup of 0
+            (2, [0.999, 0.01]),  # near-dup of 0/1
+            (3, [0.7, 0.7]),     # same cluster, distinct
+            (10, [0.0, 1.0]),
+            (11, [0.0001, 1.0]),  # near-dup of 10
+            (12, [-0.6, 0.8]),    # same cluster, distinct
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from mhw3d_detection_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(emb, k=2, iters=3, threshold=0.99)
+        survivors = {r.vec_id for r in out.collect()}
+        assert survivors == {0, 3, 10, 12}
+
+    def test_survivors_subset_and_canonical(self, spark, sf_dir):
+        # invariants on the real table: survivors are a subset of the
+        # corpus; the TRUE min of every connected component survives
+        # (its min-propagation label can never drop below itself, so it
+        # is always self-labeled) — checked against a union-find ground
+        # truth over the collected pair list, NOT against the bounded
+        # labels, whose pre-convergence label-groups are not components;
+        # and the survivor set equals ids minus the self-label drops of
+        # an identical recompute (determinism).
+        from mhw3d_detection_spark.operators.similarity import (
+            assign_buckets,
+            bucket_near_dup_pairs,
+            kmeans_ivf_centroids,
+            semantic_dedup,
+        )
+        from mhw3d_detection_spark.operators.textops import (
+            connected_components_bounded,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ids = {r.vec_id for r in emb.select("vec_id").collect()}
+        out = semantic_dedup(emb, k=4, iters=2, threshold=0.35)
+        survivors = {r.vec_id for r in out.collect()}
+        assert survivors <= ids and survivors
+        cents = kmeans_ivf_centroids(emb, k=4, iters=2)
+        pairs = bucket_near_dup_pairs(assign_buckets(emb, cents), threshold=0.35)
+        pair_rows = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+        assert pair_rows  # threshold is calibrated to find dups at sf0.01
+        # union-find ground truth for the TRUE components
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        true_mins = {}
+        for v in parent:
+            r = find(v)
+            true_mins[r] = min(true_mins.get(r, v), v)
+        assert set(true_mins.values()) <= survivors
+        # determinism: identical recompute yields the same drop set
+        comp = connected_components_bounded(pairs, iters=3)
+        dropped = {r.doc_id for r in comp.collect() if r.doc_id != r.component}
+        assert survivors == ids - dropped
+
+
+class TestQualityClassifier:
+    def test_matches_python_logit(self, spark, sf_dir):
+        # exact differential: the plan's logit equals the same literal
+        # weights applied to collected features in pure Python (same
+        # IEEE op order), and keep == (logit >= 0)
+        import math
+
+        from mhw3d_detection_spark.operators.textops import (
+            QUALITY_LR as w,
+            quality_classifier,
+            text_stats,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        feats = {r.doc_id: r for r in text_stats(docs).collect()}
+        out = {r.doc_id: r for r in quality_classifier(docs).collect()}
+        assert set(out) == set(feats)
+        for did, r in out.items():
+            f = feats[did]
+            z = (
+                w["intercept"]
+                + w["w_len"] * min(f.n_tokens / 100.0, 1.0)
+                + w["w_punct"] * f.punct_ratio
+                + w["w_stop"] * f.stop_ratio
+                + w["w_tok_len"] * f.mean_token_len
+            )
+            assert r.quality_logit == z  # bit-exact literal arithmetic
+            assert abs(r.quality_prob - 1.0 / (1.0 + math.exp(-z))) < 1e-12
+            assert r.keep == int(z >= 0)
+        # both classes occur on the real corpus (weights are calibrated)
+        assert {r.keep for r in out.values()} == {0, 1}
