@@ -362,3 +362,31 @@ def test_full_registry_plan_audit(spark, sf_dir):
     assert not bad, f"un-allowlisted plan antipatterns: {bad}"
     # the allowlist must not rot: every entry still names a real query
     assert set(pa.ALLOWLIST) <= set(Q.REGISTRY)
+
+
+def test_quality_classifier_single_scan_no_exchange(spark, sf_dir):
+    # The literal-weight logistic is a pure narrow projection over one
+    # parquet scan: the featurize -> w.x + b -> threshold cascade must
+    # fold into a single stage with ZERO exchanges of any kind — the
+    # property that makes the filter free at corpus scale.
+    from mhw3d_detection_spark.operators.textops import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(quality_classifier(docs))
+    assert _count_exchanges(plan) == 0, plan
+    assert "Exchange" not in plan, plan  # not even single-partition
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_semantic_dedup_bucket_join_and_broadcast_drops(spark, sf_dir):
+    # SemDeDup's candidate pairing must be a keyed self-join on the
+    # cluster id (never cartesian / nested-loop), and the final drop
+    # list must reach the corpus through a BROADCAST anti-join so the
+    # corpus itself is never reshuffled for the filter step.
+    from mhw3d_detection_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _executed(semantic_dedup(emb, k=4, iters=1, threshold=0.35, cc_iters=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
