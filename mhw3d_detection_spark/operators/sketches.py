@@ -1,0 +1,154 @@
+"""Mergeable cardinality sketches (HyperLogLog) as pure DataFrame ops.
+
+The 100 TB question a curation pipeline asks constantly — "how many
+distinct tokens / shingles / urls does each source contribute, and how
+big is the union?" — does not need an exact distinct (a full shuffle of
+every distinct key). A register sketch answers it with FIXED-SIZE
+mergeable state: each item hashes to one of ``m = 2^p`` registers and
+contributes only the leading-zero count of its remaining hash bits; the
+per-source state is an ``m``-row table no matter how many items flowed
+through, and the union of sources is a register-wise ``max`` — no
+corpus re-scan, the same mergeability contract as the detection
+partials (`operators/detection.py`) and the MinHash union signatures
+(`operators/textops.py: source_overlap`).
+
+Flajolet et al. 2007 (HyperLogLog), with the standard linear-counting
+small-range correction from the original paper. Spark itself ships the
+same idea as ``approx_count_distinct`` (HLL++), but its binary sketch
+is opaque to a cross-engine differential; this implementation keeps
+every intermediate a plain column so the DuckDB oracle replays it
+BIT-EXACTLY:
+
+- the item hash is the repo-standard 48-bit md5 prefix
+  (``textops.minhash_base`` ≡ ``('0x'||substr(md5(x),1,12))::BIGINT``);
+- the register word's bit-length is an unrolled integer CASE chain —
+  no ``log2`` floats near power-of-two boundaries;
+- each register contributes ``1.0 / (1::BIGINT << rho)`` — an exact
+  power of two, and the register sum stays exact in ANY addition order
+  because partial sums span at most 2^9 .. 2^-(WBITS+1), under the
+  53-bit double mantissa. The raw estimate is therefore bit-identical
+  across engines; only the linear-counting branch's ``ln`` is
+  transcendental, and outputs are dyadically rounded (``queries/base.rq``)
+  like every other float surface in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.textops import minhash_base
+
+#: register-count exponent: m = 2^p registers, ~1.04/sqrt(m) ≈ 3.2%
+#: relative standard error. State per group = m rows regardless of
+#: input size — the whole point.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+#: bits left in the 48-bit base hash after the register index.
+HLL_WBITS = 48 - HLL_P
+#: bias constant for m >= 128 (Flajolet et al. 2007, Fig. 3).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def bitlen_col(w: Column, bits: int) -> Column:
+    """Exact integer bit-length of ``w`` (0 for w == 0) as an unrolled
+    comparison chain — integer compares only, so both engines agree on
+    every input (a float ``log2`` is 1-ulp-ambiguous exactly at the
+    power-of-two boundaries this function exists to resolve)."""
+    e = F.when(w >= F.lit(1 << (bits - 1)), F.lit(bits))
+    for k in range(bits - 1, 0, -1):
+        e = e.when(w >= F.lit(1 << (k - 1)), F.lit(k))
+    return e.otherwise(F.lit(0))
+
+
+def bitlen_sql(expr: str, bits: int) -> str:
+    """DuckDB mirror of :func:`bitlen_col` — the identical CASE chain."""
+    whens = " ".join(
+        f"WHEN ({expr}) >= {1 << (k - 1)} THEN {k}"
+        for k in range(bits, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def hll_registers(
+    df: DataFrame, item: Column, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL register table: ``group_cols + (reg, rho)`` with
+    ``rho = max`` over the group's items. One hash + one hash-aggregate
+    (map-side combinable: ``max`` is mergeable); output is at most
+    ``groups × m`` rows — the fixed-size sketch state."""
+    h = minhash_base(item)
+    w = F.shiftright(h, HLL_P)
+    rho = F.lit(HLL_WBITS + 1) - bitlen_col(w, HLL_WBITS)
+    return (
+        df.select(*group_cols, (h % F.lit(HLL_M)).alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    ``alpha * m^2 / sum_j 2^-M_j`` with absent registers contributing
+    ``2^0``, linear counting ``m * ln(m / V)`` when the raw estimate is
+    under ``2.5 m`` and empty registers remain. Registers-sized input,
+    one tiny aggregate."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("__nreg"),
+        # shiftleft by a COLUMN needs the SQL form (the Python helper
+        # only takes a literal shift); 1L << rho is exact up to rho=39
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), rho)")
+        ).alias("__s_present"),
+    )
+    s = F.col("__s_present") + (F.lit(HLL_M) - F.col("__nreg"))
+    v = F.lit(HLL_M) - F.col("__nreg")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("est_distinct"))
+
+
+def token_cardinality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-token cardinality per source AND for the union of all
+    sources, estimated from mergeable HLL registers, with the exact
+    distinct count and relative error alongside (the exact column is
+    affordable at test SF and IS the oracle; at 100 TB you would ship
+    only the sketch columns and drop the exact branch).
+
+    The union row (``source = '__ALL__'``) is computed by register-wise
+    ``max`` over the per-source sketches — sketch-sized work, never a
+    second corpus scan.
+
+    Returns ``(source, est_distinct, exact_distinct, rel_err_pct)``.
+    """
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    tok = docs.select(
+        "source", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    regs = hll_registers(tok, F.col("token"), ["source"])
+    union_regs = regs.groupBy("reg").agg(F.max("rho").alias("rho")).select(
+        F.lit("__ALL__").alias("source"), "reg", "rho"
+    )
+    est = hll_estimate(regs.unionByName(union_regs), ["source"])
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    exact_all = tok.agg(F.countDistinct("token").alias("exact_distinct")).select(
+        F.lit("__ALL__").alias("source"), "exact_distinct"
+    )
+    return (
+        est.join(F.broadcast(exact.unionByName(exact_all)), "source")
+        .select(
+            "source",
+            "est_distinct",
+            "exact_distinct",
+            (
+                (F.col("est_distinct") / F.col("exact_distinct") - F.lit(1.0))
+                * F.lit(100.0)
+            ).alias("rel_err_pct"),
+        )
+    )

@@ -753,6 +753,76 @@ def q_quality_classifier(spark, sf_dir):
 
 
 # =========================================================================
+# E7b — mergeable HLL cardinality sketch (per-source + union)
+# =========================================================================
+def _HLL_SQL() -> str:
+    """DuckDB mirror of ``operators.sketches.token_cardinality``: the
+    identical 48-bit md5 hash, register split, unrolled-CASE bit-length
+    (no float log2), exact power-of-two register sum (bit-exact in any
+    addition order — partial sums fit the 53-bit mantissa), and the
+    same literal alpha*m^2 / linear-counting branch."""
+    from mhw3d_detection_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+        bitlen_sql,
+    )
+
+    rho = f"({HLL_WBITS + 1} - {bitlen_sql(f'x // {HLL_M}', HLL_WBITS)})"
+    a_mm = HLL_ALPHA * HLL_M * HLL_M
+    return (
+        "WITH tok AS (SELECT source, unnest(" + TOKENS_SQL + ") AS token "
+        "  FROM documents), "
+        "h AS (SELECT source, ('0x' || substr(md5(token), 1, 12))::BIGINT AS x "
+        "  FROM tok), "
+        f"r AS (SELECT source, x % {HLL_M} AS reg, max({rho}) AS rho "
+        "  FROM h GROUP BY 1, 2), "
+        "ru AS (SELECT '__ALL__' AS source, reg, max(rho) AS rho "
+        "  FROM r GROUP BY 2), "
+        "ra AS (SELECT * FROM r UNION ALL SELECT * FROM ru), "
+        "agg AS (SELECT source, count(*) AS nreg, "
+        "  sum(1.0 / (1::BIGINT << rho)) AS s_present FROM ra GROUP BY 1), "
+        f"e AS (SELECT source, {a_mm!r} / (s_present + ({HLL_M} - nreg)) AS raw, "
+        f"  {HLL_M} - nreg AS v FROM agg), "
+        f"est AS (SELECT source, CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0 "
+        f"  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v) ELSE raw END AS ed "
+        "  FROM e), "
+        "ex AS (SELECT source, count(DISTINCT token) AS exact_distinct "
+        "  FROM tok GROUP BY 1 "
+        "  UNION ALL SELECT '__ALL__', count(DISTINCT token) FROM tok) "
+        f"SELECT est.source, {rq_sql('ed', 4)} AS est_distinct, "
+        "exact_distinct, "
+        f"{rq_sql('(ed / exact_distinct - 1.0) * 100.0', 4)} AS rel_err_pct "
+        "FROM est JOIN ex ON est.source = ex.source"
+    )
+
+
+@register("q_token_cardinality", _HLL_SQL())
+def q_token_cardinality(spark, sf_dir):
+    """E7b: distinct-token cardinality per source and for the union of
+    sources, from mergeable HyperLogLog registers (Flajolet et al.
+    2007). Per-source state is a fixed 1024-row register table no
+    matter the corpus size, and the union row is a register-wise max —
+    sketch-sized work, never a second corpus scan. The exact distinct
+    count rides along as the error reference (affordable at test SF;
+    at 100 TB you ship only the sketch). Every intermediate is integer
+    or an exact power of two, so the raw estimate is bit-identical
+    cross-engine; only the small-range ln branch is transcendental and
+    is dyadically rounded like every float surface."""
+    from mhw3d_detection_spark.operators.sketches import token_cardinality
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_cardinality(docs)
+    return out.select(
+        "source",
+        rq("est_distinct", 4).alias("est_distinct"),
+        "exact_distinct",
+        rq("rel_err_pct", 4).alias("rel_err_pct"),
+    )
+
+
+# =========================================================================
 # E4 — language ID
 # =========================================================================
 @register(

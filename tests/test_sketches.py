@@ -1,0 +1,97 @@
+"""HLL cardinality sketch: bit-length exactness, mergeability, and
+estimate accuracy (the cross-engine bit-exactness of the raw estimate
+is gated separately by the q_token_cardinality DuckDB oracle)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.sketches import (
+    HLL_M,
+    HLL_WBITS,
+    bitlen_col,
+    bitlen_sql,
+    hll_estimate,
+    hll_registers,
+)
+
+
+class TestBitlen:
+    @given(st.lists(st.integers(0, (1 << HLL_WBITS) - 1), min_size=1, max_size=50))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_python_bitlength(self, spark, ws):
+        df = spark.createDataFrame([(w,) for w in ws], "w long")
+        got = [
+            r.b
+            for r in df.select(bitlen_col(F.col("w"), HLL_WBITS).alias("b"))
+            .collect()
+        ]
+        assert got == [w.bit_length() for w in ws]
+
+    def test_sql_mirror_same_chain(self, spark):
+        # the SQL chain evaluates identically in DuckDB on the same ints
+        import duckdb
+
+        ws = [0, 1, 2, 3, 1023, 1024, (1 << HLL_WBITS) - 1, 1 << 20]
+        con = duckdb.connect()
+        expr = bitlen_sql("w", HLL_WBITS)
+        got = [
+            con.execute(f"SELECT {expr} FROM (SELECT {w}::BIGINT AS w)").fetchone()[0]
+            for w in ws
+        ]
+        assert got == [w.bit_length() for w in ws]
+
+
+class TestHllSketch:
+    def test_union_merge_equals_direct(self, spark):
+        # register-wise max over per-source sketches == the sketch of
+        # the concatenated corpus: the mergeability contract that makes
+        # per-source state reusable without a corpus re-scan
+        rows = [("A", f"tok{i}") for i in range(3000)] + [
+            ("B", f"tok{i}") for i in range(1500, 4500)
+        ]
+        df = spark.createDataFrame(rows, "source string, token string")
+        per = hll_registers(df, F.col("token"), ["source"])
+        merged = per.groupBy("reg").agg(F.max("rho").alias("rho"))
+        direct = hll_registers(
+            df.select(F.lit("all").alias("source"), "token"),
+            F.col("token"),
+            ["source"],
+        ).select("reg", "rho")
+        m = {(r.reg): r.rho for r in merged.collect()}
+        d = {(r.reg): r.rho for r in direct.collect()}
+        assert m == d
+
+    def test_estimate_accuracy(self, spark):
+        # 1.04/sqrt(1024) ~ 3.25% standard error; allow ~4 sigma.
+        # n spans the linear-counting and raw regimes.
+        for n in (500, 3000, 20000):
+            df = spark.createDataFrame(
+                [("s", f"item-{i}") for i in range(n)], "source string, token string"
+            )
+            regs = hll_registers(df, F.col("token"), ["source"])
+            est = hll_estimate(regs, ["source"]).collect()[0].est_distinct
+            assert abs(est / n - 1.0) < 0.13, (n, est)
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        # cardinality, not count: 10x-duplicated corpus gives the
+        # identical register table
+        base = [("s", f"item-{i}") for i in range(2000)]
+        df1 = spark.createDataFrame(base, "source string, token string")
+        df10 = spark.createDataFrame(base * 10, "source string, token string")
+        r1 = {
+            (r.reg): r.rho
+            for r in hll_registers(df1, F.col("token"), ["source"]).collect()
+        }
+        r10 = {
+            (r.reg): r.rho
+            for r in hll_registers(df10, F.col("token"), ["source"]).collect()
+        }
+        assert r1 == r10
+
+    def test_state_is_bounded(self, spark):
+        # the whole point: register rows never exceed m per group
+        df = spark.createDataFrame(
+            [("s", f"item-{i}") for i in range(50000)], "source string, token string"
+        )
+        assert hll_registers(df, F.col("token"), ["source"]).count() <= HLL_M
