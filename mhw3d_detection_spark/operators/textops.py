@@ -125,6 +125,42 @@ QUALITY_LR = {
 }
 
 
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All input columns + ``(quality_logit, quality_prob, keep)`` —
+    the keep-everything variant :func:`quality_classifier` and the
+    streaming ingest gate (`streaming.sessionize.streaming_quality_gate`)
+    both build on. The feature expressions are the SAME ones
+    :func:`text_stats` projects (inlined rather than joined back — a
+    self-join would be a shuffle; re-deriving costs nothing and keeps
+    the plan a single narrow projection, which is also the only
+    stateless shape a streaming frame accepts)."""
+    w = QUALITY_LR
+    toks = tokens_col(F.col(text_col))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, stop))
+    alnum_sp = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    punct_ratio = (F.length(text_col) - F.length(alnum_sp)) / F.length(text_col)
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    z = (
+        F.lit(w["intercept"])
+        + F.lit(w["w_len"])
+        * F.least(n_tok.cast("int") / F.lit(100.0), F.lit(1.0))
+        + F.lit(w["w_punct"]) * punct_ratio
+        + F.lit(w["w_stop"]) * stop_ratio
+        + F.lit(w["w_tok_len"]) * mean_tok_len
+    )
+    return docs.select(
+        "*",
+        z.alias("quality_logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob"),
+        (z >= 0).cast("int").alias("keep"),
+    )
+
+
 def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Model-based quality filter: a logistic regression over the
     :func:`text_stats` features with LITERAL weights — the shape of the
@@ -142,21 +178,8 @@ def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns ``(doc_id, quality_logit, quality_prob, keep)``.
     """
-    w = QUALITY_LR
-    st = text_stats(docs, text_col)
-    z = (
-        F.lit(w["intercept"])
-        + F.lit(w["w_len"])
-        * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-        + F.lit(w["w_punct"]) * F.col("punct_ratio")
-        + F.lit(w["w_stop"]) * F.col("stop_ratio")
-        + F.lit(w["w_tok_len"]) * F.col("mean_token_len")
-    )
-    return st.select(
-        "doc_id",
-        z.alias("quality_logit"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob"),
-        (z >= 0).cast("int").alias("keep"),
+    return quality_scores(docs, text_col).select(
+        "doc_id", "quality_logit", "quality_prob", "keep"
     )
 
 

@@ -4,6 +4,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_detect_partials,
     streaming_event_sessions,
     streaming_lsh_dedup,
+    streaming_quality_gate,
     streaming_severity,
     streaming_similarity,
     streaming_windowed_stats,

@@ -249,6 +249,33 @@ def streaming_lsh_dedup(
     )
 
 
+def streaming_quality_gate(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    keep_only: bool = True,
+) -> DataFrame:
+    """Model-based quality filter at ingest (E4e's streaming face): the
+    literal-weight logistic of ``operators.textops.quality_scores``
+    applied to an incoming document stream. The scorer is a pure
+    narrow projection — no aggregation, no watermark, no state — so it
+    composes with any streaming source and scales exactly like the
+    batch scorer (one scan, zero shuffles). With ``keep_only`` the gate
+    drops failing docs; otherwise it annotates every doc with
+    ``(quality_logit, quality_prob, keep)`` for a downstream router.
+
+    The batch and streaming paths are the SAME projection over the
+    same plan literals, so a doc scores identically whether it arrives
+    in bulk or live — the parity a curation pipeline needs to mix
+    backfill and ingest."""
+    from mhw3d_detection_spark.operators.textops import quality_scores
+
+    scored = quality_scores(stream, text_col)
+    if keep_only:
+        scored = scored.filter(F.col("keep") == 1)
+    return scored
+
+
 def streaming_area_stats(
     stream: DataFrame,
     *,

@@ -505,3 +505,50 @@ def test_streaming_lsh_dedup_matches_batch_pairs(spark, tmp_path):
                 want.add((x, y))
     assert got == want
     assert len(want) > 0  # planted near-dups guarantee cross-parity hits
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    # the gate's streaming scores must be IDENTICAL to the batch
+    # classifier's (same projection, same literals) and keep_only must
+    # drop exactly the keep=0 docs
+    from mhw3d_detection_spark.operators.textops import quality_classifier
+    from mhw3d_detection_spark.streaming import streaming_quality_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "qdoc_stream")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        streaming_quality_gate(stream, keep_only=False)
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.quality_logit, r.quality_prob, r.keep)
+        for r in spark.table("quality_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.quality_logit, r.quality_prob, r.keep)
+        for r in quality_classifier(docs).collect()
+    }
+    assert got == want  # bit-exact batch/stream parity
+
+    q2 = (
+        streaming_quality_gate(stream, keep_only=True)
+        .writeStream.format("memory")
+        .queryName("quality_stream_keep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    kept = {r.doc_id for r in spark.table("quality_stream_keep").collect()}
+    assert kept == {d for d, (_, _, k) in want.items() if k == 1}
+    # the gate preserves the full input row, not just the score columns
+    assert set(spark.table("quality_stream").columns) == set(docs.columns) | {
+        "quality_logit", "quality_prob", "keep"
+    }
