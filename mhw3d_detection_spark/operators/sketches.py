@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mhw3d_detection_spark.operators.textops import minhash_base
+from mhw3d_detection_spark.operators.textops import (
+    minhash_base,
+    minhash_member,
+)
 
 #: register-count exponent: m = 2^p registers, ~1.04/sqrt(m) ≈ 3.2%
 #: relative standard error. State per group = m rows regardless of
@@ -151,4 +154,107 @@ def token_cardinality(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 * F.lit(100.0)
             ).alias("rel_err_pct"),
         )
+    )
+
+
+#: Count-Min dimensions: CM_D independent hash rows (reusing the
+#: repo's MINHASH linear family over the 48-bit base hash) × CM_W
+#: columns. State = CM_D * CM_W counters per group, mergeable by SUM —
+#: the frequency-sketch dual of the HLL registers (Cormode &
+#: Muthukrishnan 2005). Estimates only ever OVER-count (collisions add),
+#: so min-over-rows is an upper bound with error ≤ 2N/CM_W at
+#: probability 1 - 2^-CM_D.
+CM_D = 4
+CM_W = 64
+
+
+def _cm_col(j: int, x: Column) -> Column:
+    """Row-j column index: member j of the linear hash family over the
+    48-bit item hash, folded to CM_W."""
+    return minhash_member(j, x) % F.lit(CM_W)
+
+
+def cm_sketch(
+    df: DataFrame, item: Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group Count-Min table ``group_cols + (j, col, cnt)``: each
+    item occurrence increments one counter per hash row. One explode
+    (×CM_D, a constant) + one map-side-combinable hash aggregate;
+    output ≤ groups × CM_D × CM_W rows. Merging sketches of disjoint
+    corpus parts = summing counters — the same contract as the HLL
+    registers and the detection run-partials."""
+    group_cols = group_cols or []
+    x = minhash_base(item)
+    buckets = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
+            for j in range(CM_D)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(buckets).alias("b"))
+        .select(*group_cols, F.col("b.j").alias("j"), F.col("b.col").alias("col"))
+        .groupBy(*group_cols, "j", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, item: Column) -> DataFrame:
+    """Estimated occurrence count for each probe item: min over the
+    CM_D rows of the probe's counter. Probes carry their own columns
+    through; the sketch side is counters-sized, so the join
+    broadcasts. Absent counters count 0 (probe never seen)."""
+    x = minhash_base(item)
+    lookup = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("b"),
+    ).select("*", F.col("b.j").alias("j"), F.col("b.col").alias("col")).drop("b")
+    keep = [c for c in probes.columns]
+    return (
+        lookup.join(F.broadcast(sketch), ["j", "col"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def token_frequency_sketch(docs: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
+    """Count-Min token-frequency estimates for the corpus's ``top_n``
+    tokens (deterministic selection: exact count desc, token asc), with
+    the exact count alongside as the error reference. The sketch is the
+    100 TB artifact (fixed CM_D × CM_W counters, mergeable by sum);
+    the exact branch is affordable at test SF and IS the oracle.
+
+    Returns ``(token, est_count, exact_count, over_count)`` —
+    ``over_count = est - exact >= 0`` (Count-Min never undercounts).
+    """
+    from pyspark.sql import Window
+
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    tok = docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    sketch = cm_sketch(tok, F.col("token"))
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    probes = (
+        exact.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_count").desc(), F.col("token"))
+            ),
+        )
+        .filter(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
+    est = cm_estimate(sketch, probes, F.col("token"))
+    return est.select(
+        "token",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("over_count"),
     )

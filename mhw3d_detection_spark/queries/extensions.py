@@ -823,6 +823,62 @@ def q_token_cardinality(spark, sf_dir):
 
 
 # =========================================================================
+# E7c — Count-Min token-frequency sketch
+# =========================================================================
+def _CM_SQL() -> str:
+    """DuckDB mirror of ``operators.sketches.token_frequency_sketch``:
+    same 48-bit hash, same linear family folded to CM_W, integer
+    counters throughout — every column exact, no rounding needed."""
+    from mhw3d_detection_spark.operators.sketches import CM_D, CM_W
+
+    def col_case(alias: str) -> str:
+        whens = " ".join(
+            f"WHEN {j} THEN (({MINHASH_A[j]} * x + {MINHASH_B[j]}) "
+            f"% {MINHASH_M}) % {CM_W}"
+            for j in range(CM_D)
+        )
+        return f"(CASE j.j {whens} END) AS {alias}"
+
+    return (
+        "WITH tok AS (SELECT unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+        "hx AS (SELECT token, ('0x' || substr(md5(token), 1, 12))::BIGINT AS x "
+        "  FROM tok), "
+        f"b AS (SELECT j.j, {col_case('col')} FROM hx, "
+        f"  (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j), "
+        "sk AS (SELECT j, col, count(*) AS cnt FROM b GROUP BY 1, 2), "
+        "ex AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY 1), "
+        "pr AS (SELECT token, exact_count FROM (SELECT token, exact_count, "
+        "  row_number() OVER (ORDER BY exact_count DESC, token) AS rn FROM ex) "
+        "  WHERE rn <= 20), "
+        "px AS (SELECT token, exact_count, "
+        "  ('0x' || substr(md5(token), 1, 12))::BIGINT AS x FROM pr), "
+        f"pl AS (SELECT token, exact_count, j.j AS j, {col_case('col')} FROM px, "
+        f"  (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j), "
+        "est AS (SELECT token, exact_count, min(coalesce(sk.cnt, 0)) AS est_count "
+        "  FROM pl LEFT JOIN sk ON pl.j = sk.j AND pl.col = sk.col GROUP BY 1, 2) "
+        "SELECT token, est_count, exact_count, "
+        "est_count - exact_count AS over_count FROM est"
+    )
+
+
+@register("q_token_countmin", _CM_SQL())
+def q_token_countmin(spark, sf_dir):
+    """E7c: Count-Min frequency estimates (Cormode & Muthukrishnan
+    2005) for the corpus's top-20 tokens (deterministic selection:
+    exact count desc, token asc). The sketch is CM_D × CM_W counters —
+    fixed-size mergeable-by-sum state, the frequency dual of the HLL
+    registers — and only ever OVER-counts, so ``over_count >= 0`` by
+    construction. Integer arithmetic end to end: the oracle matches
+    bit-for-bit with no rounding."""
+    from mhw3d_detection_spark.operators.sketches import (
+        token_frequency_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_frequency_sketch(docs, top_n=20)
+
+
+# =========================================================================
 # E4 — language ID
 # =========================================================================
 @register(

@@ -95,3 +95,73 @@ class TestHllSketch:
             [("s", f"item-{i}") for i in range(50000)], "source string, token string"
         )
         assert hll_registers(df, F.col("token"), ["source"]).count() <= HLL_M
+
+
+class TestCountMin:
+    def test_never_undercounts_and_exact_without_collisions(self, spark):
+        from mhw3d_detection_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5
+        df = spark.createDataFrame(rows, "token string")
+        sk = cm_sketch(df, F.col("token"))
+        probes = spark.createDataFrame(
+            [("a", 50), ("b", 20), ("c", 5), ("zz-absent", 0)],
+            "token string, exact long",
+        )
+        got = {
+            r.token: (r.est_count, r.exact)
+            for r in cm_estimate(sk, probes, F.col("token")).collect()
+        }
+        for tok, (est, exact) in got.items():
+            assert est >= exact, (tok, est, exact)  # CM never undercounts
+        # 3 distinct tokens in 4x64 counters: collisions are impossible
+        # within a row only if the 3 hash to distinct cols in SOME row;
+        # min-over-rows then recovers the exact count
+        assert got["a"][0] == 50 and got["b"][0] == 20 and got["c"][0] == 5
+        assert got["zz-absent"][0] == 0
+
+    def test_merge_by_sum_equals_direct(self, spark):
+        from mhw3d_detection_spark.operators.sketches import cm_sketch
+
+        rows_a = [(f"t{i % 40}",) for i in range(500)]
+        rows_b = [(f"t{i % 70}",) for i in range(800)]
+        a = spark.createDataFrame(rows_a, "token string")
+        b = spark.createDataFrame(rows_b, "token string")
+        merged = (
+            cm_sketch(a, F.col("token"))
+            .unionByName(cm_sketch(b, F.col("token")))
+            .groupBy("j", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = cm_sketch(a.unionByName(b), F.col("token"))
+        m = {(r.j, r.col): r.cnt for r in merged.collect()}
+        d = {(r.j, r.col): r.cnt for r in direct.collect()}
+        assert m == d
+
+    def test_overestimate_bounded_under_load(self, spark):
+        # 500 distinct tokens into 4x64 counters: heavy collisions, but
+        # the CM guarantee (err <= 2N/W at prob 1 - 2^-D per probe)
+        # should hold comfortably in aggregate
+        from mhw3d_detection_spark.operators.sketches import (
+            CM_W,
+            cm_estimate,
+            cm_sketch,
+        )
+
+        n_per, n_tok = 10, 500
+        rows = [(f"tok{i}",) for i in range(n_tok) for _ in range(n_per)]
+        df = spark.createDataFrame(rows, "token string")
+        sk = cm_sketch(df, F.col("token"))
+        probes = df.distinct()
+        ests = [
+            r.est_count
+            for r in cm_estimate(sk, probes, F.col("token")).collect()
+        ]
+        n_total = n_per * n_tok
+        assert all(e >= n_per for e in ests)
+        # median overestimate well under the 2N/W bound
+        over = sorted(e - n_per for e in ests)[len(ests) // 2]
+        assert over <= 2 * n_total / CM_W
