@@ -276,6 +276,55 @@ def streaming_quality_gate(
     return scored
 
 
+def streaming_cardinality(
+    stream: DataFrame,
+    item_col: str,
+    *,
+    time_col: str = "time",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Live distinct-count sketch (E7b's streaming face): per
+    time-window HLL registers over an item stream — "how many distinct
+    tokens/urls/users in each window per source", continuously.
+
+    Emits the REGISTER table (``window, group_cols..., reg, rho``),
+    not the estimate: the register max IS the streaming aggregate
+    (state = windows × groups × ≤1024 rows, closed by the watermark),
+    while the estimate needs a second aggregate over registers —
+    chained streaming aggregations are not allowed in append mode, and
+    materializing sketch state is the right contract anyway: stored
+    register tables from any number of windows, sources, or pipelines
+    merge by register-wise max (``operators.sketches.hll_estimate``
+    over the union), exactly like the detection partials store. The
+    registers a batch pipeline builds over the same rows are
+    bit-identical (same hash, same split) — pinned by test."""
+    from mhw3d_detection_spark.operators.sketches import (
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+        bitlen_col,
+    )
+    from mhw3d_detection_spark.operators.textops import minhash_base
+
+    group_cols = group_cols or []
+    h = minhash_base(F.col(item_col))
+    w = F.shiftright(h, HLL_P)
+    rho = F.lit(HLL_WBITS + 1) - bitlen_col(w, HLL_WBITS)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .select(
+            F.col(time_col),
+            *group_cols,
+            (h % F.lit(HLL_M)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy(F.window(time_col, window), *group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def streaming_area_stats(
     stream: DataFrame,
     *,

@@ -552,3 +552,59 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     assert set(spark.table("quality_stream").columns) == set(docs.columns) | {
         "quality_logit", "quality_prob", "keep"
     }
+
+
+def test_streaming_cardinality_registers_match_batch(spark, tmp_path):
+    # the streaming per-window HLL registers must be bit-identical to
+    # the batch registers over the same rows, and merge/estimate
+    # batch-side to a sane distinct count
+    import datetime as dt
+
+    from mhw3d_detection_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from mhw3d_detection_spark.streaming import streaming_cardinality
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(3):
+        for i in range(1000 * (day + 1)):
+            rows.append((base + dt.timedelta(days=day, seconds=i), f"d{day}-item{i}"))
+    # sentinel far-future event: append mode only emits a window once
+    # the watermark passes its end, so push the watermark beyond day 3
+    rows.append((base + dt.timedelta(days=10), "sentinel"))
+    df = spark.createDataFrame(rows, "time timestamp, token string")
+    path = str(tmp_path / "card_stream")
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        streaming_cardinality(stream, "token", window="1 day")
+        .writeStream.format("memory")
+        .queryName("card_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window.start.day, r.reg): r.rho
+        for r in spark.table("card_stream").collect()
+    }
+    want = {
+        (r.day, r.reg): r.rho
+        for r in hll_registers(
+            df.filter(F.col("token") != "sentinel")
+            .select(F.dayofmonth("time").alias("day"), "token"),
+            F.col("token"),
+            ["day"],
+        ).collect()
+    }
+    assert got == want  # bit-identical sketch state
+    # estimate from the emitted registers: within HLL error of truth
+    regs = spark.table("card_stream").select(
+        F.dayofmonth(F.col("window.start")).alias("day"), "reg", "rho"
+    )
+    est = {r.day: r.est_distinct for r in hll_estimate(regs, ["day"]).collect()}
+    for day, n in ((1, 1000), (2, 2000), (3, 3000)):
+        assert abs(est[day] / n - 1.0) < 0.13, (day, est[day])
