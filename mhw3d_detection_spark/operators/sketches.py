@@ -258,3 +258,105 @@ def token_frequency_sketch(docs: DataFrame, text_col: str = "text", top_n: int =
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).alias("over_count"),
     )
+
+
+def hist_sketch(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str] | None = None,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group fixed-grid histogram ``group_cols + (bin, cnt)`` over
+    ``[lo, hi)`` (values outside clamp to the edge bins). The
+    distribution dual of the HLL/Count-Min sketches: n_bins counters
+    per group, mergeable by SUM across corpus parts, one map-side-
+    combinable hash aggregate. Unlike a t-digest the grid is FIXED, so
+    merges are exact (not approximate re-compression) and the sketch
+    replays bit-identically in any engine — integer bin indices from
+    one IEEE subtract/divide/floor."""
+    group_cols = group_cols or []
+    width = (hi - lo) / n_bins
+    b = F.floor((value - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram sketch: for
+    each q, the first bin whose cumulative count reaches ``q * n``,
+    linearly interpolated inside the bin (error ≤ one bin width).
+    Histogram-sized work: a cumulative window over ≤ n_bins rows per
+    group, a tiny literal explode for the probe list, one min-by pick.
+    Returns ``group_cols + (q, est)``."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+    )
+    tot = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    probes = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    cand = cum.join(tot, group_cols).select("*", probes).withColumn(
+        "target", F.col("q") * F.col("n")
+    )
+    first_bin = (
+        cand.filter(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        first_bin.join(cand, [*group_cols, "q", "bin"])
+        .withColumn(
+            "est",
+            F.lit(lo)
+            + F.col("bin") * F.lit(width)
+            + F.lit(width) * (F.col("target") - F.col("prev")) / F.col("cnt"),
+        )
+        .select(*group_cols, "q", "est")
+    )
+    return est
+
+
+def doc_length_quantiles(
+    docs: DataFrame,
+    *,
+    lo: float = 0.0,
+    hi: float = 2048.0,
+    n_bins: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-source document-length quantiles (p50/p90/p99 of n_chars)
+    from the mergeable histogram sketch — the length-distribution
+    profile a curation pipeline tracks per source at 100 TB without an
+    exact percentile's full sort. Returns
+    ``(source, q, est_chars)``."""
+    h = hist_sketch(
+        docs, F.col("n_chars").cast("double"), ["source"],
+        lo=lo, hi=hi, n_bins=n_bins,
+    )
+    out = hist_quantiles(
+        h, ["source"], lo=lo, hi=hi, n_bins=n_bins, qs=qs
+    )
+    return out.select("source", "q", F.col("est").alias("est_chars"))
+
+
+#: shared grid for the doc-length quantile query and its oracle:
+#: (lo, hi, n_bins, quantiles). 16-char bins over [0, 2048).
+_DOCLEN_GRID = (0.0, 2048.0, 128, (0.5, 0.9, 0.99))

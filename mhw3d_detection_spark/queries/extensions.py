@@ -879,6 +879,61 @@ def q_token_countmin(spark, sf_dir):
 
 
 # =========================================================================
+# E7d — mergeable histogram quantile sketch (doc-length profile)
+# =========================================================================
+def _HISTQ_SQL() -> str:
+    """DuckDB mirror of ``operators.sketches.doc_length_quantiles``:
+    identical fixed grid (same IEEE subtract/divide/floor for the bin
+    index), identical cumulative + interpolation arithmetic; probe
+    quantiles cast to DOUBLE so the q column types agree."""
+    from mhw3d_detection_spark.operators.sketches import _DOCLEN_GRID
+
+    lo, hi, n_bins, qs = _DOCLEN_GRID
+    width = (hi - lo) / n_bins
+    qlist = ", ".join(f"{float(q)!r}::DOUBLE" for q in qs)
+    return (
+        "WITH h AS (SELECT source, least(greatest(CAST(floor("
+        f"  (CAST(n_chars AS DOUBLE) - {lo!r}) / {width!r}) AS BIGINT), 0), "
+        f"  {n_bins - 1}) AS bin FROM documents), "
+        "hist AS (SELECT source, bin, count(*) AS cnt FROM h GROUP BY 1, 2), "
+        "cum AS (SELECT source, bin, cnt, "
+        "  sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum FROM hist), "
+        "tot AS (SELECT source, sum(cnt) AS n FROM hist GROUP BY 1), "
+        "cand AS (SELECT c.source, c.bin, c.cnt, c.cum, c.cum - c.cnt AS prev, "
+        "  q.q, q.q * t.n AS target FROM cum c JOIN tot t USING (source), "
+        f"  (SELECT unnest([{qlist}]) AS q) q), "
+        "fb AS (SELECT source, q, min(bin) AS bin FROM cand "
+        "  WHERE cum >= target GROUP BY 1, 2), "
+        f"est AS (SELECT f.source, f.q, {lo!r} + f.bin * {width!r} "
+        f"  + {width!r} * (c.target - c.prev) / c.cnt AS est "
+        "  FROM fb f JOIN cand c ON f.source = c.source AND f.q = c.q "
+        "  AND f.bin = c.bin) "
+        f"SELECT source, q, {rq_sql('est', 4)} AS est_chars FROM est"
+    )
+
+
+@register("q_length_quantile_sketch", _HISTQ_SQL())
+def q_length_quantile_sketch(spark, sf_dir):
+    """E7d: per-source doc-length quantiles (p50/p90/p99) from a
+    mergeable fixed-grid histogram — the distribution dual of the
+    HLL/Count-Min sketches (128 counters per source, merged by SUM
+    across corpus parts, error ≤ one bin width). Unlike a t-digest the
+    grid is fixed, so merges are exact and the estimate replays
+    bit-identically cross-engine (one IEEE subtract/divide/floor per
+    row; the interpolation is rational arithmetic over exact integer
+    counts)."""
+    from mhw3d_detection_spark.operators.sketches import (
+        _DOCLEN_GRID,
+        doc_length_quantiles,
+    )
+
+    lo, hi, n_bins, qs = _DOCLEN_GRID
+    docs = load_table(spark, sf_dir, "documents")
+    out = doc_length_quantiles(docs, lo=lo, hi=hi, n_bins=n_bins, qs=qs)
+    return out.select("source", "q", rq("est_chars", 4).alias("est_chars"))
+
+
+# =========================================================================
 # E4 — language ID
 # =========================================================================
 @register(

@@ -165,3 +165,66 @@ class TestCountMin:
         # median overestimate well under the 2N/W bound
         over = sorted(e - n_per for e in ests)[len(ests) // 2]
         assert over <= 2 * n_total / CM_W
+
+
+class TestHistQuantiles:
+    def test_merge_by_sum_equals_direct(self, spark):
+        from mhw3d_detection_spark.operators.sketches import hist_sketch
+
+        a = spark.createDataFrame(
+            [(float(i % 500),) for i in range(2000)], "v double"
+        )
+        b = spark.createDataFrame(
+            [(float(i % 900),) for i in range(3000)], "v double"
+        )
+        kw = dict(lo=0.0, hi=1000.0, n_bins=64)
+        merged = (
+            hist_sketch(a, F.col("v"), **kw)
+            .unionByName(hist_sketch(b, F.col("v"), **kw))
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = hist_sketch(a.unionByName(b), F.col("v"), **kw)
+        assert {(r.bin, r.cnt) for r in merged.collect()} == {
+            (r.bin, r.cnt) for r in direct.collect()
+        }
+
+    def test_quantiles_within_bin_width(self, spark):
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.sketches import (
+            hist_quantiles,
+            hist_sketch,
+        )
+
+        rng = np.random.RandomState(11)
+        vals = rng.lognormal(5.0, 0.6, 4000).clip(0, 1999)
+        df = spark.createDataFrame(
+            [("s", float(v)) for v in vals], "g string, v double"
+        )
+        lo, hi, n_bins = 0.0, 2048.0, 128
+        width = (hi - lo) / n_bins
+        h = hist_sketch(df, F.col("v"), ["g"], lo=lo, hi=hi, n_bins=n_bins)
+        got = {
+            r.q: r.est
+            for r in hist_quantiles(
+                h, ["g"], lo=lo, hi=hi, n_bins=n_bins, qs=(0.5, 0.9, 0.99)
+            ).collect()
+        }
+        for q in (0.5, 0.9, 0.99):
+            exact = float(np.quantile(vals, q))
+            assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact)
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from mhw3d_detection_spark.operators.sketches import hist_sketch
+
+        df = spark.createDataFrame(
+            [(-50.0,), (0.0,), (999.0,), (5000.0,)], "v double"
+        )
+        h = {
+            r.bin: r.cnt
+            for r in hist_sketch(
+                df, F.col("v"), lo=0.0, hi=1000.0, n_bins=10
+            ).collect()
+        }
+        assert h[0] == 2 and h[9] == 2  # -50,0 -> bin 0; 999,5000 -> bin 9
