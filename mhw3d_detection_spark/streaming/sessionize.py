@@ -325,6 +325,77 @@ def streaming_cardinality(
     )
 
 
+def streaming_frequency(
+    stream: DataFrame,
+    item_col: str,
+    *,
+    time_col: str = "time",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Live Count-Min counters per time window (E7c's streaming face):
+    emits ``(window, group_cols..., j, col, cnt)`` — the mergeable
+    SKETCH, same contract as :func:`streaming_cardinality` (probe
+    estimation is a cheap batch read over stored counters via
+    ``operators.sketches.cm_estimate``; stored windows merge by SUM).
+    State = windows × groups × CM_D·CM_W counters, closed by the
+    watermark. Counters are bit-identical to the batch
+    ``cm_sketch`` over the same rows — pinned by test."""
+    from mhw3d_detection_spark.operators.sketches import CM_D, _cm_col
+    from mhw3d_detection_spark.operators.textops import minhash_base
+
+    group_cols = group_cols or []
+    x = minhash_base(F.col(item_col))
+    buckets = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
+            for j in range(CM_D)
+        ]
+    )
+    return (
+        stream.withWatermark(time_col, watermark)
+        .select(F.col(time_col), *group_cols, F.explode(buckets).alias("b"))
+        .groupBy(
+            F.window(time_col, window),
+            *group_cols,
+            F.col("b.j").alias("j"),
+            F.col("b.col").alias("col"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    value_col: str,
+    *,
+    time_col: str = "time",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    group_cols: list[str] | None = None,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Live fixed-grid histogram per time window (E7d's streaming
+    face): emits ``(window, group_cols..., bin, cnt)`` — the mergeable
+    sketch; quantile readout batch-side via
+    ``operators.sketches.hist_quantiles`` over any union of stored
+    windows (fixed grid ⇒ merges exact). State = windows × groups ×
+    n_bins counters, closed by the watermark."""
+    group_cols = group_cols or []
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        stream.withWatermark(time_col, watermark)
+        .select(F.col(time_col), *group_cols, b.alias("bin"))
+        .groupBy(F.window(time_col, window), *group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def streaming_area_stats(
     stream: DataFrame,
     *,

@@ -608,3 +608,71 @@ def test_streaming_cardinality_registers_match_batch(spark, tmp_path):
     est = {r.day: r.est_distinct for r in hll_estimate(regs, ["day"]).collect()}
     for day, n in ((1, 1000), (2, 2000), (3, 3000)):
         assert abs(est[day] / n - 1.0) < 0.13, (day, est[day])
+
+
+def test_streaming_frequency_and_histogram_match_batch(spark, tmp_path):
+    # both remaining sketch twins: streaming per-window counters must be
+    # bit-identical to the batch sketches over the same rows
+    import datetime as dt
+
+    from mhw3d_detection_spark.operators.sketches import cm_sketch, hist_sketch
+    from mhw3d_detection_spark.streaming import (
+        streaming_frequency,
+        streaming_histogram,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for day in range(2):
+        for i in range(2000):
+            rows.append(
+                (base + dt.timedelta(days=day, seconds=i),
+                 f"tok{i % (50 * (day + 1))}", float(i % 700))
+            )
+    rows.append((base + dt.timedelta(days=10), "sentinel", 0.0))
+    df = spark.createDataFrame(rows, "time timestamp, token string, v double")
+    path = str(tmp_path / "freq_stream")
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+
+    for name, build in [
+        ("freq_stream_t", lambda s: streaming_frequency(s, "token", window="1 day")),
+        ("hist_stream_t", lambda s: streaming_histogram(
+            s, "v", window="1 day", lo=0.0, hi=1000.0, n_bins=32)),
+    ]:
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    data = df.filter(F.col("token") != "sentinel")
+    got_f = {
+        (r.window.start.day, r.j, r.col): r.cnt
+        for r in spark.table("freq_stream_t").collect()
+    }
+    want_f = {
+        (r.day, r.j, r.col): r.cnt
+        for r in cm_sketch(
+            data.select(F.dayofmonth("time").alias("day"), "token"),
+            F.col("token"), ["day"],
+        ).collect()
+    }
+    assert got_f == want_f
+
+    got_h = {
+        (r.window.start.day, r.bin): r.cnt
+        for r in spark.table("hist_stream_t").collect()
+    }
+    want_h = {
+        (r.day, r.bin): r.cnt
+        for r in hist_sketch(
+            data.select(F.dayofmonth("time").alias("day"), "v"),
+            F.col("v"), ["day"], lo=0.0, hi=1000.0, n_bins=32,
+        ).collect()
+    }
+    assert got_h == want_h
