@@ -194,9 +194,17 @@ def kmeans_ivf_centroids(
         )
         cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
         for _ in range(iters):
-            assigned = base.select(
-                "v", _assign_bucket_expr(cents, F.col("v")).alias("bucket")
-            )
+            # same literal-vs-arrow switch as assign_buckets: the
+            # training iterations run this over the (sampled) corpus,
+            # so large k needs the matmul kernel here too
+            if k > LITERAL_ASSIGN_MAX_K:
+                assigned = _assign_buckets_arrow(
+                    base.select("v"), cents, "v"
+                )
+            else:
+                assigned = base.select(
+                    "v", _assign_bucket_expr(cents, F.col("v")).alias("bucket")
+                )
             rows = (
                 assigned.select("bucket", F.posexplode("v").alias("dim", "x"))
                 .groupBy("bucket", "dim")
@@ -218,16 +226,77 @@ def kmeans_ivf_centroids(
     return cents
 
 
+#: above this k the literal-argmin expression tree (k zip_with/aggregate
+#: lambdas per row, all interpreted) stops being viable — Catalyst
+#: analysis goes superlinear in the tree size and the interpreter cost
+#: scales with k (measured: k=64 fine, k=256 times out on 100k rows) —
+#: and the assign switches to the Arrow-batched matmul kernel.
+LITERAL_ASSIGN_MAX_K = 64
+
+
+def _assign_buckets_arrow(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """Large-k assign: one Arrow-batched ``mapInPandas`` kernel holding
+    the k × dim centroid matrix, computing every row's nearest centroid
+    as a single numpy matmul + argmin per batch. Still a narrow map —
+    one scan, zero shuffles, centroids ride along as task closure — but
+    linear in k with BLAS constants instead of a k-term expression
+    tree, so k = 50 000 (SemDeDup's LAION setting) is a few hundred MB
+    of matmul per 10k-row batch, not an unanalyzable plan.
+
+    Distance rounding differs from the literal fold (numpy pairwise
+    summation + the dropped ||x||² term vs a sequential zip_with fold),
+    so assignments can differ from :func:`assign_buckets` only on exact
+    distance TIES — measure-zero for real embeddings; the bit-exact
+    oracle path stays on the literal expression (small k)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.array([c for _, c in cents], dtype=np.float64)  # k x dim
+    B = np.array([b for b, _ in cents], dtype=np.int64)  # sorted by bucket
+    cn = (C * C).sum(axis=1)  # ||c||^2, the x-independent term
+
+    # NOT schema.add(): that MUTATES the frame's cached StructType (the
+    # frame then claims a bucket column the JVM plan doesn't have)
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("bucket", IntegerType(), False)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(bucket=pd.Series([], dtype="int32"))
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            # argmin_c ||x-c||^2 == argmin_c (||c||^2 - 2 x.c); argmin
+            # takes the FIRST minimum and C is sorted by bucket id —
+            # the same smallest-bucket tie-break as the struct order
+            d = cn[None, :] - 2.0 * (X @ C.T)
+            yield pdf.assign(bucket=B[np.argmin(d, axis=1)].astype("int32"))
+
+    return emb.mapInPandas(kernel, schema=out_schema)
+
+
 def assign_buckets(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Tag every row with its nearest trained centroid — a pure narrow
-    projection (the literal-argmin expression), so the 100 TB corpus
-    pays one scan and zero shuffles. Keeps all input columns and adds
-    ``bucket``."""
+    """Tag every row with its nearest trained centroid. Keeps all input
+    columns and adds ``bucket``. Both paths are narrow maps (one corpus
+    scan, zero shuffles): up to ``LITERAL_ASSIGN_MAX_K`` centroids the
+    assignment is the bit-exact literal-argmin expression (the oracle
+    path); beyond that the Arrow-batched matmul kernel
+    (:func:`_assign_buckets_arrow`) — the 100 TB path for SemDeDup-size
+    k, where a k-term expression tree is unanalyzable."""
+    if len(cents) > LITERAL_ASSIGN_MAX_K:
+        return _assign_buckets_arrow(emb, cents, vec_col)
     return emb.withColumn(
         "bucket", _assign_bucket_expr(cents, as_double(F.col(vec_col)))
     )

@@ -791,3 +791,64 @@ class TestQualityClassifier:
             assert r.keep == int(z >= 0)
         # both classes occur on the real corpus (weights are calibrated)
         assert {r.keep for r in out.values()} == {0, 1}
+
+
+class TestArrowAssign:
+    def test_matches_literal_expression(self, spark, sf_dir):
+        # the large-k Arrow matmul kernel must agree with the bit-exact
+        # literal-argmin path away from distance ties (real data)
+        from mhw3d_detection_spark.operators.similarity import (
+            _assign_buckets_arrow,
+            assign_buckets,
+            kmeans_ivf_centroids,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_ivf_centroids(emb, k=8, iters=2)
+        lit = {
+            r.vec_id: r.bucket
+            for r in assign_buckets(emb, cents).select("vec_id", "bucket").collect()
+        }
+        arr = {
+            r.vec_id: r.bucket
+            for r in _assign_buckets_arrow(emb, cents, "embedding")
+            .select("vec_id", "bucket")
+            .collect()
+        }
+        assert lit == arr
+
+    def test_auto_switch_above_threshold(self, spark):
+        # above LITERAL_ASSIGN_MAX_K centroids assign_buckets must take
+        # the Arrow path: the plan shows a MapInPandas node, not a
+        # giant literal expression
+        from mhw3d_detection_spark.operators.similarity import (
+            LITERAL_ASSIGN_MAX_K,
+            assign_buckets,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 11)]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        )
+        k = LITERAL_ASSIGN_MAX_K + 1
+        cents = [(b, [float(b), float(b % 3)]) for b in range(k)]
+        out = assign_buckets(emb, cents)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        # and it actually runs, with every bucket id in range
+        got = {r.bucket for r in out.collect()}
+        assert got <= set(range(k))
+
+    def test_empty_partition_keeps_schema(self, spark):
+        # an empty input partition must yield an empty batch with the
+        # bucket column present (the kernel's len==0 branch)
+        from mhw3d_detection_spark.operators.similarity import (
+            _assign_buckets_arrow,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        ).repartition(8)  # 7 empty partitions
+        cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        rows = _assign_buckets_arrow(emb, cents, "embedding").collect()
+        assert len(rows) == 1 and rows[0].bucket == 0
