@@ -360,3 +360,89 @@ def doc_length_quantiles(
 #: shared grid for the doc-length quantile query and its oracle:
 #: (lo, hi, n_bins, quantiles). 16-char bins over [0, 2048).
 _DOCLEN_GRID = (0.0, 2048.0, 128, (0.5, 0.9, 0.99))
+
+
+#: Bloom filter dimensions: BLOOM_K positions per item (the MINHASH
+#: linear family again) over BLOOM_M bits. The sketch is the DISTINCT
+#: set-bit table (≤ BLOOM_M rows), mergeable by UNION — membership has
+#: no false negatives; false-positive rate ≈ (1 - e^{-kn/m})^k.
+BLOOM_K = 4
+BLOOM_M = 4096
+
+
+def bloom_bits(df: DataFrame, item: Column) -> DataFrame:
+    """Build the Bloom sketch for a key set: the distinct bit positions
+    set by any item — one explode (×BLOOM_K) + one distinct, output
+    ≤ BLOOM_M single-column rows. Blooms of corpus parts merge by
+    UNION + distinct; no re-scan of either part."""
+    x = minhash_base(item)
+    pos = F.array(
+        *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]
+    )
+    return df.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_membership(
+    bits: DataFrame, probes: DataFrame, item: Column
+) -> DataFrame:
+    """Tag each probe row with ``maybe_present``: 1 iff ALL of the
+    item's BLOOM_K bit positions are set in the sketch (no false
+    negatives; false positives at the documented rate). The sketch side
+    is ≤ BLOOM_M rows — always a broadcast; the probe side streams."""
+    x = minhash_base(item)
+    pos = F.array(
+        *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]
+    )
+    keep = list(probes.columns)
+    lookup = probes.select("*", F.explode(pos).alias("bit"))
+    marked = lookup.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(*keep).agg(
+        (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(BLOOM_K))
+        .cast("int")
+        .alias("maybe_present")
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    probe_pred,
+    text_col: str = "text",
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Bloom pre-filter for eval decontamination: build the sketch from
+    the PROBE docs' distinct shingles (the held-out eval set), then
+    screen every corpus doc by the fraction of its shingles the Bloom
+    may contain. No false negatives ⇒ a doc flagged clean here needs no
+    exact check — the expensive shingle equi-join
+    (`textops.contamination_screen`) runs only on the flagged fraction.
+    Unlike that join, the corpus side never shuffles on the shingle
+    key: the Bloom is a ≤ BLOOM_M-row broadcast no matter how large the
+    eval set grows.
+
+    Returns ``(doc_id, n_shingles, n_maybe_hits, hit_frac, flagged)``
+    for every corpus (non-probe) doc with ≥ 1 shingle."""
+    from mhw3d_detection_spark.operators.textops import shingles
+
+    sh = shingles(docs, text_col=text_col).select("doc_id", "shingle").distinct()
+    probe_sh = sh.filter(probe_pred(F.col("doc_id")))
+    corpus_sh = sh.filter(~probe_pred(F.col("doc_id")))
+    bloom = bloom_bits(probe_sh, F.col("shingle"))
+    mem = bloom_membership(bloom, corpus_sh, F.col("shingle"))
+    return (
+        mem.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("maybe_present").alias("n_maybe_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_maybe_hits",
+            (F.col("n_maybe_hits") / F.col("n_shingles")).alias("hit_frac"),
+            (F.col("n_maybe_hits") / F.col("n_shingles") >= F.lit(flag_frac))
+            .cast("int")
+            .alias("flagged"),
+        )
+    )

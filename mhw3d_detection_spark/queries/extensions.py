@@ -1400,6 +1400,63 @@ def q_contamination(spark, sf_dir):
 
 
 # =========================================================================
+# E2e — Bloom-filter decontamination pre-filter
+# =========================================================================
+def _BLOOM_SQL() -> str:
+    """DuckDB mirror of ``operators.sketches.bloom_decontaminate``:
+    identical hash family and bit positions, same distinct/threshold
+    structure — integer and rational arithmetic only."""
+    from mhw3d_detection_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+    pos = ", ".join(
+        f"(({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {MINHASH_M}) % {BLOOM_M}"
+        for j in range(BLOOM_K)
+    )
+    return (
+        "WITH " + SHINGLES_SQL + ", "
+        "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+        "hx AS (SELECT doc_id, shingle, "
+        "  ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shd), "
+        f"pb AS (SELECT DISTINCT unnest([{pos}]) AS bit FROM hx WHERE doc_id < 10), "
+        f"cp AS (SELECT doc_id, shingle, unnest([{pos}]) AS bit FROM hx "
+        "  WHERE doc_id >= 10), "
+        "mm AS (SELECT c.doc_id, c.shingle, "
+        "  CAST(CASE WHEN count(p.bit) = "
+        f"  {BLOOM_K} THEN 1 ELSE 0 END AS INT) AS maybe_present "
+        "  FROM cp c LEFT JOIN pb p ON c.bit = p.bit GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, count(*) AS n_shingles, "
+        "  sum(maybe_present) AS n_maybe_hits FROM mm GROUP BY 1) "
+        "SELECT doc_id, n_shingles, n_maybe_hits, "
+        f"{rq_sql('n_maybe_hits * 1.0 / n_shingles', 4)} AS hit_frac, "
+        "CAST(CASE WHEN n_maybe_hits * 1.0 / n_shingles >= 0.5 THEN 1 ELSE 0 END "
+        "  AS INT) AS flagged FROM agg"
+    )
+
+
+@register("q_decontaminate_bloom", _BLOOM_SQL())
+def q_decontaminate_bloom(spark, sf_dir):
+    """E2e: Bloom pre-filter for eval decontamination — the probe docs'
+    (doc_id < 10, the q_contamination convention) distinct shingles set
+    ≤ 4096 bits; every corpus doc is screened by the fraction of its
+    shingles the Bloom may contain. No false negatives, so unflagged
+    docs skip the exact containment join entirely; the Bloom is a
+    fixed-size broadcast however large the eval set grows — the corpus
+    never shuffles on the shingle key (the E2b join's cost). Mergeable
+    by UNION across eval-set parts."""
+    from mhw3d_detection_spark.operators.sketches import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bloom_decontaminate(docs, lambda d: d < 10)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_maybe_hits",
+        rq("hit_frac", 4).alias("hit_frac"),
+        "flagged",
+    )
+
+
+# =========================================================================
 # E6b — greedy in-order sequence packing
 # =========================================================================
 @register(

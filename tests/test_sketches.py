@@ -3,9 +3,11 @@ estimate accuracy (the cross-engine bit-exactness of the raw estimate
 is gated separately by the q_token_cardinality DuckDB oracle)."""
 
 from hypothesis import given, settings
+
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from mhw3d_detection_spark.sources.tables import load_table
 from mhw3d_detection_spark.operators.sketches import (
     HLL_M,
     HLL_WBITS,
@@ -228,3 +230,79 @@ class TestHistQuantiles:
             ).collect()
         }
         assert h[0] == 2 and h[9] == 2  # -50,0 -> bin 0; 999,5000 -> bin 9
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        from mhw3d_detection_spark.operators.sketches import (
+            bloom_bits,
+            bloom_membership,
+        )
+
+        keys = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(300)], "item string"
+        )
+        bloom = bloom_bits(keys, F.col("item"))
+        probes = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(300)]
+            + [(f"other-{i}",) for i in range(300)],
+            "item string",
+        )
+        got = {
+            r.item: r.maybe_present
+            for r in bloom_membership(bloom, probes, F.col("item")).collect()
+        }
+        # every inserted key MUST test positive
+        assert all(got[f"key-{i}"] == 1 for i in range(300))
+        # false-positive rate: (1 - e^{-kn/m})^k ~ (1-e^-0.29)^4 ~ 0.4%
+        fp = sum(got[f"other-{i}"] for i in range(300))
+        assert fp <= 15, fp
+
+    def test_merge_by_union_equals_direct(self, spark):
+        from mhw3d_detection_spark.operators.sketches import bloom_bits
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(200)], "item string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(200)], "item string")
+        merged = (
+            bloom_bits(a, F.col("item"))
+            .unionByName(bloom_bits(b, F.col("item")))
+            .distinct()
+        )
+        direct = bloom_bits(a.unionByName(b), F.col("item"))
+        assert {r.bit for r in merged.collect()} == {
+            r.bit for r in direct.collect()
+        }
+
+    def test_decontaminate_flags_planted_dup(self, spark, sf_dir):
+        # the driver table's planted near-dup of a probe doc must be
+        # flagged (no false negatives on its shared shingles), and the
+        # flagged set must contain every doc the EXACT containment
+        # screen reports above the same threshold
+        from mhw3d_detection_spark.operators.sketches import (
+            bloom_decontaminate,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        out = {r.doc_id: r for r in bloom_decontaminate(docs, lambda d: d < 10).collect()}
+        # ground truth: any corpus doc sharing >= 50% of ITS OWN
+        # shingles with the probe set must be flagged (the Bloom has no
+        # false negatives, so its per-doc hit_frac >= the true overlap)
+        from pyspark.sql import functions as FF
+        from mhw3d_detection_spark.operators.textops import shingles
+
+        sh = shingles(docs).select("doc_id", "shingle").distinct()
+        probe_sh = sh.filter(FF.col("doc_id") < 10).select("shingle").distinct()
+        truth = {
+            r.doc_id: r.frac
+            for r in sh.filter(FF.col("doc_id") >= 10)
+            .join(probe_sh.withColumn("__in", FF.lit(1)), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(
+                (FF.sum(FF.coalesce(FF.col("__in"), FF.lit(0))) / FF.count("*")).alias("frac")
+            )
+            .collect()
+        }
+        for did, frac in truth.items():
+            if frac >= 0.5:
+                assert out[did].flagged == 1, (did, frac)  # no false negatives
+        assert any(v.flagged == 1 for v in out.values())  # planted dup found
+        assert sum(v.flagged for v in out.values()) < len(out) / 2  # not everything
