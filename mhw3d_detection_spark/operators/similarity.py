@@ -249,9 +249,12 @@ def _assign_buckets_arrow(
 
     Distance rounding differs from the literal fold (numpy pairwise
     summation + the dropped ||x||² term vs a sequential zip_with fold),
-    so assignments can differ from :func:`assign_buckets` only on exact
-    distance TIES — measure-zero for real embeddings; the bit-exact
-    oracle path stays on the literal expression (small k)."""
+    so assignments can differ from :func:`assign_buckets` on NEAR-ties
+    — centroid pairs whose distances agree to within the accumulated
+    rounding (~ulp-level), not just exact ties. Vanishingly rare for
+    real embeddings but NOT bit-reproducible against the SQL oracle,
+    which is why ``_KMEANS_SQL`` refuses k above the switch point: the
+    cross-engine gate stays on the literal expression (small k)."""
     import numpy as np
     import pandas as pd
 

@@ -73,6 +73,17 @@ def bitlen_sql(expr: str, bits: int) -> str:
     return f"(CASE {whens} ELSE 0 END)"
 
 
+def hll_reg_rho(item: Column) -> tuple[Column, Column]:
+    """The ONE copy of the per-row HLL derivation (register index,
+    leading-zero rank) — shared by the batch aggregate and the
+    streaming windowed twin so the two sketch states cannot drift
+    apart (cf. ``textops.shingle_array_sql`` for the same pattern)."""
+    h = minhash_base(item)
+    w = F.shiftright(h, HLL_P)
+    rho = F.lit(HLL_WBITS + 1) - bitlen_col(w, HLL_WBITS)
+    return (h % F.lit(HLL_M)), rho
+
+
 def hll_registers(
     df: DataFrame, item: Column, group_cols: list[str]
 ) -> DataFrame:
@@ -80,11 +91,9 @@ def hll_registers(
     ``rho = max`` over the group's items. One hash + one hash-aggregate
     (map-side combinable: ``max`` is mergeable); output is at most
     ``groups × m`` rows — the fixed-size sketch state."""
-    h = minhash_base(item)
-    w = F.shiftright(h, HLL_P)
-    rho = F.lit(HLL_WBITS + 1) - bitlen_col(w, HLL_WBITS)
+    reg, rho = hll_reg_rho(item)
     return (
-        df.select(*group_cols, (h % F.lit(HLL_M)).alias("reg"), rho.alias("rho"))
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -174,6 +183,20 @@ def _cm_col(j: int, x: Column) -> Column:
     return minhash_member(j, x) % F.lit(CM_W)
 
 
+def cm_buckets(item: Column) -> Column:
+    """The ONE copy of the per-row Count-Min bucket derivation: an
+    array of (j, col) structs, one per hash row — shared by the batch
+    aggregate and the streaming windowed twin (explode + count on
+    either side)."""
+    x = minhash_base(item)
+    return F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
+            for j in range(CM_D)
+        ]
+    )
+
+
 def cm_sketch(
     df: DataFrame, item: Column, group_cols: list[str] | None = None
 ) -> DataFrame:
@@ -184,42 +207,57 @@ def cm_sketch(
     corpus parts = summing counters — the same contract as the HLL
     registers and the detection run-partials."""
     group_cols = group_cols or []
-    x = minhash_base(item)
-    buckets = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
-            for j in range(CM_D)
-        ]
-    )
     return (
-        df.select(*group_cols, F.explode(buckets).alias("b"))
+        df.select(*group_cols, F.explode(cm_buckets(item)).alias("b"))
         .select(*group_cols, F.col("b.j").alias("j"), F.col("b.col").alias("col"))
         .groupBy(*group_cols, "j", "col")
         .agg(F.count("*").alias("cnt"))
     )
 
 
-def cm_estimate(sketch: DataFrame, probes: DataFrame, item: Column) -> DataFrame:
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item: Column,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Estimated occurrence count for each probe item: min over the
     CM_D rows of the probe's counter. Probes carry their own columns
     through; the sketch side is counters-sized, so the join
-    broadcasts. Absent counters count 0 (probe never seen)."""
-    x = minhash_base(item)
+    broadcasts. Absent counters count 0 (probe never seen).
+
+    A sketch built with group columns (or a streaming per-window
+    store) must either be pre-merged — ``sum(cnt)`` per ``(j, col)`` —
+    or have its grouping named in ``group_cols`` (output then carries
+    one estimate per probe × group). Extra sketch columns that are
+    neither are REJECTED: joining on (j, col) alone would min() across
+    unrelated groups' counters and silently report garbage."""
+    group_cols = group_cols or []
+    extra = set(sketch.columns) - {"j", "col", "cnt"} - set(group_cols)
+    if extra:
+        raise ValueError(
+            f"cm_estimate: sketch has grouping columns {sorted(extra)} — "
+            "merge them first (sum cnt per (j, col)) or pass group_cols"
+        )
     lookup = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
-                    for j in range(CM_D)
-                ]
-            )
-        ).alias("b"),
+        "*", F.explode(cm_buckets(item)).alias("b")
     ).select("*", F.col("b.j").alias("j"), F.col("b.col").alias("col")).drop("b")
     keep = [c for c in probes.columns]
+    if not group_cols:
+        return (
+            lookup.join(F.broadcast(sketch), ["j", "col"], "left")
+            .groupBy(*keep)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        )
+    # per-group estimates: every probe is scored against EVERY group's
+    # counters (inner join on (j,col) would drop probe x group combos
+    # whose counters are absent — those must read 0, so cross the probe
+    # positions with the group list first)
+    groups = sketch.select(*group_cols).distinct()
     return (
-        lookup.join(F.broadcast(sketch), ["j", "col"], "left")
-        .groupBy(*keep)
+        lookup.crossJoin(F.broadcast(groups))
+        .join(F.broadcast(sketch), [*group_cols, "j", "col"], "left")
+        .groupBy(*keep, *group_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
 
@@ -234,22 +272,18 @@ def token_frequency_sketch(docs: DataFrame, text_col: str = "text", top_n: int =
     Returns ``(token, est_count, exact_count, over_count)`` —
     ``over_count = est - exact >= 0`` (Count-Min never undercounts).
     """
-    from pyspark.sql import Window
-
     from mhw3d_detection_spark.operators.textops import tokens_col
 
     tok = docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
     sketch = cm_sketch(tok, F.col("token"))
     exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
-    probes = (
-        exact.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_count").desc(), F.col("token"))
-            ),
-        )
-        .filter(F.col("__rn") <= top_n)
-        .drop("__rn")
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition
+    # top-n, merged on the driver) — NOT a row_number window, which
+    # would funnel the whole distinct-token table through a single
+    # partition. (token) breaks count ties, so the pick is total-order
+    # deterministic either way.
+    probes = exact.orderBy(F.col("exact_count").desc(), F.col("token")).limit(
+        top_n
     )
     est = cm_estimate(sketch, probes, F.col("token"))
     return est.select(
@@ -258,6 +292,15 @@ def token_frequency_sketch(docs: DataFrame, text_col: str = "text", top_n: int =
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).alias("over_count"),
     )
+
+
+def hist_bin(value: Column, *, lo: float, hi: float, n_bins: int) -> Column:
+    """The ONE copy of the per-row fixed-grid bin index (values outside
+    [lo, hi) clamp to the edge bins) — shared by the batch aggregate
+    and the streaming windowed twin."""
+    width = (hi - lo) / n_bins
+    b = F.floor((value - F.lit(lo)) / F.lit(width)).cast("long")
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
 
 
 def hist_sketch(
@@ -278,11 +321,8 @@ def hist_sketch(
     replays bit-identically in any engine — integer bin indices from
     one IEEE subtract/divide/floor."""
     group_cols = group_cols or []
-    width = (hi - lo) / n_bins
-    b = F.floor((value - F.lit(lo)) / F.lit(width)).cast("long")
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
     return (
-        df.select(*group_cols, b.alias("bin"))
+        df.select(*group_cols, hist_bin(value, lo=lo, hi=hi, n_bins=n_bins).alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count("*").alias("cnt"))
     )
@@ -329,7 +369,17 @@ def hist_quantiles(
             + F.col("bin") * F.lit(width)
             + F.lit(width) * (F.col("target") - F.col("prev")) / F.col("cnt"),
         )
-        .select(*group_cols, "q", "est")
+        # edge bins also hold everything CLAMPED past the grid, so a
+        # quantile landing there may be arbitrarily wrong — the
+        # ≤-one-bin-width guarantee only holds for clipped = 0. Surface
+        # it instead of silently misreporting heavy-tailed groups.
+        .withColumn(
+            "clipped",
+            ((F.col("bin") == 0) | (F.col("bin") == F.lit(n_bins - 1))).cast(
+                "int"
+            ),
+        )
+        .select(*group_cols, "q", "est", "clipped")
     )
     return est
 
@@ -346,7 +396,9 @@ def doc_length_quantiles(
     from the mergeable histogram sketch — the length-distribution
     profile a curation pipeline tracks per source at 100 TB without an
     exact percentile's full sort. Returns
-    ``(source, q, est_chars)``."""
+    ``(source, q, est_chars, clipped)`` — ``clipped = 1`` marks a
+    quantile landing in an edge bin, where grid saturation voids the
+    one-bin-width error bound (widen ``hi`` for that source)."""
     h = hist_sketch(
         docs, F.col("n_chars").cast("double"), ["source"],
         lo=lo, hi=hi, n_bins=n_bins,
@@ -354,7 +406,9 @@ def doc_length_quantiles(
     out = hist_quantiles(
         h, ["source"], lo=lo, hi=hi, n_bins=n_bins, qs=qs
     )
-    return out.select("source", "q", F.col("est").alias("est_chars"))
+    return out.select(
+        "source", "q", F.col("est").alias("est_chars"), "clipped"
+    )
 
 
 #: shared grid for the doc-length quantile query and its oracle:

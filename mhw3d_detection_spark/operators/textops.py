@@ -93,7 +93,11 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_stop = F.size(F.array_intersect(toks, stop))  # distinct-hit count
     alnum_sp = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
-    punct_ratio = (F.length(text_col) - F.length(alnum_sp)) / F.length(text_col)
+    # greatest(len,1): empty text must score punct_ratio 0, not crash
+    # (ANSI Spark throws on x/0) or NULL-diverge from the oracle
+    punct_ratio = (F.length(text_col) - F.length(alnum_sp)) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
     mean_tok_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     ) / F.greatest(n_tok, F.lit(1))
@@ -140,7 +144,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_stop = F.size(F.array_intersect(toks, stop))
     alnum_sp = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
-    punct_ratio = (F.length(text_col) - F.length(alnum_sp)) / F.length(text_col)
+    # greatest(len,1): empty text must score punct_ratio 0, not crash
+    # (ANSI Spark throws on x/0) or NULL-diverge from the oracle
+    punct_ratio = (F.length(text_col) - F.length(alnum_sp)) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
     stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
     mean_tok_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
@@ -157,7 +165,12 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         z.alias("quality_logit"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob"),
-        (z >= 0).cast("int").alias("keep"),
+        # NULL logit (empty text -> punct_ratio x/0 -> NULL) must
+        # REJECT, not NULL-propagate: matches the oracle's CASE (NULL
+        # -> 0) and keeps the streaming gate's keep==1 filter from
+        # silently passing unscored docs through as neither kept nor
+        # visible-rejected
+        F.when(z >= 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
 
 

@@ -330,7 +330,24 @@ def _KMEANS_SQL(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     with ties to the lowest bucket, update = per-(bucket, dim)
     elementwise mean, ``iters`` rounds, then one final full-corpus
     assign (`afin`). Ends WITHOUT a trailing comma; callers append
-    their own CTEs / SELECT."""
+    their own CTEs / SELECT.
+
+    The exact mirror holds ONLY for the literal-expression assign path
+    (k <= ``similarity.LITERAL_ASSIGN_MAX_K``): above that,
+    ``assign_buckets`` switches to the Arrow matmul kernel, whose
+    distance rounding differs from the sequential fold on ulp-level
+    near-ties — registering an oracle for a large-k query would gate on
+    luck. Guarded here so the mismatch is impossible to register."""
+    from mhw3d_detection_spark.operators.similarity import (
+        LITERAL_ASSIGN_MAX_K,
+    )
+
+    if k > LITERAL_ASSIGN_MAX_K:
+        raise ValueError(
+            f"_KMEANS_SQL mirrors the literal assign only (k <= "
+            f"{LITERAL_ASSIGN_MAX_K}); k={k} would run the Arrow kernel "
+            "on the Spark side, which is not bit-exact against this SQL"
+        )
 
     def d2(c_alias: str) -> str:
         return (
@@ -558,7 +575,7 @@ def q_text_tfidf(spark, sf_dir):
     "s AS (SELECT doc_id, text, toks, len(toks) AS n_tokens, "
     "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
     "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
-    "    / length(text) AS punct_ratio FROM d), "
+    "    / greatest(length(text), 1) AS punct_ratio FROM d), "
     "q AS (SELECT *, 0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
     "  + 0.2 * least(n_stop / 5.0, 1.0) AS quality FROM s), "
     "kept AS (SELECT * FROM q WHERE quality >= 0.5), "
@@ -671,8 +688,8 @@ def q_semantic_dedup(spark, sf_dir):
     "s AS (SELECT doc_id, len(toks) AS n_tokens, "
     "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
     "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
-    "    / length(text) AS punct_ratio, "
-    "  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mean_token_len "
+    "    / greatest(length(text), 1) AS punct_ratio, "
+    "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) / greatest(len(toks), 1) AS mean_token_len "
     "  FROM d) "
     "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
     f"{rq_sql('punct_ratio', 4)} AS punct_ratio, "
@@ -717,8 +734,11 @@ def _QLR_SQL() -> str:
         "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) "
         "    / greatest(len(toks), 1) AS stop_ratio, "
         "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
-        "    / length(text) AS punct_ratio, "
-        "  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mean_token_len "
+        "    / greatest(length(text), 1) AS punct_ratio, "
+        # coalesce: DuckDB's list_sum([]) is NULL while Spark's
+        # aggregate fold starts at 0 — zero-token docs must agree
+        "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+        "    / greatest(len(toks), 1) AS mean_token_len "
         "  FROM d), "
         f"z AS (SELECT doc_id, {w['intercept']!r} "
         f"  + {w['w_len']!r} * least(n_tokens / 100.0, 1.0) "
@@ -904,11 +924,13 @@ def _HISTQ_SQL() -> str:
         f"  (SELECT unnest([{qlist}]) AS q) q), "
         "fb AS (SELECT source, q, min(bin) AS bin FROM cand "
         "  WHERE cum >= target GROUP BY 1, 2), "
-        f"est AS (SELECT f.source, f.q, {lo!r} + f.bin * {width!r} "
+        f"est AS (SELECT f.source, f.q, f.bin, {lo!r} + f.bin * {width!r} "
         f"  + {width!r} * (c.target - c.prev) / c.cnt AS est "
         "  FROM fb f JOIN cand c ON f.source = c.source AND f.q = c.q "
         "  AND f.bin = c.bin) "
-        f"SELECT source, q, {rq_sql('est', 4)} AS est_chars FROM est"
+        f"SELECT source, q, {rq_sql('est', 4)} AS est_chars, "
+        f"CAST(CASE WHEN bin = 0 OR bin = {n_bins - 1} THEN 1 ELSE 0 END "
+        "  AS INT) AS clipped FROM est"
     )
 
 
@@ -930,7 +952,9 @@ def q_length_quantile_sketch(spark, sf_dir):
     lo, hi, n_bins, qs = _DOCLEN_GRID
     docs = load_table(spark, sf_dir, "documents")
     out = doc_length_quantiles(docs, lo=lo, hi=hi, n_bins=n_bins, qs=qs)
-    return out.select("source", "q", rq("est_chars", 4).alias("est_chars"))
+    return out.select(
+        "source", "q", rq("est_chars", 4).alias("est_chars"), "clipped"
+    )
 
 
 # =========================================================================

@@ -300,24 +300,16 @@ def streaming_cardinality(
     over the union), exactly like the detection partials store. The
     registers a batch pipeline builds over the same rows are
     bit-identical (same hash, same split) — pinned by test."""
-    from mhw3d_detection_spark.operators.sketches import (
-        HLL_M,
-        HLL_P,
-        HLL_WBITS,
-        bitlen_col,
-    )
-    from mhw3d_detection_spark.operators.textops import minhash_base
+    from mhw3d_detection_spark.operators.sketches import hll_reg_rho
 
     group_cols = group_cols or []
-    h = minhash_base(F.col(item_col))
-    w = F.shiftright(h, HLL_P)
-    rho = F.lit(HLL_WBITS + 1) - bitlen_col(w, HLL_WBITS)
+    reg, rho = hll_reg_rho(F.col(item_col))
     return (
         stream.withWatermark(time_col, watermark)
         .select(
             F.col(time_col),
             *group_cols,
-            (h % F.lit(HLL_M)).alias("reg"),
+            reg.alias("reg"),
             rho.alias("rho"),
         )
         .groupBy(F.window(time_col, window), *group_cols, "reg")
@@ -342,20 +334,16 @@ def streaming_frequency(
     State = windows × groups × CM_D·CM_W counters, closed by the
     watermark. Counters are bit-identical to the batch
     ``cm_sketch`` over the same rows — pinned by test."""
-    from mhw3d_detection_spark.operators.sketches import CM_D, _cm_col
-    from mhw3d_detection_spark.operators.textops import minhash_base
+    from mhw3d_detection_spark.operators.sketches import cm_buckets
 
     group_cols = group_cols or []
-    x = minhash_base(F.col(item_col))
-    buckets = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
-            for j in range(CM_D)
-        ]
-    )
     return (
         stream.withWatermark(time_col, watermark)
-        .select(F.col(time_col), *group_cols, F.explode(buckets).alias("b"))
+        .select(
+            F.col(time_col),
+            *group_cols,
+            F.explode(cm_buckets(F.col(item_col))).alias("b"),
+        )
         .groupBy(
             F.window(time_col, window),
             *group_cols,
@@ -384,10 +372,10 @@ def streaming_histogram(
     ``operators.sketches.hist_quantiles`` over any union of stored
     windows (fixed grid ⇒ merges exact). State = windows × groups ×
     n_bins counters, closed by the watermark."""
+    from mhw3d_detection_spark.operators.sketches import hist_bin
+
     group_cols = group_cols or []
-    width = (hi - lo) / n_bins
-    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    b = hist_bin(F.col(value_col), lo=lo, hi=hi, n_bins=n_bins)
     return (
         stream.withWatermark(time_col, watermark)
         .select(F.col(time_col), *group_cols, b.alias("bin"))

@@ -852,3 +852,58 @@ class TestArrowAssign:
         cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
         rows = _assign_buckets_arrow(emb, cents, "embedding").collect()
         assert len(rows) == 1 and rows[0].bucket == 0
+
+
+class TestQualityClassifierEdgeCases:
+    def test_tokenless_and_empty_docs_cross_engine(self, spark, tmp_path):
+        # zero-token text ("!!!") and empty text must agree with the
+        # DuckDB oracle: DuckDB's list_sum([]) is NULL (guarded by
+        # coalesce in the oracle), and NULL logit must REJECT (keep=0)
+        # in both engines, not NULL-propagate
+        import duckdb
+
+        from mhw3d_detection_spark import queries as Q
+        from mhw3d_detection_spark.operators.textops import quality_classifier
+
+        rows = [
+            (0, "a normal document with the tokens and words in it ok", "en", "s", 52),
+            (1, "!!! ??? ---", "en", "s", 11),  # tokens: none
+            (2, "", "en", "s", 0),              # empty text
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        p = str(tmp_path / "docs.parquet")
+        docs.write.mode("overwrite").parquet(p)
+
+        got = {r.doc_id: r for r in quality_classifier(docs).collect()}
+        assert got[0].keep == 1
+        assert got[1].keep == 0 and got[2].keep == 0
+        # denominators guarded -> defined scores even for empty text
+        assert got[1].quality_logit is not None
+        assert got[2].quality_logit == -3.0  # all features zero
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        sql = Q.REGISTRY["q_quality_classifier"].sql
+        want = {r[0]: r for r in con.execute(sql).fetchall()}
+        sp = {
+            r.doc_id: r
+            for r in Q.REGISTRY["q_quality_classifier"]
+            .spark_fn.__wrapped__(spark, None, docs)
+            .collect()
+        } if hasattr(Q.REGISTRY["q_quality_classifier"].spark_fn, "__wrapped__") else None
+        # compare the raw operator's rounded view against the oracle
+        from mhw3d_detection_spark.queries.base import rq
+
+        out = quality_classifier(docs).select(
+            "doc_id",
+            rq("quality_logit", 4).alias("ql"),
+            rq("quality_prob", 4).alias("qp"),
+            "keep",
+        )
+        for r in out.collect():
+            w = want[r.doc_id]
+            assert (r.ql is None) == (w[1] is None) and (r.ql == w[1] or r.ql is None)
+            assert (r.qp is None) == (w[2] is None) and (r.qp == w[2] or r.qp is None)
+            assert r.keep == w[3]

@@ -390,3 +390,16 @@ def test_semantic_dedup_bucket_join_and_broadcast_drops(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_token_frequency_probes_take_ordered(spark, sf_dir):
+    # the top-n probe pick must plan as TakeOrderedAndProject (per-
+    # partition top-n), never a single-partition row_number window
+    from mhw3d_detection_spark.operators.sketches import (
+        token_frequency_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(token_frequency_sketch(docs, top_n=20))
+    assert "TakeOrdered" in plan, plan
+    assert "Window" not in plan, plan

@@ -306,3 +306,60 @@ class TestBloom:
                 assert out[did].flagged == 1, (did, frac)  # no false negatives
         assert any(v.flagged == 1 for v in out.values())  # planted dup found
         assert sum(v.flagged for v in out.values()) < len(out) / 2  # not everything
+
+
+class TestCountMinGrouped:
+    def test_rejects_unmerged_grouped_sketch(self, spark):
+        from mhw3d_detection_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("w1", "a")] * 5 + [("w2", "a")] * 3, "win string, token string"
+        )
+        sk = cm_sketch(df, F.col("token"), ["win"])
+        probes = spark.createDataFrame([("a",)], "token string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="grouping columns"):
+            cm_estimate(sk, probes, F.col("token"))
+
+    def test_group_cols_gives_per_group_counts(self, spark):
+        from mhw3d_detection_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("w1", "a")] * 100 + [("w2", "a")] * 5 + [("w2", "b")] * 7,
+            "win string, token string",
+        )
+        sk = cm_sketch(df, F.col("token"), ["win"])
+        probes = spark.createDataFrame([("a",), ("b",)], "token string")
+        got = {
+            (r.token, r.win): r.est_count
+            for r in cm_estimate(sk, probes, F.col("token"), ["win"]).collect()
+        }
+        assert got[("a", "w1")] == 100 and got[("a", "w2")] == 5
+        assert got[("b", "w2")] == 7
+        assert got[("b", "w1")] == 0  # absent counters read 0, not dropped
+
+    def test_merged_windows_give_totals(self, spark):
+        # the documented streaming read path: sum windows, then probe
+        from mhw3d_detection_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("w1", "a")] * 100 + [("w2", "a")] * 5, "win string, token string"
+        )
+        merged = (
+            cm_sketch(df, F.col("token"), ["win"])
+            .groupBy("j", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        probes = spark.createDataFrame([("a",)], "token string")
+        got = cm_estimate(merged, probes, F.col("token")).collect()[0]
+        assert got.est_count == 105
