@@ -30,6 +30,12 @@ PLANS = [
     "q_clim_partial_merge",
     "q_annual_event_trends",
     "q_source_overlap",
+    "q_semantic_dedup",
+    "q_token_cardinality",
+    "q_token_countmin",
+    "q_length_quantile_sketch",
+    "q_decontaminate_bloom",
+    "q_quality_classifier",
 ]
 
 HEADER = """# Physical plans — explain evidence
