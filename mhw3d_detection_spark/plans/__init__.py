@@ -1,1 +1,2 @@
+from mhw3d_detection_spark.plans.curation import curate_corpus  # noqa: F401
 from mhw3d_detection_spark.plans.pipeline import detect_mhw  # noqa: F401

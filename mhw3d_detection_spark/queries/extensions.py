@@ -1481,6 +1481,108 @@ def q_decontaminate_bloom(spark, sf_dir):
 
 
 # =========================================================================
+# E-FLAGSHIP — the full curation funnel as one composed plan
+# =========================================================================
+def _CURATION_SQL(thr: float = 0.35, cc_iters: int = 3) -> str:
+    """DuckDB mirror of ``plans.curation.curate_corpus``: the identical
+    stage sequencing over identical per-stage arithmetic. Reuses the
+    verified fragments — the quality-logit expressions (of _QLR_SQL),
+    SHINGLES/MINHASH_SIG over a CTE that SHADOWS ``documents`` with the
+    stage-2 survivors (``main.documents`` reaches the base view), the
+    unrolled Lloyd's quantizer over the full embeddings, and the
+    min-label propagation template with stage-local names."""
+    from mhw3d_detection_spark.operators.textops import QUALITY_LR as w
+
+    ncc = (
+        "nl{next} AS (SELECT x.v, min(x.label) AS label FROM "
+        "(SELECT v, label FROM nl{cur} UNION ALL "
+        " SELECT ne.v, nl{cur}.label FROM ne JOIN nl{cur} ON ne.u = nl{cur}.v) x "
+        "GROUP BY 1)"
+    )
+    scc = (
+        "sl{next} AS (SELECT x.v, min(x.label) AS label FROM "
+        "(SELECT v, label FROM sl{cur} UNION ALL "
+        " SELECT se.v, sl{cur}.label FROM se JOIN sl{cur} ON se.u = sl{cur}.v) x "
+        "GROUP BY 1)"
+    )
+    split_u = "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
+    return (
+        _KMEANS_SQL()
+        + ", d0 AS (SELECT doc_id, source, text, " + TOKENS_SQL
+        + " AS toks FROM main.documents), "
+        "f0 AS (SELECT doc_id, source, text, len(toks) AS n_tokens, "
+        "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) "
+        "    / greatest(len(toks), 1) AS stop_ratio, "
+        "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+        "    / greatest(length(text), 1) AS punct_ratio, "
+        "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+        "    / greatest(len(toks), 1) AS mean_token_len FROM d0), "
+        f"q0 AS (SELECT doc_id, source, text, CASE WHEN {w['intercept']!r} "
+        f"  + {w['w_len']!r} * least(n_tokens / 100.0, 1.0) "
+        f"  + {w['w_punct']!r} * punct_ratio "
+        f"  + {w['w_stop']!r} * stop_ratio "
+        f"  + {w['w_tok_len']!r} * mean_token_len >= 0 THEN 1 ELSE 0 END AS keep "
+        "  FROM f0), "
+        "s1 AS (SELECT doc_id, source, text FROM q0 WHERE keep = 1), "
+        "canon AS (SELECT text, min(doc_id) AS kid FROM s1 GROUP BY 1), "
+        "exdrop AS (SELECT s1.doc_id FROM s1 JOIN canon USING (text) "
+        "  WHERE s1.doc_id <> canon.kid), "
+        # stage-2 survivors SHADOW the documents view so the shingle /
+        # signature fragments below run over survivors only
+        "documents AS MATERIALIZED (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (text) "
+        "  WHERE s1.doc_id = canon.kid), "
+        + SHINGLES_SQL + ", " + MINHASH_SIG_SQL + ", "
+        "ne0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM bands a "
+        "  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+        "  WHERE a.doc_id < b.doc_id), "
+        "ne AS MATERIALIZED (SELECT u, v FROM ne0 UNION ALL SELECT v AS u, u AS v FROM ne0), "
+        "nl0 AS (SELECT DISTINCT v, v AS label FROM ne), "
+        + ", ".join(ncc.format(cur=i, next=i + 1) for i in range(cc_iters))
+        + f", neardrop AS (SELECT v AS doc_id FROM nl{cc_iters} WHERE v <> label), "
+        "s3 AS MATERIALIZED (SELECT dd.doc_id FROM documents dd LEFT JOIN neardrop nd "
+        "  ON dd.doc_id = nd.doc_id WHERE nd.doc_id IS NULL), "
+        "sem0 AS MATERIALIZED (SELECT a.vec_id, a.v, a.bucket FROM afin a "
+        "  JOIN s3 ON a.vec_id = s3.doc_id), "
+        "se0 AS (SELECT a.vec_id AS u, b2.vec_id AS v FROM sem0 a "
+        "  JOIN sem0 b2 ON a.bucket = b2.bucket WHERE a.vec_id < b2.vec_id "
+        f"  AND list_cosine_similarity(a.v, b2.v) >= {thr!r}), "
+        "se AS MATERIALIZED (SELECT u, v FROM se0 UNION ALL SELECT v AS u, u AS v FROM se0), "
+        "sl0 AS (SELECT DISTINCT v, v AS label FROM se), "
+        + ", ".join(scc.format(cur=i, next=i + 1) for i in range(cc_iters))
+        + f", semdrop AS (SELECT v AS doc_id FROM sl{cc_iters} WHERE v <> label) "
+        "SELECT d.doc_id, d.source, CASE "
+        "  WHEN q0.keep = 0 THEN 'quality' "
+        "  WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' "
+        "  WHEN nd.doc_id IS NOT NULL THEN 'near_dup' "
+        "  WHEN sd.doc_id IS NOT NULL THEN 'semantic_dup' "
+        "  ELSE 'kept' END AS stage, "
+        f"CASE WHEN {split_u} < 0.8 THEN 'train' "
+        f"WHEN {split_u} < 0.9 THEN 'val' ELSE 'test' END AS split "
+        "FROM main.documents d "
+        "JOIN q0 ON d.doc_id = q0.doc_id "
+        "LEFT JOIN exdrop ex ON d.doc_id = ex.doc_id "
+        "LEFT JOIN neardrop nd ON d.doc_id = nd.doc_id "
+        "LEFT JOIN semdrop sd ON d.doc_id = sd.doc_id"
+    )
+
+
+@register("q_curate_corpus", _CURATION_SQL())
+def q_curate_corpus(spark, sf_dir):
+    """E-FLAGSHIP: the full curation funnel — quality gate → exact
+    dedup → MinHash-LSH near-dup → SemDeDup semantic dedup →
+    deterministic split — composed as ONE plan
+    (``plans.curation.curate_corpus``), each stage pruning the next,
+    every doc leaving with its first failing stage named. The oracle
+    replays the identical stage sequencing end to end, so the
+    COMPOSITION is hash-verified, not just the component operators."""
+    from mhw3d_detection_spark.plans import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return curate_corpus(docs, emb)
+
+
+# =========================================================================
 # E6b — greedy in-order sequence packing
 # =========================================================================
 @register(
