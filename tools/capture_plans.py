@@ -36,6 +36,7 @@ PLANS = [
     "q_length_quantile_sketch",
     "q_decontaminate_bloom",
     "q_quality_classifier",
+    "q_curate_corpus",
 ]
 
 HEADER = """# Physical plans — explain evidence
