@@ -336,13 +336,22 @@ def hist_quantiles(
     hi: float,
     n_bins: int = 128,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    edge_flags: tuple[bool, bool] = (True, True),
 ) -> DataFrame:
     """Interpolated quantile estimates from a histogram sketch: for
     each q, the first bin whose cumulative count reaches ``q * n``,
     linearly interpolated inside the bin (error ≤ one bin width).
     Histogram-sized work: a cumulative window over ≤ n_bins rows per
     group, a tiny literal explode for the probe list, one min-by pick.
-    Returns ``group_cols + (q, est)``."""
+    Returns ``group_cols + (q, est, clipped)``.
+
+    ``edge_flags = (flag_lo, flag_hi)`` controls which edge bins raise
+    ``clipped``: an edge bin holds everything CLAMPED past the grid, so
+    a quantile landing there may exceed the one-bin-width bound — but
+    only if values CAN fall outside on that side. When ``lo`` (or
+    ``hi``) is a hard domain bound (lengths >= 0, ratios <= 1), pass
+    False for that side to avoid false alarms on skewed-but-in-range
+    groups."""
     from pyspark.sql import Window
 
     width = (hi - lo) / n_bins
@@ -369,15 +378,14 @@ def hist_quantiles(
             + F.col("bin") * F.lit(width)
             + F.lit(width) * (F.col("target") - F.col("prev")) / F.col("cnt"),
         )
-        # edge bins also hold everything CLAMPED past the grid, so a
-        # quantile landing there may be arbitrarily wrong — the
-        # ≤-one-bin-width guarantee only holds for clipped = 0. Surface
-        # it instead of silently misreporting heavy-tailed groups.
+        # surface possible saturation instead of silently misreporting
+        # heavy-tailed groups (see docstring; flag per edge_flags)
         .withColumn(
             "clipped",
-            ((F.col("bin") == 0) | (F.col("bin") == F.lit(n_bins - 1))).cast(
-                "int"
-            ),
+            (
+                (F.lit(edge_flags[0]) & (F.col("bin") == 0))
+                | (F.lit(edge_flags[1]) & (F.col("bin") == F.lit(n_bins - 1)))
+            ).cast("int"),
         )
         .select(*group_cols, "q", "est", "clipped")
     )
@@ -397,14 +405,17 @@ def doc_length_quantiles(
     profile a curation pipeline tracks per source at 100 TB without an
     exact percentile's full sort. Returns
     ``(source, q, est_chars, clipped)`` — ``clipped = 1`` marks a
-    quantile landing in an edge bin, where grid saturation voids the
-    one-bin-width error bound (widen ``hi`` for that source)."""
+    quantile landing in the TOP bin, where grid saturation voids the
+    one-bin-width error bound (widen ``hi`` for that source). The
+    bottom bin never flags: lengths are >= 0, so with ``lo = 0``
+    nothing can clamp from below."""
     h = hist_sketch(
         docs, F.col("n_chars").cast("double"), ["source"],
         lo=lo, hi=hi, n_bins=n_bins,
     )
     out = hist_quantiles(
-        h, ["source"], lo=lo, hi=hi, n_bins=n_bins, qs=qs
+        h, ["source"], lo=lo, hi=hi, n_bins=n_bins, qs=qs,
+        edge_flags=(False, True),
     )
     return out.select(
         "source", "q", F.col("est").alias("est_chars"), "clipped"

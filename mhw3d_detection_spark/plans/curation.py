@@ -47,6 +47,7 @@ def curate_corpus(
     semantic_iters: int = 3,
     semantic_threshold: float = 0.35,
     cc_iters: int = 3,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Run the full curation funnel. Returns one row per input doc:
     ``(doc_id, source, stage, split)`` — ``stage`` is the first stage
@@ -54,7 +55,17 @@ def curate_corpus(
     ``semantic_dup``) or ``kept``; ``split`` is the deterministic
     train/val/test assignment (computed for every doc — a pure key
     function, and keeping it unconditional means the split of a doc
-    never changes when an upstream filter is tuned)."""
+    never changes when an upstream filter is tuned).
+
+    EAGER: calling this runs the dedup stages as Spark jobs (like the
+    IVF trainer) — the pair/drop tables must be checkpointed to keep
+    the composed plan tree from re-embedding its upstream exponentially
+    (145 s of Catalyst analysis at sf0.01 without truncation). Default
+    ``localCheckpoint`` stores blocks executor-local: fast, but lost
+    blocks are unrecoverable — on preemptible/spot clusters pass
+    ``reliable_checkpoints=True`` (requires
+    ``sc.setCheckpointDir(...)``) to write them to the checkpoint dir
+    instead."""
     from mhw3d_detection_spark.operators.similarity import (
         assign_buckets,
         bucket_near_dup_pairs,
@@ -74,9 +85,15 @@ def curate_corpus(
     # stage 2: exact dedup on the text key — non-canonical copies drop
     canon = s1.groupBy("text").agg(F.min("doc_id").alias("__keep_id"))
     with_canon = s1.join(canon, "text")
-    exact_drops = with_canon.filter(F.col("doc_id") != F.col("__keep_id")).select(
-        "doc_id"
-    ).localCheckpoint(eager=True)
+    def _chk(df: DataFrame) -> DataFrame:
+        # lineage truncation point (see docstring); values unchanged
+        return df.checkpoint(eager=True) if reliable_checkpoints else (
+            df.localCheckpoint(eager=True)
+        )
+
+    exact_drops = _chk(
+        with_canon.filter(F.col("doc_id") != F.col("__keep_id")).select("doc_id")
+    )
     s2 = with_canon.filter(F.col("doc_id") == F.col("__keep_id")).select(
         "doc_id", "source", "text"
     )
@@ -87,17 +104,21 @@ def curate_corpus(
         minhash_candidate_pairs,
     )
 
-    # localCheckpoint the tiny choke points: without it, every
-    # min-label propagation round and every downstream join RE-EMBEDS
-    # the full upstream pipeline in its plan tree — Catalyst analysis
-    # alone went minutes (measured 145 s at sf0.01); with truncation
-    # the whole funnel builds and runs in seconds. Values unchanged.
-    pairs = minhash_candidate_pairs(sig).localCheckpoint(eager=True)
+    # checkpoint the tiny choke points: without it, every min-label
+    # propagation round and every downstream join RE-EMBEDS the full
+    # upstream pipeline in its plan tree — Catalyst analysis alone went
+    # minutes (measured 145 s at sf0.01); with truncation the whole
+    # funnel builds and runs in seconds. Values unchanged.
+    pairs = _chk(minhash_candidate_pairs(sig))
     comp = connected_components_bounded(pairs, iters=cc_iters)
-    near_drops = comp.filter(F.col("doc_id") != F.col("component")).select(
-        "doc_id"
-    ).localCheckpoint(eager=True)
-    s3 = s2.join(F.broadcast(near_drops), "doc_id", "left_anti")
+    near_drops = _chk(
+        comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    )
+    # no broadcast hint: drop-list size scales with the corpus's dup
+    # fraction (30-80% on web crawls), so forcing a broadcast would
+    # bypass autoBroadcastJoinThreshold and OOM the driver at scale —
+    # AQE picks broadcast on its own whenever the list is actually small
+    s3 = s2.join(near_drops, "doc_id", "left_anti")
 
     # stage 4: SemDeDup over survivors; quantizer trained on FULL emb
     cents = kmeans_ivf_centroids(
@@ -107,13 +128,11 @@ def curate_corpus(
         s3.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
     tagged = assign_buckets(emb3, cents)
-    spairs = bucket_near_dup_pairs(
-        tagged, threshold=semantic_threshold
-    ).localCheckpoint(eager=True)
+    spairs = _chk(bucket_near_dup_pairs(tagged, threshold=semantic_threshold))
     comp2 = connected_components_bounded(spairs, iters=cc_iters)
-    sem_drops = comp2.filter(F.col("doc_id") != F.col("component")).select(
-        "doc_id"
-    ).localCheckpoint(eager=True)
+    sem_drops = _chk(
+        comp2.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    )
 
     # lineage: first failing stage per doc; split for every doc
     stage = (
@@ -126,19 +145,13 @@ def curate_corpus(
     return (
         scored.select("doc_id", "source", F.col("keep").alias("__q"))
         .join(
-            F.broadcast(exact_drops.select("doc_id", F.lit(1).alias("__ex"))),
-            "doc_id",
-            "left",
+            exact_drops.select("doc_id", F.lit(1).alias("__ex")), "doc_id", "left"
         )
         .join(
-            F.broadcast(near_drops.select("doc_id", F.lit(1).alias("__nd"))),
-            "doc_id",
-            "left",
+            near_drops.select("doc_id", F.lit(1).alias("__nd")), "doc_id", "left"
         )
         .join(
-            F.broadcast(sem_drops.select("doc_id", F.lit(1).alias("__sd"))),
-            "doc_id",
-            "left",
+            sem_drops.select("doc_id", F.lit(1).alias("__sd")), "doc_id", "left"
         )
         .join(split_assign(docs).select("doc_id", "split"), "doc_id")
         .select("doc_id", "source", stage.alias("stage"), "split")

@@ -46,6 +46,42 @@ from mhw3d_detection_spark.sources.tables import load_table
 
 TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+#: quality-classifier feature expressions over a (text, toks) row — the
+#: ONE copy shared by _QLR_SQL and _CURATION_SQL so a guard fix (the
+#: greatest()/coalesce() zero-denominator guards live here) cannot
+#: desynchronize the flagship oracle from the component oracle.
+QFEATURES_SQL = (
+    "len(toks) AS n_tokens, "
+    "len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) "
+    "  / greatest(len(toks), 1) AS stop_ratio, "
+    "(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+    "  / greatest(length(text), 1) AS punct_ratio, "
+    "coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+    "  / greatest(len(toks), 1) AS mean_token_len"
+)
+
+
+def QLOGIT_SQL() -> str:
+    """The literal-weight logit over QFEATURES_SQL's columns — same
+    left-associative IEEE order as ``textops.quality_scores``."""
+    from mhw3d_detection_spark.operators.textops import QUALITY_LR as w
+
+    return (
+        f"{w['intercept']!r} + {w['w_len']!r} * least(n_tokens / 100.0, 1.0) "
+        f"+ {w['w_punct']!r} * punct_ratio + {w['w_stop']!r} * stop_ratio "
+        f"+ {w['w_tok_len']!r} * mean_token_len"
+    )
+
+
+def SPLIT_CASE_SQL(key: str) -> str:
+    """The md5-uniform 80/10/10 split of ``textops.split_assign`` —
+    shared by q_split_assign and the curation-funnel oracle."""
+    u = f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
+    return (
+        f"CASE WHEN {u} < 0.8 THEN 'train' "
+        f"WHEN {u} < 0.9 THEN 'val' ELSE 'test' END"
+    )
+
 #: word 3-gram shingles via direct array slicing (mirror of
 #: operators.textops.shingles). Positions come from a PER-ROW
 #: generate_series over the doc's own token count — no fixed cap, so
@@ -726,25 +762,10 @@ def _QLR_SQL() -> str:
     same literal weights applied to the same feature expressions in the
     same left-associative order, so the logit is bit-identical and the
     keep decision (logit >= 0) needs no quantization."""
-    from mhw3d_detection_spark.operators.textops import QUALITY_LR as w
-
     return (
         "WITH d AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
-        "s AS (SELECT doc_id, len(toks) AS n_tokens, "
-        "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) "
-        "    / greatest(len(toks), 1) AS stop_ratio, "
-        "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
-        "    / greatest(length(text), 1) AS punct_ratio, "
-        # coalesce: DuckDB's list_sum([]) is NULL while Spark's
-        # aggregate fold starts at 0 — zero-token docs must agree
-        "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
-        "    / greatest(len(toks), 1) AS mean_token_len "
-        "  FROM d), "
-        f"z AS (SELECT doc_id, {w['intercept']!r} "
-        f"  + {w['w_len']!r} * least(n_tokens / 100.0, 1.0) "
-        f"  + {w['w_punct']!r} * punct_ratio "
-        f"  + {w['w_stop']!r} * stop_ratio "
-        f"  + {w['w_tok_len']!r} * mean_token_len AS logit FROM s) "
+        "s AS (SELECT doc_id, " + QFEATURES_SQL + " FROM d), "
+        f"z AS (SELECT doc_id, {QLOGIT_SQL()} AS logit FROM s) "
         f"SELECT doc_id, {rq_sql('logit', 4)} AS quality_logit, "
         f"{rq_sql('1.0 / (1.0 + exp(-logit))', 4)} AS quality_prob, "
         "CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep FROM z"
@@ -928,8 +949,10 @@ def _HISTQ_SQL() -> str:
         f"  + {width!r} * (c.target - c.prev) / c.cnt AS est "
         "  FROM fb f JOIN cand c ON f.source = c.source AND f.q = c.q "
         "  AND f.bin = c.bin) "
+        # top bin only: lo=0 is a hard domain floor for lengths, so
+        # bin 0 can never contain clamped-from-below values
         f"SELECT source, q, {rq_sql('est', 4)} AS est_chars, "
-        f"CAST(CASE WHEN bin = 0 OR bin = {n_bins - 1} THEN 1 ELSE 0 END "
+        f"CAST(CASE WHEN bin = {n_bins - 1} THEN 1 ELSE 0 END "
         "  AS INT) AS clipped FROM est"
     )
 
@@ -1491,8 +1514,6 @@ def _CURATION_SQL(thr: float = 0.35, cc_iters: int = 3) -> str:
     stage-2 survivors (``main.documents`` reaches the base view), the
     unrolled Lloyd's quantizer over the full embeddings, and the
     min-label propagation template with stage-local names."""
-    from mhw3d_detection_spark.operators.textops import QUALITY_LR as w
-
     ncc = (
         "nl{next} AS (SELECT x.v, min(x.label) AS label FROM "
         "(SELECT v, label FROM nl{cur} UNION ALL "
@@ -1505,23 +1526,13 @@ def _CURATION_SQL(thr: float = 0.35, cc_iters: int = 3) -> str:
         " SELECT se.v, sl{cur}.label FROM se JOIN sl{cur} ON se.u = sl{cur}.v) x "
         "GROUP BY 1)"
     )
-    split_u = "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
     return (
         _KMEANS_SQL()
         + ", d0 AS (SELECT doc_id, source, text, " + TOKENS_SQL
         + " AS toks FROM main.documents), "
-        "f0 AS (SELECT doc_id, source, text, len(toks) AS n_tokens, "
-        "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) "
-        "    / greatest(len(toks), 1) AS stop_ratio, "
-        "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
-        "    / greatest(length(text), 1) AS punct_ratio, "
-        "  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
-        "    / greatest(len(toks), 1) AS mean_token_len FROM d0), "
-        f"q0 AS (SELECT doc_id, source, text, CASE WHEN {w['intercept']!r} "
-        f"  + {w['w_len']!r} * least(n_tokens / 100.0, 1.0) "
-        f"  + {w['w_punct']!r} * punct_ratio "
-        f"  + {w['w_stop']!r} * stop_ratio "
-        f"  + {w['w_tok_len']!r} * mean_token_len >= 0 THEN 1 ELSE 0 END AS keep "
+        "f0 AS (SELECT doc_id, source, text, " + QFEATURES_SQL + " FROM d0), "
+        f"q0 AS (SELECT doc_id, source, text, "
+        f"CASE WHEN {QLOGIT_SQL()} >= 0 THEN 1 ELSE 0 END AS keep "
         "  FROM f0), "
         "s1 AS (SELECT doc_id, source, text FROM q0 WHERE keep = 1), "
         "canon AS (SELECT text, min(doc_id) AS kid FROM s1 GROUP BY 1), "
@@ -1556,8 +1567,7 @@ def _CURATION_SQL(thr: float = 0.35, cc_iters: int = 3) -> str:
         "  WHEN nd.doc_id IS NOT NULL THEN 'near_dup' "
         "  WHEN sd.doc_id IS NOT NULL THEN 'semantic_dup' "
         "  ELSE 'kept' END AS stage, "
-        f"CASE WHEN {split_u} < 0.8 THEN 'train' "
-        f"WHEN {split_u} < 0.9 THEN 'val' ELSE 'test' END AS split "
+        f"{SPLIT_CASE_SQL('d.doc_id')} AS split "
         "FROM main.documents d "
         "JOIN q0 ON d.doc_id = q0.doc_id "
         "LEFT JOIN exdrop ex ON d.doc_id = ex.doc_id "
@@ -1986,12 +1996,7 @@ def q_mixture_weights(spark, sf_dir):
 
 @register(
     "q_split_assign",
-    "SELECT doc_id, CASE "
-    "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
-    "  / 281474976710656.0 < 0.8 THEN 'train' "
-    "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
-    "  / 281474976710656.0 < 0.9 THEN 'val' "
-    "ELSE 'test' END AS split FROM documents",
+    f"SELECT doc_id, {SPLIT_CASE_SQL('doc_id')} AS split FROM documents",
 )
 def q_split_assign(spark, sf_dir):
     """E6c: deterministic 80/10/10 train/val/test split — md5-uniform

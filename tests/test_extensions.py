@@ -887,12 +887,6 @@ class TestQualityClassifierEdgeCases:
         con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
         sql = Q.REGISTRY["q_quality_classifier"].sql
         want = {r[0]: r for r in con.execute(sql).fetchall()}
-        sp = {
-            r.doc_id: r
-            for r in Q.REGISTRY["q_quality_classifier"]
-            .spark_fn.__wrapped__(spark, None, docs)
-            .collect()
-        } if hasattr(Q.REGISTRY["q_quality_classifier"].spark_fn, "__wrapped__") else None
         # compare the raw operator's rounded view against the oracle
         from mhw3d_detection_spark.queries.base import rq
 
