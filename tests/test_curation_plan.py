@@ -66,3 +66,17 @@ class TestCurationFunnel:
         _, _, out = funnel
         kept = sum(1 for r in out.values() if r.stage == "kept")
         assert 0 < kept < len(out)
+
+
+def test_reliable_checkpoints_same_result(spark, sf_dir, tmp_path):
+    # the reliable-checkpoint path (checkpoint dir) must produce the
+    # identical funnel; only the block storage differs
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "chk"))
+    a = {(r.doc_id, r.stage, r.split) for r in curate_corpus(docs, emb).collect()}
+    b = {
+        (r.doc_id, r.stage, r.split)
+        for r in curate_corpus(docs, emb, reliable_checkpoints=True).collect()
+    }
+    assert a == b

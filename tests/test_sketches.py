@@ -363,3 +363,27 @@ class TestCountMinGrouped:
         probes = spark.createDataFrame([("a",)], "token string")
         got = cm_estimate(merged, probes, F.col("token")).collect()[0]
         assert got.est_count == 105
+
+
+class TestHistEdgeFlags:
+    def test_domain_floor_side_does_not_flag(self, spark):
+        from mhw3d_detection_spark.operators.sketches import (
+            hist_quantiles,
+            hist_sketch,
+        )
+
+        # all mass in bin 0 (short values), lo=0 is a hard floor
+        df = spark.createDataFrame(
+            [("g", float(v % 4)) for v in range(100)], "g string, v double"
+        )
+        kw = dict(lo=0.0, hi=1000.0, n_bins=10)
+        h = hist_sketch(df, F.col("v"), ["g"], **kw)
+        flagged = hist_quantiles(
+            h, ["g"], qs=(0.5,), edge_flags=(True, True), **kw
+        ).collect()[0]
+        unflagged = hist_quantiles(
+            h, ["g"], qs=(0.5,), edge_flags=(False, True), **kw
+        ).collect()[0]
+        assert flagged.clipped == 1  # default would false-alarm
+        assert unflagged.clipped == 0  # domain-floor side suppressed
+        assert flagged.est == unflagged.est  # estimate itself unchanged
