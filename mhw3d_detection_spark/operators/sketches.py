@@ -42,6 +42,9 @@ from mhw3d_detection_spark.operators.textops import (
     minhash_member,
 )
 
+#: pass ``hash_fn=textops.xxhash_base`` for the non-oracle production
+#: hash (~3x cheaper map side); every declared query keeps the default.
+
 #: register-count exponent: m = 2^p registers, ~1.04/sqrt(m) ≈ 3.2%
 #: relative standard error. State per group = m rows regardless of
 #: input size — the whole point.
@@ -73,25 +76,25 @@ def bitlen_sql(expr: str, bits: int) -> str:
     return f"(CASE {whens} ELSE 0 END)"
 
 
-def hll_reg_rho(item: Column) -> tuple[Column, Column]:
+def hll_reg_rho(item: Column, hash_fn=minhash_base) -> tuple[Column, Column]:
     """The ONE copy of the per-row HLL derivation (register index,
     leading-zero rank) — shared by the batch aggregate and the
     streaming windowed twin so the two sketch states cannot drift
     apart (cf. ``textops.shingle_array_sql`` for the same pattern)."""
-    h = minhash_base(item)
+    h = hash_fn(item)
     w = F.shiftright(h, HLL_P)
     rho = F.lit(HLL_WBITS + 1) - bitlen_col(w, HLL_WBITS)
     return (h % F.lit(HLL_M)), rho
 
 
 def hll_registers(
-    df: DataFrame, item: Column, group_cols: list[str]
+    df: DataFrame, item: Column, group_cols: list[str], hash_fn=minhash_base
 ) -> DataFrame:
     """Per-group HLL register table: ``group_cols + (reg, rho)`` with
     ``rho = max`` over the group's items. One hash + one hash-aggregate
     (map-side combinable: ``max`` is mergeable); output is at most
     ``groups × m`` rows — the fixed-size sketch state."""
-    reg, rho = hll_reg_rho(item)
+    reg, rho = hll_reg_rho(item, hash_fn)
     return (
         df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
@@ -183,12 +186,12 @@ def _cm_col(j: int, x: Column) -> Column:
     return minhash_member(j, x) % F.lit(CM_W)
 
 
-def cm_buckets(item: Column) -> Column:
+def cm_buckets(item: Column, hash_fn=minhash_base) -> Column:
     """The ONE copy of the per-row Count-Min bucket derivation: an
     array of (j, col) structs, one per hash row — shared by the batch
     aggregate and the streaming windowed twin (explode + count on
     either side)."""
-    x = minhash_base(item)
+    x = hash_fn(item)
     return F.array(
         *[
             F.struct(F.lit(j).alias("j"), _cm_col(j, x).alias("col"))
@@ -198,7 +201,10 @@ def cm_buckets(item: Column) -> Column:
 
 
 def cm_sketch(
-    df: DataFrame, item: Column, group_cols: list[str] | None = None
+    df: DataFrame,
+    item: Column,
+    group_cols: list[str] | None = None,
+    hash_fn=minhash_base,
 ) -> DataFrame:
     """Per-group Count-Min table ``group_cols + (j, col, cnt)``: each
     item occurrence increments one counter per hash row. One explode
@@ -208,7 +214,7 @@ def cm_sketch(
     registers and the detection run-partials."""
     group_cols = group_cols or []
     return (
-        df.select(*group_cols, F.explode(cm_buckets(item)).alias("b"))
+        df.select(*group_cols, F.explode(cm_buckets(item, hash_fn)).alias("b"))
         .select(*group_cols, F.col("b.j").alias("j"), F.col("b.col").alias("col"))
         .groupBy(*group_cols, "j", "col")
         .agg(F.count("*").alias("cnt"))
@@ -220,6 +226,7 @@ def cm_estimate(
     probes: DataFrame,
     item: Column,
     group_cols: list[str] | None = None,
+    hash_fn=minhash_base,
 ) -> DataFrame:
     """Estimated occurrence count for each probe item: min over the
     CM_D rows of the probe's counter. Probes carry their own columns
@@ -240,7 +247,7 @@ def cm_estimate(
             "merge them first (sum cnt per (j, col)) or pass group_cols"
         )
     lookup = probes.select(
-        "*", F.explode(cm_buckets(item)).alias("b")
+        "*", F.explode(cm_buckets(item, hash_fn)).alias("b")
     ).select("*", F.col("b.j").alias("j"), F.col("b.col").alias("col")).drop("b")
     keep = [c for c in probes.columns]
     if not group_cols:
@@ -435,12 +442,12 @@ BLOOM_K = 4
 BLOOM_M = 4096
 
 
-def bloom_bits(df: DataFrame, item: Column) -> DataFrame:
+def bloom_bits(df: DataFrame, item: Column, hash_fn=minhash_base) -> DataFrame:
     """Build the Bloom sketch for a key set: the distinct bit positions
     set by any item — one explode (×BLOOM_K) + one distinct, output
     ≤ BLOOM_M single-column rows. Blooms of corpus parts merge by
     UNION + distinct; no re-scan of either part."""
-    x = minhash_base(item)
+    x = hash_fn(item)
     pos = F.array(
         *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]
     )
@@ -448,13 +455,13 @@ def bloom_bits(df: DataFrame, item: Column) -> DataFrame:
 
 
 def bloom_membership(
-    bits: DataFrame, probes: DataFrame, item: Column
+    bits: DataFrame, probes: DataFrame, item: Column, hash_fn=minhash_base
 ) -> DataFrame:
     """Tag each probe row with ``maybe_present``: 1 iff ALL of the
     item's BLOOM_K bit positions are set in the sketch (no false
     negatives; false positives at the documented rate). The sketch side
     is ≤ BLOOM_M rows — always a broadcast; the probe side streams."""
-    x = minhash_base(item)
+    x = hash_fn(item)
     pos = F.array(
         *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]
     )

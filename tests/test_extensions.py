@@ -901,3 +901,62 @@ class TestQualityClassifierEdgeCases:
             assert (r.ql is None) == (w[1] is None) and (r.ql == w[1] or r.ql is None)
             assert (r.qp is None) == (w[2] is None) and (r.qp == w[2] or r.qp is None)
             assert r.keep == w[3]
+
+
+class TestFastHash:
+    def test_fast_minhash_grouped_rowlocal_parity(self, spark, sf_dir):
+        # the two signature builders must stay bit-identical to each
+        # other under the xxhash production base too
+        from mhw3d_detection_spark.operators.textops import (
+            minhash_bands_rowlocal,
+            minhash_signatures,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = {
+            tuple(r)
+            for r in minhash_signatures(docs, fast_hash=True).collect()
+        }
+        b = {
+            tuple(r)
+            for r in minhash_bands_rowlocal(docs, fast_hash=True).collect()
+        }
+        assert a == b and a
+
+    def test_fast_hash_range_and_dedup_recall(self, spark, docs):
+        # xxhash base stays in [0, 2^48) (the family's overflow bound)
+        # and the LSH pipeline still finds the planted exact dup
+        from pyspark.sql import functions as FF
+
+        from mhw3d_detection_spark.operators.textops import (
+            minhash_candidate_pairs,
+            minhash_signatures,
+            tokens_col,
+            xxhash_base,
+        )
+
+        vals = (
+            docs.select(FF.explode(tokens_col(FF.col("text"))).alias("t"))
+            .select(xxhash_base(FF.col("t")).alias("x"))
+            .agg(FF.min("x"), FF.max("x"))
+            .collect()[0]
+        )
+        assert 0 <= vals[0] and vals[1] < (1 << 48)
+        sig = minhash_signatures(docs, fast_hash=True)
+        pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(sig).collect()}
+        assert (0, 1) in pairs  # identical docs collide on every band
+
+    def test_sketch_hash_fn_hook(self, spark):
+        # HLL under xxhash: same accuracy contract as the md5 default
+        from mhw3d_detection_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+        from mhw3d_detection_spark.operators.textops import xxhash_base
+
+        df = spark.createDataFrame(
+            [("s", f"item-{i}") for i in range(20000)], "source string, token string"
+        )
+        regs = hll_registers(df, F.col("token"), ["source"], hash_fn=xxhash_base)
+        est = hll_estimate(regs, ["source"]).collect()[0].est_distinct
+        assert abs(est / 20000 - 1.0) < 0.13, est
