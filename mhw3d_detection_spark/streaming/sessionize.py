@@ -205,6 +205,7 @@ def streaming_lsh_dedup(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Near-dup gate at ingest: match an incoming document stream
     against a static corpus's LSH band index (E2's streaming face —
@@ -232,12 +233,15 @@ def streaming_lsh_dedup(
     """
     from mhw3d_detection_spark.operators.textops import minhash_bands_rowlocal
 
+    # fast_hash must match the hash the corpus index was built with —
+    # band signatures from different base hashes never collide
     new_bands = minhash_bands_rowlocal(
         stream,
         text_col=text_col,
         n_hashes=n_hashes,
         band_size=band_size,
         shingle_n=shingle_n,
+        fast_hash=fast_hash,
     )
     idx = corpus_bands.select(
         F.col("doc_id").alias("dup_of"), "band_id", "band_sig"

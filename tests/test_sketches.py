@@ -387,3 +387,65 @@ class TestHistEdgeFlags:
         assert flagged.clipped == 1  # default would false-alarm
         assert unflagged.clipped == 0  # domain-floor side suppressed
         assert flagged.est == unflagged.est  # estimate itself unchanged
+
+
+class TestPythonReferenceDifferentials:
+    """Independent pure-Python reimplementations of the sketch builders
+    — the same md5 arithmetic written from the paper, not from the
+    Spark code — must produce IDENTICAL sketch state on random inputs.
+    (The DuckDB oracle gates the declared queries; this gates the
+    operators on inputs the fixed corpus never exercises.)"""
+
+    @staticmethod
+    def _base(s: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8),
+                    min_size=1, max_size=300))
+    @settings(max_examples=10, deadline=None)
+    def test_hll_registers_match_python(self, spark, items):
+        from mhw3d_detection_spark.operators.sketches import (
+            HLL_M,
+            HLL_P,
+            HLL_WBITS,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame([(i,) for i in items], "token string")
+        got = {
+            (r.reg, r.rho)
+            for r in hll_registers(df, F.col("token"), []).collect()
+        }
+        want = {}
+        for it in items:
+            h = self._base(it)
+            reg, w = h % HLL_M, h >> HLL_P
+            rho = HLL_WBITS + 1 - w.bit_length()
+            want[reg] = max(want.get(reg, 0), rho)
+        assert got == set(want.items())
+
+    @given(st.lists(st.text(alphabet="xyz01", min_size=1, max_size=6),
+                    min_size=1, max_size=300))
+    @settings(max_examples=10, deadline=None)
+    def test_cm_sketch_matches_python(self, spark, items):
+        from mhw3d_detection_spark.operators.sketches import CM_D, CM_W, cm_sketch
+        from mhw3d_detection_spark.operators.textops import (
+            MINHASH_A,
+            MINHASH_B,
+            MINHASH_M,
+        )
+
+        df = spark.createDataFrame([(i,) for i in items], "token string")
+        got = {
+            (r.j, r.col): r.cnt
+            for r in cm_sketch(df, F.col("token")).collect()
+        }
+        want = {}
+        for it in items:
+            x = self._base(it)
+            for j in range(CM_D):
+                c = ((MINHASH_A[j] * x + MINHASH_B[j]) % MINHASH_M) % CM_W
+                want[(j, c)] = want.get((j, c), 0) + 1
+        assert got == want
