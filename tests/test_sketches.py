@@ -449,3 +449,27 @@ class TestPythonReferenceDifferentials:
                 c = ((MINHASH_A[j] * x + MINHASH_B[j]) % MINHASH_M) % CM_W
                 want[(j, c)] = want.get((j, c), 0) + 1
         assert got == want
+
+    @given(st.lists(st.text(alphabet="pqr89", min_size=1, max_size=6),
+                    min_size=1, max_size=200))
+    @settings(max_examples=10, deadline=None)
+    def test_bloom_bits_match_python(self, spark, items):
+        from mhw3d_detection_spark.operators.sketches import (
+            BLOOM_K,
+            BLOOM_M,
+            bloom_bits,
+        )
+        from mhw3d_detection_spark.operators.textops import (
+            MINHASH_A,
+            MINHASH_B,
+            MINHASH_M,
+        )
+
+        df = spark.createDataFrame([(i,) for i in items], "item string")
+        got = {r.bit for r in bloom_bits(df, F.col("item")).collect()}
+        want = set()
+        for it in items:
+            x = self._base(it)
+            for j in range(BLOOM_K):
+                want.add(((MINHASH_A[j] * x + MINHASH_B[j]) % MINHASH_M) % BLOOM_M)
+        assert got == want
