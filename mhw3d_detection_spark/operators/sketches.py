@@ -96,7 +96,12 @@ def hll_registers(
     ``groups × m`` rows — the fixed-size sketch state."""
     reg, rho = hll_reg_rho(item, hash_fn)
     return (
-        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        # NULL items carry no identity — drop them BEFORE hashing, or
+        # they become a phantom (NULL reg, max rho) register that
+        # perturbs every estimate (bitlen_col(NULL) falls through its
+        # CASE to 0, so rho would read as the maximum rank)
+        df.filter(item.isNotNull())
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -214,7 +219,9 @@ def cm_sketch(
     registers and the detection run-partials."""
     group_cols = group_cols or []
     return (
-        df.select(*group_cols, F.explode(cm_buckets(item, hash_fn)).alias("b"))
+        # NULL items would explode into NULL-column counter rows
+        df.filter(item.isNotNull())
+        .select(*group_cols, F.explode(cm_buckets(item, hash_fn)).alias("b"))
         .select(*group_cols, F.col("b.j").alias("j"), F.col("b.col").alias("col"))
         .groupBy(*group_cols, "j", "col")
         .agg(F.count("*").alias("cnt"))
@@ -232,6 +239,11 @@ def cm_estimate(
     CM_D rows of the probe's counter. Probes carry their own columns
     through; the sketch side is counters-sized, so the join
     broadcasts. Absent counters count 0 (probe never seen).
+
+    ``hash_fn`` MUST be the hash the sketch was built with — the
+    sketch is schema-identical either way, so a mismatch is
+    undetectable and lands probes on unrelated counters, which can
+    UNDERCOUNT (the one error Count-Min promises is impossible).
 
     A sketch built with group columns (or a streaming per-window
     store) must either be pre-merged — ``sum(cnt)`` per ``(j, col)`` —
@@ -451,7 +463,10 @@ def bloom_bits(df: DataFrame, item: Column, hash_fn=minhash_base) -> DataFrame:
     pos = F.array(
         *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]
     )
-    return df.select(F.explode(pos).alias("bit")).distinct()
+    # NULL items set no bits (they have no identity to test later)
+    return df.filter(item.isNotNull()).select(
+        F.explode(pos).alias("bit")
+    ).distinct()
 
 
 def bloom_membership(
@@ -460,7 +475,11 @@ def bloom_membership(
     """Tag each probe row with ``maybe_present``: 1 iff ALL of the
     item's BLOOM_K bit positions are set in the sketch (no false
     negatives; false positives at the documented rate). The sketch side
-    is ≤ BLOOM_M rows — always a broadcast; the probe side streams."""
+    is ≤ BLOOM_M rows — always a broadcast; the probe side streams.
+
+    ``hash_fn`` MUST match the hash :func:`bloom_bits` used — a
+    mismatch probes unrelated bits and can return a FALSE NEGATIVE,
+    the one error a Bloom filter promises is impossible."""
     x = hash_fn(item)
     pos = F.array(
         *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]

@@ -261,13 +261,25 @@ def xxhash_base(col: Column) -> Column:
     but it is NOT oracle-reproducible (DuckDB has no xxhash64), which
     is why every DECLARED query keeps the md5 base and this hook is the
     documented 100 TB swap (``fast_hash=True`` on the minhash builders,
-    ``hash_fn=xxhash_base`` on the sketch builders)."""
-    return F.xxhash64(col).bitwiseAND(F.lit((1 << 48) - 1))
+    ``hash_fn=xxhash_base`` on the sketch builders).
+
+    NULL contract matches :func:`minhash_base` (NULL in → NULL out):
+    Spark's raw ``xxhash64`` would return the SEED (42) for NULL —
+    every NULL item would become a phantom real item, and in HLL a
+    hash of 42 pins register 42 at the maximum rank — so NULLs are
+    masked back out here and fall out of the aggregates exactly like
+    the md5 path."""
+    return F.when(
+        col.isNotNull(), F.xxhash64(col).bitwiseAND(F.lit((1 << 48) - 1))
+    )
 
 
 #: SQL-fragment twins of the two base hashes for the row-local string
 #: pipeline (minhash_bands_rowlocal embeds the hash in a transform()
-#: lambda, where a Column callable cannot reach)
+#: lambda, where a Column callable cannot reach). The xxhash fragment
+#: carries no NULL mask: it is applied only to shingle-array elements,
+#: which are never NULL (unlike the Column hook, which must guard —
+#: see xxhash_base)
 MD5_BASE_SQL = (
     "CAST(conv(substring(md5(CAST({s} AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
 )

@@ -288,6 +288,7 @@ def streaming_cardinality(
     window: str = "1 day",
     watermark: str = "1 day",
     group_cols: list[str] | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Live distinct-count sketch (E7b's streaming face): per
     time-window HLL registers over an item stream — "how many distinct
@@ -305,11 +306,16 @@ def streaming_cardinality(
     registers a batch pipeline builds over the same rows are
     bit-identical (same hash, same split) — pinned by test."""
     from mhw3d_detection_spark.operators.sketches import hll_reg_rho
+    from mhw3d_detection_spark.operators.textops import minhash_base
 
+    if hash_fn is None:
+        hash_fn = minhash_base
     group_cols = group_cols or []
-    reg, rho = hll_reg_rho(F.col(item_col))
+    reg, rho = hll_reg_rho(F.col(item_col), hash_fn)
     return (
-        stream.withWatermark(time_col, watermark)
+        # same NULL-item drop as the batch hll_registers (parity)
+        stream.filter(F.col(item_col).isNotNull())
+        .withWatermark(time_col, watermark)
         .select(
             F.col(time_col),
             *group_cols,
@@ -329,6 +335,7 @@ def streaming_frequency(
     window: str = "1 day",
     watermark: str = "1 day",
     group_cols: list[str] | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Live Count-Min counters per time window (E7c's streaming face):
     emits ``(window, group_cols..., j, col, cnt)`` — the mergeable
@@ -337,16 +344,22 @@ def streaming_frequency(
     ``operators.sketches.cm_estimate``; stored windows merge by SUM).
     State = windows × groups × CM_D·CM_W counters, closed by the
     watermark. Counters are bit-identical to the batch
-    ``cm_sketch`` over the same rows — pinned by test."""
+    ``cm_sketch`` over the same rows — pinned by test. ``hash_fn``
+    MUST match the batch sketches these windows merge with."""
     from mhw3d_detection_spark.operators.sketches import cm_buckets
+    from mhw3d_detection_spark.operators.textops import minhash_base
 
+    if hash_fn is None:
+        hash_fn = minhash_base
     group_cols = group_cols or []
     return (
-        stream.withWatermark(time_col, watermark)
+        # same NULL-item drop as the batch cm_sketch (parity)
+        stream.filter(F.col(item_col).isNotNull())
+        .withWatermark(time_col, watermark)
         .select(
             F.col(time_col),
             *group_cols,
-            F.explode(cm_buckets(F.col(item_col))).alias("b"),
+            F.explode(cm_buckets(F.col(item_col), hash_fn)).alias("b"),
         )
         .groupBy(
             F.window(time_col, window),

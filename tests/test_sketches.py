@@ -473,3 +473,93 @@ class TestPythonReferenceDifferentials:
             for j in range(BLOOM_K):
                 want.add(((MINHASH_A[j] * x + MINHASH_B[j]) % MINHASH_M) % BLOOM_M)
         assert got == want
+
+
+class TestFastHashSeam:
+    def test_cm_and_bloom_under_production_hash(self, spark):
+        # build AND probe with the same hash_fn: the guarantees hold
+        from mhw3d_detection_spark.operators.sketches import (
+            bloom_bits,
+            bloom_membership,
+            cm_estimate,
+            cm_sketch,
+        )
+        from mhw3d_detection_spark.operators.textops import xxhash_base
+
+        df = spark.createDataFrame(
+            [("a",)] * 40 + [("b",)] * 7, "token string"
+        )
+        sk = cm_sketch(df, F.col("token"), hash_fn=xxhash_base)
+        probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "token string")
+        got = {
+            r.token: r.est_count
+            for r in cm_estimate(
+                sk, probes, F.col("token"), hash_fn=xxhash_base
+            ).collect()
+        }
+        assert got["a"] >= 40 and got["b"] >= 7 and got["zz"] == 0
+
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(100)], "item string")
+        bloom = bloom_bits(keys, F.col("item"), hash_fn=xxhash_base)
+        mem = {
+            r.item: r.maybe_present
+            for r in bloom_membership(
+                bloom, keys, F.col("item"), hash_fn=xxhash_base
+            ).collect()
+        }
+        assert all(v == 1 for v in mem.values())  # no false negatives
+
+    def test_xxhash_null_contract(self, spark):
+        # NULL items must fall out of the sketch, not become phantom
+        # hash-42 items (raw xxhash64 returns the seed for NULL)
+        from mhw3d_detection_spark.operators.sketches import hll_registers
+        from mhw3d_detection_spark.operators.textops import xxhash_base
+
+        df = spark.createDataFrame(
+            [("x",), ("y",), (None,)], "token string"
+        )
+        x = df.select(xxhash_base(F.col("token")).alias("h")).collect()
+        assert sum(1 for r in x if r.h is None) == 1
+        regs_with = hll_registers(df, F.col("token"), [], hash_fn=xxhash_base)
+        regs_without = hll_registers(
+            df.filter(F.col("token").isNotNull()), F.col("token"), [],
+            hash_fn=xxhash_base,
+        )
+        assert {(r.reg, r.rho) for r in regs_with.collect()} == {
+            (r.reg, r.rho) for r in regs_without.collect()
+        }
+
+    def test_streaming_twins_accept_production_hash(self, spark, tmp_path):
+        # streaming registers under xxhash must merge with batch
+        # xxhash sketches (the seam the passthrough exists for)
+        import datetime as dt
+
+        from mhw3d_detection_spark.operators.sketches import hll_registers
+        from mhw3d_detection_spark.operators.textops import xxhash_base
+        from mhw3d_detection_spark.streaming import streaming_cardinality
+
+        base = dt.datetime(2024, 5, 1)
+        rows = [(base + dt.timedelta(seconds=i), f"it{i % 500}") for i in range(2000)]
+        rows.append((base + dt.timedelta(days=9), "sentinel"))
+        df = spark.createDataFrame(rows, "time timestamp, token string")
+        path = str(tmp_path / "fh_stream")
+        df.write.mode("overwrite").parquet(path)
+        stream = spark.readStream.schema(df.schema).parquet(path)
+        q = (
+            streaming_cardinality(stream, "token", window="1 day", hash_fn=xxhash_base)
+            .writeStream.format("memory")
+            .queryName("fh_card")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.reg, r.rho) for r in spark.table("fh_card").collect()}
+        want = {
+            (r.reg, r.rho)
+            for r in hll_registers(
+                df.filter(F.col("token") != "sentinel").select("token"),
+                F.col("token"), [], hash_fn=xxhash_base,
+            ).collect()
+        }
+        assert got == want
