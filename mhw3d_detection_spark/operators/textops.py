@@ -1302,3 +1302,68 @@ def source_overlap(
             est.alias("est_jaccard"),
         )
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup PAIRS at scale — the block-permutation trick of
+    Manku, Jain & Das Sarma (WWW'07, Google's web dedup): two 16-bit
+    fingerprints within Hamming distance ``d <= n_blocks - 1`` must
+    agree EXACTLY on at least one of ``n_blocks`` bit blocks
+    (pigeonhole), so candidate generation is an equi-join on
+    ``(block_id, block_bits)`` — never an all-pairs XOR sweep — and the
+    exact ``bit_count(xor)`` check runs only on the collisions.
+
+    Candidate blowup is bounded by block-key multiplicity (4-bit blocks
+    at test width; production widens the fingerprint and block size,
+    shrinking each key's bucket). Complements the MinHash-LSH path:
+    SimHash catches small token-multiset edits that shift few bits,
+    with one integer per doc as index state.
+
+    Returns ``(doc_a, doc_b, hamming)``, ``doc_a < doc_b``,
+    ``hamming <= max_hamming``.
+    """
+    assert max_hamming < n_blocks, "pigeonhole needs d < n_blocks"
+    sig = simhash16(docs, text_col)
+    width = 16 // n_blocks
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_bits"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.block_id").alias("block_id"),
+             F.col("bk.block_bits").alias("block_bits"))
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "block_id", "block_bits",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "block_id", "block_bits",
+    )
+    return (
+        a.join(b, ["block_id", "block_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )

@@ -189,6 +189,50 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 # =========================================================================
+# E2 — SimHash near-dup pairs via block permutation (Manku et al. '07)
+# =========================================================================
+_SIMHASH_SQL_BODY = (
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "h AS (SELECT doc_id, substr(md5(token), 1, 4) AS h4 FROM tok), "
+    "bits AS (SELECT doc_id, j.j, "
+    "  CAST(floor((strpos('0123456789abcdef', substr(h4, (j.j - 1) // 4 + 1, 1)) - 1) "
+    "    / power(2, 3 - ((j.j - 1) % 4))) AS INT) % 2 AS bit "
+    "  FROM h, (SELECT unnest(generate_series(1, 16)) AS j) j), "
+    "votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2), "
+    "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN power(2, 16 - j) "
+    "  ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY 1)"
+)
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    _SIMHASH_SQL_BODY + ", "
+    "blk AS (SELECT doc_id, simhash, b.b AS block_id, "
+    "  (simhash // (1 << (b.b * 4))) % 16 AS block_bits "
+    "  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, "
+    "  a.simhash AS sa, b2.simhash AS sb FROM blk a "
+    "  JOIN blk b2 ON a.block_id = b2.block_id AND a.block_bits = b2.block_bits "
+    "  WHERE a.doc_id < b2.doc_id) "
+    "SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand "
+    "WHERE bit_count(xor(sa, sb)) <= 3",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """E2: SimHash near-dup pairs by block permutation (Manku, Jain &
+    Das Sarma WWW'07): fingerprints within Hamming distance 3 must
+    agree exactly on one of 4 bit blocks (pigeonhole), so candidates
+    come from an equi-join on (block_id, block_bits) — never an
+    all-pairs XOR sweep — and bit_count(xor) verifies only collisions.
+    Complements MinHash-LSH: one integer of index state per doc."""
+    from mhw3d_detection_spark.operators.textops import (
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=3, n_blocks=4)
+
+
+# =========================================================================
 # E2 — duplicate clusters: connected components of the LSH pair graph
 # =========================================================================
 _CC_ITER = (

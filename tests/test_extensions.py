@@ -960,3 +960,50 @@ class TestFastHash:
         regs = hll_registers(df, F.col("token"), ["source"], hash_fn=xxhash_base)
         est = hll_estimate(regs, ["source"]).collect()[0].est_distinct
         assert abs(est / 20000 - 1.0) < 0.13, est
+
+
+class TestSimhashPairs:
+    def test_block_join_recall_is_exhaustive(self, spark, sf_dir):
+        # pigeonhole guarantee: the (block_id, block_bits) equi-join
+        # must find EVERY pair within Hamming distance 3 — compare
+        # against a brute-force XOR sweep over all fingerprints
+        from itertools import combinations
+
+        from mhw3d_detection_spark.operators.textops import (
+            simhash16,
+            simhash_hamming_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+        want = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a, b in combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_hamming_pairs(docs, max_hamming=3).collect()
+        }
+        assert got == want  # lossless candidate generation, exact verify
+
+    def test_exact_dup_has_hamming_zero(self, docs):
+        from mhw3d_detection_spark.operators.textops import (
+            simhash_hamming_pairs,
+        )
+
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_hamming_pairs(docs).collect()
+        }
+        assert pairs[(0, 1)] == 0  # identical docs
+
+    def test_pigeonhole_guard(self, docs):
+        import pytest as _pt
+
+        from mhw3d_detection_spark.operators.textops import (
+            simhash_hamming_pairs,
+        )
+
+        with _pt.raises(AssertionError, match="pigeonhole"):
+            simhash_hamming_pairs(docs, max_hamming=4, n_blocks=4)
