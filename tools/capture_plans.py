@@ -37,6 +37,7 @@ PLANS = [
     "q_decontaminate_bloom",
     "q_quality_classifier",
     "q_curate_corpus",
+    "q_dedup_simhash_pairs",
 ]
 
 HEADER = """# Physical plans — explain evidence
