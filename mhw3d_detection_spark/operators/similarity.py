@@ -260,6 +260,10 @@ def _assign_buckets_arrow(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # sort by bucket id so argmin's first-minimum tie-break matches the
+    # literal path's smallest-bucket-wins rule for any caller-supplied
+    # centroid order (assign_buckets is public API; don't assume sorted)
+    cents = sorted(cents, key=lambda t: t[0])
     C = np.array([c for _, c in cents], dtype=np.float64)  # k x dim
     B = np.array([b for b, _ in cents], dtype=np.int64)  # sorted by bucket
     cn = (C * C).sum(axis=1)  # ||c||^2, the x-independent term

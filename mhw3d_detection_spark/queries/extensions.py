@@ -229,7 +229,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_hamming_pairs(docs, max_hamming=3, n_blocks=4)
+    return simhash_hamming_pairs(docs, max_hamming=3, n_blocks=4, width=16)
 
 
 # =========================================================================
@@ -734,6 +734,11 @@ def q_similarity_ivf_trained(spark, sf_dir):
     + ", e0 AS (SELECT a.vec_id AS u, b2.vec_id AS v "
     "  FROM afin a JOIN afin b2 ON a.bucket = b2.bucket "
     "  WHERE a.vec_id < b2.vec_id "
+    # zero-norm guard mirrors the Spark side (bucket_near_dup_pairs
+    # filters na>0 AND nb>0): a degenerate zero vector would make
+    # DuckDB's cosine NaN, which its total order compares HIGH
+    "  AND list_inner_product(a.v, a.v) > 0 "
+    "  AND list_inner_product(b2.v, b2.v) > 0 "
     "  AND list_cosine_similarity(a.v, b2.v) >= 0.35), "
     "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
     "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
@@ -1499,15 +1504,17 @@ def _BLOOM_SQL() -> str:
     structure — integer and rational arithmetic only."""
     from mhw3d_detection_spark.operators.sketches import BLOOM_K, BLOOM_M
 
+    # k disjoint 32-bit md5 segments mod m — mirrors
+    # sketches._bloom_positions (independent bits per position; the
+    # affine family's residues mod a power-of-two m degenerate)
     pos = ", ".join(
-        f"(({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {MINHASH_M}) % {BLOOM_M}"
+        f"('0x' || substr(h, {1 + 8 * j}, 8))::BIGINT % {BLOOM_M}"
         for j in range(BLOOM_K)
     )
     return (
         "WITH " + SHINGLES_SQL + ", "
         "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), "
-        "hx AS (SELECT doc_id, shingle, "
-        "  ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shd), "
+        "hx AS (SELECT doc_id, shingle, md5(shingle) AS h FROM shd), "
         f"pb AS (SELECT DISTINCT unnest([{pos}]) AS bit FROM hx WHERE doc_id < 10), "
         f"cp AS (SELECT doc_id, shingle, unnest([{pos}]) AS bit FROM hx "
         "  WHERE doc_id >= 10), "
@@ -1600,6 +1607,10 @@ def _CURATION_SQL(thr: float = 0.35, cc_iters: int = 3) -> str:
         "  JOIN s3 ON a.vec_id = s3.doc_id), "
         "se0 AS (SELECT a.vec_id AS u, b2.vec_id AS v FROM sem0 a "
         "  JOIN sem0 b2 ON a.bucket = b2.bucket WHERE a.vec_id < b2.vec_id "
+        # zero-norm guard, mirroring bucket_near_dup_pairs (see
+        # q_semantic_dedup)
+        "  AND list_inner_product(a.v, a.v) > 0 "
+        "  AND list_inner_product(b2.v, b2.v) > 0 "
         f"  AND list_cosine_similarity(a.v, b2.v) >= {thr!r}), "
         "se AS MATERIALIZED (SELECT u, v FROM se0 UNION ALL SELECT v AS u, u AS v FROM se0), "
         "sl0 AS (SELECT DISTINCT v, v AS label FROM se), "

@@ -983,9 +983,73 @@ class TestSimhashPairs:
         }
         got = {
             (r.doc_a, r.doc_b, r.hamming)
-            for r in simhash_hamming_pairs(docs, max_hamming=3).collect()
+            for r in simhash_hamming_pairs(
+                docs, max_hamming=3, n_blocks=4, width=16
+            ).collect()
         }
         assert got == want  # lossless candidate generation, exact verify
+
+    def test_block_join_recall_production_width(self, spark, sf_dir):
+        # same pigeonhole differential at the PRODUCTION geometry
+        # (64-bit fingerprint, 8 blocks of 8 bits — Manku WWW'07):
+        # the equi-join must find every pair a brute-force XOR sweep
+        # over the 64-bit fingerprints finds
+        from itertools import combinations
+
+        from mhw3d_detection_spark.operators.textops import (
+            simhash,
+            simhash_hamming_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = {r.doc_id: r.simhash for r in simhash(docs, width=64).collect()}
+        want = {
+            (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+            for a, b in combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 7
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_hamming_pairs(docs, max_hamming=7).collect()
+        }
+        assert got == want
+
+    def test_simhash_width16_matches_simhash16(self, spark, sf_dir):
+        # the width-parameterized builder at width=16 IS the oracle
+        # fingerprint (bit-for-bit), so the DuckDB differential keeps
+        # covering the shared fold/vote/pack machinery
+        from mhw3d_detection_spark.operators.textops import simhash, simhash16
+
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        a = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+        b = {r.doc_id: r.simhash for r in simhash(docs, width=16).collect()}
+        assert a == b and len(a) > 0
+
+    def test_simhash_fast_hash_contract(self, docs):
+        # xxhash64 path: same schema, identical docs still collide at
+        # hamming 0, fingerprints are full-range longs
+        from mhw3d_detection_spark.operators.textops import (
+            simhash,
+            simhash_hamming_pairs,
+        )
+
+        sigs = {r.doc_id: r.simhash for r in simhash(docs, fast_hash=True).collect()}
+        assert sigs[0] == sigs[1]  # identical docs -> identical fingerprint
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_hamming_pairs(docs, fast_hash=True).collect()
+        }
+        assert pairs[(0, 1)] == 0
+
+    def test_width_must_tile_blocks(self, docs):
+        import pytest as _pt
+
+        from mhw3d_detection_spark.operators.textops import (
+            simhash_hamming_pairs,
+        )
+
+        with _pt.raises(AssertionError, match="tile"):
+            simhash_hamming_pairs(docs, max_hamming=3, n_blocks=5, width=64)
 
     def test_exact_dup_has_hamming_zero(self, docs):
         from mhw3d_detection_spark.operators.textops import (

@@ -257,6 +257,28 @@ def test_contamination_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_simhash_wide_pairs_equi_join_no_cartesian(spark, sf_dir):
+    # E2: the production-geometry SimHash pairs path (64-bit, 8 blocks)
+    # must generate candidates via an equi-join on (block_id,
+    # block_bits) — never a cartesian/nested-loop product — and the
+    # signature build must be ONE hash aggregate keyed by doc_id (no
+    # per-bit explode, no second aggregate level).
+    from mhw3d_detection_spark.operators.textops import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(simhash_hamming_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    sig_plan = _executed(simhash(docs))
+    # exactly ONE Generate (the token posexplode) — no per-bit explode
+    # multiplying every token row by `width`
+    assert sig_plan.count("Generate") == 1, sig_plan
+    assert _count_exchanges(sig_plan) == 1, sig_plan  # one doc_id agg
+
+
 def test_repetition_keyed_by_doc(spark, sf_dir):
     # E4b: repetition signals aggregate per (doc, n, gram) then per doc
     # — no single-partition exchange anywhere.

@@ -258,6 +258,48 @@ class TestBloom:
         fp = sum(got[f"other-{i}"] for i in range(300))
         assert fp <= 15, fp
 
+    def test_sizing_knob_rescues_saturated_filter(self, spark):
+        # the 100 TB failure mode the default guards against being
+        # hardcoded: a large key set SATURATES the 4096-bit oracle
+        # sketch (flag rate -> ~1, the pre-filter stops pruning), while
+        # the sizing rule m ~ -n ln(p)/ln2^2 restores the predicted fpr
+        from mhw3d_detection_spark.operators.sketches import (
+            bloom_bits,
+            bloom_membership,
+        )
+
+        n = 50_000
+        keys = spark.range(n).select(
+            F.concat(F.lit("key-"), F.col("id").cast("string")).alias("item")
+        )
+        probes = spark.range(5_000).select(
+            F.concat(F.lit("other-"), F.col("id").cast("string")).alias("item")
+        )
+        # default m=4096: kn/m ~ 49 -> every bit set -> fpr ~ 1
+        sat = bloom_bits(keys, F.col("item"))
+        fp_sat = (
+            bloom_membership(sat, probes, F.col("item"))
+            .agg(F.sum("maybe_present"))
+            .collect()[0][0]
+        )
+        assert fp_sat >= 4_900  # saturated: nearly everything flags
+        # sized m=2^20 for n=50k, k=4: fpr = (1-e^{-kn/m})^4 ~ 0.1%
+        m = 1 << 20
+        sized = bloom_bits(keys, F.col("item"), m=m)
+        fp = (
+            bloom_membership(sized, probes, F.col("item"), m=m)
+            .agg(F.sum("maybe_present"))
+            .collect()[0][0]
+        )
+        assert fp <= 50, fp  # ~5 expected at 0.1% of 5000; 10x slack
+        # no false negatives at either size
+        tn = (
+            bloom_membership(sized, keys, F.col("item"), m=m)
+            .agg(F.sum("maybe_present"))
+            .collect()[0][0]
+        )
+        assert tn == n
+
     def test_merge_by_union_equals_direct(self, spark):
         from mhw3d_detection_spark.operators.sketches import bloom_bits
 
@@ -467,11 +509,14 @@ class TestPythonReferenceDifferentials:
 
         df = spark.createDataFrame([(i,) for i in items], "item string")
         got = {r.bit for r in bloom_bits(df, F.col("item")).collect()}
+        import hashlib
+
         want = set()
         for it in items:
-            x = self._base(it)
+            h = hashlib.md5(it.encode()).hexdigest()
             for j in range(BLOOM_K):
-                want.add(((MINHASH_A[j] * x + MINHASH_B[j]) % MINHASH_M) % BLOOM_M)
+                # disjoint 32-bit md5 segments mod m (_bloom_positions)
+                want.add(int(h[8 * j : 8 * j + 8], 16) % BLOOM_M)
         assert got == want
 
 
@@ -500,11 +545,12 @@ class TestFastHashSeam:
         assert got["a"] >= 40 and got["b"] >= 7 and got["zz"] == 0
 
         keys = spark.createDataFrame([(f"k{i}",) for i in range(100)], "item string")
-        bloom = bloom_bits(keys, F.col("item"), hash_fn=xxhash_base)
+        # bloom's fast path is j-salted xxhash64 (supports k > 4 too)
+        bloom = bloom_bits(keys, F.col("item"), k=6, fast_hash=True)
         mem = {
             r.item: r.maybe_present
             for r in bloom_membership(
-                bloom, keys, F.col("item"), hash_fn=xxhash_base
+                bloom, keys, F.col("item"), k=6, fast_hash=True
             ).collect()
         }
         assert all(v == 1 for v in mem.values())  # no false negatives
