@@ -226,12 +226,17 @@ def kmeans_ivf_centroids(
     return cents
 
 
-#: above this k the literal-argmin expression tree (k zip_with/aggregate
-#: lambdas per row, all interpreted) stops being viable — Catalyst
-#: analysis goes superlinear in the tree size and the interpreter cost
-#: scales with k (measured: k=64 fine, k=256 times out on 100k rows) —
-#: and the assign switches to the Arrow-batched matmul kernel.
-LITERAL_ASSIGN_MAX_K = 64
+#: the literal-vs-Arrow assign switch point. Since the r7 sweep this is
+#: a REPRODUCIBILITY boundary, not a performance one: best-of-3 at
+#: 40k×64-dim rows measured the Arrow matmul kernel at parity-or-faster
+#: from k=4 on (k=4: 0.59 vs 0.46 s; k=8: 0.81 vs 0.41; k=16: 1.29 vs
+#: 0.34; k=64: 5.7 vs 0.5 — see docs/PLANS.md), and the literal tree's
+#: interpreter cost grows with k while Arrow stays flat. The literal
+#: expression is kept through k=8 — the largest k any DuckDB-oracle row
+#: uses — because it is the only path whose distance fold is
+#: bit-reproducible cross-engine (_KMEANS_SQL replays it exactly);
+#: everything larger takes the kernel.
+LITERAL_ASSIGN_MAX_K = 8
 
 
 def _assign_buckets_arrow(
