@@ -478,6 +478,12 @@ def _grid_clim_arrays_fused(
     # re-sorting from scratch 366x per cell.
     day_groups = base.groupBy("cell_id", "doy").agg(
         F.sort_array(F.collect_list("temp")).alias("__v"),
+        # presummed day group: seas for a NON-wrap bucket is then 11
+        # adds over these instead of ~11x|years| adds over the pooled
+        # buffer — the single largest interpreted-lambda hot loop in
+        # the fused clim (HOFs never codegen; C2 tier-up of their
+        # interpreted eval was measured as the cold-wall driver)
+        F.sum("temp").alias("__s"),
         F.min(F.year("time")).alias("__y0"),
         F.max(F.year("time")).alias("__y1"),
         # per-sample (year, temp) pairs, kept ONLY for edge DOYs
@@ -494,6 +500,9 @@ def _grid_clim_arrays_fused(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("doy"), F.col("__v")))
         ).alias("__dgm"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("doy"), F.col("__s")))
+        ).alias("__sm"),
         F.map_from_entries(
             F.collect_list(F.when(edge, F.struct(F.col("doy"), F.col("__e"))))
         ).alias("__edgem"),
@@ -513,6 +522,9 @@ def _grid_clim_arrays_fused(
         {
             "__dga": F.transform(
                 doys, lambda d: F.coalesce(F.element_at("__dgm", d), empty_d)
+            ),
+            "__suma": F.transform(
+                doys, lambda d: F.coalesce(F.element_at("__sm", d), F.lit(0.0))
             ),
             "__edgea": F.transform(
                 doys, lambda d: F.coalesce(F.element_at("__edgem", d), empty_e)
@@ -569,11 +581,23 @@ def _grid_clim_arrays_fused(
     percell = percell.withColumn("__pool", F.transform(doys, pool_slot))
     pool = F.col("__pool")
 
+    suma = F.col("__suma")
+
     def seas_slot(t: Column) -> Column:
         v = F.element_at(pool, t)
+        # non-wrap buckets (the 366 - 2W majority): the pool is exactly
+        # the 2W+1 whole day groups, so its sum is 2W+1 adds over the
+        # PRESUMMED day sums — not |pool| interpreted adds over every
+        # sample (same skipna semantics: collect_list and sum both drop
+        # NULLs; float totals agree within the rq display rounding)
+        fast = F.aggregate(
+            F.slice(suma, t - W, 2 * W + 1), F.lit(0.0), lambda a, x: a + x
+        )
+        slow = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+        wrap = (F.lit(W) >= t) | (t >= 367 - W)
         return F.when(
             F.size(v) > 0,
-            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v),
+            F.when(wrap, slow).otherwise(fast) / F.size(v),
         ).otherwise(nan)
 
     def thr_slot(t: Column) -> Column:
