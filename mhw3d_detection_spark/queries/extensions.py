@@ -2201,3 +2201,101 @@ def q_source_overlap(spark, sf_dir):
         rq("exact_jaccard", 6).alias("exact_jaccard"),
         "est_jaccard",
     )
+
+
+# =========================================================================
+# E3 — int8 scalar-quantized top-k (r7: the memory-bound scale path)
+# =========================================================================
+@register(
+    "q_similarity_topk_int8",
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "  FROM embeddings), "
+    "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e), "
+    "sc AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0/mx ELSE 0.0 END AS scale FROM m), "
+    "q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x*scale + 0.5) AS BIGINT)) AS qv "
+    "  FROM sc), "
+    "n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn2 "
+    "  FROM q), "
+    "p AS (SELECT vec_id AS probe_id, qv AS pqv, qn2 AS pqn2 FROM n WHERE vec_id % 50 = 0), "
+    "sims AS (SELECT p.probe_id, n.vec_id, "
+    "  CAST(list_dot_product(n.qv, p.pqv) AS BIGINT) / (sqrt(n.qn2) * sqrt(p.pqn2)) AS qcosine "
+    "  FROM n, p WHERE n.vec_id <> p.probe_id AND n.qn2 > 0 AND p.pqn2 > 0), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY qcosine DESC, vec_id) AS INT) AS rank FROM sims) "
+    "SELECT probe_id, vec_id, qcosine, rank FROM ranked WHERE rank <= 5",
+)
+def q_similarity_topk_int8(spark, sf_dir):
+    """E3 (r7): brute-force top-5 over int8 scalar-quantized codes —
+    the memory-bound production path (8x narrower scan than the
+    float64 math; integer multiply-add inner loop). NOTE the output is
+    UNROUNDED: every arithmetic step (widening cast, 127/max|v|,
+    v*scale, floor, int64 dot, sqrt, divide) is exactly-rounded IEEE,
+    so the quantized cosine is bit-identical cross-engine — this row
+    is deliberately a no-rq differential pinning that claim."""
+    from mhw3d_detection_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_topk(emb, probe_pred=lambda c: c % 50 == 0, k=5)
+
+
+# =========================================================================
+# E4 — BM25 ranked retrieval (r7)
+# =========================================================================
+_BM25_TERMS = ("merge", "query", "spark", "window")
+
+
+@register(
+    "q_bm25_topk",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+    "nd AS (SELECT count(*) * 1.0 AS n FROM documents), "
+    "ad AS (SELECT avg(dl) AS avgdl FROM dl), "
+    "hit AS (SELECT doc_id, token FROM tok WHERE token IN "
+    f"({', '.join(repr(t) for t in sorted(_BM25_TERMS))})), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM hit GROUP BY 1, 2), "
+    "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM hit GROUP BY 1), "
+    "idf AS (SELECT token, ln(1.0 + (nd.n - df + 0.5) / (df + 0.5)) AS idf "
+    "  FROM df CROSS JOIN nd), "
+    "c AS (SELECT tf.doc_id, "
+    f"  {rq_sql('idf.idf * (tf.tf * 2.25) / (tf.tf + 1.25 * (0.25 + 0.75 * dl.dl / ad.avgdl))', 6)} AS cq "
+    "  FROM tf JOIN idf ON tf.token = idf.token "
+    "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad), "
+    "s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms, "
+    f"  {rq_sql('sum(cq)', 4)} AS score FROM c GROUP BY 1) "
+    "SELECT doc_id, n_hit_terms, score FROM s ORDER BY score DESC, doc_id LIMIT 20",
+)
+def q_bm25_topk(spark, sf_dir):
+    """E4 (r7): BM25 ranked retrieval for a fixed query-term bag — the
+    lexical corpus-slicing scorer (Robertson & Zaragoza 2009). Two
+    doc-keyed hash aggregates + broadcast term/scalar dims +
+    TakeOrdered; each term contribution is rq6-quantized BEFORE the
+    per-doc sum so the total is order-independent (dyadic-grid sums,
+    the sketch-register trick)."""
+    from mhw3d_detection_spark.operators.textops import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k1=1.25, b=0.75, top_n=20)
+
+
+# =========================================================================
+# E4 — BPE merge-pair counting (r7)
+# =========================================================================
+@register(
+    "q_bpe_merge_pairs",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "pr AS (SELECT unnest(CASE WHEN length(token) < 2 THEN []::VARCHAR[] "
+    "  ELSE list_transform(generate_series(1, CAST(length(token) AS INT) - 1), "
+    "    i -> substr(token, i, 2)) END) AS pair FROM tok) "
+    "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1 "
+    "ORDER BY n DESC, pair LIMIT 50",
+)
+def q_bpe_merge_pairs(spark, sf_dir):
+    """E4 (r7): one round of BPE merge-candidate counting (Sennrich et
+    al. 2016) — adjacent character-pair frequencies inside word tokens,
+    tf-weighted over all occurrences; the vocabulary-induction
+    primitive of tokenizer training. Pure integer counts: narrow
+    double explode -> one hash aggregate -> TakeOrdered."""
+    from mhw3d_detection_spark.operators.textops import bpe_merge_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, top_n=50)

@@ -1071,3 +1071,128 @@ class TestSimhashPairs:
 
         with _pt.raises(AssertionError, match="pigeonhole"):
             simhash_hamming_pairs(docs, max_hamming=4, n_blocks=4)
+
+
+class TestInt8Similarity:
+    def test_codes_bounded_and_max_hits_127(self, spark, sf_dir):
+        from mhw3d_detection_spark.operators.similarity import quantize_int8
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = quantize_int8(emb).select(
+            F.array_min("qv").alias("lo"),
+            F.array_max("qv").alias("hi"),
+        )
+        agg = q.agg(F.min("lo"), F.max("hi")).collect()[0]
+        assert agg[0] >= -127 and agg[1] <= 127
+        # the max-|v| component quantizes to exactly +/-127 per vector
+        hit = quantize_int8(emb).select(
+            F.greatest(F.abs(F.array_min("qv")), F.abs(F.array_max("qv"))).alias("m")
+        )
+        ms = {r.m for r in hit.collect()}
+        assert ms == {127}
+
+    def test_zero_vector_guard(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            int8_topk,
+            quantize_int8,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.5]), (2, [0.9, 0.6]), (3, [-1.0, 0.2])],
+            "vec_id long, embedding array<float>",
+        )
+        q = {r.vec_id: r for r in quantize_int8(emb).collect()}
+        assert q[0].qnorm2 == 0 and q[0].scale == 0.0  # zero vec -> zero codes
+        out = int8_topk(emb, probe_pred=lambda c: c == 1, k=3).collect()
+        ids = {r.vec_id for r in out}
+        assert 0 not in ids and 1 not in ids  # guard + self-exclusion
+
+    def test_quantized_topk_tracks_float_topk(self, spark, sf_dir):
+        # int8 cosine deviates O(1/127): the top-5 sets should agree on
+        # the vast majority of (probe, neighbor) memberships
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk,
+            int8_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        f = {(r.probe_id, r.vec_id) for r in
+             cosine_topk(emb, lambda c: c % 50 == 0, k=5).collect()}
+        qz = {(r.probe_id, r.vec_id) for r in
+              int8_topk(emb, lambda c: c % 50 == 0, k=5).collect()}
+        assert len(f & qz) / len(f) >= 0.8, (len(f & qz), len(f))
+
+
+class TestBM25:
+    def test_matches_pure_python_reference(self, spark):
+        import math
+        import re as _re
+
+        from mhw3d_detection_spark.operators.textops import bm25_topk
+
+        corpus = [
+            (0, "spark query window merge spark spark"),
+            (1, "table scan filter row value"),
+            (2, "query query query window table"),
+            (3, "merge window merge window merge window"),
+            (4, "spark"),
+            (5, ""),
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        terms = ("merge", "query", "spark", "window")
+        k1, b = 1.25, 0.75
+        toks = {d: _re.findall("[a-z0-9]+", t.lower()) for d, t in corpus}
+        dls = {d: len(t) for d, t in toks.items() if len(t) > 0}
+        avgdl = sum(dls.values()) / len(dls)
+        N = len(corpus)
+        import collections
+
+        def rqp(x, dd):
+            eps = {6: 2.0**-16, 4: 2.0**-14}.get(dd, 2.0**-16)
+            return math.floor(x * 10.0**dd + (0.5 + eps)) / 10.0**dd
+
+        want = {}
+        for d, tks in toks.items():
+            tf = collections.Counter(t for t in tks if t in terms)
+            if not tf:
+                continue
+            s = 0.0
+            for t, f_ in tf.items():
+                df = sum(1 for dd2 in toks.values() if t in dd2)
+                idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+                c = idf * (f_ * (k1 + 1)) / (f_ + k1 * (1 - b + b * dls[d] / avgdl))
+                s += rqp(c, 6)
+            want[d] = (len(tf), rqp(s, 4))
+        got = {
+            r.doc_id: (r.n_hit_terms, r.score)
+            for r in bm25_topk(docs, terms, k1=k1, b=b, top_n=10).collect()
+        }
+        assert got == want
+
+    def test_empty_and_no_hit_docs_absent(self, spark):
+        from mhw3d_detection_spark.operators.textops import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(0, "spark rocks"), (1, "nothing relevant"), (2, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id for r in bm25_topk(docs, ("spark",)).collect()}
+        assert out == {0}
+
+
+class TestBpeMergePairs:
+    def test_hand_counted(self, spark):
+        from mhw3d_detection_spark.operators.textops import bpe_merge_pairs
+
+        docs = spark.createDataFrame(
+            [(0, "aab ab a"), (1, "aab x")], "doc_id long, text string"
+        )
+        # tokens: aab, ab, a, aab, x -> pairs: aa,ab | ab | - | aa,ab | -
+        got = {r.pair: r.n for r in bpe_merge_pairs(docs).collect()}
+        assert got == {"aa": 2, "ab": 3}
+
+    def test_single_char_tokens_yield_nothing(self, spark):
+        from mhw3d_detection_spark.operators.textops import bpe_merge_pairs
+
+        docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        assert bpe_merge_pairs(docs).count() == 0

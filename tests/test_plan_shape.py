@@ -425,3 +425,37 @@ def test_token_frequency_probes_take_ordered(spark, sf_dir):
     plan = _executed(token_frequency_sketch(docs, top_n=20))
     assert "TakeOrdered" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bm25_take_ordered_and_broadcast_dims(spark, sf_dir):
+    # E4 r7: the ranking must plan as TakeOrderedAndProject (never a
+    # global sort of the scored corpus) and the idf/avgdl dims must
+    # broadcast — the only non-broadcast exchanges are the doc-keyed
+    # hash aggregates.
+    from mhw3d_detection_spark.operators.textops import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(bm25_topk(docs, ("spark", "query")))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_pairs_take_ordered_single_agg(spark, sf_dir):
+    # E4 r7: narrow double explode -> ONE pair-keyed hash aggregate ->
+    # TakeOrdered.
+    from mhw3d_detection_spark.operators.textops import bpe_merge_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(bpe_merge_pairs(docs))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _count_exchanges(plan) == 1, plan
+
+
+def test_int8_quantize_is_narrow(spark, sf_dir):
+    # E3 r7: quantization is a pure map — zero exchanges of any kind.
+    from mhw3d_detection_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _executed(quantize_int8(emb))
+    assert "Exchange" not in plan, plan
