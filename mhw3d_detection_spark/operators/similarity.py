@@ -691,7 +691,10 @@ def projected_rerank_topk(
 
 
 def quantize_int8(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric int8 scalar quantization of an embedding column — the
     standard 4× memory/bandwidth compression for vector search indexes
@@ -712,7 +715,7 @@ def quantize_int8(
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
     base = emb.select(
-        F.col(id_col), v.alias("__v"), scale.alias("scale")
+        F.col(id_col), *carry_cols, v.alias("__v"), scale.alias("scale")
     )
     qv = F.transform(
         F.col("__v"),
@@ -720,6 +723,7 @@ def quantize_int8(
     )
     return base.select(
         id_col,
+        *carry_cols,
         qv.alias("qv"),
         "scale",
     ).withColumn(
@@ -736,6 +740,7 @@ def int8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Top-k quantized-cosine neighbors per probe over int8 codes —
     the memory-bound scale path of brute-force search: the scan reads
@@ -752,19 +757,34 @@ def int8_topk(
 
     Same plan shape as :func:`cosine_topk`: corpus × broadcast probes,
     two-phase salted top-k (no hot partition at few-probes/huge-corpus
-    skew). Returns ``(probe_id, vec_id, qcosine, rank)``.
+    skew). ``bucket_col`` switches brute-force → IVF-SQ8 (the FAISS
+    IVFx,SQ8 index shape): candidates must share the probe's coarse
+    cell, so the scored fraction drops to 1/n_cells AND each candidate
+    costs an integer dot — the two scale levers compose.
+    Returns ``(probe_id, vec_id, qcosine, rank)``.
     """
-    q = quantize_int8(emb, id_col, vec_col)
+    q = quantize_int8(
+        emb, id_col, vec_col,
+        carry_cols=(bucket_col,) if bucket_col else (),
+    )
     base = q.select(
-        F.col(id_col).alias("vec_id"), "qv", "qnorm2"
+        F.col(id_col).alias("vec_id"),
+        "qv",
+        "qnorm2",
+        *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
     )
     probes = base.filter(probe_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("probe_id"),
         F.col("qv").alias("pqv"),
         F.col("qnorm2").alias("pqn2"),
+        *([F.col("bucket")] if bucket_col else []),
     )
+    if bucket_col:
+        j = base.join(F.broadcast(probes), on="bucket", how="inner")
+    else:
+        j = base.crossJoin(F.broadcast(probes))
     j = (
-        base.crossJoin(F.broadcast(probes))
+        j
         .filter(
             (F.col("vec_id") != F.col("probe_id"))
             & (F.col("qnorm2") > 0)

@@ -1136,7 +1136,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.25,
     b: float = 0.75,
-    top_n: int = 20,
+    top_n: int | None = 20,
 ) -> DataFrame:
     """BM25 ranked retrieval (Robertson & Zaragoza 2009) for one bag of
     ``query_terms`` over the corpus — the lexical-retrieval scorer a
@@ -1205,6 +1205,8 @@ def bm25_topk(
         F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
         rq(F.sum("__cq"), 4).alias("score"),
     )
+    if top_n is None:  # full scored frame (no TakeOrdered heap)
+        return scored
     return scored.orderBy(F.desc("score"), "doc_id").limit(top_n)
 
 
@@ -1539,3 +1541,40 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .distinct()
     )
+
+
+def bm25_stats(
+    docs: DataFrame, query_terms: tuple[str, ...], text_col: str = "text"
+) -> tuple[dict[str, float], float]:
+    """Corpus statistics for BM25 deployment: ``({term: idf}, avgdl)``
+    from a reference corpus — the train-once seam of the streaming
+    gate (:func:`streaming.sessionize.streaming_bm25_gate` folds these
+    in as plan literals, the same deployment shape as the quality
+    classifier's literal weights).
+
+    EAGER: collects a query-terms-sized dict + one scalar (documented
+    contract, like the k-means trainer). idf matches :func:`bm25_topk`
+    bit-for-bit (same ln over the same double operands)."""
+    terms = sorted(set(query_terms))
+    tok = tokenize(docs, text_col)
+    n = docs.count()
+    avgdl_row = (
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        .agg(F.avg("dl").alias("a"))
+        .collect()[0]
+    )
+    avgdl = float(avgdl_row["a"])
+    df_rows = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    import math
+
+    dfs = {r["token"]: r["df"] for r in df_rows}
+    idf = {
+        t: math.log(1.0 + (float(n) - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in terms
+    }
+    return idf, avgdl

@@ -2299,3 +2299,37 @@ def q_bpe_merge_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merge_pairs(docs, top_n=50)
+
+
+@register(
+    "q_similarity_ivf_int8",
+    "WITH e AS (SELECT vec_id, label, "
+    "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "m AS (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e), "
+    "sc AS (SELECT vec_id, label, v, CASE WHEN mx > 0 THEN 127.0/mx ELSE 0.0 END AS scale FROM m), "
+    "q AS (SELECT vec_id, label, "
+    "  list_transform(v, x -> CAST(floor(x*scale + 0.5) AS BIGINT)) AS qv FROM sc), "
+    "n AS (SELECT vec_id, label, qv, "
+    "  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn2 FROM q), "
+    "p AS (SELECT vec_id AS probe_id, label, qv AS pqv, qn2 AS pqn2 FROM n "
+    "  WHERE vec_id % 50 = 0), "
+    "sims AS (SELECT p.probe_id, n.vec_id, "
+    "  CAST(list_dot_product(n.qv, p.pqv) AS BIGINT) / (sqrt(n.qn2) * sqrt(p.pqn2)) AS qcosine "
+    "  FROM n JOIN p ON n.label = p.label "
+    "  WHERE n.vec_id <> p.probe_id AND n.qn2 > 0 AND p.pqn2 > 0), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY qcosine DESC, vec_id) AS INT) AS rank FROM sims) "
+    "SELECT probe_id, vec_id, qcosine, rank FROM ranked WHERE rank <= 5",
+)
+def q_similarity_ivf_int8(spark, sf_dir):
+    """E3 (r7): IVF-SQ8 — the FAISS IVFx,SQ8 index shape as DataFrame
+    ops: coarse-cell equi-join (1/n_cells of the corpus scored per
+    probe) x int8 integer-dot scoring (8x narrower scan). The two
+    scale levers compose; output stays the unrounded bit-exact
+    quantized cosine."""
+    from mhw3d_detection_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_topk(
+        emb, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="label"
+    )

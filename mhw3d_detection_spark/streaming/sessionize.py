@@ -515,3 +515,65 @@ def streaming_detect_partials(
         ).write.mode("overwrite").parquet(f"{partials_path}/batch={batch_id}")
 
     return stream.writeStream.foreachBatch(sink)
+
+
+def streaming_bm25_gate(
+    stream: DataFrame,
+    term_idf: dict[str, float],
+    avgdl: float,
+    *,
+    k1: float = 1.25,
+    b: float = 0.75,
+    min_score: float | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance gate at ingest (E4c's streaming face): score each
+    arriving document against a FIXED query-term bag whose idf/avgdl
+    statistics were trained once on a reference corpus
+    (``operators.textops.bm25_stats``) and folded in as plan LITERALS —
+    the same train-once/deploy-literal seam as the quality classifier.
+
+    Everything is row-local: ``tf`` of each query term comes from a
+    ``filter`` over the doc's own token array, ``dl`` is its size — no
+    aggregation, no watermark, no state, so the gate composes with any
+    source and scales as a narrow map. Scores are BIT-IDENTICAL to the
+    batch ranker on the same corpus stats: each term contribution is
+    rq6-quantized exactly as in ``bm25_topk``, and a fixed-order sum of
+    dyadic-grid values equals the batch aggregate's any-order sum.
+
+    ``min_score`` turns annotation into a gate. Docs with no query-term
+    hits score 0.0 (the batch TOP-K never surfaces them; a stream must
+    still route them). Returns
+    ``(..., dl, n_hit_terms, score)``.
+    """
+    from mhw3d_detection_spark.operators.textops import tokens_col
+    from mhw3d_detection_spark.queries.base import rq
+
+    toks = tokens_col(F.col(text_col))
+    out = stream.withColumn("__toks", toks).withColumn(
+        "dl", F.size("__toks").cast("long")
+    )
+    contribs = []
+    hits = []
+    for t in sorted(term_idf):
+        tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+        c = (
+            F.lit(float(term_idf[t]))
+            * (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+            )
+        )
+        contribs.append(F.when(tf > 0, rq(c, 6)).otherwise(F.lit(0.0)))
+        hits.append(F.when(tf > 0, 1).otherwise(0))
+    score = rq(sum(contribs, F.lit(0.0)), 4)
+    out = (
+        out.withColumn("n_hit_terms", sum(hits, F.lit(0)).cast("int"))
+        .withColumn("score", score)
+        .drop("__toks")
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= F.lit(float(min_score)))
+    return out

@@ -1196,3 +1196,19 @@ class TestBpeMergePairs:
 
         docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
         assert bpe_merge_pairs(docs).count() == 0
+
+    def test_ivf_int8_restricts_to_bucket(self, spark):
+        from mhw3d_detection_spark.operators.similarity import int8_topk
+
+        rows = [
+            (0, [1.0, 0.0], 7),
+            (1, [1.0, 0.1], 7),
+            (2, [1.0, 0.0], 8),  # identical direction, other bucket
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = int8_topk(
+            emb, probe_pred=lambda c: c == 0, k=5, bucket_col="label"
+        ).collect()
+        assert [r.vec_id for r in out] == [1]

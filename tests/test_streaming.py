@@ -676,3 +676,52 @@ def test_streaming_frequency_and_histogram_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got_h == want_h
+
+
+def test_streaming_bm25_gate_matches_batch_ranker(spark, tmp_path):
+    # scores from the streaming gate (row-local tf, literal idf/avgdl)
+    # must be BIT-IDENTICAL to the batch ranker's on the same corpus
+    # stats: rq6-quantized contributions make the sums order-free
+    from mhw3d_detection_spark.operators.textops import bm25_stats, bm25_topk
+    from mhw3d_detection_spark.streaming.sessionize import streaming_bm25_gate
+
+    terms = ("merge", "query", "spark", "window")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idf, avgdl = bm25_stats(docs, terms)
+    path = str(tmp_path / "bm25_stream")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        streaming_bm25_gate(stream, idf, avgdl)
+        .writeStream.format("memory")
+        .queryName("bm25_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_hit_terms, r.score)
+        for r in spark.table("bm25_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.n_hit_terms, r.score)
+        for r in bm25_topk(docs, terms, top_n=None).collect()
+    }
+    for d, (nh, sc) in want.items():
+        assert got[d] == (nh, sc), (d, got[d], (nh, sc))
+    # stream routes no-hit docs too, scored 0
+    assert all(v[1] == 0.0 for k, v in got.items() if k not in want)
+
+    # min_score turns annotation into a gate
+    q2 = (
+        streaming_bm25_gate(stream, idf, avgdl, min_score=1.0)
+        .writeStream.format("memory")
+        .queryName("bm25_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    gated = {r.doc_id for r in spark.table("bm25_stream_gate").collect()}
+    assert gated == {d for d, (_, sc) in want.items() if sc >= 1.0}
