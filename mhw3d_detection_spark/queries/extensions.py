@@ -2333,3 +2333,42 @@ def q_similarity_ivf_int8(spark, sf_dir):
     return int8_topk(
         emb, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="label"
     )
+
+
+# =========================================================================
+# E4e — quality-classifier calibration bands (r7)
+# =========================================================================
+@register(
+    "q_quality_calibration",
+    "WITH d AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+    "s AS (SELECT doc_id, " + QFEATURES_SQL + " FROM d), "
+    f"z AS (SELECT doc_id, {QLOGIT_SQL()} AS logit FROM s) "
+    "SELECT CAST(floor(logit * 4.0) AS BIGINT) AS band, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep "
+    "FROM z WHERE logit IS NOT NULL GROUP BY 1 ORDER BY band",
+)
+def q_quality_calibration(spark, sf_dir):
+    """E4e (r7): calibration diagnostic for the literal-weight quality
+    classifier — doc counts and keep counts per quarter-logit band
+    (floor(logit*4)). The logit is exact IEEE both engines, so the
+    band index is an exact integer; counts are integers — no rounding
+    anywhere. One narrow scoring scan + one tiny hash aggregate
+    (bands-sized state), the shape of a threshold-tuning sweep over a
+    100 TB corpus."""
+    from mhw3d_detection_spark.operators.textops import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    z = quality_scores(docs).filter(F.col("quality_logit").isNotNull())
+    return (
+        z.groupBy(
+            F.floor(F.col("quality_logit") * 4.0).cast("long").alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("quality_logit") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .orderBy("band")
+    )

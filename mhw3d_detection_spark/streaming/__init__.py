@@ -1,5 +1,6 @@
 from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_area_stats,
+    streaming_bm25_gate,
     streaming_cardinality,
     streaming_dedup,
     streaming_detect_partials,

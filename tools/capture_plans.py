@@ -38,6 +38,10 @@ PLANS = [
     "q_quality_classifier",
     "q_curate_corpus",
     "q_dedup_simhash_pairs",
+    "q_similarity_topk_int8",
+    "q_similarity_ivf_int8",
+    "q_bm25_topk",
+    "q_bpe_merge_pairs",
 ]
 
 HEADER = """# Physical plans — explain evidence
