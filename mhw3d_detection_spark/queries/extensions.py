@@ -223,7 +223,13 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     agree exactly on one of 4 bit blocks (pigeonhole), so candidates
     come from an equi-join on (block_id, block_bits) — never an
     all-pairs XOR sweep — and bit_count(xor) verifies only collisions.
-    Complements MinHash-LSH: one integer of index state per doc."""
+    Complements MinHash-LSH: one integer of index state per doc.
+
+    This row pins the 16-bit/4-block ORACLE geometry only (DuckDB
+    replays it bit-for-bit). Production uses the operator's 64-bit/
+    8-block defaults — 4-bit block keys degenerate toward all-pairs at
+    corpus scale (measured: 20k docs -> 24.7M candidate pairs at width
+    16 vs 100k docs -> 0.55M at width 64; docs/PLANS.md r7)."""
     from mhw3d_detection_spark.operators.textops import (
         simhash_hamming_pairs,
     )
