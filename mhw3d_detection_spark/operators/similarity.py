@@ -832,3 +832,69 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "qcosine", "rank")
     )
+
+
+def hybrid_rrf_retrieval(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: tuple[str, ...],
+    probe_vec_id: int,
+    *,
+    k_rrf: int = 60,
+    ann_depth: int = 64,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher SIGIR'09): fuse the BM25 lexical ranking of
+    ``query_terms`` with the int8-ANN ranking around the probe
+    embedding — ``rrf(d) = Σ_systems 1/(k_rrf + rank_system(d))`` —
+    the standard lexical ⊕ dense ensemble of modern retrieval stacks
+    (and of RAG data curation), expressed entirely as DataFrame ops.
+
+    Exactness: both inputs to the fusion are integer RANKS (the BM25
+    rank orders by the rq4-quantized score then doc_id via the
+    two-phase ``_global_row_number`` — no single-partition window; the
+    ANN rank is the int8 path's bit-exact ordering), and
+    ``1/(k_rrf+rank)`` is one exactly-rounded division — the fused
+    score is bit-identical cross-engine with NO rounding tolerance.
+
+    Plan shape: the lexical leg is bm25's two doc-keyed aggregates +
+    range-partitioned rank; the dense leg scores |corpus| once against
+    one broadcast probe; fusion is a doc-keyed full-outer join of two
+    rankings (lexical: hit docs only; dense: ``ann_depth`` rows) and a
+    TakeOrdered. A doc absent from a system contributes 0 for that
+    system (standard RRF).
+
+    Returns ``(doc_id, lex_rank, ann_rank, rrf)``, top ``top_n`` by
+    (rrf desc, doc_id).
+    """
+    from mhw3d_detection_spark.operators.analysis import _global_row_number
+    from mhw3d_detection_spark.operators.textops import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, text_col=text_col, top_n=None)
+    lexr = _global_row_number(
+        lex, [F.desc("score"), F.col("doc_id")], "lex_rank"
+    ).select("doc_id", "lex_rank")
+    ann = int8_topk(
+        emb,
+        probe_pred=lambda c: c == probe_vec_id,
+        k=ann_depth,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("ann_rank"))
+    fused = (
+        lexr.join(ann, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("ann_rank")), F.lit(0.0)
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(top_n)

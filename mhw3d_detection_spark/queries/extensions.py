@@ -2378,3 +2378,61 @@ def q_quality_calibration(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# =========================================================================
+# E3+E4 — hybrid retrieval: Reciprocal Rank Fusion of BM25 + int8 ANN (r7)
+# =========================================================================
+@register(
+    "q_hybrid_retrieval_rrf",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+    "nd AS (SELECT count(*) * 1.0 AS n FROM documents), "
+    "ad AS (SELECT avg(dl) AS avgdl FROM dl), "
+    "hit AS (SELECT doc_id, token FROM tok WHERE token IN "
+    f"({', '.join(repr(t) for t in sorted(_BM25_TERMS))})), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM hit GROUP BY 1, 2), "
+    "bdf AS (SELECT token, count(DISTINCT doc_id) AS df FROM hit GROUP BY 1), "
+    "idf AS (SELECT token, ln(1.0 + (nd.n - df + 0.5) / (df + 0.5)) AS idf "
+    "  FROM bdf CROSS JOIN nd), "
+    "c AS (SELECT tf.doc_id, "
+    f"  {rq_sql('idf.idf * (tf.tf * 2.25) / (tf.tf + 1.25 * (0.25 + 0.75 * dl.dl / ad.avgdl))', 6)} AS cq "
+    "  FROM tf JOIN idf ON tf.token = idf.token "
+    "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad), "
+    f"s AS (SELECT doc_id, {rq_sql('sum(cq)', 4)} AS score FROM c GROUP BY 1), "
+    "lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) "
+    "  AS lex_rank FROM s), "
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "  FROM embeddings), "
+    "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e), "
+    "sc AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0/mx ELSE 0.0 END AS scale FROM m), "
+    "q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x*scale + 0.5) AS BIGINT)) AS qv "
+    "  FROM sc), "
+    "nn AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn2 "
+    "  FROM q), "
+    "p AS (SELECT qv AS pqv, qn2 AS pqn2 FROM nn WHERE vec_id = 0), "
+    "sims AS (SELECT nn.vec_id, "
+    "  CAST(list_dot_product(nn.qv, p.pqv) AS BIGINT) / (sqrt(nn.qn2) * sqrt(p.pqn2)) AS qcosine "
+    "  FROM nn, p WHERE nn.vec_id <> 0 AND nn.qn2 > 0 AND p.pqn2 > 0), "
+    "annr AS (SELECT vec_id AS doc_id, ann_rank FROM ("
+    "  SELECT vec_id, CAST(row_number() OVER (ORDER BY qcosine DESC, vec_id) AS INT) "
+    "    AS ann_rank FROM sims) WHERE ann_rank <= 64), "
+    "f AS (SELECT coalesce(l.doc_id, a.doc_id) AS doc_id, l.lex_rank, a.ann_rank, "
+    "  coalesce(1.0 / (60.0 + l.lex_rank), 0.0) + coalesce(1.0 / (60.0 + a.ann_rank), 0.0) AS rrf "
+    "  FROM lexr l FULL OUTER JOIN annr a ON l.doc_id = a.doc_id) "
+    "SELECT doc_id, lex_rank, ann_rank, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20",
+)
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    """E3+E4 composed (r7): hybrid retrieval by Reciprocal Rank Fusion
+    (Cormack et al. SIGIR'09) — the BM25 lexical ranking of a query-
+    term bag fused with the int8-ANN ranking around probe embedding 0
+    via rrf = 1/(60+lex_rank) + 1/(60+ann_rank). Both fusion inputs
+    are integer ranks (BM25 ranks its rq4 scores through the two-phase
+    global row_number; the ANN ordering is the bit-exact int8 cosine),
+    so the fused score is exact cross-engine with no rounding — the
+    lexical ⊕ dense ensemble of modern retrieval/RAG stacks."""
+    from mhw3d_detection_spark.operators.similarity import hybrid_rrf_retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_retrieval(docs, emb, _BM25_TERMS, probe_vec_id=0)

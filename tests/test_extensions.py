@@ -1212,3 +1212,47 @@ class TestBpeMergePairs:
             emb, probe_pred=lambda c: c == 0, k=5, bucket_col="label"
         ).collect()
         assert [r.vec_id for r in out] == [1]
+
+
+class TestHybridRRF:
+    def test_fusion_math_and_membership(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            hybrid_rrf_retrieval,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark query window"),     # probe doc (also vec 0)
+                (1, "spark spark spark query window merge"),  # strong lexical
+                (2, "table scan filter"),      # no lexical hits
+                (3, "query window"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.9, 0.1]),
+                (2, [1.0, 0.01]),  # nearest to probe, no lexical hits
+                (3, [0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            r.doc_id: r
+            for r in hybrid_rrf_retrieval(
+                docs, emb, ("merge", "query", "spark", "window"), probe_vec_id=0
+            ).collect()
+        }
+        # doc 2: ANN-only (rank 1 dense, absent lexical)
+        assert out[2].ann_rank == 1 and out[2].lex_rank is None
+        assert out[2].rrf == 1.0 / 61.0
+        # probe doc 0 is excluded from ANN but can rank lexically
+        assert out[0].ann_rank is None and out[0].lex_rank is not None
+        # doc 1: present in both -> sum of both reciprocal terms
+        assert out[1].rrf == 1.0 / (60.0 + out[1].lex_rank) + 1.0 / (
+            60.0 + out[1].ann_rank
+        )
+        # fused order is by rrf desc
+        rrfs = [r.rrf for r in sorted(out.values(), key=lambda r: (-r.rrf, r.doc_id))]
+        assert rrfs == sorted(rrfs, reverse=True)
