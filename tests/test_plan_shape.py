@@ -459,3 +459,26 @@ def test_int8_quantize_is_narrow(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = _executed(quantize_int8(emb))
     assert "Exchange" not in plan, plan
+
+
+def test_hybrid_rrf_two_phase_rank_no_global_window(spark, sf_dir):
+    # E3+E4 r7: the BM25 leg's global rank must go through the
+    # two-phase rangepartitioning shape (no single-partition window
+    # over the scored corpus) and the final cut is TakeOrdered.
+    from mhw3d_detection_spark.operators.similarity import (
+        hybrid_rrf_retrieval,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _executed(
+        hybrid_rrf_retrieval(docs, emb, ("spark", "query"), probe_vec_id=0)
+    )
+    assert "rangepartitioning" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # allowed SinglePartition exchanges are all BOUNDED: the scalar
+    # N/avgdl reductions (map-side partial aggregate first, 1-row
+    # merge; appears twice each via the full-outer join's two branches)
+    # and the rank-offset table's prefix sum — never the scored corpus
+    assert plan.count("Exchange SinglePartition") <= 5, plan
+    assert "CartesianProduct" not in plan, plan

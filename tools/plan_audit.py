@@ -70,6 +70,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_similarity_topk_int8": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_similarity_rerank": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_bm25_topk": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # the BM25 leg inside the RRF fusion carries the same scalar
+    # N/avgdl broadcast attaches
+    "q_hybrid_retrieval_rrf": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_dedup_embedding": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     # the sources x sources pair frame plans as CartesianProduct or
     # BroadcastNestedLoopJoin depending on estimated sizes — same join,
