@@ -1578,3 +1578,76 @@ def bm25_stats(
         for t in terms
     }
     return idf, avgdl
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    SIGMOD'03 — the MOSS plagiarism-detection sketch): hash every
+    token ``k``-gram, slide a ``window`` over the hash sequence and
+    keep the MINIMUM hash of each window; the distinct selected hashes
+    are the document's fingerprint set. The guarantee the paper
+    proves: any shared substring of at least ``k + window - 1`` tokens
+    yields at least one shared fingerprint — a positional/substring
+    dedup signal that complements MinHash (whole-document Jaccard) and
+    SimHash (token-multiset drift).
+
+    Entirely ROW-LOCAL until the final explode: the k-gram hashes, the
+    sliding-window minima and the distinct-set compression are array
+    expressions over each doc's own token array — zero shuffles, so
+    the sketch build streams at scan speed at any corpus size (the
+    same zero-exchange shape as ``minhash_bands_rowlocal``). Docs
+    shorter than ``k`` tokens have no fingerprints; docs with fewer
+    than ``window`` k-grams contribute the min of what they have (the
+    paper's short-document convention).
+
+    Returns exploded ``(doc_id, fp)`` rows, distinct per doc.
+    """
+    base_sql = (XXHASH_BASE_SQL if fast_hash else MD5_BASE_SQL).format(s="s")
+    xs = f"transform({shingle_array_sql('__toks', k)}, s -> {base_sql})"
+    fps = (
+        f"case when size(__xs) = 0 then array() "
+        f"when size(__xs) < {window} then array(array_min(__xs)) "
+        f"else array_distinct(transform(sequence(1, size(__xs) - {window - 1}), "
+        f"i -> array_min(slice(__xs, i, {window})))) end"
+    )
+    return (
+        docs.withColumn("__toks", tokens_col(F.col(text_col)))
+        .withColumn("__xs", F.expr(xs))
+        .withColumn("fp", F.explode(F.expr(fps)))
+        .select("doc_id", "fp")
+    )
+
+
+def winnow_shared_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Candidate near-dup/plagiarism PAIRS from shared winnowing
+    fingerprints: an equi-join of the fingerprint table with itself on
+    ``fp`` — never an all-pairs product; bucket sizes are the number
+    of documents sharing a fingerprint (content-correlated, like the
+    contamination screen's shingle buckets) — then one pair-keyed
+    count. ``min_shared`` prunes incidental single-hash collisions.
+
+    Returns ``(doc_a, doc_b, n_shared)``, ``doc_a < doc_b``.
+    """
+    fps = winnow_fingerprints(docs, text_col, k, window, fast_hash)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2436,3 +2436,36 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_rrf_retrieval(docs, emb, _BM25_TERMS, probe_vec_id=0)
+
+
+# =========================================================================
+# E2 — winnowing fingerprint dedup (r7)
+# =========================================================================
+@register(
+    "q_dedup_winnowing",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "  list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+    "  ELSE [] END AS grams FROM d), "
+    "h AS (SELECT doc_id, list_transform(grams, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS xs FROM g), "
+    "w AS (SELECT doc_id, CASE WHEN len(xs) = 0 THEN []::BIGINT[] "
+    "  WHEN len(xs) < 4 THEN [list_min(xs)] "
+    "  ELSE list_distinct(list_transform(generate_series(1, len(xs) - 3), i -> list_min(xs[i:i+3]))) "
+    "  END AS fps FROM h), "
+    "f AS (SELECT doc_id, unnest(fps) AS fp FROM w), "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ns "
+    "  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, CAST(ns AS BIGINT) AS n_shared FROM p WHERE ns >= 2",
+)
+def q_dedup_winnowing(spark, sf_dir):
+    """E2 (r7): winnowing fingerprint near-dup pairs (Schleimer,
+    Wilkerson & Aiken SIGMOD'03, the MOSS sketch): per doc, min-hash
+    of each 4-window over the 3-gram hash sequence, distinct selected
+    hashes = fingerprint set (guarantees a shared fingerprint for any
+    shared run of >= k+w-1 = 6 tokens); pairs from the fp equi-join
+    with a shared-count prune. Sketch build is row-local (zero
+    shuffles); integer-exact end to end."""
+    from mhw3d_detection_spark.operators.textops import winnow_shared_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_shared_pairs(docs, min_shared=2)

@@ -1256,3 +1256,54 @@ class TestHybridRRF:
         # fused order is by rrf desc
         rrfs = [r.rrf for r in sorted(out.values(), key=lambda r: (-r.rrf, r.doc_id))]
         assert rrfs == sorted(rrfs, reverse=True)
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        # Schleimer et al.'s theorem: any shared token run of length
+        # >= k + window - 1 (= 6 here) produces >= 1 shared fingerprint
+        from mhw3d_detection_spark.operators.textops import (
+            winnow_shared_pairs,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+        docs = spark.createDataFrame(
+            [
+                (0, f"intro words here {shared} tail one"),
+                (1, f"completely other prefix {shared} different ending"),
+                (2, "no overlap with anything else at all whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in winnow_shared_pairs(docs, min_shared=1).collect()
+        }
+        assert (0, 1) in pairs
+        assert all(2 not in p for p in pairs)
+
+    def test_short_doc_single_fingerprint(self, spark):
+        from mhw3d_detection_spark.operators.textops import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b"), (2, "")],
+            "doc_id long, text string",
+        )
+        by_doc = {}
+        for r in winnow_fingerprints(docs).collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        # doc 0: 2 k-grams < window -> min of them = ONE fingerprint
+        assert len(by_doc[0]) == 1
+        # doc 1: < k tokens -> no k-grams -> absent; doc 2: empty
+        assert 1 not in by_doc and 2 not in by_doc
+
+    def test_sketch_build_is_row_local(self, spark, sf_dir):
+        from mhw3d_detection_spark.operators.textops import (
+            winnow_fingerprints,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # zero shuffles
