@@ -42,6 +42,8 @@ PLANS = [
     "q_similarity_ivf_int8",
     "q_bm25_topk",
     "q_bpe_merge_pairs",
+    "q_hybrid_retrieval_rrf",
+    "q_dedup_winnowing",
 ]
 
 HEADER = """# Physical plans — explain evidence
