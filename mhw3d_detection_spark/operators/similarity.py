@@ -898,3 +898,184 @@ def hybrid_rrf_retrieval(
         )
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(top_n)
+
+
+# =========================================================================
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the codes
+# index that makes billion-vector search scan-bound instead of
+# memory-bound: d-dim float vectors compress to m sub-codes (one byte
+# each at ksub<=256), and search reads the codes, never the floats.
+# =========================================================================
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train product-quantization codebooks: split the d-dim space into
+    ``m`` contiguous subspaces of d/m dims and run an INDEPENDENT
+    ``ksub``-centroid Lloyd's quantizer per subspace
+    (:func:`kmeans_ivf_centroids` — deterministic TakeOrdered init,
+    per-round ``_q6`` centroid quantization, so every subspace trainer
+    is bit-replayable in SQL). Total codebook size is m x ksub x (d/m)
+    doubles — driver-sized at any corpus scale; the corpus pays m
+    narrow passes (or m passes over a seeded sample via
+    ``sample_fraction`` — the 100 TB path, same contract as the IVF
+    trainer).
+
+    Returns ``[subspace][(code, centroid)]`` — codes are dense from 0
+    unless a cluster emptied (the Lloyd's drop rule), in which case the
+    id gap is preserved, exactly like the IVF trainer.
+    """
+    dim = len(
+        emb.select(as_double(F.col(vec_col)).alias("v")).first()["v"]
+    )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books: list[list[tuple[int, list[float]]]] = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(as_double(F.col(vec_col)), s * dsub + 1, dsub).alias(
+                "__sub"
+            ),
+        )
+        books.append(
+            kmeans_ivf_centroids(
+                sub,
+                k=ksub,
+                iters=iters,
+                id_col=id_col,
+                vec_col="__sub",
+                sample_fraction=sample_fraction,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-sub-centroid codes — a
+    pure narrow projection (the codebooks ride along as literals; no
+    join, no shuffle), the build pass of a PQ index. At 64 dims x
+    float64 -> 4 int codes the index artifact is ~64x smaller than the
+    raw vectors: at 100 TB the search scan reads ~1.5 TB of codes
+    instead, which is the entire point of PQ.
+
+    Codes use the same literal-argmin expression as the IVF assign
+    (squared distance, ties to the lowest code), so the encoding is
+    bit-exact cross-engine for ksub <= ``LITERAL_ASSIGN_MAX_K``.
+    Returns ``(id, codes: array<int>[m])``.
+    """
+    v = as_double(F.col(vec_col))
+    dsub = len(codebooks[0][0][1])
+    codes = F.array(
+        *[
+            _assign_bucket_expr(cb, F.slice(v, s * dsub + 1, dsub))
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    probe_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each probe keeps
+    its float vector, every corpus vector is its ``m`` codes, and the
+    probe->candidate squared distance is the sum over subspaces of
+    ||probe_sub - centroid[code]||² — Jégou et al. TPAMI'11 eq. (13).
+
+    The plan is the REAL ADC shape, not a rescore of the floats: each
+    probe first materializes its lookup table (m x ksub squared
+    distances to every sub-centroid — literal-codebook expressions, so
+    the LUT build is narrow), then the corpus-x-probes scoring does m
+    ``element_at`` lookups + (m-1) adds per pair instead of a d-dim
+    dot — 4 lookups vs 64 multiplies here, and the scan side reads
+    codes, not vectors. Same broadcast-probes + salted two-phase top-k
+    scaffold as :func:`cosine_topk` (no hot partition at few-probes /
+    huge-corpus skew).
+
+    Exactness: every LUT entry is the same fixed-order IEEE fold the
+    oracle's ``list_sum(list_transform(...))`` computes, and the
+    cross-subspace sum is left-associated in both engines — the raw
+    distance is bit-identical cross-engine; ranking needs no rounding
+    tolerance. Returns ``(probe_id, vec_id, adc_d2, rank)``, ascending
+    distance, ties to the lower vec_id.
+    """
+    mm = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    # LUT slot count per subspace: dense over 0..max-code (a dropped
+    # empty cluster leaves an unreferenced placeholder slot — no row
+    # encodes to a missing code, so the 0.0 filler is unreachable)
+    slots = max(max(b for b, _ in cb) + 1 for cb in codebooks)
+    probes = emb.filter(probe_pred(F.col(id_col))).select(
+        F.col(id_col).alias("probe_id"),
+        as_double(F.col(vec_col)).alias("__pv"),
+    )
+    lut_terms = []
+    for s, cb in enumerate(codebooks):
+        by_code = dict(cb)
+        sub = F.slice(F.col("__pv"), s * dsub + 1, dsub)
+        for c in range(slots):
+            if c in by_code:
+                lut_terms.append(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.lit(by_code[c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                )
+            else:
+                lut_terms.append(F.lit(0.0))
+    luts = probes.select(
+        "probe_id", F.array(*lut_terms).alias("__lut")
+    )
+    codes = pq_encode(emb, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), "codes"
+    )
+    j = codes.crossJoin(F.broadcast(luts)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    adc = None
+    for s in range(mm):
+        term = F.element_at(
+            F.col("__lut"),
+            (F.lit(s * slots + 1) + F.col("codes")[s]).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    scored = j.select("probe_id", "vec_id", adc.alias("adc_d2"))
+    SALTS = 64
+    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
+        F.asc("adc_d2"), F.col("vec_id")
+    )
+    pruned = (
+        scored.withColumn("__salt", F.pmod(F.hash("vec_id"), F.lit(SALTS)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_d2"), F.col("vec_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "adc_d2", "rank")
+    )

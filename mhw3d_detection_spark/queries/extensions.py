@@ -2469,3 +2469,149 @@ def q_dedup_winnowing(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_shared_pairs(docs, min_shared=2)
+
+
+# =========================================================================
+# E3 — product quantization (r7: Jégou, Douze & Schmid TPAMI'11 — the
+# codes index + asymmetric-distance search; oracle unrolls the m
+# per-subspace Lloyd's trainers exactly like _KMEANS_SQL)
+# =========================================================================
+def _PQ_SQL(m: int = 4, ksub: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Per-subspace unrolled Lloyd's trainers as DuckDB CTEs, mirroring
+    ``pq_train_codebooks`` exactly: subspace s trains on ``v[lo:hi]``
+    slices with the same deterministic init / argmin assign / rq6
+    round-quantized means as ``_KMEANS_SQL``. Emits per subspace the
+    final assignment ``p{s}afin`` and final codebook ``p{s}c{iters}``.
+    Ends WITHOUT a trailing comma. Same literal-assign-only guard as
+    the k-means oracle."""
+    from mhw3d_detection_spark.operators.similarity import (
+        LITERAL_ASSIGN_MAX_K,
+    )
+
+    if ksub > LITERAL_ASSIGN_MAX_K:
+        raise ValueError(
+            f"_PQ_SQL mirrors the literal assign only (ksub <= "
+            f"{LITERAL_ASSIGN_MAX_K}); ksub={ksub} would run the Arrow "
+            "kernel on the Spark side, which is not bit-exact vs this SQL"
+        )
+    dsub = dim // m
+    ctes = ["base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        ctes.append(f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM base)")
+        ctes.append(
+            f"p{s}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS INT) AS bucket, v AS c FROM "
+            f"(SELECT vec_id, v FROM sub{s} ORDER BY vec_id LIMIT {ksub}))"
+        )
+        d2 = (
+            f"list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
+        )
+
+        def assign_cte(name: str, cents: str) -> str:
+            return (
+                f"{name} AS (SELECT vec_id, v, bucket FROM ("
+                f"SELECT b.vec_id, b.v, c.bucket, "
+                f"row_number() OVER (PARTITION BY b.vec_id "
+                f"ORDER BY {d2} ASC, c.bucket ASC) AS rn "
+                f"FROM sub{s} b CROSS JOIN {cents} c) WHERE rn = 1)"
+            )
+
+        for it in range(1, iters + 1):
+            ctes.append(assign_cte(f"p{s}a{it}", f"p{s}c{it - 1}"))
+            ctes.append(
+                f"p{s}c{it} AS (SELECT bucket, list(m ORDER BY i) AS c FROM ("
+                f"SELECT bucket, i, {rq_sql('avg(v[i])', 6)} AS m "
+                f"FROM p{s}a{it} "
+                f"CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS i) "
+                f"GROUP BY bucket, i) GROUP BY bucket)"
+            )
+        ctes.append(assign_cte(f"p{s}afin", f"p{s}c{iters}"))
+    return "WITH " + ", ".join(ctes)
+
+
+@register(
+    "q_pq_train",
+    _PQ_SQL()
+    + " SELECT subspace, code, n_vectors FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {s} AS subspace, bucket AS code, "
+        f"CAST(count(*) AS BIGINT) AS n_vectors "
+        f"FROM p{s}afin GROUP BY bucket"
+        for s in range(4)
+    )
+    + ")",
+)
+def q_pq_train(spark, sf_dir):
+    """E3 (r7): product-quantization codebook training — 4 independent
+    per-subspace Lloyd's quantizers (16 dims, 4 codes, 2 rounds each)
+    over contiguous slices of the embedding space, then the narrow
+    encode pass; reported as the per-(subspace, code) occupancy
+    histogram so the code VALUES are hash-checked, not just counts of
+    rows. The oracle unrolls all four trainers (same deterministic
+    init, same rq6 round-quantized means), so the whole train->encode
+    path is bit-exact cross-engine."""
+    from mhw3d_detection_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, ksub=4, iters=2)
+    enc = pq_encode(emb, books)
+    return (
+        enc.select(F.posexplode("codes").alias("subspace", "code"))
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def _PQ_ADC_D(s: int, dsub: int = 16) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (p.pv[{s * dsub} + i] - k{s}.c[i]) * "
+        f"(p.pv[{s * dsub} + i] - k{s}.c[i])))"
+    )
+
+
+@register(
+    "q_similarity_pq_adc",
+    _PQ_SQL()
+    + ", codes AS (SELECT a0.vec_id, a0.bucket AS code0, a1.bucket AS code1, "
+    "  a2.bucket AS code2, a3.bucket AS code3 FROM p0afin a0 "
+    "  JOIN p1afin a1 ON a0.vec_id = a1.vec_id "
+    "  JOIN p2afin a2 ON a0.vec_id = a2.vec_id "
+    "  JOIN p3afin a3 ON a0.vec_id = a3.vec_id), "
+    "probes AS (SELECT vec_id AS probe_id, v AS pv FROM base "
+    "  WHERE vec_id % 50 = 0), "
+    "dist AS (SELECT p.probe_id, t.vec_id, "
+    f"  ((({_PQ_ADC_D(0)} + {_PQ_ADC_D(1)}) + {_PQ_ADC_D(2)}) + {_PQ_ADC_D(3)}) AS adc_d2 "
+    "  FROM codes t CROSS JOIN probes p "
+    "  JOIN p0c2 k0 ON k0.bucket = t.code0 "
+    "  JOIN p1c2 k1 ON k1.bucket = t.code1 "
+    "  JOIN p2c2 k2 ON k2.bucket = t.code2 "
+    "  JOIN p3c2 k3 ON k3.bucket = t.code3 "
+    "  WHERE t.vec_id <> p.probe_id), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY adc_d2 ASC, vec_id) AS INT) AS rank FROM dist) "
+    "SELECT probe_id, vec_id, adc_d2, rank FROM ranked WHERE rank <= 5",
+)
+def q_similarity_pq_adc(spark, sf_dir):
+    """E3 (r7): asymmetric-distance top-5 over the trained PQ codes —
+    each probe materializes its m x ksub lookup table once (narrow
+    literal-codebook expressions), then scoring is m element_at
+    lookups + 3 adds per candidate over the CODES scan (the ~64x
+    smaller index artifact; the floats are never re-read). NOTE the
+    output is UNROUNDED: every LUT entry is the same fixed-order IEEE
+    fold in both engines and the cross-subspace sum is left-associated
+    in both, so the raw squared distance is bit-identical cross-engine
+    — this row pins that claim with no rounding tolerance."""
+    from mhw3d_detection_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, ksub=4, iters=2)
+    return pq_adc_topk(emb, books, probe_pred=lambda c: c % 50 == 0, k=5)

@@ -1307,3 +1307,117 @@ class TestWinnowing:
         docs = load_table(spark, sf_dir, "documents")
         plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan  # zero shuffles
+
+
+class TestProductQuantization:
+    def test_pq_train_encode_adc_match_numpy_oracle(self, spark, sf_dir):
+        # Exact differential for the whole PQ path against independent
+        # NumPy: per-subspace Lloyd's with the shared deterministic
+        # init / tie rule / per-round _q6 quantization must reproduce
+        # the codebooks BIT-EXACTLY; then NumPy encode + brute-force
+        # ADC must reproduce the Spark top-k ids, ranks and distances.
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from mhw3d_detection_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        m, ksub, iters, k = 4, 4, 2, 5
+        t = pq_.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        order = t["vec_id"].to_numpy().argsort()
+        ids = t["vec_id"].to_numpy()[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+        )[order]
+        dsub = X.shape[1] // m
+
+        def q6(a):
+            return np.floor(a * 1000000.0 + (0.5 + 2.0**-16)) / 1000000.0
+
+        def np_train(Xs):
+            C_ids, C = list(range(ksub)), Xs[:ksub].copy()
+            for _ in range(iters):
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = np.array(C_ids)[d2.argmin(axis=1)]
+                live = [b for b in C_ids if (a == b).any()]
+                C = q6(np.stack([Xs[a == b].mean(axis=0) for b in live]))
+                C_ids = live
+            return C_ids, C
+
+        np_books = [
+            np_train(X[:, s * dsub : (s + 1) * dsub]) for s in range(m)
+        ]
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq_train_codebooks(emb, m=m, ksub=ksub, iters=iters)
+        for (np_ids, np_C), cb in zip(np_books, books):
+            assert [b for b, _ in cb] == np_ids
+            for (_, cv), nv in zip(cb, np_C):
+                assert cv == nv.tolist()  # bit-exact
+
+        # NumPy encode + ADC for every probe
+        codes = np.stack(
+            [
+                np.array(np_books[s][0])[
+                    (
+                        (
+                            X[:, None, s * dsub : (s + 1) * dsub]
+                            - np_books[s][1][None, :, :]
+                        )
+                        ** 2
+                    )
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                ]
+                for s in range(m)
+            ],
+            axis=1,
+        )
+        got_codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq_encode(emb, books).collect()
+        }
+        assert got_codes == {
+            int(i): c.tolist() for i, c in zip(ids, codes)
+        }
+
+        out = pq_adc_topk(
+            emb, books, probe_pred=lambda c: c % 50 == 0, k=k
+        ).collect()
+        by_probe = {}
+        for r in out:
+            by_probe.setdefault(r["probe_id"], []).append(r)
+        id_pos = {int(v): i for i, v in enumerate(ids)}
+        for pid, rows_ in by_probe.items():
+            p = X[id_pos[pid]]
+            # brute-force ADC in the SAME fold order: sequential over
+            # dims within a subspace, left-assoc across subspaces
+            d = np.zeros(len(ids))
+            for s in range(m):
+                cent_by_code = dict(
+                    zip(np_books[s][0], np_books[s][1])
+                )
+                ps = p[s * dsub : (s + 1) * dsub]
+                d += np.array(
+                    [
+                        ((ps - cent_by_code[int(c)]) ** 2).sum()
+                        for c in codes[:, s]
+                    ]
+                )
+            cand = sorted(
+                (float(d[i]), int(ids[i]))
+                for i in range(len(ids))
+                if int(ids[i]) != pid
+            )[:k]
+            assert [(r["vec_id"]) for r in rows_] == [c[1] for c in cand]
+            for r, (dv, _) in zip(rows_, cand):
+                assert r["adc_d2"] == pytest.approx(dv, rel=1e-12)
+
+    def test_pq_sql_guard_refuses_arrow_ksub(self):
+        from mhw3d_detection_spark.queries.extensions import _PQ_SQL
+
+        with pytest.raises(ValueError):
+            _PQ_SQL(ksub=64)

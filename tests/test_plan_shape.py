@@ -482,3 +482,36 @@ def test_hybrid_rrf_two_phase_rank_no_global_window(spark, sf_dir):
     # and the rank-offset table's prefix sum — never the scored corpus
     assert plan.count("Exchange SinglePartition") <= 5, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_encode_is_narrow(spark, sf_dir):
+    # E3 r7: PQ encoding is a pure map (codebooks are literals) —
+    # zero exchanges; the index build streams at scan speed.
+    from mhw3d_detection_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, ksub=4, iters=1)
+    plan = _executed(pq_encode(emb, books))
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_adc_scores_codes_against_broadcast_luts(spark, sf_dir):
+    # E3 r7: ADC search = codes scan x broadcast per-probe LUTs (the
+    # allowlisted brute-force probes shape) — never a cartesian, and
+    # the only hash exchanges are the two-phase top-k's.
+    from mhw3d_detection_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, ksub=4, iters=1)
+    plan = _executed(
+        pq_adc_topk(emb, books, probe_pred=lambda c: c % 50 == 0, k=5)
+    )
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _count_exchanges(plan) <= 2, plan

@@ -44,6 +44,7 @@ PLANS = [
     "q_bpe_merge_pairs",
     "q_hybrid_retrieval_rrf",
     "q_dedup_winnowing",
+    "q_similarity_pq_adc",
 ]
 
 HEADER = """# Physical plans — explain evidence

@@ -69,6 +69,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_similarity_topk": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_similarity_topk_int8": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_similarity_rerank": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # ADC scores the CODES scan against each probe's broadcast LUT —
+    # same broadcast-probes shape, plus the corpus side reads 4-int
+    # codes instead of the float vectors
+    "q_similarity_pq_adc": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_bm25_topk": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # the BM25 leg inside the RRF fusion carries the same scalar
     # N/avgdl broadcast attaches
