@@ -2615,3 +2615,42 @@ def q_similarity_pq_adc(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_train_codebooks(emb, m=4, ksub=4, iters=2)
     return pq_adc_topk(emb, books, probe_pred=lambda c: c % 50 == 0, k=5)
+
+
+# =========================================================================
+# E8 — storage layout: Z-order clustering key (r7)
+# =========================================================================
+def _ZORDER_SQL(bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_key",
+    "WITH g AS (SELECT event_id, CAST(user_id % 1024 AS BIGINT) AS x, "
+    "  CAST(event_id % 1024 AS BIGINT) AS y FROM events "
+    "  WHERE event_id % 97 = 0) "
+    f"SELECT event_id, x, y, ({_ZORDER_SQL(10)}) AS zkey FROM g",
+)
+def q_zorder_key(spark, sf_dir):
+    """E8 (r7): Morton/Z-order layout key — bit-interleaved (x, y)
+    grid coordinates, the multi-dimensional clustering key behind
+    Delta OPTIMIZE ZORDER / Iceberg z-ordered sort orders. Sorting a
+    100 TB write by this key makes every parquet footer a tight
+    bounding box on BOTH dims, so box filters prune files instead of
+    scanning them (see ``sources/ingest.py:write_zordered``; the
+    file-stats effect is pinned by ``tests/test_ingest.py``). Pure
+    integer shift/mask arithmetic — bit-exact cross-engine, hash-
+    checked here over the events table."""
+    from mhw3d_detection_spark.sources.ingest import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        (F.col("user_id") % 1024).cast("long").alias("x"),
+        (F.col("event_id") % 1024).cast("long").alias("y"),
+    )
+    return g.withColumn("zkey", zorder_key("x", "y", bits=10))

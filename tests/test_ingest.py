@@ -52,3 +52,79 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_a")
         spark.sql("DROP TABLE IF EXISTS t_b")
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_zorder_key_is_the_morton_interleave(spark):
+    from mhw3d_detection_spark.sources.ingest import zorder_key
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_key("x", "y", bits=3)).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(3):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+    # the Z curve's defining property: key ranges are compact squares —
+    # the first quarter of the key space is exactly the SW quadrant
+    quad = {k for k, z in got.items() if z < 16}
+    assert quad == {(x, y) for x in range(4) for y in range(4)}
+
+
+def test_zordered_write_files_are_bounding_boxes(spark, tmp_path):
+    # The point of the layout: each output file's parquet min/max span
+    # on BOTH dims is a quadrant, not the full domain — so a range
+    # filter on EITHER dim can skip ~half the files. A shuffled
+    # (hash-distributed) write spans nearly the whole domain per file.
+    import pyarrow.parquet as pq_
+
+    from mhw3d_detection_spark.sources.ingest import write_zordered
+
+    n = 64
+    rows = [(x, y, x * n + y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, v long").repartition(7)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, "x", "y", bits=6, n_files=4)
+
+    hpath = str(tmp_path / "hashed")
+    df.repartition(4, "v").write.mode("overwrite").parquet(hpath)
+
+    def spans(path):
+        import os
+
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq_.read_table(f"{path}/{f}", columns=["x", "y"])
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            out.append(
+                (max(xs) - min(xs) + 1, max(ys) - min(ys) + 1)
+            )
+        return out
+
+    zs = spans(zpath)
+    assert len(zs) == 4
+    # range bounds are SAMPLED, so one file may straddle a quadrant
+    # seam and span a full dim — but most files are compact quadrant
+    # boxes, and the total bounding-box area (the stats a reader
+    # prunes on) is a fraction of the hash layout's
+    compact = [
+        (sx, sy) for sx, sy in zs if sx <= n // 2 + 8 and sy <= n // 2 + 8
+    ]
+    assert len(compact) >= 3, zs
+    hs = spans(hpath)
+    assert sum(sx * sy for sx, sy in zs) <= sum(
+        sx * sy for sx, sy in hs
+    ) / 2, (zs, hs)
+    # the hash layout spans essentially the full domain in every file
+    for sx, sy in hs:
+        assert sx > n // 2 and sy > n // 2
