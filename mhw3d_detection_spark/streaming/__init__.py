@@ -12,6 +12,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_severity,
     streaming_similarity,
     streaming_windowed_stats,
+    streaming_winnow_dedup,
 )
 from mhw3d_detection_spark.streaming.stateful import (  # noqa: F401
     streaming_detect_events_exact,

@@ -253,6 +253,51 @@ def streaming_lsh_dedup(
     )
 
 
+def streaming_winnow_dedup(
+    stream: DataFrame,
+    corpus_fps: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Substring-dup gate at ingest (the winnowing operator's streaming
+    face, complementing :func:`streaming_lsh_dedup`'s whole-document
+    Jaccard gate): match incoming docs' winnowing fingerprints
+    (Schleimer et al. SIGMOD'03) against a static corpus fingerprint
+    index — any shared token run of >= k + window - 1 tokens is
+    GUARANTEED to fire at least one shared fingerprint, so copied
+    passages are caught even when the rest of the document differs.
+
+    The sketch build (:func:`operators.textops.winnow_fingerprints`)
+    is row-local array expressions + one explode — stateless, so it
+    runs unmodified on a streaming frame; the gate itself is a
+    stateless stream-static equi-join on ``fp`` (no watermark, no
+    state store). Fingerprints are bit-identical to the batch build
+    (same expressions, same hash), so the stream joins the SAME index
+    the batch pipeline wrote. A doc sharing several fingerprints with
+    the same corpus doc emits one row per fingerprint — aggregate to
+    ``n_shared >= min_shared`` in the sink's foreachBatch if the batch
+    path's collision pruning matters (per-pair counting would need
+    unbounded state here).
+
+    ``k``/``window``/``fast_hash`` must match the index build. Output:
+    ``(doc_id, dup_of, fp)``.
+    """
+    from mhw3d_detection_spark.operators.textops import winnow_fingerprints
+
+    new_fps = winnow_fingerprints(
+        stream, text_col=text_col, k=k, window=window, fast_hash=fast_hash
+    )
+    idx = corpus_fps.select(F.col("doc_id").alias("dup_of"), "fp")
+    return (
+        new_fps.join(idx, "fp")
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of", "fp")
+    )
+
+
 def streaming_quality_gate(
     stream: DataFrame,
     *,

@@ -725,3 +725,47 @@ def test_streaming_bm25_gate_matches_batch_ranker(spark, tmp_path):
     q2.awaitTermination(120)
     gated = {r.doc_id for r in spark.table("bm25_stream_gate").collect()}
     assert gated == {d for d, (_, sc) in want.items() if sc >= 1.0}
+
+
+def test_streaming_winnow_dedup_matches_batch_pairs(spark, tmp_path):
+    # the gate's stream-static fp join must reproduce exactly the
+    # batch winnow_shared_pairs graph (at min_shared=1) restricted to
+    # the (incoming, corpus) orientation — fingerprints are the same
+    # row-local expressions on both paths, so parity is set equality
+    from mhw3d_detection_spark.operators.textops import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+    from mhw3d_detection_spark.streaming import streaming_winnow_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "winnow_stream")
+    incoming.write.mode("overwrite").parquet(path)
+
+    idx = winnow_fingerprints(corpus)
+    stream = spark.readStream.schema(incoming.schema).parquet(path)
+    q = (
+        streaming_winnow_dedup(stream, idx)
+        .writeStream.format("memory")
+        .queryName("winnow_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.table("winnow_dedup_stream").collect()
+    }
+    want = set()
+    for r in winnow_shared_pairs(docs, min_shared=1).collect():
+        for x, y in (
+            (r["doc_a"], r["doc_b"]),
+            (r["doc_b"], r["doc_a"]),
+        ):
+            if x % 2 == 1 and y % 2 == 0:
+                want.add((x, y))
+    assert got == want
+    assert len(want) > 0  # planted near-dups guarantee cross-parity hits
