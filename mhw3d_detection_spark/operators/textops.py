@@ -1651,3 +1651,139 @@ def winnow_shared_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# =========================================================================
+# BPE merge TRAINING (Sennrich, Haddow & Birch ACL'16 §3.2) — the
+# iterative half on top of bpe_merge_pairs' one-round statistic
+# =========================================================================
+def _bpe_syms(word: Column) -> Column:
+    """Character symbols of a word as an array: space-inject + split —
+    the one char-split spelling that is identical in Spark and DuckDB
+    (no lookarounds: DuckDB's RE2 has none; no ``split(s, '')``:
+    empty-pattern splits differ)."""
+    return F.split(F.trim(F.regexp_replace(word, "(.)", "$1 ")), " ")
+
+
+def _bpe_pairs(s: Column) -> Column:
+    """Adjacent symbol pairs ``'a b'`` of a symbol array, SELF-PAIRS
+    EXCLUDED (see :func:`bpe_train_merges`), empty for 1-symbol words
+    (sequence(1, 0) is descending in Spark — guard, don't trust)."""
+    return F.when(F.size(s) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.element_at(s, i) != F.element_at(s, i + 1),
+            ),
+            lambda i: F.concat(
+                F.element_at(s, i), F.lit(" "), F.element_at(s, i + 1)
+            ),
+        )
+    )
+
+
+def _bpe_apply(s: Column, a: str, b: str) -> Column:
+    """Merge every adjacent ``(a, b)`` symbol occurrence into ``a+b``
+    — positional, no fold: with ``a != b`` matches cannot overlap, so
+    "drop the position after a match, emit the concatenation at the
+    match" IS the greedy left-to-right merge. Literal pair (the
+    trainer collected it), so this stays a narrow expression."""
+    la, lb = F.lit(a), F.lit(b)
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size(s)),
+        lambda i: ~(
+            (i > 1)
+            & (F.element_at(s, i - 1) == la)
+            & (F.element_at(s, i) == lb)
+        ),
+    )
+    return F.transform(
+        keep,
+        lambda i: F.when(
+            (F.element_at(s, i) == la)
+            & (i < F.size(s))
+            & (F.element_at(s, i + 1) == lb),
+            F.concat(la, lb),
+        ).otherwise(F.element_at(s, i)),
+    )
+
+
+def _bpe_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """(symbol-array, occurrence-count) per DISTINCT word — the
+    vocab-sized state every BPE round iterates over (word counts carry
+    the tf weighting, so rounds never re-touch the corpus)."""
+    return (
+        tokenize(docs, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(_bpe_syms(F.col("token")).alias("s"), "cnt")
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Train ``rounds`` BPE merges: per round, count adjacent symbol
+    pairs over the (distinct-word, count) table with all prior merges
+    applied, pick the most frequent pair (ties to the lexicographically
+    smallest — deterministic), and append it to the merge list. The
+    driver holds only the merge list (rounds × 2 strings); each round
+    is one hash aggregate over the VOCAB-sized word table + a
+    TakeOrdered(1) — the corpus itself is touched once, by the
+    word-count build (the eager-loop split of the k-means trainer).
+
+    CONTRACT: self-pairs (``aa``) are excluded from counting and
+    selection — a self-pair's greedy merge count depends on run parity
+    (``aaa`` yields one merge, not two), which needs a sequential fold
+    both engines would have to replay identically; excluding them
+    keeps every round a positional expression that is bit-exact
+    cross-engine (the SQL oracle unrolls the same rounds). Real
+    tokenizer trainers special-case repeated-character runs anyway.
+
+    Returns ``[(round, left, right, count), ...]``.
+    """
+    words = _bpe_words(docs, text_col).persist()
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        for r in range(rounds):
+            s = F.col("s")
+            for _, a, b, _n in merges:
+                s = _bpe_apply(s, a, b)
+            top = (
+                words.select(F.explode(_bpe_pairs(s)).alias("pair"), "cnt")
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, n = top[0]["pair"], int(top[0]["n"])
+            a, b = pair.split(" ")
+            merges.append((r, a, b, n))
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_round_pair_counts(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-pair counts with a trained merge list applied (the
+    statistic the NEXT round would maximize) — ``(pair, n)``. The
+    merges ride along as literal expressions, so the whole thing stays
+    the one-aggregate shape of :func:`bpe_merge_pairs`."""
+    s = F.col("s")
+    for _, a, b, _n in merges:
+        s = _bpe_apply(s, a, b)
+    return (
+        _bpe_words(docs, text_col)
+        .select(F.explode(_bpe_pairs(s)).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )

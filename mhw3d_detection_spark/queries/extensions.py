@@ -2654,3 +2654,85 @@ def q_zorder_key(spark, sf_dir):
         (F.col("event_id") % 1024).cast("long").alias("y"),
     )
     return g.withColumn("zkey", zorder_key("x", "y", bits=10))
+
+
+# =========================================================================
+# E4 — BPE merge TRAINING, rounds unrolled in the oracle (r7: the
+# iterative half of tokenizer vocabulary induction; third unrolled
+# iterative trainer after Lloyd's k-means and the PQ subspaces)
+# =========================================================================
+def _BPE_SQL(rounds: int = 3, top: int = 5) -> str:
+    """Unrolled BPE training rounds as DuckDB CTEs mirroring
+    ``bpe_train_merges`` exactly: same char split (space-inject
+    regexp_replace — no lookarounds, RE2-safe), same self-pair
+    exclusion (the positional-merge contract), same (count desc, pair
+    asc) selection, same positional merge application. Emits per-round
+    pair-count CTEs ``c{r}`` and top-pair CTEs ``t{r}``."""
+    pairs = (
+        "list_transform(list_filter(range(1, len(s)), "
+        "i -> s[i] <> s[i+1]), i -> s[i] || ' ' || s[i+1])"
+    )
+    ctes = [
+        "tok AS (SELECT unnest(" + TOKENS_SQL + ") AS w FROM documents)",
+        "wrd AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM tok GROUP BY 1)",
+        "w0 AS (SELECT string_split(trim(regexp_replace(w, '(.)', "
+        "'\\1 ', 'g')), ' ') AS s, cnt FROM wrd)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"c{r} AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM ("
+            f"SELECT unnest({pairs}) AS pair, cnt FROM w{r}) GROUP BY 1)"
+        )
+        if r + 1 < rounds:
+            ctes.append(
+                f"t{r} AS (SELECT string_split(pair, ' ')[1] AS a, "
+                f"string_split(pair, ' ')[2] AS b FROM c{r} "
+                f"ORDER BY n DESC, pair LIMIT 1)"
+            )
+            ctes.append(
+                f"w{r + 1} AS (SELECT list_transform(list_filter("
+                f"range(1, len(s) + 1), "
+                f"i -> NOT (i > 1 AND s[i-1] = t.a AND s[i] = t.b)), "
+                f"i -> CASE WHEN s[i] = t.a AND i < len(s) "
+                f"AND s[i+1] = t.b THEN t.a || t.b ELSE s[i] END) AS s, "
+                f"cnt FROM w{r} CROSS JOIN t{r} t)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, pair, n FROM "
+        f"(SELECT pair, n FROM c{r} ORDER BY n DESC, pair LIMIT {top})"
+        for r in range(rounds)
+    )
+    return "WITH " + ", ".join(ctes) + " " + sel
+
+
+@register("q_bpe_train_rounds", _BPE_SQL())
+def q_bpe_train_rounds(spark, sf_dir):
+    """E4 (r7): three unrolled BPE training rounds — per round, the
+    top-5 adjacent-symbol pairs over the vocab-sized word table with
+    the previously selected merges APPLIED (so round 1 shows the
+    post-merge statistics round 0 created, etc.). The trainer is
+    deterministic (count-desc / pair-asc selection, positional merge
+    with self-pairs excluded by contract), so the oracle replays the
+    identical rounds in SQL and the evolving counts are hash-checked
+    — the same eager-loop/unrolled-oracle device as the k-means and
+    PQ trainers. Pure integer counts: bit-exact, no rounding."""
+    from mhw3d_detection_spark.operators.textops import (
+        bpe_round_pair_counts,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, rounds=3)
+    parts = []
+    for r in range(3):
+        parts.append(
+            bpe_round_pair_counts(docs, merges[:r])
+            .orderBy(F.desc("n"), "pair")
+            .limit(5)
+            .select(F.lit(r).alias("rnd"), "pair", "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1421,3 +1421,74 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError):
             _PQ_SQL(ksub=64)
+
+
+class TestBpeTraining:
+    def test_merge_apply_is_greedy_left_to_right(self, spark):
+        from mhw3d_detection_spark.operators.textops import _bpe_apply, _bpe_syms
+
+        df = spark.createDataFrame(
+            [("abcab",), ("ababab",), ("a",), ("ba",)], "w string"
+        )
+        out = df.select(
+            F.col("w"),
+            _bpe_apply(_bpe_syms(F.col("w")), "a", "b").alias("m"),
+        ).collect()
+        got = {r["w"]: r["m"] for r in out}
+        assert got == {
+            "abcab": ["ab", "c", "ab"],
+            "ababab": ["ab", "ab", "ab"],
+            "a": ["a"],
+            "ba": ["b", "a"],
+        }
+
+    def test_trainer_matches_python_model(self, spark):
+        # independent Python BPE on a tiny corpus with a repeated-char
+        # run (pins the self-pair exclusion contract) and a tie (pins
+        # the lexicographic tie-break)
+        from collections import Counter
+
+        from mhw3d_detection_spark.operators.textops import bpe_train_merges
+
+        texts = ["low lower lowest", "new newer newest", "aaa lowest"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+        words = Counter()
+        for t in texts:
+            for w in t.split():
+                words[w] += 1
+        vocab = {w: list(w) for w in words}
+
+        def model_round():
+            c = Counter()
+            for w, cnt in words.items():
+                s = vocab[w]
+                for i in range(len(s) - 1):
+                    if s[i] != s[i + 1]:
+                        c[(s[i], s[i + 1])] += cnt
+            if not c:
+                return None
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), n = best
+            for w in vocab:
+                s, out, i = vocab[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = out
+            return (a, b, n)
+
+        want = []
+        for r in range(3):
+            m = model_round()
+            assert m is not None
+            want.append((r, m[0], m[1], m[2]))
+
+        got = bpe_train_merges(docs, rounds=3)
+        assert got == want
