@@ -962,6 +962,7 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to its ``m`` nearest-sub-centroid codes — a
     pure narrow projection (the codebooks ride along as literals; no
@@ -983,7 +984,7 @@ def pq_encode(
             for s, cb in enumerate(codebooks)
         ]
     )
-    return emb.select(F.col(id_col), codes.alias("codes"))
+    return emb.select(F.col(id_col), *carry_cols, codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -993,6 +994,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each probe keeps
     its float vector, every corpus vector is its ``m`` codes, and the
@@ -1015,6 +1017,12 @@ def pq_adc_topk(
     distance is bit-identical cross-engine; ranking needs no rounding
     tolerance. Returns ``(probe_id, vec_id, adc_d2, rank)``, ascending
     distance, ties to the lower vec_id.
+
+    ``bucket_col`` switches brute-force → IVF-PQ (the FAISS IVFx,PQy
+    index shape): candidates must share the probe's coarse cell, so
+    the scored fraction drops to 1/n_cells AND each candidate costs m
+    LUT lookups over the codes scan — the coarse-prune and
+    code-compression levers compose, exactly like IVF-SQ8.
     """
     mm = len(codebooks)
     dsub = len(codebooks[0][0][1])
@@ -1025,6 +1033,7 @@ def pq_adc_topk(
     probes = emb.filter(probe_pred(F.col(id_col))).select(
         F.col(id_col).alias("probe_id"),
         as_double(F.col(vec_col)).alias("__pv"),
+        *([F.col(bucket_col).alias("__bkt")] if bucket_col else []),
     )
     lut_terms = []
     for s, cb in enumerate(codebooks):
@@ -1046,14 +1055,25 @@ def pq_adc_topk(
             else:
                 lut_terms.append(F.lit(0.0))
     luts = probes.select(
-        "probe_id", F.array(*lut_terms).alias("__lut")
+        "probe_id",
+        F.array(*lut_terms).alias("__lut"),
+        *(["__bkt"] if bucket_col else []),
     )
-    codes = pq_encode(emb, codebooks, id_col, vec_col).select(
-        F.col(id_col).alias("vec_id"), "codes"
+    enc_in = (
+        emb.withColumn("__bkt", F.col(bucket_col)) if bucket_col else emb
     )
-    j = codes.crossJoin(F.broadcast(luts)).filter(
-        F.col("vec_id") != F.col("probe_id")
-    )
+    codes = pq_encode(
+        enc_in,
+        codebooks,
+        id_col,
+        vec_col,
+        carry_cols=("__bkt",) if bucket_col else (),
+    ).withColumnRenamed(id_col, "vec_id")
+    if bucket_col:
+        j = codes.join(F.broadcast(luts), "__bkt", "inner")
+    else:
+        j = codes.crossJoin(F.broadcast(luts))
+    j = j.filter(F.col("vec_id") != F.col("probe_id"))
     adc = None
     for s in range(mm):
         term = F.element_at(

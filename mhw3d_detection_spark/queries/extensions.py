@@ -2476,14 +2476,23 @@ def q_dedup_winnowing(spark, sf_dir):
 # codes index + asymmetric-distance search; oracle unrolls the m
 # per-subspace Lloyd's trainers exactly like _KMEANS_SQL)
 # =========================================================================
-def _PQ_SQL(m: int = 4, ksub: int = 4, iters: int = 2, dim: int = 64) -> str:
+def _PQ_SQL(
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    standalone: bool = True,
+) -> str:
     """Per-subspace unrolled Lloyd's trainers as DuckDB CTEs, mirroring
     ``pq_train_codebooks`` exactly: subspace s trains on ``v[lo:hi]``
     slices with the same deterministic init / argmin assign / rq6
     round-quantized means as ``_KMEANS_SQL``. Emits per subspace the
     final assignment ``p{s}afin`` and final codebook ``p{s}c{iters}``.
     Ends WITHOUT a trailing comma. Same literal-assign-only guard as
-    the k-means oracle."""
+    the k-means oracle. ``standalone=False`` drops the ``WITH`` prefix
+    and the ``base`` CTE so the fragment composes after a generator
+    that already defined the identical ``base`` (``_KMEANS_SQL`` — the
+    IVF-PQ composition)."""
     from mhw3d_detection_spark.operators.similarity import (
         LITERAL_ASSIGN_MAX_K,
     )
@@ -2495,7 +2504,11 @@ def _PQ_SQL(m: int = 4, ksub: int = 4, iters: int = 2, dim: int = 64) -> str:
             "kernel on the Spark side, which is not bit-exact vs this SQL"
         )
     dsub = dim // m
-    ctes = ["base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    ctes = (
+        ["base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+        if standalone
+        else []
+    )
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
         ctes.append(f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM base)")
@@ -2528,7 +2541,8 @@ def _PQ_SQL(m: int = 4, ksub: int = 4, iters: int = 2, dim: int = 64) -> str:
                 f"GROUP BY bucket, i) GROUP BY bucket)"
             )
         ctes.append(assign_cte(f"p{s}afin", f"p{s}c{iters}"))
-    return "WITH " + ", ".join(ctes)
+    joined = ", ".join(ctes)
+    return ("WITH " + joined) if standalone else joined
 
 
 @register(
@@ -2736,3 +2750,60 @@ def q_bpe_train_rounds(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "q_similarity_ivfpq",
+    _KMEANS_SQL()
+    + ", "
+    + _PQ_SQL(standalone=False)
+    + ", codes AS (SELECT a0.vec_id, f.bucket, a0.bucket AS code0, "
+    "  a1.bucket AS code1, a2.bucket AS code2, a3.bucket AS code3 "
+    "  FROM p0afin a0 "
+    "  JOIN p1afin a1 ON a0.vec_id = a1.vec_id "
+    "  JOIN p2afin a2 ON a0.vec_id = a2.vec_id "
+    "  JOIN p3afin a3 ON a0.vec_id = a3.vec_id "
+    "  JOIN afin f ON a0.vec_id = f.vec_id), "
+    "probes AS (SELECT vec_id AS probe_id, bucket, v AS pv FROM afin "
+    "  WHERE vec_id % 50 = 0), "
+    "dist AS (SELECT p.probe_id, t.vec_id, "
+    f"  ((({_PQ_ADC_D(0)} + {_PQ_ADC_D(1)}) + {_PQ_ADC_D(2)}) + {_PQ_ADC_D(3)}) AS adc_d2 "
+    "  FROM codes t JOIN probes p ON t.bucket = p.bucket "
+    "  JOIN p0c2 k0 ON k0.bucket = t.code0 "
+    "  JOIN p1c2 k1 ON k1.bucket = t.code1 "
+    "  JOIN p2c2 k2 ON k2.bucket = t.code2 "
+    "  JOIN p3c2 k3 ON k3.bucket = t.code3 "
+    "  WHERE t.vec_id <> p.probe_id), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY adc_d2 ASC, vec_id) AS INT) AS rank FROM dist) "
+    "SELECT probe_id, vec_id, adc_d2, rank FROM ranked WHERE rank <= 5",
+)
+def q_similarity_ivfpq(spark, sf_dir):
+    """E3 (r7): IVF-PQ — the FAISS IVFx,PQy index shape as DataFrame
+    ops: a trained coarse quantizer prunes candidates to the probe's
+    cell (1/n_cells of the corpus) and the PQ codes + per-probe LUT
+    make each surviving candidate cost m lookups over the ~64x-smaller
+    codes index — BOTH levers of billion-scale ANN composed. The
+    oracle replays the coarse Lloyd's rounds AND all four subspace
+    trainers in SQL; distances stay UNROUNDED (bit-exact fixed-order
+    folds, like the flat ADC row)."""
+    from mhw3d_detection_spark.operators.similarity import (
+        assign_buckets,
+        kmeans_ivf_centroids,
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_ivf_centroids(emb, k=8, iters=3)
+    tagged = assign_buckets(emb, coarse).select(
+        "vec_id", "embedding", "bucket"
+    )
+    books = pq_train_codebooks(emb, m=4, ksub=4, iters=2)
+    return pq_adc_topk(
+        tagged,
+        books,
+        probe_pred=lambda c: c % 50 == 0,
+        k=5,
+        bucket_col="bucket",
+    )

@@ -515,3 +515,30 @@ def test_pq_adc_scores_codes_against_broadcast_luts(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert _count_exchanges(plan) <= 2, plan
+
+
+def test_ivfpq_bucket_join_no_cartesian(spark, sf_dir):
+    # E3 r7: the IVF-PQ composition must candidate-prune via the
+    # coarse-cell EQUI-join (broadcast probes+LUTs), never a cartesian.
+    from mhw3d_detection_spark.operators.similarity import (
+        assign_buckets,
+        kmeans_ivf_centroids,
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_ivf_centroids(emb, k=4, iters=1)
+    tagged = assign_buckets(emb, coarse).select(
+        "vec_id", "embedding", "bucket"
+    )
+    books = pq_train_codebooks(emb, m=4, ksub=4, iters=1)
+    plan = _executed(
+        pq_adc_topk(
+            tagged, books, probe_pred=lambda c: c % 50 == 0, k=5,
+            bucket_col="bucket",
+        )
+    )
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
