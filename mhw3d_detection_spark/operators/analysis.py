@@ -677,3 +677,49 @@ def annual_event_stats(
         .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
         .withColumn("mhw_days", F.coalesce(F.col("mhw_days"), F.lit(0).cast("long")))
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Partition-key skew diagnostic — the pre-flight check for any
+    100 TB shuffle: would hashing on ``key_col`` leave straggler
+    partitions? One hash aggregate builds the per-key count table
+    (keys-sized), a second reduces it to ONE summary row:
+
+    * ``n_rows`` / ``n_keys`` / ``max_cnt`` — raw scale,
+    * ``p50_cnt`` / ``p90_cnt`` / ``p99_cnt`` — the count
+      distribution's shape (exact linear-interp percentiles; swap to
+      approx_percentile at petabyte key cardinality, same plan),
+    * ``top1_share`` — the heaviest key's fraction of all rows (the
+      straggler bound: no hash partitioning can beat it),
+    * ``hhi`` — Herfindahl concentration Σ(cnt/total)², computed as
+      exact integer Σcnt² over total² so it is bit-identical
+      cross-engine (1/n_keys = uniform, →1 = one hot key).
+
+    Reading it: ``top1_share`` ≳ 1/shuffle-partitions means AQE skew
+    splitting or salting is mandatory before a groupBy/join on this
+    key; p99/p50 ≫ 1 predicts stragglers even without a single hot
+    key.
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    one = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, array(0.5, 0.9, 0.99))").alias("__q"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__ss"),
+    )
+    return one.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.col("__q")[0].alias("p50_cnt"),
+        F.col("__q")[1].alias("p90_cnt"),
+        F.col("__q")[2].alias("p99_cnt"),
+        (F.col("max_cnt") / F.col("n_rows")).alias("top1_share"),
+        (
+            F.col("__ss").cast("double")
+            / (F.col("n_rows") * F.col("n_rows"))
+        ).alias("hhi"),
+    )

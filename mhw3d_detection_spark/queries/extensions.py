@@ -2807,3 +2807,128 @@ def q_similarity_ivfpq(spark, sf_dir):
         k=5,
         bucket_col="bucket",
     )
+
+
+# =========================================================================
+# E9 — shuffle-tuning diagnostics: partition-key skew profile (r7)
+# =========================================================================
+@register(
+    "q_key_skew",
+    "WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
+    "  FROM events GROUP BY 1), "
+    "a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, "
+    "  CAST(count(*) AS BIGINT) AS n_keys, "
+    "  CAST(max(cnt) AS BIGINT) AS max_cnt, "
+    "  quantile_cont(cnt, 0.5) AS p50_cnt, "
+    "  quantile_cont(cnt, 0.9) AS p90_cnt, "
+    "  quantile_cont(cnt, 0.99) AS p99_cnt, "
+    "  CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM c) "
+    "SELECT n_rows, n_keys, max_cnt, "
+    f"  {rq_sql('p50_cnt', 4)} AS p50_cnt, "
+    f"  {rq_sql('p90_cnt', 4)} AS p90_cnt, "
+    f"  {rq_sql('p99_cnt', 4)} AS p99_cnt, "
+    "  max_cnt / CAST(n_rows AS DOUBLE) AS top1_share, "
+    "  CAST(ss AS DOUBLE) / (n_rows * n_rows) AS hhi FROM a",
+)
+def q_key_skew(spark, sf_dir):
+    """E9 (r7): partition-key skew profile of events.user_id — the
+    pre-flight diagnostic for shuffle tuning (would a groupBy/join on
+    this key straggle? is salting/AQE-skew-split needed?). Two hash
+    aggregates: per-key counts (keys-sized), then a single summary
+    row. top1_share and hhi are exact integer ratios (one division
+    each — bit-identical cross-engine, unrounded); the count
+    percentiles are exact linear-interp, rq4."""
+    from mhw3d_detection_spark.operators.analysis import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = key_skew_profile(ev, "user_id")
+    return out.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        rq("p50_cnt", 4).alias("p50_cnt"),
+        rq("p90_cnt", 4).alias("p90_cnt"),
+        rq("p99_cnt", 4).alias("p99_cnt"),
+        "top1_share",
+        "hhi",
+    )
+
+
+# =========================================================================
+# E4 — Kneser-Ney smoothed bigram LM (r7: the modern-LM-filter scorer
+# one smoothing class up from the interpolated row)
+# =========================================================================
+@register(
+    "q_text_logprob_kn",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "bgp AS (SELECT doc_id, toks, "
+    "  unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i FROM d), "
+    "bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bgp), "
+    "bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+    "hc AS (SELECT w1, sum(c2) AS c1, count(*) AS nfw FROM bc GROUP BY 1), "
+    "cc AS (SELECT w2, count(*) AS nbw FROM bc GROUP BY 1), "
+    "bt AS (SELECT count(*) AS nt FROM bc), "
+    "scored AS (SELECT g.doc_id, "
+    "  ln((bc.c2 - 0.75) / hc.c1 + 0.75 * hc.nfw / hc.c1 "
+    "     * (cc.nbw / (1.0 * bt.nt))) AS lp "
+    "  FROM bg g JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2 "
+    "  JOIN hc ON g.w1 = hc.w1 JOIN cc ON g.w2 = cc.w2 CROSS JOIN bt) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    f"{rq_sql('avg(lp)', 4)} AS mean_logprob_kn "
+    "FROM scored GROUP BY 1",
+)
+def q_text_logprob_kn(spark, sf_dir):
+    """E4 (r7): mean interpolated Kneser-Ney bigram log-probability
+    per document (Kneser & Ney ICASSP'95; Chen & Goodman'98 eq. 4.22
+    at bigram order) — P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) +
+    D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|, D = 0.75. The
+    backoff mass goes to CONTINUATION counts (how many distinct
+    contexts a word follows), the device that makes KN the standard
+    LM smoothing — 'francisco' is frequent but only ever follows
+    'san', so its unigram backoff is small. All component tables are
+    hash aggregates over the bigram-type table: hc/cc are
+    vocab-sized broadcast dims, the type total is a 1-row scalar;
+    scoring the corpus's own bigrams means every c2 >= 1 so the
+    discount never floors (no max branch divergence cross-engine).
+    Same plan shape as q_text_logprob_bigram."""
+    from mhw3d_detection_spark.operators.textops import tokens_col, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    bg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n_bg), F.slice("toks", 2, n_bg)
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    hc = bc.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nfw")
+    )
+    cc = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    bt = bc.agg(F.count(F.lit(1)).cast("double").alias("__nt"))
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(F.broadcast(hc), "w1")
+        .join(F.broadcast(cc), "w2")
+        .crossJoin(F.broadcast(bt))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c2") - 0.75) / F.col("c1")
+                + 0.75 * F.col("nfw") / F.col("c1")
+                * (F.col("nbw") / F.col("__nt"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rq(F.avg("lp"), 4).alias("mean_logprob_kn"),
+    )

@@ -1492,3 +1492,55 @@ class TestBpeTraining:
 
         got = bpe_train_merges(docs, rounds=3)
         assert got == want
+
+
+class TestKeySkewProfile:
+    def test_matches_hand_computed_distribution(self, spark):
+        from mhw3d_detection_spark.operators.analysis import key_skew_profile
+
+        # keys: a x6, b x2, c x1, d x1 -> counts [6,2,1,1]
+        rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+        df = spark.createDataFrame(rows, "k string")
+        r = key_skew_profile(df, "k").collect()[0]
+        assert r["n_rows"] == 10 and r["n_keys"] == 4
+        assert r["max_cnt"] == 6
+        # sorted counts [1,1,2,6]: p50 = 1.5 (linear interp)
+        assert r["p50_cnt"] == pytest.approx(1.5)
+        assert r["top1_share"] == pytest.approx(0.6)
+        # hhi = (36+4+1+1)/100
+        assert r["hhi"] == pytest.approx(0.42)
+
+
+class TestKneserNey:
+    def test_continuation_counts_beat_raw_frequency(self, spark):
+        # the KN signature: 'francisco' appears 3x but ALWAYS after
+        # 'san' (one continuation context); 'thing' appears 3x after 3
+        # different words. A doc using 'new francisco' (an unseen-ish
+        # pairing scored via backoff... here both pairings exist once)
+        # must score 'x thing' higher than 'x francisco' because
+        # N1+(.thing) > N1+(.francisco) drives the backoff term.
+        from mhw3d_detection_spark.queries.extensions import (
+            q_text_logprob_kn,
+        )
+
+        texts = [
+            "san francisco san francisco san francisco",
+            "good thing bad thing one thing",
+            "x thing",
+            "x francisco",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        import mhw3d_detection_spark.queries.extensions as ext
+
+        orig = ext.load_table
+        ext.load_table = lambda spark, sf_dir, name: docs
+        try:
+            out = {
+                r["doc_id"]: r["mean_logprob_kn"]
+                for r in q_text_logprob_kn(spark, None).collect()
+            }
+        finally:
+            ext.load_table = orig
+        assert out[2] > out[3]

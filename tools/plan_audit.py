@@ -63,6 +63,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_text_tfidf": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_text_logprob": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_text_logprob_bigram": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_text_logprob_kn": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_cooc_pmi": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_mixture_weights": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_sample_temperature": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
