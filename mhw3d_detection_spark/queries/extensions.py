@@ -2932,3 +2932,69 @@ def q_text_logprob_kn(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         rq(F.avg("lp"), 4).alias("mean_logprob_kn"),
     )
+
+
+# =========================================================================
+# E3 — ANN quality evaluation: recall@k of the bucketed path vs exact
+# brute force (r7) — the metric every ANN deployment watches
+# =========================================================================
+@register(
+    "q_ann_recall",
+    "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+    "  FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, label, v AS pv FROM base "
+    "  WHERE vec_id % 50 = 0), "
+    "es AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine FROM base b, probes p "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "er AS (SELECT probe_id, vec_id, CAST(row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+    "  FROM es), "
+    "e AS (SELECT probe_id, vec_id FROM er WHERE rank <= 5), "
+    "asims AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine "
+    "  FROM base b JOIN probes p ON b.label = p.label "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "ar AS (SELECT probe_id, vec_id, CAST(row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+    "  FROM asims), "
+    "a AS (SELECT probe_id, vec_id FROM ar WHERE rank <= 5) "
+    "SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_exact, "
+    "  CAST(count(a.vec_id) AS BIGINT) AS n_hit, "
+    "  count(a.vec_id) / CAST(count(*) AS DOUBLE) AS recall "
+    "FROM e LEFT JOIN a ON e.probe_id = a.probe_id "
+    "  AND e.vec_id = a.vec_id "
+    "GROUP BY e.probe_id",
+)
+def q_ann_recall(spark, sf_dir):
+    """E3 (r7): recall@5 of the IVF-bucketed search against the exact
+    brute-force top-5, per probe — the quality metric every ANN
+    deployment trades against its speedup (the IVF cell prune can
+    only MISS neighbors, never invent them, so recall is the whole
+    story). Composes the two existing search paths and joins their
+    result sets: one left equi-join on (probe, neighbor) + a
+    probe-keyed count — at 100 TB this evaluates on a probe SAMPLE,
+    same plan. recall = integer-count ratio, one exact division —
+    unrounded, bit-identical cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, probe_pred=lambda c: c % 50 == 0, k=5).select(
+        "probe_id", "vec_id"
+    )
+    approx = (
+        cosine_topk(
+            emb, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="label"
+        )
+        .select("probe_id", "vec_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+            (
+                F.count("__hit") / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -74,6 +74,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # same broadcast-probes shape, plus the corpus side reads 4-int
     # codes instead of the float vectors
     "q_similarity_pq_adc": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # the recall evaluation's EXACT leg is the brute-force baseline
+    # (broadcast probes by construction); the approx leg equi-joins
+    "q_ann_recall": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_bm25_topk": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # the BM25 leg inside the RRF fusion carries the same scalar
     # N/avgdl broadcast attaches
