@@ -1787,3 +1787,80 @@ def bpe_round_pair_counts(
         .groupBy("pair")
         .agg(F.sum("cnt").alias("n"))
     )
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Signed feature hashing ("the hashing trick", Weinberger et al.
+    ICML'09): every token occurrence maps to ``bucket = h(token) mod
+    dim`` with sign ``ξ(token) = ±1`` from an independent hash bit,
+    and a document's feature vector is the per-bucket sum of signs —
+    a FIXED-dim featurization with no vocabulary table at all, which
+    is the property that matters at 100 TB: no vocab build pass, no
+    broadcast dim, no OOV handling; the signed sum keeps collision
+    noise zero-mean. Narrow token explode → ONE (doc, bucket) hash
+    aggregate; integer end-to-end so the oracle matches bit-for-bit.
+
+    ``ξ`` uses hash bit 6 (above the ``mod 64`` bucket bits) so sign
+    and bucket are decorrelated. Returns sparse ``(doc_id, bucket,
+    val)`` rows (absent bucket = 0; a cancelled bucket emits val=0 —
+    kept, so the row set is a deterministic function of the tokens).
+    """
+    tok = tokenize(docs, text_col)
+    h = minhash_base(F.col("token"))
+    sign = F.lit(1) - F.lit(2) * F.shiftright(h, 6).bitwiseAND(F.lit(1))
+    return (
+        tok.select(
+            "doc_id",
+            F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+            sign.alias("__s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("__s").cast("long").alias("val"))
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Deploy a trained BPE merge list corpus-wide and report per-doc
+    tokenization stats — the train→deploy seam of tokenizer work: the
+    merges are applied ONCE per distinct word (vocab-sized dict, one
+    narrow pass over the distinct-token table), and documents join the
+    encoded dict by token (broadcast — the dict is the vocab, not the
+    corpus). Returns per doc ``(n_tokens, n_chars, n_symbols,
+    chars_per_symbol)`` — chars_per_symbol is the compression the
+    merge list bought (1.0 = no merge ever fires; the single division
+    is exact IEEE, bit-identical cross-engine).
+    """
+    s = _bpe_syms(F.col("token"))
+    for _, a, b, _n in merges:
+        s = _bpe_apply(s, a, b)
+    dict_df = (
+        tokenize(docs, text_col)
+        .select("token")
+        .distinct()
+        .select(
+            "token",
+            F.length("token").cast("long").alias("__nc"),
+            F.size(s).cast("long").alias("__ns"),
+        )
+    )
+    return (
+        tokenize(docs, text_col)
+        .join(F.broadcast(dict_df), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nc").alias("n_chars"),
+            F.sum("__ns").alias("n_symbols"),
+            (
+                F.sum("__nc") / F.sum("__ns").cast("double")
+            ).alias("chars_per_symbol"),
+        )
+    )

@@ -2675,13 +2675,17 @@ def q_zorder_key(spark, sf_dir):
 # iterative half of tokenizer vocabulary induction; third unrolled
 # iterative trainer after Lloyd's k-means and the PQ subspaces)
 # =========================================================================
-def _BPE_SQL(rounds: int = 3, top: int = 5) -> str:
+def _BPE_CTES(rounds: int = 3, emit_final: bool = False) -> str:
     """Unrolled BPE training rounds as DuckDB CTEs mirroring
     ``bpe_train_merges`` exactly: same char split (space-inject
     regexp_replace — no lookarounds, RE2-safe), same self-pair
     exclusion (the positional-merge contract), same (count desc, pair
     asc) selection, same positional merge application. Emits per-round
-    pair-count CTEs ``c{r}`` and top-pair CTEs ``t{r}``."""
+    word-state CTEs ``w{r}`` (carrying the original word ``w``),
+    pair-count CTEs ``c{r}`` and top-pair CTEs ``t{r}``;
+    ``emit_final`` additionally applies the LAST selected merge,
+    yielding ``w{rounds}`` — the fully-encoded dictionary a deploy
+    pass joins against. No WITH prefix, no trailing comma."""
     pairs = (
         "list_transform(list_filter(range(1, len(s)), "
         "i -> s[i] <> s[i+1]), i -> s[i] || ' ' || s[i+1])"
@@ -2690,7 +2694,7 @@ def _BPE_SQL(rounds: int = 3, top: int = 5) -> str:
         "tok AS (SELECT unnest(" + TOKENS_SQL + ") AS w FROM documents)",
         "wrd AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt "
         "FROM tok GROUP BY 1)",
-        "w0 AS (SELECT string_split(trim(regexp_replace(w, '(.)', "
+        "w0 AS (SELECT w, string_split(trim(regexp_replace(w, '(.)', "
         "'\\1 ', 'g')), ' ') AS s, cnt FROM wrd)",
     ]
     for r in range(rounds):
@@ -2698,26 +2702,32 @@ def _BPE_SQL(rounds: int = 3, top: int = 5) -> str:
             f"c{r} AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM ("
             f"SELECT unnest({pairs}) AS pair, cnt FROM w{r}) GROUP BY 1)"
         )
-        if r + 1 < rounds:
+        if r + 1 < rounds or emit_final:
             ctes.append(
                 f"t{r} AS (SELECT string_split(pair, ' ')[1] AS a, "
                 f"string_split(pair, ' ')[2] AS b FROM c{r} "
                 f"ORDER BY n DESC, pair LIMIT 1)"
             )
             ctes.append(
-                f"w{r + 1} AS (SELECT list_transform(list_filter("
+                f"w{r + 1} AS (SELECT w, list_transform(list_filter("
                 f"range(1, len(s) + 1), "
                 f"i -> NOT (i > 1 AND s[i-1] = t.a AND s[i] = t.b)), "
                 f"i -> CASE WHEN s[i] = t.a AND i < len(s) "
                 f"AND s[i+1] = t.b THEN t.a || t.b ELSE s[i] END) AS s, "
                 f"cnt FROM w{r} CROSS JOIN t{r} t)"
             )
+    return ", ".join(ctes)
+
+
+def _BPE_SQL(rounds: int = 3, top: int = 5) -> str:
+    """Training-rounds report over :func:`_BPE_CTES` — per round the
+    top ``top`` pairs by (count desc, pair asc)."""
     sel = " UNION ALL ".join(
         f"SELECT {r} AS rnd, pair, n FROM "
         f"(SELECT pair, n FROM c{r} ORDER BY n DESC, pair LIMIT {top})"
         for r in range(rounds)
     )
-    return "WITH " + ", ".join(ctes) + " " + sel
+    return "WITH " + _BPE_CTES(rounds) + " " + sel
 
 
 @register("q_bpe_train_rounds", _BPE_SQL())
@@ -2998,3 +3008,58 @@ def q_ann_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# =========================================================================
+# E4 — signed feature hashing (r7: vocabulary-free featurization)
+# =========================================================================
+@register(
+    "q_feature_hash",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "h AS (SELECT doc_id, "
+    "  ('0x' || substr(md5(token), 1, 12))::BIGINT AS hv FROM tok) "
+    "SELECT doc_id, CAST(hv % 64 AS INT) AS bucket, "
+    "  CAST(sum(1 - 2 * ((hv >> 6) & 1)) AS BIGINT) AS val "
+    "FROM h GROUP BY 1, 2",
+)
+def q_feature_hash(spark, sf_dir):
+    """E4 (r7): signed feature hashing (Weinberger et al. ICML'09) —
+    64-dim text featurization with NO vocabulary: bucket = md5 mod
+    64, sign = an independent hash bit, per-(doc, bucket) signed
+    sums. The no-vocab property is the 100 TB point (no build pass,
+    no broadcast dim, no OOV); integer end-to-end, bit-exact."""
+    from mhw3d_detection_spark.operators.textops import feature_hash_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash_vectors(docs)
+
+
+@register(
+    "q_bpe_encode",
+    "WITH " + _BPE_CTES(3, emit_final=True)
+    + ", dtok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS w "
+    "  FROM documents), "
+    "enc AS (SELECT w, CAST(length(w) AS BIGINT) AS nc, "
+    "  CAST(len(s) AS BIGINT) AS ns FROM w3) "
+    "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "  CAST(sum(e.nc) AS BIGINT) AS n_chars, "
+    "  CAST(sum(e.ns) AS BIGINT) AS n_symbols, "
+    "  sum(e.nc) / CAST(sum(e.ns) AS DOUBLE) AS chars_per_symbol "
+    "FROM dtok d JOIN enc e ON d.w = e.w GROUP BY 1",
+)
+def q_bpe_encode(spark, sf_dir):
+    """E4 (r7): the BPE train→deploy seam — the 3 trained merges
+    applied once per DISTINCT word (vocab-sized dict), documents
+    broadcast-join the dict, and per-doc symbol counts quantify the
+    compression the merge list bought. The oracle replays the unrolled
+    training rounds AND the final dictionary encode; integer counts +
+    one exact division, hash-checked."""
+    from mhw3d_detection_spark.operators.textops import (
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, rounds=3)
+    return bpe_encode_stats(docs, merges)

@@ -1544,3 +1544,55 @@ class TestKneserNey:
         finally:
             ext.load_table = orig
         assert out[2] > out[3]
+
+
+class TestFeatureHash:
+    def test_signed_sums_match_python_md5(self, spark):
+        import hashlib
+
+        from mhw3d_detection_spark.operators.textops import (
+            feature_hash_vectors,
+        )
+
+        texts = ["the cat sat", "the the dog"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+        def h(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+
+        want = {}
+        for i, t in enumerate(texts):
+            for tok in t.split():
+                hv = h(tok)
+                key = (i, hv % 64)
+                want[key] = want.get(key, 0) + (1 - 2 * ((hv >> 6) & 1))
+        got = {
+            (r["doc_id"], r["bucket"]): r["val"]
+            for r in feature_hash_vectors(docs).collect()
+        }
+        assert got == want
+
+
+class TestBpeEncode:
+    def test_compression_stats_hand_checked(self, spark):
+        from mhw3d_detection_spark.operators.textops import bpe_encode_stats
+
+        docs = spark.createDataFrame(
+            [(0, "lolo ab"), (1, "xyz")], "doc_id long, text string"
+        )
+        # merges: (l,o) then (lo,lo) -> 'lolo' encodes to ONE symbol
+        merges = [(0, "l", "o", 0), (1, "lo", "lo", 0)]
+        # NOTE (lo, lo) is a self-pair a caller could hand the encoder
+        # even though the trainer never selects one; _bpe_apply's
+        # positional rule still merges the non-overlapping occurrence
+        out = {r["doc_id"]: r for r in bpe_encode_stats(docs, merges).collect()}
+        # doc 0: 'lolo' -> 4 chars, 1 symbol; 'ab' -> 2 chars 2 syms
+        assert out[0]["n_tokens"] == 2
+        assert out[0]["n_chars"] == 6
+        assert out[0]["n_symbols"] == 3
+        assert out[0]["chars_per_symbol"] == pytest.approx(2.0)
+        # doc 1: untouched
+        assert out[1]["n_symbols"] == 3
+        assert out[1]["chars_per_symbol"] == pytest.approx(1.0)
