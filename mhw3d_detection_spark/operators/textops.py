@@ -1864,3 +1864,47 @@ def bpe_encode_stats(
             ).alias("chars_per_symbol"),
         )
     )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    probe_pred,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Slot-level MinHash Jaccard ESTIMATES for probe pairs:
+    ``est = (#matching minhash slots)/n_hashes`` — the estimator whose
+    collision probability per slot IS the Jaccard similarity (Broder
+    '97). Probe signatures broadcast against the corpus signature
+    table (n_hashes ints per doc — the 100 TB side is the signature
+    scan, never the shingles). Slot matches are integer comparisons,
+    so the estimate is bit-exact cross-engine. Returns ``(doc_a,
+    doc_b, n_slot_matches, est_jaccard)`` with doc_a (probe) < doc_b.
+    """
+    sh = shingles(docs, text_col, n=shingle_n)
+    sx = sh.withColumn("__x", minhash_base(F.col("shingle")))
+    sig = sx.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_member(i, F.col("__x"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    probes = sig.filter(probe_pred(F.col("doc_id"))).select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(n_hashes)],
+    )
+    matches = None
+    for i in range(n_hashes):
+        t = (F.col(f"h{i}") == F.col(f"ha{i}")).cast("int")
+        matches = t if matches is None else matches + t
+    return (
+        sig.crossJoin(F.broadcast(probes))
+        .filter(F.col("doc_a") < F.col("doc_id"))
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            matches.alias("n_slot_matches"),
+            (matches / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )

@@ -3063,3 +3063,71 @@ def q_bpe_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train_merges(docs, rounds=3)
     return bpe_encode_stats(docs, merges)
+
+
+# =========================================================================
+# E2 — MinHash estimator calibration (r7: the eval layer for dedup,
+# as q_ann_recall is for ANN)
+# =========================================================================
+@register(
+    "q_minhash_calibration",
+    f"WITH {SHINGLES_SQL}, "
+    "shx AS (SELECT doc_id, "
+    "  ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM sh), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_M}) AS h{i}"
+        for i in range(8)
+    )
+    + " FROM shx GROUP BY 1), "
+    "pr AS (SELECT doc_id AS doc_a, "
+    + ", ".join(f"h{i} AS ha{i}" for i in range(8))
+    + " FROM sig WHERE doc_a % 2 = 0), "
+    "est AS (SELECT pr.doc_a, s.doc_id AS doc_b, "
+    + " + ".join(
+        f"CASE WHEN s.h{i} = pr.ha{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    + " AS m FROM sig s CROSS JOIN pr WHERE pr.doc_a < s.doc_id), "
+    "dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+    "sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "  count(*) AS i FROM dsh a JOIN dsh b ON a.shingle = b.shingle "
+    "  WHERE a.doc_id % 2 = 0 AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "ex AS (SELECT i.doc_a, i.doc_b, "
+    "  i / CAST(za.sz + zb.sz - i AS DOUBLE) AS jac FROM inter i "
+    "  JOIN sz za ON i.doc_a = za.doc_id "
+    "  JOIN sz zb ON i.doc_b = zb.doc_id "
+    "  WHERE i / CAST(za.sz + zb.sz - i AS DOUBLE) >= 0.05) "
+    "SELECT e.m AS n_slot_matches, e.m / 8.0 AS est_jaccard, "
+    "  CAST(count(*) AS BIGINT) AS n_pairs, "
+    f"  {rq_sql('avg(x.jac)', 4)} AS mean_exact_jaccard "
+    "FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b "
+    "GROUP BY 1, 2",
+)
+def q_minhash_calibration(spark, sf_dir):
+    """E2 (r7): MinHash estimator calibration — for sample pairs with
+    exact 3-gram Jaccard >= 0.05, bin by the number of matching
+    minhash slots and report the mean exact Jaccard per bin: the
+    curve that tells a dedup operator what threshold its
+    matches-of-8 estimate actually buys (Broder'97: each slot
+    matches with probability J, so est_jaccard = m/8 should track
+    the bin mean). Slot matches are integer-exact; the per-bin mean
+    is rq4. The eval-layer row for E2, as q_ann_recall is for E3."""
+    from mhw3d_detection_spark.operators.textops import (
+        minhash_estimate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = minhash_estimate_pairs(docs, probe_pred=lambda c: c % 2 == 0)
+    ex = ngram_jaccard_pairs(
+        docs, probe_pred=lambda c: c % 2 == 0, min_jaccard=0.05
+    )
+    return (
+        est.join(ex, ["doc_a", "doc_b"])
+        .groupBy("n_slot_matches", "est_jaccard")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            rq(F.avg("jaccard"), 4).alias("mean_exact_jaccard"),
+        )
+    )

@@ -1596,3 +1596,27 @@ class TestBpeEncode:
         # doc 1: untouched
         assert out[1]["n_symbols"] == 3
         assert out[1]["chars_per_symbol"] == pytest.approx(1.0)
+
+
+class TestMinhashCalibration:
+    def test_identical_docs_match_all_slots(self, spark):
+        from mhw3d_detection_spark.operators.textops import (
+            minhash_estimate_pairs,
+        )
+
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(0, t), (1, t), (2, "completely different words entirely here now")],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_a"], r["doc_b"]): (r["n_slot_matches"], r["est_jaccard"])
+            for r in minhash_estimate_pairs(
+                docs, probe_pred=lambda c: c >= 0
+            ).collect()
+        }
+        # identical docs -> identical signatures -> 8/8
+        assert out[(0, 1)] == (8, 1.0)
+        # disjoint shingle sets -> slot match only by hash collision
+        # (none among these few shingles)
+        assert out[(0, 2)][0] == 0

@@ -64,6 +64,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_text_logprob": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_text_logprob_bigram": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_text_logprob_kn": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # calibration scores the corpus signature scan (8 ints/doc)
+    # against the broadcast sample-probe signatures — the estimator
+    # eval runs on a probe sample by design
+    "q_minhash_calibration": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_cooc_pmi": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_mixture_weights": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_sample_temperature": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
