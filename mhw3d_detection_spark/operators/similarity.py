@@ -1099,3 +1099,94 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "adc_d2", "rank")
     )
+
+
+def _assign_topn_expr(
+    cents: list[tuple[int, list[float]]], vec: Column, n: int
+) -> Column:
+    """The ``n`` nearest centroid ids (ascending squared distance,
+    ties to the lower bucket) as an array — the multi-probe variant of
+    :func:`_assign_bucket_expr` (same literal structs; ``array_sort``
+    on (d², bucket) structs is the lexicographic order ``ORDER BY d2,
+    bucket`` the SQL oracle replays). Still a narrow expression."""
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(vec, F.lit(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(int(b)).alias("b"),
+        )
+        for b, c in cents
+    ]
+    return F.transform(
+        F.slice(F.array_sort(F.array(*structs)), 1, n), lambda s: s["b"]
+    )
+
+
+def cosine_topk_multiprobe(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    probe_pred,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF top-k: the corpus lives in its single nearest
+    cell, but each PROBE searches its ``n_probe`` nearest cells — the
+    standard recall lever of IVF indexes (FAISS ``nprobe``): the
+    neighbors an IVF search misses are overwhelmingly just across the
+    probe's cell boundary, so probing the runner-up cell recovers most
+    of the recall gap at 2× the candidate cost while the corpus-side
+    index is unchanged. Probes explode to (probe, cell) rows (n_probe
+    × |probes| — still broadcast-sized), then the identical equi-join
+    + salted two-phase top-k as :func:`cosine_topk`; a candidate is in
+    exactly one cell, so no dedup is needed.
+    """
+    base = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("bucket", _assign_bucket_expr(cents, F.col("v")))
+    )
+    probes = base.filter(probe_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("n").alias("pn"),
+        F.explode(
+            _assign_topn_expr(cents, F.col("v"), n_probe)
+        ).alias("bucket"),
+    )
+    j = (
+        base.join(F.broadcast(probes), "bucket")
+        .filter(
+            (F.col("vec_id") != F.col("probe_id"))
+            & (F.col("n") > 0)
+            & (F.col("pn") > 0)
+        )
+        .withColumn(
+            "cosine", dot(F.col("v"), F.col("pv")) / (F.col("n") * F.col("pn"))
+        )
+    )
+    scored = j.select("probe_id", "vec_id", "cosine")
+    SALTS = 64
+    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    pruned = (
+        scored.withColumn("__salt", F.pmod(F.hash("vec_id"), F.lit(SALTS)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", "rank")
+    )

@@ -3131,3 +3131,52 @@ def q_minhash_calibration(spark, sf_dir):
             rq(F.avg("jaccard"), 4).alias("mean_exact_jaccard"),
         )
     )
+
+
+# =========================================================================
+# E3 — multi-probe IVF (r7: the FAISS nprobe recall lever)
+# =========================================================================
+_MP_D2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
+)
+
+
+@register(
+    "q_similarity_ivf_multiprobe",
+    _KMEANS_SQL()
+    + ", p2 AS (SELECT vec_id, bucket FROM ("
+    "  SELECT b.vec_id, c.bucket, row_number() OVER ("
+    f"  PARTITION BY b.vec_id ORDER BY {_MP_D2} ASC, c.bucket ASC) AS rn "
+    "  FROM base b CROSS JOIN c3 c WHERE b.vec_id % 50 = 0) "
+    "  WHERE rn <= 2), "
+    "probes AS (SELECT p2.vec_id AS probe_id, p2.bucket, b.v AS pv "
+    "  FROM p2 JOIN base b ON p2.vec_id = b.vec_id), "
+    "sims AS (SELECT p.probe_id, t.vec_id, "
+    "  list_cosine_similarity(t.v, p.pv) AS cosine "
+    "  FROM afin t JOIN probes p ON t.bucket = p.bucket "
+    "  WHERE t.vec_id <> p.probe_id), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM sims) "
+    f"SELECT probe_id, vec_id, {rq_sql('cosine', 4)} AS cosine, rank "
+    "FROM ranked WHERE rank <= 5",
+)
+def q_similarity_ivf_multiprobe(spark, sf_dir):
+    """E3 (r7): multi-probe IVF — each probe searches its 2 nearest
+    trained cells (the FAISS nprobe recall lever: missed neighbors sit
+    just across the cell boundary, so the runner-up cell recovers most
+    of the recall gap at 2x candidate cost; the corpus index is
+    untouched). The oracle replays the Lloyd's rounds, ranks each
+    probe's cells by the same exact distance fold (rn <= 2 == the
+    array_sort struct order), and reruns the bucketed search over the
+    exploded (probe, cell) set."""
+    from mhw3d_detection_spark.operators.similarity import (
+        cosine_topk_multiprobe,
+        kmeans_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_ivf_centroids(emb, k=8, iters=3)
+    return cosine_topk_multiprobe(
+        emb, cents, probe_pred=lambda c: c % 50 == 0, k=5, n_probe=2
+    ).select("probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank")

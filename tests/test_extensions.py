@@ -1620,3 +1620,51 @@ class TestMinhashCalibration:
         # disjoint shingle sets -> slot match only by hash collision
         # (none among these few shingles)
         assert out[(0, 2)][0] == 0
+
+
+class TestMultiprobeIVF:
+    def test_multiprobe_recall_dominates_single_cell(self, spark, sf_dir):
+        # the operator's reason to exist: on the real table, 2-cell
+        # probing must recover at least as many exact top-5 neighbors
+        # as 1-cell probing, for every probe (supersets of candidates
+        # can only improve top-k overlap with the exact result)
+        from mhw3d_detection_spark.operators.similarity import (
+            assign_buckets,
+            cosine_topk,
+            cosine_topk_multiprobe,
+            kmeans_ivf_centroids,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_ivf_centroids(emb, k=8, iters=2)
+        exact = {
+            (r["probe_id"], r["vec_id"])
+            for r in cosine_topk(
+                emb, probe_pred=lambda c: c % 50 == 0, k=5
+            ).collect()
+        }
+        tagged = assign_buckets(emb, cents).select(
+            "vec_id", "embedding", "bucket"
+        )
+        one = {
+            (r["probe_id"], r["vec_id"])
+            for r in cosine_topk(
+                tagged, probe_pred=lambda c: c % 50 == 0, k=5,
+                bucket_col="bucket",
+            ).collect()
+        }
+        two = {
+            (r["probe_id"], r["vec_id"])
+            for r in cosine_topk_multiprobe(
+                emb, cents, probe_pred=lambda c: c % 50 == 0, k=5, n_probe=2
+            ).collect()
+        }
+        assert len(two & exact) >= len(one & exact)
+        # and with ALL cells probed, multiprobe == brute force exactly
+        allp = {
+            (r["probe_id"], r["vec_id"])
+            for r in cosine_topk_multiprobe(
+                emb, cents, probe_pred=lambda c: c % 50 == 0, k=5, n_probe=8
+            ).collect()
+        }
+        assert allp == exact
