@@ -487,3 +487,63 @@ def q_profile_quantiles(spark, sf_dir):
         rq("p75", 4).alias("p75"),
         rq(F.col("p75") - F.col("p25"), 4).alias("iqr"),
     )
+
+
+# --- cohort retention: weekly cohorts x activity offsets ---
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "q_cohort_retention",
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+    f"wk AS (SELECT DISTINCT user_id, us // {_WEEK_US} AS week FROM e), "
+    "coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1), "
+    "act AS (SELECT c.cohort_week, w.week - c.cohort_week AS week_offset, "
+    "  w.user_id FROM wk w JOIN coh c ON w.user_id = c.user_id), "
+    "n AS (SELECT cohort_week, week_offset, "
+    "  CAST(count(*) AS BIGINT) AS n_active FROM act GROUP BY 1, 2), "
+    "sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size "
+    "  FROM coh GROUP BY 1) "
+    "SELECT n.cohort_week, n.week_offset, n.n_active, sz.cohort_size, "
+    "  n.n_active / CAST(sz.cohort_size AS DOUBLE) AS retention "
+    "FROM n JOIN sz ON n.cohort_week = sz.cohort_week",
+)
+def q_cohort_retention(spark, sf_dir):
+    """W14ev (r7): weekly cohort retention over the event log — users
+    cohorted by their first-activity week, per (cohort, week-offset)
+    the fraction still active. The canonical product-analytics rollup
+    the sessionization/funnel family was missing. Weeks are integer
+    ``epoch_us DIV week_us`` buckets (no calendar/date_trunc
+    semantics to diverge cross-engine); activity is the distinct
+    (user, week) set, so the per-cell count IS the distinct-user
+    count without a countDistinct state; retention is one exact
+    integer division. Three hash aggregates + one users-sized join —
+    every key is (user) or (cohort, offset); no windows, no skew
+    hazard beyond the cohort dimension itself."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    wk = ev.select(
+        "user_id", F.expr(f"us DIV {_WEEK_US}").alias("week")
+    ).distinct()
+    coh = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = wk.join(coh, "user_id").select(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        "user_id",
+    )
+    n = act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sz = coh.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return n.join(sz, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

@@ -1,0 +1,35 @@
+
+
+def test_cohort_retention_hand_computed(spark):
+    from mhw3d_detection_spark.queries.relational import q_cohort_retention
+    import mhw3d_detection_spark.queries.relational as rel
+    from datetime import datetime, timedelta
+
+    # user 1: weeks 0 and 1; user 2: week 0 only; user 3: week 1 only
+    base = datetime(2024, 1, 4)  # within integer-week bucket semantics
+    rows = []
+    eid = 0
+    for uid, day_offsets in [(1, [0, 7]), (2, [1]), (3, [8])]:
+        for d in day_offsets:
+            rows.append((eid, base + timedelta(days=d), uid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    orig = rel.load_table
+    rel.load_table = lambda spark, sf_dir, name: ev
+    try:
+        out = {
+            (r["cohort_week"], r["week_offset"]): (
+                r["n_active"], r["cohort_size"], r["retention"]
+            )
+            for r in q_cohort_retention(spark, None).collect()
+        }
+    finally:
+        rel.load_table = orig
+    weeks = sorted({w for w, _ in out})
+    w0 = weeks[0]
+    # cohort w0 = {1, 2}: offset 0 -> both, offset 1 -> user 1 only
+    assert out[(w0, 0)] == (2, 2, 1.0)
+    assert out[(w0, 1)] == (1, 2, 0.5)
+    # cohort w0+1 = {3}: offset 0 only
+    assert out[(w0 + 1, 0)] == (1, 1, 1.0)
+    assert len(out) == 3
