@@ -3180,3 +3180,81 @@ def q_similarity_ivf_multiprobe(spark, sf_dir):
     return cosine_topk_multiprobe(
         emb, cents, probe_pred=lambda c: c % 50 == 0, k=5, n_probe=2
     ).select("probe_id", "vec_id", rq("cosine", 4).alias("cosine"), "rank")
+
+
+# =========================================================================
+# E-FLAGSHIP (r7) — composed retrieval pipeline: BM25 lexical leg +
+# trained IVF-PQ dense leg, fused by RRF. Every stage has its own
+# oracle row elsewhere; THIS row hash-verifies the composition, the
+# serving-side twin of q_curate_corpus.
+# =========================================================================
+_RP_BM25 = (
+    "tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+    "nd AS (SELECT count(*) * 1.0 AS n FROM documents), "
+    "ad AS (SELECT avg(dl) AS avgdl FROM dl), "
+    "hit AS (SELECT doc_id, token FROM tok WHERE token IN "
+    f"({', '.join(repr(t) for t in sorted(_BM25_TERMS))})), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM hit GROUP BY 1, 2), "
+    "bdf AS (SELECT token, count(DISTINCT doc_id) AS df FROM hit GROUP BY 1), "
+    "idf AS (SELECT token, ln(1.0 + (nd.n - df + 0.5) / (df + 0.5)) AS idf "
+    "  FROM bdf CROSS JOIN nd), "
+    "c AS (SELECT tf.doc_id, "
+    f"  {rq_sql('idf.idf * (tf.tf * 2.25) / (tf.tf + 1.25 * (0.25 + 0.75 * dl.dl / ad.avgdl))', 6)} AS cq "
+    "  FROM tf JOIN idf ON tf.token = idf.token "
+    "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad), "
+    f"s AS (SELECT doc_id, {rq_sql('sum(cq)', 4)} AS score FROM c GROUP BY 1), "
+    "lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) "
+    "  AS lex_rank FROM s)"
+)
+
+
+@register(
+    "q_retrieval_pipeline",
+    "WITH "
+    + _RP_BM25
+    + ", "
+    # _KMEANS_SQL carries its own WITH prefix; strip it to compose
+    + _KMEANS_SQL()[len("WITH ") :]
+    + ", "
+    + _PQ_SQL(standalone=False)
+    + ", codes AS (SELECT a0.vec_id, f0.bucket, a0.bucket AS code0, "
+    "  a1.bucket AS code1, a2.bucket AS code2, a3.bucket AS code3 "
+    "  FROM p0afin a0 "
+    "  JOIN p1afin a1 ON a0.vec_id = a1.vec_id "
+    "  JOIN p2afin a2 ON a0.vec_id = a2.vec_id "
+    "  JOIN p3afin a3 ON a0.vec_id = a3.vec_id "
+    "  JOIN afin f0 ON a0.vec_id = f0.vec_id), "
+    "pp AS (SELECT vec_id AS probe_id, bucket, v AS pv FROM afin "
+    "  WHERE vec_id = 0), "
+    "dist AS (SELECT p.probe_id, t.vec_id, "
+    f"  ((({_PQ_ADC_D(0)} + {_PQ_ADC_D(1)}) + {_PQ_ADC_D(2)}) + {_PQ_ADC_D(3)}) AS adc_d2 "
+    "  FROM codes t JOIN pp p ON t.bucket = p.bucket "
+    "  JOIN p0c2 k0 ON k0.bucket = t.code0 "
+    "  JOIN p1c2 k1 ON k1.bucket = t.code1 "
+    "  JOIN p2c2 k2 ON k2.bucket = t.code2 "
+    "  JOIN p3c2 k3 ON k3.bucket = t.code3 "
+    "  WHERE t.vec_id <> p.probe_id), "
+    "annr AS (SELECT vec_id AS doc_id, ann_rank FROM ("
+    "  SELECT vec_id, CAST(row_number() OVER (ORDER BY adc_d2 ASC, vec_id) "
+    "    AS INT) AS ann_rank FROM dist) WHERE ann_rank <= 64), "
+    "fz AS (SELECT coalesce(l.doc_id, a.doc_id) AS doc_id, l.lex_rank, a.ann_rank, "
+    "  coalesce(1.0 / (60.0 + l.lex_rank), 0.0) + coalesce(1.0 / (60.0 + a.ann_rank), 0.0) AS rrf "
+    "  FROM lexr l FULL OUTER JOIN annr a ON l.doc_id = a.doc_id) "
+    "SELECT doc_id, lex_rank, ann_rank, rrf FROM fz "
+    "ORDER BY rrf DESC, doc_id LIMIT 20",
+)
+def q_retrieval_pipeline(spark, sf_dir):
+    """E-FLAGSHIP (r7): the composed retrieval pipeline — train the
+    coarse quantizer (unrolled Lloyd's) AND the four PQ subspace
+    codebooks, build the IVF-PQ dense ranking around probe vec 0,
+    the BM25 lexical ranking of the fixed term bag, and fuse by RRF.
+    Every stage has its own hash-checked row; this row hash-verifies
+    the COMPOSITION end to end (the serving-side twin of
+    q_curate_corpus). Integer ranks + exactly-rounded divisions keep
+    the fused scores bit-identical with no tolerance."""
+    from mhw3d_detection_spark.plans.retrieval import retrieval_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval_search(docs, emb, _BM25_TERMS, probe_vec_id=0)

@@ -542,3 +542,24 @@ def test_ivfpq_bucket_join_no_cartesian(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_retrieval_pipeline_composition_shape(spark, sf_dir):
+    # the composed flagship: lexical global rank via the two-phase
+    # rangepartitioning shape, dense leg an equi-join (no cartesian),
+    # final cut TakeOrdered; SinglePartition exchanges stay bounded
+    # (scalar N/avgdl reductions + the rank-offset prefix sum)
+    from mhw3d_detection_spark.plans.retrieval import retrieval_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _executed(
+        retrieval_search(
+            docs, emb, ("spark", "query"), probe_vec_id=0,
+            coarse_k=4, coarse_iters=1, pq_iters=1,
+        )
+    )
+    assert "rangepartitioning" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 5, plan

@@ -45,6 +45,8 @@ PLANS = [
     "q_hybrid_retrieval_rrf",
     "q_dedup_winnowing",
     "q_similarity_pq_adc",
+    "q_similarity_ivfpq",
+    "q_retrieval_pipeline",
 ]
 
 HEADER = """# Physical plans — explain evidence

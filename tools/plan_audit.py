@@ -85,6 +85,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # the BM25 leg inside the RRF fusion carries the same scalar
     # N/avgdl broadcast attaches
     "q_hybrid_retrieval_rrf": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # the composed retrieval flagship carries the same BM25 scalar
+    # attaches; its dense leg is the IVF-PQ equi-join (no BNLJ there)
+    "q_retrieval_pipeline": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_dedup_embedding": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     # the sources x sources pair frame plans as CartesianProduct or
     # BroadcastNestedLoopJoin depending on estimated sizes — same join,
