@@ -1908,3 +1908,44 @@ def minhash_estimate_pairs(
             (matches / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
     )
+
+
+def feature_hash_dense(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Row-local DENSE twin of :func:`feature_hash_vectors`: the same
+    signed bucket sums computed per document as one array fold over
+    its own tokens — zero aggregation, zero shuffles, so it runs
+    unmodified on a streaming frame (the row-local/grouped duality of
+    ``minhash_bands_rowlocal`` vs ``minhash_signatures``). Emits the
+    full ``dim``-vector (absent buckets as explicit 0), the shape a
+    downstream literal-weight classifier consumes directly. Bit-equal
+    to the sparse builder on every touched bucket by differential
+    test. Cost is dim adds per token — the price of statelessness;
+    prefer the grouped builder for batch jobs where a shuffle is
+    acceptable and dim is large.
+    """
+    toks = tokens_col(F.col(text_col))
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(minhash_base(t), F.lit(dim)).cast("int").alias("b"),
+            (
+                F.lit(1)
+                - F.lit(2)
+                * F.shiftright(minhash_base(t), 6).bitwiseAND(F.lit(1))
+            ).cast("long").alias("s"),
+        ),
+    )
+    dense = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return docs.select("doc_id", dense.alias("features"))

@@ -3258,3 +3258,33 @@ def q_retrieval_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return retrieval_search(docs, emb, _BM25_TERMS, probe_vec_id=0)
+
+
+@register(
+    "q_feature_hash_dense",
+    "WITH tok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "h AS (SELECT doc_id, "
+    "  ('0x' || substr(md5(token), 1, 12))::BIGINT AS hv FROM tok), "
+    "agg AS (SELECT doc_id, CAST(hv % 64 AS INT) AS b, "
+    "  CAST(sum(1 - 2 * ((hv >> 6) & 1)) AS BIGINT) AS v "
+    "  FROM h GROUP BY 1, 2), "
+    "grid AS (SELECT d.doc_id, CAST(bb.b AS INT) AS b FROM documents d "
+    "  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb) "
+    "SELECT g.doc_id, g.b AS bucket, "
+    "  CAST(coalesce(a.v, 0) AS BIGINT) AS val "
+    "FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.b = a.b",
+)
+def q_feature_hash_dense(spark, sf_dir):
+    """E4 (r7): the row-local DENSE feature-hash twin, exploded for
+    the oracle — per doc the full 64-bucket signed-sum vector computed
+    as one fold over the doc's own tokens (zero shuffles, streamable:
+    `streaming_feature_hash` is this same projection). Bit-equal to
+    the grouped sparse builder on touched buckets (differential test)
+    and to this SQL on all 64."""
+    from mhw3d_detection_spark.operators.textops import feature_hash_dense
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash_dense(docs).select(
+        "doc_id", F.posexplode("features").alias("bucket", "val")
+    )

@@ -5,6 +5,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_dedup,
     streaming_detect_partials,
     streaming_event_sessions,
+    streaming_feature_hash,
     streaming_frequency,
     streaming_histogram,
     streaming_lsh_dedup,

@@ -622,3 +622,23 @@ def streaming_bm25_gate(
     if min_score is not None:
         out = out.filter(F.col("score") >= F.lit(float(min_score)))
     return out
+
+
+def streaming_feature_hash(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Vocabulary-free featurization at ingest (E4's feature-hashing
+    streaming face): the row-local dense builder
+    (:func:`operators.textops.feature_hash_dense`) applied to an
+    incoming document stream — a pure narrow projection (the fold is
+    over each doc's own token array), so no aggregation, watermark or
+    state, and the vector a doc gets live is bit-identical to the one
+    the batch featurizer gives it (the backfill/ingest parity a
+    training-feature pipeline needs). Output: ``(doc_id, features:
+    array<long>[dim])``."""
+    from mhw3d_detection_spark.operators.textops import feature_hash_dense
+
+    return feature_hash_dense(stream, text_col=text_col, dim=dim)

@@ -1668,3 +1668,24 @@ class TestMultiprobeIVF:
             ).collect()
         }
         assert allp == exact
+
+
+class TestFeatureHashDense:
+    def test_dense_rowlocal_matches_grouped_sparse(self, spark, sf_dir):
+        # the row-local fold and the grouped aggregate must agree on
+        # every bucket (sparse omits untouched buckets -> default 0)
+        from mhw3d_detection_spark.operators.textops import (
+            feature_hash_dense,
+            feature_hash_vectors,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sparse = {
+            (r["doc_id"], r["bucket"]): r["val"]
+            for r in feature_hash_vectors(docs).collect()
+        }
+        for r in feature_hash_dense(docs).collect():
+            for b, v in enumerate(r["features"]):
+                assert v == sparse.get((r["doc_id"], b), 0), (
+                    r["doc_id"], b, v,
+                )

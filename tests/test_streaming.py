@@ -769,3 +769,31 @@ def test_streaming_winnow_dedup_matches_batch_pairs(spark, tmp_path):
                 want.add((x, y))
     assert got == want
     assert len(want) > 0  # planted near-dups guarantee cross-parity hits
+
+
+def test_streaming_feature_hash_matches_batch(spark, tmp_path):
+    from mhw3d_detection_spark.operators.textops import feature_hash_dense
+    from mhw3d_detection_spark.streaming import streaming_feature_hash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "fh_stream")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        streaming_feature_hash(stream)
+        .writeStream.format("memory")
+        .queryName("fh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: list(r["features"])
+        for r in spark.table("fh_stream").collect()
+    }
+    want = {
+        r["doc_id"]: list(r["features"])
+        for r in feature_hash_dense(docs).collect()
+    }
+    assert got == want  # bit-exact batch/stream feature parity
