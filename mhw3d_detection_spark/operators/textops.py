@@ -1949,3 +1949,83 @@ def feature_hash_dense(
         ),
     )
     return docs.select("doc_id", dense.alias("features"))
+
+
+def token_pagerank(
+    docs: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the token co-occurrence graph (Page et al. '99;
+    Mihalcea & Tarau's TextRank applies exactly this to keyword
+    ranking): nodes are tokens, directed edges the DISTINCT word
+    bigrams, and ``iters`` power-iteration rounds propagate rank
+    ``PR' = (1-d)/N + d·Σ_in PR/outdeg``. The canonical iterative
+    graph workload, expressed as a fixed unrolled chain of edge-join +
+    node-keyed hash aggregates — no driver loop at all (contrast the
+    k-means/BPE trainers, which collect per round): rank state lives
+    in the plan, every round is one shuffle on the token key, and the
+    edge table is built once.
+
+    Determinism: per-round ranks are rq6-quantized (the same dyadic
+    device as the k-means centroids) so cross-engine summation-order
+    noise cannot compound across rounds. Dangling tokens (no outgoing
+    bigram) leak their mass — the simple non-stochastic variant; fine
+    for a RANKING signal, documented so the oracle replays it exactly.
+
+    Returns ``(token, pr)`` for all nodes; order with TakeOrdered
+    downstream.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    toks = tokens_col(F.col(text_col))
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    edges = (
+        docs.select(toks.alias("toks"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n_bg), F.slice("toks", 2, n_bg)
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.0").alias("src"), F.col("z.1").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("token"))
+        .union(edges.select(F.col("dst").alias("token")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "token", (F.lit(1.0) / F.col("__n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(F.broadcast(outdeg), "src")
+            .join(
+                pr.select(F.col("token").alias("src"), "pr"), "src"
+            )
+            .select(
+                F.col("dst").alias("token"),
+                (F.col("pr") / F.col("outdeg")).alias("__c"),
+            )
+            .groupBy("token")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        pr = (
+            nodes.join(contrib, "token", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "token",
+                rq(
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return pr

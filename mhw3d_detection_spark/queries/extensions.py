@@ -3288,3 +3288,64 @@ def q_feature_hash_dense(spark, sf_dir):
     return feature_hash_dense(docs).select(
         "doc_id", F.posexplode("features").alias("bucket", "val")
     )
+
+
+# =========================================================================
+# E4 — PageRank over the token co-occurrence graph (r7: the canonical
+# iterative graph workload, rounds unrolled in the oracle — a pure
+# lazy plan chain, no driver loop, unlike the k-means/BPE trainers)
+# =========================================================================
+def _PAGERANK_SQL(iters: int = 3, damping: float = 0.85, top: int = 50) -> str:
+    ctes = [
+        "pgd AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents)",
+        "pgp AS (SELECT doc_id, toks, "
+        "unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i FROM pgd)",
+        "pge AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst FROM pgp)",
+        "pgn AS (SELECT src AS token FROM pge UNION SELECT dst FROM pge)",
+        "pgdeg AS (SELECT src, count(*) AS outdeg FROM pge GROUP BY 1)",
+        "pgnn AS (SELECT count(*) * 1.0 AS n FROM pgn)",
+        "pr0 AS (SELECT token, 1.0 / pgnn.n AS pr FROM pgn CROSS JOIN pgnn)",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"pc{r} AS (SELECT e.dst AS token, sum(p.pr / g.outdeg) AS cin "
+            f"FROM pge e JOIN pgdeg g ON e.src = g.src "
+            f"JOIN pr{r - 1} p ON e.src = p.token GROUP BY 1)"
+        )
+        ctes.append(
+            f"pr{r} AS (SELECT pgn.token, "
+            + rq_sql(
+                f"{1.0 - damping!r} / pgnn.n + {damping!r} * coalesce(c.cin, 0.0)",
+                6,
+            )
+            + f" AS pr FROM pgn LEFT JOIN pc{r} c ON pgn.token = c.token "
+            "CROSS JOIN pgnn)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT token, pr FROM pr{iters} "
+        f"ORDER BY pr DESC, token LIMIT {top}"
+    )
+
+
+@register("q_token_pagerank", _PAGERANK_SQL())
+def q_token_pagerank(spark, sf_dir):
+    """E4 (r7): 3 power-iteration rounds of PageRank over the distinct
+    word-bigram graph (TextRank's keyword-ranking setup) — the
+    canonical iterative graph workload as a PURE LAZY PLAN: rank state
+    lives in the DataFrame chain (edge-join + token-keyed aggregate
+    per round, one shuffle each), no driver collect at all — the third
+    structural shape for iterative algorithms in this repo next to the
+    eager trainers (k-means, BPE) and pointer-doubled CC. Per-round
+    rq6 rank quantization keeps cross-engine summation-order noise
+    from compounding (the k-means centroid device); dangling-token
+    mass leaks by documented contract (non-stochastic variant — a
+    ranking signal, not a probability). Top-50 by (pr desc, token)."""
+    from mhw3d_detection_spark.operators.textops import token_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_pagerank(docs, iters=3, damping=0.85)
+        .orderBy(F.desc("pr"), "token")
+        .limit(50)
+    )

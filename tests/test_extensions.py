@@ -1689,3 +1689,43 @@ class TestFeatureHashDense:
                 assert v == sparse.get((r["doc_id"], b), 0), (
                     r["doc_id"], b, v,
                 )
+
+
+class TestTokenPagerank:
+    def test_matches_numpy_power_iteration(self, spark):
+        # independent NumPy power iteration on a small graph with a
+        # dangling node (pins the documented leak-mass contract) and
+        # the per-round rq6 quantization
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.textops import token_pagerank
+
+        # docs -> bigram edges: a->b, b->c, c->a, a->c, c->d (d dangling)
+        docs = spark.createDataFrame(
+            [(0, "a b c a c d")], "doc_id long, text string"
+        )
+        edges = {("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")}
+        nodes = sorted({x for e in edges for x in e})
+        idx = {t: i for i, t in enumerate(nodes)}
+        out = np.zeros(len(nodes))
+        for s, _ in edges:
+            out[idx[s]] += 1
+
+        def q6(a):
+            return np.floor(a * 1e6 + (0.5 + 2.0**-16)) / 1e6
+
+        pr = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(3):
+            nxt = np.full(len(nodes), 0.15 / len(nodes))
+            for s, d in edges:
+                nxt[idx[d]] += 0.85 * pr[idx[s]] / out[idx[s]]
+            pr = q6(nxt)
+
+        got = {
+            r["token"]: r["pr"] for r in token_pagerank(docs).collect()
+        }
+        assert set(got) == set(nodes)
+        for t in nodes:
+            assert got[t] == pytest.approx(pr[idx[t]], abs=2e-6), t
+        # dangling 'd' receives rank but contributes none: total < 1
+        assert sum(got.values()) < 1.0
