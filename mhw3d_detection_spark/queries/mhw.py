@@ -15,6 +15,7 @@ Series used:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.functions.calendar import clim_doy, clim_doy_sql
@@ -877,4 +878,61 @@ def q_clim_partial_merge(spark, sf_dir):
         rq("seas_strict", 2).alias("seas_strict"),
         rq("temp_min", 2).alias("temp_min"),
         rq("temp_max", 2).alias("temp_max"),
+    )
+
+
+# =========================================================================
+# M6 — climatology forecast skill (r7): is the clim a better predictor
+# than persistence? The eval-layer row for the climatology itself.
+# =========================================================================
+@register(
+    "q_forecast_skill",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"clim AS ({SIMPLE_CLIM_SQL}), "
+    f"ev AS (SELECT cell_id, time, temp, {DOY} AS doy, "
+    "  lag(temp) OVER (PARTITION BY cell_id ORDER BY time) AS prev "
+    f"  FROM od WHERE year(time) > {BASELINE[1]}), "
+    "j AS (SELECT ev.cell_id, ev.temp, ev.prev, clim.seas FROM ev "
+    "  JOIN clim ON ev.cell_id = clim.cell_id AND ev.doy = clim.doy "
+    "  WHERE ev.prev IS NOT NULL) "
+    "SELECT cell_id, CAST(count(*) AS BIGINT) AS n_days, "
+    f"{rq_sql('avg(abs(temp - seas))', 4)} AS mae_clim, "
+    f"{rq_sql('avg(abs(temp - prev))', 4)} AS mae_persist, "
+    f"{rq_sql('1.0 - avg(abs(temp - seas)) / avg(abs(temp - prev))', 4)} AS skill "
+    "FROM j GROUP BY 1",
+)
+def q_forecast_skill(spark, sf_dir):
+    """M6 (r7): out-of-sample forecast skill of the DOY climatology —
+    per cell, the MAE of predicting each post-baseline day with its
+    climatological mean vs the persistence baseline (yesterday's
+    temperature), and the skill score 1 − MAE_clim/MAE_persist. The
+    eval-layer row for the climatology itself (as q_ann_recall prices
+    the ANN and q_minhash_calibration the LSH): the reference computes
+    climatologies; this prices their predictive value. Evaluation
+    days are strictly OUTSIDE the baseline years (a real
+    train/test split); rows need both predictors defined (first day
+    per cell drops — the shared contract). One window pass + a
+    broadcast clim join + one per-cell aggregate."""
+    od = orders_daily(spark, sf_dir)
+    clim = simple_clim_table(spark, sf_dir)
+    w = Window.partitionBy("cell_id").orderBy("time")
+    ev = (
+        od.filter(F.year("time") > BASELINE[1])
+        .withColumn("doy", clim_doy(F.col("time")))
+        .withColumn("prev", F.lag("temp").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    j = ev.join(F.broadcast(clim), ["cell_id", "doy"])
+    return j.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        rq(F.avg(F.abs(F.col("temp") - F.col("seas"))), 4).alias("mae_clim"),
+        rq(F.avg(F.abs(F.col("temp") - F.col("prev"))), 4).alias(
+            "mae_persist"
+        ),
+        rq(
+            F.lit(1.0)
+            - F.avg(F.abs(F.col("temp") - F.col("seas")))
+            / F.avg(F.abs(F.col("temp") - F.col("prev"))),
+            4,
+        ).alias("skill"),
     )

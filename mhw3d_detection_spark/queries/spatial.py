@@ -136,3 +136,42 @@ def q_annual_area_trend(spark, sf_dir):
         rq("__fm", 6).alias("frac_mean"),
         rq("__ft", 6).alias("frac_trend"),
     )
+
+
+# =========================================================================
+# SP5 — teleconnection correlation map (r7)
+# =========================================================================
+@register(
+    "q_teleconnection",
+    f"WITH {FL_SQL}, "
+    "an AS (SELECT cell_id, time, temp - seas AS anom FROM fl), "
+    "refc AS (SELECT time, anom AS ref_anom FROM an WHERE cell_id = 0) "
+    "SELECT an.cell_id, CAST(count(*) AS BIGINT) AS n_days, "
+    f"{rq_sql('corr(an.anom, refc.ref_anom)', 4)} AS r "
+    "FROM an JOIN refc ON an.time = refc.time GROUP BY 1",
+)
+def q_teleconnection(spark, sf_dir):
+    """SP5 (r7): teleconnection correlation map — each cell's daily
+    temperature-anomaly correlation with a reference cell (the
+    ENSO-index pattern of climate analysis: correlate the field
+    against one index series to map remote covariability). The
+    reference series is a |days|-row broadcast dim; the map is ONE
+    day-keyed equi-join + a per-cell corr aggregate — output is
+    |cells| rows at any grid size, and nothing ever shuffles the full
+    field twice. Pearson corr is the engines' shared sample
+    definition; rq4 absorbs summation-order noise."""
+    fl = _flagged(spark, sf_dir)
+    an = fl.select(
+        "cell_id", "time", (F.col("temp") - F.col("seas")).alias("anom")
+    )
+    ref = an.filter(F.col("cell_id") == 0).select(
+        "time", F.col("anom").alias("ref_anom")
+    )
+    return (
+        an.join(F.broadcast(ref), "time")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            rq(F.corr("anom", "ref_anom"), 4).alias("r"),
+        )
+    )

@@ -164,3 +164,14 @@ def test_connected_components_raises_when_unconverged(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(39)], ["u", "v"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, max_rounds=2)
+
+
+def test_teleconnection_reference_cell_is_unit(spark, sf_dir):
+    from mhw3d_detection_spark.queries.spatial import q_teleconnection
+
+    out = {r["cell_id"]: r for r in q_teleconnection(spark, sf_dir).collect()}
+    # the reference cell correlates perfectly with itself
+    assert out[0]["r"] == pytest.approx(1.0, abs=1e-4)
+    # every cell present, with full day coverage and r in [-1, 1]
+    for r in out.values():
+        assert r["n_days"] > 0 and -1.0 <= r["r"] <= 1.0

@@ -64,6 +64,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_text_logprob": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_text_logprob_bigram": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_text_logprob_kn": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # each PageRank round re-attaches the 1-row node-count scalar
+    # (the (1-d)/N teleport term) — scalar broadcasts, rounds-bounded
+    "q_token_pagerank": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # calibration scores the corpus signature scan (8 ints/doc)
     # against the broadcast sample-probe signatures — the estimator
     # eval runs on a probe sample by design
