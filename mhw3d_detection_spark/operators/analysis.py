@@ -9,7 +9,7 @@ ops — window functions + hash aggregates; no UDFs, no driver loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -722,4 +722,125 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             F.col("__ss").cast("double")
             / (F.col("n_rows") * F.col("n_rows"))
         ).alias("hhi"),
+    )
+
+
+def dyadic_quantize(col: Column | str, bits: int = 6) -> Column:
+    """Quantize onto the dyadic ``1/2**bits`` grid:
+    ``floor(x * 2**bits + 0.5 + 2**-16) / 2**bits``.
+
+    Unlike :func:`queries.base.rq` (a DECIMAL grid — ``n / 10**d`` is
+    rounded when stored in a double, so long sums of rq'd values still
+    carry association-order noise), every output here is ``m / 2**bits``
+    — EXACTLY representable. Sums of such values are order-independent
+    bit-exact as long as every partial sum stays under ``2**53 / 2**bits``
+    (all doubles on a shared dyadic grid add without rounding), which is
+    what makes unbounded RUNNING sums safe to hash-compare cross-engine:
+    Spark's window executor and DuckDB's segment-tree window aggregation
+    associate additions differently, and only a true dyadic grid makes
+    that difference vanish rather than merely shrink.
+
+    The ``2**-16`` nudge plays the same role as in ``rq``: it moves the
+    floor boundary off the half-grid line by an amount far above
+    engine-order noise (~1e-9 absolute here) but never expressible as a
+    short decimal, so fixed-decimal generator data cannot sit exactly on
+    a boundary in one engine and just off it in the other.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(float(2**bits))
+    return F.floor(c * s + F.lit(0.5 + 2.0**-16)) / s
+
+
+def dyadic_quantize_sql(expr: str, bits: int = 6) -> str:
+    """DuckDB mirror of :func:`dyadic_quantize` (same IEEE ops)."""
+    s = float(2**bits)
+    return f"floor(({expr}) * {s!r} + {0.5 + 2.0 ** -16!r}) / {s!r}"
+
+
+def cusum_changepoints(
+    ts: DataFrame,
+    *,
+    allowance: float,
+    threshold: float,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per cell (Page 1954) —
+    the sequential-analysis drift detector: ``C+`` accumulates
+    upward excursions above the in-control mean (minus an
+    ``allowance`` slack), ``C-`` downward ones, and an alarm fires
+    when either exceeds ``threshold``. Beyond-reference, in-domain:
+    the standard regime-shift screen run BEFORE fitting climatologies
+    (a step change in the mean violates the fixed-baseline assumption
+    the reference's clim builder makes; cf. reference
+    ``src/mhw3d/best_practice/climatology.py`` baseline handling).
+
+    Spark-first shape — the textbook recursion
+    ``C+_t = max(0, C+_{t-1} + x_t - mu - k)`` looks inherently
+    sequential, but it has a closed windowed form:
+    ``C+_t = Q_t - min(0, min_{i<=t} Q_i)`` with ``Q`` the plain
+    running sum of the drift-adjusted steps. That turns the whole
+    detector into TWO ordinary window passes over ONE per-cell sort
+    (running SUM, then running MIN over the same frame) — no UDF, no
+    recursion, no driver loop; at 100 TB it is exactly one exchange
+    of the series on ``cell_id`` plus a cells-sized broadcast of the
+    per-cell means.
+
+    Cross-engine exactness: inputs are quantized onto the dyadic
+    1/64 grid (:func:`dyadic_quantize`) and the per-cell target mean
+    is ``dyadic(sum(xq)/n)`` — an exact-dyadic sum divided by an
+    integer (IEEE division is exactly rounded), so every step, every
+    running sum, every running min and every comparison against the
+    (dyadic) ``allowance``/``threshold`` is bit-identical in Spark
+    and DuckDB regardless of association order. Pass dyadic
+    ``allowance``/``threshold`` (multiples of 1/64) to keep that true.
+
+    Returns one row per input sample: ``(cell, time, cusum_pos,
+    cusum_neg, alarm_pos, alarm_neg)``.
+    """
+    xq = dyadic_quantize(F.col(temp_col)).alias("__xq")
+    d = ts.select(F.col(cell_col), F.col(time_col), xq)
+    mu = d.groupBy(cell_col).agg(
+        dyadic_quantize(F.sum("__xq") / F.count(F.lit(1))).alias("__mu")
+    )
+    j = d.join(F.broadcast(mu), cell_col)
+    k = F.lit(float(allowance))
+    stepped = j.select(
+        cell_col,
+        time_col,
+        (F.col("__xq") - F.col("__mu") - k).alias("__sp"),
+        (F.col("__mu") - F.col("__xq") - k).alias("__sn"),
+    )
+    w = (
+        Window.partitionBy(cell_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = stepped.select(
+        cell_col,
+        time_col,
+        F.sum("__sp").over(w).alias("__qp"),
+        F.sum("__sn").over(w).alias("__qn"),
+    )
+    # second window pass over the SAME partitioning/ordering: Spark
+    # plans one sort, two Window nodes, zero extra exchanges
+    h = F.lit(float(threshold))
+    c = q.select(
+        cell_col,
+        time_col,
+        (F.col("__qp") - F.least(F.lit(0.0), F.min("__qp").over(w))).alias(
+            "cusum_pos"
+        ),
+        (F.col("__qn") - F.least(F.lit(0.0), F.min("__qn").over(w))).alias(
+            "cusum_neg"
+        ),
+    )
+    return c.select(
+        cell_col,
+        time_col,
+        "cusum_pos",
+        "cusum_neg",
+        (F.col("cusum_pos") > h).alias("alarm_pos"),
+        (F.col("cusum_neg") > h).alias("alarm_neg"),
     )

@@ -22,8 +22,10 @@ from mhw3d_detection_spark.functions.calendar import clim_doy, clim_doy_sql
 from mhw3d_detection_spark.functions.scalar import from_ordinal, to_ordinal
 from mhw3d_detection_spark.operators.analysis import (
     autocorrelation,
+    cusum_changepoints,
     detrend_linear,
     detrend_poly,
+    dyadic_quantize_sql,
     mean_trend_ols,
     pad_interpolate,
 )
@@ -820,6 +822,68 @@ def q_autocorr(spark, sf_dir):
         "n_pairs_1",
         rq("acf_7", 4).alias("acf_7"),
         "n_pairs_7",
+    )
+
+
+# =========================================================================
+# W15 (beyond-reference, in-domain) — CUSUM change-point detection
+# =========================================================================
+#: allowance k = 2^16, alarm threshold h = 2^18 — both exact dyadics
+#: (~0.5 sigma and ~2 sigma of the orders_daily series), chosen so the
+#: oracle row exercises BOTH alarm states and long no-alarm stretches
+_CUSUM_K = float(2**16)
+_CUSUM_H = float(2**18)
+
+_DQ6 = dyadic_quantize_sql  # DuckDB twin of the 1/64-grid quantizer
+
+_CUSUM_SQL = (
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    f"dq AS (SELECT cell_id, time, {_DQ6('temp')} AS xq FROM od), "
+    f"mu AS (SELECT cell_id, {_DQ6('sum(xq) / count(*)')} AS mu "
+    "  FROM dq GROUP BY 1), "
+    "st AS (SELECT d.cell_id, d.time, "
+    f"  d.xq - m.mu - {_CUSUM_K!r} AS sp, "
+    f"  m.mu - d.xq - {_CUSUM_K!r} AS sn "
+    "  FROM dq d JOIN mu m USING (cell_id)), "
+    "q AS (SELECT cell_id, time, sum(sp) OVER w AS qp, sum(sn) OVER w AS qn "
+    "  FROM st WINDOW w AS (PARTITION BY cell_id ORDER BY time "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+    "c AS (SELECT cell_id, time, "
+    "  qp - least(0.0, min(qp) OVER w) AS cp, "
+    "  qn - least(0.0, min(qn) OVER w) AS cn "
+    "  FROM q WINDOW w AS (PARTITION BY cell_id ORDER BY time "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "SELECT cell_id, CAST(count(*) AS INT) AS n_days, "
+    f"CAST(count(CASE WHEN cp > {_CUSUM_H!r} THEN 1 END) AS INT) AS n_alarm_pos, "
+    f"CAST(count(CASE WHEN cn > {_CUSUM_H!r} THEN 1 END) AS INT) AS n_alarm_neg, "
+    f"{rq_sql('max(cp)', 2)} AS max_cusum_pos, "
+    f"{rq_sql('max(cn)', 2)} AS max_cusum_neg, "
+    f"min(CASE WHEN cp > {_CUSUM_H!r} THEN time END) AS first_alarm_pos, "
+    f"min(CASE WHEN cn > {_CUSUM_H!r} THEN time END) AS first_alarm_neg "
+    "FROM c GROUP BY 1"
+)
+
+
+@register("q_cusum_changepoint", _CUSUM_SQL)
+def q_cusum_changepoint(spark, sf_dir):
+    """Beyond-reference, in-domain: two-sided CUSUM regime-shift
+    screen (Page 1954) over the daily series — per-cell alarm counts,
+    peak statistic and first-alarm dates. The recursive detector is
+    re-expressed as running-sum-minus-prefix-min (two window passes
+    over ONE per-cell sort; see ``operators.analysis.
+    cusum_changepoints``), and every addend sits on the dyadic 1/64
+    grid so the unbounded running sums hash-match DuckDB bit-exactly
+    despite the engines' different summation trees."""
+    od = orders_daily(spark, sf_dir)
+    c = cusum_changepoints(od, allowance=_CUSUM_K, threshold=_CUSUM_H)
+    return c.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        F.sum(F.col("alarm_pos").cast("int")).cast("int").alias("n_alarm_pos"),
+        F.sum(F.col("alarm_neg").cast("int")).cast("int").alias("n_alarm_neg"),
+        rq(F.max("cusum_pos"), 2).alias("max_cusum_pos"),
+        rq(F.max("cusum_neg"), 2).alias("max_cusum_neg"),
+        F.min(F.when(F.col("alarm_pos"), F.col("time"))).alias("first_alarm_pos"),
+        F.min(F.when(F.col("alarm_neg"), F.col("time"))).alias("first_alarm_neg"),
     )
 
 

@@ -286,3 +286,71 @@ class TestAnnualEventStats:
         rows = {(r.cell_id, r.year): r for r in out.collect()}
         assert len(rows) == 6  # 3 cells x 2 years
         assert rows[(3, 1995)].n_events == 0 and rows[(3, 1996)].mhw_days == 0
+
+
+class TestCusumChangepoints:
+    """The windowed closed form must equal the textbook recursion
+    C+_t = max(0, C+_{t-1} + x_t - mu - k) exactly (both sides are
+    dyadic-grid arithmetic, so == not approx)."""
+
+    def _recursion(self, xs, mu, k):
+        cp = cn = 0.0
+        out = []
+        for x in xs:
+            cp = max(0.0, cp + (x - mu - k))
+            cn = max(0.0, cn + (mu - x - k))
+            out.append((cp, cn))
+        return out
+
+    def test_matches_recursion(self, spark):
+        from mhw3d_detection_spark.operators.analysis import (
+            cusum_changepoints,
+            dyadic_quantize,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        vals = [round(rng.uniform(-40.0, 40.0), 2) for _ in range(300)]
+        # inject a level shift so both sides alarm
+        vals = vals[:150] + [v + 25.0 for v in vals[150:]]
+        df = _series(spark, vals)
+        got = (
+            cusum_changepoints(df, allowance=0.25, threshold=8.0)
+            .orderBy("time")
+            .collect()
+        )
+        # reproduce the operator's own quantized inputs
+        xq = [
+            r["q"]
+            for r in df.select(dyadic_quantize("temp").alias("q"))
+            .orderBy("time")
+            .collect()
+        ]
+        import math
+
+        mu_raw = math.fsum(xq) / len(xq)
+        mu = math.floor(mu_raw * 64.0 + 0.5 + 2.0**-16) / 64.0
+        want = self._recursion(xq, mu, 0.25)
+        assert len(got) == len(want)
+        for r, (cp, cn) in zip(got, want):
+            assert r["cusum_pos"] == cp and r["cusum_neg"] == cn
+            assert r["alarm_pos"] == (cp > 8.0)
+            assert r["alarm_neg"] == (cn > 8.0)
+        assert any(r["alarm_pos"] for r in got)
+        assert any(r["alarm_neg"] for r in got)
+
+    def test_alarm_resets_after_excursion(self, spark):
+        from mhw3d_detection_spark.operators.analysis import cusum_changepoints
+
+        # flat series with one short spike: C+ rises then drains back
+        # to exactly zero (max(0, .) clamps; the closed form must too)
+        vals = [10.0] * 40 + [30.0] * 3 + [10.0] * 40
+        df = _series(spark, vals)
+        rows = (
+            cusum_changepoints(df, allowance=1.0, threshold=1000.0)
+            .orderBy("time")
+            .collect()
+        )
+        assert rows[-1]["cusum_pos"] == 0.0
+        assert max(r["cusum_pos"] for r in rows) > 0.0

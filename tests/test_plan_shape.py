@@ -563,3 +563,25 @@ def test_retrieval_pipeline_composition_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange SinglePartition") <= 5, plan
+
+
+def test_cusum_single_sort_two_windows(spark, sf_dir):
+    # W15 r7: the CUSUM detector must plan as ONE per-cell sort feeding
+    # BOTH window passes (running sum, then running min over the same
+    # frame), with the per-cell mean broadcast — the series crosses the
+    # wire once for the groupBy-mean partials and once for the window
+    # partitioning, never more.
+    from mhw3d_detection_spark.operators.analysis import cusum_changepoints
+
+    o = load_table(spark, sf_dir, "orders")
+    ts = o.groupBy(
+        (F.col("o_custkey") % 10).alias("cell_id"),
+        F.to_date("o_orderdate").alias("time"),
+    ).agg(F.avg("o_totalprice").alias("temp"))
+    plan = _executed(
+        cusum_changepoints(ts, allowance=65536.0, threshold=262144.0)
+    )
+    assert "BroadcastExchange" in plan, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    assert len(re.findall(r"\bWindow ", plan)) == 2, plan
+    assert "CartesianProduct" not in plan, plan
