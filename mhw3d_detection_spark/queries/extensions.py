@@ -3349,3 +3349,54 @@ def q_token_pagerank(spark, sf_dir):
         .orderBy(F.desc("pr"), "token")
         .limit(50)
     )
+
+
+# =========================================================================
+# E2 (r7) — exact set-similarity join with prefix filtering (PPJoin)
+# =========================================================================
+#: DELIBERATELY independent oracle formulation: prefix via window
+#: row_number (Spark uses array_sort + slice), intersection via
+#: join-count (Spark uses array_intersect) — the hash match pins the
+#: ALGORITHM (lossless prefix filter + exact verify), not one encoding.
+_SETSIM_SQL = (
+    f"WITH {SHINGLES_SQL}, "
+    "u AS (SELECT DISTINCT doc_id, shingle AS token FROM sh), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM u GROUP BY 1), "
+    "dfq AS (SELECT token, count(*) AS dfc FROM u GROUP BY 1), "
+    "r AS (SELECT u.doc_id, u.token, sz.n, "
+    "  row_number() OVER (PARTITION BY u.doc_id ORDER BY dfq.dfc, u.token) AS rn "
+    "  FROM u JOIN dfq USING (token) JOIN sz USING (doc_id)), "
+    "pref AS (SELECT doc_id, token, n FROM r WHERE rn <= n - ceil(n * 0.5) + 1), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "    a.n AS na, b.n AS nb "
+    "  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id "
+    "    AND a.n * 0.5 <= b.n AND b.n * 0.5 <= a.n), "
+    "i AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS n_inter "
+    "  FROM cand c "
+    "  JOIN u ua ON ua.doc_id = c.doc_a "
+    "  JOIN u ub ON ub.doc_id = c.doc_b AND ub.token = ua.token "
+    "  GROUP BY 1, 2, 3, 4) "
+    "SELECT doc_a, doc_b, CAST(na AS INT) AS na, CAST(nb AS INT) AS nb, "
+    "CAST(n_inter AS INT) AS n_inter, "
+    "n_inter / (na + nb - n_inter) AS jaccard "
+    "FROM i WHERE n_inter * 1.5 >= 0.5 * (na + nb)"
+)
+
+
+@register("q_dedup_setsim_prefix", _SETSIM_SQL)
+def q_dedup_setsim_prefix(spark, sf_dir):
+    """E2 (r7): EXACT set-similarity self-join at Jaccard >= 0.5 over
+    distinct word-3-gram shingle sets, candidates generated by the
+    LOSSLESS prefix filter (AllPairs/PPJoin, Bayardo WWW'07) — the
+    deterministic fourth member of the near-dup family: MinHash-LSH
+    (probabilistic), SimHash (Hamming), winnowing (fingerprints) find
+    candidates with false negatives possible at their parameter
+    margins; this one is exact by construction. Join-key cardinality
+    is the shingle vocabulary, which grows with the corpus — the
+    scale property the r6 verdict demanded of candidate generators.
+    Brute-force equivalence is pinned in pytest
+    (tests/test_extensions.py::TestSetsimPrefix)."""
+    from mhw3d_detection_spark.operators.textops import setsim_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim_prefix_pairs(docs, threshold=0.5, shingle_n=3)

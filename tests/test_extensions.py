@@ -1729,3 +1729,85 @@ class TestTokenPagerank:
             assert got[t] == pytest.approx(pr[idx[t]], abs=2e-6), t
         # dangling 'd' receives rank but contributes none: total < 1
         assert sum(got.values()) < 1.0
+
+
+class TestSetsimPrefix:
+    """PPJoin prefix filter must be LOSSLESS: the prefix-filtered join
+    returns exactly the pairs a brute-force all-pairs sweep finds."""
+
+    def _brute(self, sets, t):
+        ids = sorted(sets)
+        out = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sa, sb = sets[a], sets[b]
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter * (1 + t) >= t * (len(sa) + len(sb)):
+                    out[(a, b)] = (len(sa), len(sb), inter)
+        return out
+
+    def _shingle_sets(self, rows):
+        import re
+
+        sets = {}
+        for doc_id, text in rows:
+            w = re.findall(r"[a-z0-9]+", (text or "").lower())
+            sets[doc_id] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+        return sets
+
+    def test_matches_brute_force_on_real_docs(self, spark, sf_dir):
+        from mhw3d_detection_spark.operators.textops import setsim_prefix_pairs
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["na"], r["nb"], r["n_inter"])
+            for r in setsim_prefix_pairs(docs, threshold=0.5).collect()
+        }
+        rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+        want = self._brute(self._shingle_sets(rows), 0.5)
+        assert got == want and len(want) > 0
+
+    def test_lossless_at_tight_margins(self, spark):
+        from mhw3d_detection_spark.operators.textops import setsim_prefix_pairs
+
+        # crafted pairs sitting EXACTLY at / just under the threshold:
+        # texts of 12 tokens -> 10 shingles; overlap engineered by
+        # sharing a run of tokens
+        base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+        rows = [
+            (1, base),
+            (2, base),  # identical: J = 1
+            (3, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 zz"),  # high overlap
+            (4, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),  # disjoint
+            (5, "a5 a6 a7 a8 a9 a10 a11 a12 c1 c2 c3 c4"),  # partial
+            (6, ""),  # empty
+            (7, "x1 x2"),  # sub-shingle length
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.5, 0.3, 0.8):
+            got = {
+                (r["doc_a"], r["doc_b"])
+                for r in setsim_prefix_pairs(docs, threshold=t).collect()
+            }
+            want = set(self._brute(self._shingle_sets(rows), t))
+            assert got == want, (t, got, want)
+
+    def test_jaccard_values_exact(self, spark):
+        from mhw3d_detection_spark.operators.textops import setsim_prefix_pairs
+
+        rows = [
+            (1, "a1 a2 a3 a4 a5 a6"),
+            (2, "a1 a2 a3 a4 a5 zz"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = setsim_prefix_pairs(docs, threshold=0.3).collect()
+        assert len(out) == 1
+        r = out[0]
+        # 4 shingles each, 3 shared: J = 3/5
+        assert (r["na"], r["nb"], r["n_inter"]) == (4, 4, 3)
+        assert r["jaccard"] == 3 / 5

@@ -585,3 +585,18 @@ def test_cusum_single_sort_two_windows(spark, sf_dir):
     assert len(re.findall(r"\bSort \[", plan)) == 1, plan
     assert len(re.findall(r"\bWindow ", plan)) == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_setsim_prefix_equi_join_no_cartesian(spark, sf_dir):
+    # E2 r7: PPJoin candidates must come from a token-keyed EQUI-join
+    # of prefix rows (key cardinality = shingle vocabulary, grows with
+    # the corpus) — never a cartesian/nested-loop pairing, and the
+    # exact verify must run on candidates only (doc-keyed equi-joins).
+    from mhw3d_detection_spark.operators.textops import setsim_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(setsim_prefix_pairs(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate generation + two verify joins are all hash-keyed
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
