@@ -844,3 +844,49 @@ def cusum_changepoints(
         (F.col("cusum_pos") > h).alias("alarm_pos"),
         (F.col("cusum_neg") > h).alias("alarm_neg"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+    strategy: str | None = None,
+) -> DataFrame:
+    """Skew-robust equi-join: when ``keys`` carry hot values (see
+    :func:`key_skew_profile` — ``top1_share`` ≳ 1/partitions) and the
+    small side is still too large to broadcast, a plain shuffle join
+    sends every row of a hot key to ONE reducer. Salting splits each
+    hot key across ``n_salts`` reducers: the big side gets a
+    deterministic per-row salt (hash of the whole row, mod
+    ``n_salts``), the small side is replicated once per salt value
+    (``explode(sequence(...))`` — a ``small × n_salts`` blow-up, the
+    price of the spread), and the join runs on ``keys + [__salt]``.
+    The result is row-identical to the unsalted join for every join
+    type where the small side has no duplicate keys (the dimension
+    case); correctness never depends on WHICH salt a row gets.
+
+    This is the manual fallback behind AQE's skew-join splitting
+    (``spark.sql.adaptive.skewJoin``): AQE only splits SORT-MERGE join
+    partitions it can see at runtime; pre-salting also covers
+    shuffle-hash joins, stream-stream cases, and key skew inside a
+    single AQE-invisible partition. ``strategy`` forces a join hint
+    ("merge" / "shuffle_hash") so tests can pin the no-broadcast
+    regime this operator exists for.
+
+    ``how`` supports "inner" and "left" (the dimension-lookup cases);
+    small-side-preserving joins would need salt-aware null handling.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt.cast("int"))
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1))),
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    if strategy:
+        s = s.hint(strategy)
+    return b.join(s, keys + ["__salt"], how).drop("__salt")

@@ -547,3 +547,44 @@ def q_cohort_retention(spark, sf_dir):
             F.col("n_active") / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+# =========================================================================
+# J9 (r7) — salted skew join (the manual skew-split regime)
+# =========================================================================
+#: the events stream joined to its per-type stats is the WORST-case
+#: skew shape: ~5 distinct keys over the whole table, every key hot
+#: (key_skew_profile top1_share ~ 0.25 >> 1/32 partitions)
+_SALTED_SQL = (
+    "WITH dim AS (SELECT event_type, "
+    f"  {rq_sql('avg(value)', 6)} AS type_avg FROM events GROUP BY 1) "
+    "SELECT e.event_type, CAST(count(*) AS INT) AS n_rows, "
+    "CAST(count(CASE WHEN e.value > d.type_avg THEN 1 END) AS INT) AS n_above, "
+    "max(d.type_avg) AS type_avg "
+    "FROM events e JOIN dim d USING (event_type) GROUP BY 1"
+)
+
+
+@register("q_join_salted", _SALTED_SQL)
+def q_join_salted(spark, sf_dir):
+    """J9 (r7): dimension lookup over a pathologically skewed key
+    (~5 event types, every key hot) through ``salted_join`` — the
+    big side salted by row hash, the dim replicated 8x, the join on
+    (key, salt) with a forced sort-merge hint (the no-broadcast regime
+    salting exists for). The oracle is the PLAIN unsalted join: the
+    hash match is the salt-invariance proof (any salt assignment, same
+    result). The dim's avg is rq6-quantized BEFORE the comparison so
+    the value > type_avg decision sits off the engines' sum-order
+    noise floor."""
+    from mhw3d_detection_spark.operators.analysis import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(rq(F.avg("value"), 6).alias("type_avg"))
+    j = salted_join(ev, dim, ["event_type"], n_salts=8, strategy="merge")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.count(F.when(F.col("value") > F.col("type_avg"), 1))
+        .cast("int")
+        .alias("n_above"),
+        F.max("type_avg").alias("type_avg"),
+    )

@@ -600,3 +600,19 @@ def test_setsim_prefix_equi_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # candidate generation + two verify joins are all hash-keyed
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_salted_join_spreads_key_and_avoids_broadcast(spark, sf_dir):
+    # J9 r7: the salted join must plan as a NON-broadcast equi-join
+    # whose keys include the salt (that is the whole point: hot keys
+    # spread over n_salts reducers), with the small side exploded.
+    from mhw3d_detection_spark.operators.analysis import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    plan = _executed(
+        salted_join(ev, dim, ["event_type"], n_salts=8, strategy="merge")
+    )
+    assert "__salt" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "Generate explode" in plan, plan

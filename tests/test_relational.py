@@ -33,3 +33,41 @@ def test_cohort_retention_hand_computed(spark):
     # cohort w0+1 = {3}: offset 0 only
     assert out[(w0 + 1, 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+class TestSaltedJoin:
+    def test_inner_equals_plain_join(self, spark):
+        from mhw3d_detection_spark.operators.analysis import salted_join
+
+        big = spark.createDataFrame(
+            [(k, i) for i in range(200) for k in ("a", "a", "b")],
+            "k string, v int",
+        )
+        dim = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "k string, d int"
+        )
+        got = salted_join(big, dim, ["k"], n_salts=4).orderBy("k", "v", "d")
+        want = big.join(dim, "k").orderBy("k", "v", "d")
+        assert got.collect() == want.collect()
+
+    def test_left_preserves_unmatched(self, spark):
+        from mhw3d_detection_spark.operators.analysis import salted_join
+
+        big = spark.createDataFrame(
+            [("a", 1), ("zz", 2)], "k string, v int"
+        )
+        dim = spark.createDataFrame([("a", 10)], "k string, d int")
+        rows = {
+            (r["k"], r["v"], r["d"])
+            for r in salted_join(big, dim, ["k"], how="left").collect()
+        }
+        assert rows == {("a", 1, 10), ("zz", 2, None)}
+
+    def test_rejects_unsupported_how(self, spark):
+        import pytest as _pytest
+
+        from mhw3d_detection_spark.operators.analysis import salted_join
+
+        big = spark.range(1).withColumnRenamed("id", "k")
+        with _pytest.raises(ValueError):
+            salted_join(big, big, ["k"], how="right")
