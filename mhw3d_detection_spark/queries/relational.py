@@ -588,3 +588,93 @@ def q_join_salted(spark, sf_dir):
         .alias("n_above"),
         F.max("type_avg").alias("type_avg"),
     )
+
+
+# =========================================================================
+# DQ1 (r7) — data-quality expectation report across the warehouse
+# =========================================================================
+_DQ_SQL = (
+    "SELECT * FROM ("
+    "SELECT 'ev_error_rows' AS check_name, "
+    "  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_violations, "
+    "  count(*) AS n_checked FROM events "
+    "UNION ALL "
+    "SELECT 'ev_value_null_nan', "
+    "  count(CASE WHEN value IS NULL OR isnan(value) THEN 1 END), count(*) "
+    "FROM events "
+    "UNION ALL "
+    "SELECT 'li_discount_range', "
+    "  count(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) THEN 1 END), "
+    "  count(*) FROM lineitem "
+    "UNION ALL "
+    "SELECT 'li_quantity_range', "
+    "  count(CASE WHEN NOT (l_quantity > 0 AND l_quantity <= 50) THEN 1 END), "
+    "  count(*) FROM lineitem "
+    "UNION ALL "
+    "SELECT 'li_shipdate_window', "
+    "  count(CASE WHEN NOT (l_shipdate >= DATE '1992-01-01' "
+    "    AND l_shipdate <= DATE '1998-12-31') THEN 1 END), "
+    "  count(*) FROM lineitem "
+    "UNION ALL "
+    "SELECT 'orders_orphan_custkey', "
+    "  (SELECT count(*) FROM orders o WHERE NOT EXISTS "
+    "    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), "
+    "  count(*) FROM orders "
+    "UNION ALL "
+    "SELECT 'lineitem_orphan_orderkey', "
+    "  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS "
+    "    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)), "
+    "  count(*) FROM lineitem "
+    "UNION ALL "
+    "SELECT 'orders_pk_duplicates', "
+    "  count(*) - count(DISTINCT o_orderkey), count(*) FROM orders"
+    ") ORDER BY check_name"
+)
+
+
+@register("q_data_quality", _DQ_SQL)
+def q_data_quality(spark, sf_dir):
+    """DQ1 (r7): the pre-training audit — range/consistency
+    expectations (one shared scan + stacked conditional counts per
+    table), referential-integrity orphans (left anti joins), and
+    primary-key uniqueness, unioned into one (check_name,
+    n_violations, n_checked) report. Exercises BOTH states on this
+    data: ev_error_rows and li_shipdate_window fire, the rest are
+    clean zeros. All-integer output — no quantization anywhere."""
+    from mhw3d_detection_spark.operators.dataqc import (
+        duplicate_keys,
+        expectation_report,
+        referential_orphans,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rep = expectation_report(
+        ev,
+        {
+            "ev_error_rows": F.col("event_type") == "error",
+            "ev_value_null_nan": F.col("value").isNull() | F.isnan("value"),
+        },
+    ).unionAll(
+        expectation_report(
+            li,
+            {
+                "li_discount_range": ~F.col("l_discount").between(0.0, 0.1),
+                "li_quantity_range": ~(
+                    (F.col("l_quantity") > 0) & (F.col("l_quantity") <= 50)
+                ),
+                "li_shipdate_window": ~F.col("l_shipdate").between(
+                    "1992-01-01", "1998-12-31"
+                ),
+            },
+        )
+    ).unionAll(
+        referential_orphans(o, c, "o_custkey", "c_custkey", "orders_orphan_custkey")
+    ).unionAll(
+        referential_orphans(
+            li, o, "l_orderkey", "o_orderkey", "lineitem_orphan_orderkey"
+        )
+    ).unionAll(duplicate_keys(o, "o_orderkey", "orders_pk_duplicates"))
+    return rep.orderBy("check_name")

@@ -71,3 +71,64 @@ class TestSaltedJoin:
         big = spark.range(1).withColumnRenamed("id", "k")
         with _pytest.raises(ValueError):
             salted_join(big, big, ["k"], how="right")
+
+
+class TestDataQC:
+    def test_expectation_report_counts_and_null_policy(self, spark):
+        from pyspark.sql import functions as F
+
+        from mhw3d_detection_spark.operators.dataqc import expectation_report
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, None), (4, 60.0)], "id int, v double"
+        )
+        rep = {
+            r["check_name"]: (r["n_violations"], r["n_checked"])
+            for r in expectation_report(
+                df, {"v_range": ~F.col("v").between(0.0, 50.0)}
+            ).collect()
+        }
+        # -1 and 60 violate; NULL cannot be evaluated -> counts violated
+        assert rep == {"v_range": (3, 4)}
+
+    def test_referential_orphans_null_fk_is_orphan(self, spark):
+        from mhw3d_detection_spark.operators.dataqc import referential_orphans
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, None)], "id int, fk int"
+        )
+        parent = spark.createDataFrame([(10,), (20,)], "pk int")
+        r = referential_orphans(child, parent, "fk", "pk", "c").collect()[0]
+        assert (r["n_violations"], r["n_checked"]) == (2, 3)
+
+    def test_duplicate_keys(self, spark):
+        from mhw3d_detection_spark.operators.dataqc import duplicate_keys
+
+        df = spark.createDataFrame([(1,), (1,), (2,), (1,)], "k int")
+        r = duplicate_keys(df, "k", "dup").collect()[0]
+        assert (r["n_violations"], r["n_checked"]) == (2, 4)
+
+    def test_empty_checks_rejected(self, spark):
+        import pytest as _pytest
+
+        from mhw3d_detection_spark.operators.dataqc import expectation_report
+
+        with _pytest.raises(ValueError):
+            expectation_report(spark.range(1), {})
+
+    def test_single_scan_per_table(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from mhw3d_detection_spark.operators.dataqc import expectation_report
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        plan = expectation_report(
+            li,
+            {
+                "a": F.col("l_quantity") <= 0,
+                "b": F.col("l_discount") < 0,
+            },
+        )._jdf.queryExecution().executedPlan().toString()
+        # every per-row expectation shares ONE scan + ONE aggregate pair
+        assert plan.count("Scan parquet") == 1, plan
