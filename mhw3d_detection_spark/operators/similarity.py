@@ -1190,3 +1190,87 @@ def cosine_topk_multiprobe(
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cosine", "rank")
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA, top principal direction of the (uncentered)
+    embedding second-moment matrix, as a PURE LAZY PLAN: one
+    double-explode + hash aggregate builds the d x d Gram matrix
+    (the only pass over the data — n*d^2 intermediate rows, the
+    standard outer-product aggregation; d is the 64-dim embedding, so
+    the Gram is 4096 rows however big the corpus), then ``iters``
+    unrolled power-iteration rounds, each a Gram-join-vector matvec
+    (4096 x 64 rows — dust) with INFINITY-norm normalization.
+
+    Why max-norm, not L2, between rounds: iterates stay on an exact
+    dyadic grid. Inputs are quantized to 1/64 (products exact on
+    1/4096), matvec sums are exact dyadics, max/compare are exact, and
+    the divide-by-max + requantize lands back on the 1/64 grid — so
+    every round is bit-identical in Spark and DuckDB regardless of
+    aggregation order. An L2 norm would SQUARE the iterates
+    (doubling the bit budget past the 53-bit mantissa) and take a
+    sqrt mid-plan; deferring L2 to the very end keeps the one
+    sqrt/divide on the final small vector, where IEEE exact rounding
+    makes it deterministic. Same device family as the k-means /
+    PageRank round quantization (``_q6``), pushed one step further:
+    intermediate rounds here are EXACT, not just re-gridded.
+
+    Convergence: standard power iteration (von Mises); rate is the
+    eigengap ratio |l2/l1|^iters. ``iters`` is compile-time unrolled
+    (plan depth grows linearly — checkpoint past ~10 rounds, cf. the
+    curation funnel's Catalyst notes).
+
+    Returns ``(dim_idx, loading, eigval)``: L2-normalized loadings of
+    the dominant eigenvector and its Rayleigh-quotient eigenvalue.
+    """
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    x = emb.select(
+        "vec_id", F.posexplode(vec_col).alias("i", "__v")
+    ).select("vec_id", "i", dyadic_quantize("__v").alias("q"))
+    g = (
+        x.select("vec_id", F.col("i"), F.col("q"))
+        .join(
+            x.select(
+                "vec_id", F.col("i").alias("j"), F.col("q").alias("qj")
+            ),
+            "vec_id",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("q") * F.col("qj")).alias("c"))
+    )
+    d = emb.select(F.posexplode(vec_col).alias("i", "__v")).select("i").distinct()
+    v = d.select("i", (F.lit(1.0) / F.lit(8.0)).alias("vv"))
+    for _ in range(int(iters)):
+        w = (
+            g.join(F.broadcast(v.select(F.col("i").alias("j"), "vv")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "i", dyadic_quantize(F.col("w") / F.col("m")).alias("vv")
+        )
+    s2 = v.agg(F.sum(F.col("vv") * F.col("vv")).alias("s2"))
+    cv = (
+        g.join(F.broadcast(v.select(F.col("i").alias("j"), "vv")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("vv")).alias("cw"))
+    )
+    ray = (
+        cv.join(F.broadcast(v), "i")
+        .agg(F.sum(F.col("cw") * F.col("vv")).alias("num"))
+    )
+    return (
+        v.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").cast("int").alias("dim_idx"),
+            (F.col("vv") / F.sqrt("s2")).alias("loading"),
+            (F.col("num") / F.col("s2")).alias("eigval"),
+        )
+    )

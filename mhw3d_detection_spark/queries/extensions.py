@@ -3400,3 +3400,64 @@ def q_dedup_setsim_prefix(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return setsim_prefix_pairs(docs, threshold=0.5, shingle_n=3)
+
+
+# =========================================================================
+# E3c (r7) — distributed PCA: top principal component by power iteration
+# =========================================================================
+def _PCA_SQL(iters: int = 3) -> str:
+    """Unrolled power-iteration oracle — every round is EXACT dyadic
+    arithmetic (1/64-grid inputs -> 1/4096-grid Gram -> exact matvec
+    sums -> exact max-norm -> requantize), so the hash match pins all
+    ``iters`` rounds, the final L2 normalization and the Rayleigh
+    quotient, not a rounded approximation of them."""
+    eps = 0.5 + 2.0**-16
+
+    def dq(e: str) -> str:
+        return f"floor(({e}) * 64.0 + {eps!r}) / 64.0"
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        "xi AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)",
+        f"x AS (SELECT vec_id, i, {dq('v[i]')} AS q FROM xi)",
+        "g AS (SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS c "
+        "FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2)",
+        "v0 AS (SELECT DISTINCT i, 0.125 AS vv FROM x)",
+    ]
+    prev = "v0"
+    for r in range(1, iters + 1):
+        ctes += [
+            f"w{r} AS (SELECT g.i, sum(g.c * {prev}.vv) AS w "
+            f"FROM g JOIN {prev} ON {prev}.i = g.j GROUP BY 1)",
+            f"m{r} AS (SELECT max(abs(w)) AS m FROM w{r})",
+            f"v{r} AS (SELECT i, {dq('w / m')} AS vv FROM w{r}, m{r})",
+        ]
+        prev = f"v{r}"
+    ctes += [
+        f"s AS (SELECT sum(vv * vv) AS s2 FROM {prev})",
+        f"cv AS (SELECT g.i, sum(g.c * vv) AS cw "
+        f"FROM g JOIN {prev} ON {prev}.i = g.j GROUP BY 1)",
+        f"ray AS (SELECT sum(cv.cw * {prev}.vv) AS num "
+        f"FROM cv JOIN {prev} USING (i))",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT CAST(i - 1 AS INT) AS dim_idx, vv / sqrt(s2) AS loading, "
+        f"num / s2 AS eigval FROM {prev}, s, ray"
+    )
+
+
+@register("q_embed_pca_power", _PCA_SQL(3))
+def q_embed_pca_power(spark, sf_dir):
+    """E3c (r7): top principal direction of the embedding
+    second-moment matrix — double-explode Gram aggregate (ONE data
+    pass; the Gram is d^2 = 4096 rows at ANY corpus size) + 3
+    power-iteration rounds as a pure lazy plan. Max-norm
+    normalization keeps every round on an exact dyadic grid (see
+    ``operators.similarity.pca_top_component``), so loadings and the
+    Rayleigh eigenvalue hash-match DuckDB with NO output
+    quantization at all — raw doubles, same bits."""
+    from mhw3d_detection_spark.operators.similarity import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, iters=3)

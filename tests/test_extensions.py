@@ -1811,3 +1811,56 @@ class TestSetsimPrefix:
         # 4 shingles each, 3 shared: J = 3/5
         assert (r["na"], r["nb"], r["n_inter"]) == (4, 4, 3)
         assert r["jaccard"] == 3 / 5
+
+
+class TestPcaPower:
+    def test_recovers_planted_direction(self, spark):
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.similarity import pca_top_component
+
+        # planted dominant direction with a strong eigengap: 3 power
+        # rounds must align to the true top eigenvector of the SAME
+        # quantized second-moment matrix numpy sees
+        rng = np.random.default_rng(11)
+        d, n = 16, 400
+        u = rng.normal(size=d)
+        u /= np.linalg.norm(u)
+        X = rng.normal(scale=0.3, size=(n, d)) + np.outer(
+            rng.normal(scale=3.0, size=n), u
+        )
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = (
+            pca_top_component(emb, iters=3)
+            .orderBy("dim_idx")
+            .collect()
+        )
+        v = np.array([r["loading"] for r in out])
+        # numpy reference over the exactly-quantized inputs
+        Xq = np.floor(X.astype(np.float32).astype(np.float64) * 64.0 + 0.5 + 2.0**-16) / 64.0
+        G = Xq.T @ Xq
+        evals, evecs = np.linalg.eigh(G)
+        top = evecs[:, -1]
+        assert abs(float(v @ top)) > 0.999
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+        # Rayleigh quotient sandwiched by the true extremes, near max
+        lam = out[0]["eigval"]
+        assert lam <= evals[-1] + 1e-9
+        assert lam >= 0.99 * evals[-1]
+
+    def test_gram_single_pass_and_broadcast_rounds(self, spark, sf_dir):
+        from mhw3d_detection_spark.operators.similarity import pca_top_component
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        plan = (
+            pca_top_component(emb, iters=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the data-sized join is the vec_id self-join feeding the Gram;
+        # every round's matvec joins a BROADCAST 64-row vector
+        assert "BroadcastExchange" in plan, plan
+        assert "CartesianProduct" not in plan, plan
