@@ -765,6 +765,7 @@ def cusum_changepoints(
     cell_col: str = "cell_id",
     time_col: str = "time",
     temp_col: str = "temp",
+    target: float | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection per cell (Page 1954) —
     the sequential-analysis drift detector: ``C+`` accumulates
@@ -801,10 +802,17 @@ def cusum_changepoints(
     """
     xq = dyadic_quantize(F.col(temp_col)).alias("__xq")
     d = ts.select(F.col(cell_col), F.col(time_col), xq)
-    mu = d.groupBy(cell_col).agg(
-        dyadic_quantize(F.sum("__xq") / F.count(F.lit(1))).alias("__mu")
-    )
-    j = d.join(F.broadcast(mu), cell_col)
+    if target is None:
+        # in-control level estimated from the data itself (per cell)
+        mu = d.groupBy(cell_col).agg(
+            dyadic_quantize(F.sum("__xq") / F.count(F.lit(1))).alias("__mu")
+        )
+        j = d.join(F.broadcast(mu), cell_col)
+    else:
+        # trained in-control target (the online-monitoring deployment;
+        # pass a dyadic to keep the exactness contract) — also what the
+        # streaming twin uses, so batch/stream parity is testable
+        j = d.withColumn("__mu", F.lit(float(target)))
     k = F.lit(float(allowance))
     stepped = j.select(
         cell_col,

@@ -16,5 +16,6 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_winnow_dedup,
 )
 from mhw3d_detection_spark.streaming.stateful import (  # noqa: F401
+    streaming_cusum_alarms,
     streaming_detect_events_exact,
 )

@@ -54,7 +54,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DateType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -209,6 +211,130 @@ def streaming_detect_events_exact(
             process,
             _OUT_SCHEMA,
             _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("time", DateType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+        StructField("alarm_pos", BooleanType()),
+        StructField("alarm_neg", BooleanType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cp", DoubleType()),
+        StructField("cn", DoubleType()),
+        StructField("days", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def streaming_cusum_alarms(
+    stream: DataFrame,
+    *,
+    target: float,
+    allowance: float,
+    threshold: float,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.analysis.cusum_changepoints`
+    with a TRAINED in-control ``target`` (the online-monitoring
+    deployment: the level comes from a baseline fit, the detector
+    watches the live feed). Emits, in append mode, one row per folded
+    day — bit-identical to the batch operator called with the same
+    ``target`` (dyadic-grid recursion ≡ the batch closed form; pinned
+    by a parity test), for ANY arrival order within the watermark.
+
+    Incremental design, same frontier logic as
+    :func:`streaming_detect_events_exact`: CUSUM is ORDER-sensitive,
+    so rows buffer per cell until the watermark passes their day —
+    only then is their fold order final (Spark drops later-arriving
+    older rows at the watermark gate). State: the two accumulators +
+    the pending (day, value) buffer, bounded by the watermark delay.
+    Duplicate (cell, day) samples: last arrival wins (the batch twin
+    assumes a unique daily grid; feed it one).
+
+    At 100 TB-rate: state partitions on ``cell_id`` like every other
+    per-cell operator; per-cell state is two doubles + the watermark
+    window, and the emitted stream is append-only (no re-emission).
+    """
+    tgt = float(target)
+    k = float(allowance)
+    h = float(threshold)
+
+    def _dq(x: float) -> float:
+        import math
+
+        return math.floor(x * 64.0 + (0.5 + 2.0**-16)) / 64.0
+
+    def process(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cp, cn, days, vals = state.get
+            buf = dict(zip(days, vals))
+        else:
+            cp, cn, buf = 0.0, 0.0, {}
+        emitted: list[tuple] = []
+
+        def fold(day: int, xq: float) -> None:
+            nonlocal cp, cn
+            cp = max(0.0, cp + (xq - tgt - k))
+            cn = max(0.0, cn + (tgt - xq - k))
+            emitted.append((key[0], day, cp, cn, cp > h, cn > h))
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pd.to_datetime(pdf[time_col])
+                ds = ts.values.astype("datetime64[D]").astype("int64")
+                for day, v in zip(ds.tolist(), pdf[temp_col].tolist()):
+                    buf[int(day)] = _dq(float(v))
+        wm_day = state.getCurrentWatermarkMs() // _MS_PER_DAY
+        for day in sorted(d for d in buf if d < wm_day):
+            fold(day, buf.pop(day))
+        if buf or cp > 0.0 or cn > 0.0 or state.exists:
+            ks = sorted(buf)
+            state.update((cp, cn, ks, [buf[d] for d in ks]))
+            if buf:
+                horizon = (max(buf) + 2) * _MS_PER_DAY
+                state.setTimeoutTimestamp(
+                    max(horizon, state.getCurrentWatermarkMs() + 1)
+                )
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "cell_id": [e[0] for e in emitted],
+                    "time": [
+                        pd.Timestamp(e[1], unit="D").date() for e in emitted
+                    ],
+                    "cusum_pos": [e[2] for e in emitted],
+                    "cusum_neg": [e[3] for e in emitted],
+                    "alarm_pos": [e[4] for e in emitted],
+                    "alarm_neg": [e[5] for e in emitted],
+                }
+            )
+
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.col(cell_col).cast("long").alias("cell_id"))
+        .applyInPandasWithState(
+            process,
+            _CUSUM_OUT_SCHEMA,
+            _CUSUM_STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )

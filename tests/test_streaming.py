@@ -797,3 +797,83 @@ def test_streaming_feature_hash_matches_batch(spark, tmp_path):
         for r in feature_hash_dense(docs).collect()
     }
     assert got == want  # bit-exact batch/stream feature parity
+
+
+def test_streaming_cusum_matches_batch_bitexact(spark, tmp_path):
+    # W15 r7: the stateful streaming CUSUM must reproduce the batch
+    # operator's per-row accumulators EXACTLY (dyadic-grid recursion ==
+    # batch closed form) across microbatch boundaries AND out-of-order
+    # arrival within the watermark.
+    from mhw3d_detection_spark.operators.analysis import cusum_changepoints
+    from mhw3d_detection_spark.streaming import streaming_cusum_alarms
+
+    import random
+
+    rng = random.Random(3)
+    day0 = dt.datetime(2021, 1, 1)
+    rows = []
+    for cell in (1, 2):
+        for d in range(60):
+            v = 10.0 + rng.uniform(-3, 3) + (8.0 if 25 <= d < 35 else 0.0)
+            rows.append((cell, day0 + dt.timedelta(days=d), round(v, 2)))
+    df = spark.createDataFrame(rows, "cell_id int, time timestamp, temp double")
+    # far-future sentinel pushes the watermark past every real day
+    sentinel = [(99, day0 + dt.timedelta(days=400), 0.0)]
+    sent = spark.createDataFrame(sentinel, df.schema)
+
+    path = str(tmp_path / "cusum_stream")
+    # batch 1: days 0..29 EXCEPT days 10..14 (arrive late), batch 2:
+    # the late days + the rest, batch 3: sentinel
+    early = df.filter(
+        (F.col("time") < day0 + dt.timedelta(days=30))
+        & ~F.col("time").between(
+            day0 + dt.timedelta(days=10), day0 + dt.timedelta(days=14)
+        )
+    )
+    late = df.exceptAll(early)
+    early.coalesce(1).write.mode("overwrite").parquet(path)
+    late.coalesce(1).write.mode("append").parquet(path)
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_cusum_alarms(
+        stream, target=10.0, allowance=0.5, threshold=6.0, watermark="40 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cell_id"], r["time"]): (
+            r["cusum_pos"],
+            r["cusum_neg"],
+            r["alarm_pos"],
+            r["alarm_neg"],
+        )
+        for r in spark.table("cusum_stream").collect()
+    }
+    want = {
+        (r["cell_id"], r["time"]): (
+            r["cusum_pos"],
+            r["cusum_neg"],
+            r["alarm_pos"],
+            r["alarm_neg"],
+        )
+        for r in cusum_changepoints(
+            df, target=10.0, allowance=0.5, threshold=6.0
+        ).withColumn("time", F.to_date("time")).collect()
+    }
+    # every batch row folded by the stream must match bit-exactly, and
+    # the stream must have folded everything the watermark passed
+    assert len(got) == len(want)  # sentinel watermark flushed all
+    assert any(v[2] for v in got.values())  # the injected shift alarms
+    for key_, gv in got.items():
+        assert gv == want[key_], (key_, gv, want[key_])
