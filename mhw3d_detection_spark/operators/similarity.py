@@ -1274,3 +1274,105 @@ def pca_top_component(
             (F.col("num") / F.col("s2")).alias("eigval"),
         )
     )
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    probe_id: int,
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversification pass a retrieval stack runs AFTER
+    top-k: greedily pick the candidate maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)``, trading
+    query relevance against redundancy with what is already selected.
+
+    Two-phase shape: the DISTRIBUTED work is the ``pool``-sized
+    relevance retrieval (:func:`cosine_topk` — salted two-phase top-k
+    over the whole corpus) plus one candidate-bounded pairwise-cosine
+    pass (pool^2 rows — dust); the greedy itself is ``k`` unrolled
+    rounds over those checkpointed pool-sized frames. EAGER like
+    ``curate_corpus``/``pq_train_codebooks``: each round
+    localCheckpoints its selection (the round's plan references the
+    previous selection twice — anti-join + max-sim — so an unchecked
+    chain doubles per round; checkpointing keeps Catalyst linear).
+
+    Exactness: relevance and pairwise sims are rq6-quantized, ``lam``
+    should be dyadic — every greedy score is then two exactly-rounded
+    products of identical operands, so selections replay bit-exactly
+    in the unrolled SQL oracle (ties by vec_id).
+
+    Returns ``(rank, vec_id, rel, mmr_score)``, k rows.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    lam_ = F.lit(float(lam))
+    one_m = F.lit(1.0 - float(lam))
+    pool_df = (
+        cosine_topk(emb, lambda c: c == probe_id, k=pool, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", rq("cosine", 6).alias("rel"))
+        .localCheckpoint()
+    )
+    ids = [r["vec_id"] for r in pool_df.select("vec_id").collect()]
+    base = (
+        emb.filter(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", norm(F.col("v")))
+    )
+    a = base.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            rq(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        pool_df.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            "rel",
+            (lam_ * F.col("rel")).alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, int(k) + 1):
+        mx = (
+            sims.join(sel.select(F.col("vec_id").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("msim"))
+            .withColumnRenamed("a", "vec_id")
+        )
+        pick = (
+            pool_df.join(sel.select("vec_id"), "vec_id", "left_anti")
+            # inner: the pool pairwise graph is complete (zero-norm
+            # vectors never reach the pool — cosine_topk guards n > 0)
+            .join(mx, "vec_id")
+            .select(
+                F.lit(r).cast("int").alias("rank"),
+                "vec_id",
+                "rel",
+                (lam_ * F.col("rel") - one_m * F.col("msim")).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+        )
+        sel = sel.union(pick).localCheckpoint()
+    return sel

@@ -3461,3 +3461,61 @@ def q_embed_pca_power(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, iters=3)
+
+
+# =========================================================================
+# E3d (r7) — MMR diversification of a retrieval pool
+# =========================================================================
+def _MMR_SQL(probe: int = 0, k: int = 5, pool: int = 20, lam: float = 0.5) -> str:
+    """Unrolled greedy oracle: round r's argmax replays exactly because
+    rel/sim are rq6-quantized and lam is dyadic (two exactly-rounded
+    products per score; ties broken by vec_id in both engines)."""
+    l_ = repr(float(lam))
+    m_ = repr(1.0 - float(lam))
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"pr AS (SELECT v AS pv FROM base WHERE vec_id = {probe})",
+        "sc AS (SELECT b.vec_id, list_cosine_similarity(b.v, pr.pv) AS cosine "
+        f"FROM base b, pr WHERE b.vec_id <> {probe})",
+        f"pool AS (SELECT vec_id, {rq_sql('cosine', 6)} AS rel FROM sc "
+        f"ORDER BY cosine DESC, vec_id LIMIT {pool})",
+        "pv AS (SELECT vec_id, v FROM base "
+        "WHERE vec_id IN (SELECT vec_id FROM pool))",
+        "sims AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        f"{rq_sql('list_cosine_similarity(a.v, b.v)', 6)} AS sim "
+        "FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)",
+        f"sel1 AS (SELECT 1 AS rank, vec_id, rel, {l_} * rel AS mmr_score "
+        "FROM pool ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    prev = "sel1"
+    for r in range(2, int(k) + 1):
+        ctes += [
+            f"m{r} AS (SELECT s.a AS vec_id, max(s.sim) AS msim FROM sims s "
+            f"WHERE s.b IN (SELECT vec_id FROM {prev}) GROUP BY 1)",
+            f"p{r} AS (SELECT {r} AS rank, p.vec_id, p.rel, "
+            f"{l_} * p.rel - {m_} * m.msim AS mmr_score "
+            f"FROM pool p JOIN m{r} m USING (vec_id) "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            "ORDER BY mmr_score DESC, vec_id LIMIT 1)",
+            f"sel{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{r})",
+        ]
+        prev = f"sel{r}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr_score FROM {prev}"
+    )
+
+
+@register("q_retrieval_mmr", _MMR_SQL(0, 5, 20, 0.5))
+def q_retrieval_mmr(spark, sf_dir):
+    """E3d (r7): MMR-diversified top-5 from a 20-candidate relevance
+    pool around probe vec_id 0 (lambda = 0.5) — the redundancy-aware
+    re-rank that completes the retrieval stack (BM25 / ANN / RRF /
+    rerank / MMR). Distributed pool retrieval + candidate-bounded
+    pairwise cosines; the k greedy rounds run over checkpointed
+    pool-sized frames and replay EXACTLY in the unrolled SQL (rq6
+    scores, dyadic lambda, vec_id tie-break)."""
+    from mhw3d_detection_spark.operators.similarity import mmr_diversify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_diversify(emb, 0, k=5, pool=20, lam=0.5)

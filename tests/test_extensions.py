@@ -1864,3 +1864,70 @@ class TestPcaPower:
         # every round's matvec joins a BROADCAST 64-row vector
         assert "BroadcastExchange" in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestMmrDiversify:
+    def _py_greedy(self, rel, sim, k, lam):
+        # reference greedy on the SAME quantized scores
+        sel = []
+        best = sorted(rel, key=lambda d: (-rel[d], d))[0]
+        sel.append((best, lam * rel[best]))
+        while len(sel) < k:
+            chosen = {d for d, _ in sel}
+            cands = []
+            for d in rel:
+                if d in chosen:
+                    continue
+                msim = max(sim[(d, s)] for s in chosen)
+                cands.append((lam * rel[d] - (1 - lam) * msim, d))
+            cands.sort(key=lambda t: (-t[0], t[1]))
+            sel.append((cands[0][1], cands[0][0]))
+        return sel
+
+    def test_matches_python_greedy_and_diversifies(self, spark):
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.similarity import mmr_diversify
+
+        # probe at e0; candidates: three near-clones along e0 (top
+        # relevance) and two moderately relevant but DIVERSE directions
+        vecs = {
+            0: [1.0, 0.0, 0.0, 0.0],        # probe
+            1: [0.99, 0.14, 0.0, 0.0],      # clone A
+            2: [0.99, 0.141, 0.0, 0.0],     # clone A'
+            3: [0.985, 0.17, 0.0, 0.0],     # clone A''
+            4: [0.8, 0.0, 0.6, 0.0],        # diverse B
+            5: [0.75, 0.0, 0.0, 0.66],      # diverse C
+        }
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        out = mmr_diversify(emb, 0, k=3, pool=5, lam=0.5).orderBy("rank").collect()
+        picked = [r["vec_id"] for r in out]
+        # pure top-3 by relevance would be the three clones; MMR must
+        # swap redundancy for the diverse directions after the first
+        assert picked[0] in (1, 2, 3)
+        assert {4, 5} & set(picked), picked
+        # exact replay of the greedy on the collected quantized scores
+        rel = {}
+        sim = {}
+        q = lambda x: np.floor(x * 1e6 + 0.5 + 2.0**-16) / 1e6
+        import numpy.linalg as la
+
+        vp = np.array(vecs[0], dtype=np.float32).astype(np.float64)
+        for i, v in vecs.items():
+            if i == 0:
+                continue
+            va = np.array(v, dtype=np.float32).astype(np.float64)
+            rel[i] = float(q(va @ vp / (la.norm(va) * la.norm(vp))))
+        for i in rel:
+            for j in rel:
+                if i != j:
+                    va = np.array(vecs[i], dtype=np.float32).astype(np.float64)
+                    vb = np.array(vecs[j], dtype=np.float32).astype(np.float64)
+                    sim[(i, j)] = float(
+                        q(va @ vb / (la.norm(va) * la.norm(vb)))
+                    )
+        want = self._py_greedy(rel, sim, 3, 0.5)
+        assert picked == [d for d, _ in want]
