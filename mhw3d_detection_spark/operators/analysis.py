@@ -898,3 +898,54 @@ def salted_join(
     if strategy:
         s = s.hint(strategy)
     return b.join(s, keys + ["__salt"], how).drop("__salt")
+
+
+def ewma_smooth(
+    ts: DataFrame,
+    *,
+    window: int = 16,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average with alpha = 1/2
+    — the trend-following smoother/feature next to :func:`
+    cusum_changepoints` in the drift-monitoring family. Weights over
+    the last ``window`` SAMPLES (row-based: gaps in the daily grid
+    shrink the lookback span, they do not re-weight) are
+    ``2^-1, 2^-2, ..., 2^-(window-1)`` with the tail weight doubled to
+    ``2^-(window-1)`` so they sum to EXACTLY 1 — every weight is a
+    power of two, inputs are on the dyadic 1/64 grid, so each term and
+    the whole sum are exact dyadics: bit-identical cross-engine, and
+    the truncation error vs the infinite EWMA is bounded by
+    ``2^-(window-1) * max|x|`` by the geometric tail.
+
+    Declarative shape: a chain of ``lag`` terms over ONE per-cell
+    window sort — no recursion (the infinite-memory recursive form
+    ``e_t = x/2 + e_{t-1}/2`` is the STREAMING deployment; this
+    truncated form is its batch/backfill twin, exact to the stated
+    tail bound). Rows without ``window`` samples of history emit NULL
+    (no partial-weight renormalization — a silently re-weighted warm-up
+    looks like a level shift to any downstream detector).
+
+    Returns ``(cell, time, temp_q, ewma, ewma_anom)``.
+    """
+    w = Window.partitionBy(cell_col).orderBy(time_col)
+    d = ts.select(
+        F.col(cell_col),
+        F.col(time_col),
+        dyadic_quantize(F.col(temp_col)).alias("temp_q"),
+    )
+    term = None
+    for j in range(int(window)):
+        wt = 2.0 ** -(j + 1) if j < window - 1 else 2.0 ** -(window - 1)
+        t = F.lag("temp_q", j).over(w) * F.lit(wt)
+        term = t if term is None else term + t
+    full = F.lag("temp_q", int(window) - 1).over(w).isNotNull()
+    return d.select(
+        cell_col,
+        time_col,
+        "temp_q",
+        F.when(full, term).alias("ewma"),
+        F.when(full, F.col("temp_q") - term).alias("ewma_anom"),
+    )

@@ -26,6 +26,7 @@ from mhw3d_detection_spark.operators.analysis import (
     detrend_linear,
     detrend_poly,
     dyadic_quantize_sql,
+    ewma_smooth,
     mean_trend_ols,
     pad_interpolate,
 )
@@ -1000,3 +1001,34 @@ def q_forecast_skill(spark, sf_dir):
             4,
         ).alias("skill"),
     )
+
+
+# =========================================================================
+# W16 (beyond-reference, in-domain) — truncated EWMA smoother
+# =========================================================================
+def _EWMA_SQL(window: int = 16) -> str:
+    terms = []
+    for j in range(window):
+        wt = 2.0 ** -(j + 1) if j < window - 1 else 2.0 ** -(window - 1)
+        terms.append(f"lag(temp_q, {j}) OVER w * {wt!r}")
+    ew = " + ".join(terms)
+    return (
+        f"WITH od AS ({ORDERS_DAILY_SQL}), "
+        f"dq AS (SELECT cell_id, time, {dyadic_quantize_sql('temp')} AS temp_q FROM od), "
+        "e AS (SELECT cell_id, time, temp_q, "
+        f"  CASE WHEN lag(temp_q, {window - 1}) OVER w IS NOT NULL "
+        f"    THEN {ew} END AS ewma "
+        "  FROM dq WINDOW w AS (PARTITION BY cell_id ORDER BY time)) "
+        "SELECT cell_id, time, temp_q, ewma, temp_q - ewma AS ewma_anom FROM e"
+    )
+
+
+@register("q_ewma_smooth", _EWMA_SQL(16))
+def q_ewma_smooth(spark, sf_dir):
+    """W16 (r7): truncated EWMA (alpha = 1/2, 16-sample window) over
+    the daily series — power-of-two weights over dyadic-grid inputs
+    make every smoothed value an EXACT dyadic, hash-matched as raw
+    doubles; one per-cell window sort, a lag chain, no recursion
+    (see ``operators.analysis.ewma_smooth``)."""
+    od = orders_daily(spark, sf_dir)
+    return ewma_smooth(od, window=16)

@@ -354,3 +354,30 @@ class TestCusumChangepoints:
         )
         assert rows[-1]["cusum_pos"] == 0.0
         assert max(r["cusum_pos"] for r in rows) > 0.0
+
+
+class TestEwmaSmooth:
+    def test_matches_direct_weighted_sum_and_warmup_null(self, spark):
+        import math
+
+        from mhw3d_detection_spark.operators.analysis import ewma_smooth
+
+        vals = [float(v) for v in range(1, 41)]
+        df = _series(spark, vals)
+        rows = ewma_smooth(df, window=16).orderBy("time").collect()
+        q = lambda x: math.floor(x * 64.0 + 0.5 + 2.0**-16) / 64.0
+        xq = [q(v) for v in vals]
+        for t, r in enumerate(rows):
+            if t < 15:
+                assert r["ewma"] is None and r["ewma_anom"] is None
+                continue
+            want = 0.0
+            for j in range(16):
+                wt = 2.0 ** -(j + 1) if j < 15 else 2.0**-15
+                want += wt * xq[t - j]
+            assert r["ewma"] == want
+            assert r["ewma_anom"] == xq[t] - want
+        # weights sum to exactly 1: constant series -> ewma == value
+        const = _series(spark, [7.25] * 20, cell=2)
+        out = ewma_smooth(const, window=16).orderBy("time").collect()
+        assert out[-1]["ewma"] == 7.25 and out[-1]["ewma_anom"] == 0.0
