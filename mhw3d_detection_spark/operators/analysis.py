@@ -949,3 +949,67 @@ def ewma_smooth(
         F.when(full, term).alias("ewma"),
         F.when(full, F.col("temp_q") - term).alias("ewma_anom"),
     )
+
+
+def despike_mad(
+    ts: DataFrame,
+    *,
+    z_thresh: float = 3.5,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """Robust spike QC via the modified z-score (Iglewicz & Hoaglin
+    1993): ``M = 0.6745 * (x - median) / MAD``, flag ``|M| >
+    z_thresh`` — the de-spiking pass a real SST ingest runs BEFORE
+    climatology/detection (mean/stddev z-scores are useless here: the
+    spike itself inflates the stddev; median and MAD have a 50%
+    breakdown point).
+
+    Two tiny grouped EXACT percentiles (median of x, then median of
+    ``|x - median|``), each a cells-sized aggregate broadcast back —
+    the data crosses the wire for two grouped aggregates and never
+    sorts globally. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (t-digest) with the identical plan shape —
+    the same documented trade as the threshold kernel.
+
+    Exactness: x is rq2-quantized FIRST (so both engines feed the
+    percentile identical bits — the interpolated median/MAD then match
+    exactly), med/MAD are rq6'd, and the flag comparison
+    ``0.6745 * |x - med| > z_thresh * MAD`` multiplies identical
+    operands by identical literals: exactly-rounded both sides, no
+    boundary drift. A zero MAD (>= 50% constant series) leaves mod_z
+    NULL and flags only ``x != med`` rows via the guarded CASE.
+
+    Returns one row per sample: ``(cell, time, temp_q, med, mad,
+    mod_z, is_spike)``.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    xq = rq(F.col(temp_col), 2).alias("temp_q")
+    d = ts.select(F.col(cell_col), F.col(time_col), xq)
+    med = d.groupBy(cell_col).agg(
+        rq(F.expr("percentile(temp_q, 0.5)"), 6).alias("med")
+    )
+    j = d.join(F.broadcast(med), cell_col)
+    mad = j.groupBy(cell_col).agg(
+        rq(F.expr("percentile(abs(temp_q - med), 0.5)"), 6).alias("mad")
+    )
+    j2 = j.join(F.broadcast(mad), cell_col)
+    dev = F.abs(F.col("temp_q") - F.col("med"))
+    mod_z = F.when(
+        F.col("mad") > 0, F.lit(0.6745) * dev / F.col("mad")
+    )
+    is_spike = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * dev > F.lit(float(z_thresh)) * F.col("mad"),
+    ).otherwise(dev > 0)
+    return j2.select(
+        cell_col,
+        time_col,
+        "temp_q",
+        "med",
+        "mad",
+        mod_z.alias("mod_z"),
+        is_spike.alias("is_spike"),
+    )

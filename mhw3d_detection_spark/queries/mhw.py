@@ -25,6 +25,7 @@ from mhw3d_detection_spark.operators.analysis import (
     cusum_changepoints,
     detrend_linear,
     detrend_poly,
+    despike_mad,
     dyadic_quantize_sql,
     ewma_smooth,
     mean_trend_ols,
@@ -1032,3 +1033,64 @@ def q_ewma_smooth(spark, sf_dir):
     (see ``operators.analysis.ewma_smooth``)."""
     od = orders_daily(spark, sf_dir)
     return ewma_smooth(od, window=16)
+
+
+# =========================================================================
+# W17 (beyond-reference, in-domain) — MAD-based spike QC
+# =========================================================================
+#: deterministic spike injection (same expression both engines, the
+#: _P13 device): +8e5 every July 13th — natural max |mod_z| on this
+#: series is ~1.5, injected days land ~4.9, so BOTH flag states fire
+_SPIKE = (
+    "temp + CASE WHEN month(time) = 7 AND day(time) = 13 "
+    "THEN 800000.0 ELSE 0.0 END"
+)
+
+_DESPIKE_SQL = (
+    f"WITH od0 AS ({ORDERS_DAILY_SQL}), "
+    f"od AS (SELECT cell_id, time, {_SPIKE} AS temp FROM od0), "
+    f"dq AS (SELECT cell_id, time, {rq_sql('temp', 2)} AS temp_q FROM od), "
+    f"md AS (SELECT cell_id, {rq_sql('quantile_cont(temp_q, 0.5)', 6)} AS med "
+    "  FROM dq GROUP BY 1), "
+    "j AS (SELECT d.*, m.med FROM dq d JOIN md m USING (cell_id)), "
+    f"ma AS (SELECT cell_id, {rq_sql('quantile_cont(abs(temp_q - med), 0.5)', 6)} AS mad "
+    "  FROM j GROUP BY 1), "
+    "z AS (SELECT j.cell_id, j.time, j.temp_q, j.med, a.mad, "
+    "  CASE WHEN a.mad > 0 THEN 0.6745 * abs(j.temp_q - j.med) / a.mad END AS mod_z, "
+    "  CASE WHEN a.mad > 0 THEN 0.6745 * abs(j.temp_q - j.med) > 3.5 * a.mad "
+    "    ELSE abs(j.temp_q - j.med) > 0 END AS is_spike "
+    "  FROM j JOIN ma a USING (cell_id)) "
+    "SELECT cell_id, CAST(count(*) AS INT) AS n_days, "
+    "CAST(count(CASE WHEN is_spike THEN 1 END) AS INT) AS n_spikes, "
+    f"max(med) AS med, max(mad) AS mad, {rq_sql('max(mod_z)', 4)} AS max_mod_z, "
+    "min(CASE WHEN is_spike THEN time END) AS first_spike "
+    "FROM z GROUP BY 1"
+)
+
+
+@register("q_despike_mad", _DESPIKE_SQL)
+def q_despike_mad(spark, sf_dir):
+    """W17 (r7): per-cell robust spike QC — modified z-score over
+    median/MAD (50% breakdown: the spikes cannot inflate their own
+    yardstick, unlike mean/stddev). Spikes are INJECTED
+    deterministically (+8e5 on July 13ths, same expression in both
+    engines — the q_clim_partial_merge null-injection device) so the
+    oracle checks precision AND recall: natural days stay below the
+    3.5 threshold, every injected day lands ~4.9."""
+    od = orders_daily(spark, sf_dir).withColumn(
+        "temp",
+        F.col("temp")
+        + F.when(
+            (F.month("time") == 7) & (F.dayofmonth("time") == 13),
+            F.lit(800000.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    z = despike_mad(od, z_thresh=3.5)
+    return z.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        F.sum(F.col("is_spike").cast("int")).cast("int").alias("n_spikes"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        rq(F.max("mod_z"), 4).alias("max_mod_z"),
+        F.min(F.when(F.col("is_spike"), F.col("time"))).alias("first_spike"),
+    )

@@ -381,3 +381,47 @@ class TestEwmaSmooth:
         const = _series(spark, [7.25] * 20, cell=2)
         out = ewma_smooth(const, window=16).orderBy("time").collect()
         assert out[-1]["ewma"] == 7.25 and out[-1]["ewma_anom"] == 0.0
+
+
+class TestDespikeMad:
+    def test_flags_planted_spikes_only(self, spark):
+        from mhw3d_detection_spark.operators.analysis import despike_mad
+
+        import random
+
+        rng = random.Random(5)
+        vals = [round(10.0 + rng.uniform(-1, 1), 2) for _ in range(200)]
+        vals[50] = 25.0   # spike up
+        vals[120] = -7.0  # spike down
+        rows = despike_mad(_series(spark, vals)).orderBy("time").collect()
+        spikes = [i for i, r in enumerate(rows) if r["is_spike"]]
+        assert spikes == [50, 120]
+        # robust yardstick: the two spikes cannot drag the median/MAD
+        assert abs(rows[0]["med"] - 10.0) < 1.0
+        assert rows[50]["mod_z"] > 3.5 and rows[120]["mod_z"] > 3.5
+
+    def test_zero_mad_guard(self, spark):
+        from mhw3d_detection_spark.operators.analysis import despike_mad
+
+        # >= 50% constant -> MAD 0: mod_z NULL, only deviants flagged
+        vals = [5.0] * 10 + [9.0]
+        rows = despike_mad(_series(spark, vals)).orderBy("time").collect()
+        assert all(r["mod_z"] is None for r in rows)
+        assert [r["is_spike"] for r in rows] == [False] * 10 + [True]
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.analysis import despike_mad
+
+        rng = np.random.default_rng(9)
+        vals = [float(round(v, 2)) for v in rng.normal(20, 4, 301)]
+        rows = despike_mad(_series(spark, vals)).orderBy("time").collect()
+        x = np.round(np.array(vals), 2)
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        want = 0.6745 * np.abs(x - med) > 3.5 * mad
+        got = np.array([r["is_spike"] for r in rows])
+        assert (got == want).all()
+        assert abs(rows[0]["med"] - med) < 1e-4
+        assert abs(rows[0]["mad"] - mad) < 1e-4
