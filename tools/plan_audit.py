@@ -100,6 +100,15 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "CartesianProduct": "sources x sources pair frame (see above)",
         "BroadcastNestedLoopJoin": "sources x sources pair frame (see above)",
     },
+    # referential_orphans attaches the 1-row total count to the 1-row
+    # orphan count (two single-row aggregates crossed — 1 x 1 work)
+    "q_data_quality": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # each power round re-attaches the 1-row max-norm scalar, and the
+    # final select crosses the 64-row vector with the two 1-row
+    # normalization scalars (s2, Rayleigh numerator) — all
+    # constant-size regardless of corpus; the only data-sized join is
+    # the vec_id-keyed Gram self-join (equi)
+    "q_embed_pca_power": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
