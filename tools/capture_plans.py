@@ -47,6 +47,14 @@ PLANS = [
     "q_similarity_pq_adc",
     "q_similarity_ivfpq",
     "q_retrieval_pipeline",
+    "q_cusum_changepoint",
+    "q_dedup_setsim_prefix",
+    "q_join_salted",
+    "q_data_quality",
+    "q_embed_pca_power",
+    "q_retrieval_mmr",
+    "q_ewma_smooth",
+    "q_despike_mad",
 ]
 
 HEADER = """# Physical plans — explain evidence
