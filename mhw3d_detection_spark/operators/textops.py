@@ -2159,3 +2159,76 @@ def setsim_prefix_pairs(
             / (F.col("na") + F.col("nb") - F.col("n_inter"))
         ).alias("jaccard"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-group quantile normalization (the CCNet device,
+    generalized: per-language perplexity buckets only work because the
+    score is calibrated WITHIN each language first): a row at
+    within-group percent-rank ``p`` is mapped to the POOLED score
+    distribution's value at the same fraction (linear interpolation at
+    ``pos = p*(N-1)+1`` — the ``quantile_cont`` convention). After
+    this, "top 30% by quality" means the same thing in every source —
+    thresholding the RAW score instead silently over-prunes whichever
+    source's scorer runs pessimistic.
+
+    Distributed shape: within-group ``percent_rank`` (one window over
+    the group partitioning), pooled positions via the two-phase
+    ``_global_row_number`` (range repartition + bounded offset table —
+    never a single-partition global window), then TWO integer
+    equi-joins fetch the bracketing pooled values. NULL scores are
+    excluded up front (Spark sorts NULLs first ascending, DuckDB last
+    — a silent cross-engine rank shift if left in).
+
+    Exactness: ``percent_rank`` is integer rank arithmetic in both
+    engines; interpolation multiplies identical bits; outputs are
+    rq6'd for the oracle gate.
+
+    Returns ``(id, group, score, src_frac, norm_score)``.
+    """
+    from mhw3d_detection_spark.operators.analysis import _global_row_number
+
+    s = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        F.col(score_col).alias("__score"),
+    ).filter(F.col("__score").isNotNull())
+    p = s.withColumn(
+        "__p",
+        F.percent_rank().over(
+            Window.partitionBy("__grp").orderBy("__score")
+        ),
+    )
+    pooled = _global_row_number(
+        s.select("__id", "__score"), ["__score", "__id"], "__rn"
+    ).select(F.col("__rn").cast("long").alias("__rn"), F.col("__score").alias("__v"))
+    n = s.agg(F.count(F.lit(1)).alias("__n"))
+    x = (
+        p.crossJoin(F.broadcast(n))
+        .withColumn("__pos", F.col("__p") * (F.col("__n") - 1) + 1)
+        .withColumn("__lo", F.floor("__pos").cast("long"))
+        .withColumn("__hi", F.least(F.col("__lo") + 1, F.col("__n").cast("long")))
+        .withColumn("__f2", F.col("__pos") - F.col("__lo"))
+    )
+    lo = pooled.select(F.col("__rn").alias("__lo"), F.col("__v").alias("__vlo"))
+    hi = pooled.select(F.col("__rn").alias("__hi"), F.col("__v").alias("__vhi"))
+    return (
+        x.join(lo, "__lo")
+        .join(hi, "__hi")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__grp").alias(group_col),
+            F.col("__score").alias("score"),
+            F.col("__p").alias("src_frac"),
+            (
+                F.col("__vlo")
+                + F.col("__f2") * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("norm_score"),
+        )
+    )

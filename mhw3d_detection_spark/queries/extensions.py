@@ -3519,3 +3519,58 @@ def q_retrieval_mmr(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_diversify(emb, 0, k=5, pool=20, lam=0.5)
+
+
+# =========================================================================
+# E4f (r7) — cross-source quantile normalization of the quality score
+# =========================================================================
+_QNORM_SQL = (
+    "WITH d AS (SELECT doc_id, source, text, "
+    + TOKENS_SQL
+    + " AS toks FROM documents), "
+    f"feat AS (SELECT doc_id, source, text, {QFEATURES_SQL} FROM d), "
+    f"sc AS (SELECT doc_id, source, {QLOGIT_SQL()} AS score FROM feat), "
+    "s AS (SELECT * FROM sc WHERE score IS NOT NULL), "
+    "p AS (SELECT doc_id, source, score, "
+    "  percent_rank() OVER (PARTITION BY source ORDER BY score) AS p FROM s), "
+    "r AS (SELECT score AS v, "
+    "  row_number() OVER (ORDER BY score, doc_id) AS rn FROM s), "
+    "n AS (SELECT count(*) AS nn FROM s), "
+    "x AS (SELECT p.*, p.p * (n.nn - 1) + 1 AS pos, n.nn FROM p, n), "
+    "y AS (SELECT x.*, CAST(floor(pos) AS BIGINT) AS lo, "
+    "  least(CAST(floor(pos) AS BIGINT) + 1, nn) AS hi FROM x), "
+    "z AS (SELECT y.doc_id, y.source, y.score, y.p, "
+    "  y.pos - y.lo AS f2, rlo.v AS vlo, rhi.v AS vhi "
+    "  FROM y JOIN r rlo ON rlo.rn = y.lo JOIN r rhi ON rhi.rn = y.hi) "
+    f"SELECT doc_id, source, {rq_sql('score', 6)} AS score, "
+    f"{rq_sql('p', 6)} AS src_frac, "
+    f"{rq_sql('vlo + f2 * (vhi - vlo)', 6)} AS norm_score FROM z"
+)
+
+
+@register("q_quantile_normalize", _QNORM_SQL)
+def q_quantile_normalize(spark, sf_dir):
+    """E4f (r7): calibrate the quality logit ACROSS sources — each
+    doc's within-source percent-rank is mapped to the pooled score
+    distribution at the same fraction (CCNet's per-language
+    calibration, generalized), so a post-normalization threshold
+    prunes every source at the same rate. percent_rank + two-phase
+    global row_number + two integer equi-joins; integer rank
+    arithmetic end to end, rq6 display."""
+    from mhw3d_detection_spark.operators.textops import (
+        quality_scores,
+        quantile_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scores(docs).select("doc_id", "source", "quality_logit")
+    out = quantile_normalize(
+        scored, score_col="quality_logit", group_col="source"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        rq("score", 6).alias("score"),
+        rq("src_frac", 6).alias("src_frac"),
+        rq("norm_score", 6).alias("norm_score"),
+    )

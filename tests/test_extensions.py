@@ -1931,3 +1931,62 @@ class TestMmrDiversify:
                     )
         want = self._py_greedy(rel, sim, 3, 0.5)
         assert picked == [d for d, _ in want]
+
+
+class TestQuantileNormalize:
+    def test_uniform_rate_after_threshold(self, spark):
+        from mhw3d_detection_spark.operators.textops import quantile_normalize
+
+        # source A scores ~N(0,1)-ish ranks, source B shifted +10: raw
+        # thresholding prunes ALL of A; normalized thresholding prunes
+        # both at the same rate
+        rows = [(i, "A", float(i % 50)) for i in range(50)]
+        rows += [(100 + i, "B", 10.0 + float(i % 50)) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+        out = quantile_normalize(df, score_col="s", group_col="source").collect()
+        med = sorted(r["norm_score"] for r in out)[len(out) // 2]
+        kept = [r for r in out if r["norm_score"] >= med]
+        by_src = {s: sum(1 for r in kept if r["source"] == s) for s in ("A", "B")}
+        assert abs(by_src["A"] - by_src["B"]) <= 2, by_src
+
+    def test_matches_numpy_interp(self, spark):
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.textops import quantile_normalize
+
+        rng = np.random.default_rng(13)
+        rows = []
+        for gi, g in enumerate(("x", "y", "z")):
+            for i, v in enumerate(rng.normal(gi * 2.0, 1.0 + gi, 40)):
+                rows.append((gi * 100 + i, g, float(v)))
+        df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+        got = {
+            r["doc_id"]: r["norm_score"]
+            for r in quantile_normalize(
+                df, score_col="s", group_col="source"
+            ).collect()
+        }
+        allv = np.sort(np.array([v for _, _, v in rows]))
+        N = len(allv)
+        for g in ("x", "y", "z"):
+            grp = sorted((v, d) for d, gg, v in rows if gg == g)
+            n = len(grp)
+            ranks = {d: i for i, (v, d) in enumerate(grp)}
+            # percent_rank with no ties here: i/(n-1)
+            for v, d in grp:
+                p = ranks[d] / (n - 1)
+                pos = p * (N - 1)  # 0-based numpy position
+                lo = int(np.floor(pos))
+                hi = min(lo + 1, N - 1)
+                want = allv[lo] + (pos - lo) * (allv[hi] - allv[lo])
+                assert abs(got[d] - want) < 1e-9, (d, got[d], want)
+
+    def test_null_scores_excluded(self, spark):
+        from mhw3d_detection_spark.operators.textops import quantile_normalize
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", None), (3, "a", 3.0)],
+            "doc_id long, source string, s double",
+        )
+        out = quantile_normalize(df, score_col="s", group_col="source").collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 3]
