@@ -2232,3 +2232,43 @@ def quantile_normalize(
             ).alias("norm_score"),
         )
     )
+
+
+def source_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source distribution drift vs the pooled corpus: unigram
+    KL(P_source || Q_pool), cross-entropy and entropy (KL = CE − H) —
+    the mixture-weighting diagnostic (DoReMi-style reweighting and
+    "which source is off-domain" triage both start from exactly this
+    table). Q covers every token (the pool includes each source), so
+    no smoothing is needed: p·ln(p/q) terms with p = 0 vanish by
+    convention and q = 0 cannot occur.
+
+    One token-keyed shuffle builds the (source, token) counts; the
+    pooled token counts are an aggregate OF that aggregate (no second
+    scan); per-source and pooled totals are sources-sized/scalar
+    broadcasts. Output is sources-sized. ln is display-grade (rq4)
+    like every logprob surface in this repo — the diagnostic ranks
+    sources, it does not gate rows.
+    """
+    if "source" not in docs.columns:
+        raise ValueError("source_divergence expects a 'source' column")
+    tok = docs.select(
+        "source", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    pool = st.groupBy("token").agg(F.sum("c").alias("cq"))
+    q_tot = pool.agg(F.sum("cq").alias("n_q"))
+    j = (
+        st.join(pool, "token")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(q_tot))
+        .withColumn("__p", F.col("c") / F.col("n_s"))
+        .withColumn("__q", F.col("cq") / F.col("n_q"))
+    )
+    return j.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.sum(F.col("__p") * F.log(F.col("__p") / F.col("__q"))).alias("kl"),
+        F.sum(-F.col("__p") * F.log("__q")).alias("cross_entropy"),
+        F.sum(-F.col("__p") * F.log("__p")).alias("entropy"),
+    )

@@ -3574,3 +3574,45 @@ def q_quantile_normalize(spark, sf_dir):
         rq("src_frac", 6).alias("src_frac"),
         rq("norm_score", 6).alias("norm_score"),
     )
+
+
+# =========================================================================
+# E6d (r7) — per-source KL divergence from the pooled token distribution
+# =========================================================================
+_SDIV_SQL = (
+    "WITH t AS (SELECT source, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "st AS (SELECT source, token, count(*) AS c FROM t GROUP BY 1, 2), "
+    "stot AS (SELECT source, sum(c) AS n_s FROM st GROUP BY 1), "
+    "pool AS (SELECT token, sum(c) AS cq FROM st GROUP BY 1), "
+    "qtot AS (SELECT sum(cq) AS n_q FROM pool), "
+    "j AS (SELECT st.source, st.c / s.n_s AS p, pool.cq / q.n_q AS q "
+    "  FROM st JOIN pool USING (token) JOIN stot s USING (source), qtot q) "
+    "SELECT source, "
+    "(SELECT n_s FROM stot WHERE stot.source = j.source) AS n_tokens, "
+    f"{rq_sql('sum(p * ln(p / q))', 4)} AS kl, "
+    f"{rq_sql('sum(-p * ln(q))', 4)} AS cross_entropy, "
+    f"{rq_sql('sum(-p * ln(p))', 4)} AS entropy "
+    "FROM j GROUP BY source"
+)
+
+
+@register("q_source_divergence", _SDIV_SQL)
+def q_source_divergence(spark, sf_dir):
+    """E6d (r7): which source is off-domain — per-source unigram
+    KL(P_s || Q_pool) with cross-entropy and entropy (KL = CE − H),
+    the table DoReMi-style mixture reweighting starts from. One
+    token-keyed shuffle; the pooled counts aggregate the per-source
+    aggregate (no second scan); sources-sized output, rq4 display
+    (ln ranks sources, it gates nothing)."""
+    from mhw3d_detection_spark.operators.textops import source_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = source_divergence(docs)
+    return d.select(
+        "source",
+        "n_tokens",
+        rq("kl", 4).alias("kl"),
+        rq("cross_entropy", 4).alias("cross_entropy"),
+        rq("entropy", 4).alias("entropy"),
+    )

@@ -1990,3 +1990,52 @@ class TestQuantileNormalize:
         )
         out = quantile_normalize(df, score_col="s", group_col="source").collect()
         assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+class TestSourceDivergence:
+    def test_identical_source_zero_kl_and_identity(self, spark):
+        import math
+
+        from mhw3d_detection_spark.operators.textops import source_divergence
+
+        # source "same" has exactly the pooled distribution (all rows
+        # identical corpus-wide): KL = 0; and KL = CE - H everywhere
+        rows = [(i, "a b c", "same") for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        r = source_divergence(docs).collect()[0]
+        assert abs(r["kl"]) < 1e-12
+        assert abs(r["cross_entropy"] - r["entropy"]) < 1e-12
+        assert abs(r["entropy"] - math.log(3)) < 1e-12  # uniform over 3
+
+    def test_matches_scipy_style_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from mhw3d_detection_spark.operators.textops import source_divergence
+
+        corpora = {
+            "s1": "the cat sat on the mat the cat",
+            "s2": "dogs chase cats and dogs bark",
+            "s3": "the the the the unique token here",
+        }
+        rows = [(i, t, s) for i, (s, t) in enumerate(corpora.items())]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r["source"]: r for r in source_divergence(docs).collect()}
+        pool = Counter()
+        per = {}
+        for s, t in corpora.items():
+            c = Counter(t.split())
+            per[s] = c
+            pool.update(c)
+        nq = sum(pool.values())
+        for s, c in per.items():
+            ns = sum(c.values())
+            kl = sum(
+                (v / ns) * math.log((v / ns) / (pool[t] / nq))
+                for t, v in c.items()
+            )
+            h = sum(-(v / ns) * math.log(v / ns) for v, in [(v,) for v in c.values()])
+            assert abs(got[s]["kl"] - kl) < 1e-9, s
+            assert abs(got[s]["entropy"] - h) < 1e-9, s
+            assert abs(got[s]["cross_entropy"] - (kl + h)) < 1e-9, s
+            assert got[s]["n_tokens"] == ns
