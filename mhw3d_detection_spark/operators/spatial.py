@@ -56,6 +56,7 @@ __all__ = [
     "event_adjacency_edges",
     "connected_components",
     "spatial_events_3d",
+    "regrid_coarsen",
 ]
 
 #: node ids pack (cell_id, event_id) into one BIGINT; event_id is a
@@ -337,3 +338,47 @@ def spatial_events_3d(
     )
     events.unpersist()
     return out
+
+
+def regrid_coarsen(
+    ts: DataFrame,
+    *,
+    factor: int = 2,
+    width: int = 5,
+    time_col: str = "time",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """Conservative spatial regrid: pool the fine grid into
+    ``factor x factor`` blocks (the OISST 0.25-deg -> 1-deg coarsening
+    every gridded-ocean comparison starts with), area-weighting each
+    fine cell by cos(latitude) — the weighted block mean IS the
+    area-conserving first-order regrid for a regular lat/lon grid.
+
+    ONE hash aggregate keyed (coarse_y, coarse_x, day) after a pure
+    weight projection: the shuffle carries only per-block partial sums
+    (map-side combined), output is |coarse cells| x |days| rows — the
+    same single-aggregate shape as :func:`area_weighted_daily`, with
+    the block id replacing the region. NULL temps drop out of both the
+    numerator and the weight denominator (an all-NULL block-day emits
+    NULL mean, n_valid = 0 — the strict-NaN bookkeeping downstream
+    clim rules need).
+    """
+    g = grid_coords(ts, width=width)
+    w = F.when(
+        F.col(temp_col).isNotNull(), F.cos(F.radians(F.col("lat")))
+    )
+    return (
+        g.select(
+            F.floor(F.col("y") / factor).cast("int").alias("coarse_y"),
+            F.floor(F.col("x") / factor).cast("int").alias("coarse_x"),
+            F.col(time_col).alias("time"),
+            w.alias("__w"),
+            (w * F.col(temp_col)).alias("__wt"),
+        )
+        .groupBy("coarse_y", "coarse_x", "time")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_cells"),
+            F.count("__w").cast("int").alias("n_valid"),
+            (F.sum("__wt") / F.sum("__w")).alias("w_mean_temp"),
+        )
+    )

@@ -17,7 +17,12 @@ from mhw3d_detection_spark.operators.spatial import (
     area_weighted_daily,
     spatial_events_3d,
 )
-from mhw3d_detection_spark.queries.base import register, rq, rq_sql
+from mhw3d_detection_spark.queries.base import (
+    orders_daily,
+    register,
+    rq,
+    rq_sql,
+)
 from mhw3d_detection_spark.queries.detection import EV_SQL, FL_SQL, _events, _flagged
 
 GRID_W = 5  # 10 cells -> 2 rows x 5 columns
@@ -174,4 +179,46 @@ def q_teleconnection(spark, sf_dir):
             F.count(F.lit(1)).alias("n_days"),
             rq(F.corr("anom", "ref_anom"), 4).alias("r"),
         )
+    )
+
+
+# =========================================================================
+# SP6 (r7) — conservative spatial regrid (coarsen 2x2 blocks)
+# =========================================================================
+_REGRID_SQL = (
+    "WITH od AS (SELECT o_custkey % 10 AS cell_id, CAST(o_orderdate AS DATE) AS time, "
+    "  avg(o_totalprice) AS temp FROM orders GROUP BY 1, 2), "
+    f"g AS (SELECT time, temp, CAST(floor(cell_id / {GRID_W}.0) AS INT) AS y, "
+    f"  CAST(cell_id % {GRID_W} AS INT) AS x FROM od), "
+    "wt AS (SELECT CAST(floor(y / 2.0) AS INT) AS coarse_y, "
+    "  CAST(floor(x / 2.0) AS INT) AS coarse_x, time, "
+    "  CASE WHEN temp IS NOT NULL THEN cos(radians(-60.0 + 5.0 * y)) END AS w, "
+    "  CASE WHEN temp IS NOT NULL THEN cos(radians(-60.0 + 5.0 * y)) * temp END AS wt "
+    "  FROM g) "
+    "SELECT coarse_y, coarse_x, time, CAST(count(*) AS INT) AS n_cells, "
+    "CAST(count(w) AS INT) AS n_valid, "
+    f"{rq_sql('sum(wt) / sum(w)', 4)} AS w_mean_temp "
+    "FROM wt GROUP BY 1, 2, 3"
+)
+
+
+@register("q_spatial_regrid", _REGRID_SQL)
+def q_spatial_regrid(spark, sf_dir):
+    """SP6 (r7): conservative 2x2 coarsening of the fine grid —
+    cos(lat)-weighted block means, the OISST 0.25-deg -> 1-deg regrid
+    every cross-resolution comparison starts with. ONE hash aggregate
+    keyed (coarse block, day); the shuffle carries only map-side
+    partial sums; NULL temps leave both numerator and denominator
+    (strict-NaN bookkeeping preserved for downstream clim rules)."""
+    from mhw3d_detection_spark.operators.spatial import regrid_coarsen
+
+    od = orders_daily(spark, sf_dir)
+    out = regrid_coarsen(od, factor=2, width=GRID_W)
+    return out.select(
+        "coarse_y",
+        "coarse_x",
+        "time",
+        "n_cells",
+        "n_valid",
+        rq("w_mean_temp", 4).alias("w_mean_temp"),
     )

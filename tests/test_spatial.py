@@ -175,3 +175,51 @@ def test_teleconnection_reference_cell_is_unit(spark, sf_dir):
     # every cell present, with full day coverage and r in [-1, 1]
     for r in out.values():
         assert r["n_days"] > 0 and -1.0 <= r["r"] <= 1.0
+
+
+class TestRegridCoarsen:
+    def test_weighted_block_mean_and_null_bookkeeping(self, spark):
+        import datetime as dt
+        import math
+
+        from mhw3d_detection_spark.operators.spatial import regrid_coarsen
+
+        day = dt.date(2020, 1, 1)
+        # width 5 -> cells 0..4 are y=0, 5..9 y=1; factor 2 blocks:
+        # coarse_x 0 <- x{0,1}, 1 <- x{2,3}, 2 <- x{4}
+        rows = [(c, day, float(10 + c)) for c in range(10)]
+        rows[3] = (3, day, None)  # NULL in block (0,1)
+        df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+        out = {
+            (r["coarse_y"], r["coarse_x"]): r
+            for r in regrid_coarsen(df, factor=2, width=5).collect()
+        }
+        w0 = math.cos(math.radians(-60.0))
+        w1 = math.cos(math.radians(-55.0))
+        # factor 2 folds y in {0,1} into coarse_y 0, x in {0,1} into
+        # coarse_x 0: block (0,0) = cells {0,1,5,6}, area-weighted by
+        # each cell's OWN latitude (the conservative regrid property)
+        want00 = (w0 * (10.0 + 11.0) + w1 * (15.0 + 16.0)) / (2 * w0 + 2 * w1)
+        assert abs(out[(0, 0)]["w_mean_temp"] - want00) < 1e-12
+        assert out[(0, 0)]["n_cells"] == 4 and out[(0, 0)]["n_valid"] == 4
+        # block (0,1) = cells {2,3,7,8}; cell 3 NULL leaves num AND den
+        want01 = (w0 * 12.0 + w1 * (17.0 + 18.0)) / (w0 + 2 * w1)
+        assert abs(out[(0, 1)]["w_mean_temp"] - want01) < 1e-12
+        assert out[(0, 1)]["n_cells"] == 4 and out[(0, 1)]["n_valid"] == 3
+        # block (0,2) = cells {4,9} (the ragged right edge)
+        want02 = (w0 * 14.0 + w1 * 19.0) / (w0 + w1)
+        assert abs(out[(0, 2)]["w_mean_temp"] - want02) < 1e-12
+        assert (1, 0) not in out  # no coarse_y 1 on this 2-row grid
+
+    def test_all_null_block_day(self, spark):
+        import datetime as dt
+
+        from mhw3d_detection_spark.operators.spatial import regrid_coarsen
+
+        day = dt.date(2020, 1, 1)
+        df = spark.createDataFrame(
+            [(0, day, None), (1, day, None)],
+            "cell_id int, time date, temp double",
+        )
+        r = regrid_coarsen(df, factor=2, width=5).collect()[0]
+        assert r["n_valid"] == 0 and r["w_mean_temp"] is None
