@@ -55,6 +55,9 @@ PLANS = [
     "q_retrieval_mmr",
     "q_ewma_smooth",
     "q_despike_mad",
+    "q_quantile_normalize",
+    "q_source_divergence",
+    "q_spatial_regrid",
 ]
 
 HEADER = """# Physical plans — explain evidence

@@ -109,6 +109,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # constant-size regardless of corpus; the only data-sized join is
     # the vec_id-keyed Gram self-join (equi)
     "q_embed_pca_power": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # attaches the 1-row pooled count N for the pos = p*(N-1)+1 math
+    "q_quantile_normalize": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # attaches the 1-row pooled token total for q = c/N
+    "q_source_divergence": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
