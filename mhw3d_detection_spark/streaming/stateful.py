@@ -339,3 +339,119 @@ def streaming_cusum_alarms(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("time", DateType()),
+        StructField("temp_q", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("ewma_anom", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("hist", ArrayType(DoubleType())),
+        StructField("days", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    *,
+    window: int = 16,
+    cell_col: str = "cell_id",
+    time_col: str = "time",
+    temp_col: str = "temp",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.analysis.ewma_smooth` —
+    bit-identical to the batch lag chain (same truncated power-of-two
+    weights over the same dyadic-grid inputs; exact dyadic sums are
+    association-free, so the streamed fold and the batch chained adds
+    produce the same bits). Same watermark-frontier logic as
+    :func:`streaming_cusum_alarms`: the smoother is order-sensitive
+    (row-based lags), so rows buffer per cell until the watermark
+    fixes their fold position. State: the last ``window - 1`` folded
+    values plus the pending buffer — bounded by the watermark delay.
+    Warm-up rows (fewer than ``window`` samples of history) emit NULL
+    ewma, matching the batch contract.
+    """
+    w = int(window)
+    wts = [2.0 ** -(j + 1) for j in range(w - 1)] + [2.0 ** -(w - 1)]
+
+    def _dq(x: float) -> float:
+        import math
+
+        return math.floor(x * 64.0 + (0.5 + 2.0**-16)) / 64.0
+
+    def process(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hist, days, vals = state.get
+            hist = list(hist)
+            buf = dict(zip(days, vals))
+        else:
+            hist, buf = [], {}
+        emitted: list[tuple] = []
+
+        def fold(day: int, xq: float) -> None:
+            if len(hist) >= w - 1:
+                seq = [xq] + hist[: w - 1]
+                e = 0.0
+                for wt, v in zip(wts, seq):
+                    e += wt * v
+                emitted.append((key[0], day, xq, e, xq - e))
+            else:
+                emitted.append((key[0], day, xq, None, None))
+            hist.insert(0, xq)
+            del hist[w - 1 :]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pd.to_datetime(pdf[time_col])
+                ds = ts.values.astype("datetime64[D]").astype("int64")
+                for day, v in zip(ds.tolist(), pdf[temp_col].tolist()):
+                    buf[int(day)] = _dq(float(v))
+        wm_day = state.getCurrentWatermarkMs() // _MS_PER_DAY
+        for day in sorted(d for d in buf if d < wm_day):
+            fold(day, buf.pop(day))
+        if buf or hist or state.exists:
+            ks = sorted(buf)
+            state.update((hist, ks, [buf[d] for d in ks]))
+            if buf:
+                horizon = (max(buf) + 2) * _MS_PER_DAY
+                state.setTimeoutTimestamp(
+                    max(horizon, state.getCurrentWatermarkMs() + 1)
+                )
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "cell_id": [e[0] for e in emitted],
+                    "time": [
+                        pd.Timestamp(e[1], unit="D").date() for e in emitted
+                    ],
+                    "temp_q": [e[2] for e in emitted],
+                    "ewma": [e[3] for e in emitted],
+                    "ewma_anom": [e[4] for e in emitted],
+                }
+            )
+
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.col(cell_col).cast("long").alias("cell_id"))
+        .applyInPandasWithState(
+            process,
+            _EWMA_OUT_SCHEMA,
+            _EWMA_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -877,3 +877,64 @@ def test_streaming_cusum_matches_batch_bitexact(spark, tmp_path):
     assert any(v[2] for v in got.values())  # the injected shift alarms
     for key_, gv in got.items():
         assert gv == want[key_], (key_, gv, want[key_])
+
+
+def test_streaming_ewma_matches_batch_bitexact(spark, tmp_path):
+    # W16 r7: the streamed truncated EWMA must equal the batch lag
+    # chain bit-for-bit across microbatches and out-of-order arrival
+    # (exact dyadic sums are association-free).
+    from mhw3d_detection_spark.operators.analysis import ewma_smooth
+    from mhw3d_detection_spark.streaming import streaming_ewma
+
+    import random
+
+    rng = random.Random(21)
+    day0 = dt.datetime(2022, 3, 1)
+    rows = [
+        (c, day0 + dt.timedelta(days=d), round(rng.uniform(0, 100), 2))
+        for c in (1, 2)
+        for d in range(50)
+    ]
+    df = spark.createDataFrame(rows, "cell_id int, time timestamp, temp double")
+    sent = spark.createDataFrame(
+        [(99, day0 + dt.timedelta(days=400), 0.0)], df.schema
+    )
+    path = str(tmp_path / "ewma_stream")
+    early = df.filter(
+        ~F.col("time").between(
+            day0 + dt.timedelta(days=20), day0 + dt.timedelta(days=24)
+        )
+    )
+    late = df.exceptAll(early)
+    early.coalesce(1).write.mode("overwrite").parquet(path)
+    late.coalesce(1).write.mode("append").parquet(path)
+    sent.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_ewma(stream, window=16, watermark="40 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cell_id"], r["time"]): (r["temp_q"], r["ewma"], r["ewma_anom"])
+        for r in spark.table("ewma_stream").collect()
+    }
+    want = {
+        (r["cell_id"], r["time"]): (r["temp_q"], r["ewma"], r["ewma_anom"])
+        for r in ewma_smooth(df, window=16)
+        .withColumn("time", F.to_date("time"))
+        .collect()
+    }
+    assert len(got) == len(want)
+    for k, gv in got.items():
+        assert gv == want[k], (k, gv, want[k])
+    assert any(v[1] is not None for v in got.values())
