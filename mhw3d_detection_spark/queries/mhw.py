@@ -30,6 +30,7 @@ from mhw3d_detection_spark.operators.analysis import (
     ewma_smooth,
     mean_trend_ols,
     pad_interpolate,
+    trend_bootstrap_ci,
 )
 from mhw3d_detection_spark.operators.climatology import (
     clim_partials,
@@ -1093,4 +1094,60 @@ def q_despike_mad(spark, sf_dir):
         F.max("mad").alias("mad"),
         rq(F.max("mod_z"), 4).alias("max_mod_z"),
         F.min(F.when(F.col("is_spike"), F.col("time"))).alias("first_spike"),
+    )
+
+
+# =========================================================================
+# W18 (beyond-reference, in-domain) — block-bootstrap trend CI
+# =========================================================================
+_BOOT_SQL = (
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "yearly AS (SELECT cell_id, year(time) AS yr, avg(temp) AS y "
+    "  FROM od GROUP BY 1, 2), "
+    "spans AS (SELECT cell_id, min(yr) AS y0, CAST(count(*) AS INT) AS n, "
+    "  regr_slope(y, yr) AS trend FROM yearly GROUP BY 1), "
+    "reps AS (SELECT cell_id, y0, n, n - 1 AS nb, "
+    "  CAST(ceil(n / 2.0) AS INT) AS d, "
+    "  unnest(generate_series(1, 64)) AS b FROM spans), "
+    "dr AS (SELECT cell_id, y0, n, nb, b, "
+    "  unnest(generate_series(1, d)) AS k FROM reps), "
+    "drawn AS (SELECT *, CAST(('0x' || substr(md5(cell_id || '-' || b || '-' || k), 1, 12))::BIGINT "
+    "  % nb AS INT) AS j FROM dr), "
+    "pairs AS (SELECT cell_id, y0, n, b, k, j, "
+    "  unnest(generate_series(0, 1)) AS i FROM drawn), "
+    "pt AS (SELECT cell_id, b, j + i AS x, y0 + j + i AS yj FROM pairs "
+    "  WHERE (k - 1) * 2 + i < n), "
+    "jn AS (SELECT pt.cell_id, pt.b, pt.x, yearly.y FROM pt "
+    "  JOIN yearly ON yearly.cell_id = pt.cell_id AND yearly.yr = pt.yj), "
+    "slopes AS (SELECT cell_id, b, regr_slope(y, x) AS s FROM jn GROUP BY 1, 2), "
+    "ci AS (SELECT cell_id, quantile_cont(s, 0.025) AS ci_lo, "
+    "  quantile_cont(s, 0.975) AS ci_hi, CAST(count(*) AS INT) AS n_reps "
+    "  FROM slopes GROUP BY 1) "
+    "SELECT s.cell_id, s.n AS n_years, "
+    f"{rq_sql('s.trend', 2)} AS trend, {rq_sql('ci.ci_lo', 2)} AS ci_lo, "
+    f"{rq_sql('ci.ci_hi', 2)} AS ci_hi, ci.n_reps "
+    "FROM spans s JOIN ci USING (cell_id)"
+)
+
+
+@register("q_trend_bootstrap_ci", _BOOT_SQL)
+def q_trend_bootstrap_ci(spark, sf_dir):
+    """W18 (r7): per-cell annual trend with a moving-block bootstrap
+    95% CI — serially correlated residuals make plain OLS CIs too
+    narrow; 2-year blocks preserve the within-block autocorrelation.
+    The bootstrap is DETERMINISTIC (block draws = md5(cell, rep, draw)
+    mod n_blocks — the split_assign device), so the 64 replicates are
+    a pure function of the key and the oracle replays them exactly:
+    no seeded RNG anywhere. One yearly aggregate, a generated
+    replicate frame, one equi-join, a (cell, rep)-keyed regr_slope,
+    exact percentiles over replicate slopes."""
+    od = orders_daily(spark, sf_dir)
+    out = trend_bootstrap_ci(od, n_reps=64, block_len=2, conf=0.95)
+    return out.select(
+        "cell_id",
+        "n_years",
+        rq("trend", 2).alias("trend"),
+        rq("ci_lo", 2).alias("ci_lo"),
+        rq("ci_hi", 2).alias("ci_hi"),
+        "n_reps",
     )

@@ -425,3 +425,53 @@ class TestDespikeMad:
         assert (got == want).all()
         assert abs(rows[0]["med"] - med) < 1e-4
         assert abs(rows[0]["mad"] - mad) < 1e-4
+
+
+class TestTrendBootstrapCI:
+    def test_ci_brackets_strong_trend_and_determinism(self, spark):
+        import datetime as dt
+
+        from mhw3d_detection_spark.operators.analysis import trend_bootstrap_ci
+
+        # 10 years, clean +5/yr trend with mild noise: CI must bracket
+        # the true slope and exclude zero; reruns must be bit-identical
+        rows = []
+        noise = [0.3, -0.2, 0.4, -0.1, 0.2, -0.3, 0.1, -0.4, 0.25, -0.15]
+        for yi in range(10):
+            for d in (1, 100, 200):
+                rows.append(
+                    (
+                        1,
+                        dt.date(2000 + yi, 1, 1) + dt.timedelta(days=d),
+                        100.0 + 5.0 * yi + noise[yi],
+                    )
+                )
+        df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+        r1 = trend_bootstrap_ci(df, n_reps=64, block_len=2).collect()[0]
+        assert r1["n_years"] == 10 and r1["n_reps"] == 64
+        assert r1["ci_lo"] <= r1["trend"] <= r1["ci_hi"]
+        assert abs(r1["trend"] - 5.0) < 0.3
+        assert r1["ci_lo"] > 0.0  # significant positive trend
+        # The block DRAWS are a pure function of (cell, rep, draw) —
+        # rerunning must give the same resamples. The float aggregates
+        # themselves are not bit-stable across Spark runs (partial-merge
+        # order varies), which is exactly why the oracle contract is
+        # rq2: assert determinism at that precision, not raw bits.
+        r2 = trend_bootstrap_ci(df, n_reps=64, block_len=2).collect()[0]
+        for k in ("trend", "ci_lo", "ci_hi"):
+            assert abs(r1[k] - r2[k]) < 1e-6, (k, r1[k], r2[k])
+
+    def test_noise_only_ci_spans_zero(self, spark):
+        import datetime as dt
+        import random
+
+        from mhw3d_detection_spark.operators.analysis import trend_bootstrap_ci
+
+        rng = random.Random(2)
+        rows = [
+            (1, dt.date(2000 + yi, 6, 1), 50.0 + rng.uniform(-5, 5))
+            for yi in range(12)
+        ]
+        df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+        r = trend_bootstrap_ci(df, n_reps=64, block_len=2).collect()[0]
+        assert r["ci_lo"] < 0.0 < r["ci_hi"]
