@@ -1196,15 +1196,19 @@ def pca_top_component(
     emb: DataFrame,
     iters: int = 3,
     vec_col: str = "embedding",
+    gram: str = "arrow",
 ) -> DataFrame:
     """Distributed PCA, top principal direction of the (uncentered)
-    embedding second-moment matrix, as a PURE LAZY PLAN: one
-    double-explode + hash aggregate builds the d x d Gram matrix
-    (the only pass over the data — n*d^2 intermediate rows, the
-    standard outer-product aggregation; d is the 64-dim embedding, so
-    the Gram is 4096 rows however big the corpus), then ``iters``
-    unrolled power-iteration rounds, each a Gram-join-vector matvec
-    (4096 x 64 rows — dust) with INFINITY-norm normalization.
+    embedding second-moment matrix: ONE pass over the data builds the
+    d x d Gram (4096 rows however big the corpus — ``gram="arrow"``
+    computes per-batch numpy X^T X partials, the declarative
+    ``gram="explode"`` twin is a row-local double Generate; both
+    bit-identical, see inline notes), then ``iters`` power-iteration
+    rounds, each a Gram-join-vector matvec (4096 x 64 rows — dust)
+    with INFINITY-norm normalization, the 64-row iterate
+    localCheckpointed per round (eager like ``mmr_diversify`` — the
+    max-norm references each round's matvec twice, so an unchecked
+    chain doubles per round).
 
     Why max-norm, not L2, between rounds: iterates stay on an exact
     dyadic grid. Inputs are quantized to 1/64 (products exact on
@@ -1220,30 +1224,91 @@ def pca_top_component(
     intermediate rounds here are EXACT, not just re-gridded.
 
     Convergence: standard power iteration (von Mises); rate is the
-    eigengap ratio |l2/l1|^iters. ``iters`` is compile-time unrolled
-    (plan depth grows linearly — checkpoint past ~10 rounds, cf. the
-    curation funnel's Catalyst notes).
+    eigengap ratio |l2/l1|^iters.
 
     Returns ``(dim_idx, loading, eigval)``: L2-normalized loadings of
     the dominant eigenvector and its Rayleigh-quotient eigenvalue.
     """
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
 
-    x = emb.select(
-        "vec_id", F.posexplode(vec_col).alias("i", "__v")
-    ).select("vec_id", "i", dyadic_quantize("__v").alias("q"))
-    g = (
-        x.select("vec_id", F.col("i"), F.col("q"))
-        .join(
-            x.select(
-                "vec_id", F.col("i").alias("j"), F.col("q").alias("qj")
-            ),
-            "vec_id",
+    # Gram as a ROW-LOCAL double Generate, never a self-join: explode
+    # the quantized vector to (i, qi) rows carrying the array, explode
+    # it again to (i, j, qi*qj), and let the (i, j)-keyed aggregate
+    # map-side-combine down to d^2 partials per task — the shuffle
+    # carries d^2 x partitions rows however big the corpus, and both
+    # Generates + the product stay inside whole-stage codegen. (Two
+    # rejected formulations, measured at 40-100 k vectors: the vec_id
+    # SELF-JOIN re-shuffles the n x d exploded table — 194 s at 40 k;
+    # a flatten(transform(transform(...))) building the d^2 struct
+    # array per row runs in INTERPRETED HOF lambdas — the same
+    # never-codegens trap as the r7 cold-wall fix — and timed out at
+    # 100 k. The DuckDB oracle keeps the join formulation: identical
+    # exact-dyadic products grouped identically, so the sums are
+    # bit-identical.)
+    # ``gram="arrow"`` (default, the scale path) computes per-batch
+    # numpy X^T X partials inside mapInPandas and SUM-merges the d^2
+    # partial frames — BLAS does the 409M multiplies of a 100 k x 64
+    # corpus in milliseconds where the exploded hash aggregate spends
+    # minutes on 409M per-row aggregate updates (measured 147 s).
+    # The dyadic grid is what makes this LEGAL for the bit-exact gate:
+    # quantized products are exact dyadics, and sums of exact dyadics
+    # are association-free — BLAS order, Spark partial-merge order and
+    # DuckDB scan order all produce the same bits.
+    if gram == "arrow":
+        import pandas as _pd  # noqa: F401
+
+        def _gram_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            G = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(
+                    pdf[vec_col].tolist(), dtype=np.float64
+                )
+                Xq = np.floor(X * 64.0 + (0.5 + 2.0**-16)) / 64.0
+                p = Xq.T @ Xq
+                G = p if G is None else G + p
+            if G is not None:
+                d_ = G.shape[0]
+                ii, jj = np.meshgrid(
+                    np.arange(d_), np.arange(d_), indexing="ij"
+                )
+                yield pd.DataFrame(
+                    {
+                        "i": ii.ravel().astype("int32"),
+                        "j": jj.ravel().astype("int32"),
+                        "c": G.ravel(),
+                    }
+                )
+
+        g = (
+            emb.select(vec_col)
+            .mapInPandas(_gram_batches, "i int, j int, c double")
+            .groupBy("i", "j")
+            .agg(F.sum("c").alias("c"))
         )
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("q") * F.col("qj")).alias("c"))
-    )
-    d = emb.select(F.posexplode(vec_col).alias("i", "__v")).select("i").distinct()
+    else:
+        qs = F.transform(F.col(vec_col), lambda v: dyadic_quantize(v))
+        e1 = emb.select(F.posexplode(qs).alias("i", "qi"), qs.alias("__qs"))
+        g = (
+            e1.select("i", "qi", F.posexplode("__qs").alias("j", "qj"))
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("qi") * F.col("qj")).alias("c"))
+        )
+    # PERSIST is load-bearing (the _global_row_number precedent): every
+    # power round references the running plan TWICE (the matvec and the
+    # max-norm crossJoin), so an unpersisted Gram re-executes the
+    # corpus pass ~2^iters times — measured 93 s vs 8 s at 100 k
+    # vectors. The cached frame is d^2 rows (4096 doubles), invisible
+    # next to any real input; it stays until the session drops it,
+    # exactly like the ranked table in _global_row_number.
+    g = g.persist()
+    # dims spine from the (already 4096-row) Gram, not a second
+    # corpus-sized distinct
+    d = g.select("i").distinct()
     v = d.select("i", (F.lit(1.0) / F.lit(8.0)).alias("vv"))
     for _ in range(int(iters)):
         w = (
@@ -1255,6 +1320,12 @@ def pca_top_component(
         v = w.crossJoin(F.broadcast(m)).select(
             "i", dyadic_quantize(F.col("w") / F.col("m")).alias("vv")
         )
+        # checkpoint the 64-row iterate: each round references w TWICE
+        # (matvec + max-norm), so an unchecked chain doubles per round
+        # — measured 3.4/5.7/17.9 s for rounds 0/1/2 at 100 k vectors
+        # even with the Gram cached; checkpointed rounds are flat
+        # ~1 s. Same eager contract as mmr_diversify.
+        v = v.localCheckpoint()
     s2 = v.agg(F.sum(F.col("vv") * F.col("vv")).alias("s2"))
     cv = (
         g.join(F.broadcast(v.select(F.col("i").alias("j"), "vv")), "j")

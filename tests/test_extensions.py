@@ -2039,3 +2039,19 @@ class TestSourceDivergence:
             assert abs(got[s]["entropy"] - h) < 1e-9, s
             assert abs(got[s]["cross_entropy"] - (kl + h)) < 1e-9, s
             assert got[s]["n_tokens"] == ns
+
+
+def test_pca_gram_modes_bit_identical(spark, sf_dir):
+    # the Arrow/BLAS Gram and the declarative double-Generate Gram must
+    # produce bit-identical results: quantized products are exact
+    # dyadics, and dyadic sums are association-free (BLAS order, Spark
+    # partial-merge order - same bits)
+    from mhw3d_detection_spark.operators.similarity import pca_top_component
+    from mhw3d_detection_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = pca_top_component(emb, iters=3, gram="arrow").orderBy("dim_idx").collect()
+    b = pca_top_component(emb, iters=3, gram="explode").orderBy("dim_idx").collect()
+    assert [(r["loading"], r["eigval"]) for r in a] == [
+        (r["loading"], r["eigval"]) for r in b
+    ]
