@@ -70,10 +70,9 @@ def main() -> None:
     report.orderBy("check_name").show(truncate=False)
 
     # -- 2..3. series QC + drift screen --------------------------------
-    od = o.groupBy(
-        (F.col("o_custkey") % 10).alias("cell_id"),
-        F.to_date("o_orderdate").alias("time"),
-    ).agg(F.avg("o_totalprice").alias("temp"))
+    from mhw3d_detection_spark.queries.base import orders_daily
+
+    od = orders_daily(spark, sf_dir)  # the canonical multi-year series
 
     spikes = despike_mad(od, z_thresh=3.5)
     print("== spike QC (clean data: expect 0 flagged) ==")

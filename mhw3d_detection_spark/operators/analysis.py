@@ -725,6 +725,12 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+#: the ONE copy of the dyadic-quantizer rounding constant (floor
+#: boundary nudge — see dyadic_quantize). The Python/numpy twins below
+#: and the streaming twins import it so the grid cannot drift apart.
+DYADIC_NUDGE = 0.5 + 2.0**-16
+
+
 def dyadic_quantize(col: Column | str, bits: int = 6) -> Column:
     """Quantize onto the dyadic ``1/2**bits`` grid:
     ``floor(x * 2**bits + 0.5 + 2**-16) / 2**bits``.
@@ -748,13 +754,30 @@ def dyadic_quantize(col: Column | str, bits: int = 6) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.lit(float(2**bits))
-    return F.floor(c * s + F.lit(0.5 + 2.0**-16)) / s
+    return F.floor(c * s + F.lit(DYADIC_NUDGE)) / s
 
 
 def dyadic_quantize_sql(expr: str, bits: int = 6) -> str:
     """DuckDB mirror of :func:`dyadic_quantize` (same IEEE ops)."""
     s = float(2**bits)
-    return f"floor(({expr}) * {s!r} + {0.5 + 2.0 ** -16!r}) / {s!r}"
+    return f"floor(({expr}) * {s!r} + {DYADIC_NUDGE!r}) / {s!r}"
+
+
+def dyadic_quantize_py(x, bits: int = 6):
+    """Python twin of :func:`dyadic_quantize` for the streaming state
+    functions — same IEEE ops, same bits. Mirrors the Column form's
+    NULL semantics: ``None``/NaN in, ``None`` out (the batch window
+    aggregates then skip the NULL; a raw ``math.floor(nan)`` would
+    instead kill the whole streaming query)."""
+    import math
+
+    if x is None:
+        return None
+    x = float(x)
+    if math.isnan(x):
+        return None
+    s = float(2**bits)
+    return math.floor(x * s + DYADIC_NUDGE) / s
 
 
 def cusum_changepoints(
@@ -1055,19 +1078,30 @@ def trend_bootstrap_ci(
     yearly = (
         ts.groupBy(F.col(cell_col), F.year(time_col).alias("__yr"))
         .agg(F.avg(temp_col).alias("__y"))
+        # DENSE per-cell year index: blocks address positions in the
+        # OBSERVED year sequence, not calendar offsets — a gap year
+        # must neither shorten replicates (dropped join rows) nor
+        # shadow the years after it from ever being resampled
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(cell_col).orderBy("__yr")
+            ),
+        )
     )
     spans = yearly.groupBy(cell_col).agg(
-        F.min("__yr").alias("__y0"),
         F.count(F.lit(1)).cast("int").alias("__n"),
         F.expr("regr_slope(__y, __yr)").alias("trend"),
     )
     nb = F.col("__n") - F.lit(int(block_len)) + 1  # moving blocks
     draws = F.ceil(F.col("__n") / F.lit(int(block_len))).cast("int")
     reps = (
-        spans.select(cell_col, "__y0", "__n", nb.alias("__nb"), draws.alias("__d"))
+        spans.select(cell_col, "__n", nb.alias("__nb"), draws.alias("__d"))
+        # cells below block_len have no moving block: surface them with
+        # NULL CIs via the final left join instead of vanishing
+        .filter(F.col("__nb") >= 1)
         .select(
             cell_col,
-            "__y0",
             "__n",
             "__nb",
             F.explode(F.sequence(F.lit(1), F.lit(int(n_reps)))).alias("__b"),
@@ -1075,7 +1109,6 @@ def trend_bootstrap_ci(
         )
         .select(
             cell_col,
-            "__y0",
             "__n",
             "__nb",
             "__b",
@@ -1101,7 +1134,6 @@ def trend_bootstrap_ci(
     drawn = reps.withColumn("__j", F.pmod(h, F.col("__nb").cast("bigint")).cast("int"))
     pairs = drawn.select(
         cell_col,
-        "__y0",
         "__n",
         "__b",
         "__k",
@@ -1116,15 +1148,16 @@ def trend_bootstrap_ci(
     joined = pairs.join(
         yearly.select(
             cell_col,
-            (F.col("__yr")).alias("__yj"),
+            (F.col("__rn") - 1).alias("__pos"),
+            F.col("__yr").alias("__x"),  # regress on the ORIGINAL year
             "__y",
         ),
         (pairs[cell_col] == yearly[cell_col])
-        & (F.col("__yj") == pairs["__y0"] + pairs["__j"] + pairs["__i"]),
+        & (F.col("__pos") == pairs["__j"] + pairs["__i"]),
     ).select(
         pairs[cell_col].alias("__cell"),
         "__b",
-        (F.col("__j") + F.col("__i")).alias("__x"),
+        "__x",
         "__y",
     )
     slopes = joined.groupBy("__cell", "__b").agg(
@@ -1138,6 +1171,16 @@ def trend_bootstrap_ci(
     )
     return (
         spans.select(cell_col, F.col("__n").alias("n_years"), "trend")
-        .join(ci, F.col(cell_col) == F.col("__cell"))
-        .select(cell_col, "n_years", "trend", "ci_lo", "ci_hi", "n_reps")
+        # LEFT: a cell too short for any block still reports its point
+        # estimate, with NULL CI and n_reps 0 (silent disappearance
+        # hides exactly the cells a user should look at)
+        .join(ci, F.col(cell_col) == F.col("__cell"), "left")
+        .select(
+            cell_col,
+            "n_years",
+            "trend",
+            "ci_lo",
+            "ci_hi",
+            F.coalesce(F.col("n_reps"), F.lit(0)).cast("int").alias("n_reps"),
+        )
     )

@@ -30,15 +30,25 @@ def expectation_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     expectation you cannot evaluate is not satisfied)."""
     if not checks:
         raise ValueError("expectation_report needs at least one check")
+    # surrogate aliases __c0..__cN: check names are DATA (stack string
+    # literals, single quotes escaped), never SQL identifiers — a name
+    # with spaces/quotes/reserved words cannot break or inject into the
+    # generated expression, and nothing collides with __n
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, pred in checks.items():
+    names = list(checks)
+    for idx, name in enumerate(names):
         aggs.append(
-            F.count(F.when(F.coalesce(pred, F.lit(True)), 1)).alias(name)
+            F.count(F.when(F.coalesce(checks[name], F.lit(True)), 1)).alias(
+                f"__c{idx}"
+            )
         )
     one = df.agg(*aggs)
-    pairs = ", ".join(f"'{n}', {n}" for n in checks)
+    pairs = ", ".join(
+        "'{}', __c{}".format(n.replace("'", "''"), i)
+        for i, n in enumerate(names)
+    )
     return one.select(
-        F.expr(f"stack({len(checks)}, {pairs}) AS (check_name, n_violations)"),
+        F.expr(f"stack({len(names)}, {pairs}) AS (check_name, n_violations)"),
         F.col("__n").alias("n_checked"),
     ).select("check_name", "n_violations", "n_checked")
 

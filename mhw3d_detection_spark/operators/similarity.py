@@ -1257,6 +1257,8 @@ def pca_top_component(
     if gram == "arrow":
         import pandas as _pd  # noqa: F401
 
+        from mhw3d_detection_spark.operators.analysis import DYADIC_NUDGE
+
         def _gram_batches(batches):
             import numpy as np
             import pandas as pd
@@ -1268,7 +1270,8 @@ def pca_top_component(
                 X = np.array(
                     pdf[vec_col].tolist(), dtype=np.float64
                 )
-                Xq = np.floor(X * 64.0 + (0.5 + 2.0**-16)) / 64.0
+                # same grid constant as dyadic_quantize (ONE copy)
+                Xq = np.floor(X * 64.0 + DYADIC_NUDGE) / 64.0
                 p = Xq.T @ Xq
                 G = p if G is None else G + p
             if G is not None:
@@ -1284,15 +1287,24 @@ def pca_top_component(
                     }
                 )
 
+        # NULL-vector guard shared with the explode path: posexplode
+        # skips NULL arrays silently, but np.array over a batch with a
+        # None (or ragged) entry builds an object array and crashes —
+        # filter first so BOTH modes see the same rows. Embeddings must
+        # be fixed-width (the table contract); ragged widths fail fast
+        # inside numpy rather than silently zero-padding.
         g = (
             emb.select(vec_col)
+            .filter(F.col(vec_col).isNotNull())
             .mapInPandas(_gram_batches, "i int, j int, c double")
             .groupBy("i", "j")
             .agg(F.sum("c").alias("c"))
         )
     else:
         qs = F.transform(F.col(vec_col), lambda v: dyadic_quantize(v))
-        e1 = emb.select(F.posexplode(qs).alias("i", "qi"), qs.alias("__qs"))
+        e1 = emb.filter(F.col(vec_col).isNotNull()).select(
+            F.posexplode(qs).alias("i", "qi"), qs.alias("__qs")
+        )
         g = (
             e1.select("i", "qi", F.posexplode("__qs").alias("j", "qj"))
             .groupBy("i", "j")

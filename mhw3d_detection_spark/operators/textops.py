@@ -2074,7 +2074,18 @@ def setsim_prefix_pairs(
 
     Returns ``(doc_a, doc_b, na, nb, n_inter, jaccard)``.
     """
+    import math
+
     t = float(threshold)
+    # t_lo: one ulp BELOW t, used wherever t multiplies an integer in a
+    # PRUNING decision (prefix length, size compatibility). IEEE slop
+    # can push n*t just above an exact integer (50 * 0.14 =
+    # 7.000000000000001), which would shorten the prefix / tighten the
+    # size gate past the pigeonhole bound and silently drop qualifying
+    # pairs. Pruning with t_lo is only ever LOOSER (a superset of
+    # candidates), so losslessness survives any float slop; the exact
+    # verify below still decides with t itself.
+    t_lo = math.nextafter(t, 0.0)
     if shingle_n is None:
         tok = tokenize(docs, text_col).select("doc_id", "token").distinct()
     else:
@@ -2097,7 +2108,7 @@ def setsim_prefix_pairs(
     )
     plen = (
         F.col("__n")
-        - F.ceil(F.col("__n") * F.lit(t)).cast("int")
+        - F.ceil(F.col("__n") * F.lit(t_lo)).cast("int")
         + F.lit(1)
     )
     pref = arr.select(
@@ -2116,8 +2127,9 @@ def setsim_prefix_pairs(
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             # size compatibility: J >= t forces t*na <= nb and t*nb <= na
-            & (F.col("na") * F.lit(t) <= F.col("nb"))
-            & (F.col("nb") * F.lit(t) <= F.col("na"))
+            # (t_lo: see above — pruning must err loose, never tight)
+            & (F.col("na") * F.lit(t_lo) <= F.col("nb"))
+            & (F.col("nb") * F.lit(t_lo) <= F.col("na"))
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -1102,31 +1102,32 @@ def q_despike_mad(spark, sf_dir):
 # =========================================================================
 _BOOT_SQL = (
     f"WITH od AS ({ORDERS_DAILY_SQL}), "
-    "yearly AS (SELECT cell_id, year(time) AS yr, avg(temp) AS y "
+    "yearly AS (SELECT cell_id, year(time) AS yr, avg(temp) AS y, "
+    "  row_number() OVER (PARTITION BY cell_id ORDER BY year(time)) AS rn "
     "  FROM od GROUP BY 1, 2), "
-    "spans AS (SELECT cell_id, min(yr) AS y0, CAST(count(*) AS INT) AS n, "
+    "spans AS (SELECT cell_id, CAST(count(*) AS INT) AS n, "
     "  regr_slope(y, yr) AS trend FROM yearly GROUP BY 1), "
-    "reps AS (SELECT cell_id, y0, n, n - 1 AS nb, "
+    "reps AS (SELECT cell_id, n, n - 1 AS nb, "
     "  CAST(ceil(n / 2.0) AS INT) AS d, "
-    "  unnest(generate_series(1, 64)) AS b FROM spans), "
-    "dr AS (SELECT cell_id, y0, n, nb, b, "
+    "  unnest(generate_series(1, 64)) AS b FROM spans WHERE n - 1 >= 1), "
+    "dr AS (SELECT cell_id, n, nb, b, "
     "  unnest(generate_series(1, d)) AS k FROM reps), "
     "drawn AS (SELECT *, CAST(('0x' || substr(md5(cell_id || '-' || b || '-' || k), 1, 12))::BIGINT "
     "  % nb AS INT) AS j FROM dr), "
-    "pairs AS (SELECT cell_id, y0, n, b, k, j, "
+    "pairs AS (SELECT cell_id, n, b, k, j, "
     "  unnest(generate_series(0, 1)) AS i FROM drawn), "
-    "pt AS (SELECT cell_id, b, j + i AS x, y0 + j + i AS yj FROM pairs "
+    "pt AS (SELECT cell_id, b, j + i AS pos FROM pairs "
     "  WHERE (k - 1) * 2 + i < n), "
-    "jn AS (SELECT pt.cell_id, pt.b, pt.x, yearly.y FROM pt "
-    "  JOIN yearly ON yearly.cell_id = pt.cell_id AND yearly.yr = pt.yj), "
+    "jn AS (SELECT pt.cell_id, pt.b, yearly.yr AS x, yearly.y FROM pt "
+    "  JOIN yearly ON yearly.cell_id = pt.cell_id AND yearly.rn - 1 = pt.pos), "
     "slopes AS (SELECT cell_id, b, regr_slope(y, x) AS s FROM jn GROUP BY 1, 2), "
     "ci AS (SELECT cell_id, quantile_cont(s, 0.025) AS ci_lo, "
     "  quantile_cont(s, 0.975) AS ci_hi, CAST(count(*) AS INT) AS n_reps "
     "  FROM slopes GROUP BY 1) "
     "SELECT s.cell_id, s.n AS n_years, "
     f"{rq_sql('s.trend', 2)} AS trend, {rq_sql('ci.ci_lo', 2)} AS ci_lo, "
-    f"{rq_sql('ci.ci_hi', 2)} AS ci_hi, ci.n_reps "
-    "FROM spans s JOIN ci USING (cell_id)"
+    f"{rq_sql('ci.ci_hi', 2)} AS ci_hi, CAST(coalesce(ci.n_reps, 0) AS INT) AS n_reps "
+    "FROM spans s LEFT JOIN ci USING (cell_id)"
 )
 
 

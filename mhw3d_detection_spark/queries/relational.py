@@ -596,24 +596,24 @@ def q_join_salted(spark, sf_dir):
 _DQ_SQL = (
     "SELECT * FROM ("
     "SELECT 'ev_error_rows' AS check_name, "
-    "  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_violations, "
+    "  count(CASE WHEN coalesce(event_type = 'error', TRUE) THEN 1 END) AS n_violations, "
     "  count(*) AS n_checked FROM events "
     "UNION ALL "
     "SELECT 'ev_value_null_nan', "
-    "  count(CASE WHEN value IS NULL OR isnan(value) THEN 1 END), count(*) "
+    "  count(CASE WHEN coalesce(value IS NULL OR isnan(value), TRUE) THEN 1 END), count(*) "
     "FROM events "
     "UNION ALL "
     "SELECT 'li_discount_range', "
-    "  count(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) THEN 1 END), "
+    "  count(CASE WHEN coalesce(NOT (l_discount >= 0 AND l_discount <= 0.1), TRUE) THEN 1 END), "
     "  count(*) FROM lineitem "
     "UNION ALL "
     "SELECT 'li_quantity_range', "
-    "  count(CASE WHEN NOT (l_quantity > 0 AND l_quantity <= 50) THEN 1 END), "
+    "  count(CASE WHEN coalesce(NOT (l_quantity > 0 AND l_quantity <= 50), TRUE) THEN 1 END), "
     "  count(*) FROM lineitem "
     "UNION ALL "
     "SELECT 'li_shipdate_window', "
-    "  count(CASE WHEN NOT (l_shipdate >= DATE '1992-01-01' "
-    "    AND l_shipdate <= DATE '1998-12-31') THEN 1 END), "
+    "  count(CASE WHEN coalesce(NOT (l_shipdate >= DATE '1992-01-01' "
+    "    AND l_shipdate <= DATE '1998-12-31'), TRUE) THEN 1 END), "
     "  count(*) FROM lineitem "
     "UNION ALL "
     "SELECT 'orders_orphan_custkey', "

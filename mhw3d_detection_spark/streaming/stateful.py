@@ -270,14 +270,11 @@ def streaming_cusum_alarms(
     per-cell operator; per-cell state is two doubles + the watermark
     window, and the emitted stream is append-only (no re-emission).
     """
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize_py as _dq
+
     tgt = float(target)
     k = float(allowance)
     h = float(threshold)
-
-    def _dq(x: float) -> float:
-        import math
-
-        return math.floor(x * 64.0 + (0.5 + 2.0**-16)) / 64.0
 
     def process(
         key: tuple,
@@ -291,10 +288,13 @@ def streaming_cusum_alarms(
             cp, cn, buf = 0.0, 0.0, {}
         emitted: list[tuple] = []
 
-        def fold(day: int, xq: float) -> None:
+        def fold(day: int, xq) -> None:
             nonlocal cp, cn
-            cp = max(0.0, cp + (xq - tgt - k))
-            cn = max(0.0, cn + (tgt - xq - k))
+            if xq is not None:
+                # NULL day: batch window sums SKIP the NULL step, so the
+                # accumulators hold and the row still emits (parity)
+                cp = max(0.0, cp + (xq - tgt - k))
+                cn = max(0.0, cn + (tgt - xq - k))
             emitted.append((key[0], day, cp, cn, cp > h, cn > h))
 
         if not state.hasTimedOut:
@@ -302,7 +302,7 @@ def streaming_cusum_alarms(
                 ts = pd.to_datetime(pdf[time_col])
                 ds = ts.values.astype("datetime64[D]").astype("int64")
                 for day, v in zip(ds.tolist(), pdf[temp_col].tolist()):
-                    buf[int(day)] = _dq(float(v))
+                    buf[int(day)] = _dq(v)
         wm_day = state.getCurrentWatermarkMs() // _MS_PER_DAY
         for day in sorted(d for d in buf if d < wm_day):
             fold(day, buf.pop(day))
@@ -381,13 +381,10 @@ def streaming_ewma(
     Warm-up rows (fewer than ``window`` samples of history) emit NULL
     ewma, matching the batch contract.
     """
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize_py as _dq
+
     w = int(window)
     wts = [2.0 ** -(j + 1) for j in range(w - 1)] + [2.0 ** -(w - 1)]
-
-    def _dq(x: float) -> float:
-        import math
-
-        return math.floor(x * 64.0 + (0.5 + 2.0**-16)) / 64.0
 
     def process(
         key: tuple,
@@ -402,9 +399,12 @@ def streaming_ewma(
             hist, buf = [], {}
         emitted: list[tuple] = []
 
-        def fold(day: int, xq: float) -> None:
-            if len(hist) >= w - 1:
-                seq = [xq] + hist[: w - 1]
+        def fold(day: int, xq) -> None:
+            # NULL day: batch emits NULL ewma for this row AND for the
+            # following window-1 rows (every lag chain containing the
+            # NULL term is NULL) — mirror by recording None in history
+            seq = [xq] + hist[: w - 1]
+            if len(hist) >= w - 1 and all(v is not None for v in seq):
                 e = 0.0
                 for wt, v in zip(wts, seq):
                     e += wt * v
@@ -419,7 +419,7 @@ def streaming_ewma(
                 ts = pd.to_datetime(pdf[time_col])
                 ds = ts.values.astype("datetime64[D]").astype("int64")
                 for day, v in zip(ds.tolist(), pdf[temp_col].tolist()):
-                    buf[int(day)] = _dq(float(v))
+                    buf[int(day)] = _dq(v)
         wm_day = state.getCurrentWatermarkMs() // _MS_PER_DAY
         for day in sorted(d for d in buf if d < wm_day):
             fold(day, buf.pop(day))

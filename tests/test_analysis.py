@@ -475,3 +475,38 @@ class TestTrendBootstrapCI:
         df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
         r = trend_bootstrap_ci(df, n_reps=64, block_len=2).collect()[0]
         assert r["ci_lo"] < 0.0 < r["ci_hi"]
+
+
+class TestTrendBootstrapEdges:
+    def test_gap_year_uses_dense_index(self, spark):
+        import datetime as dt
+
+        from mhw3d_detection_spark.operators.analysis import trend_bootstrap_ci
+
+        # years {2000, 2001, 2003, 2004}: every replicate must carry
+        # exactly n pairs (no silently dropped joins) and 2004 must be
+        # reachable — with the old calendar-offset addressing, pairs
+        # referencing phantom 2002 vanished and 2004 was never drawn
+        rows = [
+            (1, dt.date(y, 6, 1), 10.0 + 2.0 * i)
+            for i, y in enumerate((2000, 2001, 2003, 2004))
+        ]
+        df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+        r = trend_bootstrap_ci(df, n_reps=32, block_len=2).collect()[0]
+        assert r["n_years"] == 4 and r["n_reps"] == 32
+        assert r["ci_lo"] is not None and r["ci_hi"] is not None
+        assert r["ci_lo"] <= r["trend"] <= r["ci_hi"]
+
+    def test_short_cell_surfaces_with_null_ci(self, spark):
+        import datetime as dt
+
+        from mhw3d_detection_spark.operators.analysis import trend_bootstrap_ci
+
+        rows = [
+            (1, dt.date(2000 + i, 6, 1), 5.0 + i) for i in range(6)
+        ] + [(2, dt.date(2000, 6, 1), 9.0)]  # one year: no block exists
+        df = spark.createDataFrame(rows, "cell_id int, time date, temp double")
+        out = {r["cell_id"]: r for r in trend_bootstrap_ci(df, n_reps=16).collect()}
+        assert 2 in out  # not silently dropped
+        assert out[2]["n_reps"] == 0 and out[2]["ci_lo"] is None
+        assert out[1]["n_reps"] == 16

@@ -2055,3 +2055,23 @@ def test_pca_gram_modes_bit_identical(spark, sf_dir):
     assert [(r["loading"], r["eigval"]) for r in a] == [
         (r["loading"], r["eigval"]) for r in b
     ]
+
+
+def test_setsim_float_slop_at_integer_boundaries(spark):
+    # regression: 50 * 0.14 = 7.000000000000001 in IEEE — a size filter
+    # or prefix length computed with raw t would prune a pair whose
+    # true Jaccard EQUALS the threshold. Doc A: 52 tokens -> 50
+    # shingles; doc B: 9 tokens -> 7 shingles, all shared with A.
+    # J = 7/50 = 0.14 exactly.
+    from mhw3d_detection_spark.operators.textops import setsim_prefix_pairs
+
+    a_toks = " ".join(f"w{i}" for i in range(52))
+    b_toks = " ".join(f"w{i}" for i in range(9))  # shingles w0..w6 chains
+    docs = spark.createDataFrame(
+        [(1, a_toks), (2, b_toks)], "doc_id long, text string"
+    )
+    out = setsim_prefix_pairs(docs, threshold=0.14).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["na"], r["nb"], r["n_inter"]) == (50, 7, 7)
+    assert abs(r["jaccard"] - 0.14) < 1e-15

@@ -572,12 +572,9 @@ def test_cusum_single_sort_two_windows(spark, sf_dir):
     # wire once for the groupBy-mean partials and once for the window
     # partitioning, never more.
     from mhw3d_detection_spark.operators.analysis import cusum_changepoints
+    from mhw3d_detection_spark.queries.base import orders_daily
 
-    o = load_table(spark, sf_dir, "orders")
-    ts = o.groupBy(
-        (F.col("o_custkey") % 10).alias("cell_id"),
-        F.to_date("o_orderdate").alias("time"),
-    ).agg(F.avg("o_totalprice").alias("temp"))
+    ts = orders_daily(spark, sf_dir)
     plan = _executed(
         cusum_changepoints(ts, allowance=65536.0, threshold=262144.0)
     )

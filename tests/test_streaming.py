@@ -815,7 +815,12 @@ def test_streaming_cusum_matches_batch_bitexact(spark, tmp_path):
     for cell in (1, 2):
         for d in range(60):
             v = 10.0 + rng.uniform(-3, 3) + (8.0 if 25 <= d < 35 else 0.0)
-            rows.append((cell, day0 + dt.timedelta(days=d), round(v, 2)))
+            # day 40: a NULL sample (parity must hold: batch window
+            # sums skip the NULL step, streaming must too, not crash)
+            rows.append(
+                (cell, day0 + dt.timedelta(days=d),
+                 None if d == 40 else round(v, 2))
+            )
     df = spark.createDataFrame(rows, "cell_id int, time timestamp, temp double")
     # far-future sentinel pushes the watermark past every real day
     sentinel = [(99, day0 + dt.timedelta(days=400), 0.0)]
@@ -891,7 +896,10 @@ def test_streaming_ewma_matches_batch_bitexact(spark, tmp_path):
     rng = random.Random(21)
     day0 = dt.datetime(2022, 3, 1)
     rows = [
-        (c, day0 + dt.timedelta(days=d), round(rng.uniform(0, 100), 2))
+        # day 30 NULL: batch emits NULL ewma for it and the following
+        # 15 rows; the stream must mirror that, not crash
+        (c, day0 + dt.timedelta(days=d),
+         None if d == 30 else round(rng.uniform(0, 100), 2))
         for c in (1, 2)
         for d in range(50)
     ]
