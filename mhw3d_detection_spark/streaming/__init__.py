@@ -3,6 +3,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_bm25_gate,
     streaming_cardinality,
     streaming_dedup,
+    streaming_despike_gate,
     streaming_detect_partials,
     streaming_event_sessions,
     streaming_feature_hash,

@@ -642,3 +642,43 @@ def streaming_feature_hash(
     from mhw3d_detection_spark.operators.textops import feature_hash_dense
 
     return feature_hash_dense(stream, text_col=text_col, dim=dim)
+
+
+def streaming_despike_gate(
+    stream: DataFrame,
+    robust_stats: DataFrame,
+    *,
+    z_thresh: float = 3.5,
+    cell_col: str = "cell_id",
+    temp_col: str = "temp",
+    keep_only: bool = False,
+) -> DataFrame:
+    """W17's streaming face: flag (or drop) spikes in a live sample
+    stream against TRAINED per-cell robust stats — the classic QC
+    deployment (median/MAD fit on a clean baseline window, applied to
+    the feed; an online median would let a burst of spikes drag its
+    own yardstick, which is the failure robust stats exist to avoid).
+
+    ``robust_stats`` is a static ``(cell, med, mad)`` dim — build it
+    with ``despike_mad(baseline).select(cell, med, mad).distinct()``
+    or any fit of record. Stream-static broadcast join + the SAME
+    modified-z decision expression as the batch operator
+    (``0.6745 * |x_q - med| > z_thresh * mad``, inputs rq2-quantized),
+    so a sample is flagged live iff the batch QC would flag it —
+    stateless, no watermark, composes before ``streaming_severity``
+    in the ingest chain. Cells absent from the dim pass through
+    unflagged (``is_spike`` NULL → a monitoring alert, not a drop).
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    j = stream.join(F.broadcast(robust_stats), cell_col, "left")
+    xq = rq(F.col(temp_col), 2)
+    dev = F.abs(xq - F.col("med"))
+    is_spike = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * dev > F.lit(float(z_thresh)) * F.col("mad"),
+    ).otherwise(F.when(F.col("mad").isNotNull(), dev > 0))
+    out = j.withColumn("is_spike", is_spike)
+    if keep_only:
+        return out.filter(~F.coalesce(F.col("is_spike"), F.lit(False)))
+    return out

@@ -946,3 +946,54 @@ def test_streaming_ewma_matches_batch_bitexact(spark, tmp_path):
     for k, gv in got.items():
         assert gv == want[k], (k, gv, want[k])
     assert any(v[1] is not None for v in got.values())
+
+
+def test_streaming_despike_gate_matches_batch_flags(spark, tmp_path):
+    # W17 streaming face: a sample is flagged live iff the batch QC
+    # (same trained med/MAD) flags it; unknown cells pass with NULL.
+    from mhw3d_detection_spark.operators.analysis import despike_mad
+    from mhw3d_detection_spark.streaming import streaming_despike_gate
+
+    import random
+
+    rng = random.Random(17)
+    day0 = dt.datetime(2021, 5, 1)
+    rows = [
+        (1, day0 + dt.timedelta(days=d),
+         round(20.0 + rng.uniform(-2, 2), 2) + (40.0 if d in (33, 77) else 0.0))
+        for d in range(120)
+    ]
+    df = spark.createDataFrame(rows, "cell_id int, time timestamp, temp double")
+    stats = (
+        despike_mad(df, z_thresh=3.5)
+        .select("cell_id", "med", "mad")
+        .distinct()
+    )
+    path = str(tmp_path / "despike_stream")
+    extra = spark.createDataFrame(
+        [(9, day0, 123.0)], df.schema  # cell with no trained stats
+    )
+    df.union(extra).coalesce(1).write.parquet(path)
+    out = streaming_despike_gate(
+        spark.readStream.schema(df.schema).parquet(path), stats
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("despike_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cell_id"], r["time"]): r["is_spike"]
+        for r in spark.table("despike_stream").collect()
+    }
+    want = {
+        (r["cell_id"], r["time"]): r["is_spike"]
+        for r in despike_mad(df, z_thresh=3.5).collect()
+    }
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    assert got[(9, day0)] is None  # untrained cell: alert, not a drop
+    assert sum(1 for v in got.values() if v) == 2  # exactly the plants
