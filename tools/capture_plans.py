@@ -58,6 +58,7 @@ PLANS = [
     "q_quantile_normalize",
     "q_source_divergence",
     "q_spatial_regrid",
+    "q_trend_bootstrap_ci",
 ]
 
 HEADER = """# Physical plans — explain evidence
