@@ -1184,3 +1184,43 @@ def trend_bootstrap_ci(
             F.coalesce(F.col("n_reps"), F.lit(0)).cast("int").alias("n_reps"),
         )
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    *,
+    tie_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact top-k rows per group WITHOUT a hot partition: the naive
+    ``row_number().over(partitionBy(group))`` funnels every row of a
+    group through one reducer — catastrophic when groups are few and
+    the table is 100 TB (precisely the per-source/per-language shape
+    curation pipelines rank by). Two phases, the ``cosine_topk``
+    device generalized: phase 1 ranks within (group, salt-of-tie-col)
+    — corpus-wide parallelism, keeps <= k per salt; phase 2 ranks the
+    surviving ``groups x 64 x k`` rows. Identical output to the
+    single-window form (pinned by test), deterministic total order via
+    ``(order_col, tie_col)``.
+    """
+    SALTS = 64
+    direction = F.desc(order_col) if descending else F.asc(order_col)
+    salt = F.pmod(F.hash(tie_col), F.lit(SALTS))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(
+        direction, F.col(tie_col)
+    )
+    pruned = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(direction, F.col(tie_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("__salt", "__r1")
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

@@ -3616,3 +3616,42 @@ def q_source_divergence(spark, sf_dir):
         rq("cross_entropy", 4).alias("cross_entropy"),
         rq("entropy", 4).alias("entropy"),
     )
+
+
+# =========================================================================
+# O7 (r7) — per-group top-k without a hot partition
+# =========================================================================
+_TOPK_GRP_SQL = (
+    "WITH d AS (SELECT doc_id, source, text, "
+    + TOKENS_SQL
+    + " AS toks FROM documents), "
+    f"feat AS (SELECT doc_id, source, text, {QFEATURES_SQL} FROM d), "
+    f"sc AS (SELECT doc_id, source, {QLOGIT_SQL()} AS score FROM feat "
+    "  WHERE text IS NOT NULL), "
+    "r AS (SELECT doc_id, source, score, CAST(row_number() OVER ("
+    "  PARTITION BY source ORDER BY score DESC, doc_id) AS INT) AS rank "
+    "  FROM sc) "
+    f"SELECT source, rank, doc_id, {rq_sql('score', 6)} AS score "
+    "FROM r WHERE rank <= 3"
+)
+
+
+@register("q_topk_per_group", _TOPK_GRP_SQL)
+def q_topk_per_group(spark, sf_dir):
+    """O7 (r7): the 3 highest-quality docs per source — per-group
+    top-k via the SALTED two-phase rank (``topk_per_group``): a plain
+    per-source window would funnel each source's whole slice through
+    one reducer (sources are few, the corpus is not). The oracle is
+    the single-window form — the hash match is the
+    two-phase ≡ one-window equivalence proof."""
+    from mhw3d_detection_spark.operators.analysis import topk_per_group
+    from mhw3d_detection_spark.operators.textops import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        quality_scores(docs)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.col("quality_logit").alias("score"))
+    )
+    out = topk_per_group(sc, ["source"], "score", 3, tie_col="doc_id")
+    return out.select("source", "rank", "doc_id", rq("score", 6).alias("score"))

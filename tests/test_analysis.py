@@ -510,3 +510,45 @@ class TestTrendBootstrapEdges:
         assert 2 in out  # not silently dropped
         assert out[2]["n_reps"] == 0 and out[2]["ci_lo"] is None
         assert out[1]["n_reps"] == 16
+
+
+class TestTopkPerGroup:
+    def test_equals_single_window_with_ties(self, spark):
+        from pyspark.sql import Window as W
+
+        from mhw3d_detection_spark.operators.analysis import topk_per_group
+
+        import random
+
+        rng = random.Random(4)
+        rows = [
+            (i, f"g{i % 5}", float(rng.randint(0, 20)))  # many ties
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {
+            (r["g"], r["rank"]): r["id"]
+            for r in topk_per_group(df, ["g"], "v", 4, tie_col="id").collect()
+        }
+        w = W.partitionBy("g").orderBy(F.desc("v"), F.col("id"))
+        want = {
+            (r["g"], r["rank"]): r["id"]
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 4)
+            .collect()
+        }
+        assert got == want and len(want) == 20
+
+    def test_ascending_and_small_groups(self, spark):
+        from mhw3d_detection_spark.operators.analysis import topk_per_group
+
+        df = spark.createDataFrame(
+            [(1, "a", 9.0), (2, "a", 3.0), (3, "b", 7.0)],
+            "id long, g string, v double",
+        )
+        out = topk_per_group(
+            df, ["g"], "v", 2, tie_col="id", descending=False
+        ).collect()
+        by = {(r["g"], r["rank"]): r["id"] for r in out}
+        # group b has fewer rows than k: returns what exists
+        assert by == {("a", 1): 2, ("a", 2): 1, ("b", 1): 3}
