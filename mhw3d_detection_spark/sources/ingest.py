@@ -182,3 +182,50 @@ def write_zordered(
     part.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def compact_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-running
+    100 TB table needs (each micro-batch/task writes its own parquet
+    file; a few thousand 100 KB files make every later scan pay one
+    footer read + task launch per file, and object stores throttle the
+    listing long before that). Reads the fragmented table, sizes the
+    output by an exact count (``ceil(rows / target)`` files), and
+    rewrites:
+
+    - with ``sort_cols``: ``repartitionByRange`` + local sort — the
+      compaction doubles as re-clustering, so footer min/max stay
+      tight on the sort key (the Delta/Iceberg ``OPTIMIZE`` shape;
+      pair with :func:`write_zordered` for 2-D keys);
+    - without: ``coalesce`` when shrinking (a NARROW dependency — no
+      shuffle at all, the cheap pure-compaction path), full
+      ``repartition`` only when the table needs MORE files than it
+      has partitions.
+
+    Returns the number of output files requested. Deterministic row
+    content; file assignment is whatever the chosen exchange produces
+    (compaction is a LAYOUT operation — readers must not depend on
+    file boundaries, which is the point).
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    n = df.count()
+    files = max(1, math.ceil(n / int(target_rows_per_file)))
+    if sort_cols:
+        out = df.repartitionByRange(files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    elif files <= df.rdd.getNumPartitions():
+        out = df.coalesce(files)
+    else:
+        out = df.repartition(files)
+    out.write.mode("overwrite").parquet(out_path)
+    return files

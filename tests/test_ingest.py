@@ -128,3 +128,56 @@ def test_zordered_write_files_are_bounding_boxes(spark, tmp_path):
     assert sum(sx * sy for sx, sy in zs) <= 0.75 * sum(
         sx * sy for sx, sy in hs
     ), (zs, hs)
+
+
+class TestCompactFiles:
+    def test_compacts_fragmented_table(self, spark, tmp_path):
+        from mhw3d_detection_spark.sources.ingest import compact_files
+
+        src = str(tmp_path / "fragmented")
+        dst = str(tmp_path / "compacted")
+        # 40 tiny files of 50 rows each
+        spark.range(2000).withColumnRenamed("id", "k").repartition(
+            40
+        ).write.parquet(src)
+        import glob
+
+        assert len(glob.glob(src + "/part-*")) == 40
+        files = compact_files(spark, src, dst, target_rows_per_file=1000)
+        assert files == 2
+        assert len(glob.glob(dst + "/part-*")) == 2
+        # row content preserved exactly
+        a = sorted(r["k"] for r in spark.read.parquet(dst).collect())
+        assert a == list(range(2000))
+
+    def test_sorted_compaction_tightens_footers(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from mhw3d_detection_spark.sources.ingest import compact_files
+
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "sorted2")
+        spark.range(4000).withColumnRenamed("id", "k").repartition(
+            16
+        ).write.parquet(src)
+        compact_files(
+            spark, src, dst, target_rows_per_file=1000, sort_cols=["k"]
+        )
+        import glob
+
+        spans = []
+        for f in glob.glob(dst + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mn = min(
+                md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((mn, mx))
+        spans.sort()
+        # range-partitioned + sorted: file spans must not overlap
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi < b_lo
