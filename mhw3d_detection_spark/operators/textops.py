@@ -2284,3 +2284,47 @@ def source_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(-F.col("__p") * F.log("__q")).alias("cross_entropy"),
         F.sum(-F.col("__p") * F.log("__p")).alias("entropy"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets key ``ln(u) / w`` with ``u`` the
+    md5-uniform of its content key — the classic A-ES device: taking
+    the n LARGEST keys draws a sample where selection probability is
+    proportional to weight, exactly the "sample training docs
+    proportional to quality/length" primitive. Like every sampler in
+    this repo the randomness is a pure function of the KEY (+ ``salt``
+    for independent re-draws): reproducible across engines, reruns and
+    layouts, and a doc cannot enter/leave the sample when the corpus
+    is re-sharded.
+
+    The ranking key is rq6-QUANTIZED before the top-n: ln/pow are not
+    exactly-rounded IEEE, so raw keys could differ cross-engine in the
+    last ulp and flip a rank at a near-tie; on the 1e-6 grid the keys
+    are bit-identical and ties break by content key. Plans as
+    TakeOrderedAndProject (per-partition heads, no global sort).
+    Rows with NULL or non-positive weight are excluded (ES is defined
+    for w > 0).
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(str(salt)))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 48))
+    w = F.col(weight_col).cast("double")
+    keyed = docs.filter(w.isNotNull() & (w > 0)).withColumn(
+        "sample_key", rq(F.log(u) / w, 6)
+    )
+    return keyed.orderBy(F.desc("sample_key"), F.col(key_col)).limit(int(n))

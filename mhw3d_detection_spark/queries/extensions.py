@@ -3655,3 +3655,33 @@ def q_topk_per_group(spark, sf_dir):
     )
     out = topk_per_group(sc, ["source"], "score", 3, tie_col="doc_id")
     return out.select("source", "rank", "doc_id", rq("score", 6).alias("score"))
+
+
+# =========================================================================
+# E6e (r7) — weighted sampling without replacement (A-ES)
+# =========================================================================
+_WSAMPLE_SQL = (
+    "WITH k AS (SELECT doc_id, source, n_chars, "
+    "  ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12))::BIGINT) "
+    "    / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS raw_key "
+    "  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) "
+    f"SELECT doc_id, source, n_chars, {rq_sql('raw_key', 6)} AS sample_key "
+    "FROM k ORDER BY sample_key DESC, doc_id LIMIT 50"
+)
+
+
+@register("q_sample_weighted", _WSAMPLE_SQL)
+def q_sample_weighted(spark, sf_dir):
+    """E6e (r7): 50 docs drawn WITHOUT replacement with probability
+    proportional to length (Efraimidis-Spirakis keys ln(u)/w over the
+    md5-uniform of the content key) — the weighted member of the
+    sampling family (deterministic / stratified / temperature /
+    weighted). rq6-quantized keys make the ranking bit-stable
+    cross-engine (ln is not exactly-rounded); TakeOrdered, never a
+    global sort; proportionality pinned by a multi-salt frequency
+    test in pytest."""
+    from mhw3d_detection_spark.operators.textops import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = weighted_sample(docs, 50, "n_chars")
+    return s.select("doc_id", "source", "n_chars", "sample_key")

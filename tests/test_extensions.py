@@ -2075,3 +2075,54 @@ def test_setsim_float_slop_at_integer_boundaries(spark):
     r = out[0]
     assert (r["na"], r["nb"], r["n_inter"]) == (50, 7, 7)
     assert abs(r["jaccard"] - 0.14) < 1e-15
+
+
+class TestWeightedSample:
+    def test_matches_python_es_reference(self, spark):
+        import hashlib
+        import math
+
+        from mhw3d_detection_spark.operators.textops import weighted_sample
+
+        rows = [(i, float(1 + (i % 7))) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = [r["doc_id"] for r in weighted_sample(df, 20, "w").collect()]
+
+        def key(i, wgt):
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) / float(
+                1 << 48
+            )
+            k = math.log(u) / wgt
+            return math.floor(k * 1e6 + 0.5 + 2.0**-16) / 1e6
+
+        want = sorted(rows, key=lambda t: (-key(*t), t[0]))[:20]
+        assert got == [i for i, _ in want]
+
+    def test_selection_proportional_to_weight(self, spark):
+        from mhw3d_detection_spark.operators.textops import weighted_sample
+
+        # 100 heavy (w=4) + 100 light (w=1) items; over 60 independent
+        # salted draws of 20, heavy items must be selected ~4x as often
+        rows = [(i, 4.0 if i < 100 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w double").cache()
+        heavy = light = 0
+        for s in range(60):
+            ids = [
+                r["doc_id"]
+                for r in weighted_sample(df, 20, "w", salt=f"s{s}").collect()
+            ]
+            heavy += sum(1 for i in ids if i < 100)
+            light += sum(1 for i in ids if i >= 100)
+        ratio = heavy / max(light, 1)
+        # true inclusion-probability ratio for n=20 of 200 at w 4:1 is
+        # ~3.6 (without-replacement saturation); accept a wide band
+        assert 2.5 < ratio < 5.5, (heavy, light)
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from mhw3d_detection_spark.operators.textops import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double",
+        )
+        assert [r["doc_id"] for r in weighted_sample(df, 10, "w").collect()] == [1]
