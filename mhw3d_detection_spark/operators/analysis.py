@@ -691,9 +691,14 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
       approx_percentile at petabyte key cardinality, same plan),
     * ``top1_share`` — the heaviest key's fraction of all rows (the
       straggler bound: no hash partitioning can beat it),
-    * ``hhi`` — Herfindahl concentration Σ(cnt/total)², computed as
-      exact integer Σcnt² over total² so it is bit-identical
-      cross-engine (1/n_keys = uniform, →1 = one hot key).
+    * ``hhi`` — Herfindahl concentration Σ(cnt/total)², accumulated in
+      DOUBLE (1/n_keys = uniform, →1 = one hot key). Double, not
+      bigint: Σcnt² overflows int64 for a single ~3e9-row key and
+      n_rows² wraps silently past ~3.04e9 rows in non-ANSI Spark —
+      exactly the 100 TB regime this diagnostic targets. Each cnt² term
+      is an exact integer < 2^53 so the double sum stays bit-identical
+      cross-engine at test scale and degrades to an approximation (not
+      a wrap) beyond it.
 
     Reading it: ``top1_share`` ≳ 1/shuffle-partitions means AQE skew
     splitting or salting is mandatory before a groupBy/join on this
@@ -708,7 +713,7 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.max("cnt").alias("max_cnt"),
         F.expr("percentile(cnt, array(0.5, 0.9, 0.99))").alias("__q"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("__ss"),
+        F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("__ss"),
     )
     return one.select(
         "n_rows",
@@ -719,8 +724,8 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.col("__q")[2].alias("p99_cnt"),
         (F.col("max_cnt") / F.col("n_rows")).alias("top1_share"),
         (
-            F.col("__ss").cast("double")
-            / (F.col("n_rows") * F.col("n_rows"))
+            F.col("__ss")
+            / (F.col("n_rows").cast("double") * F.col("n_rows"))
         ).alias("hhi"),
     )
 

@@ -589,7 +589,16 @@ def _grid_clim_arrays_fused(
         # the 2W+1 whole day groups, so its sum is 2W+1 adds over the
         # PRESUMMED day sums — not |pool| interpreted adds over every
         # sample (same skipna semantics: collect_list and sum both drop
-        # NULLs; float totals agree within the rq display rounding)
+        # NULLs). Association-order contract: the presummed fold and a
+        # per-sample fold differ by a few ulps, which is why every
+        # oracle-compared readout of seas goes through rq(): its dyadic
+        # eps nudge (2^-13..2^-16, base.py:_rq_eps) exceeds that noise
+        # by >8 orders of magnitude, so both folds round identically —
+        # including when seas lands EXACTLY on a decimal .xx5 boundary
+        # (tests/test_climatology.py::test_presummed_fold_rq_boundary
+        # pins that case). Raw-double consumers (detection exceedance)
+        # compare seas to thresholds from the SAME build, never across
+        # folds, so the ulp difference is unobservable there too.
         fast = F.aggregate(
             F.slice(suma, t - W, 2 * W + 1), F.lit(0.0), lambda a, x: a + x
         )

@@ -503,6 +503,7 @@ def _bloom_positions(
 def bloom_bits(
     df: DataFrame,
     item: Column,
+    *,
     m: int = BLOOM_M,
     k: int = BLOOM_K,
     fast_hash: bool = False,
@@ -523,6 +524,7 @@ def bloom_membership(
     bits: DataFrame,
     probes: DataFrame,
     item: Column,
+    *,
     m: int = BLOOM_M,
     k: int = BLOOM_K,
     fast_hash: bool = False,
@@ -558,6 +560,7 @@ def bloom_decontaminate(
     docs: DataFrame,
     probe_pred,
     text_col: str = "text",
+    *,
     flag_frac: float = 0.5,
     m: int = BLOOM_M,
     k: int = BLOOM_K,

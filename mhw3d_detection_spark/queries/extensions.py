@@ -2832,22 +2832,25 @@ def q_similarity_ivfpq(spark, sf_dir):
     "  quantile_cont(cnt, 0.5) AS p50_cnt, "
     "  quantile_cont(cnt, 0.9) AS p90_cnt, "
     "  quantile_cont(cnt, 0.99) AS p99_cnt, "
-    "  CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM c) "
+    "  sum(CAST(cnt AS DOUBLE) * cnt) AS ss FROM c) "
     "SELECT n_rows, n_keys, max_cnt, "
     f"  {rq_sql('p50_cnt', 4)} AS p50_cnt, "
     f"  {rq_sql('p90_cnt', 4)} AS p90_cnt, "
     f"  {rq_sql('p99_cnt', 4)} AS p99_cnt, "
     "  max_cnt / CAST(n_rows AS DOUBLE) AS top1_share, "
-    "  CAST(ss AS DOUBLE) / (n_rows * n_rows) AS hhi FROM a",
+    "  ss / (CAST(n_rows AS DOUBLE) * n_rows) AS hhi FROM a",
 )
 def q_key_skew(spark, sf_dir):
     """E9 (r7): partition-key skew profile of events.user_id — the
     pre-flight diagnostic for shuffle tuning (would a groupBy/join on
     this key straggle? is salting/AQE-skew-split needed?). Two hash
     aggregates: per-key counts (keys-sized), then a single summary
-    row. top1_share and hhi are exact integer ratios (one division
-    each — bit-identical cross-engine, unrounded); the count
-    percentiles are exact linear-interp, rq4."""
+    row. top1_share is an exact integer ratio; hhi accumulates
+    Σcnt² in DOUBLE (each term an exact integer < 2^53, so still
+    bit-identical cross-engine at any test SF) over a double n_rows² —
+    int64 Σcnt²/n_rows² would silently wrap past ~3e9 rows in non-ANSI
+    Spark while DuckDB raises. Count percentiles exact linear-interp,
+    rq4."""
     from mhw3d_detection_spark.operators.analysis import key_skew_profile
 
     ev = load_table(spark, sf_dir, "events")

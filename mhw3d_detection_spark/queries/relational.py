@@ -513,7 +513,8 @@ def q_cohort_retention(spark, sf_dir):
     cohorted by their first-activity week, per (cohort, week-offset)
     the fraction still active. The canonical product-analytics rollup
     the sessionization/funnel family was missing. Weeks are integer
-    ``epoch_us DIV week_us`` buckets (no calendar/date_trunc
+    FLOOR-division epoch buckets (pmod-adjusted DIV on the Spark side
+    ≡ DuckDB ``//`` for negative epochs too; no calendar/date_trunc
     semantics to diverge cross-engine); activity is the distinct
     (user, week) set, so the per-cell count IS the distinct-user
     count without a countDistinct state; retention is one exact
@@ -523,8 +524,17 @@ def q_cohort_retention(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
     )
+    # floor division, not DIV: Spark's DIV truncates toward zero while
+    # the DuckDB oracle's // floors — they differ for negative epoch_us
+    # (any pre-1970 timestamp would silently shift cohorts in ONE
+    # engine only). pmod subtracts the POSITIVE remainder first, so the
+    # remaining DIV is exact integer floor division for either sign —
+    # no double-division boundary at any magnitude.
     wk = ev.select(
-        "user_id", F.expr(f"us DIV {_WEEK_US}").alias("week")
+        "user_id",
+        F.expr(
+            f"(us - pmod(us, {_WEEK_US})) DIV {_WEEK_US}"
+        ).alias("week"),
     ).distinct()
     coh = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     act = wk.join(coh, "user_id").select(

@@ -65,6 +65,27 @@ from pyspark.sql.types import (
 
 _MS_PER_DAY = 86400 * 1000
 
+_DURATION_UNIT_MS = {
+    "day": _MS_PER_DAY,
+    "days": _MS_PER_DAY,
+    "hour": 3600 * 1000,
+    "hours": 3600 * 1000,
+    "minute": 60 * 1000,
+    "minutes": 60 * 1000,
+    "second": 1000,
+    "seconds": 1000,
+}
+
+
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark-style duration string (``"30 days"``) to ms —
+    the same grammar the ``watermark`` arguments use."""
+    n, unit = spec.strip().split()
+    try:
+        return int(n) * _DURATION_UNIT_MS[unit.lower()]
+    except KeyError:
+        raise ValueError(f"unsupported duration unit in {spec!r}") from None
+
 _OUT_SCHEMA = StructType(
     [
         StructField("cell_id", LongType()),
@@ -248,6 +269,7 @@ def streaming_cusum_alarms(
     time_col: str = "time",
     temp_col: str = "temp",
     watermark: str = "7 days",
+    idle_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.analysis.cusum_changepoints`
     with a TRAINED in-control ``target`` (the online-monitoring
@@ -269,12 +291,28 @@ def streaming_cusum_alarms(
     At 100 TB-rate: state partitions on ``cell_id`` like every other
     per-cell operator; per-cell state is two doubles + the watermark
     window, and the emitted stream is append-only (no re-emission).
+
+    State lifetime contract: CUSUM is a CUMULATIVE detector, so by
+    default a cell's accumulators persist for the life of the query
+    even if the cell stops emitting — that is the correct semantics
+    for a fixed sensor grid (bounded cell universe), but it means the
+    state store grows with the number of EVER-SEEN cells, not the
+    active set. Two bounds apply regardless: a cell whose buffer has
+    drained at zero accumulators is REMOVED outright (an empty state
+    refolds identically from scratch, so this is unobservable), and
+    ``idle_ttl`` (e.g. ``"90 days"``) opts into removing a cell's
+    state after that much watermark time with no pending rows —
+    re-appearing cells then restart the detector from zero, which is a
+    documented semantic reset, so it is off by default. Set it for
+    high-churn key universes (user ids, session keys) where unbounded
+    ever-seen state is the real hazard.
     """
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize_py as _dq
 
     tgt = float(target)
     k = float(allowance)
     h = float(threshold)
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
 
     def process(
         key: tuple,
@@ -306,13 +344,32 @@ def streaming_cusum_alarms(
         wm_day = state.getCurrentWatermarkMs() // _MS_PER_DAY
         for day in sorted(d for d in buf if d < wm_day):
             fold(day, buf.pop(day))
-        if buf or cp > 0.0 or cn > 0.0 or state.exists:
+        # pure-idle wake: the timeout fired with nothing pending and
+        # nothing folded — this is the idle_ttl expiring (the horizon
+        # timeout always drains the buffer and emits)
+        idle_wake = state.hasTimedOut and not buf and not emitted
+        if not buf and cp == 0.0 and cn == 0.0:
+            # zero-information state: an absent cell refolds to exactly
+            # this, so dropping it is unobservable — keeps the store
+            # bounded by ACTIVE-or-armed cells, not ever-seen ones
+            if state.exists:
+                state.remove()
+        elif idle_wake and ttl_ms is not None:
+            # documented semantic reset: the cell went idle past the
+            # TTL with armed accumulators; a re-appearance restarts
+            # the detector from zero
+            state.remove()
+        else:
             ks = sorted(buf)
             state.update((cp, cn, ks, [buf[d] for d in ks]))
             if buf:
                 horizon = (max(buf) + 2) * _MS_PER_DAY
                 state.setTimeoutTimestamp(
                     max(horizon, state.getCurrentWatermarkMs() + 1)
+                )
+            elif ttl_ms is not None:
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + ttl_ms
                 )
         if emitted:
             yield pd.DataFrame(
@@ -368,6 +425,7 @@ def streaming_ewma(
     time_col: str = "time",
     temp_col: str = "temp",
     watermark: str = "7 days",
+    idle_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.analysis.ewma_smooth` —
     bit-identical to the batch lag chain (same truncated power-of-two
@@ -380,11 +438,21 @@ def streaming_ewma(
     values plus the pending buffer — bounded by the watermark delay.
     Warm-up rows (fewer than ``window`` samples of history) emit NULL
     ewma, matching the batch contract.
+
+    State lifetime contract: like :func:`streaming_cusum_alarms`, a
+    cell's lag history persists for the life of the query by default
+    (correct for a fixed sensor grid; state = ever-seen cells ×
+    ``window - 1`` doubles). A cell with no history and no pending
+    rows is removed outright (unobservable), and ``idle_ttl`` opts
+    into dropping idle cells' history after that much watermark time —
+    a re-appearing cell then re-enters warm-up (NULL ewma for its
+    first ``window - 1`` rows), which is the documented reset.
     """
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize_py as _dq
 
     w = int(window)
     wts = [2.0 ** -(j + 1) for j in range(w - 1)] + [2.0 ** -(w - 1)]
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
 
     def process(
         key: tuple,
@@ -423,13 +491,24 @@ def streaming_ewma(
         wm_day = state.getCurrentWatermarkMs() // _MS_PER_DAY
         for day in sorted(d for d in buf if d < wm_day):
             fold(day, buf.pop(day))
-        if buf or hist or state.exists:
+        # see streaming_cusum_alarms: zero-info removal + idle TTL
+        idle_wake = state.hasTimedOut and not buf and not emitted
+        if not buf and not hist:
+            if state.exists:
+                state.remove()
+        elif idle_wake and ttl_ms is not None:
+            state.remove()
+        else:
             ks = sorted(buf)
             state.update((hist, ks, [buf[d] for d in ks]))
             if buf:
                 horizon = (max(buf) + 2) * _MS_PER_DAY
                 state.setTimeoutTimestamp(
                     max(horizon, state.getCurrentWatermarkMs() + 1)
+                )
+            elif ttl_ms is not None:
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + ttl_ms
                 )
         if emitted:
             yield pd.DataFrame(

@@ -72,6 +72,50 @@ def test_grid_mode_mixed_years_vs_pad_oracle(spark):
     np.testing.assert_allclose(clim["thresh"].values, thresh, atol=1e-9)
 
 
+def test_presummed_fold_rq_boundary(spark):
+    # ADVICE r8 (operators/climatology.py fast path): the grid mode's
+    # non-wrap seas sums PRESUMMED day-group subtotals, while the wrap
+    # branch, the DuckDB oracles, and this NumPy oracle each fold
+    # individual samples in their own association order — the folds
+    # differ by ulps. The exactness contract is NOT raw-double equality
+    # but that rq()'s dyadic eps nudge (2^-13 at d=2) dwarfs that
+    # noise, so all folds round identically EVEN when seas lands
+    # exactly on a decimal .xx5 rounding boundary. Engineer that worst
+    # case: samples alternate 20.00/20.01 (non-dyadic decimals), so
+    # every pooled mean is 20.005 +/- association noise — the exact
+    # boundary of rq(seas, 2) used by every clim query.
+    from mhw3d_detection_spark.queries.base import _rq_eps
+
+    times = pd.date_range("1984-01-01", "1987-12-31", freq="D")
+    vals = np.where(np.arange(len(times)) % 2 == 0, 20.00, 20.01)
+    pdf = pd.DataFrame(
+        {"cell_id": 0, "time": times.date, "temp": vals.astype(float)}
+    )
+    clim = _spark_clim(spark, pdf, pool_mode="grid", smooth_width=None)
+    seas_np, _ = grid_clim_threshold_np(
+        pd.DatetimeIndex(times), vals.astype(float), smooth_width=None
+    )
+    # raw doubles: ulp-scale association noise only (the advisor's
+    # scenario), never anywhere near the 2^-13 nudge
+    np.testing.assert_allclose(clim["seas"].values, seas_np, atol=1e-10)
+
+    def rq2(x):
+        return np.floor(x * 100.0 + 0.5 + _rq_eps(2)) / 100.0
+
+    fast = rq2(clim["seas"].values.astype(float))
+    slow = rq2(seas_np)
+    ok = ~np.isnan(seas_np)
+    assert ok.sum() > 300
+    # the cross-fold contract: identical rounding on every slot
+    np.testing.assert_array_equal(fast[ok], slow[ok])
+    # ... and the boundary case really occurred: some pooled means sit
+    # exactly at 20.005 and both folds round them UP (nudge absorbs the
+    # +/- ulp straddle); unbalanced pools land on either side — fine.
+    at_boundary = np.abs(seas_np[ok] - 20.005) < 1e-9
+    assert at_boundary.any()
+    assert (fast[ok][at_boundary] == 20.01).all()
+
+
 def test_grid_mode_wraps_gate_on_present_years(spark):
     # The wrap gate must follow the PRESENT-year grid rows, not the
     # baseline range (reference pads copy the adjacent unstacked ROW,

@@ -884,6 +884,84 @@ def test_streaming_cusum_matches_batch_bitexact(spark, tmp_path):
         assert gv == want[key_], (key_, gv, want[key_])
 
 
+def test_streaming_cusum_idle_ttl_state_lifetime(spark, tmp_path):
+    # ADVICE r8 (streaming/stateful.py state lifetime): (a) a cell that
+    # drains at ZERO accumulators has its state removed — unobservable,
+    # emissions identical; (b) with idle_ttl set, a cell idle past the
+    # TTL restarts the detector from zero on re-appearance; (c) by
+    # default (idle_ttl=None) the accumulators survive arbitrary idle
+    # gaps — the documented permanent-state contract.
+    from mhw3d_detection_spark.streaming import streaming_cusum_alarms
+    from mhw3d_detection_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("10 days") == 10 * 86400 * 1000
+    assert _duration_ms("3 hours") == 3 * 3600 * 1000
+
+    day0 = dt.datetime(2021, 1, 1)
+    schema = "cell_id int, time timestamp, temp double"
+
+    def day(d):
+        return day0 + dt.timedelta(days=d)
+
+    # cell 1: armed (target+5) days 0-2, idle, re-appears day 70
+    # cell 2: exactly at target days 0-2 (cp=cn=0 -> zero-info removal)
+    burst = [(1, day(d), 15.0) for d in range(3)] + [
+        (2, day(d), 10.0) for d in range(3)
+    ]
+    files = [
+        burst,
+        [(99, day(40), 10.0)],   # wm -> 35: horizon fires, drains burst
+        [(99, day(41), 10.0)],   # processes the drain emissions
+        [(99, day(60), 10.0)],   # wm -> 55 > (35 + ttl 10): TTL wake
+        [(99, day(61), 10.0)],   # fires the idle timeout
+        [(1, day(70), 15.0), (2, day(70), 10.0)],
+        [(99, day(100), 10.0)],  # wm -> 95: drains day 70
+        [(99, day(101), 10.0)],
+    ]
+
+    def run(name, **kw):
+        path = str(tmp_path / name)
+        for i, batch in enumerate(files):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        out = streaming_cusum_alarms(
+            stream, target=10.0, allowance=0.5, threshold=6.0,
+            watermark="5 days", **kw
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["cell_id"], r["time"]): (r["cusum_pos"], r["cusum_neg"])
+            for r in spark.table(name).collect()
+        }
+
+    d70 = dt.date(2021, 3, 12)  # day(70)
+    got_ttl = run("cusum_ttl", idle_ttl="10 days")
+    # (a) the at-target cell emits zeros throughout removal/refold
+    assert got_ttl[(2, d70)] == (0.0, 0.0)
+    # (b) TTL reset: day 70 folds from a FRESH state: cp = 15-10-0.5
+    assert got_ttl[(1, d70)] == (4.5, 0.0)
+    # armed value before the idle gap really was > 4.5 (3 folds)
+    assert got_ttl[(1, dt.date(2021, 1, 3))] == (13.5, 0.0)
+
+    got_perm = run("cusum_perm")  # default: no TTL
+    assert got_perm[(2, d70)] == (0.0, 0.0)
+    # (c) permanent state: day 70 carries the pre-gap accumulator
+    assert got_perm[(1, d70)] == (13.5 + 4.5, 0.0)
+
+
 def test_streaming_ewma_matches_batch_bitexact(spark, tmp_path):
     # W16 r7: the streamed truncated EWMA must equal the batch lag
     # chain bit-for-bit across microbatches and out-of-order arrival
