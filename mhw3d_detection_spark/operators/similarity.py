@@ -341,6 +341,7 @@ def bucket_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "bucket",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Within-bucket embedding near-dup pairs: a self-equi-join on the
     coarse-cell id (never all-pairs — the cluster assignment bounds the
@@ -349,22 +350,56 @@ def bucket_near_dup_pairs(
 
     Scale: the join shuffles on the bucket key; per-bucket pair count
     is (n/k)^2/2, so k is the knob that keeps the quadratic term local
-    (SemDeDup used k = 50 000 on LAION — cells of ~1e4 rows)."""
+    (SemDeDup used k = 50 000 on LAION — cells of ~1e4 rows). k is a
+    PRE-clustering choice, though, and a skewed embedding space can
+    dump an arbitrary fraction of the corpus into one cell no matter
+    how k was sized — ``max_bucket_size`` is the backstop: any bucket
+    over the cap is salted into ``ceil(size/cap)`` hash sub-buckets and
+    pairs form within (bucket, sub) only, so the quadratic term is
+    bounded by ~cap²/2 per sub-task regardless of skew. Cross-sub pairs
+    inside an oversized cell are forgone — the same recall trade
+    SemDeDup itself makes by raising k (more, smaller cells); dedup
+    recall degrades gracefully, correctness of emitted pairs does not
+    (every emitted pair still passes the exact-cosine verify). The
+    size table is one hash aggregate of k rows joined back broadcast —
+    no collect, no skew-sensitive stage of its own. Default None keeps
+    the exact within-cluster semantics (and the oracle rows) unchanged.
+    """
     base = tagged.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         F.col(bucket_col).alias("bucket"),
     ).withColumn("n", norm(F.col("v")))
+    join_keys = ["bucket"]
+    if max_bucket_size is not None:
+        cap = int(max_bucket_size)
+        sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+        base = (
+            base.join(F.broadcast(sizes), "bucket")
+            .withColumn(
+                "__nsub",
+                F.ceil(F.col("__cnt") / F.lit(cap)).cast("int"),
+            )
+            .withColumn(
+                "__sub",
+                F.when(F.col("__nsub") <= 1, F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col("vec_id")), F.col("__nsub"))
+                    .cast("int")
+                ),
+            )
+            .drop("__cnt", "__nsub")
+        )
+        join_keys = ["bucket", "__sub"]
     a = base.select(
         F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "bucket",
+        F.col("n").alias("na"), *join_keys,
     )
     b = base.select(
         F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), "bucket",
+        F.col("n").alias("nb"), *join_keys,
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, join_keys)
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("na") > 0)
@@ -386,6 +421,8 @@ def semantic_dedup(
     cc_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as DataFrame ops:
     k-means clusters the embedding space (:func:`kmeans_ivf_centroids`,
@@ -398,9 +435,24 @@ def semantic_dedup(
     ``(vec_id, bucket)``.
 
     Every stage is an already-verified operator: the trainer's
-    quantized rounds give exact cross-engine assignments, min-label
-    propagation is integer-exact, and the drop list broadcasts into a
-    left-anti join so the corpus itself is never reshuffled."""
+    quantized rounds give exact cross-engine assignments and min-label
+    propagation is integer-exact.
+
+    Sizing at corpus scale (the paper's regime is k ∝ corpus — cells of
+    ~1e4 rows; k=8 here fits the bench SF, not 100 TB): raise ``k`` so
+    the AVERAGE cell is ~1e4 rows, and set ``max_cluster_size`` as the
+    skew backstop — it salts any cell that still ends up oversized into
+    capped hash sub-cells, so the within-cluster quadratic term is
+    bounded by the cap, not by the skew of the embedding space (see
+    :func:`bucket_near_dup_pairs` for the recall trade).
+
+    ``broadcast_drops`` gates the final anti join exactly like
+    ``severity.calculate_severity(broadcast_clim=...)``: the drop list
+    is dup-count-sized — tiny at low dup rates, CORPUS-sized at high
+    ones (a 50 %-dup crawl drops half the corpus). True ships it to
+    every task; False takes the plain shuffling left-anti join, the
+    right plan once the drop list stops fitting in an executor.
+    """
     from mhw3d_detection_spark.operators.textops import (
         connected_components_bounded,
     )
@@ -410,13 +462,18 @@ def semantic_dedup(
     )
     tagged = assign_buckets(emb, cents, id_col=id_col, vec_col=vec_col)
     pairs = bucket_near_dup_pairs(
-        tagged, threshold=threshold, id_col=id_col, vec_col=vec_col
+        tagged,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_size=max_cluster_size,
     )
     comp = connected_components_bounded(pairs, iters=cc_iters)
     drops = comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )
-    return tagged.join(F.broadcast(drops), id_col, "left_anti").select(
+    d = F.broadcast(drops) if broadcast_drops else drops
+    return tagged.join(d, id_col, "left_anti").select(
         F.col(id_col).alias("vec_id"), "bucket"
     )
 

@@ -46,6 +46,7 @@ def curate_corpus(
     semantic_k: int = 8,
     semantic_iters: int = 3,
     semantic_threshold: float = 0.35,
+    semantic_max_cluster_size: int | None = None,
     cc_iters: int = 3,
     reliable_checkpoints: bool = False,
 ) -> DataFrame:
@@ -128,7 +129,16 @@ def curate_corpus(
         s3.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
     tagged = assign_buckets(emb3, cents)
-    spairs = _chk(bucket_near_dup_pairs(tagged, threshold=semantic_threshold))
+    # semantic_max_cluster_size: the skew backstop — size semantic_k
+    # for ~1e4-row average cells (paper regime), and the cap salts any
+    # cell the embedding skew still overfills (bucket_near_dup_pairs)
+    spairs = _chk(
+        bucket_near_dup_pairs(
+            tagged,
+            threshold=semantic_threshold,
+            max_bucket_size=semantic_max_cluster_size,
+        )
+    )
     comp2 = connected_components_bounded(spairs, iters=cc_iters)
     sem_drops = _chk(
         comp2.filter(F.col("doc_id") != F.col("component")).select("doc_id")

@@ -707,6 +707,50 @@ class TestSemanticDedup:
         survivors = {r.vec_id for r in out.collect()}
         assert survivors == {0, 3, 10, 12}
 
+    def test_max_cluster_size_caps_the_quadratic(self, spark):
+        # r8 scale-hardening: a pathological embedding space (every
+        # vector identical) dumps the WHOLE corpus into one k-means
+        # cell no matter how k was sized — uncapped, the within-cell
+        # candidate set is C(n,2). max_bucket_size salts the oversized
+        # cell into hash sub-cells; with threshold=0 every candidate is
+        # emitted, so the pair count IS the candidate count.
+        from mhw3d_detection_spark.operators.similarity import (
+            assign_buckets,
+            bucket_near_dup_pairs,
+            kmeans_ivf_centroids,
+        )
+
+        n, cap = 300, 30
+        rows = [(i, [1.0, 0.0]) for i in range(n)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        cents = kmeans_ivf_centroids(emb, k=4, iters=2)
+        tagged = assign_buckets(emb, cents)
+        # the degenerate space really is one cell
+        assert tagged.select("bucket").distinct().count() == 1
+
+        un = bucket_near_dup_pairs(tagged, threshold=0.0)
+        un_pairs = {(r.doc_a, r.doc_b) for r in un.collect()}
+        assert len(un_pairs) == n * (n - 1) // 2  # the unbounded blowup
+
+        capped = bucket_near_dup_pairs(
+            tagged, threshold=0.0, max_bucket_size=cap
+        )
+        capped_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+        # bounded: ceil(n/cap)=10 hash sub-cells of ~cap rows ->
+        # ~n*cap/2 candidates, an order of magnitude under C(n,2)
+        assert 0 < len(capped_pairs) < len(un_pairs) / 3
+        # soundness: salting only PRUNES candidates, never invents them
+        assert capped_pairs <= un_pairs
+
+        # cap >= cell size is an exact no-op (the oracle-rows contract:
+        # default None / generous cap changes nothing)
+        noop = bucket_near_dup_pairs(
+            tagged, threshold=0.0, max_bucket_size=n
+        )
+        assert {(r.doc_a, r.doc_b) for r in noop.collect()} == un_pairs
+
     def test_survivors_subset_and_canonical(self, spark, sf_dir):
         # invariants on the real table: survivors are a subset of the
         # corpus; the TRUE min of every connected component survives

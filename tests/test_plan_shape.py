@@ -414,6 +414,33 @@ def test_semantic_dedup_bucket_join_and_broadcast_drops(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
 
 
+def test_semantic_dedup_drops_gate_and_capped_join(spark, sf_dir):
+    # r8 scale-hardening: broadcast_drops=False must REMOVE the forced
+    # broadcast hint on the drop list (corpus-sized at high dup rates —
+    # OOMs executors if shipped), leaving a plain shuffling anti join;
+    # and the capped candidate join must still be a keyed hash
+    # self-join on (bucket, sub), never cartesian/nested-loop, with the
+    # k-row size table entering broadcast.
+    from mhw3d_detection_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed(
+            semantic_dedup(
+                emb, k=4, iters=1, threshold=0.35, cc_iters=2,
+                broadcast_drops=False, max_cluster_size=50,
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin).*LeftAnti", plan), plan
+
+
 def test_token_frequency_probes_take_ordered(spark, sf_dir):
     # the top-n probe pick must plan as TakeOrderedAndProject (per-
     # partition top-n), never a single-partition row_number window
