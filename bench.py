@@ -16,6 +16,13 @@ wall and took best-of-5 with a warm codegen cache from run 2; compare
 cold-to-cold from r6 onward only) and `pipeline_wall_sec` (steady state
 from a cached input, best-of-5 — the reference notebook's warm-client
 conditions).
+
+r8 protocol: every steady number is best-of-5 within one JVM reporting
+BOTH min (`queries` / `pipeline_wall_sec` — the round-over-round
+comparison basis; the host's hypervisor spread is 2-3x, min estimates
+the quiet window) and median (`queries_median` /
+`pipeline_wall_median_sec` — this run's noise level). The single cold
+probe stays separate and first.
 """
 
 from __future__ import annotations
@@ -69,20 +76,26 @@ def main() -> None:
             pass
 
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         # prepared-statement methodology: the logical plan is built once
         # (DataFrames are immutable and reusable); each timed iteration
         # executes the full physical pipeline from the parquet scans
-        # (clearCache drops every persisted intermediate first)
+        # (clearCache drops every persisted intermediate first).
+        # best-of-5 reporting min AND median (r8 protocol): the host
+        # shows 2-3x hypervisor spread round to round — min is the
+        # round-over-round comparison number (quiet-window estimate),
+        # median shows how noisy this particular run was.
         df = Q.REGISTRY[name].spark_fn(spark, sf_dir)
-        best = float("inf")
-        for _ in range(3):  # best-of-3: absorbs GC/JIT scheduling noise
+        runs = []
+        for _ in range(5):
             spark.catalog.clearCache()  # drop per-run persisted dims
             spark._jvm.System.gc()
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[2], 3)
 
     # Apples-to-apples vs BASELINE.md: the reference's published numbers
     # are clim+threshold (5.9 s) + detection+metrics (0.308 s) on a
@@ -99,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_median": medians,
                 "sf": sf,
                 "baseline_equivalent": base_equiv,
             }
@@ -180,13 +194,16 @@ def _baseline_equivalent(spark) -> dict:
     spark.catalog.clearCache()
     ts.persist().count()
     _one_baseline_run(spark, ts)  # uncounted warm-up: Janino/JIT compile
-    # best-of-5 (vs 3 for the per-query table): this is the headline
-    # number and the host shows multi-second external-load spikes;
-    # more draws = better odds of one quiet window
-    best = min(_one_baseline_run(spark, ts) for _ in range(5))
+    # best-of-5, min + median (r8 protocol): min is the headline and
+    # the round-over-round comparison number (the host shows
+    # multi-second external-load spikes — min estimates the quiet
+    # window); median records this run's noise level alongside it
+    runs = sorted(_one_baseline_run(spark, ts) for _ in range(5))
+    best = runs[0]
     spark.catalog.clearCache()
     return {
         "pipeline_wall_sec": round(best, 3),
+        "pipeline_wall_median_sec": round(runs[2], 3),
         "samples": n,
         "samples_per_sec": round(n / best),
         "reference_wall_sec": 6.2,  # 5.9 clim+thresh + 0.308 detect (BASELINE.md)
