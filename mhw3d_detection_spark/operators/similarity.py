@@ -45,20 +45,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = None,
+    label_col: str | None = None,
+    cross_label_only: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors for each probe (probe_pred selects probe
     ids). ``bucket_col`` switches brute-force → IVF: candidates must
-    share the probe's bucket (coarse cell)."""
+    share the probe's bucket (coarse cell). ``label_col`` +
+    ``cross_label_only=True`` restricts candidates to DIFFERENT-label
+    rows — the hard-negative mining shape (for each anchor, the most
+    similar items that are NOT its class: the negatives contrastive
+    training learns the most from)."""
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
+        *([F.col(label_col).alias("__lab")] if label_col else []),
     ).withColumn("n", norm(F.col("v")))
     probes = base.filter(probe_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
         F.col("n").alias("pn"),
         *([F.col("bucket")] if bucket_col else []),
+        *([F.col("__lab").alias("__plab")] if label_col else []),
     )
     if bucket_col:
         j = base.join(F.broadcast(probes), on="bucket", how="inner")
@@ -66,7 +74,12 @@ def cosine_topk(
         j = base.crossJoin(F.broadcast(probes))
     j = j.filter(
         (F.col("vec_id") != F.col("probe_id")) & (F.col("n") > 0) & (F.col("pn") > 0)
-    ).withColumn("cosine", dot(F.col("v"), F.col("pv")) / (F.col("n") * F.col("pn")))
+    )
+    if cross_label_only:
+        if label_col is None:
+            raise ValueError("cross_label_only requires label_col")
+        j = j.filter(F.col("__lab") != F.col("__plab"))
+    j = j.withColumn("cosine", dot(F.col("v"), F.col("pv")) / (F.col("n") * F.col("pn")))
     scored = j.select("probe_id", "vec_id", "cosine")
 
     # Two-phase salted top-k: a single window partitioned by probe_id
@@ -676,6 +689,162 @@ def label_centroids(
             F.count(F.lit(1)).cast("int").alias("n_vecs"),
         )
     )
+
+
+def knn_classify(
+    emb: DataFrame,
+    probe_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label prediction over the embedding space — the weak-
+    labeling / classifier-distillation primitive of curation pipelines
+    (label new docs by their nearest labeled neighbors, audit a trained
+    quality classifier against its own training set): for each probe,
+    the majority label of its ``k`` nearest cosine neighbors, ties
+    broken by the smaller label id.
+
+    Returns ``(probe_id, true_label, pred_label, n_votes, correct)``.
+
+    Plan: the candidate scan is :func:`cosine_topk` (broadcast probes,
+    salted two-phase top-k); the result is probes x k rows — a TINY
+    frame — so it BROADCASTS back into the corpus's (id, label)
+    projection for neighbor labels; the vote is one hash aggregate on
+    (probe, label) and one probes-sized window. Nothing corpus-sized
+    shuffles after the top-k. Everything after the ranking is integer
+    arithmetic — bit-exact cross-engine by construction."""
+    topk = cosine_topk(
+        emb, probe_pred, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        labels.join(F.broadcast(topk), "vec_id")
+        .groupBy("probe_id", "nb_label")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("probe_id", F.col("nb_label").alias("pred_label"), "n_votes")
+    )
+    truth = emb.select(
+        F.col(id_col).alias("probe_id"), F.col(label_col).alias("true_label")
+    ).filter(probe_pred(F.col("probe_id")))
+    return truth.join(F.broadcast(pred), "probe_id").select(
+        "probe_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label"))
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    z_thresh: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class embedding outlier detection — the CLIP-filtering /
+    mislabel-screening primitive: a row whose distance to its OWN
+    class centroid is a z-score outlier within that class is a
+    candidate bad pair (wrong label, broken embedding, off-manifold
+    sample). Returns ``(vec_id, label, dist_q, z, outlier)``.
+
+    Bit-exact by construction, no display rounding needed in the
+    DECISION: centroids are rq6-quantized per dim (absorbing engine
+    aggregation-order noise, the :func:`_q6` k-means trick), each
+    row's distance folds (x - c)^2 in ORDINAL dim order (Spark array
+    fold ≡ DuckDB list_transform/list_sum — same association), sqrt is
+    exactly rounded, and the distance is then DYADIC-quantized
+    (1/2^10 grid) so the per-class mean/variance sums are
+    association-FREE: mean, var = E[d²]-E[d]², std and z come out
+    bit-identical in any engine and any partitioning. Classes with
+    zero distance spread (or a single member) flag nothing.
+
+    Plan: one labels x dims hash aggregate (centroids, broadcast
+    back), one narrow per-row fold, one labels-sized stats aggregate
+    (broadcast back), one narrow z projection — the corpus is scanned
+    twice and never shuffled."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    cent = (
+        label_centroids(emb, label_col=label_col, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(label_col),
+            "dim_idx",
+            rq_centroid(F.col("mean_val")).alias("c"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "c"))
+            ).alias("__sc")
+        )
+        .select(
+            F.col(label_col),
+            F.transform(F.col("__sc"), lambda s: s["c"]).alias("cvec"),
+        )
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).join(F.broadcast(cent.withColumnRenamed(label_col, "label")), "label")
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = base.select(
+        "vec_id", "label", dyadic_quantize(F.sqrt(d2), 10).alias("dist_q")
+    )
+    stats = scored.groupBy("label").agg(
+        F.sum("dist_q").alias("__sd"),
+        F.sum(F.col("dist_q") * F.col("dist_q")).alias("__sdd"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        "label",
+        (F.col("__sd") / F.col("__n")).alias("__mean"),
+        (
+            F.col("__sdd") / F.col("__n")
+            - (F.col("__sd") / F.col("__n")) * (F.col("__sd") / F.col("__n"))
+        ).alias("__var"),
+    )
+    return scored.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "dist_q",
+        F.when(
+            F.col("__var") > 0,
+            (F.col("dist_q") - F.col("__mean")) / F.sqrt(F.col("__var")),
+        ).otherwise(F.lit(0.0)).alias("z"),
+        F.when(
+            (F.col("__var") > 0)
+            & (
+                (F.col("dist_q") - F.col("__mean")) / F.sqrt(F.col("__var"))
+                > F.lit(float(z_thresh))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("outlier"),
+    )
+
+
+def rq_centroid(c: Column) -> Column:
+    """Column twin of :func:`_q6` (rq6 with the boundary nudge) — the
+    one quantization point that makes centroid-derived arithmetic
+    bit-exact across engines."""
+    return F.floor(c * 1000000.0 + F.lit(0.5 + 2.0**-16)) / 1000000.0
 
 
 def projected_rerank_topk(

@@ -3688,3 +3688,146 @@ def q_sample_weighted(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     s = weighted_sample(docs, 50, "n_chars")
     return s.select("doc_id", "source", "n_chars", "sample_key")
+
+
+# =========================================================================
+# E3c (r8) — kNN label prediction (weak labeling / classifier audit)
+# =========================================================================
+_KNN_SQL = (
+    "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, label AS true_label, v AS pv "
+    "  FROM base WHERE vec_id % 50 = 0), "
+    "sims AS (SELECT p.probe_id, b.vec_id, b.label AS nb_label, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine FROM base b, probes p "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY cosine DESC, vec_id) AS rank FROM sims), "
+    "votes AS (SELECT probe_id, nb_label, CAST(count(*) AS INT) AS n_votes "
+    "  FROM ranked WHERE rank <= 5 GROUP BY 1, 2), "
+    "pick AS (SELECT probe_id, nb_label AS pred_label, n_votes, "
+    "  row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY n_votes DESC, nb_label) AS r FROM votes) "
+    "SELECT p.probe_id, p.true_label, k.pred_label, k.n_votes, "
+    "  CAST(CASE WHEN k.pred_label = p.true_label THEN 1 ELSE 0 END AS INT) "
+    "  AS correct "
+    "FROM probes p JOIN pick k ON p.probe_id = k.probe_id AND k.r = 1"
+)
+
+
+@register("q_knn_classify", _KNN_SQL)
+def q_knn_classify(spark, sf_dir):
+    """E3c (r8): k-NN majority-vote label prediction for every probe —
+    the weak-labeling / distillation-audit primitive (label unlabeled
+    docs from their nearest labeled neighbors; here self-audited
+    against the probes' own labels). Candidates via the verified
+    brute-force top-k (broadcast probes, salted two-phase ranking);
+    after the ranking everything is INTEGER (vote counts, label ids,
+    tie-break to the smaller label) — bit-exact with no quantization.
+    The tiny probes x k result broadcasts back for neighbor labels;
+    nothing corpus-sized shuffles after the top-k."""
+    from mhw3d_detection_spark.operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(emb, probe_pred=lambda c: c % 50 == 0, k=5)
+
+
+# =========================================================================
+# E3d (r8) — hard-negative mining (contrastive training data)
+# =========================================================================
+_HARDNEG_SQL = (
+    "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, label AS plab, v AS pv "
+    "  FROM base WHERE vec_id % 50 = 0), "
+    "sims AS (SELECT p.probe_id, b.vec_id, b.label AS neg_label, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine FROM base b, probes p "
+    "  WHERE b.vec_id <> p.probe_id AND b.label <> p.plab), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id "
+    "  ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM sims) "
+    f"SELECT probe_id, vec_id, neg_label, {rq_sql('cosine', 4)} AS cosine, rank "
+    "FROM ranked WHERE rank <= 5"
+)
+
+
+@register("q_hard_negatives", _HARDNEG_SQL)
+def q_hard_negatives(spark, sf_dir):
+    """E3d (r8): hard-negative mining — for each probe, the top-5 most
+    cosine-similar vectors with a DIFFERENT label: the negatives a
+    contrastive/embedding trainer learns the most from (the batch
+    offline-mining shape behind DPR/SimCSE-style pipelines). Same
+    broadcast-probes + salted two-phase top-k plan as the brute-force
+    baseline; the label-mismatch predicate rides the candidate filter,
+    so no extra shuffle. At corpus scale the candidate generation
+    swaps to the IVF bucket join exactly like q_similarity_ivf."""
+    from mhw3d_detection_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = cosine_topk(
+        emb,
+        probe_pred=lambda c: c % 50 == 0,
+        k=5,
+        label_col="label",
+        cross_label_only=True,
+    )
+    labels = emb.select("vec_id", F.col("label").alias("neg_label"))
+    return labels.join(F.broadcast(topk), "vec_id").select(
+        "probe_id",
+        "vec_id",
+        "neg_label",
+        rq("cosine", 4).alias("cosine"),
+        "rank",
+    )
+
+
+# =========================================================================
+# E3e (r8) — per-class embedding outlier screen (mislabel / bad-pair
+# detection): bit-exact z-scores via rq6 centroids + dyadic distances
+# =========================================================================
+def _OUTLIER_SQL() -> str:
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize_sql
+
+    return (
+        "WITH x AS (SELECT label, CAST(i - 1 AS INT) AS dim_idx, "
+        "  CAST(embedding[i] AS DOUBLE) AS comp FROM "
+        "  (SELECT label, embedding, "
+        "   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)), "
+        f"cent AS (SELECT label, dim_idx, {rq_sql('avg(comp)', 6)} AS c "
+        "  FROM x GROUP BY 1, 2), "
+        "cv AS (SELECT label, list(c ORDER BY dim_idx) AS cvec FROM cent GROUP BY 1), "
+        "d AS (SELECT e.vec_id, e.label, "
+        + dyadic_quantize_sql(
+            "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "  i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) "
+            "     * (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]))))",
+            10,
+        )
+        + " AS dist_q FROM embeddings e JOIN cv ON e.label = cv.label), "
+        "st AS (SELECT label, sum(dist_q) / count(*) AS m, "
+        "  sum(dist_q * dist_q) / count(*) "
+        "    - (sum(dist_q) / count(*)) * (sum(dist_q) / count(*)) AS var "
+        "  FROM d GROUP BY 1) "
+        "SELECT d.vec_id, d.label, d.dist_q, "
+        "  CASE WHEN st.var > 0 THEN (d.dist_q - st.m) / sqrt(st.var) "
+        "    ELSE 0.0 END AS z, "
+        "  CAST(CASE WHEN st.var > 0 "
+        "    AND (d.dist_q - st.m) / sqrt(st.var) > 2.0 "
+        "    THEN 1 ELSE 0 END AS INT) AS outlier "
+        "FROM d JOIN st ON d.label = st.label"
+    )
+
+
+@register("q_embed_outliers", _OUTLIER_SQL())
+def q_embed_outliers(spark, sf_dir):
+    """E3e (r8): per-class embedding outlier screen (the CLIP-filter /
+    mislabel-detection shape): distance to the OWN-class centroid,
+    z-scored within the class, flagged above 2 sigma. The z and the
+    FLAG hash as RAW doubles/ints — no display rounding: rq6-quantized
+    centroids absorb engine aggregation order, the per-row distance
+    folds dims ordinally in both engines, and the dyadic 1/1024
+    distance grid makes the class mean/variance sums association-free
+    (the CUSUM/PCA exactness technique). Plan: two broadcast-back
+    aggregates (labels x dims, labels) around narrow per-row folds —
+    the corpus never shuffles."""
+    from mhw3d_detection_spark.operators.similarity import embedding_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, z_thresh=2.0)

@@ -2170,3 +2170,122 @@ class TestWeightedSample:
             "doc_id long, w double",
         )
         assert [r["doc_id"] for r in weighted_sample(df, 10, "w").collect()] == [1]
+
+
+class TestKnnAndNegatives:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_knn_majority_and_tiebreak(self, spark):
+        # probe 0 sits in a 3-vs-2 neighborhood: majority label wins;
+        # probe 100 sits in a 2-vs-2(+self-excluded) tie: the SMALLER
+        # label id wins the tie
+        rows = [
+            (0, [1.0, 0.0], 7),
+            (1, [0.99, 0.01], 3), (2, [0.98, 0.02], 3), (3, [0.97, 0.03], 3),
+            (4, [0.96, 0.04], 9), (5, [0.95, 0.05], 9),
+            (100, [0.0, 1.0], 7),
+            (101, [0.01, 0.99], 5), (102, [0.02, 0.98], 5),
+            (103, [0.03, 0.97], 2), (104, [0.04, 0.96], 2),
+        ]
+        from mhw3d_detection_spark.operators.similarity import knn_classify
+
+        out = {
+            r.probe_id: (r.pred_label, r.n_votes, r.correct)
+            for r in knn_classify(
+                self._emb(spark, rows), lambda c: c % 100 == 0, k=5
+            ).collect()
+        }
+        assert out[0] == (3, 3, 0)
+        # probe 100's 5 nearest: 101,102 (5), 103,104 (2) and one far
+        # first-cluster vector -> 2-2-1; tie between 2 and 5 -> label 2
+        assert out[100][0] == 2 and out[100][2] == 0
+
+    def test_hard_negatives_never_same_label(self, spark, sf_dir):
+        from mhw3d_detection_spark.operators.similarity import cosine_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+        out = cosine_topk(
+            emb, lambda c: c % 50 == 0, k=5,
+            label_col="label", cross_label_only=True,
+        ).collect()
+        assert out
+        for r in out:
+            assert labels[r.vec_id] != labels[r.probe_id]
+
+    def test_hard_negatives_are_top_cross_label(self, spark, sf_dir):
+        # brute-force numpy differential for one probe
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.similarity import cosine_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = emb.select("vec_id", "embedding", "label").collect()
+        ids = np.array([r.vec_id for r in rows])
+        X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        lab = np.array([r.label for r in rows])
+        probe = int(ids[ids % 50 == 0][0])
+        pi = int(np.where(ids == probe)[0][0])
+        n = np.linalg.norm(X, axis=1)
+        cos = (X @ X[pi]) / np.where(n * n[pi] > 0, n * n[pi], 1.0)
+        mask = (ids != probe) & (lab != lab[pi]) & (n > 0)
+        order = sorted(
+            [(-cos[i], ids[i]) for i in np.where(mask)[0]]
+        )[:5]
+        want = [int(v) for _, v in order]
+        got = [
+            r.vec_id
+            for r in cosine_topk(
+                emb, lambda c: c == probe, k=5,
+                label_col="label", cross_label_only=True,
+            ).orderBy("rank").collect()
+        ]
+        assert got == want
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(40):
+            v = (np.array([1.0, 0.0, 0.0]) + rng.normal(0, 0.01, 3)).tolist()
+            rows.append((i, [float(x) for x in v], 1))
+        rows.append((99, [0.0, 5.0, 0.0], 1))  # planted off-manifold
+        # a clean tight second class: nothing flagged there
+        for i in range(100, 120):
+            v = (np.array([0.0, 0.0, 1.0]) + rng.normal(0, 0.01, 3)).tolist()
+            rows.append((i, [float(x) for x in v], 2))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        from mhw3d_detection_spark.operators.similarity import embedding_outliers
+
+        out = {r.vec_id: r for r in embedding_outliers(emb).collect()}
+        # the plant dominates its class: huge z, flagged
+        assert out[99].outlier == 1 and out[99].z > 5.0
+        # within class 1 nothing else comes close (the plant inflates
+        # the std); class 2 may legitimately flag a ~2-sigma tail draw
+        flagged1 = [v for v, r in out.items() if r.outlier == 1 and r.label == 1]
+        assert flagged1 == [99]
+
+    def test_degenerate_classes_flag_nothing(self, spark):
+        # zero distance spread (identical members) and a singleton
+        # class: var == 0 -> z = 0, no flags, no NaN/crash
+        rows = [
+            (1, [1.0, 0.0], 1), (2, [1.0, 0.0], 1), (3, [1.0, 0.0], 1),
+            (4, [0.0, 1.0], 2),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        from mhw3d_detection_spark.operators.similarity import embedding_outliers
+
+        out = embedding_outliers(emb).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.outlier == 0 and r.z == 0.0

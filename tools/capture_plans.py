@@ -58,6 +58,9 @@ PLANS = [
     "q_quantile_normalize",
     "q_source_divergence",
     "q_spatial_regrid",
+    "q_knn_classify",
+    "q_hard_negatives",
+    "q_embed_outliers",
     "q_trend_bootstrap_ci",
 ]
 

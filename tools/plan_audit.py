@@ -92,6 +92,11 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # attaches; its dense leg is the IVF-PQ equi-join (no BNLJ there)
     "q_retrieval_pipeline": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_dedup_embedding": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # r8: kNN vote and hard-negative mining score against the broadcast
+    # probe subset via the same brute-force baseline (cosine_topk);
+    # their IVF swap is the same bucket equi-join as q_similarity_ivf
+    "q_knn_classify": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    "q_hard_negatives": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     # the sources x sources pair frame plans as CartesianProduct or
     # BroadcastNestedLoopJoin depending on estimated sizes — same join,
     # both sides are per-SOURCE aggregates (|sources| rows, ~tens), not
