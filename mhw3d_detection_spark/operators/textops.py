@@ -606,6 +606,157 @@ def connected_components_bounded(
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    top_m: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every pool document by how much its
+    hashed-unigram profile looks like a TARGET corpus (the
+    high-quality slice you want more of) relative to the raw pool, and
+    select the top-scoring docs. The importance weight is
+
+        log w(doc) = Σ_buckets n_doc[b] * (ln p̂_target[b] - ln p̂_raw[b])
+
+    with add-``alpha`` smoothed bucket estimates over ``n_buckets``
+    md5-hashed token buckets (hashing = no vocabulary build, no OOV —
+    the same property as :func:`feature_hash_vectors`).
+    ``target_pred`` is a Column predicate over the ``source`` column
+    selecting the target slice (the raw distribution is the WHOLE
+    pool, target included — the paper's formulation).
+
+    Returns one row per doc: ``(doc_id, source, n_tokens, dsir_weight,
+    selected)`` — ``selected`` marks the global ``top_m`` by weight
+    (ties to the smaller doc_id).
+
+    Exactness: the per-bucket log-ratio is DYADIC-quantized (1/2^16
+    grid — ln is not exactly-rounded across libms; the quantizer's
+    nudge absorbs that ulp noise), so every per-doc weight is an exact
+    dyadic Σ integer×dyadic — association-free, hashable as a RAW
+    double, and the top-m rank is bit-stable.
+
+    Plan at 100 TB: one (doc, bucket) hash aggregate over the token
+    stream (the only corpus-sized shuffle), a ``n_buckets``-row
+    log-ratio table built from two bucket aggregates + the 1-row
+    totals (broadcast), a per-doc aggregate, and a TakeOrdered top-m
+    broadcast back as the selection flag. The raw corpus never joins
+    anything bigger than ``n_buckets`` rows."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    spark = docs.sparkSession
+    B = int(n_buckets)
+    a = float(alpha)
+
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    ).withColumn("bucket", F.pmod(minhash_base(F.col("token")), F.lit(B)))
+    per = tok.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    tgt = per.filter(target_pred(F.col("source")))
+    tc = tgt.groupBy("bucket").agg(F.sum("n").alias("tc"))
+    rc = per.groupBy("bucket").agg(F.sum("n").alias("rc"))
+    tot = tgt.agg(F.sum("n").alias("nt")).crossJoin(
+        per.agg(F.sum("n").alias("nr"))
+    )
+    spine = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
+    lr = (
+        spine.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            dyadic_quantize(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(a))
+                    / (F.col("nt") + F.lit(a * B))
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(a))
+                    / (F.col("nr") + F.lit(a * B))
+                ),
+                16,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        per.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lr")).alias("dsir_weight"),
+        )
+    )
+    top = (
+        scored.orderBy(F.desc("dsir_weight"), F.col("doc_id"))
+        .limit(int(top_m))
+        .select("doc_id", F.lit(1).alias("__sel"))
+    )
+    return scored.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "dsir_weight",
+        F.coalesce(F.col("__sel"), F.lit(0)).cast("int").alias("selected"),
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    iters: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-representative near-dup removal — the production policy
+    the min-id convention approximates: within every duplicate
+    component keep the HIGHEST-QUALITY member (composite
+    ``text_stats.quality_score``), not the arbitrary smallest id. What
+    curation pipelines actually ship: of N near-identical crawls of a
+    page, keep the cleanest extraction.
+
+    Returns one row per input doc:
+    ``(doc_id, component, quality, kept)`` — ``component`` is the dup
+    group's min-label (own id for docs in no pair), ``quality`` the
+    rq4-quantized score, ``kept`` 1 for the survivor (every singleton;
+    per component the max quality, ties to the smaller doc_id).
+
+    Determinism/exactness: labels are integers (min-propagation),
+    quality compares on the rq4 grid (both engines produce identical
+    rq4 bits — base.py contract), so the arg-max is bit-stable. Plan:
+    the component table is pairs-vertices-sized; it joins the
+    quality projection on doc_id, one window per component (dup
+    groups are clique-sized — no skew), then a pairs-sized broadcast
+    back onto the corpus; the corpus itself never shuffles."""
+    from mhw3d_detection_spark.queries.base import rq
+
+    comp = connected_components_bounded(pairs, iters=iters)
+    q = text_stats(docs).select(
+        F.col("doc_id").alias(id_col), rq("quality_score", 4).alias("quality")
+    )
+    member = comp.withColumnRenamed("doc_id", id_col).join(q, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.col(id_col)
+    )
+    ranked = member.withColumn("__r", F.row_number().over(w)).select(
+        id_col,
+        "component",
+        (F.col("__r") == 1).cast("int").alias("__keep"),
+    )
+    return q.join(F.broadcast(ranked), id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        "quality",
+        F.coalesce(F.col("__keep"), F.lit(1)).cast("int").alias("kept"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     probe_pred: Column,

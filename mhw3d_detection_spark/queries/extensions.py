@@ -3831,3 +3831,136 @@ def q_embed_outliers(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, z_thresh=2.0)
+
+
+# =========================================================================
+# E2f (r8) — quality-representative dedup: keep the BEST member of
+# every near-dup component, not the arbitrary min id
+# =========================================================================
+_KEEPBEST_SQL = (
+    f"WITH {{SH}}, {{SIG}}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+    "  WHERE a.doc_id < b.doc_id), "
+    "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+    "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+    "{CC}, "
+    "kd AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+    "ks AS (SELECT doc_id, len(toks) AS n_tokens, "
+    "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+    "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+    "    / greatest(length(text), 1) AS punct_ratio FROM kd), "
+    "kq AS (SELECT doc_id, "
+    + rq_sql(
+        "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+        "+ 0.2 * least(n_stop / 5.0, 1.0)",
+        4,
+    )
+    + " AS quality FROM ks), "
+    "m AS (SELECT l3.v AS doc_id, l3.label AS component, kq.quality, "
+    "  row_number() OVER (PARTITION BY l3.label "
+    "  ORDER BY kq.quality DESC, l3.v) AS r "
+    "  FROM l3 JOIN kq ON l3.v = kq.doc_id) "
+    "SELECT kq.doc_id, coalesce(m.component, kq.doc_id) AS component, "
+    # singletons (no m row) keep themselves: test m.doc_id for NULL
+    # BEFORE the rank test — CASE WHEN m.r = 1 ... ELSE 0 would send
+    # the NULL rank into the ELSE arm and mark every singleton dropped
+    "  kq.quality, CAST(CASE WHEN m.doc_id IS NULL THEN 1 "
+    "    WHEN m.r = 1 THEN 1 ELSE 0 END AS INT) AS kept "
+    "FROM kq LEFT JOIN m ON kq.doc_id = m.doc_id"
+)
+
+
+def _keepbest_sql() -> str:
+    return _KEEPBEST_SQL.format(
+        SH=SHINGLES_SQL,
+        SIG=MINHASH_SIG_SQL,
+        CC=", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3)),
+    )
+
+
+@register("q_dedup_keep_best", _keepbest_sql())
+def q_dedup_keep_best(spark, sf_dir):
+    """E2f (r8): quality-representative dedup — per near-dup component
+    (MinHash-LSH pairs -> 3 bounded min-label rounds) keep the member
+    with the HIGHEST composite quality score (rq4 grid; ties to the
+    smaller doc_id), singletons keep themselves. The policy production
+    curation ships (keep the cleanest extraction of a page), upgrading
+    the min-id convention of q_dedup_apply. Components are integer-
+    exact, quality compares on the rq4 grid, so kept/component hash
+    bit-exactly; the representative window partitions by component
+    (clique-sized — parallel, no skew) and the verdict broadcasts back
+    onto the corpus-sized quality projection."""
+    from mhw3d_detection_spark.operators.textops import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    )
+    return dedup_keep_best(docs, pairs, iters=3)
+
+
+# =========================================================================
+# E6f (r8) — DSIR importance-resampling selection (Xie et al. 2023)
+# =========================================================================
+def _DSIR_SQL() -> str:
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize_sql
+
+    lr_expr = dyadic_quantize_sql(
+        "ln((coalesce(tc, 0) + 1.0) / (nt + 256.0)) "
+        "- ln((coalesce(rc, 0) + 1.0) / (nr + 256.0))",
+        16,
+    )
+    return (
+        "WITH dtok AS (SELECT doc_id, source, unnest(" + TOKENS_SQL + ") AS token "
+        "  FROM documents), "
+        "dh AS (SELECT doc_id, source, "
+        "  CAST(('0x' || substr(md5(token), 1, 12))::BIGINT % 256 AS INT) "
+        "  AS bucket FROM dtok), "
+        "per AS (SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS n "
+        "  FROM dh GROUP BY 1, 2, 3), "
+        "tcb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS tc FROM per "
+        f"  WHERE {_DSIR_TARGET} GROUP BY 1), "
+        "rcb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS rc FROM per GROUP BY 1), "
+        "tot AS (SELECT "
+        f"  (SELECT CAST(sum(n) AS BIGINT) FROM per WHERE {_DSIR_TARGET}) AS nt, "
+        "  (SELECT CAST(sum(n) AS BIGINT) FROM per) AS nr), "
+        "spine AS (SELECT CAST(unnest(generate_series(0, 255)) AS INT) AS bucket), "
+        f"lrt AS (SELECT s.bucket, {lr_expr} AS lr "
+        "  FROM spine s LEFT JOIN tcb USING (bucket) "
+        "  LEFT JOIN rcb USING (bucket) CROSS JOIN tot), "
+        "sc AS (SELECT p.doc_id, p.source, CAST(sum(p.n) AS BIGINT) AS n_tokens, "
+        "  sum(p.n * l.lr) AS dsir_weight "
+        "  FROM per p JOIN lrt l ON p.bucket = l.bucket GROUP BY 1, 2), "
+        "topm AS (SELECT doc_id FROM sc ORDER BY dsir_weight DESC, doc_id LIMIT 50) "
+        "SELECT sc.doc_id, sc.source, sc.n_tokens, sc.dsir_weight, "
+        "  CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS selected "
+        "FROM sc LEFT JOIN topm t ON sc.doc_id = t.doc_id"
+    )
+
+
+_DSIR_TARGET = "source IN ('src0', 'src1', 'src2')"
+
+
+@register("q_dsir_select", _DSIR_SQL())
+def q_dsir_select(spark, sf_dir):
+    """E6f (r8): DSIR — Data Selection via Importance Resampling (Xie
+    et al. 2023): score every pool doc by the hashed-unigram
+    importance weight Σ n[b]·(ln p̂_target[b] − ln p̂_raw[b]) toward a
+    target slice (sources src0-2 play the 'quality corpus'), select
+    the global top-50. The per-bucket log-ratio is dyadic-quantized
+    (ln is not exactly-rounded cross-libm; the 1/2^16 grid + nudge
+    absorb that), so per-doc weights are exact dyadic sums — RAW
+    double hash match, bit-stable top-m. One corpus-sized (doc,
+    bucket) aggregate; the 256-row ratio table and the 1-row totals
+    broadcast; selection is TakeOrdered + a broadcast flag join."""
+    from mhw3d_detection_spark.operators.textops import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs,
+        target_pred=lambda s: s.isin("src0", "src1", "src2"),
+        n_buckets=256,
+        alpha=1.0,
+        top_m=50,
+    )

@@ -2289,3 +2289,97 @@ class TestEmbeddingOutliers:
         assert len(out) == 4
         for r in out:
             assert r.outlier == 0 and r.z == 0.0
+
+
+class TestKeepBestDedup:
+    def test_component_keeps_highest_quality(self, spark):
+        # docs 1,2,3 form one component (explicit pairs); doc 2 has the
+        # clearly best quality (long clean text vs punctuation soup);
+        # doc 4 is a singleton -> kept; singleton component id = own id
+        long_clean = " ".join(
+            ["the quick brown fox jumps over the lazy dog and runs for fun"] * 10
+        )
+        rows = [
+            (1, "!!! ??? ### $$$ %%%", "s"),
+            (2, long_clean, "s"),
+            (3, "short text", "s"),
+            (4, "another standalone document entirely", "s"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        from mhw3d_detection_spark.operators.textops import dedup_keep_best
+
+        out = {r.doc_id: r for r in dedup_keep_best(docs, pairs).collect()}
+        assert len(out) == 4
+        assert [out[i].component for i in (1, 2, 3)] == [1, 1, 1]
+        assert (out[1].kept, out[2].kept, out[3].kept) == (0, 1, 0)
+        assert out[4].kept == 1 and out[4].component == 4
+        assert out[2].quality > out[1].quality
+
+    def test_quality_tie_breaks_to_min_id(self, spark):
+        rows = [
+            (7, "identical text body here", "s"),
+            (9, "identical text body here", "s"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        pairs = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+        from mhw3d_detection_spark.operators.textops import dedup_keep_best
+
+        out = {r.doc_id: r.kept for r in dedup_keep_best(docs, pairs).collect()}
+        assert out == {7: 1, 9: 0}
+
+
+class TestDsirWeights:
+    def test_target_alignment_orders_weights(self, spark):
+        # target slice speaks {alpha beta}; the raw pool mostly speaks
+        # {gamma delta}. A pool doc written in target vocabulary must
+        # outweigh one written in pool vocabulary, and the top-m flag
+        # must pick the target-aligned docs first.
+        rows = []
+        for i in range(20):
+            rows.append((i, "alpha beta alpha beta alpha", "target"))
+        for i in range(20, 60):
+            rows.append((i, "gamma delta gamma delta gamma", "pool"))
+        rows.append((100, "alpha beta alpha alpha beta beta", "pool"))
+        rows.append((101, "gamma delta delta gamma gamma delta", "pool"))
+        rows.append((102, "alpha gamma beta delta", "pool"))  # mixed
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        from mhw3d_detection_spark.operators.textops import dsir_weights
+
+        out = {
+            r.doc_id: r
+            for r in dsir_weights(
+                docs, target_pred=lambda s: s == "target", top_m=25
+            ).collect()
+        }
+        # per-token normalize: alignment ordering target-ish > mixed > pool-ish
+        wa = out[100].dsir_weight / out[100].n_tokens
+        wm = out[102].dsir_weight / out[102].n_tokens
+        wp = out[101].dsir_weight / out[101].n_tokens
+        assert wa > wm > wp
+        assert out[100].selected == 1 and out[101].selected == 0
+        # top-m is exactly m rows
+        assert sum(r.selected for r in out.values()) == 25
+
+    def test_weight_is_exact_dyadic_sum(self, spark):
+        # the per-doc weight must be reproducible bit-for-bit across
+        # repartitionings (association-free dyadic sums — the hash-gate
+        # property the oracle relies on)
+        rows = [(i, f"tok{i % 7} tok{i % 3} alpha beta word{i}", "s" + str(i % 4))
+                for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        from mhw3d_detection_spark.operators.textops import dsir_weights
+
+        a = {
+            r.doc_id: r.dsir_weight
+            for r in dsir_weights(docs, lambda s: s == "s0").collect()
+        }
+        b = {
+            r.doc_id: r.dsir_weight
+            for r in dsir_weights(
+                docs.repartition(13, "source"), lambda s: s == "s0"
+            ).collect()
+        }
+        assert a == b

@@ -61,6 +61,8 @@ PLANS = [
     "q_knn_classify",
     "q_hard_negatives",
     "q_embed_outliers",
+    "q_dedup_keep_best",
+    "q_dsir_select",
     "q_trend_bootstrap_ci",
 ]
 

@@ -97,6 +97,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # their IVF swap is the same bucket equi-join as q_similarity_ivf
     "q_knn_classify": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_hard_negatives": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # r8: DSIR attaches the 1-row (N_target, N_raw) totals to the
+    # 256-row bucket spine when building the log-ratio table — both
+    # crosses are constant-size regardless of corpus
+    "q_dsir_select": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # the sources x sources pair frame plans as CartesianProduct or
     # BroadcastNestedLoopJoin depending on estimated sizes — same join,
     # both sides are per-SOURCE aggregates (|sources| rows, ~tens), not
