@@ -606,6 +606,95 @@ def connected_components_bounded(
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 
+def _dsir_doc_bucket_counts(
+    docs: DataFrame, n_buckets: int, text_col: str
+) -> DataFrame:
+    """(doc_id, source, bucket, n) hashed-unigram profile — the one
+    corpus-sized aggregate the DSIR family shares."""
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .withColumn(
+            "bucket", F.pmod(minhash_base(F.col("token")), F.lit(int(n_buckets)))
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    _per: DataFrame | None = None,
+) -> DataFrame:
+    """The DSIR per-bucket log-ratio table ``(bucket, lr)`` —
+    ``n_buckets`` rows, dyadic-quantized (1/2^16): the trained
+    artifact the scorer applies. Built once batch-side; ship it to
+    the streaming ingest gate via :func:`dsir_log_ratio_list` (the
+    collect is a bounded ``n_buckets``-row seam, like the BM25 idf
+    dict and the BPE merge list)."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    spark = docs.sparkSession
+    B = int(n_buckets)
+    a = float(alpha)
+    per = (
+        _per
+        if _per is not None
+        else _dsir_doc_bucket_counts(docs, B, text_col)
+    )
+    tgt = per.filter(target_pred(F.col("source")))
+    tc = tgt.groupBy("bucket").agg(F.sum("n").alias("tc"))
+    rc = per.groupBy("bucket").agg(F.sum("n").alias("rc"))
+    tot = tgt.agg(F.sum("n").alias("nt")).crossJoin(
+        per.agg(F.sum("n").alias("nr"))
+    )
+    spine = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        spine.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            dyadic_quantize(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(a))
+                    / (F.col("nt") + F.lit(a * B))
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(a))
+                    / (F.col("nr") + F.lit(a * B))
+                ),
+                16,
+            ).alias("lr"),
+        )
+    )
+
+
+def dsir_log_ratio_list(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> list[float]:
+    """Collect the log-ratio table as a dense bucket-indexed Python
+    list (the literal form the row-local streaming gate embeds)."""
+    lr = dsir_log_ratios(
+        docs, target_pred, n_buckets=n_buckets, alpha=alpha, text_col=text_col
+    )
+    out = [0.0] * int(n_buckets)
+    for r in lr.collect():
+        out[r["bucket"]] = r["lr"]
+    return out
+
+
 def dsir_weights(
     docs: DataFrame,
     target_pred,
@@ -645,46 +734,10 @@ def dsir_weights(
     totals (broadcast), a per-doc aggregate, and a TakeOrdered top-m
     broadcast back as the selection flag. The raw corpus never joins
     anything bigger than ``n_buckets`` rows."""
-    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
-
-    spark = docs.sparkSession
-    B = int(n_buckets)
-    a = float(alpha)
-
-    tok = docs.select(
-        "doc_id",
-        "source",
-        F.explode(tokens_col(F.col(text_col))).alias("token"),
-    ).withColumn("bucket", F.pmod(minhash_base(F.col("token")), F.lit(B)))
-    per = tok.groupBy("doc_id", "source", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-    tgt = per.filter(target_pred(F.col("source")))
-    tc = tgt.groupBy("bucket").agg(F.sum("n").alias("tc"))
-    rc = per.groupBy("bucket").agg(F.sum("n").alias("rc"))
-    tot = tgt.agg(F.sum("n").alias("nt")).crossJoin(
-        per.agg(F.sum("n").alias("nr"))
-    )
-    spine = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
-    lr = (
-        spine.join(F.broadcast(tc), "bucket", "left")
-        .join(F.broadcast(rc), "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            dyadic_quantize(
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(a))
-                    / (F.col("nt") + F.lit(a * B))
-                )
-                - F.log(
-                    (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(a))
-                    / (F.col("nr") + F.lit(a * B))
-                ),
-                16,
-            ).alias("lr"),
-        )
+    per = _dsir_doc_bucket_counts(docs, n_buckets, text_col)
+    lr = dsir_log_ratios(
+        docs, target_pred, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, _per=per,
     )
     scored = (
         per.join(F.broadcast(lr), "bucket")

@@ -3964,3 +3964,161 @@ def q_dsir_select(spark, sf_dir):
         alpha=1.0,
         top_m=50,
     )
+
+
+# =========================================================================
+# E3f (r8) — NDCG@5 of the IVF search against the exact ranking: the
+# position-sensitive companion of q_ann_recall
+# =========================================================================
+#: 1/log2(rank+1) discount weights and their sum (ideal DCG@5),
+#: precomputed once in Python and embedded as LITERALS in both engines
+#: — no runtime transcendental can diverge cross-libm
+_NDCG_W = (1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+           0.38685280723454163)
+_NDCG_IDEAL = 2.9484591188793923
+
+_NDCG_SQL = (
+    "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+    "  FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, label, v AS pv FROM base "
+    "  WHERE vec_id % 50 = 0), "
+    "es AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine FROM base b, probes p "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "er AS (SELECT probe_id, vec_id, row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank FROM es), "
+    "ex AS (SELECT probe_id, vec_id FROM er WHERE rank <= 5), "
+    "asims AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine "
+    "  FROM base b JOIN probes p ON b.label = p.label "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "ar AS (SELECT probe_id, vec_id, CAST(row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+    "  FROM asims), "
+    "ap AS (SELECT probe_id, vec_id, rank FROM ar WHERE rank <= 5), "
+    "h AS (SELECT ap.probe_id, "
+    "  CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit, "
+    + "  CASE ap.rank WHEN 1 THEN 1.0"
+    + " WHEN 2 THEN 0.6309297535714575 WHEN 3 THEN 0.5"
+    + " WHEN 4 THEN 0.43067655807339306 ELSE 0.38685280723454163 END AS w "
+    "  FROM ap LEFT JOIN ex ON ap.probe_id = ex.probe_id "
+    "    AND ap.vec_id = ex.vec_id) "
+    "SELECT probe_id, CAST(sum(hit) AS BIGINT) AS n_hit, "
+    f"  {rq_sql('sum(hit * w)', 4)} AS dcg, "
+    f"  {rq_sql('sum(hit * w) / 2.9484591188793923', 4)} AS ndcg "
+    "FROM h GROUP BY 1"
+)
+
+
+@register("q_retrieval_ndcg", _NDCG_SQL)
+def q_retrieval_ndcg(spark, sf_dir):
+    """E3f (r8): NDCG@5 of the IVF-bucketed search against the exact
+    brute-force top-5 — the POSITION-sensitive companion of
+    q_ann_recall (a true neighbor surfaced at approx rank 1 is worth
+    more than at rank 5; recall can't see the difference). Relevance =
+    membership in the exact top-5; discounts 1/log2(rank+1) and the
+    ideal DCG are PYTHON-precomputed literals shared by both engines,
+    so no runtime transcendental exists to diverge — the DCG is a sum
+    of <= 5 shared literals (rq4 absorbs association order) and NDCG
+    one division. Same join scaffold as the recall row; evaluates on a
+    probe sample at any scale."""
+    exact_w = list(_NDCG_W)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, probe_pred=lambda c: c % 50 == 0, k=5).select(
+        "probe_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    approx = cosine_topk(
+        emb, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="label"
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.element_at(
+            F.array(*[F.lit(w) for w in exact_w]), F.col("rank")
+        ).alias("__w"),
+    )
+    return (
+        approx.join(exact, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+            rq(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)) * F.col("__w")), 4
+            ).alias("dcg"),
+            rq(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)) * F.col("__w"))
+                / F.lit(_NDCG_IDEAL),
+                4,
+            ).alias("ndcg"),
+        )
+    )
+
+
+# =========================================================================
+# E2g (r8) — snapshot-delta dedup: a NEW crawl increment screened
+# against the EXISTING corpus index (the batch face of the streaming
+# LSH ingest gate, with a full DuckDB oracle)
+# =========================================================================
+_DELTA_SQL = (
+    f"WITH {{SH}}, {{SIG}}, "
+    "newb AS (SELECT * FROM bands WHERE doc_id % 5 = 4), "
+    "oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 4), "
+    "hits AS (SELECT DISTINCT n.doc_id, o.doc_id AS dup_of "
+    "  FROM newb n JOIN oldb o ON n.band_id = o.band_id "
+    "    AND n.band_sig = o.band_sig), "
+    "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups, "
+    "  CAST(min(dup_of) AS BIGINT) AS first_dup FROM hits GROUP BY 1) "
+    "SELECT d.doc_id, coalesce(a.n_dups, 0) AS n_dups, a.first_dup, "
+    "  CAST(CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup "
+    "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id "
+    "WHERE d.doc_id % 5 = 4"
+)
+
+
+def _delta_sql() -> str:
+    return _DELTA_SQL.format(SH=SHINGLES_SQL, SIG=MINHASH_SIG_SQL)
+
+
+@register("q_dedup_snapshot_delta", _delta_sql())
+def q_dedup_snapshot_delta(spark, sf_dir):
+    """E2g (r8): incremental crawl dedup — the 20% 'new snapshot'
+    (doc_id % 5 = 4) screened against the 80% existing corpus's
+    MinHash band index: per new doc, how many distinct existing docs
+    it collides with (any band) and the smallest such id. The batch
+    backfill face of `streaming_lsh_dedup` (which has no SQL oracle),
+    so the shared machinery gets a hash-checked row. Plan: band-keyed
+    equi-join (the only shuffle — identical to the full-corpus pair
+    join but with the index side PRE-BUILT and reusable across
+    increments), then one new-docs-sized aggregate + left join; at
+    100 TB the old index is a materialized table amortized over every
+    increment."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    new_b = bands.filter(F.col("doc_id") % 5 == 4)
+    old_b = bands.filter(F.col("doc_id") % 5 != 4)
+    hits = (
+        new_b.join(
+            old_b.select(
+                F.col("doc_id").alias("dup_of"), "band_id", "band_sig"
+            ),
+            ["band_id", "band_sig"],
+        )
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.min("dup_of").cast("long").alias("first_dup"),
+    ).withColumn("__d", F.lit(1))
+    return (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id")
+        .join(F.broadcast(agg), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            "first_dup",
+            F.coalesce(F.col("__d"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )

@@ -10,6 +10,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
     streaming_frequency,
     streaming_histogram,
     streaming_lsh_dedup,
+    streaming_dsir_gate,
     streaming_quality_gate,
     streaming_severity,
     streaming_similarity,

@@ -325,6 +325,57 @@ def streaming_quality_gate(
     return scored
 
 
+def streaming_dsir_gate(
+    stream: DataFrame,
+    lr_weights: list[float],
+    *,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    keep_only: bool = False,
+) -> DataFrame:
+    """DSIR importance gate at ingest (E6f's streaming face): score
+    each incoming doc's target-likeness with the TRAINED per-bucket
+    log-ratio table (``operators.textops.dsir_log_ratio_list`` — built
+    batch-side, ``n_buckets`` floats, embedded as a plan literal) and
+    keep/flag docs above ``threshold``. Row-local: the token fold
+    indexes the literal array per token — no explode, no aggregation,
+    no state, composes with any source.
+
+    BIT-EXACT batch/stream parity: the table's entries live on the
+    dyadic 1/2^16 grid, so the stream's per-token left fold and the
+    batch scorer's per-bucket ``Σ n·lr`` grouping are the same exact
+    dyadic sum under different association — identical bits (the
+    CUSUM/EWMA argument; pinned by
+    tests/test_streaming.py::test_streaming_dsir_gate_matches_batch).
+
+    Output: input columns + ``(n_tokens, dsir_weight, keep)``."""
+    from mhw3d_detection_spark.operators.textops import (
+        minhash_base,
+        tokens_col,
+    )
+
+    B = len(lr_weights)
+    lit_lr = F.array(*[F.lit(float(w)) for w in lr_weights])
+    toks = tokens_col(F.col(text_col))
+    weight = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(lit_lr, F.pmod(minhash_base(t), F.lit(B)).cast("int") + 1),
+    )
+    out = stream.select(
+        "*",
+        F.size(toks).cast("long").alias("n_tokens"),
+        weight.alias("dsir_weight"),
+    ).withColumn(
+        "keep",
+        (F.col("dsir_weight") > F.lit(float(threshold))).cast("int"),
+    )
+    if keep_only:
+        out = out.filter(F.col("keep") == 1)
+    return out
+
+
 def streaming_cardinality(
     stream: DataFrame,
     item_col: str,

@@ -1219,3 +1219,54 @@ def test_streaming_despike_gate_matches_batch_flags(spark, tmp_path):
         assert got[k] == v, (k, got[k], v)
     assert got[(9, day0)] is None  # untrained cell: alert, not a drop
     assert sum(1 for v in got.values() if v) == 2  # exactly the plants
+
+
+def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
+    # E6f streaming face (r8): the row-local literal-table DSIR gate
+    # must reproduce the batch scorer's weights BIT-exactly (dyadic
+    # log-ratio grid => the stream's per-token fold and the batch
+    # per-bucket grouping are the same exact sum), across micro-batches
+    from mhw3d_detection_spark.operators.textops import (
+        dsir_log_ratio_list,
+        dsir_weights,
+    )
+    from mhw3d_detection_spark.streaming import streaming_dsir_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tpred = lambda s: s.isin("src0", "src1", "src2")  # noqa: E731
+    lr = dsir_log_ratio_list(docs, tpred)
+    assert len(lr) == 256 and any(w != 0.0 for w in lr)
+
+    want = {
+        r.doc_id: (r.n_tokens, r.dsir_weight)
+        for r in dsir_weights(docs, tpred).collect()
+    }
+
+    path = str(tmp_path / "dsir_docs")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half.write.mode("overwrite").parquet(path)
+    docs.exceptAll(half).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    q = (
+        streaming_dsir_gate(stream, lr, threshold=0.0)
+        .select("doc_id", "n_tokens", "dsir_weight", "keep")
+        .writeStream.format("memory")
+        .queryName("dsir_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_weight, r.keep)
+        for r in spark.table("dsir_gate").collect()
+    }
+    # batch emits one row per doc WITH tokens; the gate scores all —
+    # compare on the batch's domain, bit-for-bit
+    assert set(want) <= set(got)
+    for d, (nt, w) in want.items():
+        gnt, gw, gk = got[d]
+        assert gnt == nt and gw == w, (d, w, gw)
+        assert gk == (1 if w > 0.0 else 0)

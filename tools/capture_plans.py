@@ -63,6 +63,8 @@ PLANS = [
     "q_embed_outliers",
     "q_dedup_keep_best",
     "q_dsir_select",
+    "q_retrieval_ndcg",
+    "q_dedup_snapshot_delta",
     "q_trend_bootstrap_ci",
 ]
 
