@@ -2463,3 +2463,47 @@ class TestMediaSniff:
         plan = probe_media(media)._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan and "Exchange hashpartitioning" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestCosineTopkArrow:
+    def test_matches_fold_path(self, spark, sf_dir):
+        # deployment twin: same neighbor SETS and ranks as the fold
+        # path on the real table (no near-tie pathologies in driver
+        # data), cosines equal to BLAS-association tolerance
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_arrow,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pred = lambda c: c % 50 == 0  # noqa: E731
+        a = {
+            (r.probe_id, r.rank): (r.vec_id, r.cosine)
+            for r in cosine_topk(emb, pred, k=5).collect()
+        }
+        b = {
+            (r.probe_id, r.rank): (r.vec_id, r.cosine)
+            for r in cosine_topk_arrow(emb, pred, k=5).collect()
+        }
+        assert set(a) == set(b) and a
+        for key_, (vid, cos) in a.items():
+            bvid, bcos = b[key_]
+            assert bvid == vid, (key_, vid, bvid)
+            assert abs(bcos - cos) < 1e-12
+
+    def test_zero_norm_and_small_batches(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk_arrow,
+        )
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),  # zero vec
+            (3, [0.5, 0.5]), (4, [0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(4)  # force several tiny Arrow batches
+        out = cosine_topk_arrow(emb, lambda c: c == 0, k=3).collect()
+        got = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+        # zero-norm vec 2 excluded; order: 1 (cos .994), 3 (.707), 4 (0)
+        assert got == [(1, 1), (3, 2), (4, 3)]
