@@ -159,6 +159,11 @@ def sniff_media(payload: bytes) -> dict:
             while off + 9 < len(payload):
                 if payload[off] != 0xFF:
                     break
+                # spec allows 0xFF fill bytes before any marker: skip
+                # padding so b"\xff\xff\xc0..." reads SOF0, not a
+                # phantom 0xFF segment with a garbage length
+                while off + 9 < len(payload) and payload[off + 1] == 0xFF:
+                    off += 1
                 marker = payload[off + 1]
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     off += 2

@@ -755,10 +755,22 @@ def cosine_topk_arrow(
                 if cand.size == 0:
                     continue
                 m = min(kk, cand.size)
-                # batch-local top-k: argpartition then exact ordering
-                part = cand[np.argpartition(-col[cand], m - 1)[:m]]
-                order = part[np.lexsort((ids[part], -col[part]))]
-                out_p.extend([pids[j]] * m)
+                # batch-local top-k with the fold path's tie-break:
+                # argpartition alone picks an ARBITRARY subset of the
+                # candidates tied at the k-th cosine (duplicate
+                # embeddings — exactly the dedup regime — hit this), so
+                # widen the pool to every candidate at or above the
+                # boundary value, then lexsort (desc cosine, asc
+                # vec_id) and cut to m. Degenerate all-tied batches pay
+                # a full sort — correctness over the rare worst case.
+                if cand.size > m:
+                    part = np.argpartition(-col[cand], m - 1)[:m]
+                    thr = col[cand][part].min()
+                    pool = cand[col[cand] >= thr]
+                else:
+                    pool = cand
+                order = pool[np.lexsort((ids[pool], -col[pool]))][:m]
+                out_p.extend([pids[j]] * len(order))
                 out_v.extend(ids[order].tolist())
                 out_c.extend(col[order].tolist())
             if out_p:
@@ -912,30 +924,39 @@ def embedding_outliers(
             - (F.col("__sd") / F.col("__n")) * (F.col("__sd") / F.col("__n"))
         ).alias("__var"),
     )
-    return scored.join(F.broadcast(stats), "label").select(
-        "vec_id",
-        "label",
-        "dist_q",
-        F.when(
-            F.col("__var") > 0,
-            (F.col("dist_q") - F.col("__mean")) / F.sqrt(F.col("__var")),
-        ).otherwise(F.lit(0.0)).alias("z"),
-        F.when(
-            (F.col("__var") > 0)
-            & (
-                (F.col("dist_q") - F.col("__mean")) / F.sqrt(F.col("__var"))
-                > F.lit(float(z_thresh))
+    # one z expression; the flag derives FROM the z column so the two
+    # can never desynchronize (z <= 0 for var<=0 via the guard, and the
+    # threshold is strictly positive)
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist_q",
+            F.when(
+                F.col("__var") > 0,
+                (F.col("dist_q") - F.col("__mean")) / F.sqrt(F.col("__var")),
+            ).otherwise(F.lit(0.0)).alias("z"),
+        )
+        .withColumn(
+            "outlier",
+            # coalesce: a NULL z (NULL embedding -> NULL distance)
+            # flags 0, matching the oracle's CASE ... ELSE 0
+            F.coalesce(
+                (F.col("z") > F.lit(float(z_thresh))).cast("int"), F.lit(0)
             ),
-            F.lit(1),
-        ).otherwise(F.lit(0)).alias("outlier"),
+        )
     )
 
 
 def rq_centroid(c: Column) -> Column:
-    """Column twin of :func:`_q6` (rq6 with the boundary nudge) — the
-    one quantization point that makes centroid-derived arithmetic
-    bit-exact across engines."""
-    return F.floor(c * 1000000.0 + F.lit(0.5 + 2.0**-16)) / 1000000.0
+    """Column form of the rq6 centroid quantization (:func:`_q6`'s
+    Python twin) — DELEGATES to the canonical ``queries.base.rq`` so a
+    change to the quantizer/nudge cannot desynchronize this copy from
+    the one the oracles embed."""
+    from mhw3d_detection_spark.queries.base import rq
+
+    return rq(c, 6)
 
 
 def projected_rerank_topk(

@@ -739,13 +739,23 @@ def dsir_weights(
         docs, target_pred, n_buckets=n_buckets, alpha=alpha,
         text_col=text_col, _per=per,
     )
-    scored = (
+    agg = (
         per.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_tokens"),
             F.sum(F.col("n") * F.col("lr")).alias("dsir_weight"),
         )
+    )
+    # LEFT join from the full doc domain: a zero-token doc carries no
+    # evidence and scores exactly 0.0 (the streaming gate's empty-fold
+    # value — the two surfaces must agree on the ROW DOMAIN, not just
+    # on scored docs), instead of silently vanishing from the pool
+    scored = docs.select("doc_id", "source").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias("dsir_weight"),
     )
     top = (
         scored.orderBy(F.desc("dsir_weight"), F.col("doc_id"))

@@ -3929,9 +3929,15 @@ def _DSIR_SQL() -> str:
         f"lrt AS (SELECT s.bucket, {lr_expr} AS lr "
         "  FROM spine s LEFT JOIN tcb USING (bucket) "
         "  LEFT JOIN rcb USING (bucket) CROSS JOIN tot), "
-        "sc AS (SELECT p.doc_id, p.source, CAST(sum(p.n) AS BIGINT) AS n_tokens, "
+        "aggd AS (SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens, "
         "  sum(p.n * l.lr) AS dsir_weight "
-        "  FROM per p JOIN lrt l ON p.bucket = l.bucket GROUP BY 1, 2), "
+        "  FROM per p JOIN lrt l ON p.bucket = l.bucket GROUP BY 1), "
+        # full doc domain: zero-token docs score exactly 0.0 (the
+        # streaming gate's empty-fold value) rather than disappearing
+        "sc AS (SELECT dd.doc_id, dd.source, "
+        "  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "  coalesce(a.dsir_weight, 0.0) AS dsir_weight "
+        "  FROM documents dd LEFT JOIN aggd a ON dd.doc_id = a.doc_id), "
         "topm AS (SELECT doc_id FROM sc ORDER BY dsir_weight DESC, doc_id LIMIT 50) "
         "SELECT sc.doc_id, sc.source, sc.n_tokens, sc.dsir_weight, "
         "  CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS selected "
@@ -4111,10 +4117,14 @@ def q_dedup_snapshot_delta(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_dups"),
         F.min("dup_of").cast("long").alias("first_dup"),
     ).withColumn("__d", F.lit(1))
+    # no broadcast hint: agg is one row per COLLIDING new doc — tiny on
+    # a clean increment, snapshot-sized on a high-dup crawl (the regime
+    # this row targets). AQE picks broadcast when it actually fits,
+    # same reasoning as curation.py's drop-list joins.
     return (
         docs.filter(F.col("doc_id") % 5 == 4)
         .select("doc_id")
-        .join(F.broadcast(agg), "doc_id", "left")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),

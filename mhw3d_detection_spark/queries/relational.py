@@ -496,7 +496,13 @@ _WEEK_US = 7 * 86400 * 1_000_000
 @register(
     "q_cohort_retention",
     "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
-    f"wk AS (SELECT DISTINCT user_id, us // {_WEEK_US} AS week FROM e), "
+    # pmod-floor in BOTH engines: DuckDB's // TRUNCATES toward zero
+    # (verified: (-1)//W = 0), same as Spark's DIV — so each side
+    # subtracts the POSITIVE remainder first, making the division exact
+    # and the bucket a true floor for either sign of epoch_us
+    f"wk AS (SELECT DISTINCT user_id, "
+    f"  (us - ((us % {_WEEK_US}) + {_WEEK_US}) % {_WEEK_US}) // {_WEEK_US} "
+    "  AS week FROM e), "
     "coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1), "
     "act AS (SELECT c.cohort_week, w.week - c.cohort_week AS week_offset, "
     "  w.user_id FROM wk w JOIN coh c ON w.user_id = c.user_id), "
@@ -513,9 +519,11 @@ def q_cohort_retention(spark, sf_dir):
     cohorted by their first-activity week, per (cohort, week-offset)
     the fraction still active. The canonical product-analytics rollup
     the sessionization/funnel family was missing. Weeks are integer
-    FLOOR-division epoch buckets (pmod-adjusted DIV on the Spark side
-    ≡ DuckDB ``//`` for negative epochs too; no calendar/date_trunc
-    semantics to diverge cross-engine); activity is the distinct
+    FLOOR-division epoch buckets — BOTH engines' integer division
+    truncates toward zero, so BOTH sides subtract the positive
+    remainder (pmod) before dividing, making truncation equal floor
+    for pre-1970 epochs too (no calendar/date_trunc semantics to
+    diverge cross-engine); activity is the distinct
     (user, week) set, so the per-cell count IS the distinct-user
     count without a countDistinct state; retention is one exact
     integer division. Three hash aggregates + one users-sized join —
@@ -524,12 +532,12 @@ def q_cohort_retention(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
     )
-    # floor division, not DIV: Spark's DIV truncates toward zero while
-    # the DuckDB oracle's // floors — they differ for negative epoch_us
-    # (any pre-1970 timestamp would silently shift cohorts in ONE
-    # engine only). pmod subtracts the POSITIVE remainder first, so the
-    # remaining DIV is exact integer floor division for either sign —
-    # no double-division boundary at any magnitude.
+    # floor division in BOTH engines: Spark's DIV and DuckDB's //
+    # each truncate toward zero (DuckDB verified: (-1)//W = 0), which
+    # would shift any pre-1970 timestamp's cohort by one week relative
+    # to true floor bucketing. Subtracting the POSITIVE remainder
+    # (pmod) first makes the division exact, so truncation IS floor —
+    # and the oracle SQL applies the identical construction.
     wk = ev.select(
         "user_id",
         F.expr(

@@ -159,7 +159,16 @@ def _read_header(path: str) -> _NcHeader:
             head = f.read(size)
         try:
             return _parse_header(head, path)
-        except (struct.error, IndexError):
+        except ValueError:
+            # re-raise the parser's own diagnostics (HDF5 magic, bad
+            # tags) only when growing the head cannot help
+            if size >= os.path.getsize(path):
+                raise
+            size *= 4
+        except (struct.error, IndexError, KeyError):
+            # truncation mid-header surfaces as short struct reads,
+            # index overruns, OR a garbage nc_type hitting _NC_DTYPES —
+            # all retryable until the whole file has been read
             if size >= os.path.getsize(path):
                 raise ValueError(f"{path}: truncated/corrupt netCDF header")
             size *= 4
@@ -403,7 +412,13 @@ def read_netcdf_long(
 
         for p in files:
             cube, times, coords = reader(p, var, time_name=time_name)
-            grid = tuple((k, v.shape, float(v[0])) for k, v in coords.items())
+            # FULL-array grid signature: same names, shapes AND every
+            # coordinate value — first-value-only would silently accept
+            # same-origin grids with different spacing and corrupt
+            # cell_id → location mapping
+            grid = tuple(
+                (k, v.shape, v.tobytes()) for k, v in coords.items()
+            )
             if grid0 is None:
                 grid0 = grid
             elif grid != grid0:
@@ -419,9 +434,13 @@ def read_netcdf_long(
         assert out is not None
         return out
 
-    # distributed: schema from ONE header, data read executor-side
+    # distributed: schema from ONE header, data read executor-side;
+    # the reference coord ARRAYS ride the task closure so every file
+    # is grid-checked where it is read (same contract as the driver
+    # path — names alone would silently union different grids)
     cube0, _, coords0 = reader(files[0], var, time_name=time_name)
     coord_names = list(coords0)
+    ref_coords = {k: np.asarray(v) for k, v in coords0.items()}
     schema = (
         "cell_id long, time timestamp, "
         + ", ".join(f"{c} double" for c in coord_names)
@@ -435,8 +454,14 @@ def read_netcdf_long(
         for pdf in batches:
             for p in pdf["path"]:
                 cube, times, coords = reader(p, var, time_name=time_name)
-                if list(coords) != coord_names:
-                    raise ValueError(f"{p}: coord names differ from {files[0]}")
+                if list(coords) != coord_names or any(
+                    not np.array_equal(coords[c], ref_coords[c])
+                    for c in coord_names
+                ):
+                    raise ValueError(
+                        f"{p}: spatial grid differs from {files[0]} — "
+                        "multi-file concat is along time on ONE grid"
+                    )
                 n_cells = int(np.prod(cube.shape[1:]))
                 flat = cube.reshape(len(times), n_cells)
                 grids = np.meshgrid(*coords.values(), indexing="ij")

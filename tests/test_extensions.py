@@ -2507,3 +2507,111 @@ class TestCosineTopkArrow:
         got = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
         # zero-norm vec 2 excluded; order: 1 (cos .994), 3 (.707), 4 (0)
         assert got == [(1, 1), (3, 2), (4, 3)]
+
+
+class TestReviewRegressionsR8:
+    """Pins for the r8 code-review findings."""
+
+    def test_cohort_week_floor_negative_epoch(self):
+        # BOTH engines' integer division truncates; the pmod-floor
+        # construction must agree with true floor for negative epochs
+        import duckdb
+
+        W = 7 * 86400 * 1_000_000
+        for us in (-1, -W, -W - 1, 0, 1, W, W - 1, -3 * W + 5):
+            (d,) = duckdb.sql(
+                f"select ({us} - (({us} % {W}) + {W}) % {W}) // {W}"
+            ).fetchone()
+            assert d == us // W  # python // IS floor
+
+    def test_arrow_topk_boundary_ties(self, spark):
+        # duplicate embeddings tied at the k-th cosine: the kernel must
+        # apply the vec_id tie-break across the argpartition boundary,
+        # independent of Arrow batch partitioning
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_arrow,
+        )
+
+        rows = [(0, [1.0, 0.0])] + [
+            (i, [1.0, 0.0]) for i in (9, 5, 3, 8, 2, 7)
+        ] + [(20, [0.0, 1.0])]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(5)
+        want = [
+            (r.vec_id, r.rank)
+            for r in cosine_topk(emb, lambda c: c == 0, k=3)
+            .orderBy("rank").collect()
+        ]
+        got = [
+            (r.vec_id, r.rank)
+            for r in cosine_topk_arrow(emb, lambda c: c == 0, k=3)
+            .orderBy("rank").collect()
+        ]
+        assert want == [(2, 1), (3, 2), (5, 3)]
+        assert got == want
+
+    def test_jpeg_fill_bytes(self):
+        import struct
+        from mhw3d_detection_spark.operators.multimodal import sniff_media
+
+        sof0 = (
+            b"\xff\xff\xff\xc0"  # two fill bytes before the marker
+            + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", 33, 44) + bytes([1]) + b"\x00" * 3
+        )
+        m = sniff_media(b"\xff\xd8" + sof0 + b"\xff\xd9")
+        assert (m["format"], m["width"], m["height"]) == ("jpeg", 44, 33)
+
+    def test_dsir_zero_token_doc_kept_at_zero(self, spark):
+        from mhw3d_detection_spark.operators.textops import dsir_weights
+
+        rows = [
+            (1, "alpha beta gamma", "t"),
+            (2, "", "p"),            # zero tokens
+            (3, "!!! ...", "p"),     # punctuation-only -> zero tokens
+            (4, "delta words here", "p"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {r.doc_id: r for r in dsir_weights(docs, lambda s: s == "t").collect()}
+        assert set(out) == {1, 2, 3, 4}  # full domain, nothing vanishes
+        for d in (2, 3):
+            assert out[d].n_tokens == 0 and out[d].dsir_weight == 0.0
+
+    def test_netcdf_grid_value_mismatch_rejected(self, spark, tmp_path):
+        import numpy as np
+        from mhw3d_detection_spark.sources.netcdf import (
+            read_netcdf_long,
+            write_netcdf_classic,
+        )
+
+        def wf(path, lats):
+            write_netcdf_classic(
+                path,
+                {"time": 2, "lat": 2, "lon": 2},
+                {
+                    "lat": (["lat"], np.asarray(lats, dtype=float), {}),
+                    "lon": (["lon"], np.array([0.0, 1.0]), {}),
+                    "time": (["time"], np.array([0.0, 1.0]),
+                             {"units": "days since 1990-01-01"}),
+                    "sst": (["time", "lat", "lon"],
+                            np.ones((2, 2, 2)), {}),
+                },
+            )
+
+        wf(str(tmp_path / "a_0.nc"), [0.0, 0.25])
+        wf(str(tmp_path / "a_1.nc"), [0.0, 1.00])  # same origin, diff spacing
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="grid differs"):
+            read_netcdf_long(
+                spark, str(tmp_path / "a_*.nc"), "sst", engine="builtin"
+            )
+        with _pt.raises(Exception, match="grid differs"):
+            read_netcdf_long(
+                spark, str(tmp_path / "a_*.nc"), "sst",
+                engine="builtin", distribute=True,
+            ).collect()
