@@ -84,6 +84,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # the recall evaluation's EXACT leg is the brute-force baseline
     # (broadcast probes by construction); the approx leg equi-joins
     "q_ann_recall": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # r8: NDCG shares the recall row's scaffold — exact brute leg
+    # (broadcast probes), IVF-bucketed approx leg (equi-join)
+    "q_retrieval_ndcg": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_bm25_topk": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # the BM25 leg inside the RRF fusion carries the same scalar
     # N/avgdl broadcast attaches
