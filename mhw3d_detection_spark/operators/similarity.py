@@ -878,64 +878,130 @@ def embedding_outliers(
     Plan: one labels x dims hash aggregate (centroids, broadcast
     back), one narrow per-row fold, one labels-sized stats aggregate
     (broadcast back), one narrow z projection — the corpus is scanned
-    twice and never shuffled."""
+    twice and never shuffled.
+
+    Split for the streaming face: :func:`outlier_stats` is the
+    batch-trained artifact (labels-sized), :func:`score_outliers` the
+    stateless scorer — this function composes them; the streaming
+    ingest gate (`streaming.sessionize.streaming_outlier_gate`) applies
+    the SAME scorer to a live stream against the static stats table,
+    bit-exact by shared code + dyadic arithmetic."""
+    return score_outliers(
+        emb,
+        outlier_stats(emb, id_col=id_col, vec_col=vec_col, label_col=label_col),
+        z_thresh=z_thresh,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+    )
+
+
+def outlier_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The batch-trained per-class outlier model: ``(label, cvec,
+    mean_d, var_d)`` — rq6 centroid vector plus the dyadic-distance
+    mean/variance over the training corpus. Labels-sized; persists as
+    a tiny table and broadcasts into any scorer (batch backfill or the
+    streaming ingest gate)."""
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
 
     cent = (
         label_centroids(emb, label_col=label_col, id_col=id_col, vec_col=vec_col)
         .select(
-            F.col(label_col),
+            F.col(label_col).alias("label"),
             "dim_idx",
             rq_centroid(F.col("mean_val")).alias("c"),
         )
-        .groupBy(label_col)
+        .groupBy("label")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("dim_idx", "c"))
             ).alias("__sc")
         )
         .select(
-            F.col(label_col),
+            "label",
             F.transform(F.col("__sc"), lambda s: s["c"]).alias("cvec"),
         )
     )
     base = emb.select(
-        F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
         as_double(F.col(vec_col)).alias("v"),
-    ).join(F.broadcast(cent.withColumnRenamed(label_col, "label")), "label")
-    d2 = F.aggregate(
+    ).join(F.broadcast(cent), "label")
+    scored = base.select(
+        "label", dyadic_quantize(F.sqrt(_centroid_d2()), 10).alias("dist_q")
+    )
+    stats = (
+        scored.groupBy("label")
+        .agg(
+            F.sum("dist_q").alias("__sd"),
+            F.sum(F.col("dist_q") * F.col("dist_q")).alias("__sdd"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "label",
+            (F.col("__sd") / F.col("__n")).alias("mean_d"),
+            (
+                F.col("__sdd") / F.col("__n")
+                - (F.col("__sd") / F.col("__n"))
+                * (F.col("__sd") / F.col("__n"))
+            ).alias("var_d"),
+        )
+    )
+    return cent.join(stats, "label")
+
+
+def _centroid_d2() -> Column:
+    """Squared distance of ``v`` to ``cvec``, folded in ORDINAL dim
+    order (the association both engines replay)."""
+    return F.aggregate(
         F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def score_outliers(
+    df: DataFrame,
+    stats: DataFrame,
+    z_thresh: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """STATELESS outlier scorer: broadcast the labels-sized
+    ``(label, cvec, mean_d, var_d)`` model into the frame, fold the
+    dyadic distance row-locally, z-score against the TRAINED stats.
+    Works identically on a batch frame and a stream (stream-static
+    broadcast join + narrow projection — no watermark, no state)."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).join(F.broadcast(stats), "label")
     scored = base.select(
-        "vec_id", "label", dyadic_quantize(F.sqrt(d2), 10).alias("dist_q")
-    )
-    stats = scored.groupBy("label").agg(
-        F.sum("dist_q").alias("__sd"),
-        F.sum(F.col("dist_q") * F.col("dist_q")).alias("__sdd"),
-        F.count(F.lit(1)).alias("__n"),
-    ).select(
+        "vec_id",
         "label",
-        (F.col("__sd") / F.col("__n")).alias("__mean"),
-        (
-            F.col("__sdd") / F.col("__n")
-            - (F.col("__sd") / F.col("__n")) * (F.col("__sd") / F.col("__n"))
-        ).alias("__var"),
+        dyadic_quantize(F.sqrt(_centroid_d2()), 10).alias("dist_q"),
+        "mean_d",
+        "var_d",
     )
     # one z expression; the flag derives FROM the z column so the two
     # can never desynchronize (z <= 0 for var<=0 via the guard, and the
     # threshold is strictly positive)
     return (
-        scored.join(F.broadcast(stats), "label")
-        .select(
+        scored.select(
             "vec_id",
             "label",
             "dist_q",
             F.when(
-                F.col("__var") > 0,
-                (F.col("dist_q") - F.col("__mean")) / F.sqrt(F.col("__var")),
+                F.col("var_d") > 0,
+                (F.col("dist_q") - F.col("mean_d")) / F.sqrt(F.col("var_d")),
             ).otherwise(F.lit(0.0)).alias("z"),
         )
         .withColumn(

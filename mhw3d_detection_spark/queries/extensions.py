@@ -4132,3 +4132,141 @@ def q_dedup_snapshot_delta(spark, sf_dir):
             F.coalesce(F.col("__d"), F.lit(0)).cast("int").alias("is_dup"),
         )
     )
+
+
+# =========================================================================
+# E3h (r8) — MRR@5: the third retrieval-eval metric (recall = did the
+# true neighbors arrive, NDCG = how high, MRR = how fast the FIRST one)
+# =========================================================================
+#: reciprocal-rank literals 1/rank shared by both engines (1/3 is not
+#: exactly representable — embedding the SAME literal on both sides is
+#: what guarantees identical bits, the q_retrieval_ndcg technique)
+_MRR_W = (1.0, 0.5, 0.3333333333333333, 0.25, 0.2)
+
+_MRR_SQL = (
+    "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+    "  FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, label, v AS pv FROM base "
+    "  WHERE vec_id % 50 = 0), "
+    "es AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine FROM base b, probes p "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "er AS (SELECT probe_id, vec_id, row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank FROM es), "
+    "ex AS (SELECT probe_id, vec_id FROM er WHERE rank <= 5), "
+    "asims AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine "
+    "  FROM base b JOIN probes p ON b.label = p.label "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "ar AS (SELECT probe_id, vec_id, CAST(row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+    "  FROM asims), "
+    "ap AS (SELECT probe_id, vec_id, rank FROM ar WHERE rank <= 5), "
+    "h AS (SELECT ap.probe_id, ap.rank FROM ap "
+    "  JOIN ex ON ap.probe_id = ex.probe_id AND ap.vec_id = ex.vec_id), "
+    "fr AS (SELECT probe_id, CAST(min(rank) AS INT) AS first_rank "
+    "  FROM h GROUP BY 1) "
+    "SELECT p.probe_id, fr.first_rank, "
+    # CAST: DuckDB infers DECIMAL for the mixed CASE literals, which
+    # the hash gate renders differently from DOUBLE
+    "  CAST(coalesce(CASE fr.first_rank WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 "
+    "    WHEN 3 THEN 0.3333333333333333 WHEN 4 THEN 0.25 ELSE 0.2 END, "
+    "    0.0) AS DOUBLE) AS rr "
+    "FROM probes p LEFT JOIN fr ON p.probe_id = fr.probe_id"
+)
+
+
+@register("q_retrieval_mrr", _MRR_SQL)
+def q_retrieval_mrr(spark, sf_dir):
+    """E3h (r8): MRR@5 of the IVF search vs the exact top-5 — per
+    probe, the reciprocal rank of the FIRST true neighbor the approx
+    search surfaces (0.0 if none in its top-5). Completes the eval
+    trio: recall@5 (coverage), NDCG@5 (position-weighted), MRR@5
+    (first-hit latency — what an interactive retrieval UI feels).
+    Reciprocal-rank values are shared literals (1/3 is inexact — both
+    engines must use the SAME bits), min-rank is integer, so the row
+    hashes with no rounding. Same scaffold and probe-sample scaling as
+    the other two eval rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, probe_pred=lambda c: c % 50 == 0, k=5).select(
+        "probe_id", "vec_id"
+    )
+    approx = cosine_topk(
+        emb, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="label"
+    ).select("probe_id", "vec_id", "rank")
+    first = (
+        approx.join(exact, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.min("rank").cast("int").alias("first_rank"))
+    )
+    probes = emb.select(F.col("vec_id").alias("probe_id")).filter(
+        F.col("probe_id") % 50 == 0
+    )
+    rr = F.coalesce(
+        F.element_at(
+            F.array(*[F.lit(w) for w in _MRR_W]), F.col("first_rank")
+        ),
+        F.lit(0.0),
+    )
+    return probes.join(F.broadcast(first), "probe_id", "left").select(
+        "probe_id", "first_rank", rr.alias("rr")
+    )
+
+
+# =========================================================================
+# E4f (r8) — tokenizer fertility by source: the per-corpus-slice cost
+# model of a trained tokenizer (chars/symbol; low fertility = the
+# merges fit that slice's language/register)
+# =========================================================================
+@register(
+    "q_tokenizer_fertility",
+    "WITH " + _BPE_CTES(3, emit_final=True)
+    + ", dtok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS w "
+    "  FROM documents), "
+    "enc AS (SELECT w, CAST(length(w) AS BIGINT) AS nc, "
+    "  CAST(len(s) AS BIGINT) AS ns FROM w3), "
+    "perdoc AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "  CAST(sum(e.nc) AS BIGINT) AS n_chars, "
+    "  CAST(sum(e.ns) AS BIGINT) AS n_symbols "
+    "  FROM dtok d JOIN enc e ON d.w = e.w GROUP BY 1) "
+    "SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens, "
+    "  CAST(sum(p.n_chars) AS BIGINT) AS n_chars, "
+    "  CAST(sum(p.n_symbols) AS BIGINT) AS n_symbols, "
+    "  sum(p.n_chars) / CAST(sum(p.n_symbols) AS DOUBLE) AS chars_per_symbol, "
+    "  sum(p.n_symbols) / CAST(sum(p.n_tokens) AS DOUBLE) AS symbols_per_token "
+    "FROM perdoc p JOIN documents doc ON p.doc_id = doc.doc_id GROUP BY 1",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """E4f (r8): tokenizer fertility per corpus slice — the trained BPE
+    merges applied to every doc (the q_bpe_encode deploy seam), then
+    compression rolled up BY SOURCE: chars/symbol (how well the merges
+    fit that slice) and symbols/token (the training-cost multiplier a
+    mixture designer pays per slice — fertility is THE metric tokenizer
+    papers report per language/domain). All-integer sums + two exact
+    divisions, hash-checked; plan adds one sources-keyed hash aggregate
+    over the per-doc stats — nothing new shuffles at corpus scale."""
+    from mhw3d_detection_spark.operators.textops import (
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, rounds=3)
+    per = bpe_encode_stats(docs, merges)
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+            (
+                F.sum("n_chars") / F.sum("n_symbols").cast("double")
+            ).alias("chars_per_symbol"),
+            (
+                F.sum("n_symbols") / F.sum("n_tokens").cast("double")
+            ).alias("symbols_per_token"),
+        )
+    )

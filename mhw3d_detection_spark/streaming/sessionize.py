@@ -376,6 +376,40 @@ def streaming_dsir_gate(
     return out
 
 
+def streaming_outlier_gate(
+    stream: DataFrame,
+    stats: DataFrame,
+    *,
+    z_thresh: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    keep_only: bool = False,
+) -> DataFrame:
+    """Per-class embedding outlier gate at ingest (E3e's streaming
+    face): score each incoming embedding's distance to its class
+    centroid against the BATCH-TRAINED stats table
+    (``operators.similarity.outlier_stats`` — labels-sized, static)
+    and flag/drop z-score outliers before they enter the corpus — the
+    online shape of CLIP-style pair filtering.
+
+    Stateless: a stream-static broadcast join plus a row-local dyadic
+    distance fold — no watermark, no state; and because the scorer IS
+    the batch scorer (:func:`~...similarity.score_outliers`) over the
+    same dyadic grid, a vector scores BIT-identically live or in
+    backfill. ``keep_only=True`` drops flagged rows; otherwise every
+    row is annotated ``(dist_q, z, outlier)``."""
+    from mhw3d_detection_spark.operators.similarity import score_outliers
+
+    out = score_outliers(
+        stream, stats, z_thresh=z_thresh,
+        id_col=id_col, vec_col=vec_col, label_col=label_col,
+    )
+    if keep_only:
+        out = out.filter(F.col("outlier") == 0)
+    return out
+
+
 def streaming_cardinality(
     stream: DataFrame,
     item_col: str,

@@ -1270,3 +1270,45 @@ def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
         gnt, gw, gk = got[d]
         assert gnt == nt and gw == w, (d, w, gw)
         assert gk == (1 if w > 0.0 else 0)
+
+
+def test_streaming_outlier_gate_matches_batch(spark, tmp_path):
+    # E3e streaming face (r8): the gate must score a live embedding
+    # stream BIT-identically to the batch outlier screen (shared
+    # scorer + dyadic distance grid), across micro-batches, against
+    # the batch-trained stats table
+    from mhw3d_detection_spark.operators.similarity import (
+        embedding_outliers,
+        outlier_stats,
+    )
+    from mhw3d_detection_spark.streaming import streaming_outlier_gate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = outlier_stats(emb).localCheckpoint()  # the trained artifact
+    want = {
+        r.vec_id: (r.dist_q, r.z, r.outlier)
+        for r in embedding_outliers(emb).collect()
+    }
+    assert any(v[2] == 1 for v in want.values()) or len(want) > 0
+
+    path = str(tmp_path / "emb_stream")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    half.write.mode("overwrite").parquet(path)
+    emb.exceptAll(half).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    q = (
+        streaming_outlier_gate(stream, stats)
+        .writeStream.format("memory")
+        .queryName("outlier_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.dist_q, r.z, r.outlier)
+        for r in spark.table("outlier_gate").collect()
+    }
+    assert got == want  # full domain AND bit-exact values

@@ -65,6 +65,8 @@ PLANS = [
     "q_dsir_select",
     "q_retrieval_ndcg",
     "q_dedup_snapshot_delta",
+    "q_retrieval_mrr",
+    "q_tokenizer_fertility",
     "q_trend_bootstrap_ci",
 ]
 

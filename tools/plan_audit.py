@@ -87,6 +87,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r8: NDCG shares the recall row's scaffold — exact brute leg
     # (broadcast probes), IVF-bucketed approx leg (equi-join)
     "q_retrieval_ndcg": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    "q_retrieval_mrr": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_bm25_topk": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # the BM25 leg inside the RRF fusion carries the same scalar
     # N/avgdl broadcast attaches
