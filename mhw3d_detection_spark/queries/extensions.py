@@ -409,7 +409,13 @@ def q_similarity_ivf(spark, sf_dir):
 # oracle: the trainer is deterministic — TakeOrdered init, fixed
 # iteration count — so DuckDB replays the exact same Lloyd's rounds)
 # =========================================================================
-def _KMEANS_SQL(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _KMEANS_SQL(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    train_where: str = "TRUE",
+    assign_where: str = "TRUE",
+) -> str:
     """Unrolled Lloyd's k-means as DuckDB CTEs, mirroring
     ``kmeans_ivf_centroids`` exactly: init = the k smallest vec_ids
     (buckets 0..k-1 in id order), assignment = argmin squared distance
@@ -441,20 +447,25 @@ def _KMEANS_SQL(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             f"i -> (b.v[i] - {c_alias}.c[i]) * (b.v[i] - {c_alias}.c[i])))"
         )
 
-    def assign_cte(name: str, cents: str) -> str:
+    def assign_cte(name: str, cents: str, src: str = "btrain") -> str:
         return (
             f"{name} AS (SELECT vec_id, v, bucket FROM ("
             f"SELECT b.vec_id, b.v, c.bucket, "
             f"row_number() OVER (PARTITION BY b.vec_id "
             f"ORDER BY {d2('c')} ASC, c.bucket ASC) AS rn "
-            f"FROM base b CROSS JOIN {cents} c) WHERE rn = 1)"
+            f"FROM {src} b CROSS JOIN {cents} c) WHERE rn = 1)"
         )
 
+    # train_where restricts the TRAINING corpus (index-delta rows
+    # train on the existing snapshot only); assign_where restricts the
+    # final afin assignment domain. Defaults (TRUE) reproduce the
+    # historical full-corpus behavior exactly.
     ctes = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"btrain AS (SELECT * FROM base WHERE {train_where})",
         f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) "
         f"AS bucket, v AS c FROM "
-        f"(SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {k}))",
+        f"(SELECT vec_id, v FROM btrain ORDER BY vec_id LIMIT {k}))",
     ]
     for it in range(1, iters + 1):
         ctes.append(assign_cte(f"a{it}", f"c{it - 1}"))
@@ -467,7 +478,13 @@ def _KMEANS_SQL(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             f"CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) "
             f"GROUP BY bucket, i) GROUP BY bucket)"
         )
-    ctes.append(assign_cte("afin", f"c{iters}"))
+    if assign_where == "TRUE":
+        ctes.append(assign_cte("afin", f"c{iters}", src="base"))
+    else:
+        ctes.append(
+            f"bassign AS (SELECT * FROM base WHERE {assign_where})"
+        )
+        ctes.append(assign_cte("afin", f"c{iters}", src="bassign"))
     return "WITH " + ", ".join(ctes)
 
 
@@ -4269,4 +4286,41 @@ def q_tokenizer_fertility(spark, sf_dir):
                 F.sum("n_symbols") / F.sum("n_tokens").cast("double")
             ).alias("symbols_per_token"),
         )
+    )
+
+
+# =========================================================================
+# E3i (r8) — ANN index maintenance: assign a NEW embedding increment
+# into the EXISTING trained coarse quantizer (no retrain)
+# =========================================================================
+@register(
+    "q_ann_index_delta",
+    _KMEANS_SQL(
+        train_where="vec_id % 5 <> 4", assign_where="vec_id % 5 = 4"
+    )
+    + " SELECT vec_id, CAST(bucket AS INT) AS bucket FROM afin",
+)
+def q_ann_index_delta(spark, sf_dir):
+    """E3i (r8): index freshness — the 20% 'new snapshot'
+    (vec_id % 5 = 4) assigned into coarse cells TRAINED ON THE
+    EXISTING 80% ONLY (the production IVF maintenance path: retraining
+    the quantizer on every increment would invalidate the whole
+    index's cell assignments; assigning new vectors into frozen cells
+    is an O(increment) narrow map). The embedding-side companion of
+    q_dedup_snapshot_delta; pairs with q_ann_recall to decide WHEN
+    drift has degraded the frozen cells enough to warrant a retrain.
+    Oracle replays the identical Lloyd's rounds on the old slice and
+    the literal-argmin assignment of the new slice — integer buckets,
+    bit-exact."""
+    from mhw3d_detection_spark.operators.similarity import (
+        assign_buckets,
+        kmeans_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = kmeans_ivf_centroids(old, k=8, iters=3)
+    return assign_buckets(new, cents).select(
+        "vec_id", F.col("bucket").cast("int").alias("bucket")
     )

@@ -67,6 +67,7 @@ PLANS = [
     "q_dedup_snapshot_delta",
     "q_retrieval_mrr",
     "q_tokenizer_fertility",
+    "q_ann_index_delta",
     "q_trend_bootstrap_ci",
 ]
 
