@@ -11,6 +11,7 @@ plans are identical).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.operators.multimodal import (
@@ -4323,4 +4324,78 @@ def q_ann_index_delta(spark, sf_dir):
     cents = kmeans_ivf_centroids(old, k=8, iters=3)
     return assign_buckets(new, cents).select(
         "vec_id", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
+# =========================================================================
+# E3j (r8) — embedding drift monitor: PSI of the NEW snapshot's cell
+# occupancy vs the EXISTING corpus over the frozen coarse quantizer
+# =========================================================================
+_PSI_SQL = (
+    _KMEANS_SQL(train_where="vec_id % 5 <> 4")
+    + ", occ AS (SELECT bucket, "
+    "  CAST(sum(CASE WHEN vec_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_old, "
+    "  CAST(sum(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new "
+    "  FROM afin GROUP BY 1), "
+    "tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new, "
+    "  CAST(count(*) AS BIGINT) AS nb FROM occ), "
+    "p AS (SELECT o.bucket, o.n_old, o.n_new, "
+    "  (o.n_old + 1.0) / (t.t_old + t.nb) AS po, "
+    "  (o.n_new + 1.0) / (t.t_new + t.nb) AS pn "
+    "  FROM occ o CROSS JOIN tot t) "
+    "SELECT CAST(bucket AS INT) AS bucket, n_old, n_new, "
+    f"  {rq_sql('(pn - po) * ln(pn / po)', 6)} AS psi_term, "
+    f"  {rq_sql('sum((pn - po) * ln(pn / po)) OVER ()', 4)} AS psi_total "
+    "FROM p"
+)
+
+
+@register("q_embedding_drift_psi", _PSI_SQL)
+def q_embedding_drift_psi(spark, sf_dir):
+    """E3j (r8): embedding distribution drift — the Population
+    Stability Index of the new snapshot's coarse-cell occupancy
+    against the existing corpus, over the SAME frozen quantizer
+    q_ann_index_delta maintains (PSI is the standard model-monitoring
+    drift score; >0.2 is the conventional 'retrain' alarm — this is
+    the quantitative trigger for the index-delta vs full-retrain
+    decision, alongside q_ann_recall). Laplace-smoothed occupancy
+    ratios (cells can be empty on either side), per-cell PSI terms rq6
+    and the windowed total rq4 (ln is display-only per house
+    convention). Plan: the assignment's narrow map + one cells-sized
+    aggregate + scalar totals — O(corpus) map work, O(cells)
+    everything else."""
+    from mhw3d_detection_spark.operators.similarity import (
+        assign_buckets,
+        kmeans_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_ivf_centroids(
+        emb.filter(F.col("vec_id") % 5 != 4), k=8, iters=3
+    )
+    tagged = assign_buckets(emb, cents)
+    occ = tagged.groupBy("bucket").agg(
+        F.sum((F.col("vec_id") % 5 != 4).cast("int")).cast("long").alias("n_old"),
+        F.sum((F.col("vec_id") % 5 == 4).cast("int")).cast("long").alias("n_new"),
+    )
+    tot = occ.agg(
+        F.sum("n_old").alias("t_old"),
+        F.sum("n_new").alias("t_new"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    p = occ.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + F.lit(1.0)) / (F.col("t_old") + F.col("nb"))).alias("po"),
+        ((F.col("n_new") + F.lit(1.0)) / (F.col("t_new") + F.col("nb"))).alias("pn"),
+    )
+    term = (F.col("pn") - F.col("po")) * F.log(F.col("pn") / F.col("po"))
+    w = Window.partitionBy()
+    return p.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_old",
+        "n_new",
+        rq(term, 6).alias("psi_term"),
+        rq(F.sum(term).over(w), 4).alias("psi_total"),
     )

@@ -696,3 +696,84 @@ def q_data_quality(spark, sf_dir):
         )
     ).unionAll(duplicate_keys(o, "o_orderkey", "orders_pk_duplicates"))
     return rep.orderBy("check_name")
+
+
+# =========================================================================
+# J10 (r8) — the canonical multi-join analytics shape (TPC-H Q5):
+# three broadcast dims chained onto the orders x lineitem fact join
+# =========================================================================
+def _dq6_rev_sql() -> str:
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize_sql
+
+    # per-line revenue on the 1/64 dyadic grid: the group sums become
+    # association-free, so nation totals hash as RAW doubles
+    return dyadic_quantize_sql("l_extendedprice * (1 - l_discount)", 6)
+
+
+_DQ6_REV = _dq6_rev_sql()
+
+
+@register(
+    "q_tpch_q5_shape",
+    "WITH l AS (SELECT l_orderkey, l_suppkey, "
+    + _DQ6_REV
+    + " AS rev FROM lineitem), "
+    "j AS (SELECT n.n_name, l.rev "
+    "  FROM region r "
+    "  JOIN nation n ON n.n_regionkey = r.r_regionkey "
+    "  JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+    "  JOIN customer c ON c.c_nationkey = s.s_nationkey "
+    "  JOIN orders o ON o.o_custkey = c.c_custkey "
+    "  JOIN l ON l.l_orderkey = o.o_orderkey "
+    "    AND l.l_suppkey = s.s_suppkey "
+    "  WHERE r.r_name = 'ASIA' "
+    "    AND o.o_orderdate >= TIMESTAMP '1995-01-01' "
+    "    AND o.o_orderdate < TIMESTAMP '1997-01-01') "
+    "SELECT n_name, sum(rev) AS revenue, CAST(count(*) AS BIGINT) AS n_items "
+    "FROM j GROUP BY 1",
+)
+def q_tpch_q5_shape(spark, sf_dir):
+    """J10 (r8): the TPC-H Q5 'local supplier volume' shape — the
+    canonical 6-table analytics join the relational surface was
+    missing: region->nation->supplier/customer dim chain onto the
+    orders x lineitem fact-fact join, with the c_nationkey =
+    s_nationkey locality condition, a region filter and an order-date
+    range. Spark-first: all four dims broadcast (Catalyst chains the
+    BroadcastHashJoins with no shuffle until the fact join), the date
+    filter pushes into the orders scan, and the single big shuffle is
+    orders x lineitem on the order key. Per-line revenue
+    price*(1-discount) is DYADIC-quantized (1/64) BEFORE the group
+    sum, so the nation totals are association-free exact dyadics —
+    unrounded raw-double hash across engines."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        dyadic_quantize(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("rev").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )

@@ -68,6 +68,8 @@ PLANS = [
     "q_retrieval_mrr",
     "q_tokenizer_fertility",
     "q_ann_index_delta",
+    "q_tpch_q5_shape",
+    "q_embedding_drift_psi",
     "q_trend_bootstrap_ci",
 ]
 

@@ -88,6 +88,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # (broadcast probes), IVF-bucketed approx leg (equi-join)
     "q_retrieval_ndcg": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_retrieval_mrr": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # r8: PSI attaches the 1-row (t_old, t_new, n_cells) totals to the
+    # cells-sized occupancy table — constant-size regardless of corpus
+    "q_embedding_drift_psi": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_bm25_topk": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # the BM25 leg inside the RRF fusion carries the same scalar
     # N/avgdl broadcast attaches
