@@ -156,3 +156,52 @@ def test_hdf5_magic_rejected_with_pointer(tmp_path):
     p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(ValueError, match="netCDF-4/HDF5"):
         read_netcdf_file(str(p))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_t=st.integers(1, 6),
+    n_lat=st.integers(1, 4),
+    n_lon=st.integers(1, 5),
+    record=st.booleans(),
+    version=st.sampled_from([1, 2]),
+    seed=st.integers(0, 10_000),
+)
+def test_roundtrip_property(tmp_path_factory, n_t, n_lat, n_lon, record,
+                            version, seed):
+    # spec-conformance fuzz: ANY grid shape / record-vs-fixed time /
+    # CDF version must round-trip the cube and coords EXACTLY (the
+    # writer and reader were derived independently from the public
+    # format spec; a shared misreading would need to cancel out across
+    # all of padding, record strides and 64-bit offsets to pass this)
+    rng = np.random.default_rng(seed)
+    cube = np.round(
+        rng.normal(10, 5, size=(n_t, n_lat, n_lon)), 3
+    ).astype(np.float64)
+    lats = np.sort(rng.uniform(-90, 90, n_lat))
+    lons = np.sort(rng.uniform(0, 360, n_lon))
+    tvals = np.arange(n_t, dtype=np.float64) + float(rng.integers(0, 10_000))
+    p = str(tmp_path_factory.mktemp("fuzz") / "f.nc")
+    write_netcdf_classic(
+        p,
+        {"time": None if record else n_t, "lat": n_lat, "lon": n_lon},
+        {
+            "lat": (["lat"], lats, {}),
+            "lon": (["lon"], lons, {}),
+            "time": (["time"], tvals, {"units": "days since 1990-01-01"}),
+            "sst": (["time", "lat", "lon"], cube, {"units": "degC"}),
+        },
+        version=version,
+    )
+    got, times, coords = read_netcdf_file(p, "sst")
+    np.testing.assert_array_equal(got, cube)
+    np.testing.assert_array_equal(coords["lat"], lats)
+    np.testing.assert_array_equal(coords["lon"], lons)
+    assert len(times) == n_t
+    assert times[0] == pd.Timestamp("1990-01-01") + pd.to_timedelta(
+        tvals[0] * 86400.0, unit="s"
+    )
