@@ -2165,6 +2165,51 @@ def feature_hash_dense(
     return docs.select("doc_id", dense.alias("features"))
 
 
+def token_triangles(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-token triangle counts over the co-occurrence graph — the
+    third member of the graph-analytics family (components = reach,
+    PageRank = centrality, triangles = local clustering: a token in
+    many triangles sits inside a tight collocation community, the
+    signal behind community detection and topical-phrase mining).
+
+    Classic distributed triangle counting (the multi-way self-join
+    benchmark): orient every undirected edge low->high (kills
+    duplicates AND bounds each wedge to one orientation), join wedges
+    e1(a,b) x e2(b,c), close them against e3(a,c) — each triangle
+    a<b<c is produced exactly once — then explode the three corners
+    and count per token. Three shuffles on token keys; the edge list
+    is vocab-pair-sized (``min_count`` prunes it long before the
+    joins), never corpus-sized. Tokens are [a-z0-9]+, so the a<b
+    ordering is plain binary compare in both engines — integer-exact
+    end to end."""
+    e = (
+        cooccurrence_pmi(docs, text_col=text_col, window=window,
+                         min_count=min_count)
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("token"))
+        .unionAll(tri.select(F.col("b").alias("token")))
+        .unionAll(tri.select(F.col("c").alias("token")))
+    )
+    return corners.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
 def token_pagerank(
     docs: DataFrame,
     text_col: str = "text",

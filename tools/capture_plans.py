@@ -70,6 +70,7 @@ PLANS = [
     "q_ann_index_delta",
     "q_tpch_q5_shape",
     "q_embedding_drift_psi",
+    "q_token_triangles",
     "q_trend_bootstrap_ci",
 ]
 
