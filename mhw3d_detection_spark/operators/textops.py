@@ -1461,6 +1461,34 @@ def bpe_merge_pairs(
     )
 
 
+def cooccurrence_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+) -> DataFrame:
+    """Ordered windowed co-occurrence pair counts ``(a, b, c_ab)`` —
+    the shared base of :func:`cooccurrence_pmi` and
+    :func:`token_triangles` (the corpus-sized work; everything either
+    consumer adds is vocab-pair-sized)."""
+    tok = tokenize(docs, text_col)
+    probe = tok.select(
+        "doc_id",
+        "pos",
+        F.col("token").alias("a"),
+        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias(
+            "__o"
+        ),
+    ).withColumn("__pj", F.col("pos") + F.col("__o"))
+    right = tok.select(
+        "doc_id", F.col("pos").alias("__pj"), F.col("token").alias("b")
+    )
+    return (
+        probe.join(right, ["doc_id", "__pj"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+
+
 def cooccurrence_pmi(
     docs: DataFrame,
     text_col: str = "text",
@@ -1480,23 +1508,7 @@ def cooccurrence_pmi(
     re-aggregates of the pair-count table (vocab-sized, broadcast
     back), and PMI = ln(c_ab · N / (c_a · c_b)) is a closed-form
     projection. ``min_count`` prunes the long noisy tail."""
-    tok = tokenize(docs, text_col)
-    probe = tok.select(
-        "doc_id",
-        "pos",
-        F.col("token").alias("a"),
-        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias(
-            "__o"
-        ),
-    ).withColumn("__pj", F.col("pos") + F.col("__o"))
-    right = tok.select(
-        "doc_id", F.col("pos").alias("__pj"), F.col("token").alias("b")
-    )
-    c = (
-        probe.join(right, ["doc_id", "__pj"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-    )
+    c = cooccurrence_counts(docs, text_col=text_col, window=window)
     tot = c.agg(F.sum("c_ab").alias("__N"))
     ca = c.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     cb = c.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
@@ -2188,13 +2200,18 @@ def token_triangles(
     ordering is plain binary compare in both engines — integer-exact
     end to end."""
     e = (
-        cooccurrence_pmi(docs, text_col=text_col, window=window,
-                         min_count=min_count)
+        cooccurrence_counts(docs, text_col=text_col, window=window)
+        .filter((F.col("c_ab") >= min_count) & (F.col("a") != F.col("b")))
         .select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
-        .filter(F.col("u") < F.col("v"))
         .distinct()
+        # EAGER choke point: the tiny edge list feeds THREE join legs;
+        # without truncation the corpus-sized pair counting upstream
+        # would execute three times (the curation-funnel checkpoint
+        # reasoning; values unchanged). Counts-only base: the PMI
+        # scalar attach (a BNLJ) is not paid here.
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
