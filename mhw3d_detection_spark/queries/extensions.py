@@ -4438,3 +4438,95 @@ def q_token_triangles(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return token_triangles(docs, window=2, min_count=5)
+
+
+# =========================================================================
+# E4h (r8) — text drift monitor: PSI of the new snapshot's hashed
+# token-bucket distribution vs the existing corpus (the text twin of
+# q_embedding_drift_psi — same alarm convention, no model needed)
+# =========================================================================
+_TPSI_SQL = (
+    "WITH dtok AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "dh AS (SELECT doc_id, "
+    "  CAST(('0x' || substr(md5(token), 1, 12))::BIGINT % 256 AS INT) "
+    "  AS bucket FROM dtok), "
+    "occ AS (SELECT bucket, "
+    "  CAST(sum(CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_old, "
+    "  CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new "
+    "  FROM dh GROUP BY 1), "
+    "spine AS (SELECT CAST(unnest(generate_series(0, 255)) AS INT) AS bucket), "
+    "f AS (SELECT s.bucket, coalesce(o.n_old, 0) AS n_old, "
+    "  coalesce(o.n_new, 0) AS n_new FROM spine s "
+    "  LEFT JOIN occ o ON s.bucket = o.bucket), "
+    "tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new, "
+    "  CAST(count(*) AS BIGINT) AS nb FROM f), "
+    "p AS (SELECT b.bucket, b.n_old, b.n_new, "
+    "  (b.n_old + 1.0) / (t.t_old + t.nb) AS po, "
+    "  (b.n_new + 1.0) / (t.t_new + t.nb) AS pn "
+    "  FROM f b CROSS JOIN tot t) "
+    "SELECT bucket, n_old, n_new, "
+    f"  {rq_sql('(pn - po) * ln(pn / po)', 6)} AS psi_term, "
+    f"  {rq_sql('sum((pn - po) * ln(pn / po)) OVER ()', 4)} AS psi_total "
+    "FROM p"
+)
+
+
+@register("q_text_drift_psi", _TPSI_SQL)
+def q_text_drift_psi(spark, sf_dir):
+    """E4h (r8): text-distribution drift — PSI of the new snapshot's
+    (doc_id % 5 = 4) hashed-unigram bucket occupancy against the
+    existing corpus, over the SAME no-vocabulary 256-bucket hashing the
+    DSIR/feature-hash family uses: the language/register drift alarm
+    for incremental crawls (>0.2 = investigate before mixing), with no
+    trained model in the loop. Laplace-smoothed over the dense bucket
+    spine (either side can miss buckets), rq6 terms + rq4 windowed
+    total. One corpus-sized (bucket) aggregate, everything after is
+    256 rows."""
+    from mhw3d_detection_spark.operators.textops import (
+        minhash_base,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dh = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    ).select(
+        "doc_id",
+        F.pmod(minhash_base(F.col("token")), F.lit(256)).cast("int").alias(
+            "bucket"
+        ),
+    )
+    occ = dh.groupBy("bucket").agg(
+        F.sum((F.col("doc_id") % 5 != 4).cast("int")).cast("long").alias("n_old"),
+        F.sum((F.col("doc_id") % 5 == 4).cast("int")).cast("long").alias("n_new"),
+    )
+    spine = docs.sparkSession.range(256).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    f = spine.join(F.broadcast(occ), "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    )
+    tot = f.agg(
+        F.sum("n_old").alias("t_old"),
+        F.sum("n_new").alias("t_new"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    p = f.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + F.lit(1.0)) / (F.col("t_old") + F.col("nb"))).alias("po"),
+        ((F.col("n_new") + F.lit(1.0)) / (F.col("t_new") + F.col("nb"))).alias("pn"),
+    )
+    term = (F.col("pn") - F.col("po")) * F.log(F.col("pn") / F.col("po"))
+    w = Window.partitionBy()
+    return p.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        rq(term, 6).alias("psi_term"),
+        rq(F.sum(term).over(w), 4).alias("psi_total"),
+    )

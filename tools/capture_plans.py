@@ -71,6 +71,7 @@ PLANS = [
     "q_tpch_q5_shape",
     "q_embedding_drift_psi",
     "q_token_triangles",
+    "q_text_drift_psi",
     "q_trend_bootstrap_ci",
 ]
 

@@ -91,6 +91,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r8: PSI attaches the 1-row (t_old, t_new, n_cells) totals to the
     # cells-sized occupancy table — constant-size regardless of corpus
     "q_embedding_drift_psi": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_text_drift_psi": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_bm25_topk": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # the BM25 leg inside the RRF fusion carries the same scalar
     # N/avgdl broadcast attaches
