@@ -18,6 +18,7 @@ content-hash prefix so hot keys spread evenly.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -136,8 +137,11 @@ def sniff_media(payload: bytes) -> dict:
     Returns a dict matching :data:`SNIFF_SCHEMA` (minus doc_id);
     unknown containers yield ``format="unknown"`` with sizes only —
     never raises on garbage bytes (corrupt inputs are data, not
-    errors, at corpus scale)."""
-    import struct as _st
+    errors, at corpus scale). The guard is scoped to the three
+    exception types malformed BYTES can produce (short struct reads,
+    slice overruns, bad values) — a parser BUG (TypeError, NameError,
+    …) propagates instead of masquerading as a corrupt file."""
+    _st = struct
 
     out = {
         "format": "unknown", "width": None, "height": None,
@@ -209,8 +213,10 @@ def sniff_media(payload: bytes) -> dict:
                     out["duration_ms"] = (
                         data_len / (nc * sr * bits / 8.0) * 1000.0
                     )
-    except Exception:
-        # truncated/garbage headers: report what was safely read
+    except (struct.error, IndexError, ValueError):
+        # truncated/garbage headers: report what was safely read —
+        # these three are the only shapes malformed bytes can raise
+        # here; anything else is a code defect and must propagate
         pass
     return out
 

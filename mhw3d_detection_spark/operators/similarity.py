@@ -720,9 +720,23 @@ def cosine_topk_arrow(
     base = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
-    probes = [
-        (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
+    # dirty-corpus contract, mirrored from the fold path: NULL and
+    # ragged (wrong-dimension) vectors are DATA, silently dropped —
+    # the fold path drops them via its n>0 / null-propagation filter,
+    # so the deployment twin must not crash on them in np.stack
+    raw_probes = [
+        (int(r["vec_id"]), r["v"])
         for r in base.filter(probe_pred(F.col("vec_id"))).collect()
+    ]
+    dim = next(
+        (len(v) for _, v in raw_probes if v is not None and len(v) > 0), None
+    )
+    probes = [
+        (i, np.asarray(v, dtype=np.float64))
+        for i, v in raw_probes
+        if v is not None and len(v) == dim and not any(
+            x is None for x in v
+        )
     ]
     if not probes:
         raise ValueError("cosine_topk_arrow: empty probe set")
@@ -737,9 +751,19 @@ def cosine_topk_arrow(
         import pandas as pd_
 
         for pdf in it:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # same drop rule as the probe side: NULL / ragged /
+            # null-element vectors never reach np.stack
+            clean = [
+                (i, v)
+                for i, v in zip(pdf["vec_id"], pdf["v"])
+                if v is not None and len(v) == dim
+                and not any(x is None for x in v)
+            ]
+            if not clean:
+                continue
+            ids = np.array([i for i, _ in clean], dtype=np.int64)
             X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                [np.asarray(v, dtype=np.float64) for _, v in clean]
             )
             n = np.linalg.norm(X, axis=1)
             ok = n > 0

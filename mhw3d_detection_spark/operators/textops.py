@@ -691,6 +691,15 @@ def dsir_log_ratio_list(
     )
     out = [0.0] * int(n_buckets)
     for r in lr.collect():
+        if r["lr"] is None:
+            # an empty target slice makes the nt total NULL, which
+            # NULLs every log-ratio — fail HERE with the cause, not
+            # later in the streaming gate with an unrelated TypeError
+            raise ValueError(
+                "dsir_log_ratio_list: target_pred selects no documents "
+                "(target token total is NULL) — the DSIR log-ratio "
+                "table needs a non-empty target slice"
+            )
         out[r["bucket"]] = r["lr"]
     return out
 
@@ -776,6 +785,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     iters: int = 3,
     id_col: str = "doc_id",
+    broadcast_verdict: bool = True,
 ) -> DataFrame:
     """Quality-representative near-dup removal — the production policy
     the min-id convention approximates: within every duplicate
@@ -795,8 +805,16 @@ def dedup_keep_best(
     rq4 bits — base.py contract), so the arg-max is bit-stable. Plan:
     the component table is pairs-vertices-sized; it joins the
     quality projection on doc_id, one window per component (dup
-    groups are clique-sized — no skew), then a pairs-sized broadcast
-    back onto the corpus; the corpus itself never shuffles."""
+    groups are clique-sized — no skew), then joins back onto the
+    corpus; the corpus itself never shuffles.
+
+    ``broadcast_verdict`` gates the final join hint: the verdict table
+    is pairs-VERTICES-sized, which on a high-dup crawl is
+    corpus-sized — the same regime that motivated
+    ``semantic_dedup``'s ``broadcast_drops``. True (default, right
+    when dup pairs are a small fraction) broadcasts it onto the
+    corpus join; False leaves a plain shuffled left join and lets AQE
+    pick the strategy from the measured size."""
     from mhw3d_detection_spark.queries.base import rq
 
     comp = connected_components_bounded(pairs, iters=iters)
@@ -812,7 +830,8 @@ def dedup_keep_best(
         "component",
         (F.col("__r") == 1).cast("int").alias("__keep"),
     )
-    return q.join(F.broadcast(ranked), id_col, "left").select(
+    verdict = F.broadcast(ranked) if broadcast_verdict else ranked
+    return q.join(verdict, id_col, "left").select(
         id_col,
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         "quality",

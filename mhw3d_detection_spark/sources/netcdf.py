@@ -534,9 +534,30 @@ def write_netcdf_classic(
         if vdims and vdims[0] == rec_name:
             numrecs = max(numrecs, np.asarray(arr).shape[0])
 
+    def _coerce(arr) -> np.ndarray:
+        # numpy's DEFAULT integer dtype (np.arange, Python int attrs
+        # via np.asarray) is int64, which the classic format cannot
+        # store — downcast losslessly to NC_INT when every value fits
+        a = np.asarray(arr)
+        if a.dtype.kind == "i" and a.dtype.itemsize == 8:
+            if a.size == 0 or (
+                int(a.min()) >= -(2**31) and int(a.max()) < 2**31
+            ):
+                return a.astype(np.int32)
+        return a
+
     def _nc_type(arr: np.ndarray) -> int:
-        k = np.asarray(arr).dtype.kind + str(np.asarray(arr).dtype.itemsize)
-        return {"i1": 1, "i2": 3, "i4": 4, "f4": 5, "f8": 6}[k]
+        a = np.asarray(arr)
+        k = a.dtype.kind + str(a.dtype.itemsize)
+        try:
+            return {"i1": 1, "i2": 3, "i4": 4, "f4": 5, "f8": 6}[k]
+        except KeyError:
+            raise ValueError(
+                f"write_netcdf_classic: dtype {a.dtype} has no classic-"
+                "format type — supported: int8/int16/int32/float32/"
+                "float64 (int64 values that fit int32 are downcast "
+                "automatically; strings only as attribute values)"
+            ) from None
 
     def _pad(b: bytes) -> bytes:
         return b + b"\x00" * (-len(b) % 4)
@@ -555,7 +576,7 @@ def write_netcdf_classic(
                 e = v.encode()
                 out += struct.pack(">ii", 2, len(e)) + _pad(e)
             else:
-                a = np.asarray(v)
+                a = _coerce(v)
                 t = _nc_type(a)
                 dt, _sz = _NC_DTYPES[t]
                 out += struct.pack(">ii", t, a.size)
@@ -578,7 +599,7 @@ def write_netcdf_classic(
     metas = {}
     for n in order:
         vdims, arr, attrs = variables[n]
-        a = np.asarray(arr)
+        a = _coerce(arr)
         t = _nc_type(a)
         _dt, sz = _NC_DTYPES[t]
         per = 1

@@ -276,9 +276,21 @@ def read_opendap_long_distributed(
     URL list becomes a one-URL-per-task DataFrame and every executor
     fetches + decodes its own ``.dods`` response (each URL already a
     full constraint expression), emitting long rows per time step —
-    network fan-out = number of URLs, driver memory O(1)."""
+    network fan-out = number of URLs, driver memory O(1).
+
+    Same cross-file contract as ``read_netcdf_long(distribute=True)``:
+    the driver decodes ONE URL to pin the reference lat/lon arrays,
+    which ride the task closure; every other URL is grid-checked where
+    it is read. Without this, a URL list spanning different grids
+    silently unions rows whose per-URL ``np.arange`` cell_ids collide
+    across grids, corrupting the cell_id -> location mapping."""
     fetch = fetcher or _default_fetcher
     attrs = time_attrs or {"units": "seconds since 1970-01-01T00:00:00Z"}
+    if not urls:
+        raise ValueError("read_opendap_long_distributed: empty URL list")
+    data0 = parse_dods(fetch(urls[0]))
+    ref_lat = data0[lat_name].astype(np.float64)
+    ref_lon = data0[lon_name].astype(np.float64)
     schema = (
         f"cell_id long, time timestamp, lat double, lon double, "
         f"{value_col} double"
@@ -297,6 +309,14 @@ def read_opendap_long_distributed(
                 )
                 la = data[lat_name].astype(np.float64)
                 lo = data[lon_name].astype(np.float64)
+                if not (
+                    np.array_equal(la, ref_lat)
+                    and np.array_equal(lo, ref_lon)
+                ):
+                    raise ValueError(
+                        f"{u}: spatial grid differs from {urls[0]} — "
+                        "multi-URL concat is along time on ONE grid"
+                    )
                 n_cells = la.size * lo.size
                 flat = cube.reshape(len(times), n_cells)
                 glat, glon = np.meshgrid(la, lo, indexing="ij")

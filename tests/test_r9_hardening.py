@@ -1,0 +1,298 @@
+"""Round-9 hardening pins: the r8 ADVICE items + VERDICT polish list.
+
+Each test pins one fix:
+- cosine_topk_arrow drops NULL/ragged embeddings (fold-path contract)
+- dedup_keep_best's verdict broadcast is gated (broadcast_verdict)
+- write_netcdf_classic downcasts int64 that fits NC_INT, rejects the
+  rest with a pointed ValueError
+- sniff_media's guard is scoped to malformed-bytes exceptions; a parser
+  BUG (TypeError) propagates
+- dsir_log_ratio_list raises a clear error on an empty target slice
+- read_opendap_long_distributed grid-checks every URL against the first
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# cosine_topk_arrow: NULL / ragged vectors are data, not crashes
+# ------------------------------------------------------------------
+class TestArrowTopkDirtyCorpus:
+    def test_null_and_ragged_dropped_like_fold_path(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_arrow,
+        )
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, None),              # NULL embedding
+            (3, [0.5, 0.5, 0.25]),  # ragged (wrong dim)
+            (4, [0.0, 1.0]),
+            (5, []),                # empty
+            (6, [0.8, 0.2]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(4)
+        got = [
+            (r.vec_id, r.rank)
+            for r in cosine_topk_arrow(emb, lambda c: c == 0, k=3)
+            .orderBy("rank").collect()
+        ]
+        # dirty rows 2/3/5 never appear; clean ordering by cosine.
+        # k=3: the fold path keeps the ragged row as a null-cosine
+        # straggler PAST the clean candidates (zip_with null padding),
+        # so parity holds wherever clean candidates fill the top-k
+        assert got == [(1, 1), (6, 2), (4, 3)]
+        want = [
+            (r.vec_id, r.rank)
+            for r in cosine_topk(emb, lambda c: c == 0, k=3)
+            .orderBy("rank").collect()
+        ]
+        assert got == want
+
+    def test_null_probe_dropped_not_crash(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk_arrow,
+        )
+
+        rows = [(0, None), (1, [1.0, 0.0]), (2, [0.9, 0.1])]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        # probe set {0, 1}: 0 is NULL -> dropped; 1 still scores
+        out = cosine_topk_arrow(emb, lambda c: c <= 1, k=2).collect()
+        assert {r.probe_id for r in out} == {1}
+
+    def test_all_null_probes_raise_empty(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk_arrow,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, None), (1, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="empty probe set"):
+            cosine_topk_arrow(emb, lambda c: c == 0, k=2)
+
+
+# ------------------------------------------------------------------
+# dedup_keep_best: gated verdict broadcast
+# ------------------------------------------------------------------
+class TestKeepBestBroadcastGate:
+    def _fixture(self, spark):
+        rows = [
+            (1, "!!! ??? ### $$$", "s"),
+            (2, " ".join(["clean readable sentence here"] * 8), "s"),
+            (3, "short", "s"),
+            (4, "standalone document four", "s"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        return docs, pairs
+
+    def test_gated_path_same_result(self, spark):
+        from mhw3d_detection_spark.operators.textops import dedup_keep_best
+
+        docs, pairs = self._fixture(spark)
+        a = sorted(
+            map(tuple, dedup_keep_best(docs, pairs).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup_keep_best(
+                    docs, pairs, broadcast_verdict=False
+                ).collect(),
+            )
+        )
+        assert a == b
+        kept = {r[0]: r[3] for r in a}
+        assert kept == {1: 0, 2: 1, 3: 0, 4: 1}
+
+    def test_plan_shape_both_paths(self, spark):
+        from mhw3d_detection_spark.operators.textops import dedup_keep_best
+
+        docs, pairs = self._fixture(spark)
+        hinted = dedup_keep_best(docs, pairs)
+        plain = dedup_keep_best(docs, pairs, broadcast_verdict=False)
+        # default: the final corpus join carries an explicit broadcast
+        # hint; gated: no hint — AQE decides from measured sizes
+        assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
+
+
+# ------------------------------------------------------------------
+# netCDF classic writer: int64 handling
+# ------------------------------------------------------------------
+class TestNetcdfWriterInt64:
+    def test_int64_var_and_attr_downcast_roundtrip(self, tmp_path):
+        from mhw3d_detection_spark.sources.netcdf import (
+            read_netcdf_file,
+            write_netcdf_classic,
+        )
+
+        p = str(tmp_path / "i8.nc")
+        n_t, n_lat, n_lon = 3, 2, 2
+        cube = np.arange(n_t * n_lat * n_lon).reshape(n_t, n_lat, n_lon)
+        write_netcdf_classic(
+            p,
+            {"time": n_t, "lat": n_lat, "lon": n_lon},
+            {
+                # np.arange -> int64 everywhere: time coord, data var,
+                # and a Python-int attribute (asarray -> int64 scalar)
+                "lat": (["lat"], np.array([0.0, 1.0]), {}),
+                "lon": (["lon"], np.array([0.0, 1.0]), {}),
+                "time": (
+                    ["time"],
+                    np.arange(n_t),
+                    {"units": "days since 2000-01-01", "some_count": 7},
+                ),
+                "sst": (["time", "lat", "lon"], cube, {}),
+            },
+        )
+        got, times, coords = read_netcdf_file(p)
+        np.testing.assert_array_equal(got, cube.astype(np.float64))
+        assert str(times[0].date()) == "2000-01-01"
+
+    def test_unsupported_dtype_pointed_error(self, tmp_path):
+        from mhw3d_detection_spark.sources.netcdf import write_netcdf_classic
+
+        p = str(tmp_path / "bad.nc")
+        with pytest.raises(ValueError, match="uint32.*classic"):
+            write_netcdf_classic(
+                p,
+                {"x": 2},
+                {"v": (["x"], np.array([1, 2], dtype=np.uint32), {})},
+            )
+
+    def test_int64_overflow_pointed_error(self, tmp_path):
+        from mhw3d_detection_spark.sources.netcdf import write_netcdf_classic
+
+        p = str(tmp_path / "big.nc")
+        with pytest.raises(ValueError, match="int64.*classic"):
+            write_netcdf_classic(
+                p,
+                {"x": 2},
+                {"v": (["x"], np.array([0, 2**40]), {})},
+            )
+
+    def test_netcdf4_roundtrip_if_available(self, tmp_path):
+        # environments with the netCDF4/HDF5 stack: the auto engine
+        # must read a v4 file the builtin reader refuses
+        nc4 = pytest.importorskip("netCDF4")
+        p = str(tmp_path / "v4.nc")
+        with nc4.Dataset(p, "w", format="NETCDF4") as ds:
+            ds.createDimension("time", 2)
+            ds.createDimension("lat", 2)
+            ds.createDimension("lon", 2)
+            t = ds.createVariable("time", "f8", ("time",))
+            t.units = "days since 2000-01-01"
+            t[:] = [0.0, 1.0]
+            ds.createVariable("lat", "f8", ("lat",))[:] = [0.0, 1.0]
+            ds.createVariable("lon", "f8", ("lon",))[:] = [0.0, 1.0]
+            v = ds.createVariable("sst", "f8", ("time", "lat", "lon"))
+            v[:] = np.arange(8.0).reshape(2, 2, 2)
+        from mhw3d_detection_spark.sources.netcdf import read_netcdf_file
+
+        got, times, coords = read_netcdf_file(p)
+        np.testing.assert_array_equal(got, np.arange(8.0).reshape(2, 2, 2))
+
+
+# ------------------------------------------------------------------
+# sniff_media: parser bugs propagate, garbage stays safe
+# ------------------------------------------------------------------
+class TestSniffGuardScope:
+    def test_parser_bug_propagates(self, monkeypatch):
+        from mhw3d_detection_spark.operators import multimodal
+
+        class _Boom:
+            error = struct.error
+
+            @staticmethod
+            def unpack_from(*a, **k):
+                raise TypeError("injected parser bug")
+
+        monkeypatch.setattr(multimodal, "struct", _Boom)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"IHDR"
+            + struct.pack(">II", 4, 4) + bytes([8, 6]) + b"\x00" * 16
+        )
+        with pytest.raises(TypeError, match="injected parser bug"):
+            multimodal.sniff_media(png)
+
+    def test_garbage_still_safe(self):
+        from mhw3d_detection_spark.operators.multimodal import sniff_media
+
+        # fuzz shapes that exercise each container's truncation path
+        payloads = [
+            b"\x89PNG\r\n\x1a\n\x00\x00\x00\x00IHDR\x01",      # short IHDR
+            b"\xff\xd8\xff\xc0\x00",                            # short SOF
+            b"GIF89a\x01",                                      # short LSD
+            b"BM" + b"\x00" * 24,                               # short BMP
+            b"RIFF\x10\x00\x00\x00WAVEfmt \xff\xff\xff\xff",    # bad chunk
+        ]
+        for pay in payloads:
+            m = sniff_media(pay)
+            assert m["n_bytes"] == len(pay)
+
+
+# ------------------------------------------------------------------
+# DSIR: empty target slice fails loudly at the source
+# ------------------------------------------------------------------
+class TestDsirEmptyTarget:
+    def test_empty_target_raises_clear_error(self, spark):
+        from mhw3d_detection_spark.operators.textops import (
+            dsir_log_ratio_list,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", "pool"), (2, "gamma delta", "pool")],
+            "doc_id long, text string, source string",
+        )
+        with pytest.raises(ValueError, match="no documents"):
+            dsir_log_ratio_list(
+                docs, lambda s: s == F.lit("target"), n_buckets=16
+            )
+
+
+# ------------------------------------------------------------------
+# OPeNDAP distributed: cross-URL grid consistency
+# ------------------------------------------------------------------
+class TestOpendapGridCheck:
+    def test_grid_mismatch_raises(self, spark):
+        from tests.test_opendap import _dods_payload, _fixture
+
+        from mhw3d_detection_spark.sources.opendap import (
+            read_opendap_long_distributed,
+        )
+
+        cube, tvals, lats, lons = _fixture()
+        good = _dods_payload(cube, tvals, lats, lons)
+        bad = _dods_payload(cube, tvals + 6 * 86400.0, lats + 0.5, lons)
+        table = {"u1": good, "u2": bad}
+        ddf = read_opendap_long_distributed(
+            spark, ["u1", "u2"], "sst",
+            fetcher=lambda u, _t=table: _t[u],
+        )
+        with pytest.raises(Exception, match="grid differs"):
+            ddf.collect()
+
+    def test_empty_urls_raise(self, spark):
+        from mhw3d_detection_spark.sources.opendap import (
+            read_opendap_long_distributed,
+        )
+
+        with pytest.raises(ValueError, match="empty URL list"):
+            read_opendap_long_distributed(spark, [], "sst")
