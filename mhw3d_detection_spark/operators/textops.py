@@ -742,7 +742,11 @@ def dsir_weights(
     log-ratio table built from two bucket aggregates + the 1-row
     totals (broadcast), a per-doc aggregate, and a TakeOrdered top-m
     broadcast back as the selection flag. The raw corpus never joins
-    anything bigger than ``n_buckets`` rows."""
+    anything bigger than ``n_buckets`` rows. Both broadcasts here are
+    PARAMETER-bounded, not corpus-bounded: the log-ratio table is
+    exactly ``n_buckets`` rows and the selection flag exactly
+    ``top_m`` rows — callers selecting a corpus-scale fraction should
+    pass a quantile-threshold filter instead of a huge ``top_m``."""
     per = _dsir_doc_bucket_counts(docs, n_buckets, text_col)
     lr = dsir_log_ratios(
         docs, target_pred, n_buckets=n_buckets, alpha=alpha,
