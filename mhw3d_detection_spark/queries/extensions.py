@@ -3709,7 +3709,7 @@ def q_sample_weighted(spark, sf_dir):
 
 
 # =========================================================================
-# E3c (r8) — kNN label prediction (weak labeling / classifier audit)
+# E3k (r8) — kNN label prediction (weak labeling / classifier audit)
 # =========================================================================
 _KNN_SQL = (
     "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
@@ -3734,7 +3734,7 @@ _KNN_SQL = (
 
 @register("q_knn_classify", _KNN_SQL)
 def q_knn_classify(spark, sf_dir):
-    """E3c (r8): k-NN majority-vote label prediction for every probe —
+    """E3k (r8): k-NN majority-vote label prediction for every probe —
     the weak-labeling / distillation-audit primitive (label unlabeled
     docs from their nearest labeled neighbors; here self-audited
     against the probes' own labels). Candidates via the verified
@@ -3750,7 +3750,7 @@ def q_knn_classify(spark, sf_dir):
 
 
 # =========================================================================
-# E3d (r8) — hard-negative mining (contrastive training data)
+# E3l (r8) — hard-negative mining (contrastive training data)
 # =========================================================================
 _HARDNEG_SQL = (
     "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
@@ -3768,7 +3768,7 @@ _HARDNEG_SQL = (
 
 @register("q_hard_negatives", _HARDNEG_SQL)
 def q_hard_negatives(spark, sf_dir):
-    """E3d (r8): hard-negative mining — for each probe, the top-5 most
+    """E3l (r8): hard-negative mining — for each probe, the top-5 most
     cosine-similar vectors with a DIFFERENT label: the negatives a
     contrastive/embedding trainer learns the most from (the batch
     offline-mining shape behind DPR/SimCSE-style pipelines). Same
@@ -3852,7 +3852,7 @@ def q_embed_outliers(spark, sf_dir):
 
 
 # =========================================================================
-# E2f (r8) — quality-representative dedup: keep the BEST member of
+# E2h (r8) — quality-representative dedup: keep the BEST member of
 # every near-dup component, not the arbitrary min id
 # =========================================================================
 _KEEPBEST_SQL = (
@@ -3899,7 +3899,7 @@ def _keepbest_sql() -> str:
 
 @register("q_dedup_keep_best", _keepbest_sql())
 def q_dedup_keep_best(spark, sf_dir):
-    """E2f (r8): quality-representative dedup — per near-dup component
+    """E2h (r8): quality-representative dedup — per near-dup component
     (MinHash-LSH pairs -> 3 bounded min-label rounds) keep the member
     with the HIGHEST composite quality score (rq4 grid; ties to the
     smaller doc_id), singletons keep themselves. The policy production
@@ -4232,7 +4232,7 @@ def q_retrieval_mrr(spark, sf_dir):
 
 
 # =========================================================================
-# E4f (r8) — tokenizer fertility by source: the per-corpus-slice cost
+# E4i (r8) — tokenizer fertility by source: the per-corpus-slice cost
 # model of a trained tokenizer (chars/symbol; low fertility = the
 # merges fit that slice's language/register)
 # =========================================================================
@@ -4256,7 +4256,7 @@ def q_retrieval_mrr(spark, sf_dir):
     "FROM perdoc p JOIN documents doc ON p.doc_id = doc.doc_id GROUP BY 1",
 )
 def q_tokenizer_fertility(spark, sf_dir):
-    """E4f (r8): tokenizer fertility per corpus slice — the trained BPE
+    """E4i (r8): tokenizer fertility per corpus slice — the trained BPE
     merges applied to every doc (the q_bpe_encode deploy seam), then
     compression rolled up BY SOURCE: chars/symbol (how well the merges
     fit that slice) and symbols/token (the training-cost multiplier a

@@ -794,7 +794,7 @@ def q_mean_trend_ols(spark, sf_dir):
 
 
 # =========================================================================
-# W13 (beyond-reference, in-domain) — per-cell lag-k autocorrelation
+# W13b (beyond-reference, in-domain) — per-cell lag-k autocorrelation
 # =========================================================================
 @register(
     "q_autocorr",
