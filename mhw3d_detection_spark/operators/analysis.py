@@ -1229,3 +1229,123 @@ def topk_per_group(
         .drop("__salt", "__r1")
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_old: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the "old"
+    slice (``is_old`` true) and the rest — the distribution-shape
+    companion to the PSI drift monitors: PSI reacts to mass shifts in
+    coarse hash buckets; KS is the sup-norm distance between the two
+    EXACT empirical CDFs of a numeric property (doc length, quality
+    score), with the location of the worst divergence as a diagnostic.
+
+    D = sup_x |F_old(x) - F_new(x)|, evaluated at every distinct value
+    of the pooled sample (where the sup of right-continuous step
+    functions is attained). Returns ONE row:
+    ``(x_at_max, ks_stat, n_old, n_new)`` — ties in the sup broken to
+    the smallest x.
+
+    Exactness: cumulative counts are integer window sums; each CDF is
+    one exactly-rounded integer/integer division, the difference and
+    abs are exactly rounded — the statistic hash-matches as a RAW
+    double with no quantization.
+
+    Scale: the ordered cumsum runs over DISTINCT VALUES of the
+    statistic, not the corpus — a VALUE-DOMAIN-bounded table (doc
+    lengths, rq-gridded scores), so the single-partition window is a
+    few thousand rows regardless of corpus size; the corpus itself is
+    touched by exactly one hash aggregate.
+    """
+    g = df.groupBy(F.col(value_col).alias("x")).agg(
+        F.sum(is_old.cast("int")).cast("long").alias("c_old"),
+        F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
+    )
+    tot = g.agg(
+        F.sum("c_old").cast("double").alias("n_old"),
+        F.sum("c_new").cast("double").alias("n_new"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "x",
+        F.sum("c_old").over(w).cast("double").alias("a"),
+        F.sum("c_new").over(w).cast("double").alias("b"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "x",
+        F.abs(F.col("a") / F.col("n_old") - F.col("b") / F.col("n_new")).alias(
+            "diff"
+        ),
+        "n_old",
+        "n_new",
+    )
+    return (
+        d.orderBy(F.desc("diff"), F.col("x"))
+        .limit(1)
+        .select(
+            F.col("x").alias("x_at_max"),
+            F.col("diff").alias("ks_stat"),
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+        )
+    )
+
+
+def theilsen_trend(
+    ts: DataFrame,
+    max_lag_days: int = 30,
+    temp_digits: int = 2,
+) -> DataFrame:
+    """Banded Theil–Sen trend per cell: the median of pairwise slopes
+    ``(temp_j - temp_i) / (day_j - day_i)`` over all pairs at most
+    ``max_lag_days`` apart — the robust alternative to the engine's
+    OLS trend (W11): a single despiked-missed outlier day moves OLS
+    arbitrarily but moves a slope MEDIAN not at all (breakdown point
+    29%). The lag band keeps the pair count linear in series length
+    (full Theil–Sen is quadratic); banded Sen estimators are the
+    standard streaming/telemetry form.
+
+    Exactness (the despike_mad device): temps are rq-quantized to
+    ``temp_digits`` BEFORE differencing, so both engines difference
+    identical bits; day deltas are exact integers; each slope is one
+    exactly-rounded division — identical slope multisets, and
+    ``percentile(0.5)`` ≡ ``quantile_cont(0.5)`` interpolates the same
+    two members with exactly-rounded midpoint arithmetic.
+
+    Returns ``(cell_id, n_pairs, sen_slope)``; slope is per DAY,
+    rq-quantized for display.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    q = ts.select(
+        "cell_id",
+        F.datediff(F.col("time"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        rq("temp", temp_digits).alias("t"),
+    )
+    # lag-exploded EQUI-join (the q_autocorr device): pairing on the
+    # exact day offset keeps this a hash join on (cell_id, day) —
+    # never a per-cell cross product that a band filter prunes late
+    a = q.select(
+        "cell_id",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag_days)))
+        ).alias("lag"),
+        F.col("day").alias("d1"),
+        F.col("t").alias("t1"),
+    ).withColumn("d2", F.col("d1") + F.col("lag"))
+    b = q.select(
+        "cell_id", F.col("day").alias("d2"), F.col("t").alias("t2")
+    )
+    slopes = a.join(b, ["cell_id", "d2"]).select(
+        "cell_id",
+        ((F.col("t2") - F.col("t1")) / F.col("lag")).alias("slope"),
+    )
+    return slopes.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        rq(F.expr("percentile(slope, 0.5)"), 4).alias("sen_slope"),
+    )

@@ -2627,3 +2627,60 @@ def weighted_sample(
         "sample_key", rq(F.log(u) / w, 6)
     )
     return keyed.orderBy(F.desc("sample_key"), F.col(key_col)).limit(int(n))
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    probe_pred,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle-set CONTAINMENT |A ∩ B| / |A| from a probe
+    subset A into the corpus — the quote/excerpt detector Jaccard
+    misses by construction: a 50-shingle document fully embedded in a
+    5000-shingle page has Jaccard ≈ 0.01 (invisible at any sane
+    threshold) but containment 1.0. This is the measure benchmark
+    decontamination actually needs (is the EVAL ITEM inside the
+    training page — not "are the two pages similar").
+
+    Same candidate geometry as :func:`ngram_jaccard_pairs`: distinct
+    shingles, equi-join on shingle, |A| by one per-doc count; at scale
+    the probe side is the (small) eval/benchmark set and rides a
+    broadcast, so the corpus is touched by one join + one aggregate.
+
+    Exactness: intersection and size are integers; containment is one
+    exactly-rounded division, and the ``>=`` threshold decision
+    compares identical bits in both engines.
+
+    Returns ``(probe_id, doc_id, inter, sz_probe, containment)`` for
+    pairs at or above ``min_containment``.
+    """
+    sh = shingles(docs, text_col, n=shingle_n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_probe"))
+    probes = sh.filter(probe_pred(F.col("doc_id")))
+    inter = (
+        probes.select(F.col("doc_id").alias("probe_id"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id"), "shingle"), "shingle"
+        )
+        .filter(F.col("probe_id") != F.col("doc_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "probe_id"), "probe_id"
+        )
+        .withColumn(
+            "containment", F.col("inter") / F.col("sz_probe")
+        )
+        .filter(F.col("containment") >= F.lit(float(min_containment)))
+        .select(
+            "probe_id",
+            "doc_id",
+            "inter",
+            F.col("sz_probe").cast("long").alias("sz_probe"),
+            "containment",
+        )
+    )

@@ -4530,3 +4530,84 @@ def q_text_drift_psi(spark, sf_dir):
         rq(term, 6).alias("psi_term"),
         rq(F.sum(term).over(w), 4).alias("psi_total"),
     )
+
+
+# =========================================================================
+# E7e (r9) — exact two-sample KS drift statistic: the sup-norm
+# companion to the PSI monitors (E4h embedding / text PSI react to
+# binned mass shifts; KS is the exact worst-case CDF distance of a
+# numeric property, with the location of the divergence)
+# =========================================================================
+@register(
+    "q_ks_drift",
+    "WITH s AS (SELECT n_chars AS x, "
+    "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io FROM documents), "
+    "g AS (SELECT x, CAST(sum(io) AS BIGINT) AS c_old, "
+    "  CAST(count(*) - sum(io) AS BIGINT) AS c_new FROM s GROUP BY 1), "
+    "t AS (SELECT CAST(sum(c_old) AS DOUBLE) AS n_old, "
+    "  CAST(sum(c_new) AS DOUBLE) AS n_new FROM g), "
+    "c AS (SELECT x, CAST(sum(c_old) OVER (ORDER BY x "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS a, "
+    "  CAST(sum(c_new) OVER (ORDER BY x "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS b "
+    "  FROM g), "
+    "d AS (SELECT x, abs(a / t.n_old - b / t.n_new) AS diff, "
+    "  t.n_old, t.n_new FROM c, t) "
+    "SELECT x AS x_at_max, diff AS ks_stat, "
+    "CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new "
+    "FROM d ORDER BY diff DESC, x LIMIT 1",
+)
+def q_ks_drift(spark, sf_dir):
+    """E7e (r9): exact two-sample Kolmogorov-Smirnov statistic of the
+    doc-length (n_chars) distribution, new snapshot (doc_id%5=4) vs the
+    existing corpus — sup_x |F_old - F_new| plus WHERE the divergence
+    peaks. Integer cumulative counts over the DISTINCT-VALUE table
+    (domain-bounded, not corpus-bounded: one hash aggregate touches
+    the corpus, the ordered window sees only distinct lengths), then
+    exactly-rounded divisions — the statistic hash-matches as a RAW
+    double, no quantization."""
+    from mhw3d_detection_spark.operators.analysis import ks_two_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_two_sample(
+        docs.select("doc_id", "n_chars"),
+        "n_chars",
+        F.col("doc_id") % 5 != 4,
+    )
+
+
+# =========================================================================
+# E2i (r9) — asymmetric shingle containment: the quote/excerpt
+# detector (benchmark decontamination's actual question) that Jaccard
+# misses by construction
+# =========================================================================
+@register(
+    "q_containment_pairs",
+    f"WITH {SHINGLES_SQL}, "
+    "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz_probe "
+    "  FROM shd GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS probe_id, b.doc_id AS doc_id, "
+    "  CAST(count(*) AS BIGINT) AS inter FROM shd a "
+    "  JOIN shd b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id "
+    "  WHERE a.doc_id % 20 = 0 GROUP BY 1, 2) "
+    "SELECT i.probe_id, i.doc_id, i.inter, s.sz_probe, "
+    "  i.inter / s.sz_probe AS containment "
+    "FROM inter i JOIN sizes s ON i.probe_id = s.doc_id "
+    "WHERE i.inter / s.sz_probe >= 0.5",
+)
+def q_containment_pairs(spark, sf_dir):
+    """E2i (r9): |A∩B|/|A| from the probe subset (doc_id%20=0 — the
+    "benchmark" slice) into the corpus; a short doc fully embedded in
+    a long page scores 1.0 here and ~0.01 on Jaccard. Integer
+    intersection/size + one exactly-rounded division; the >= 0.5
+    threshold compares identical bits. Same shingle equi-join geometry
+    as q_dedup_ngram_jaccard (probe side broadcasts at scale)."""
+    from mhw3d_detection_spark.operators.textops import (
+        shingle_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_containment_pairs(
+        docs, probe_pred=lambda c: c % 20 == 0, min_containment=0.5
+    )

@@ -1152,3 +1152,35 @@ def q_trend_bootstrap_ci(spark, sf_dir):
         rq("ci_hi", 2).alias("ci_hi"),
         "n_reps",
     )
+
+
+# =========================================================================
+# W19 (r9, beyond-reference, in-domain) — banded Theil-Sen robust trend
+# =========================================================================
+@register(
+    "q_theilsen_trend",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "q AS (SELECT cell_id, CAST(time AS DATE) - DATE '1970-01-01' AS day, "
+    f"  {rq_sql('temp', 2)} AS t FROM od), "
+    "a AS (SELECT cell_id, lag, day AS d1, t AS t1, day + lag AS d2 FROM "
+    "  (SELECT q.*, unnest(generate_series(1, 30)) AS lag FROM q)), "
+    "s AS (SELECT a.cell_id, (b.t - a.t1) / a.lag AS slope "
+    "  FROM a JOIN q b ON b.cell_id = a.cell_id AND b.day = a.d2) "
+    "SELECT cell_id, CAST(count(*) AS BIGINT) AS n_pairs, "
+    f"{rq_sql('quantile_cont(slope, 0.5)', 4)} AS sen_slope "
+    "FROM s GROUP BY 1",
+)
+def q_theilsen_trend(spark, sf_dir):
+    """W19 (r9): banded Theil-Sen slope per cell — the median of
+    pairwise slopes over day-pairs <= 30 days apart, the robust
+    companion to the OLS trend (W11): one missed spike moves OLS
+    arbitrarily, moves a slope median not at all (29% breakdown).
+    Lag-exploded EQUI-join (the q_autocorr device) keeps the pair
+    count linear in series length; rq2-quantized temps difference
+    identical bits in both engines, day deltas are exact integers,
+    each slope one exactly-rounded division, and percentile(0.5) ≡
+    quantile_cont(0.5) (the A3/despike_mad contract)."""
+    from mhw3d_detection_spark.operators.analysis import theilsen_trend
+
+    od = orders_daily(spark, sf_dir)
+    return theilsen_trend(od, max_lag_days=30, temp_digits=2)

@@ -296,3 +296,123 @@ class TestOpendapGridCheck:
 
         with pytest.raises(ValueError, match="empty URL list"):
             read_opendap_long_distributed(spark, [], "sst")
+
+
+# ------------------------------------------------------------------
+# r9 wave-1 operators: KS, containment, Theil-Sen
+# ------------------------------------------------------------------
+class TestKsTwoSample:
+    def test_matches_manual_ks(self, spark):
+        from mhw3d_detection_spark.operators.analysis import ks_two_sample
+
+        old = [1, 2, 2, 3, 5, 8, 8, 9]
+        new = [4, 5, 6, 6, 7, 9]
+        rows = [(i, x, True) for i, x in enumerate(old)] + [
+            (100 + i, x, False) for i, x in enumerate(new)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, x int, old boolean")
+        got = ks_two_sample(df, "x", F.col("old")).collect()[0]
+        # manual sup over pooled distinct values
+        import bisect
+
+        def cdf(sample, x):
+            return bisect.bisect_right(sorted(sample), x) / len(sample)
+
+        want = max(
+            abs(cdf(old, x) - cdf(new, x)) for x in sorted(set(old + new))
+        )
+        assert got.ks_stat == pytest.approx(want, abs=0)
+        assert (got.n_old, got.n_new) == (8, 6)
+        # x_at_max: smallest x attaining the sup
+        attain = [
+            x
+            for x in sorted(set(old + new))
+            if abs(cdf(old, x) - cdf(new, x)) == want
+        ]
+        assert got.x_at_max == attain[0]
+
+    def test_identical_distributions_zero(self, spark):
+        from mhw3d_detection_spark.operators.analysis import ks_two_sample
+
+        rows = [(i, i % 5, i % 2 == 0) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, x int, old boolean")
+        got = ks_two_sample(df, "x", F.col("old")).collect()[0]
+        assert got.ks_stat == 0.0
+
+
+class TestContainmentPairs:
+    def test_planted_quote_scores_one(self, spark):
+        from mhw3d_detection_spark.operators.textops import (
+            shingle_containment_pairs,
+        )
+
+        quote = "the quick brown fox jumps over the lazy dog"
+        page = (
+            "intro paragraph with plenty of filler words here "
+            + quote
+            + " and a long closing section of unrelated prose follows"
+        )
+        rows = [
+            (0, quote, "s"),        # probe: fully contained in 2
+            (2, page, "s"),
+            (3, "completely different text about oceans and storms", "s"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {
+            (r.probe_id, r.doc_id): r.containment
+            for r in shingle_containment_pairs(
+                docs, probe_pred=lambda c: c == 0, min_containment=0.5
+            ).collect()
+        }
+        assert out == {(0, 2): 1.0}
+
+    def test_jaccard_blind_spot(self, spark):
+        # the same planted pair scores LOW on Jaccard — the reason
+        # containment exists as its own measure
+        from mhw3d_detection_spark.operators.textops import (
+            ngram_jaccard_pairs,
+        )
+
+        quote = "the quick brown fox jumps over the lazy dog"
+        page = " ".join(f"filler{i}" for i in range(60)) + " " + quote
+        docs = spark.createDataFrame(
+            [(0, quote, "s"), (2, page, "s")],
+            "doc_id long, text string, source string",
+        )
+        j = ngram_jaccard_pairs(
+            docs, probe_pred=lambda c: c == 0, min_jaccard=0.0
+        ).collect()
+        assert j and j[0].jaccard < 0.2
+
+
+class TestTheilsenTrend:
+    def test_robust_to_outlier(self, spark):
+        from mhw3d_detection_spark.operators.analysis import theilsen_trend
+        import datetime
+
+        base = datetime.date(2000, 1, 1)
+        rows = []
+        for d in range(40):
+            temp = 10.0 + 0.5 * d
+            if d == 20:
+                temp = 500.0  # one wild spike
+            rows.append((1, base + datetime.timedelta(days=d), temp))
+        ts = spark.createDataFrame(rows, "cell_id long, time date, temp double")
+        got = theilsen_trend(ts, max_lag_days=10).collect()[0]
+        # median slope stays at the true 0.5/day despite the spike
+        assert got.sen_slope == pytest.approx(0.5, abs=1e-6)
+
+    def test_pair_count_banded(self, spark):
+        from mhw3d_detection_spark.operators.analysis import theilsen_trend
+        import datetime
+
+        base = datetime.date(2000, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(days=d), float(d)) for d in range(5)
+        ]
+        ts = spark.createDataFrame(rows, "cell_id long, time date, temp double")
+        got = theilsen_trend(ts, max_lag_days=2).collect()[0]
+        # lags 1: 4 pairs, lag 2: 3 pairs
+        assert got.n_pairs == 7 and got.sen_slope == pytest.approx(1.0)

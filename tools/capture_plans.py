@@ -73,6 +73,9 @@ PLANS = [
     "q_token_triangles",
     "q_text_drift_psi",
     "q_trend_bootstrap_ci",
+    "q_ks_drift",
+    "q_containment_pairs",
+    "q_theilsen_trend",
 ]
 
 HEADER = """# Physical plans — explain evidence

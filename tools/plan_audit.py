@@ -130,6 +130,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_quantile_normalize": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # attaches the 1-row pooled token total for q = c/N
     "q_source_divergence": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r9: KS attaches the 1-row (n_old, n_new) totals to the
+    # distinct-value CDF table (domain-bounded, not corpus-bounded)
+    "q_ks_drift": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
