@@ -1029,3 +1029,51 @@ def finalize_clim_partials(partials: DataFrame) -> DataFrame:
         F.col("mn").alias("temp_min"),
         F.col("mx").alias("temp_max"),
     )
+
+
+def harmonic_fit(ts: DataFrame, harm: DataFrame) -> DataFrame:
+    """Closed-form first-harmonic OLS per cell:
+    ``y ~ a0 + a1*c + b1*s`` where ``(c, s)`` come from the supplied
+    366-row literal harmonics dim (``queries.mhw._harm_rows`` — cos/sin
+    computed once in Python so both engines see identical doubles; no
+    runtime trig). Exactness contract documented on
+    ``queries.mhw.q_harmonic_clim``: rq2 temps, dyadic-quantized summed
+    terms, Cramer solve as one shared formula string.
+
+    ``ts`` is ``(cell_id, time, temp)``; returns
+    ``(cell_id, n_days, a0, a1, b1, amplitude)`` rq2-quantized.
+    """
+    from mhw3d_detection_spark.functions.calendar import clim_doy
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.queries.base import rq
+    from mhw3d_detection_spark.queries.mhw import _H_A0, _H_A1, _H_B1
+
+    j = ts.withColumn("doy", clim_doy(F.col("time"))).join(
+        F.broadcast(harm), "doy"
+    ).select("cell_id", rq("temp", 2).alias("y"), "c", "s")
+    a = j.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(dyadic_quantize(F.col("y"), 20)).alias("sy"),
+        F.sum(dyadic_quantize(F.col("c"), 30)).alias("sc"),
+        F.sum(dyadic_quantize(F.col("s"), 30)).alias("ss"),
+        F.sum(dyadic_quantize(F.col("c") * F.col("c"), 30)).alias("scc"),
+        F.sum(dyadic_quantize(F.col("s") * F.col("s"), 30)).alias("sss"),
+        F.sum(dyadic_quantize(F.col("c") * F.col("s"), 30)).alias("scs"),
+        F.sum(dyadic_quantize(F.col("y") * F.col("c"), 20)).alias("syc"),
+        F.sum(dyadic_quantize(F.col("y") * F.col("s"), 20)).alias("sys"),
+    )
+    f = a.select(
+        "cell_id",
+        F.col("nn").cast("long").alias("n_days"),
+        F.expr(_H_A0).alias("a0"),
+        F.expr(_H_A1).alias("a1"),
+        F.expr(_H_B1).alias("b1"),
+    )
+    return f.select(
+        "cell_id",
+        "n_days",
+        rq("a0", 2).alias("a0"),
+        rq("a1", 2).alias("a1"),
+        rq("b1", 2).alias("b1"),
+        rq(F.expr("sqrt(a1*a1 + b1*b1)"), 2).alias("amplitude"),
+    )

@@ -1887,3 +1887,88 @@ def mmr_diversify(
         )
         sel = sel.union(pick).localCheckpoint()
     return sel
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 5,
+    seed_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez) coreset selection —
+    the diversity-first data-pruning policy: starting from a seed,
+    repeatedly pick the embedding FARTHEST from everything already
+    selected (max over points of min-distance-to-set). The k picks are
+    a 2-approximation of the optimal k-center cover — the classic
+    "every region of embedding space gets a representative" selection
+    that random sampling misses on long tails (dataset-distillation /
+    active-learning seeding, the complement of :func:`mmr_diversify`'s
+    relevance-anchored diversity).
+
+    Plan shape: k-1 rounds, each ONE narrow corpus pass — the running
+    min-distance column updates against the single newly-selected
+    center as a LITERAL array (the `_KMEANS_SQL` literal-assign seam;
+    no broadcast, no join), then a TakeOrdered(1) argmax. Rounds
+    localCheckpoint the corpus-sized state frame (same eager device as
+    ``mmr_diversify``: each round references the previous frame twice).
+
+    Exactness: distances rq6-quantize (the MMR contract), the running
+    min is ``least`` over identical rq6 bits, argmax ties break to the
+    smaller vec_id — selections replay bit-exactly in the unrolled SQL
+    oracle.
+
+    Returns ``(rank, vec_id, mind)`` — k rows; ``mind`` is the
+    distance to the nearest already-selected center at selection time
+    (0.0 for the seed by convention).
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    def _lit_vec(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def _l2(vcol, lit_vec):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(vcol, lit_vec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    seed_rows = base.filter(F.col("vec_id") == int(seed_id)).collect()
+    if not seed_rows:
+        raise ValueError(f"kcenter_select: seed vec_id {seed_id} not found")
+    picked = [(1, int(seed_id), 0.0)]
+    center = seed_rows[0]["v"]
+    state = (
+        base.filter(F.col("vec_id") != int(seed_id))
+        .select("vec_id", "v", rq(_l2(F.col("v"), _lit_vec(center)), 6).alias("d"))
+        .localCheckpoint()
+    )
+    for r in range(2, int(k) + 1):
+        far = state.orderBy(F.desc("d"), "vec_id").limit(1).collect()
+        if not far:
+            break
+        vid, vec, mind = far[0]["vec_id"], far[0]["v"], far[0]["d"]
+        picked.append((r, int(vid), float(mind)))
+        if r == int(k):
+            break
+        state = (
+            state.filter(F.col("vec_id") != vid)
+            .select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("d"), rq(_l2(F.col("v"), _lit_vec(vec)), 6)
+                ).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picked, "rank int, vec_id long, mind double"
+    )

@@ -4611,3 +4611,58 @@ def q_containment_pairs(spark, sf_dir):
     return shingle_containment_pairs(
         docs, probe_pred=lambda c: c % 20 == 0, min_containment=0.5
     )
+
+
+# =========================================================================
+# E3m (r9) — greedy k-center (farthest-point) coreset selection: the
+# diversity-first data-pruning pick (2-approx of the optimal k-center
+# cover), complement of MMR's relevance-anchored diversity
+# =========================================================================
+def _KCENTER_SQL(k: int = 6, seed: int = 0) -> str:
+    """Unrolled Gonzalez rounds: every selection replays exactly
+    because distances are rq6-quantized, the running min is ``least``
+    over identical bits, and argmax ties break to the smaller vec_id —
+    the same replay contract as ``_MMR_SQL``."""
+    d1 = rq_sql("list_distance(b.v, c1.v)", 6)
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c1 AS (SELECT v FROM base WHERE vec_id = {seed})",
+        f"m1 AS (SELECT b.vec_id, b.v, {d1} AS d "
+        f"FROM base b, c1 WHERE b.vec_id <> {seed})",
+    ]
+    sels = [f"SELECT 1 AS rank, CAST({seed} AS BIGINT) AS vec_id, 0.0 AS mind"]
+    prev = "m1"
+    for r in range(2, int(k) + 1):
+        ctes.append(
+            f"p{r} AS (SELECT vec_id, v, d FROM {prev} "
+            "ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        sels.append(f"SELECT {r} AS rank, vec_id, d AS mind FROM p{r}")
+        if r < int(k):
+            dr = rq_sql("list_distance(m.v, p.v)", 6)
+            ctes.append(
+                f"m{r} AS (SELECT m.vec_id, m.v, least(m.d, {dr}) AS d "
+                f"FROM {prev} m, (SELECT v FROM p{r}) p "
+                f"WHERE m.vec_id NOT IN (SELECT vec_id FROM p{r}))"
+            )
+            prev = f"m{r}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT CAST(rank AS INT) AS rank, vec_id, mind FROM ("
+        + " UNION ALL ".join(sels) + ")"
+    )
+
+
+@register("q_kcenter_sample", _KCENTER_SQL(6, 0))
+def q_kcenter_sample(spark, sf_dir):
+    """E3m (r9): 6 greedy k-center picks from vec_id 0 — each round one
+    narrow corpus pass updating the running min-distance against the
+    newly-picked center as a LITERAL array (the _KMEANS_SQL
+    literal-assign seam: no broadcast, no join, no BNLJ), then a
+    TakeOrdered(1) argmax; rounds localCheckpoint the state frame
+    (mmr_diversify's eager device). rq6 distances + least + vec_id
+    tie-break replay bit-exactly in the unrolled SQL."""
+    from mhw3d_detection_spark.operators.similarity import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=6, seed_id=0)

@@ -1184,3 +1184,99 @@ def q_theilsen_trend(spark, sf_dir):
 
     od = orders_daily(spark, sf_dir)
     return theilsen_trend(od, max_lag_days=30, temp_digits=2)
+
+
+# =========================================================================
+# S8 (r9, beyond-reference, in-domain) — harmonic (Fourier) seasonal
+# climatology fit: the parametric alternative to the smoothed-mean
+# cycle (A1/W1) — 3 coefficients per cell instead of 366 rows
+# =========================================================================
+def _harm_rows() -> list[tuple[int, float, float]]:
+    """(doy, cos, sin) literals for every leap-normalized DOY — the
+    shared-literal transcendental device (NDCG/MRR precedent) at table
+    scale: cos/sin are computed ONCE in Python and the identical
+    doubles enter both engines (createDataFrame on the Spark side, a
+    repr'd VALUES list in the SQL — repr round-trips shortest-exact,
+    so both parsers land on the same bits). No runtime trig anywhere."""
+    import math
+
+    out = []
+    for doy in range(1, 367):
+        th = 2.0 * math.pi * (doy - 1) / 365.25
+        out.append((doy, math.cos(th), math.sin(th)))
+    return out
+
+
+# Cramer's-rule solve of the 3x3 normal equations, as SHARED TEXT: the
+# identical formula string is F.expr'd in Spark and inlined in the SQL,
+# so both engines execute the same exactly-rounded op tree over sums
+# that are bit-exact by dyadic construction.
+_H_DET = (
+    "(nn*(scc*sss - scs*scs) - sc*(sc*sss - scs*ss) + ss*(sc*scs - scc*ss))"
+)
+_H_A0 = (
+    "((sy*(scc*sss - scs*scs) - sc*(syc*sss - scs*sys) "
+    f"+ ss*(syc*scs - scc*sys)) / {_H_DET})"
+)
+_H_A1 = (
+    "((nn*(syc*sss - scs*sys) - sy*(sc*sss - scs*ss) "
+    f"+ ss*(sc*sys - syc*ss)) / {_H_DET})"
+)
+_H_B1 = (
+    "((nn*(scc*sys - syc*scs) - sc*(sc*sys - syc*ss) "
+    f"+ sy*(sc*scs - scc*ss)) / {_H_DET})"
+)
+
+_HARM_VALUES = ", ".join(
+    f"({d}, {c!r}, {s!r})" for d, c, s in _harm_rows()
+)
+
+
+@register(
+    "q_harmonic_clim",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    # CAST to DOUBLE: DuckDB infers DECIMAL for bare decimal literals
+    # (the r8 CASE-output lesson); the shortest-repr text then converts
+    # to exactly the Python double it came from
+    f"harm AS (SELECT doy, CAST(c AS DOUBLE) AS c, CAST(s AS DOUBLE) AS s "
+    f"  FROM (VALUES {_HARM_VALUES}) AS t(doy, c, s)), "
+    f"j AS (SELECT od.cell_id, {rq_sql('od.temp', 2)} AS y, h.c, h.s "
+    f"  FROM od JOIN harm h ON h.doy = {clim_doy_sql('od.time')}), "
+    "a AS (SELECT cell_id, CAST(count(*) AS DOUBLE) AS nn, "
+    f"  sum({dyadic_quantize_sql('y', 20)}) AS sy, "
+    f"  sum({dyadic_quantize_sql('c', 30)}) AS sc, "
+    f"  sum({dyadic_quantize_sql('s', 30)}) AS ss, "
+    f"  sum({dyadic_quantize_sql('c*c', 30)}) AS scc, "
+    f"  sum({dyadic_quantize_sql('s*s', 30)}) AS sss, "
+    f"  sum({dyadic_quantize_sql('c*s', 30)}) AS scs, "
+    f"  sum({dyadic_quantize_sql('y*c', 20)}) AS syc, "
+    f"  sum({dyadic_quantize_sql('y*s', 20)}) AS sys "
+    "  FROM j GROUP BY 1), "
+    f"f AS (SELECT cell_id, CAST(nn AS BIGINT) AS n_days, "
+    f"  {_H_A0} AS a0, {_H_A1} AS a1, {_H_B1} AS b1 FROM a) "
+    f"SELECT cell_id, n_days, {rq_sql('a0', 2)} AS a0, "
+    f"{rq_sql('a1', 2)} AS a1, {rq_sql('b1', 2)} AS b1, "
+    f"{rq_sql('sqrt(a1*a1 + b1*b1)', 2)} AS amplitude "
+    "FROM f",
+)
+def q_harmonic_clim(spark, sf_dir):
+    """S8 (r9): per-cell first-harmonic seasonal fit
+    ``y ~ a0 + a1 cos(2π(doy-1)/365.25) + b1 sin(...)`` by closed-form
+    OLS (3x3 normal equations, Cramer) — the PARAMETRIC seasonal cycle:
+    3 numbers per cell instead of a 366-row smoothed table, the form
+    regime-shift monitors difference against. Exactness end to end:
+    cos/sin are a 366-row SHARED-LITERAL table (no runtime trig);
+    temps rq2; every summed term dyadic-quantized (sums bit-exact in
+    any order: y-terms 2^-20 grid, unit-terms 2^-30 — partial sums
+    stay far under 2^53/2^b); the Cramer solve is ONE shared formula
+    string (F.expr here, inlined there) so both engines run the same
+    exactly-rounded op tree; amplitude sqrt is exactly rounded. Plan:
+    one broadcast join against the 366-row dim + one hash aggregate —
+    the corpus is touched once."""
+    from mhw3d_detection_spark.operators.climatology import harmonic_fit
+
+    od = orders_daily(spark, sf_dir)
+    spark_harm = spark.createDataFrame(
+        _harm_rows(), "doy int, c double, s double"
+    )
+    return harmonic_fit(od, spark_harm)

@@ -416,3 +416,119 @@ class TestTheilsenTrend:
         got = theilsen_trend(ts, max_lag_days=2).collect()[0]
         # lags 1: 4 pairs, lag 2: 3 pairs
         assert got.n_pairs == 7 and got.sen_slope == pytest.approx(1.0)
+
+
+class TestKcenterSelect:
+    def test_matches_numpy_greedy(self, spark):
+        from mhw3d_detection_spark.operators.similarity import kcenter_select
+
+        rng = np.random.default_rng(11)
+        X = np.round(rng.normal(0, 1, (40, 4)), 3)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        got = [
+            (r.rank, r.vec_id)
+            for r in kcenter_select(emb, k=5, seed_id=0)
+            .orderBy("rank").collect()
+        ]
+
+        # numpy greedy with the same rq6 quantization + tie-break
+        def rq6(v):
+            return np.floor(v * 1e6 + 0.5 + 2.0**-16) / 1e6
+
+        sel = [0]
+        mind = rq6(np.linalg.norm(X - X[0], axis=1))
+        mind[0] = -1.0
+        want = [(1, 0)]
+        for r in range(2, 6):
+            # argmax with min-id tie-break
+            best = max(
+                (d, -i) for i, d in enumerate(mind) if i not in sel
+            )
+            nxt = -best[1]
+            want.append((r, nxt))
+            sel.append(nxt)
+            mind = np.minimum(
+                mind, rq6(np.linalg.norm(X - X[nxt], axis=1))
+            )
+            mind[nxt] = -1.0
+        assert got == want
+
+    def test_covers_planted_clusters(self, spark):
+        from mhw3d_detection_spark.operators.similarity import kcenter_select
+
+        # three tight clusters far apart: 3 picks hit all three
+        centers = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+        rows = []
+        for ci, (cx, cy) in enumerate(centers):
+            for j in range(5):
+                rows.append(
+                    (ci * 10 + j, [cx + 0.1 * j, cy - 0.1 * j])
+                )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = kcenter_select(emb, k=3, seed_id=0).collect()
+        picked_clusters = {r.vec_id // 10 for r in got}
+        assert picked_clusters == {0, 1, 2}
+
+    def test_missing_seed_raises(self, spark):
+        from mhw3d_detection_spark.operators.similarity import kcenter_select
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="seed vec_id 99"):
+            kcenter_select(emb, k=2, seed_id=99)
+
+
+class TestHarmonicFit:
+    def test_recovers_planted_harmonic(self, spark):
+        import datetime
+        import math
+
+        from mhw3d_detection_spark.operators.climatology import harmonic_fit
+        from mhw3d_detection_spark.queries.mhw import _harm_rows
+
+        base = datetime.date(1995, 1, 1)
+        rows = []
+        for d in range(3 * 365):
+            date = base + datetime.timedelta(days=d)
+            doy = date.timetuple().tm_yday
+            th = 2.0 * math.pi * (doy - 1) / 365.25
+            rows.append(
+                (7, date, 15.0 + 3.0 * math.cos(th) - 2.0 * math.sin(th))
+            )
+        ts = spark.createDataFrame(rows, "cell_id long, time date, temp double")
+        harm = spark.createDataFrame(
+            _harm_rows(), "doy int, c double, s double"
+        )
+        got = harmonic_fit(ts, harm).collect()[0]
+        # tolerance 0.05: the planted signal uses calendar tm_yday while
+        # the fit uses leap-normalized DOY, and 3x365 days is not an
+        # integer number of 365.25-day cycles (design not orthogonal)
+        assert got.a0 == pytest.approx(15.0, abs=0.05)
+        assert got.a1 == pytest.approx(3.0, abs=0.05)
+        assert got.b1 == pytest.approx(-2.0, abs=0.05)
+        assert got.amplitude == pytest.approx(math.sqrt(13.0), abs=0.05)
+        assert got.n_days == 3 * 365
+
+    def test_flat_series_zero_harmonic(self, spark):
+        import datetime
+
+        from mhw3d_detection_spark.operators.climatology import harmonic_fit
+        from mhw3d_detection_spark.queries.mhw import _harm_rows
+
+        base = datetime.date(2000, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(days=d), 10.0)
+            for d in range(400)
+        ]
+        ts = spark.createDataFrame(rows, "cell_id long, time date, temp double")
+        harm = spark.createDataFrame(
+            _harm_rows(), "doy int, c double, s double"
+        )
+        got = harmonic_fit(ts, harm).collect()[0]
+        assert (got.a0, got.a1, got.b1, got.amplitude) == (10.0, 0.0, 0.0, 0.0)
