@@ -1349,3 +1349,117 @@ def theilsen_trend(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         rq(F.expr("percentile(slope, 0.5)"), 4).alias("sen_slope"),
     )
+
+
+def wasserstein1_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_old: Column,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    "old" slice and the rest — the MASS-weighted companion of
+    :func:`ks_two_sample`: KS reports the worst single CDF gap, W1
+    integrates |F_old - F_new| over the value axis, so a broad small
+    shift (every doc slightly longer) scores high on W1 while barely
+    moving KS, and a narrow spike does the opposite. Drift monitors
+    want both.
+
+    W1 = Σ_i |F_old(x_i) - F_new(x_i)| * (x_{i+1} - x_i) over distinct
+    pooled values. Exactness: integer cumulative counts, exactly-
+    rounded CDF divisions, the |ΔF| dyadic-quantized (2^-30 grid)
+    BEFORE the integer-gap multiply — each term is then exactly
+    m*(gap)/2^30, so the final sum is order-free bit-exact (partial
+    sums ≈ value-range * 2^30 « 2^53).
+
+    Same scale shape as KS: one corpus aggregate; the ordered window
+    runs over the DISTINCT-value table (domain-bounded).
+
+    Returns ONE row ``(w1_stat, n_old, n_new)``.
+    """
+    g = df.groupBy(F.col(value_col).alias("x")).agg(
+        F.sum(is_old.cast("int")).cast("long").alias("c_old"),
+        F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
+    )
+    tot = g.agg(
+        F.sum("c_old").cast("double").alias("n_old"),
+        F.sum("c_new").cast("double").alias("n_new"),
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("x")
+    c = g.select(
+        "x",
+        F.sum("c_old").over(wc).cast("double").alias("a"),
+        F.sum("c_new").over(wc).cast("double").alias("b"),
+        (F.lead("x").over(wl) - F.col("x")).cast("double").alias("gap"),
+    )
+    t = (
+        c.filter(F.col("gap").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                dyadic_quantize(
+                    F.abs(
+                        F.col("a") / F.col("n_old")
+                        - F.col("b") / F.col("n_new")
+                    ),
+                    30,
+                )
+                * F.col("gap")
+            ).alias("term"),
+            "n_old",
+            "n_new",
+        )
+    )
+    return t.groupBy().agg(
+        F.sum("term").alias("w1_stat"),
+        F.first("n_old").cast("long").alias("n_old"),
+        F.first("n_new").cast("long").alias("n_new"),
+    )
+
+
+def mann_kendall_banded(
+    ts: DataFrame,
+    max_lag_days: int = 30,
+    temp_digits: int = 2,
+) -> DataFrame:
+    """Banded Mann-Kendall direction statistic per cell — the
+    significance companion of :func:`theilsen_trend`, over the SAME
+    banded pair set: S = Σ sign(x_j - x_i) counts how consistently the
+    series moves one way, independent of magnitude (a rank test — the
+    robust "is there a trend at all" to Theil-Sen's "how steep").
+    Reported per cell: ``s_stat`` (integer), ``n_pairs``, and the
+    Kendall-style consensus ratio ``s_stat / n_pairs`` in [-1, 1].
+
+    Exactness: signs of rq-quantized temp differences are integers;
+    the ratio is one exactly-rounded division. Same lag-exploded
+    equi-join as the Theil-Sen pairs — linear, no per-cell cross
+    product.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    q = ts.select(
+        "cell_id",
+        F.datediff(F.col("time"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        rq("temp", temp_digits).alias("t"),
+    )
+    a = q.select(
+        "cell_id",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag_days)))
+        ).alias("lag"),
+        F.col("day").alias("d1"),
+        F.col("t").alias("t1"),
+    ).withColumn("d2", F.col("d1") + F.col("lag"))
+    b = q.select(
+        "cell_id", F.col("day").alias("d2"), F.col("t").alias("t2")
+    )
+    pairs = a.join(b, ["cell_id", "d2"]).select(
+        "cell_id", F.signum(F.col("t2") - F.col("t1")).alias("sgn")
+    )
+    return pairs.groupBy("cell_id").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.sum("sgn") / F.count(F.lit(1))).alias("consensus"),
+    )

@@ -43,6 +43,9 @@ from mhw3d_detection_spark.operators.textops import (
     tokenize,
 )
 from mhw3d_detection_spark.queries.base import register, rq, rq_sql
+from mhw3d_detection_spark.operators.analysis import (
+    dyadic_quantize_sql as _dq_sql,
+)
 from mhw3d_detection_spark.sources.tables import load_table
 
 TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -4666,3 +4669,210 @@ def q_kcenter_sample(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_select(emb, k=6, seed_id=0)
+
+
+# =========================================================================
+# E7f (r9) — Wasserstein-1 drift: the mass-weighted companion of the
+# KS sup-norm (a broad small shift scores high on W1 and low on KS; a
+# narrow spike does the opposite — monitors want both)
+# =========================================================================
+@register(
+    "q_wasserstein_drift",
+    "WITH s AS (SELECT n_chars AS x, "
+    "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io FROM documents), "
+    "g AS (SELECT x, CAST(sum(io) AS BIGINT) AS c_old, "
+    "  CAST(count(*) - sum(io) AS BIGINT) AS c_new FROM s GROUP BY 1), "
+    "t AS (SELECT CAST(sum(c_old) AS DOUBLE) AS n_old, "
+    "  CAST(sum(c_new) AS DOUBLE) AS n_new FROM g), "
+    "c AS (SELECT x, CAST(sum(c_old) OVER (ORDER BY x "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS a, "
+    "  CAST(sum(c_new) OVER (ORDER BY x "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS b, "
+    "  CAST(lead(x) OVER (ORDER BY x) - x AS DOUBLE) AS gap FROM g) "
+    "SELECT sum("
+    + _dq_sql("abs(c.a / t.n_old - c.b / t.n_new)", 30)
+    + " * c.gap) AS w1_stat, "
+    "CAST(first(t.n_old) AS BIGINT) AS n_old, "
+    "CAST(first(t.n_new) AS BIGINT) AS n_new "
+    "FROM c, t WHERE c.gap IS NOT NULL",
+)
+def q_wasserstein_drift(spark, sf_dir):
+    """E7f (r9): exact 1-D earth-mover distance of the doc-length
+    distribution, new snapshot vs existing corpus — integrates
+    |F_old - F_new| over the value axis (the KS row reports only the
+    worst single gap). |dF| dyadic-quantized (2^-30) before the
+    integer-gap multiply, so every term is exactly m*gap/2^30 and the
+    sum is order-free bit-exact — RAW-double hash. Same plan shape as
+    q_ks_drift: one corpus aggregate + a domain-bounded ordered
+    window."""
+    from mhw3d_detection_spark.operators.analysis import (
+        wasserstein1_two_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wasserstein1_two_sample(
+        docs.select("doc_id", "n_chars"),
+        "n_chars",
+        F.col("doc_id") % 5 != 4,
+    )
+
+
+# =========================================================================
+# E4m (r9) — vocabulary growth (Heaps) curve: new token TYPES per
+# corpus-prefix decile — the saturation diagnostic behind "is more
+# crawl still buying vocabulary" (and the empirical basis for the
+# vocab-bounded broadcast classification in docs/PLANS.md)
+# =========================================================================
+@register(
+    "q_vocab_growth",
+    "WITH d AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "n AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_docs FROM documents), "
+    "inst AS (SELECT (doc_id * 10) // n.n_docs AS decile, "
+    "  CAST(count(*) AS BIGINT) AS n_inst FROM d, n GROUP BY 1), "
+    "ft AS (SELECT token, min(doc_id) AS first_doc FROM d GROUP BY 1), "
+    "nt AS (SELECT (first_doc * 10) // n.n_docs AS decile, "
+    "  CAST(count(*) AS BIGINT) AS n_new FROM ft, n GROUP BY 1), "
+    "spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS decile), "
+    "j AS (SELECT s.decile, coalesce(i.n_inst, 0) AS n_inst, "
+    "  coalesce(t.n_new, 0) AS n_new FROM spine s "
+    "  LEFT JOIN inst i ON i.decile = s.decile "
+    "  LEFT JOIN nt t ON t.decile = s.decile), "
+    "c AS (SELECT decile, n_new AS new_types, "
+    "  CAST(sum(n_new) OVER (ORDER BY decile "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "    AS cum_types, "
+    "  CAST(sum(n_inst) OVER (ORDER BY decile "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "    AS cum_instances FROM j) "
+    "SELECT CAST(decile AS INT) AS decile, new_types, cum_types, "
+    "cum_instances, CAST(cum_types AS DOUBLE) / cum_instances AS ttr "
+    "FROM c",
+)
+def q_vocab_growth(spark, sf_dir):
+    """E4m (r9): per corpus-prefix decile, how many token TYPES appear
+    for the FIRST time (token -> min(doc_id), bucketed by decile of
+    the id domain), cumulative vocabulary and the type-token ratio.
+    The Heaps-law saturation curve: when new_types flattens, more
+    crawl buys no vocabulary — the measured justification for treating
+    vocab-keyed dims as sublinear (docs/PLANS.md broadcast sweep).
+    All-integer until one exactly-rounded TTR division; integer DIV
+    bucketing (non-negative ids: truncation = floor in both engines);
+    the corpus is touched by two token aggregates, the window sees 10
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    n = docs.agg((F.max("doc_id") + 1).cast("long").alias("n_docs"))
+    inst = (
+        tok.crossJoin(F.broadcast(n))
+        .groupBy(F.expr("div(doc_id * 10, n_docs)").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inst"))
+    )
+    ft = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    nt = (
+        ft.crossJoin(F.broadcast(n))
+        .groupBy(F.expr("div(first_doc * 10, n_docs)").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    spine = docs.sparkSession.range(10).select(F.col("id").alias("decile"))
+    j = (
+        spine.join(F.broadcast(inst), "decile", "left")
+        .join(F.broadcast(nt), "decile", "left")
+        .select(
+            "decile",
+            F.coalesce(F.col("n_inst"), F.lit(0)).alias("n_inst"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = j.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_new").alias("new_types"),
+        F.sum("n_new").over(w).cast("long").alias("cum_types"),
+        F.sum("n_inst").over(w).cast("long").alias("cum_instances"),
+    )
+    return c.select(
+        "decile",
+        "new_types",
+        "cum_types",
+        "cum_instances",
+        (
+            F.col("cum_types").cast("double") / F.col("cum_instances")
+        ).alias("ttr"),
+    )
+
+
+# =========================================================================
+# E6h (r9) — windowless per-source quality deciles (curriculum
+# buckets): decile assignment WITHOUT a per-source window — the
+# 100 TB-safe device for curriculum ordering / per-slice pruning
+# =========================================================================
+_QSCORE_SQL = (
+    "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+    "+ 0.2 * least(n_stop / 5.0, 1.0)"
+)
+
+_CURR_FRACS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@register(
+    "q_curriculum_buckets",
+    "WITH d AS (SELECT doc_id, source, text, " + TOKENS_SQL + " AS toks "
+    "  FROM documents), "
+    "s AS (SELECT doc_id, source, len(toks) AS n_tokens, "
+    "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+    "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+    "    / greatest(length(text), 1) AS punct_ratio FROM d), "
+    f"q AS (SELECT doc_id, source, {rq_sql(_QSCORE_SQL, 4)} AS q FROM s), "
+    "thr AS (SELECT source, list_transform("
+    f"  quantile_cont(q, {_CURR_FRACS!r}), "
+    f"  x -> {rq_sql('x', 6)}) AS t FROM q GROUP BY 1), "
+    "a AS (SELECT q.source, q.q, "
+    "  len(list_filter(thr.t, x -> q.q > x)) AS decile "
+    "  FROM q JOIN thr ON q.source = thr.source) "
+    "SELECT source, CAST(decile AS INT) AS decile, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    f"{rq_sql('avg(q)', 4)} AS mean_quality "
+    "FROM a GROUP BY 1, 2",
+)
+def q_curriculum_buckets(spark, sf_dir):
+    """E6h (r9): per-source quality deciles assigned WITHOUT a
+    per-source window: nine exact percentile THRESHOLDS per source
+    (one distributed aggregate to |sources| rows, rq6-quantized),
+    broadcast back, decile = how many thresholds the doc's rq4 quality
+    clears. The naive percent_rank-within-source window funnels the
+    corpus through |sources| partitions — THIS plan touches the corpus
+    with one aggregate and one broadcast join however big the slices
+    are. Curriculum schedules (quality-ascending, source-interleaved)
+    and per-slice pruning both order by (decile, source). Exactness:
+    percentile ≡ quantile_cont on identical rq4 bits (A3 contract),
+    rq6 thresholds compare identical bits, counts integer."""
+    from mhw3d_detection_spark.operators.textops import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = text_stats(docs).select("doc_id", rq("quality_score", 4).alias("q"))
+    q = docs.select("doc_id", "source").join(st, "doc_id")
+    fr = ", ".join(repr(f) for f in _CURR_FRACS)
+    thr = q.groupBy("source").agg(
+        F.transform(
+            F.expr(f"percentile(q, array({fr}))"), lambda x: rq(x, 6)
+        ).alias("t")
+    )
+    a = q.join(F.broadcast(thr), "source").select(
+        "source",
+        "q",
+        F.aggregate(
+            "t",
+            F.lit(0),
+            lambda acc, x: acc + (F.col("q") > x).cast("int"),
+        ).alias("decile"),
+    )
+    return a.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        rq(F.avg("q"), 4).alias("mean_quality"),
+    ).select(
+        "source",
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        "mean_quality",
+    )

@@ -1280,3 +1280,34 @@ def q_harmonic_clim(spark, sf_dir):
         _harm_rows(), "doy int, c double, s double"
     )
     return harmonic_fit(od, spark_harm)
+
+
+# =========================================================================
+# W20 (r9, beyond-reference, in-domain) — banded Mann-Kendall direction
+# statistic: the rank-test significance companion of W19's Theil-Sen,
+# over the SAME banded pair set
+# =========================================================================
+@register(
+    "q_mann_kendall",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "q AS (SELECT cell_id, CAST(time AS DATE) - DATE '1970-01-01' AS day, "
+    f"  {rq_sql('temp', 2)} AS t FROM od), "
+    "a AS (SELECT cell_id, lag, day AS d1, t AS t1, day + lag AS d2 FROM "
+    "  (SELECT q.*, unnest(generate_series(1, 30)) AS lag FROM q)), "
+    "s AS (SELECT a.cell_id, sign(b.t - a.t1) AS sgn "
+    "  FROM a JOIN q b ON b.cell_id = a.cell_id AND b.day = a.d2) "
+    "SELECT cell_id, CAST(sum(sgn) AS BIGINT) AS s_stat, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "sum(sgn) / count(*) AS consensus FROM s GROUP BY 1",
+)
+def q_mann_kendall(spark, sf_dir):
+    """W20 (r9): banded Mann-Kendall S = Σ sign(x_j - x_i) per cell
+    over day-pairs <= 30 apart — how CONSISTENTLY the series moves one
+    way, magnitude-free (the rank-test 'is there a trend' to W19's
+    'how steep'; same pair geometry, so the two rows read together).
+    Signs of rq2-quantized differences are integers; consensus
+    S/n_pairs is one exactly-rounded division — RAW-double hash."""
+    from mhw3d_detection_spark.operators.analysis import mann_kendall_banded
+
+    od = orders_daily(spark, sf_dir)
+    return mann_kendall_banded(od, max_lag_days=30, temp_digits=2)

@@ -532,3 +532,125 @@ class TestHarmonicFit:
         )
         got = harmonic_fit(ts, harm).collect()[0]
         assert (got.a0, got.a1, got.b1, got.amplitude) == (10.0, 0.0, 0.0, 0.0)
+
+
+class TestWassersteinTwoSample:
+    def test_matches_scipy_free_manual(self, spark):
+        from mhw3d_detection_spark.operators.analysis import (
+            wasserstein1_two_sample,
+        )
+
+        old = [1, 2, 2, 3, 10]
+        new = [4, 5, 6]
+        rows = [(i, x, True) for i, x in enumerate(old)] + [
+            (100 + i, x, False) for i, x in enumerate(new)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, x int, old boolean")
+        got = wasserstein1_two_sample(df, "x", F.col("old")).collect()[0]
+
+        xs = sorted(set(old + new))
+        import bisect
+
+        def cdf(sample, x):
+            return bisect.bisect_right(sorted(sample), x) / len(sample)
+
+        want = sum(
+            abs(cdf(old, a) - cdf(new, a)) * (b - a)
+            for a, b in zip(xs, xs[1:])
+        )
+        assert got.w1_stat == pytest.approx(want, abs=1e-6)
+        assert (got.n_old, got.n_new) == (5, 3)
+
+    def test_shift_sensitivity_vs_ks(self, spark):
+        # broad +1 shift of a wide distribution: W1 ~ 1 (large),
+        # KS small — the reason both monitors exist
+        from mhw3d_detection_spark.operators.analysis import (
+            ks_two_sample,
+            wasserstein1_two_sample,
+        )
+
+        old = list(range(100))
+        new = [x + 1 for x in old]
+        rows = [(i, x, True) for i, x in enumerate(old)] + [
+            (1000 + i, x, False) for i, x in enumerate(new)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, x int, old boolean")
+        w1 = wasserstein1_two_sample(df, "x", F.col("old")).collect()[0]
+        ks = ks_two_sample(df, "x", F.col("old")).collect()[0]
+        assert w1.w1_stat == pytest.approx(1.0, abs=1e-6)
+        assert ks.ks_stat == pytest.approx(0.01, abs=1e-9)
+
+
+class TestMannKendall:
+    def test_monotone_series_full_consensus(self, spark):
+        import datetime
+
+        from mhw3d_detection_spark.operators.analysis import (
+            mann_kendall_banded,
+        )
+
+        base = datetime.date(2000, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(days=d), float(d)) for d in range(20)
+        ]
+        ts = spark.createDataFrame(rows, "cell_id long, time date, temp double")
+        got = mann_kendall_banded(ts, max_lag_days=5).collect()[0]
+        assert got.s_stat == got.n_pairs and got.consensus == 1.0
+
+    def test_alternating_series_no_consensus(self, spark):
+        import datetime
+
+        from mhw3d_detection_spark.operators.analysis import (
+            mann_kendall_banded,
+        )
+
+        base = datetime.date(2000, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(days=d), float(d % 2))
+            for d in range(40)
+        ]
+        ts = spark.createDataFrame(rows, "cell_id long, time date, temp double")
+        got = mann_kendall_banded(ts, max_lag_days=2).collect()[0]
+        # lag-1 pairs alternate +1/-1; lag-2 pairs are all ties (0)
+        assert abs(got.s_stat) <= 1 and abs(got.consensus) < 0.05
+
+
+class TestVocabGrowthAndCurriculum:
+    def test_vocab_growth_invariants(self, spark, sf_dir):
+        from mhw3d_detection_spark import queries as Q
+
+        rows = (
+            Q.REGISTRY["q_vocab_growth"].spark_fn(spark, sf_dir)
+            .orderBy("decile").collect()
+        )
+        assert [r.decile for r in rows] == list(range(10))
+        # cum_types monotone; final cum = sum of new_types; ttr falls
+        assert all(
+            rows[i].cum_types <= rows[i + 1].cum_types for i in range(9)
+        )
+        assert rows[-1].cum_types == sum(r.new_types for r in rows)
+        assert rows[-1].ttr <= rows[0].ttr
+        assert rows[-1].cum_instances > 0
+
+    def test_curriculum_decile_sizes_balanced(self, spark, sf_dir):
+        from mhw3d_detection_spark import queries as Q
+
+        rows = Q.REGISTRY["q_curriculum_buckets"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        per_source = {}
+        for r in rows:
+            assert 0 <= r.decile <= 9
+            per_source.setdefault(r.source, []).append(r.n_docs)
+        # percentile thresholds split each source into near-equal
+        # buckets (ties can merge adjacent buckets)
+        for src, sizes in per_source.items():
+            assert sum(sizes) >= 10 or len(sizes) <= 10
+        # quality must rise with decile within a source
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append((r.decile, r.mean_quality))
+        for src, pairs in by_src.items():
+            pairs.sort()
+            quals = [q for _, q in pairs]
+            assert all(quals[i] <= quals[i + 1] + 1e-9 for i in range(len(quals) - 1))

@@ -76,6 +76,12 @@ PLANS = [
     "q_ks_drift",
     "q_containment_pairs",
     "q_theilsen_trend",
+    "q_kcenter_sample",
+    "q_harmonic_clim",
+    "q_wasserstein_drift",
+    "q_mann_kendall",
+    "q_vocab_growth",
+    "q_curriculum_buckets",
 ]
 
 HEADER = """# Physical plans — explain evidence

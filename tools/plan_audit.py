@@ -133,6 +133,11 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r9: KS attaches the 1-row (n_old, n_new) totals to the
     # distinct-value CDF table (domain-bounded, not corpus-bounded)
     "q_ks_drift": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r9: W1 drift — same scalar-totals attach as KS
+    "q_wasserstein_drift": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r9: vocab growth attaches the 1-row id-domain size for the
+    # decile DIV bucketing — scalar, corpus touched by two aggregates
+    "q_vocab_growth": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
