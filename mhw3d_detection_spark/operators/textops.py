@@ -85,6 +85,26 @@ def shingle_array_sql(toks_col: str, n: int) -> str:
     )
 
 
+def composite_quality_col(text_col: str = "text") -> Column:
+    """The composite quality score as a ROW-LOCAL column expression —
+    shared by :func:`text_stats` (batch) and the streaming curriculum
+    gate, so the two can never drift. Same left-associative IEEE order
+    everywhere (the oracle contract)."""
+    toks = tokens_col(F.col(text_col))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, stop))
+    alnum_sp = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    punct_ratio = (F.length(text_col) - F.length(alnum_sp)) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+    return (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(n_stop / F.lit(5.0), F.lit(1.0))
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality stats: token/char counts, punctuation ratio,
     stopword ratio, mean token length, and a composite quality score.
@@ -102,11 +122,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     mean_tok_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     ) / F.greatest(n_tok, F.lit(1))
-    quality = (
-        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.2) * F.least(n_stop / F.lit(5.0), F.lit(1.0))
-    )
+    quality = composite_quality_col(text_col)
     return docs.select(
         "doc_id",
         n_tok.cast("int").alias("n_tokens"),
@@ -2684,3 +2700,29 @@ def shingle_containment_pairs(
             "containment",
         )
     )
+
+
+def curriculum_thresholds(
+    docs: DataFrame,
+    fracs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    text_col: str = "text",
+) -> dict[str, list[float]]:
+    """Batch-side trainer for the streaming curriculum gate: the same
+    per-source exact percentile thresholds (rq6) the windowless decile
+    row computes, collected as the small Python dict
+    ``streaming_curriculum_gate`` embeds as plan literals — |sources| x
+    len(fracs) floats, the model-export seam (same shape as the DSIR
+    log-ratio list and k-means centroids)."""
+    from mhw3d_detection_spark.queries.base import rq
+
+    st = text_stats(docs, text_col).select(
+        "doc_id", rq("quality_score", 4).alias("q")
+    )
+    q = docs.select("doc_id", "source").join(st, "doc_id")
+    fr = ", ".join(repr(float(f)) for f in fracs)
+    thr = q.groupBy("source").agg(
+        F.transform(
+            F.expr(f"percentile(q, array({fr}))"), lambda x: rq(x, 6)
+        ).alias("t")
+    )
+    return {r["source"]: [float(x) for x in r["t"]] for r in thr.collect()}

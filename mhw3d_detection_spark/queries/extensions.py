@@ -4876,3 +4876,105 @@ def q_curriculum_buckets(spark, sf_dir):
         "n_docs",
         "mean_quality",
     )
+
+
+# =========================================================================
+# E4n (r9) — token burstiness (Fano factor over containing docs,
+# Church & Gale '95): topical keywords are BURSTY (repeat hard inside
+# a few docs), function words are uniform — the dispersion signal
+# TF-IDF's df alone misses
+# =========================================================================
+_FANO_SQL = "((sc2 / df - (sc / df) * (sc / df)) / (sc / df))"
+
+
+@register(
+    "q_token_burstiness",
+    "WITH d AS (SELECT doc_id, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c "
+    "  FROM d GROUP BY 1, 2), "
+    "s AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
+    "  CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS sc2 "
+    "  FROM tf GROUP BY 1) "
+    "SELECT token, df, sc AS tf_total, "
+    f"{rq_sql('sc / df', 6)} AS mean_tf, "
+    f"{rq_sql(_FANO_SQL, 6)} AS fano "
+    "FROM s WHERE df >= 10",
+)
+def q_token_burstiness(spark, sf_dir):
+    """E4n (r9): per-token variance-to-mean ratio of within-doc counts
+    over the docs CONTAINING the token (Fano factor; Church & Gale
+    1995) — burstiness separates topical keywords (high) from function
+    words (~uniform) at equal document frequency, the dispersion axis
+    TF-IDF cannot see; the keywordness feature for extraction/quality.
+    Integer df/Σc/Σc² only; mean and Fano are the SAME textual formula
+    in both engines (exactly-rounded division chain on identical
+    integer bits), rq6 display. Two token-keyed hash aggregates,
+    vocab-sized output (df >= 10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = tokenize(docs).groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    return s.filter(F.col("df") >= 10).select(
+        "token",
+        "df",
+        F.col("sc").alias("tf_total"),
+        rq(F.expr("sc / df"), 6).alias("mean_tf"),
+        rq(F.expr(_FANO_SQL), 6).alias("fano"),
+    )
+
+
+# =========================================================================
+# E2j (r9) — dup-cluster size census: the dedup ECONOMICS readout
+# (how much does dedup shrink the corpus, and is the mass in pairs or
+# in mega-clusters — the skew signal behind keep-best/SemDeDup caps)
+# =========================================================================
+@register(
+    "q_dedup_cluster_stats",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+    "  WHERE a.doc_id < b.doc_id), "
+    "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+    "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+    + ", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + ", sizes AS (SELECT label AS component, CAST(count(*) AS BIGINT) AS sz "
+    "  FROM l3 GROUP BY 1) "
+    "SELECT CAST(sz AS INT) AS component_size, "
+    "CAST(count(*) AS BIGINT) AS n_components, "
+    "CAST(sum(sz - 1) AS BIGINT) AS dup_mass "
+    "FROM sizes GROUP BY 1",
+)
+def q_dedup_cluster_stats(spark, sf_dir):
+    """E2j (r9): histogram of near-dup component sizes from the
+    MinHash-band graph (same banding + 3 bounded min-label rounds as
+    q_dedup_components) with the per-size duplicate mass Σ(size-1) —
+    what dedup will DELETE. The census answers the two operational
+    questions at once: total shrink (Σ dup_mass) and whether the mass
+    sits in pairs (benign) or mega-clusters (the skew regime that
+    motivates keep-best gating and SemDeDup's max_cluster_size cap).
+    All-integer; components are pairs-vertices-bounded, the census
+    aggregates are component-count-sized."""
+    from mhw3d_detection_spark.operators.textops import (
+        connected_components_bounded,
+        minhash_bands_rowlocal,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    )
+    comp = connected_components_bounded(pairs, iters=3)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").cast("int").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum(F.col("sz") - 1).cast("long").alias("dup_mass"),
+    )

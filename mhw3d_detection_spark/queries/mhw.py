@@ -1311,3 +1311,125 @@ def q_mann_kendall(spark, sf_dir):
 
     od = orders_daily(spark, sf_dir)
     return mann_kendall_banded(od, max_lag_days=30, temp_digits=2)
+
+
+# =========================================================================
+# W21 (r9, beyond-reference, in-domain) — peaks-over-threshold mean
+# excess: the EVT diagnostic behind threshold choice (pairs with W9's
+# return periods: W9 ranks whole events, THIS characterizes the
+# exceedance tail sample-wise)
+# =========================================================================
+@register(
+    "q_mean_excess",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "thr AS (SELECT cell_id, quantile_cont(temp, 0.9) AS thr, "
+    "  CAST(count(*) AS BIGINT) AS n_days FROM od GROUP BY 1), "
+    "ex AS (SELECT od.cell_id, od.temp - t.thr AS excess FROM od "
+    "  JOIN thr t ON od.cell_id = t.cell_id WHERE od.temp > t.thr), "
+    "agg AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_exceed, "
+    f"  {rq_sql('avg(excess)', 4)} AS mean_excess FROM ex GROUP BY 1) "
+    "SELECT t.cell_id, t.n_days, coalesce(a.n_exceed, 0) AS n_exceed, "
+    "CAST(coalesce(a.n_exceed, 0) AS DOUBLE) / t.n_days AS exceed_rate, "
+    f"{rq_sql('t.thr', 2)} AS thr, a.mean_excess "
+    "FROM thr t LEFT JOIN agg a ON t.cell_id = a.cell_id",
+)
+def q_mean_excess(spark, sf_dir):
+    """W21 (r9): per-cell exceedance rate and mean excess over the
+    cell's exact p90 threshold — the peaks-over-threshold (EVT)
+    tail diagnostic: a mean-excess that GROWS with threshold signals a
+    heavy tail (GPD shape > 0), flat signals exponential; threshold
+    choice for event detection reads off this. percentile ≡
+    quantile_cont on identical bits (A3), the > comparison is
+    identical bits, rate is one exact integer division, mean excess
+    rq4. Plan: one percentile aggregate, a cells-sized broadcast back,
+    one filtered aggregate."""
+    od = orders_daily(spark, sf_dir)
+    thr = od.groupBy("cell_id").agg(
+        F.expr("percentile(temp, 0.9)").alias("thr"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    ex = (
+        od.join(F.broadcast(thr.select("cell_id", "thr")), "cell_id")
+        .filter(F.col("temp") > F.col("thr"))
+        .select("cell_id", (F.col("temp") - F.col("thr")).alias("excess"))
+    )
+    agg = ex.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        rq(F.avg("excess"), 4).alias("mean_excess"),
+    )
+    return thr.join(agg, "cell_id", "left").select(
+        "cell_id",
+        "n_days",
+        F.coalesce(F.col("n_exceed"), F.lit(0)).cast("long").alias("n_exceed"),
+        (
+            F.coalesce(F.col("n_exceed"), F.lit(0)).cast("double")
+            / F.col("n_days")
+        ).alias("exceed_rate"),
+        rq("thr", 2).alias("thr"),
+        "mean_excess",
+    )
+
+
+# =========================================================================
+# W22 (r9, beyond-reference, in-domain) — lagged cross-correlation
+# against a reference cell: the lead-lag teleconnection (SP5 gives
+# instantaneous corr; THIS asks which cells FOLLOW the reference)
+# =========================================================================
+@register(
+    "q_xcorr_lagged",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "ref AS (SELECT time, temp AS rtemp FROM od WHERE cell_id = 0), "
+    "p AS (SELECT a.cell_id, k.k AS k, a.temp AS v, r.rtemp AS rv "
+    "  FROM od a CROSS JOIN (SELECT unnest([0, 7]) AS k) k "
+    "  LEFT JOIN ref r ON r.time = a.time - k.k) "
+    "SELECT cell_id, "
+    f"{rq_sql('corr(CASE WHEN k = 0 THEN v END, CASE WHEN k = 0 THEN rv END)', 4)}"
+    " AS xcf_0, "
+    "CAST(count(CASE WHEN k = 0 THEN rv END) AS INT) AS n_pairs_0, "
+    f"{rq_sql('corr(CASE WHEN k = 7 THEN v END, CASE WHEN k = 7 THEN rv END)', 4)}"
+    " AS xcf_7, "
+    "CAST(count(CASE WHEN k = 7 THEN rv END) AS INT) AS n_pairs_7 "
+    "FROM p WHERE cell_id <> 0 GROUP BY 1",
+)
+def q_xcorr_lagged(spark, sf_dir):
+    """W22 (r9): per-cell cross-correlation with reference cell 0 at
+    lag 0 and lag 7 (does the cell track the reference, and does it
+    track it a week LATE — the lead-lag direction SP5's instantaneous
+    teleconnection cannot see). Same exact-day-offset LEFT-join device
+    as W13b's autocorrelation, reference series broadcast (one cell's
+    series — time-bounded, the SP5 contract); corr rq4."""
+    od = orders_daily(spark, sf_dir)
+    ref = od.filter(F.col("cell_id") == 0).select(
+        "time", F.col("temp").alias("rtemp")
+    )
+    lags = F.explode(F.array(F.lit(0), F.lit(7))).alias("k")
+    a = od.filter(F.col("cell_id") != 0).select(
+        "cell_id", F.col("time").alias("atime"), "temp", lags
+    )
+    j = a.join(
+        F.broadcast(ref),
+        ref["time"] == F.expr("date_sub(atime, k)"),
+        "left",
+    )
+    return j.groupBy("cell_id").agg(
+        rq(
+            F.corr(
+                F.when(F.col("k") == 0, F.col("temp")),
+                F.when(F.col("k") == 0, F.col("rtemp")),
+            ),
+            4,
+        ).alias("xcf_0"),
+        F.count(F.when(F.col("k") == 0, F.col("rtemp"))).cast("int").alias(
+            "n_pairs_0"
+        ),
+        rq(
+            F.corr(
+                F.when(F.col("k") == 7, F.col("temp")),
+                F.when(F.col("k") == 7, F.col("rtemp")),
+            ),
+            4,
+        ).alias("xcf_7"),
+        F.count(F.when(F.col("k") == 7, F.col("rtemp"))).cast("int").alias(
+            "n_pairs_7"
+        ),
+    )

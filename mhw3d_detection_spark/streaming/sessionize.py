@@ -767,3 +767,57 @@ def streaming_despike_gate(
     if keep_only:
         return out.filter(~F.coalesce(F.col("is_spike"), F.lit(False)))
     return out
+
+
+def streaming_curriculum_gate(
+    stream: DataFrame,
+    thresholds: dict[str, list[float]],
+    *,
+    min_decile: int = 0,
+    text_col: str = "text",
+    keep_only: bool = False,
+) -> DataFrame:
+    """Quality-decile gate at ingest — E6h's streaming face: score each
+    incoming doc with the SAME row-local composite quality expression
+    the batch deciles use (``operators.textops.composite_quality_col``
+    — shared code, cannot drift), look up its source's TRAINED decile
+    thresholds (batch-side exact percentiles, rq6-quantized, embedded
+    here as a plan-literal map), and tag/keep docs at or above
+    ``min_decile``. Row-local: one map lookup + a 9-element fold — no
+    explode, no aggregation, no state; composes with any source.
+
+    Batch/stream parity is definitional: quality is rq4 bits from the
+    shared expression, thresholds are the same rq6 literals, and the
+    decile count compares identical bits — pinned by
+    tests/test_r9_hardening.py::TestStreamingCurriculumGate.
+
+    Docs from sources absent from ``thresholds`` get NULL decile and
+    ``keep`` 0 (route to a default/quarantine sink, the unknown-source
+    monitoring convention of the other gates).
+
+    Output: input columns + ``(quality, decile, keep)``."""
+    from mhw3d_detection_spark.operators.textops import (
+        composite_quality_col,
+    )
+    from mhw3d_detection_spark.queries.base import rq
+
+    q = rq(composite_quality_col(text_col), 4)
+    entries: list = []
+    for src, thr in thresholds.items():
+        entries.append(F.lit(src))
+        entries.append(F.array(*[F.lit(float(x)) for x in thr]))
+    thr_arr = F.element_at(F.create_map(*entries), F.col("source"))
+    decile = F.aggregate(
+        thr_arr, F.lit(0), lambda acc, x: acc + (q > x).cast("int")
+    )
+    out = stream.select(
+        "*", q.alias("quality"), decile.cast("int").alias("decile")
+    ).withColumn(
+        "keep",
+        F.coalesce(
+            F.col("decile") >= F.lit(int(min_decile)), F.lit(False)
+        ).cast("int"),
+    )
+    if keep_only:
+        out = out.filter(F.col("keep") == 1)
+    return out

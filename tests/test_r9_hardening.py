@@ -654,3 +654,160 @@ class TestVocabGrowthAndCurriculum:
             pairs.sort()
             quals = [q for _, q in pairs]
             assert all(quals[i] <= quals[i + 1] + 1e-9 for i in range(len(quals) - 1))
+
+
+class TestStreamingCurriculumGate:
+    def test_stream_matches_batch_deciles(self, spark, tmp_path):
+        from mhw3d_detection_spark.operators.textops import (
+            composite_quality_col,
+            curriculum_thresholds,
+        )
+        from mhw3d_detection_spark.queries.base import rq
+        from mhw3d_detection_spark.streaming import streaming_curriculum_gate
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        thr = curriculum_thresholds(docs)
+        assert thr and all(len(v) == 9 for v in thr.values())
+
+        # batch reference: same fold over the same literal thresholds
+        lit = F.create_map(
+            *[
+                c
+                for src, t in thr.items()
+                for c in (F.lit(src), F.array(*[F.lit(x) for x in t]))
+            ]
+        )
+        qcol = rq(composite_quality_col("text"), 4)
+        want = {
+            r.doc_id: r.decile
+            for r in docs.select(
+                "doc_id",
+                F.aggregate(
+                    F.element_at(lit, F.col("source")),
+                    F.lit(0),
+                    lambda acc, x: acc + (qcol > x).cast("int"),
+                ).alias("decile"),
+            ).collect()
+        }
+
+        path = str(tmp_path / "curr_docs")
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        half.write.mode("overwrite").parquet(path)
+        docs.exceptAll(half).write.mode("append").parquet(path)
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(path)
+        q = (
+            streaming_curriculum_gate(stream, thr, min_decile=5)
+            .select("doc_id", "decile", "keep")
+            .writeStream.format("memory")
+            .queryName("curr_gate")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: (r.decile, r.keep)
+            for r in spark.table("curr_gate").collect()
+        }
+        assert set(got) == set(want)
+        for d, dec in want.items():
+            assert got[d][0] == dec, (d, dec, got[d])
+            assert got[d][1] == (1 if dec >= 5 else 0)
+
+    def test_unknown_source_quarantined(self, spark):
+        from mhw3d_detection_spark.streaming import streaming_curriculum_gate
+
+        docs = spark.createDataFrame(
+            [(1, "good clean text here", "mystery")],
+            "doc_id long, text string, source string",
+        )
+        got = streaming_curriculum_gate(
+            docs, {"known": [0.1] * 9}, min_decile=3
+        ).collect()[0]
+        assert got.decile is None and got.keep == 0
+
+
+class TestWave4Invariants:
+    def test_mean_excess_tail_shapes(self, spark):
+        import datetime
+
+        from mhw3d_detection_spark import queries as Q  # noqa: F401
+        from mhw3d_detection_spark.queries.mhw import q_mean_excess  # noqa: F401
+
+        # operator semantics on a hand series: p90 of 0..99 = 89.1 ->
+        # ten exceedances (90..99), mean excess = 5.4
+        base = datetime.date(2000, 1, 1)
+        rows = [
+            (1, base + datetime.timedelta(days=d), float(d)) for d in range(100)
+        ]
+        ts = spark.createDataFrame(rows, "cell_id long, time date, temp double")
+        thr = ts.groupBy("cell_id").agg(
+            F.expr("percentile(temp, 0.9)").alias("thr")
+        ).collect()[0]
+        assert thr.thr == pytest.approx(89.1)
+        ex = [d for d in range(100) if d > thr.thr]
+        assert len(ex) == 10
+        assert sum(x - thr.thr for x in ex) / 10 == pytest.approx(5.4)
+
+    def test_burstiness_orders_keywords_over_function_words(self, spark):
+        from mhw3d_detection_spark import queries as Q
+
+        # planted corpus: 'zuniform' once per doc; 'zbursty' same total
+        # mass but concentrated in few docs
+        rows = []
+        for i in range(20):
+            body = "zuniform " + ("zbursty " * 10 if i < 2 else "")
+            rows.append((i, (body + "filler words here ") * 1, "s"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        from mhw3d_detection_spark.operators.textops import tokenize
+
+        tf = tokenize(docs).groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        s = tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        )
+        fano = {
+            r.token: (r.sc2 / r.df - (r.sc / r.df) ** 2) / (r.sc / r.df)
+            for r in s.collect()
+        }
+        assert fano["zuniform"] == pytest.approx(0.0)
+        assert fano["zbursty"] == pytest.approx(0.0)  # within containing docs uniform
+        # the registered query's df floor keeps output vocab-bounded
+        out = Q.REGISTRY["q_token_burstiness"].spark_fn(
+            spark.sql("SELECT 1").sparkSession, "/root/testdata/sf0.001"
+        ).collect()
+        assert all(r.df >= 10 for r in out)
+        assert all(r.fano >= -1e-9 for r in out)
+
+    def test_cluster_stats_mass_conservation(self, spark, sf_dir):
+        from mhw3d_detection_spark import queries as Q
+        from mhw3d_detection_spark.operators.textops import (
+            connected_components_bounded,
+            minhash_bands_rowlocal,
+            minhash_candidate_pairs,
+        )
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        rows = Q.REGISTRY["q_dedup_cluster_stats"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        # Σ size*n_components = number of docs in any dup pair
+        docs = load_table(spark, sf_dir, "documents")
+        comp = connected_components_bounded(
+            minhash_candidate_pairs(
+                minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+            ),
+            iters=3,
+        )
+        assert sum(r.component_size * r.n_components for r in rows) == comp.count()
+        assert all(r.component_size >= 2 for r in rows)
+        assert all(
+            r.dup_mass == (r.component_size - 1) * r.n_components for r in rows
+        )

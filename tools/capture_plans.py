@@ -82,6 +82,10 @@ PLANS = [
     "q_mann_kendall",
     "q_vocab_growth",
     "q_curriculum_buckets",
+    "q_mean_excess",
+    "q_xcorr_lagged",
+    "q_token_burstiness",
+    "q_dedup_cluster_stats",
 ]
 
 HEADER = """# Physical plans — explain evidence
