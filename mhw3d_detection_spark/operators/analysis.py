@@ -1260,9 +1260,16 @@ def ks_two_sample(
     few thousand rows regardless of corpus size; the corpus itself is
     touched by exactly one hash aggregate.
     """
-    g = df.groupBy(F.col(value_col).alias("x")).agg(
-        F.sum(is_old.cast("int")).cast("long").alias("c_old"),
-        F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
+    # NULL values are excluded BEFORE the ordered window: Spark sorts
+    # NULLs first, DuckDB last — the repo-wide exclusion rule for any
+    # cross-engine ordering (code-review r9 finding #4)
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("x"))
+        .agg(
+            F.sum(is_old.cast("int")).cast("long").alias("c_old"),
+            F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
+        )
     )
     tot = g.agg(
         F.sum("c_old").cast("double").alias("n_old"),
@@ -1376,9 +1383,14 @@ def wasserstein1_two_sample(
 
     Returns ONE row ``(w1_stat, n_old, n_new)``.
     """
-    g = df.groupBy(F.col(value_col).alias("x")).agg(
-        F.sum(is_old.cast("int")).cast("long").alias("c_old"),
-        F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
+    # same NULL-exclusion rule as ks_two_sample (ordered window)
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("x"))
+        .agg(
+            F.sum(is_old.cast("int")).cast("long").alias("c_old"),
+            F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
+        )
     )
     tot = g.agg(
         F.sum("c_old").cast("double").alias("n_old"),

@@ -728,8 +728,17 @@ def cosine_topk_arrow(
         (int(r["vec_id"]), r["v"])
         for r in base.filter(probe_pred(F.col("vec_id"))).collect()
     ]
+    # the corpus dimension comes from the valid probe with the SMALLEST
+    # vec_id — collect() order is partition order, so "first row" would
+    # let one ragged probe nondeterministically poison dim and drop
+    # every clean vector (code-review r9 finding #1)
     dim = next(
-        (len(v) for _, v in raw_probes if v is not None and len(v) > 0), None
+        (
+            len(v)
+            for _, v in sorted(raw_probes)
+            if v is not None and len(v) > 0
+        ),
+        None,
     )
     probes = [
         (i, np.asarray(v, dtype=np.float64))

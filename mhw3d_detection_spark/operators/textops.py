@@ -712,9 +712,10 @@ def dsir_log_ratio_list(
             # NULLs every log-ratio — fail HERE with the cause, not
             # later in the streaming gate with an unrelated TypeError
             raise ValueError(
-                "dsir_log_ratio_list: target_pred selects no documents "
-                "(target token total is NULL) — the DSIR log-ratio "
-                "table needs a non-empty target slice"
+                "dsir_log_ratio_list: a corpus total is NULL — either "
+                "target_pred selects no documents (empty target slice) "
+                "or the whole pool has no tokens; the DSIR log-ratio "
+                "table needs a non-empty target inside a non-empty pool"
             )
         out[r["bucket"]] = r["lr"]
     return out

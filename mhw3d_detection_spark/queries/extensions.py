@@ -4823,7 +4823,8 @@ _CURR_FRACS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
     "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
     "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
     "    / greatest(length(text), 1) AS punct_ratio FROM d), "
-    f"q AS (SELECT doc_id, source, {rq_sql(_QSCORE_SQL, 4)} AS q FROM s), "
+    f"q0 AS (SELECT doc_id, source, {rq_sql(_QSCORE_SQL, 4)} AS q FROM s), "
+    "q AS (SELECT * FROM q0 WHERE q IS NOT NULL), "
     "thr AS (SELECT source, list_transform("
     f"  quantile_cont(q, {_CURR_FRACS!r}), "
     f"  x -> {rq_sql('x', 6)}) AS t FROM q GROUP BY 1), "
@@ -4851,7 +4852,12 @@ def q_curriculum_buckets(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     st = text_stats(docs).select("doc_id", rq("quality_score", 4).alias("q"))
-    q = docs.select("doc_id", "source").join(st, "doc_id")
+    # NULL-text docs have NULL quality: exclude them in BOTH engines —
+    # DuckDB's list_filter treats a NULL predicate as false (decile 0)
+    # while Spark's fold propagates NULL (code-review r9 finding #3)
+    q = docs.select("doc_id", "source").join(st, "doc_id").filter(
+        F.col("q").isNotNull()
+    )
     fr = ", ".join(repr(f) for f in _CURR_FRACS)
     thr = q.groupBy("source").agg(
         F.transform(

@@ -271,6 +271,7 @@ def read_opendap_long_distributed(
     time_name: str = "time",
     lat_name: str = "latitude",
     lon_name: str = "longitude",
+    ref_coords: tuple | None = None,
 ) -> DataFrame:
     """The per-year-URL `open_mfdataset` pattern at fleet shape: the
     URL list becomes a one-URL-per-task DataFrame and every executor
@@ -279,18 +280,26 @@ def read_opendap_long_distributed(
     network fan-out = number of URLs, driver memory O(1).
 
     Same cross-file contract as ``read_netcdf_long(distribute=True)``:
-    the driver decodes ONE URL to pin the reference lat/lon arrays,
-    which ride the task closure; every other URL is grid-checked where
-    it is read. Without this, a URL list spanning different grids
-    silently unions rows whose per-URL ``np.arange`` cell_ids collide
-    across grids, corrupting the cell_id -> location mapping."""
+    reference lat/lon arrays ride the task closure and every URL is
+    grid-checked where it is read. Without this, a URL list spanning
+    different grids silently unions rows whose per-URL ``np.arange``
+    cell_ids collide across grids, corrupting the cell_id -> location
+    mapping. Pass ``ref_coords=(lat, lon)`` when the grid is known
+    (catalog metadata, a prior run) — otherwise the driver fetches and
+    decodes ``urls[0]`` EAGERLY at plan-construction time to pin it
+    (one extra round trip for that URL, which its executor task
+    fetches again)."""
     fetch = fetcher or _default_fetcher
     attrs = time_attrs or {"units": "seconds since 1970-01-01T00:00:00Z"}
     if not urls:
         raise ValueError("read_opendap_long_distributed: empty URL list")
-    data0 = parse_dods(fetch(urls[0]))
-    ref_lat = data0[lat_name].astype(np.float64)
-    ref_lon = data0[lon_name].astype(np.float64)
+    if ref_coords is not None:
+        ref_lat = np.asarray(ref_coords[0], dtype=np.float64)
+        ref_lon = np.asarray(ref_coords[1], dtype=np.float64)
+    else:
+        data0 = parse_dods(fetch(urls[0]))
+        ref_lat = data0[lat_name].astype(np.float64)
+        ref_lon = data0[lon_name].astype(np.float64)
     schema = (
         f"cell_id long, time timestamp, lat double, lon double, "
         f"{value_col} double"

@@ -801,17 +801,25 @@ def streaming_curriculum_gate(
     )
     from mhw3d_detection_spark.queries.base import rq
 
-    q = rq(composite_quality_col(text_col), 4)
     entries: list = []
     for src, thr in thresholds.items():
         entries.append(F.lit(src))
         entries.append(F.array(*[F.lit(float(x)) for x in thr]))
     thr_arr = F.element_at(F.create_map(*entries), F.col("source"))
-    decile = F.aggregate(
-        thr_arr, F.lit(0), lambda acc, x: acc + (q > x).cast("int")
+    # materialize quality as a column FIRST: referencing the composite
+    # expression inside the fold lambda would re-evaluate the regexp
+    # tokenizer ~10x per row (subexpression elimination does not hoist
+    # into HOF lambdas — code-review r9 finding #2)
+    scored = stream.select(
+        "*", rq(composite_quality_col(text_col), 4).alias("quality")
     )
-    out = stream.select(
-        "*", q.alias("quality"), decile.cast("int").alias("decile")
+    decile = F.aggregate(
+        thr_arr,
+        F.lit(0),
+        lambda acc, x: acc + (F.col("quality") > x).cast("int"),
+    )
+    out = scored.select(
+        "*", decile.cast("int").alias("decile")
     ).withColumn(
         "keep",
         F.coalesce(

@@ -811,3 +811,82 @@ class TestWave4Invariants:
         assert all(
             r.dup_mass == (r.component_size - 1) * r.n_components for r in rows
         )
+
+
+class TestReviewFixesR9:
+    """Pins for the r9 code-review findings."""
+
+    def test_arrow_dim_deterministic_min_id(self, spark):
+        # a ragged probe with a LOWER partition-order position must not
+        # poison dim: the valid probe with the smallest vec_id wins
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk_arrow,
+        )
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.5, 0.5, 0.25]),  # ragged probe, higher id
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ]
+        for nparts in (1, 2, 4):
+            emb = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).repartition(nparts)
+            out = cosine_topk_arrow(emb, lambda c: c <= 1, k=2).collect()
+            # dim = 2 (probe 0), probe 1 dropped as ragged — stable
+            # across partitionings
+            assert {r.probe_id for r in out} == {0}
+            assert {r.vec_id for r in out} == {2, 3}
+
+    def test_ks_w1_null_values_excluded(self, spark):
+        from mhw3d_detection_spark.operators.analysis import (
+            ks_two_sample,
+            wasserstein1_two_sample,
+        )
+
+        rows = [
+            (1, 1, True), (2, 2, True), (3, None, True),
+            (4, 1, False), (5, 3, False), (6, None, False),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, x int, old boolean")
+        ks = ks_two_sample(df, "x", F.col("old")).collect()[0]
+        # counts reflect only non-null values
+        assert (ks.n_old, ks.n_new) == (2, 2)
+        w1 = wasserstein1_two_sample(df, "x", F.col("old")).collect()[0]
+        assert (w1.n_old, w1.n_new) == (2, 2)
+
+    def test_curriculum_null_text_excluded(self, spark):
+        from mhw3d_detection_spark import queries as Q  # noqa: F401
+        from mhw3d_detection_spark.operators.textops import text_stats
+
+        docs = spark.createDataFrame(
+            [(1, "real text here", "s"), (2, None, "s")],
+            "doc_id long, text string, source string",
+        )
+        st = text_stats(docs)
+        got = {r.doc_id: r.quality_score for r in st.collect()}
+        assert got[2] is None  # NULL text -> NULL quality (the hazard)
+
+    def test_opendap_ref_coords_skips_driver_fetch(self, spark):
+        from tests.test_opendap import _dods_payload, _fixture
+
+        from mhw3d_detection_spark.sources.opendap import (
+            read_opendap_long_distributed,
+        )
+
+        cube, tvals, lats, lons = _fixture()
+        payload = _dods_payload(cube, tvals, lats, lons)
+        calls = []
+
+        def fetch(u, _p=payload):
+            calls.append(u)
+            return _p
+
+        ddf = read_opendap_long_distributed(
+            spark, ["u1"], "sst", fetcher=fetch,
+            ref_coords=(lats, lons),
+        )
+        # plan construction must not fetch when the grid is supplied
+        assert calls == []
+        assert ddf.count() == cube.size
