@@ -4984,3 +4984,166 @@ def q_dedup_cluster_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_components"),
         F.sum(F.col("sz") - 1).cast("long").alias("dup_mass"),
     )
+
+
+# =========================================================================
+# E6i (r9) — split-leakage audit: near-dup pairs straddling the
+# train/val/test boundary (the eval-hygiene failure dedup must catch:
+# a test doc's near-copy sitting in train inflates every benchmark)
+# =========================================================================
+@register(
+    "q_split_leakage",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+    "  WHERE a.doc_id < b.doc_id), "
+    f"sp AS (SELECT doc_id, {SPLIT_CASE_SQL('doc_id')} AS split FROM documents) "
+    "SELECT sa.split AS split_a, sb.split AS split_b, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_leaks "
+    "FROM e0 JOIN sp sa ON e0.u = sa.doc_id "
+    "JOIN sp sb ON e0.v = sb.doc_id "
+    "GROUP BY 1, 2",
+)
+def q_split_leakage(spark, sf_dir):
+    """E6i (r9): MinHash candidate pairs bucketed by the (split_a,
+    split_b) of their endpoints — off-diagonal cells are LEAKAGE (a
+    near-copy of an eval doc inside train inflates every benchmark;
+    the composition of E2's candidate generation with E6's
+    deterministic split that eval hygiene actually requires). The
+    md5-uniform split is a pure key function, so both engines assign
+    identical splits; pair counts integer. Pairs-sized joins onto a
+    narrow split projection — the corpus is touched by the band build
+    only."""
+    from mhw3d_detection_spark.operators.textops import (
+        minhash_bands_rowlocal,
+        minhash_candidate_pairs,
+        split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    )
+    sp = split_assign(docs).select("doc_id", "split")
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+    )
+    return j.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("split_a") != F.col("split_b")).cast("int")
+        ).cast("long").alias("n_leaks"),
+    )
+
+
+# =========================================================================
+# E2k (r9) — cross-source duplication matrix: WHO copies WHOM — the
+# provenance readout over the candidate-pair graph (mirror-site
+# detection, source-priority decisions for keep-best)
+# =========================================================================
+@register(
+    "q_source_dedup_matrix",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig "
+    "  WHERE a.doc_id < b.doc_id), "
+    "src AS (SELECT doc_id, source FROM documents) "
+    "SELECT least(sa.source, sb.source) AS source_a, "
+    "greatest(sa.source, sb.source) AS source_b, "
+    "CAST(count(*) AS BIGINT) AS n_pairs "
+    "FROM e0 JOIN src sa ON e0.u = sa.doc_id "
+    "JOIN src sb ON e0.v = sb.doc_id "
+    "GROUP BY 1, 2",
+)
+def q_source_dedup_matrix(spark, sf_dir):
+    """E2k (r9): near-dup candidate pairs rolled up by the UNORDERED
+    source pair of their endpoints — the duplication provenance
+    matrix: heavy off-diagonal cells are mirror/scraper relationships
+    (route to source-priority keep-best), heavy diagonals are
+    within-source boilerplate. least/greatest orientation makes the
+    pair unordered identically in both engines (binary compare on
+    ascii source names); counts integer."""
+    from mhw3d_detection_spark.operators.textops import (
+        minhash_bands_rowlocal,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+# =========================================================================
+# E4o (r9) — boilerplate fraction: how much of each doc is SHARED
+# shingles (headers/footers/templates) — the CCNet-style page-quality
+# signal dup-span (within-pair) and dedup (whole-doc) both miss
+# =========================================================================
+@register(
+    "q_boilerplate_frac",
+    f"WITH {SHINGLES_SQL}, "
+    "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+    "df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM shd GROUP BY 1), "
+    "j AS (SELECT s.doc_id, CASE WHEN d.df >= 3 THEN 1 ELSE 0 END AS b "
+    "  FROM shd s JOIN df d ON s.shingle = d.shingle) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+    "CAST(sum(b) AS BIGINT) AS n_boiler, "
+    "sum(b) / count(*) AS boiler_frac "
+    "FROM j GROUP BY 1",
+)
+def q_boilerplate_frac(spark, sf_dir):
+    """E4o (r9): per doc, the fraction of its distinct shingles whose
+    corpus document-frequency is >= 3 — template/boilerplate mass
+    (navigation, footers, licence blocks) that survives whole-doc
+    dedup because the surrounding text differs; the page-level quality
+    feature CCNet-style filters threshold on. Integer df and counts +
+    one exactly-rounded division; two shingle-keyed aggregates and a
+    shingle equi-join — the same key the dedup family already
+    shuffles on."""
+    from mhw3d_detection_spark.operators.textops import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shd = shingles(docs).distinct()
+    dfx = shd.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    j = shd.join(dfx, "shingle").select(
+        "doc_id", (F.col("df") >= 3).cast("int").alias("b")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("b").cast("long").alias("n_boiler"),
+        (F.sum("b") / F.count(F.lit(1))).alias("boiler_frac"),
+    )

@@ -1433,3 +1433,64 @@ def q_xcorr_lagged(spark, sf_dir):
             "n_pairs_7"
         ),
     )
+
+
+# =========================================================================
+# W23 (r9, beyond-reference, in-domain) — trimmed & winsorized means:
+# the remaining members of the robust-location family (despike drops
+# MAD outliers, Theil-Sen medians slopes; THIS bounds tail influence
+# on the level estimate itself)
+# =========================================================================
+@register(
+    "q_trimmed_mean",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "thr AS (SELECT cell_id, quantile_cont(temp, 0.1) AS lo, "
+    "  quantile_cont(temp, 0.9) AS hi FROM od GROUP BY 1), "
+    "j AS (SELECT od.cell_id, od.temp, t.lo, t.hi FROM od "
+    "  JOIN thr t ON od.cell_id = t.cell_id) "
+    "SELECT cell_id, CAST(count(*) AS BIGINT) AS n_days, "
+    f"{rq_sql('avg(temp)', 4)} AS mean_raw, "
+    f"{rq_sql('avg(CASE WHEN temp >= lo AND temp <= hi THEN temp END)', 4)}"
+    "  AS mean_trimmed, "
+    f"{rq_sql('avg(CASE WHEN temp < lo THEN lo WHEN temp > hi THEN hi ELSE temp END)', 4)}"
+    "  AS mean_winsorized "
+    "FROM j GROUP BY 1",
+)
+def q_trimmed_mean(spark, sf_dir):
+    """W23 (r9): per-cell 10%-trimmed mean (drop samples outside the
+    exact [p10, p90]) and winsorized mean (clamp them to the fence) —
+    the bounded-influence level estimates that complete the robust
+    family (W16 MAD-despike rejects, W19 medians slopes; these bound
+    the tails' pull on the MEAN, the form climatology baselines want
+    when sensors occasionally rail). percentile ≡ quantile_cont on
+    identical bits (A3), the fence comparisons and clamps compare
+    identical bits, means rq4. One percentile aggregate + broadcast
+    back + one aggregate."""
+    od = orders_daily(spark, sf_dir)
+    thr = od.groupBy("cell_id").agg(
+        F.expr("percentile(temp, 0.1)").alias("lo"),
+        F.expr("percentile(temp, 0.9)").alias("hi"),
+    )
+    j = od.join(F.broadcast(thr), "cell_id")
+    return j.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        rq(F.avg("temp"), 4).alias("mean_raw"),
+        rq(
+            F.avg(
+                F.when(
+                    (F.col("temp") >= F.col("lo"))
+                    & (F.col("temp") <= F.col("hi")),
+                    F.col("temp"),
+                )
+            ),
+            4,
+        ).alias("mean_trimmed"),
+        rq(
+            F.avg(
+                F.when(F.col("temp") < F.col("lo"), F.col("lo"))
+                .when(F.col("temp") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("temp"))
+            ),
+            4,
+        ).alias("mean_winsorized"),
+    )

@@ -829,3 +829,85 @@ def streaming_curriculum_gate(
     if keep_only:
         out = out.filter(F.col("keep") == 1)
     return out
+
+
+def streaming_decontaminate_gate(
+    stream: DataFrame,
+    bloom_set_bits: list[int],
+    *,
+    m: int = 4096,
+    flag_frac: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    drop_flagged: bool = False,
+) -> DataFrame:
+    """Bloom decontamination at ingest — E2e's streaming face: the
+    eval-set Bloom (``operators.sketches.bloom_bits`` built batch-side,
+    ≤ m set-bit positions) packed into a LITERAL 64-bit bitmask array,
+    probed by a row-local shingle fold — no join, no state, no
+    explode; composes with any source. The batch twin
+    (``bloom_decontaminate``) stream-static-joins the same sketch;
+    THIS embeds it, trading plan size (m/64 longs ≈ 64 literals at the
+    default m=4096) for a zero-shuffle gate.
+
+    Membership matches ``_bloom_positions``' md5-segment scheme
+    bit-for-bit (k = 4 disjoint 32-bit segments mod m), and shingles
+    come from the SHARED ``shingle_array_sql`` (dedup'd with
+    array_distinct = the batch path's DISTINCT) — so flags agree with
+    the batch pre-filter exactly; pinned by
+    tests/test_r9_hardening.py::TestStreamingDecontaminateGate.
+
+    Output: input columns + ``(n_shingles, n_maybe_hits, hit_frac,
+    flagged)``; docs with fewer than ``shingle_n`` tokens get 0
+    shingles, NULL hit_frac, flagged 0 (nothing to test)."""
+    from mhw3d_detection_spark.operators.textops import (
+        shingle_array_sql,
+        tokens_col,
+    )
+
+    n_words = (int(m) + 63) // 64
+    words = [0] * n_words
+    for b in bloom_set_bits:
+        if not (0 <= int(b) < int(m)):
+            raise ValueError(f"bloom bit {b} outside [0, {m})")
+        words[int(b) >> 6] |= 1 << (int(b) & 63)
+    # LongType is signed: re-bias any word with bit 63 set
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_sql = "array(" + ", ".join(f"{w}L" for w in signed) + ")"
+
+    def bit_sql(seg: str) -> str:
+        pos = f"pmod(cast(conv({seg}, 16, 10) as bigint), {int(m)})"
+        word = f"element_at({words_sql}, cast({pos} / 64 as int) + 1)"
+        return f"((shiftright({word}, cast({pos} % 64 as int)) & 1) = 1)"
+
+    member = " AND ".join(
+        bit_sql(f"substring(h, {1 + 8 * j}, 8)") for j in range(4)
+    )
+    sh = f"array_distinct({shingle_array_sql('__toks', int(shingle_n))})"
+    hits = (
+        f"aggregate(transform(transform({sh}, s -> md5(cast(s as binary))), "
+        f"h -> case when {member} then 1 else 0 end), 0, (acc, x) -> acc + x)"
+    )
+    n_sh = f"size({sh})"
+    out = (
+        stream.withColumn("__toks", tokens_col(F.col(text_col)))
+        .withColumn("n_shingles", F.expr(n_sh).cast("long"))
+        .withColumn("n_maybe_hits", F.expr(hits).cast("long"))
+        .drop("__toks")
+        .withColumn(
+            "hit_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_maybe_hits") / F.col("n_shingles"),
+            ),
+        )
+        .withColumn(
+            "flagged",
+            F.coalesce(
+                F.col("hit_frac") >= F.lit(float(flag_frac)), F.lit(False)
+            ).cast("int"),
+        )
+    )
+    if drop_flagged:
+        out = out.filter(F.col("flagged") == 0)
+    return out

@@ -890,3 +890,52 @@ class TestReviewFixesR9:
         # plan construction must not fetch when the grid is supplied
         assert calls == []
         assert ddf.count() == cube.size
+
+
+class TestStreamingDecontaminateGate:
+    def test_matches_batch_bloom_flags(self, spark):
+        from mhw3d_detection_spark.operators.sketches import (
+            bloom_bits,
+            bloom_decontaminate,
+        )
+        from mhw3d_detection_spark.operators.textops import shingles
+        from mhw3d_detection_spark.streaming import (
+            streaming_decontaminate_gate,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        probe_pred = lambda c: c % 20 == 0  # noqa: E731
+        want = {
+            r.doc_id: (r.n_shingles, r.n_maybe_hits, r.flagged)
+            for r in bloom_decontaminate(docs, probe_pred).collect()
+        }
+        sh = shingles(docs).select("doc_id", "shingle").distinct()
+        bits = [
+            r.bit
+            for r in bloom_bits(
+                sh.filter(probe_pred(F.col("doc_id"))), F.col("shingle")
+            ).collect()
+        ]
+        corpus = docs.filter(~probe_pred(F.col("doc_id")))
+        got = {
+            r.doc_id: (r.n_shingles, r.n_maybe_hits, r.flagged)
+            for r in streaming_decontaminate_gate(corpus, bits).collect()
+            if r.n_shingles > 0
+        }
+        assert set(want) == set(got)
+        for d, v in want.items():
+            assert got[d] == v, (d, v, got[d])
+
+    def test_high_bit_words_and_short_docs(self, spark):
+        from mhw3d_detection_spark.streaming import (
+            streaming_decontaminate_gate,
+        )
+
+        # bits 63 and 4095 exercise the sign-bit word and the last word
+        docs = spark.createDataFrame(
+            [(1, "one two", "s")], "doc_id long, text string, source string"
+        )
+        out = streaming_decontaminate_gate(docs, [63, 4095]).collect()[0]
+        assert out.n_shingles == 0 and out.hit_frac is None and out.flagged == 0
+        with pytest.raises(ValueError, match="outside"):
+            streaming_decontaminate_gate(docs, [4096]).collect()

@@ -86,6 +86,10 @@ PLANS = [
     "q_xcorr_lagged",
     "q_token_burstiness",
     "q_dedup_cluster_stats",
+    "q_split_leakage",
+    "q_source_dedup_matrix",
+    "q_boilerplate_frac",
+    "q_trimmed_mean",
 ]
 
 HEADER = """# Physical plans — explain evidence
