@@ -5147,3 +5147,78 @@ def q_boilerplate_frac(spark, sf_dir):
         F.sum("b").cast("long").alias("n_boiler"),
         (F.sum("b") / F.count(F.lit(1))).alias("boiler_frac"),
     )
+
+
+# =========================================================================
+# E3n (r9) — MAP@5 retrieval eval: completes the eval quartet
+# (recall = coverage, NDCG = graded position, MRR = first hit, MAP =
+# precision-weighted ALL hits — the ranking-quality summary leaderboards
+# actually report)
+# =========================================================================
+_MAP_SQL = (
+    "WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+    "  FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, label, v AS pv FROM base "
+    "  WHERE vec_id % 50 = 0), "
+    "es AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine FROM base b, probes p "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "er AS (SELECT probe_id, vec_id, row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank FROM es), "
+    "ex AS (SELECT probe_id, vec_id FROM er WHERE rank <= 5), "
+    "asims AS (SELECT p.probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.pv) AS cosine "
+    "  FROM base b JOIN probes p ON b.label = p.label "
+    "  WHERE b.vec_id <> p.probe_id), "
+    "ar AS (SELECT probe_id, vec_id, CAST(row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+    "  FROM asims), "
+    "ap AS (SELECT probe_id, vec_id, rank FROM ar WHERE rank <= 5), "
+    "h AS (SELECT ap.probe_id, ap.rank, "
+    "  CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit "
+    "  FROM ap LEFT JOIN ex ON ap.probe_id = ex.probe_id "
+    "    AND ap.vec_id = ex.vec_id), "
+    "c AS (SELECT probe_id, hit, rank, CAST(sum(hit) OVER ("
+    "  PARTITION BY probe_id ORDER BY rank "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum "
+    "  FROM h) "
+    "SELECT probe_id, CAST(sum(hit) AS BIGINT) AS n_hit, "
+    f"{rq_sql('sum(hit * cum / rank) / 5.0', 4)} AS ap5 "
+    "FROM c GROUP BY 1"
+)
+
+
+@register("q_retrieval_map", _MAP_SQL)
+def q_retrieval_map(spark, sf_dir):
+    """E3n (r9): MAP@5 of the IVF-bucketed search vs the exact
+    brute-force top-5 — average precision rewards EVERY true neighbor
+    by the precision at its rank (recall counts them, NDCG discounts
+    them by a fixed curve, MRR sees only the first; AP is the summary
+    retrieval leaderboards report). AP@5 = (1/5) Σ hit_i * (cum
+    hits_i / i) — integer cumulative hits over a <= 5-row per-probe
+    window, divisions of identical integer bits, rq4 absorbing the
+    5-term association. Same scaffold as the NDCG/recall rows; probe
+    sample at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, probe_pred=lambda c: c % 50 == 0, k=5).select(
+        "probe_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    approx = cosine_topk(
+        emb, probe_pred=lambda c: c % 50 == 0, k=5, bucket_col="label"
+    ).select("probe_id", "vec_id", "rank")
+    h = approx.join(exact, ["probe_id", "vec_id"], "left").select(
+        "probe_id",
+        "rank",
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("hit"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.withColumn("cum", F.sum("hit").over(w).cast("double"))
+    return c.groupBy("probe_id").agg(
+        F.sum("hit").cast("long").alias("n_hit"),
+        rq(
+            F.sum(F.col("hit") * F.col("cum") / F.col("rank")) / F.lit(5.0),
+            4,
+        ).alias("ap5"),
+    )

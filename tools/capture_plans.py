@@ -90,6 +90,7 @@ PLANS = [
     "q_source_dedup_matrix",
     "q_boilerplate_frac",
     "q_trimmed_mean",
+    "q_retrieval_map",
 ]
 
 HEADER = """# Physical plans — explain evidence

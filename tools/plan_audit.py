@@ -88,6 +88,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # (broadcast probes), IVF-bucketed approx leg (equi-join)
     "q_retrieval_ndcg": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     "q_retrieval_mrr": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # r9: MAP shares the recall/NDCG scaffold — exact brute leg
+    "q_retrieval_map": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
     # r8: PSI attaches the 1-row (t_old, t_new, n_cells) totals to the
     # cells-sized occupancy table — constant-size regardless of corpus
     "q_embedding_drift_psi": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
