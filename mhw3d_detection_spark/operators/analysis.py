@@ -1235,6 +1235,7 @@ def ks_two_sample(
     df: DataFrame,
     value_col: str,
     is_old: Column,
+    rq_digits: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic between the "old"
     slice (``is_old`` true) and the rest — the distribution-shape
@@ -1263,9 +1264,10 @@ def ks_two_sample(
     # NULL values are excluded BEFORE the ordered window: Spark sorts
     # NULLs first, DuckDB last — the repo-wide exclusion rule for any
     # cross-engine ordering (code-review r9 finding #4)
+    x = _ks_domain_guard(value_col, rq_digits)
     g = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("x"))
+        .groupBy(x.alias("x"))
         .agg(
             F.sum(is_old.cast("int")).cast("long").alias("c_old"),
             F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
@@ -1358,10 +1360,28 @@ def theilsen_trend(
     )
 
 
+def _ks_domain_guard(value_col: str, rq_digits: int | None):
+    """Domain contract for the KS/W1 global ordered window: the cumsum
+    runs single-partition over DISTINCT values of ``value_col``, which
+    is only scale-safe when that domain is bounded (integer lengths,
+    rq-gridded scores). ``rq_digits=None`` means the caller ASSERTS a
+    bounded domain (both declared oracle rows use integer ``n_chars``);
+    passing ``rq_digits=d`` quantizes a continuous double onto a
+    10^-d grid BEFORE the distinct-value groupBy, capping the window
+    at (value range × 10^d) rows regardless of corpus size — the guard
+    VERDICT r9 "what's wrong #1" asked for."""
+    if rq_digits is None:
+        return F.col(value_col)
+    from mhw3d_detection_spark.queries.base import rq
+
+    return rq(F.col(value_col), int(rq_digits))
+
+
 def wasserstein1_two_sample(
     df: DataFrame,
     value_col: str,
     is_old: Column,
+    rq_digits: int | None = None,
 ) -> DataFrame:
     """Exact 1-D Wasserstein-1 (earth-mover) distance between the
     "old" slice and the rest — the MASS-weighted companion of
@@ -1384,9 +1404,10 @@ def wasserstein1_two_sample(
     Returns ONE row ``(w1_stat, n_old, n_new)``.
     """
     # same NULL-exclusion rule as ks_two_sample (ordered window)
+    x = _ks_domain_guard(value_col, rq_digits)
     g = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("x"))
+        .groupBy(x.alias("x"))
         .agg(
             F.sum(is_old.cast("int")).cast("long").alias("c_old"),
             F.sum((~is_old).cast("int")).cast("long").alias("c_new"),

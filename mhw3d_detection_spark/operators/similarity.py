@@ -732,10 +732,13 @@ def cosine_topk_arrow(
     # vec_id — collect() order is partition order, so "first row" would
     # let one ragged probe nondeterministically poison dim and drop
     # every clean vector (code-review r9 finding #1)
+    # sort by id ONLY — tuple sort would fall back to comparing the
+    # vector payloads on a duplicate vec_id, and None/list mixes raise
+    # TypeError (advice r10 #2)
     dim = next(
         (
             len(v)
-            for _, v in sorted(raw_probes)
+            for _, v in sorted(raw_probes, key=lambda t: t[0])
             if v is not None and len(v) > 0
         ),
         None,

@@ -4544,7 +4544,8 @@ def q_text_drift_psi(spark, sf_dir):
 @register(
     "q_ks_drift",
     "WITH s AS (SELECT n_chars AS x, "
-    "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io FROM documents), "
+    "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io FROM documents "
+    "  WHERE n_chars IS NOT NULL), "
     "g AS (SELECT x, CAST(sum(io) AS BIGINT) AS c_old, "
     "  CAST(count(*) - sum(io) AS BIGINT) AS c_new FROM s GROUP BY 1), "
     "t AS (SELECT CAST(sum(c_old) AS DOUBLE) AS n_old, "
@@ -4679,7 +4680,8 @@ def q_kcenter_sample(spark, sf_dir):
 @register(
     "q_wasserstein_drift",
     "WITH s AS (SELECT n_chars AS x, "
-    "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io FROM documents), "
+    "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io FROM documents "
+    "  WHERE n_chars IS NOT NULL), "
     "g AS (SELECT x, CAST(sum(io) AS BIGINT) AS c_old, "
     "  CAST(count(*) - sum(io) AS BIGINT) AS c_new FROM s GROUP BY 1), "
     "t AS (SELECT CAST(sum(c_old) AS DOUBLE) AS n_old, "

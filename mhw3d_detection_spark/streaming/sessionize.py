@@ -795,11 +795,16 @@ def streaming_curriculum_gate(
     ``keep`` 0 (route to a default/quarantine sink, the unknown-source
     monitoring convention of the other gates).
 
-    Output: input columns + ``(quality, decile, keep)``."""
+    Output: input columns + ``(quality, decile, keep)``. Raises if the
+    input stream already carries one of those names — silently
+    shadowing a user column would make every downstream reference
+    ambiguous (advice r10 #4)."""
     from mhw3d_detection_spark.operators.textops import (
         composite_quality_col,
     )
     from mhw3d_detection_spark.queries.base import rq
+
+    _gate_collision_check(stream, ("quality", "decile", "keep"))
 
     entries: list = []
     for src, thr in thresholds.items():
@@ -831,11 +836,26 @@ def streaming_curriculum_gate(
     return out
 
 
+def _gate_collision_check(stream: DataFrame, out_cols: tuple) -> None:
+    """Stateless gates append fixed-name output columns; an input
+    schema that already carries one would be silently duplicated /
+    shadowed and every downstream reference turns ambiguous. Fail
+    loudly instead (advice r10 #4)."""
+    clash = [c for c in stream.columns if c in out_cols]
+    if clash:
+        raise ValueError(
+            f"input stream already carries gate output column(s) "
+            f"{clash}; rename them before applying the gate "
+            f"(gate appends {list(out_cols)})"
+        )
+
+
 def streaming_decontaminate_gate(
     stream: DataFrame,
     bloom_set_bits: list[int],
     *,
     m: int = 4096,
+    k: int = 4,
     flag_frac: float = 0.5,
     shingle_n: int = 3,
     text_col: str = "text",
@@ -851,7 +871,11 @@ def streaming_decontaminate_gate(
     default m=4096) for a zero-shuffle gate.
 
     Membership matches ``_bloom_positions``' md5-segment scheme
-    bit-for-bit (k = 4 disjoint 32-bit segments mod m), and shingles
+    bit-for-bit (``k`` disjoint 32-bit segments mod m — ``k`` and
+    ``m`` MUST match what ``bloom_bits`` used; probing a k<4 sketch
+    with 4 segments would demand unset bits and return FALSE
+    NEGATIVES, the one Bloom error that must never happen — advice
+    r10 #3), and shingles
     come from the SHARED ``shingle_array_sql`` (dedup'd with
     array_distinct = the batch path's DISTINCT) — so flags agree with
     the batch pre-filter exactly; pinned by
@@ -859,12 +883,22 @@ def streaming_decontaminate_gate(
 
     Output: input columns + ``(n_shingles, n_maybe_hits, hit_frac,
     flagged)``; docs with fewer than ``shingle_n`` tokens get 0
-    shingles, NULL hit_frac, flagged 0 (nothing to test)."""
+    shingles, NULL hit_frac, flagged 0 (nothing to test). Raises on
+    an input column named like an output (advice r10 #4)."""
     from mhw3d_detection_spark.operators.textops import (
         shingle_array_sql,
         tokens_col,
     )
 
+    if not (1 <= int(k) <= 4):
+        raise ValueError(
+            f"k={k}: md5 supplies at most 4 disjoint 32-bit segments "
+            "(and a Bloom needs >= 1); build the sketch with "
+            "bloom_bits(..., k<=4) for this gate"
+        )
+    _gate_collision_check(
+        stream, ("n_shingles", "n_maybe_hits", "hit_frac", "flagged")
+    )
     n_words = (int(m) + 63) // 64
     words = [0] * n_words
     for b in bloom_set_bits:
@@ -881,7 +915,7 @@ def streaming_decontaminate_gate(
         return f"((shiftright({word}, cast({pos} % 64 as int)) & 1) = 1)"
 
     member = " AND ".join(
-        bit_sql(f"substring(h, {1 + 8 * j}, 8)") for j in range(4)
+        bit_sql(f"substring(h, {1 + 8 * j}, 8)") for j in range(int(k))
     )
     sh = f"array_distinct({shingle_array_sql('__toks', int(shingle_n))})"
     hits = (

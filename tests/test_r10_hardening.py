@@ -1,0 +1,275 @@
+"""Round-10 hardening pins: the r10 ADVICE items + the VERDICT r9
+latent-risk list.
+
+Each test pins one fix:
+- q_ks_drift / q_wasserstein_drift oracle SQL excludes NULL values like
+  the Spark operators do (advice #1) — verified by a live DuckDB
+  differential on a corpus WITH NULL lengths, not just a string grep
+- cosine_topk_arrow's dim inference sorts probes by id only, so a
+  duplicate vec_id with a None/list payload mix cannot raise TypeError
+  (advice #2)
+- streaming_decontaminate_gate accepts k and matches a k<4 sketch with
+  zero false negatives; out-of-range k raises (advice #3)
+- both r9 gates raise a pointed error when the input schema already
+  carries an output column name (advice #4)
+- ks_two_sample / wasserstein1_two_sample take rq_digits to bound the
+  distinct-value domain of the global ordered window (verdict #2)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# advice #1 — KS/W1 NULL parity between Spark operator and oracle SQL
+# ------------------------------------------------------------------
+class TestKsW1NullOracleParity:
+    def _mini_corpus(self, spark):
+        # NULL lengths present in BOTH slices — the exact corpus the
+        # r9 oracles mishandled (their totals included the NULL group)
+        rows = [
+            (0, 10), (1, 20), (2, None), (3, 30), (4, 40),
+            (5, 10), (6, None), (7, 25), (8, 30), (9, 55),
+            (10, 12), (11, 20), (12, 33), (13, None), (14, 41),
+        ]
+        return rows, spark.createDataFrame(
+            rows, "doc_id long, n_chars int"
+        )
+
+    def test_ks_oracle_matches_with_nulls(self, spark):
+        import duckdb
+
+        from mhw3d_detection_spark.operators.analysis import ks_two_sample
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows, df = self._mini_corpus(spark)
+        got = ks_two_sample(df, "n_chars", F.col("doc_id") % 5 != 4)
+        g = got.collect()[0]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, n_chars INTEGER)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        sql = REGISTRY["q_ks_drift"].sql
+        assert "WHERE n_chars IS NOT NULL" in sql
+        o = con.execute(sql).fetchone()
+        assert (g.x_at_max, g.ks_stat, g.n_old, g.n_new) == o
+
+    def test_w1_oracle_matches_with_nulls(self, spark):
+        import duckdb
+
+        from mhw3d_detection_spark.operators.analysis import (
+            wasserstein1_two_sample,
+        )
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows, df = self._mini_corpus(spark)
+        got = wasserstein1_two_sample(
+            df, "n_chars", F.col("doc_id") % 5 != 4
+        ).collect()[0]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, n_chars INTEGER)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        sql = REGISTRY["q_wasserstein_drift"].sql
+        assert "WHERE n_chars IS NOT NULL" in sql
+        o = con.execute(sql).fetchone()
+        assert (got.w1_stat, got.n_old, got.n_new) == o
+
+
+# ------------------------------------------------------------------
+# advice #2 — duplicate probe vec_id with None payload must not crash
+# ------------------------------------------------------------------
+class TestArrowTopkDuplicateProbeId:
+    def test_duplicate_id_none_list_mix(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk_arrow,
+        )
+
+        # two probe rows share vec_id 0: one NULL vector, one clean.
+        # tuple-sorting (0, None) vs (0, [..]) raises TypeError pre-fix
+        rows = [
+            (0, None),
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.8, 0.2]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, v array<double>"
+        ).repartition(3)
+        got = [
+            (r.vec_id, r.rank)
+            for r in cosine_topk_arrow(
+                emb, lambda c: c == 0, k=2, vec_col="v"
+            ).orderBy("probe_id", "rank").collect()
+        ]
+        assert got == [(1, 1), (3, 2)]
+
+
+# ------------------------------------------------------------------
+# advice #3 — decontaminate gate honors the sketch's k
+# ------------------------------------------------------------------
+class TestDecontaminateGateK:
+    def test_k2_sketch_no_false_negatives(self, spark):
+        from mhw3d_detection_spark.operators.sketches import bloom_bits
+        from mhw3d_detection_spark.operators.textops import shingles
+        from mhw3d_detection_spark.streaming import (
+            streaming_decontaminate_gate,
+        )
+
+        eval_doc = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(0, eval_doc, "eval"), (1, eval_doc, "copy"),
+             (2, "totally different words nothing shared here now", "c")],
+            "doc_id long, text string, source string",
+        )
+        sh = shingles(docs.filter("doc_id = 0")).select(
+            "doc_id", "shingle"
+        ).distinct()
+        bits = [
+            r.bit
+            for r in bloom_bits(sh, F.col("shingle"), k=2).collect()
+        ]
+        out = {
+            r.doc_id: r.flagged
+            for r in streaming_decontaminate_gate(
+                docs.filter("doc_id > 0"), bits, k=2
+            ).collect()
+        }
+        # the verbatim copy MUST flag (no false negatives with k=2)
+        assert out[1] == 1
+
+    def test_k4_probe_of_k2_sketch_would_miss(self, spark):
+        """The failure mode the k parameter exists to prevent: probing
+        a k=2 sketch with 4 segments demands bits the build never set —
+        documented false negatives. This pins the MECHANISM (hit count
+        drops), demonstrating why the parameter matters."""
+        from mhw3d_detection_spark.operators.sketches import bloom_bits
+        from mhw3d_detection_spark.operators.textops import shingles
+        from mhw3d_detection_spark.streaming import (
+            streaming_decontaminate_gate,
+        )
+
+        eval_doc = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(0, eval_doc, "eval"), (1, eval_doc, "copy")],
+            "doc_id long, text string, source string",
+        )
+        sh = shingles(docs.filter("doc_id = 0")).select(
+            "doc_id", "shingle"
+        ).distinct()
+        bits = [
+            r.bit
+            for r in bloom_bits(sh, F.col("shingle"), k=2).collect()
+        ]
+        copy = docs.filter("doc_id = 1")
+        good = streaming_decontaminate_gate(copy, bits, k=2).collect()[0]
+        bad = streaming_decontaminate_gate(copy, bits, k=4).collect()[0]
+        assert good.n_maybe_hits == good.n_shingles
+        assert bad.n_maybe_hits < good.n_maybe_hits
+
+    def test_out_of_range_k_raises(self, spark):
+        from mhw3d_detection_spark.streaming import (
+            streaming_decontaminate_gate,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "s")], "doc_id long, text string, source string"
+        )
+        with pytest.raises(ValueError, match="segments"):
+            streaming_decontaminate_gate(docs, [1], k=5)
+        with pytest.raises(ValueError, match="segments"):
+            streaming_decontaminate_gate(docs, [1], k=0)
+
+
+# ------------------------------------------------------------------
+# advice #4 — output-name collision fails loudly on both gates
+# ------------------------------------------------------------------
+class TestGateColumnCollision:
+    def test_curriculum_gate_collision(self, spark):
+        from mhw3d_detection_spark.streaming import (
+            streaming_curriculum_gate,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b", "s", 0.5)],
+            "doc_id long, text string, source string, quality double",
+        )
+        with pytest.raises(ValueError, match="quality"):
+            streaming_curriculum_gate(docs, {"s": [0.1] * 9})
+
+    def test_decontaminate_gate_collision(self, spark):
+        from mhw3d_detection_spark.streaming import (
+            streaming_decontaminate_gate,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b", "s", 1)],
+            "doc_id long, text string, source string, flagged int",
+        )
+        with pytest.raises(ValueError, match="flagged"):
+            streaming_decontaminate_gate(docs, [1])
+
+    def test_clean_schema_unaffected(self, spark):
+        from mhw3d_detection_spark.streaming import (
+            streaming_curriculum_gate,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "s")], "doc_id long, text string, source string"
+        )
+        out = streaming_curriculum_gate(docs, {"s": [0.0] * 9})
+        assert {"quality", "decile", "keep"} <= set(out.columns)
+
+
+# ------------------------------------------------------------------
+# verdict #2 — rq_digits bounds the KS/W1 ordered-window domain
+# ------------------------------------------------------------------
+class TestKsW1DomainGuard:
+    def test_on_grid_values_identical_result(self, spark):
+        from mhw3d_detection_spark.operators.analysis import (
+            ks_two_sample,
+            wasserstein1_two_sample,
+        )
+
+        # values already on the 10^-2 grid: quantized run must equal
+        # the unquantized run bit-for-bit
+        rows = [(i, round(0.05 * (i % 17) + 0.25, 2)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        pred = F.col("doc_id") % 3 != 0
+        a = ks_two_sample(df, "score", pred).collect()[0]
+        b = ks_two_sample(df, "score", pred, rq_digits=2).collect()[0]
+        assert (a.x_at_max, a.ks_stat, a.n_old, a.n_new) == (
+            b.x_at_max, b.ks_stat, b.n_old, b.n_new,
+        )
+        wa = wasserstein1_two_sample(df, "score", pred).collect()[0]
+        wb = wasserstein1_two_sample(
+            df, "score", pred, rq_digits=2
+        ).collect()[0]
+        assert (wa.w1_stat, wa.n_old, wa.n_new) == (
+            wb.w1_stat, wb.n_old, wb.n_new,
+        )
+
+    def test_continuous_domain_bounded(self, spark):
+        """A truly continuous column (every value distinct) quantized
+        to rq_digits=1 collapses the window's distinct-value table to
+        the bounded grid — the 100 TB guard in action."""
+        from mhw3d_detection_spark.operators.analysis import (
+            _ks_domain_guard,
+        )
+
+        rows = [(i, 0.1234567 + i * 1e-7) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        raw = df.select(
+            _ks_domain_guard("score", None).alias("x")
+        ).distinct().count()
+        q = df.select(
+            _ks_domain_guard("score", 1).alias("x")
+        ).distinct().count()
+        assert raw == 500 and q <= 2
