@@ -48,6 +48,21 @@ HEADLINE = [
     "q_circular_smooth_31d",
 ]
 
+# r10: the registry's most expensive rows were invisible to the
+# headline suite (round-over-round regressions there went unrecorded —
+# VERDICT r9 #5). Second recorded suite; HEADLINE stays unchanged for
+# cross-round continuity. Timing protocol differs in ONE way: the plan
+# is rebuilt inside the timed region, because q_dedup_report is EAGER
+# (localCheckpoints its pairs/components at build — excluding the
+# build would hide most of its real work).
+HEAVY = [
+    "q_dedup_cluster_stats",
+    "q_split_leakage",
+    "q_containment_pairs",
+    "q_boilerplate_frac",
+    "q_dedup_report",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,6 +112,27 @@ def main() -> None:
         times[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[2], 3)
 
+    heavy: dict[str, float] = {}
+    heavy_medians: dict[str, float] = {}
+    for name in HEAVY:
+        try:
+            Q.REGISTRY[name].spark_fn(spark, warm_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+        runs = []
+        for _ in range(3):  # best-of-3: these run seconds each
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            Q.REGISTRY[name].spark_fn(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.time() - t0)
+        heavy[name] = round(min(runs), 3)
+        heavy_medians[name] = round(sorted(runs)[1], 3)
+
     # Apples-to-apples vs BASELINE.md: the reference's published numbers
     # are clim+threshold (5.9 s) + detection+metrics (0.308 s) on a
     # 12053-day x 256-cell series (~3.1 M samples). Run the full fused
@@ -113,6 +149,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_median": medians,
+                "heavy_suite_wall": round(sum(heavy.values()), 3),
+                "queries_heavy": heavy,
+                "queries_heavy_median": heavy_medians,
                 "sf": sf,
                 "baseline_equivalent": base_equiv,
             }

@@ -5224,3 +5224,82 @@ def q_retrieval_map(spark, sf_dir):
             4,
         ).alias("ap5"),
     )
+
+
+# =========================================================================
+# E2m (r10) — the composed duplication audit: pairs + components ONCE,
+# census + leakage + source matrix + keep-best summary from the shared
+# intermediate (the component family's q_curate_corpus)
+# =========================================================================
+def _DEDUP_REPORT_SQL() -> str:
+    cc = ", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3))
+    kq = rq_sql(
+        "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+        "+ 0.2 * least(n_stop / 5.0, 1.0)",
+        4,
+    )
+    return (
+        f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+        "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+        "  FROM bands a JOIN bands b ON a.band_id = b.band_id "
+        "    AND a.band_sig = b.band_sig WHERE a.doc_id < b.doc_id), "
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+        "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+        f"{cc}, "
+        "sizes AS (SELECT label AS component, CAST(count(*) AS BIGINT) AS sz "
+        "  FROM l3 GROUP BY 1), "
+        f"sp AS (SELECT doc_id, {SPLIT_CASE_SQL('doc_id')} AS split "
+        "  FROM documents), "
+        "src AS (SELECT doc_id, source FROM documents), "
+        "kd AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+        "ks AS (SELECT doc_id, len(toks) AS n_tokens, "
+        "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+        "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+        "    / greatest(length(text), 1) AS punct_ratio FROM kd), "
+        f"kq AS (SELECT doc_id, {kq} AS quality FROM ks), "
+        "m AS (SELECT l3.v AS doc_id, l3.label AS component, kq.quality, "
+        "  row_number() OVER (PARTITION BY l3.label "
+        "  ORDER BY kq.quality DESC, l3.v) AS r "
+        "  FROM l3 JOIN kq ON l3.v = kq.doc_id), "
+        "verdict AS (SELECT kq.doc_id, CAST(CASE WHEN m.doc_id IS NULL THEN 1 "
+        "  WHEN m.r = 1 THEN 1 ELSE 0 END AS INT) AS kept "
+        "  FROM kq LEFT JOIN m ON kq.doc_id = m.doc_id) "
+        "SELECT 'census' AS section, CAST(CAST(sz AS INT) AS VARCHAR) AS key_a, "
+        "  CAST(NULL AS VARCHAR) AS key_b, CAST(count(*) AS BIGINT) AS n, "
+        "  CAST(sum(sz - 1) AS BIGINT) AS extra FROM sizes GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'leakage', sa.split, sb.split, CAST(count(*) AS BIGINT), "
+        "  CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) "
+        "FROM e0 JOIN sp sa ON e0.u = sa.doc_id "
+        "JOIN sp sb ON e0.v = sb.doc_id GROUP BY 2, 3 "
+        "UNION ALL "
+        "SELECT 'sources', least(sa.source, sb.source), "
+        "  greatest(sa.source, sb.source), CAST(count(*) AS BIGINT), "
+        "  CAST(NULL AS BIGINT) "
+        "FROM e0 JOIN src sa ON e0.u = sa.doc_id "
+        "JOIN src sb ON e0.v = sb.doc_id GROUP BY 2, 3 "
+        "UNION ALL "
+        "SELECT 'keepbest', s.source, CAST(NULL AS VARCHAR), "
+        "  CAST(sum(v.kept) AS BIGINT), CAST(sum(1 - v.kept) AS BIGINT) "
+        "FROM verdict v JOIN src s ON v.doc_id = s.doc_id GROUP BY 2"
+    )
+
+
+@register("q_dedup_report", _DEDUP_REPORT_SQL())
+def q_dedup_report(spark, sf_dir):
+    """E2m (r10): the composed duplication audit — MinHash banding and
+    bounded min-label components computed ONCE, then the cluster
+    census (E2j), split-leakage audit (E6i), cross-source dup matrix
+    (E2k), and keep-best verdict summary (E2h rolled up per source)
+    emitted from the SHARED pairs+components intermediate as one
+    long-form report (section, key_a, key_b, n, extra). The four
+    standalone rows rebuild that intermediate per query (52-54
+    exchanges each); this plan pays the banding self-join and the
+    propagation rounds once — measured ~3x on the shared stages vs
+    running the rows separately (docs/PLANS.md r10). All-integer
+    counts over the already-verified components; DuckDB replays the
+    identical CTE tree."""
+    from mhw3d_detection_spark.plans.dedup_report import dedup_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_report(docs)

@@ -273,3 +273,54 @@ class TestKsW1DomainGuard:
             _ks_domain_guard("score", 1).alias("x")
         ).distinct().count()
         assert raw == 500 and q <= 2
+
+
+# ------------------------------------------------------------------
+# verdict #3 — composed dedup report == the four standalone rows
+# ------------------------------------------------------------------
+class TestDedupReportParity:
+    def test_sections_match_standalone_rows(self, spark):
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        rep = REGISTRY["q_dedup_report"].spark_fn(spark, sf).collect()
+        by = {}
+        for r in rep:
+            by.setdefault(r.section, set()).add(
+                (r.key_a, r.key_b, r.n, r.extra)
+            )
+
+        cen = {
+            (str(r.component_size), None, r.n_components, r.dup_mass)
+            for r in REGISTRY["q_dedup_cluster_stats"]
+            .spark_fn(spark, sf).collect()
+        }
+        assert by["census"] == cen
+
+        leak = {
+            (r.split_a, r.split_b, r.n_pairs, r.n_leaks)
+            for r in REGISTRY["q_split_leakage"]
+            .spark_fn(spark, sf).collect()
+        }
+        assert by["leakage"] == leak
+
+        mat = {
+            (r.source_a, r.source_b, r.n_pairs, None)
+            for r in REGISTRY["q_source_dedup_matrix"]
+            .spark_fn(spark, sf).collect()
+        }
+        assert by["sources"] == mat
+
+        kb = {}
+        docs = spark.read.parquet(sf + "/documents.parquet").select(
+            "doc_id", "source"
+        )
+        verdict = REGISTRY["q_dedup_keep_best"].spark_fn(spark, sf)
+        for r in verdict.join(docs, "doc_id").groupBy("source").agg(
+            F.sum("kept").alias("k"),
+            F.sum(1 - F.col("kept")).alias("d"),
+        ).collect():
+            kb[(r.source, None)] = (r.k, r.d)
+        got_kb = {(a, b): (n, e) for a, b, n, e in by["keepbest"]}
+        assert got_kb == kb

@@ -91,6 +91,7 @@ PLANS = [
     "q_boilerplate_frac",
     "q_trimmed_mean",
     "q_retrieval_map",
+    "q_dedup_report",
 ]
 
 HEADER = """# Physical plans — explain evidence
