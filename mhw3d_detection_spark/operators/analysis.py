@@ -1283,11 +1283,18 @@ def ks_two_sample(
         F.sum("c_old").over(w).cast("double").alias("a"),
         F.sum("c_new").over(w).cast("double").alias("b"),
     )
+    # an EMPTY slice makes the statistic undefined — return it as NULL
+    # with the counts visible (a monitor must SEE n_old=0, not crash
+    # on the raw ANSI DIVIDE_BY_ZERO this guard replaces; r10 edge
+    # probe). Both-nonempty inputs take the identical division.
     d = c.crossJoin(F.broadcast(tot)).select(
         "x",
-        F.abs(F.col("a") / F.col("n_old") - F.col("b") / F.col("n_new")).alias(
-            "diff"
-        ),
+        F.when(
+            (F.col("n_old") > 0) & (F.col("n_new") > 0),
+            F.abs(
+                F.col("a") / F.col("n_old") - F.col("b") / F.col("n_new")
+            ),
+        ).alias("diff"),
         "n_old",
         "n_new",
     )
@@ -1326,6 +1333,13 @@ def theilsen_trend(
 
     Returns ``(cell_id, n_pairs, sen_slope)``; slope is per DAY,
     rq-quantized for display.
+
+    Input contract: ONE row per (cell_id, day) — the daily-series
+    contract shared by the whole per-cell family (despike/detrend/
+    autocorr). Duplicate timestamps multiply the lag-join matches
+    (m×n slope pairs per duplicated day pair), inflating ``n_pairs``
+    and weighting those days in the median; pre-aggregate to daily
+    means first (the q_theilsen_trend row does).
     """
     from mhw3d_detection_spark.queries.base import rq
 
@@ -1425,11 +1439,18 @@ def wasserstein1_two_sample(
         F.sum("c_new").over(wc).cast("double").alias("b"),
         (F.lead("x").over(wl) - F.col("x")).cast("double").alias("gap"),
     )
+    # same empty-slice guard as ks_two_sample (r10 edge probe): the
+    # divisions run only when both slices are nonempty; the final
+    # statistic is NULL then (counts stay visible). A single-distinct-
+    # value domain has no gap rows at all — W1 is exactly 0 there, and
+    # the coalesce reports it as 0 WITH the real counts (the old shape
+    # aggregated the empty term table and lost them).
     t = (
         c.filter(F.col("gap").isNotNull())
         .crossJoin(F.broadcast(tot))
         .select(
-            (
+            F.when(
+                (F.col("n_old") > 0) & (F.col("n_new") > 0),
                 dyadic_quantize(
                     F.abs(
                         F.col("a") / F.col("n_old")
@@ -1437,16 +1458,18 @@ def wasserstein1_two_sample(
                     ),
                     30,
                 )
-                * F.col("gap")
-            ).alias("term"),
-            "n_old",
-            "n_new",
+                * F.col("gap"),
+            ).alias("term")
         )
     )
-    return t.groupBy().agg(
-        F.sum("term").alias("w1_stat"),
-        F.first("n_old").cast("long").alias("n_old"),
-        F.first("n_new").cast("long").alias("n_new"),
+    tsum = t.groupBy().agg(F.sum("term").alias("w1_raw"))
+    return tot.crossJoin(F.broadcast(tsum)).select(
+        F.when(
+            (F.col("n_old") > 0) & (F.col("n_new") > 0),
+            F.coalesce(F.col("w1_raw"), F.lit(0.0)),
+        ).alias("w1_stat"),
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
     )
 
 
@@ -1466,7 +1489,9 @@ def mann_kendall_banded(
     Exactness: signs of rq-quantized temp differences are integers;
     the ratio is one exactly-rounded division. Same lag-exploded
     equi-join as the Theil-Sen pairs — linear, no per-cell cross
-    product.
+    product. Same input contract too: ONE row per (cell_id, day) —
+    duplicate timestamps multiply the lag-join matches and weight
+    those days in S; pre-aggregate to daily means first.
     """
     from mhw3d_detection_spark.queries.base import rq
 

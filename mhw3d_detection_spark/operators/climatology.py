@@ -1042,6 +1042,8 @@ def harmonic_fit(ts: DataFrame, harm: DataFrame) -> DataFrame:
 
     ``ts`` is ``(cell_id, time, temp)``; returns
     ``(cell_id, n_days, a0, a1, b1, amplitude)`` rq2-quantized.
+    Cells with fewer than 3 distinct DOYs return NULL coefficients
+    (rank-deficient design — see the guard comment below).
     """
     from mhw3d_detection_spark.functions.calendar import clim_doy
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
@@ -1053,6 +1055,13 @@ def harmonic_fit(ts: DataFrame, harm: DataFrame) -> DataFrame:
     ).select("cell_id", rq("temp", 2).alias("y"), "c", "s")
     a = j.groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
+        # rank guard: the 3-parameter fit needs >= 3 distinct DOYs; on
+        # fewer the normal matrix is singular IN EXACT ARITHMETIC but
+        # the dyadic-quantized determinant lands near-zero instead of
+        # zero, so Cramer silently emits garbage coefficients (r10
+        # edge probe: a 1-DOY cell with temps in [12,16] "fit"
+        # a1=14.43). NULL the coefficients for those cells.
+        F.countDistinct("c", "s").alias("n_doys"),
         F.sum(dyadic_quantize(F.col("y"), 20)).alias("sy"),
         F.sum(dyadic_quantize(F.col("c"), 30)).alias("sc"),
         F.sum(dyadic_quantize(F.col("s"), 30)).alias("ss"),
@@ -1062,12 +1071,13 @@ def harmonic_fit(ts: DataFrame, harm: DataFrame) -> DataFrame:
         F.sum(dyadic_quantize(F.col("y") * F.col("c"), 20)).alias("syc"),
         F.sum(dyadic_quantize(F.col("y") * F.col("s"), 20)).alias("sys"),
     )
+    ok = F.col("n_doys") >= 3
     f = a.select(
         "cell_id",
         F.col("nn").cast("long").alias("n_days"),
-        F.expr(_H_A0).alias("a0"),
-        F.expr(_H_A1).alias("a1"),
-        F.expr(_H_B1).alias("b1"),
+        F.when(ok, F.expr(_H_A0)).alias("a0"),
+        F.when(ok, F.expr(_H_A1)).alias("a1"),
+        F.when(ok, F.expr(_H_B1)).alias("b1"),
     )
     return f.select(
         "cell_id",

@@ -1930,9 +1930,13 @@ def kcenter_select(
     smaller vec_id — selections replay bit-exactly in the unrolled SQL
     oracle.
 
-    Returns ``(rank, vec_id, mind)`` — k rows; ``mind`` is the
-    distance to the nearest already-selected center at selection time
-    (0.0 for the seed by convention).
+    Returns ``(rank, vec_id, mind)`` — ``min(k, n_valid)`` rows (a
+    corpus smaller than k exhausts; no error, the report simply stops
+    — r10 edge pin). All-duplicate corpora select deterministically:
+    every remaining point is at distance 0, the argmax tie-break
+    walks ascending vec_id. ``mind`` is the distance to the nearest
+    already-selected center at selection time (0.0 for the seed by
+    convention).
     """
     from mhw3d_detection_spark.queries.base import rq
 

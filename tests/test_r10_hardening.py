@@ -324,3 +324,132 @@ class TestDedupReportParity:
             kb[(r.source, None)] = (r.k, r.d)
         got_kb = {(a, b): (n, e) for a, b, n, e in by["keepbest"]}
         assert got_kb == kb
+
+
+# ------------------------------------------------------------------
+# verdict #1 — adversarial edge pins for the r9-new surfaces
+# ------------------------------------------------------------------
+class TestR9SurfaceEdges:
+    def test_ks_empty_slice_null_stat_not_crash(self, spark):
+        from mhw3d_detection_spark.operators.analysis import ks_two_sample
+
+        df = spark.createDataFrame(
+            [(i, i % 7) for i in range(20)], "doc_id long, x int"
+        )
+        r = ks_two_sample(df, "x", F.lit(False)).collect()[0]
+        assert r.ks_stat is None and r.n_old == 0 and r.n_new == 20
+
+    def test_w1_empty_slice_null_stat_not_crash(self, spark):
+        from mhw3d_detection_spark.operators.analysis import (
+            wasserstein1_two_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 7) for i in range(20)], "doc_id long, x int"
+        )
+        r = wasserstein1_two_sample(df, "x", F.lit(True)).collect()[0]
+        assert r.w1_stat is None and r.n_old == 20 and r.n_new == 0
+
+    def test_w1_single_value_zero_with_counts(self, spark):
+        from mhw3d_detection_spark.operators.analysis import (
+            wasserstein1_two_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 42) for i in range(10)], "doc_id long, x int"
+        )
+        r = wasserstein1_two_sample(
+            df, "x", F.col("doc_id") % 2 == 0
+        ).collect()[0]
+        assert r.w1_stat == 0.0 and r.n_old == 5 and r.n_new == 5
+
+    def test_ks_single_value_zero(self, spark):
+        from mhw3d_detection_spark.operators.analysis import ks_two_sample
+
+        df = spark.createDataFrame(
+            [(i, 42) for i in range(10)], "doc_id long, x int"
+        )
+        r = ks_two_sample(df, "x", F.col("doc_id") % 2 == 0).collect()[0]
+        assert r.ks_stat == 0.0 and r.x_at_max == 42
+
+    def test_harmonic_rank_deficient_nulls(self, spark):
+        from mhw3d_detection_spark.operators.climatology import harmonic_fit
+        from mhw3d_detection_spark.queries.mhw import _harm_rows
+
+        harm = spark.createDataFrame(_harm_rows(), "doy int, c double, s double")
+        # cell 1: one distinct DOY; cell 2: two; cell 3: three (ok)
+        rows = (
+            [(1, f"200{y}-03-05", 12.0 + y) for y in range(5)]
+            + [(2, f"200{y}-0{3 + (y % 2) * 3}-05", 12.0 + y) for y in range(6)]
+            + [(3, f"2000-0{mth}-05", 12.0 + mth) for mth in range(1, 7)]
+        )
+        ts = spark.createDataFrame(
+            rows, "cell_id long, time string, temp double"
+        ).select("cell_id", F.col("time").cast("date").alias("time"), "temp")
+        out = {r.cell_id: r for r in harmonic_fit(ts, harm).collect()}
+        assert out[1].a0 is None and out[1].amplitude is None
+        assert out[2].a0 is None
+        assert out[3].a0 is not None and out[3].amplitude is not None
+
+    def test_kcenter_k_exceeds_n(self, spark):
+        from mhw3d_detection_spark.operators.similarity import kcenter_select
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = kcenter_select(emb, k=5, seed_id=0).collect()
+        assert len(got) == 3  # min(k, n): exhausts, no crash
+
+    def test_kcenter_all_duplicates_deterministic(self, spark):
+        from mhw3d_detection_spark.operators.similarity import kcenter_select
+
+        emb = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        got = [
+            (r.rank, r.vec_id, r.mind)
+            for r in kcenter_select(emb, k=3, seed_id=0).collect()
+        ]
+        assert got == [(1, 0, 0.0), (2, 1, 0.0), (3, 2, 0.0)]
+
+    def test_theilsen_duplicate_days_documented_multiplicity(self, spark):
+        from mhw3d_detection_spark.operators.analysis import theilsen_trend
+
+        # 2 rows/day, consistent +1/day trend: slopes stay 1.0 and
+        # n_pairs reflects the m*n multiplicity the docstring states
+        rows = []
+        for d in range(1, 5):
+            for _ in range(2):
+                rows.append((1, f"2020-01-0{d}", 10.0 + d))
+        ts = spark.createDataFrame(
+            rows, "cell_id long, time string, temp double"
+        ).select("cell_id", F.col("time").cast("date").alias("time"), "temp")
+        r = theilsen_trend(ts, max_lag_days=3).collect()[0]
+        # day pairs (1,2),(1,3),(1,4),(2,3),(2,4),(3,4) x 2x2 = 24
+        assert r.n_pairs == 24 and r.sen_slope == 1.0
+
+    def test_dedup_report_zero_pair_corpus(self, spark):
+        from mhw3d_detection_spark.plans import dedup_report
+
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    f"unique document {i} distinct words w{i}a w{i}b w{i}c",
+                    f"s{i % 2}",
+                )
+                for i in range(8)
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = dedup_report(docs).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.section, []).append(r)
+        # no pairs: census/leakage/sources empty; keepbest keeps all
+        assert "census" not in by and "leakage" not in by
+        assert "sources" not in by
+        kb = {r.key_a: (r.n, r.extra) for r in by["keepbest"]}
+        assert kb == {"s0": (4, 0), "s1": (4, 0)}
