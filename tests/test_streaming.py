@@ -1312,3 +1312,93 @@ def test_streaming_outlier_gate_matches_batch(spark, tmp_path):
         for r in spark.table("outlier_gate").collect()
     }
     assert got == want  # full domain AND bit-exact values
+
+
+def test_r9_gates_out_of_order_microbatches(spark, tmp_path):
+    """r10 (verdict #7): the two r9 stateless gates driven through the
+    same out-of-order file-stream harness as the stateful ops — docs
+    arrive as 3 arbitrarily-ordered micro-batches; every per-doc gate
+    verdict must equal the batch application bit-for-bit (stateless
+    row-local gates: arrival order free by construction; this pins
+    it at the runner level, not just by inspection)."""
+    import random
+
+    from mhw3d_detection_spark.operators.sketches import bloom_bits
+    from mhw3d_detection_spark.operators.textops import (
+        curriculum_thresholds,
+        shingles,
+    )
+    from mhw3d_detection_spark.streaming import (
+        streaming_curriculum_gate,
+        streaming_decontaminate_gate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    thr = curriculum_thresholds(docs)
+    sh = shingles(docs.filter(F.col("doc_id") % 20 == 0)).select(
+        "doc_id", "shingle"
+    ).distinct()
+    bits = [r.bit for r in bloom_bits(sh, F.col("shingle")).collect()]
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    # batch truth
+    want_cur = {
+        r.doc_id: (r.quality, r.decile, r.keep)
+        for r in streaming_curriculum_gate(corpus, thr, min_decile=3)
+        .select("doc_id", "quality", "decile", "keep").collect()
+    }
+    want_dec = {
+        r.doc_id: (r.n_shingles, r.n_maybe_hits, r.flagged)
+        for r in streaming_decontaminate_gate(corpus, bits)
+        .select("doc_id", "n_shingles", "n_maybe_hits", "flagged")
+        .collect()
+    }
+
+    # 3 shuffled micro-batches through a real file stream
+    rng = random.Random(7)
+    incoming = corpus.collect()
+    rng.shuffle(incoming)
+    src = str(tmp_path / "gate_stream")
+    third = (len(incoming) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            incoming[i * third : (i + 1) * third], corpus.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    for qname, gated in (
+        (
+            "cur_ooo",
+            streaming_curriculum_gate(stream, thr, min_decile=3).select(
+                "doc_id", "quality", "decile", "keep"
+            ),
+        ),
+        (
+            "dec_ooo",
+            streaming_decontaminate_gate(stream, bits).select(
+                "doc_id", "n_shingles", "n_maybe_hits", "flagged"
+            ),
+        ),
+    ):
+        q = (
+            gated.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ("ckpt_" + qname)))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got_cur = {
+        r.doc_id: (r.quality, r.decile, r.keep)
+        for r in spark.table("cur_ooo").collect()
+    }
+    got_dec = {
+        r.doc_id: (r.n_shingles, r.n_maybe_hits, r.flagged)
+        for r in spark.table("dec_ooo").collect()
+    }
+    assert got_cur == want_cur and len(want_cur) == corpus.count()
+    assert got_dec == want_dec
