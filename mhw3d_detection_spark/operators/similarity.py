@@ -1988,3 +1988,160 @@ def kcenter_select(
     return spark.createDataFrame(
         picked, "rank int, vec_id long, mind double"
     )
+
+
+def srp_planes(
+    n_bits: int = 16, dim: int = 64, seed: int = 1213
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-random-projection
+    LSH — generated in PYTHON (shared-literal transcendental rule:
+    both engines consume the identical doubles; shortest-repr text
+    round-trips them exactly in SQL)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+
+def srp_signatures(
+    emb: DataFrame,
+    *,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 1213,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection (hyperplane) LSH fingerprints for COSINE
+    similarity (Charikar STOC'02): bit j = [r_j · v >= 0] for n_bits
+    literal Gaussian hyperplanes. P[bit differs] = angle(u, v)/π, so
+    Hamming distance between fingerprints estimates the angle — the
+    embedding-space analogue of SimHash (token multisets) and MinHash
+    (shingle sets), completing the LSH family over the third distance
+    the corpus actually uses (cosine on dense vectors). One integer of
+    index state per vector; mergeable by construction (signatures are
+    row-local, a new snapshot just appends).
+
+    Exactness: each product term is dyadic-quantized (2^-24 grid)
+    BEFORE the fold, so the dot is an order-free exact sum — the sign
+    compares identical bits cross-engine; plane literals come from
+    :func:`srp_planes` (no runtime randomness, no runtime
+    transcendentals). Ragged / NULL-element / NULL vectors are DATA:
+    dropped, same contract as cosine_topk.
+
+    Returns ``(vec_id, srp_sig)`` — srp_sig in [0, 2^n_bits).
+    """
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    planes = srp_planes(n_bits, dim, seed)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).filter(
+        (F.size("v") == dim)
+        & ~F.exists("v", lambda x: x.isNull())
+    )
+    sig = None
+    for j, plane in enumerate(planes):
+        r = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("v"), r, lambda x, y: dyadic_quantize(x * y, 24)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = (dot >= 0).cast("long") * F.lit(1 << j)
+        sig = bit if sig is None else sig + bit
+    return base.select("vec_id", sig.alias("srp_sig"))
+
+
+def srp_lsh_pairs(
+    emb: DataFrame,
+    *,
+    n_bits: int = 16,
+    n_blocks: int = 4,
+    max_hamming: int = 2,
+    dim: int = 64,
+    seed: int = 1213,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate CANDIDATE PAIRS via SRP-LSH banding —
+    the cosine leg of the dedup family's candidate generators, with
+    the same Manku block-permutation geometry as
+    ``textops.simhash_hamming_pairs``: fingerprints within Hamming
+    ``d <= n_blocks - 1`` agree exactly on one of ``n_blocks`` bit
+    blocks (pigeonhole), so candidates come from an equi-join on
+    ``(block_id, block_bits)`` — never an all-pairs sweep — and
+    ``bit_count(xor)`` verifies only the collisions. Versus SemDeDup
+    (k-means cells + within-cell cosine): no trainer, no centroids to
+    version — signatures are pure row-local literals, the right shape
+    for INCREMENTAL corpora where a trained quantizer would drift.
+
+    ``est_cos`` attaches the angle estimate cos(π·hamming/n_bits) as a
+    SHARED-LITERAL lookup (values precomputed in Python — no runtime
+    trig; the same device as the harmonic dim).
+
+    Returns ``(vec_id_a, vec_id_b, hamming, est_cos)``,
+    ``vec_id_a < vec_id_b``, ``hamming <= max_hamming``.
+    """
+    import math
+
+    assert max_hamming < n_blocks, "pigeonhole needs d < n_blocks"
+    assert n_bits % n_blocks == 0, "blocks must tile the fingerprint"
+    sig = srp_signatures(
+        emb, n_bits=n_bits, dim=dim, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bw = n_bits // n_blocks
+    blocks = sig.select(
+        "vec_id",
+        "srp_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftright(F.col("srp_sig"), b * bw)
+                        .bitwiseAND(F.lit((1 << bw) - 1))
+                        .alias("block_bits"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "srp_sig",
+        F.col("bk.block_id").alias("block_id"),
+        F.col("bk.block_bits").alias("block_bits"),
+    )
+    a = blocks.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("srp_sig").alias("sig_a"),
+        "block_id", "block_bits",
+    )
+    b = blocks.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("srp_sig").alias("sig_b"),
+        "block_id", "block_bits",
+    )
+    est = None
+    for h in range(max_hamming, -1, -1):
+        v = F.lit(float(math.cos(math.pi * h / n_bits)))
+        est = v if est is None else F.when(
+            F.col("hamming") == h, v
+        ).otherwise(est)
+    return (
+        a.join(b, ["block_id", "block_bits"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+        .withColumn("est_cos", est)
+    )

@@ -2727,3 +2727,187 @@ def curriculum_thresholds(
         ).alias("t")
     )
     return {r["source"]: [float(x) for x in r["t"]] for r in thr.collect()}
+
+
+def token_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gini coefficient of token-frequency concentration — the
+    inequality summary of the corpus's Zipf curve: 0 = every type
+    equally frequent, →1 = a handful of types carry all the mass. The
+    one-number companion to the Heaps (vocab growth) and burstiness
+    diagnostics: concentration rising across crawl snapshots means new
+    data is adding occurrences of OLD types, not coverage.
+
+    Exactness & scale (the ks_two_sample device): the corpus is
+    touched by ONE token-keyed aggregate; frequencies then collapse to
+    the (frequency value, #types at that value) histogram, so the
+    ordered window runs over DISTINCT COUNT VALUES — domain-bounded,
+    a few thousand rows however large the corpus. Ties make the rank
+    assignment order-free: all m types at value v occupy a contiguous
+    rank block [c+1, c+m], contributing v·(m·c + m(m+1)/2) — pure
+    BIGINT; Gini = (2·S − (n+1)·T) / (n·T) is one exactly-rounded
+    division (RAW-double hash). BIGINT bound: S ≤ n_types²·max_freq —
+    fine through sf1-scale corpora; at 1e9-type corpora move the
+    final products to DOUBLE (documented, not gated: the histogram
+    shape is already there).
+
+    Returns ONE row ``(n_types, n_tokens, gini)``.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    hist = freq.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    contrib = hist.select(
+        "v",
+        "m",
+        (
+            F.col("v")
+            * (
+                F.col("m") * F.coalesce(F.sum("m").over(w), F.lit(0))
+                + F.col("m") * (F.col("m") + 1) / 2
+            )
+        ).cast("long").alias("s_part"),
+    )
+    return contrib.groupBy().agg(
+        F.sum("m").cast("long").alias("n_types"),
+        F.sum(F.col("v") * F.col("m")).cast("long").alias("n_tokens"),
+        (
+            (2 * F.sum("s_part") - (F.sum("m") + 1) * F.sum(F.col("v") * F.col("m")))
+            / (F.sum("m") * F.sum(F.col("v") * F.col("m")))
+        ).alias("gini"),
+    )
+
+
+def keyness_llr(
+    docs: DataFrame,
+    target_pred,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (G², Dunning CL'93) per token:
+    which vocabulary is OVER/UNDER-represented in a target slice vs
+    the rest of the corpus — the statistically-grounded "what makes
+    this source different" readout (χ²'s low-count failure mode is
+    exactly web-corpus vocabulary, which is why corpus linguistics
+    settled on G²). Drives source profiling, domain-mixture debugging,
+    and contamination triage (an eval benchmark's signature terms
+    lighting up in one crawl slice).
+
+    G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)), E_x the expected count under
+    the pooled rate; ``enriched`` = 1 when the target rate exceeds the
+    background rate (G² itself is unsigned). 0·ln(0) = 0 by contract
+    (CASE-guarded identically in both engines).
+
+    Exactness: counts and totals are integers; each ln argument is one
+    exactly-rounded division chain of identical integer bits, and G²
+    is DISPLAY-ONLY rq4 (the repo's ln contract — decisions threshold
+    the integer counts via ``min_count``, never the transcendental).
+    Scale: one token-keyed aggregate + a 1-row totals broadcast.
+
+    Returns ``(token, a, b, enriched, g2)``, tokens with pooled count
+    >= min_count.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    tok = docs.select(
+        target_pred.cast("int").alias("t"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    g = tok.groupBy("token").agg(
+        F.sum("t").cast("long").alias("a"),
+        F.sum(1 - F.col("t")).cast("long").alias("b"),
+    ).filter((F.col("a") + F.col("b")) >= int(min_count))
+    tot = tok.groupBy().agg(
+        F.sum("t").cast("double").alias("na"),
+        F.sum(1 - F.col("t")).cast("double").alias("nb"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ea = (F.col("a") + F.col("b")) * F.col("na") / (F.col("na") + F.col("nb"))
+    eb = (F.col("a") + F.col("b")) * F.col("nb") / (F.col("na") + F.col("nb"))
+    term_a = F.when(
+        F.col("a") > 0, F.col("a") * F.log(F.col("a") / ea)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0, F.col("b") * F.log(F.col("b") / eb)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "token",
+        "a",
+        "b",
+        (F.col("a") * F.col("nb") > F.col("b") * F.col("na"))
+        .cast("int")
+        .alias("enriched"),
+        rq(F.lit(2.0) * (term_a + term_b), 4).alias("g2"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame, *, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Zipf rank-frequency fit over the top-N types: OLS slope of
+    ln(freq) on ln(rank) — the power-law exponent (≈ −1 for natural
+    language; |slope| drifting low flags templated/boilerplate-heavy
+    corpora, high flags degenerate repetition). The distribution-SHAPE
+    companion to token_gini's one-number concentration.
+
+    Exactness: ln(rank) for ranks 1..N is a SHARED-LITERAL dim
+    (precomputed in Python — no runtime trig on the x side); ln(freq)
+    is runtime ln of identical integer bits (the KL/logprob contract),
+    dyadic-quantized (2^-30) so the five OLS sums are order-free; the
+    closed-form slope/intercept is ONE textual formula evaluated from
+    identical sums. Outputs rq4 (display).
+
+    Scale: one token-keyed aggregate; the fit runs on N rows.
+
+    Returns ONE row ``(n_top, zipf_slope, zipf_intercept)``.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.queries.base import rq
+
+    tok = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    top = freq.orderBy(F.desc("v"), F.col("token")).limit(int(top_n))
+    w = Window.orderBy(F.desc("v"), F.col("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    # shared-literal ln(rank) dim
+    rows = [(r, math.log(r)) for r in range(1, int(top_n) + 1)]
+    lnr_dim = ranked.sparkSession.createDataFrame(
+        rows, "rank int, x double"
+    )
+    j = ranked.join(F.broadcast(lnr_dim), "rank").select(
+        dyadic_quantize(F.col("x"), 30).alias("x"),
+        dyadic_quantize(F.log(F.col("v").cast("double")), 30).alias("y"),
+    )
+    s = j.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        # products re-quantized (2^-20): x·y of two 2^-30-grid values
+        # needs 2^-60 — not representable — so the rounded products
+        # must land back on a shared grid for order-free sums
+        F.sum(dyadic_quantize(F.col("x") * F.col("y"), 20)).alias("sxy"),
+        F.sum(dyadic_quantize(F.col("x") * F.col("x"), 20)).alias("sxx"),
+    )
+    slope = F.expr("(n*sxy - sx*sy) / (n*sxx - sx*sx)")
+    intercept = F.expr("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n")
+    return s.select(
+        F.col("n").cast("long").alias("n_top"),
+        rq(slope, 4).alias("zipf_slope"),
+        rq(intercept, 4).alias("zipf_intercept"),
+    )

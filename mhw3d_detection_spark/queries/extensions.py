@@ -5303,3 +5303,199 @@ def q_dedup_report(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_report(docs)
+
+
+# =========================================================================
+# E3o (r10) — sign-random-projection (hyperplane) LSH for cosine:
+# the embedding-space member of the LSH candidate-generator family
+# (MinHash = shingle sets, SimHash = token multisets, SRP = dense
+# cosine), Charikar STOC'02
+# =========================================================================
+def _dlit(v: float) -> str:
+    """A double literal DuckDB parses via strtod (exact): bare decimal
+    literals infer DECIMAL and the DECIMAL->DOUBLE conversion can be
+    1 ulp off at 17 significant digits (measured, r10); an exponent
+    suffix forces the DOUBLE parse path."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def _SRP_SQL() -> str:
+    import math
+
+    from mhw3d_detection_spark.operators.similarity import srp_planes
+
+    n_bits, dim, n_blocks, max_h = 16, 64, 4, 2
+    planes = srp_planes(n_bits, dim)
+    bw = n_bits // n_blocks
+
+    def dot(j: int) -> str:
+        arr = "[" + ", ".join(_dlit(x) for x in planes[j]) + "]"
+        term = _dq_sql(f"v[i] * ({arr})[i]", 24)
+        return f"list_sum(list_transform(range(1, {dim + 1}), i -> {term}))"
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot(j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    est = "CASE " + " ".join(
+        f"WHEN hamming = {h} THEN {_dlit(math.cos(math.pi * h / n_bits))}"
+        for h in range(max_h + 1)
+    ) + " END"
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        f"  WHERE len(embedding) = {dim} "
+        "    AND len(list_filter(embedding, x -> x IS NULL)) = 0), "
+        f"s AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM e), "
+        "blk AS (SELECT vec_id, sig, b.b AS block_id, "
+        f"  (sig // (1 << (b.b * {bw}))) % {1 << bw} AS block_bits "
+        f"  FROM s, (SELECT unnest(generate_series(0, {n_blocks - 1})) AS b) b), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b, "
+        "  a.sig AS sa, b2.sig AS sb FROM blk a "
+        "  JOIN blk b2 ON a.block_id = b2.block_id "
+        "    AND a.block_bits = b2.block_bits "
+        "  WHERE a.vec_id < b2.vec_id), "
+        "h AS (SELECT vec_id_a, vec_id_b, "
+        "  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand) "
+        "SELECT vec_id_a, vec_id_b, hamming, "
+        f"CAST({est} AS DOUBLE) AS est_cos FROM h WHERE hamming <= {max_h}"
+    )
+
+
+@register("q_srp_lsh_pairs", _SRP_SQL())
+def q_srp_lsh_pairs(spark, sf_dir):
+    """E3o (r10): embedding near-dup candidate pairs via
+    sign-random-projection LSH (Charikar STOC'02) — 16 literal
+    Gaussian hyperplanes sign-fingerprint each vector, Manku 4-block
+    banding generates candidates from (block_id, block_bits)
+    equi-joins (never all-pairs), bit_count(xor) verifies, and
+    cos(pi*h/16) attaches the angle estimate as shared literals. The
+    trainer-free cosine candidate generator: unlike SemDeDup's k-means
+    cells, signatures are pure row-local plan literals — nothing to
+    version on incremental corpora. Exactness: per-term dyadic
+    quantization (2^-24) makes every dot an order-free exact sum, so
+    the sign bits are identical cross-engine; no runtime randomness or
+    trig anywhere."""
+    from mhw3d_detection_spark.operators.similarity import srp_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(emb).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+# =========================================================================
+# E4p (r10) — token-frequency Gini: the inequality summary of the
+# corpus's Zipf curve (concentration rising across snapshots = new
+# data buys occurrences of OLD types, not coverage)
+# =========================================================================
+@register(
+    "q_token_gini",
+    "WITH tok AS (SELECT unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "freq AS (SELECT token, CAST(count(*) AS BIGINT) AS v FROM tok GROUP BY 1), "
+    "hist AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM freq GROUP BY 1), "
+    "c AS (SELECT v, m, CAST(coalesce(sum(m) OVER (ORDER BY v "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum "
+    "  FROM hist), "
+    "s AS (SELECT v, m, CAST(v * (m * cum + m * (m + 1) / 2) AS BIGINT) "
+    "  AS s_part FROM c) "
+    "SELECT CAST(sum(m) AS BIGINT) AS n_types, "
+    "CAST(sum(v * m) AS BIGINT) AS n_tokens, "
+    "(2 * CAST(sum(s_part) AS BIGINT) "
+    " - (CAST(sum(m) AS BIGINT) + 1) * CAST(sum(v * m) AS BIGINT)) "
+    " / (CAST(sum(m) AS BIGINT) * CAST(sum(v * m) AS BIGINT)) AS gini "
+    "FROM s",
+)
+def q_token_gini(spark, sf_dir):
+    """E4p (r10): Gini coefficient of token-frequency concentration.
+    One corpus aggregate; ranks collapse to the (frequency, #types)
+    histogram so the ordered window is domain-bounded (the
+    ks_two_sample device) and tie blocks contribute in closed form —
+    pure BIGINT until one exactly-rounded division (RAW hash)."""
+    from mhw3d_detection_spark.operators.textops import token_gini
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_gini(docs)
+
+
+# =========================================================================
+# E4q (r10) — Dunning G² keyness: over/under-represented vocabulary
+# of a corpus slice vs the rest (source profiling, mixture debugging,
+# contamination triage), Dunning CL'93
+# =========================================================================
+@register(
+    "q_keyness_llr",
+    "WITH tok AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t, "
+    "  unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+    "g AS (SELECT token, CAST(sum(t) AS BIGINT) AS a, "
+    "  CAST(count(*) - sum(t) AS BIGINT) AS b FROM tok GROUP BY 1 "
+    "  HAVING count(*) >= 5), "
+    "tot AS (SELECT CAST(sum(t) AS DOUBLE) AS na, "
+    "  CAST(count(*) - sum(t) AS DOUBLE) AS nb FROM tok) "
+    "SELECT token, a, b, "
+    "CAST(CASE WHEN a * nb > b * na THEN 1 ELSE 0 END AS INT) AS enriched, "
+    + rq_sql(
+        "2.0 * ((CASE WHEN a > 0 THEN a * ln(a / "
+        "  ((a + b) * na / (na + nb))) ELSE 0.0 END) "
+        " + (CASE WHEN b > 0 THEN b * ln(b / "
+        "  ((a + b) * nb / (na + nb))) ELSE 0.0 END))",
+        4,
+    )
+    + " AS g2 FROM g, tot",
+)
+def q_keyness_llr(spark, sf_dir):
+    """E4q (r10): Dunning log-likelihood keyness of src0 vs the rest
+    of the corpus. Integer counts, exactly-rounded ln arguments, G²
+    display-only rq4 (the repo ln contract — the enriched DECISION is
+    the integer cross-product a·nb > b·na); one token aggregate + a
+    1-row totals broadcast."""
+    from mhw3d_detection_spark.operators.textops import keyness_llr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyness_llr(docs, F.col("source") == "src0")
+
+
+# =========================================================================
+# E4r (r10) — Zipf rank-frequency fit: the power-law exponent of the
+# top of the vocabulary (|slope| low = templated/boilerplate-heavy,
+# high = degenerate repetition)
+# =========================================================================
+def _ZIPF_SQL(top_n: int = 100) -> str:
+    import math
+
+    lnr = ", ".join(
+        f"({r}, {_dlit(math.log(r))})" for r in range(1, top_n + 1)
+    )
+    dq_x = _dq_sql("l.x", 30)
+    dq_y = _dq_sql("ln(CAST(r.v AS DOUBLE))", 30)
+    return (
+        "WITH tok AS (SELECT unnest(" + TOKENS_SQL + ") AS token FROM documents), "
+        "freq AS (SELECT token, CAST(count(*) AS BIGINT) AS v FROM tok GROUP BY 1), "
+        f"top AS (SELECT token, v FROM freq ORDER BY v DESC, token LIMIT {top_n}), "
+        "r AS (SELECT token, v, CAST(row_number() OVER (ORDER BY v DESC, token) "
+        "  AS INT) AS rank FROM top), "
+        f"lnr(rank, x) AS (SELECT * FROM (VALUES {lnr})), "
+        f"j AS (SELECT {dq_x} AS x, {dq_y} AS y "
+        "  FROM r JOIN lnr l ON r.rank = l.rank), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy, "
+        f"  sum({_dq_sql('x * y', 20)}) AS sxy, "
+        f"  sum({_dq_sql('x * x', 20)}) AS sxx FROM j) "
+        "SELECT CAST(n AS BIGINT) AS n_top, "
+        + rq_sql("(n*sxy - sx*sy) / (n*sxx - sx*sx)", 4)
+        + " AS zipf_slope, "
+        + rq_sql("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n", 4)
+        + " AS zipf_intercept FROM s"
+    )
+
+
+@register("q_zipf_fit", _ZIPF_SQL())
+def q_zipf_fit(spark, sf_dir):
+    """E4r (r10): OLS fit of ln(freq) ~ ln(rank) over the top-100
+    types. ln(rank) is a shared-literal dim (no runtime trig on x);
+    ln(freq) runs on identical integer bits; all five OLS sums are
+    dyadic-quantized order-free; slope/intercept are one shared
+    closed-form formula, rq4 display."""
+    from mhw3d_detection_spark.operators.textops import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs)

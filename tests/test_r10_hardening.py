@@ -453,3 +453,66 @@ class TestR9SurfaceEdges:
         assert "sources" not in by
         kb = {r.key_a: (r.n, r.extra) for r in by["keepbest"]}
         assert kb == {"s0": (4, 0), "s1": (4, 0)}
+
+
+# ------------------------------------------------------------------
+# r10 new operator: SRP-LSH semantic pins
+# ------------------------------------------------------------------
+class TestSrpLsh:
+    def test_planted_near_dup_found_orthogonal_not(self, spark):
+        import math
+        import random
+
+        from mhw3d_detection_spark.operators.similarity import srp_lsh_pairs
+
+        rng = random.Random(5)
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        near = [x + rng.gauss(0, 0.01) for x in base]  # ~1 deg apart
+        anti = [-x for x in base]
+        rows = [(0, base), (1, near), (2, anti)] + [
+            (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(3, 40)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            (r.vec_id_a, r.vec_id_b): (r.hamming, r.est_cos)
+            for r in srp_lsh_pairs(emb).collect()
+        }
+        assert (0, 1) in got
+        h, ec = got[(0, 1)]
+        assert h <= 2 and ec >= math.cos(math.pi * 2 / 16)
+        # the antipode differs on ~all bits: never a candidate pair
+        assert (0, 2) not in got
+
+    def test_signature_estimates_angle(self, spark):
+        """P[bit differs] = angle/pi: a 90-degree pair should land at
+        hamming ~ n_bits/2 — far outside the candidate threshold."""
+        from mhw3d_detection_spark.operators.similarity import (
+            srp_signatures,
+        )
+
+        u = [1.0 if i < 32 else 0.0 for i in range(64)]
+        v = [0.0 if i < 32 else 1.0 for i in range(64)]
+        emb = spark.createDataFrame(
+            [(0, u), (1, v)], "vec_id long, embedding array<double>"
+        )
+        sigs = {r.vec_id: r.srp_sig for r in srp_signatures(emb).collect()}
+        ham = bin(sigs[0] ^ sigs[1]).count("1")
+        assert 4 <= ham <= 12  # 16 bits, expectation 8
+
+    def test_dirty_vectors_dropped(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            srp_signatures,
+        )
+
+        rows = [
+            (0, [1.0] * 64),
+            (1, None),
+            (2, [1.0] * 10),           # ragged
+            (3, [1.0] * 63 + [None]),  # null element
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        assert [r.vec_id for r in srp_signatures(emb).collect()] == [0]
