@@ -2145,3 +2145,45 @@ def srp_lsh_pairs(
         .distinct()
         .withColumn("est_cos", est)
     )
+
+
+def mutual_nn_pairs(
+    emb: DataFrame,
+    panel_pred,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs within a panel: (a, b) such
+    that b is a's cosine top-1 AND a is b's — the high-precision
+    verification primitive semantic dedup and bitext/pair mining use
+    on top of any candidate generator (a one-directional top-1 is
+    noisy at density boundaries; mutuality filters the hubness
+    artifacts out). Panel-bounded: both probe sets are the SAME
+    ``panel_pred`` slice, so this is the two-phase top-k machinery
+    twice on a bounded panel — at full scale the panel is a sampled
+    audit set, and the near-dup generators (MinHash/SimHash/SRP)
+    remain the corpus-scale path.
+
+    Returns ``(vec_id_a, vec_id_b, cosine)``, a < b, cosine rq6.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    panel = emb.filter(panel_pred(F.col(id_col)))
+    t1 = cosine_topk(
+        panel, lambda c: F.lit(True), k=1, id_col=id_col, vec_col=vec_col
+    ).select("probe_id", "vec_id", "cosine")
+    a = t1.select(
+        F.col("probe_id").alias("vec_id_a"),
+        F.col("vec_id").alias("vec_id_b"),
+        "cosine",
+    )
+    b = t1.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("probe_id").alias("vec_id_b"),
+    )
+    return (
+        a.join(b, ["vec_id_a", "vec_id_b"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", rq("cosine", 6).alias("cosine"))
+    )

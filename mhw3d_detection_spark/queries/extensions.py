@@ -5499,3 +5499,177 @@ def q_zipf_fit(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return zipf_fit(docs)
+
+
+# =========================================================================
+# E3p (r10) — trainer-free semantic dedup APPLIED: SRP-LSH pairs ->
+# bounded components -> anti-join (SemDeDup's outcome without a
+# k-means quantizer to version on incremental corpora)
+# =========================================================================
+def _SRP_APPLY_SQL() -> str:
+    cc = ", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3))
+    srp = _SRP_SQL()
+    # reuse the full SRP pair pipeline as a prefix: strip its final
+    # SELECT, keep the CTE chain, rename the pair output into e0.
+    # The SRP base CTE is named "e", which collides with _CC_ITER's
+    # edge table — rename it to eb in this composition
+    prefix = (
+        srp[: srp.index("h AS (SELECT vec_id_a")]
+        .replace("WITH e AS (", "WITH eb AS (", 1)
+        .replace("AS sig FROM e)", "AS sig FROM eb)", 1)
+    )
+    return (
+        prefix
+        + "e0 AS (SELECT vec_id_a AS u, vec_id_b AS v FROM cand "
+        "  WHERE bit_count(xor(sa, sb)) <= 2), "
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+        "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+        f"{cc}, "
+        "drops AS (SELECT v AS vec_id FROM l3 WHERE v <> label) "
+        "SELECT em.vec_id, em.label AS class_label FROM embeddings em "
+        "LEFT JOIN drops d ON em.vec_id = d.vec_id WHERE d.vec_id IS NULL"
+    )
+
+
+@register("q_srp_dedup_apply", _SRP_APPLY_SQL())
+def q_srp_dedup_apply(spark, sf_dir):
+    """E3p (r10): the surviving embedding corpus after SRP-LSH
+    semantic dedup — candidate pairs from the hyperplane fingerprints
+    (E3o), 3 bounded min-label rounds, min-id kept per component,
+    drop-list anti-joined (broadcast: drops are pairs-vertices-
+    bounded; the corpus-scale caveat and gate live on
+    dedup_keep_best / semantic_dedup and apply here identically).
+    SemDeDup's outcome with NOTHING to train or version — the right
+    dedup for incremental corpora where k-means cells drift."""
+    from mhw3d_detection_spark.operators.similarity import srp_lsh_pairs
+    from mhw3d_detection_spark.operators.textops import (
+        connected_components_bounded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = srp_lsh_pairs(emb).select(
+        F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b")
+    )
+    comp = connected_components_bounded(pairs, iters=3)
+    drops = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(F.broadcast(drops), "vec_id", "left_anti").select(
+        "vec_id", F.col("label").alias("class_label")
+    )
+
+
+# =========================================================================
+# E4s (r10) — source similarity matrix: token-distribution overlap
+# coefficient between every source pair (mixture redundancy: two
+# "sources" that are the same distribution add no diversity)
+# =========================================================================
+@register(
+    "q_source_overlap_matrix",
+    "WITH tok AS (SELECT source, unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n "
+    "  FROM tok GROUP BY 1, 2), "
+    "t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1), "
+    "j AS (SELECT a.source AS source_a, b.source AS source_b, "
+    "  CAST(sum(least(a.n * tb.tot, b.n * ta.tot)) AS BIGINT) AS inter_x "
+    "  FROM c a JOIN c b ON a.token = b.token AND a.source < b.source "
+    "  JOIN t ta ON ta.source = a.source "
+    "  JOIN t tb ON tb.source = b.source "
+    "  GROUP BY 1, 2) "
+    "SELECT j.source_a, j.source_b, "
+    "  j.inter_x / (ta.tot * tb.tot) AS overlap "
+    "FROM j JOIN t ta ON ta.source = j.source_a "
+    "JOIN t tb ON tb.source = j.source_b",
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """E4s (r10): pairwise histogram-intersection similarity of source
+    unigram distributions — Σ_token min(p_a, p_b) per unordered source
+    pair (1 = identical distributions, 0 = disjoint vocabulary). The
+    mixture-redundancy readout: near-1 off-diagonal cells mean two
+    named sources are the SAME distribution (mirror crawls, split
+    feeds) and their mixture weights double-count diversity.
+    Exactness: min of cross-multiplied INTEGER masses (min(n_a/t_a,
+    n_b/t_b) = min(n_a·t_b, n_b·t_a)/(t_a·t_b)) — the division is one
+    exactly-rounded op per output row (RAW hash). Token-keyed
+    equi-join on the sources' count tables (vocab-bounded), source
+    totals broadcast-sized."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents")
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    tok = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    c = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("source").agg(F.sum("n").cast("long").alias("tot"))
+    a = c.select(
+        F.col("source").alias("source_a"), "token", F.col("n").alias("na")
+    )
+    b = c.select(
+        F.col("source").alias("source_b"), "token", F.col("n").alias("nb")
+    )
+    j = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(t.select(F.col("source").alias("source_a"),
+                                 F.col("tot").alias("ta"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(t.select(F.col("source").alias("source_b"),
+                                 F.col("tot").alias("tb"))),
+            "source_b",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.least(F.col("na") * F.col("tb"), F.col("nb") * F.col("ta"))
+            ).cast("long").alias("inter_x"),
+            F.first("ta").alias("ta"),
+            F.first("tb").alias("tb"),
+        )
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        (F.col("inter_x") / (F.col("ta") * F.col("tb"))).alias("overlap"),
+    )
+
+
+# =========================================================================
+# E3q (r10) — reciprocal nearest neighbors: the mutual-top-1 filter
+# (precision leg for semantic dedup / pair mining; hubness artifacts
+# fail the mutuality test)
+# =========================================================================
+@register(
+    "q_mutual_nn",
+    "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+    "  WHERE vec_id % 10 = 0), "
+    "es AS (SELECT p.vec_id AS probe_id, b.vec_id, "
+    "  list_cosine_similarity(b.v, p.v) AS cosine FROM base b, base p "
+    "  WHERE b.vec_id <> p.vec_id), "
+    "r AS (SELECT probe_id, vec_id, cosine, row_number() OVER ("
+    "  PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk FROM es), "
+    "t1 AS (SELECT probe_id, vec_id, cosine FROM r WHERE rnk = 1) "
+    "SELECT a.probe_id AS vec_id_a, a.vec_id AS vec_id_b, "
+    + rq_sql("a.cosine", 6)
+    + " AS cosine FROM t1 a JOIN t1 b "
+    "ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id "
+    "WHERE a.probe_id < a.vec_id",
+)
+def q_mutual_nn(spark, sf_dir):
+    """E3q (r10): mutual cosine top-1 pairs within the vec_id%10 audit
+    panel — reciprocal nearest neighbors, the precision filter pair
+    mining and semantic-dedup verification run on candidate output
+    (one-directional top-1 inherits hubness noise; mutuality kills
+    it). Panel-bounded two-phase top-k twice; tie-break (cosine DESC,
+    vec_id) replays in SQL; cosine rq6 display."""
+    from mhw3d_detection_spark.operators.similarity import mutual_nn_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_nn_pairs(emb, lambda c: c % 10 == 0)

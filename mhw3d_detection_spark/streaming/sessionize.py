@@ -945,3 +945,98 @@ def streaming_decontaminate_gate(
     if drop_flagged:
         out = out.filter(F.col("flagged") == 0)
     return out
+
+
+def srp_gate_sigs(
+    eval_emb,
+    *,
+    max_hamming: int = 1,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 1213,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Build the literal signature set for
+    :func:`streaming_srp_decontaminate_gate`: SRP fingerprints of the
+    eval/benchmark vectors, EXPANDED to their full Hamming-``max_h``
+    neighborhood at build time (16-bit signatures: ≤ sigs·(1 + 16 + …)
+    entries) — so the serve-side probe is ONE exact set-membership
+    test, no per-row Hamming loop against the eval set. The
+    neighborhood-expansion twin of the Bloom gate's bitmask: pay
+    memory at BUILD, make the gate row-local and loop-free."""
+    from itertools import combinations
+
+    from mhw3d_detection_spark.operators.similarity import srp_signatures
+
+    base = {
+        int(r["srp_sig"])
+        for r in srp_signatures(
+            eval_emb, n_bits=n_bits, dim=dim, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        ).collect()
+    }
+    out = set(base)
+    for h in range(1, int(max_hamming) + 1):
+        for bits in combinations(range(n_bits), h):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            out.update(s ^ mask for s in base)
+    return sorted(out)
+
+
+def streaming_srp_decontaminate_gate(
+    stream: DataFrame,
+    gate_sigs: list[int],
+    *,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 1213,
+    vec_col: str = "embedding",
+    drop_flagged: bool = False,
+) -> DataFrame:
+    """SEMANTIC decontamination at ingest — the embedding-space twin
+    of :func:`streaming_decontaminate_gate`: the Bloom gate catches
+    verbatim/near-verbatim shingle overlap with an eval set; THIS
+    catches paraphrases and re-encodings whose embeddings still land
+    within Hamming-``max_h`` of an eval vector's SRP fingerprint. The
+    row's 16-bit signature is computed row-locally (literal
+    hyperplanes, the ``srp_signatures`` expression — shared code,
+    cannot drift from the batch path) and probed against the literal
+    ``gate_sigs`` set from :func:`srp_gate_sigs` — no join, no state,
+    composes with any source. Rows whose vector is NULL/ragged get
+    NULL signature and ``flagged`` 0 (nothing to test — route to
+    schema QC, the unknown-input convention of the other gates).
+
+    Output: input columns + ``(srp_sig, flagged)``; raises on an
+    input column named like an output."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.operators.similarity import srp_planes
+
+    _gate_collision_check(stream, ("srp_sig", "flagged"))
+    planes = srp_planes(n_bits, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    ok = (F.size(v) == dim) & ~F.exists(v, lambda x: x.isNull())
+    sig = None
+    for j, plane in enumerate(planes):
+        r = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, r, lambda x, y: dyadic_quantize(x * y, 24)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = (dot >= 0).cast("long") * F.lit(1 << j)
+        sig = bit if sig is None else sig + bit
+    gate = F.array(*[F.lit(int(s)) for s in gate_sigs])
+    out = stream.withColumn(
+        "srp_sig", F.when(ok, sig)
+    ).withColumn(
+        "flagged",
+        F.coalesce(
+            F.array_contains(gate, F.col("srp_sig")), F.lit(False)
+        ).cast("int"),
+    )
+    if drop_flagged:
+        out = out.filter(F.col("flagged") == 0)
+    return out

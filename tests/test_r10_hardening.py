@@ -516,3 +516,189 @@ class TestSrpLsh:
             rows, "vec_id long, embedding array<double>"
         )
         assert [r.vec_id for r in srp_signatures(emb).collect()] == [0]
+
+
+# ------------------------------------------------------------------
+# r10 new streaming gate: SRP semantic decontamination
+# ------------------------------------------------------------------
+class TestSrpDecontaminateGate:
+    def test_flags_paraphrase_scale_not_orthogonal(self, spark):
+        import random
+
+        from mhw3d_detection_spark.streaming import (
+            srp_gate_sigs,
+            streaming_srp_decontaminate_gate,
+        )
+
+        rng = random.Random(9)
+        ev = [rng.gauss(0, 1) for _ in range(64)]
+        near = [x * 2.0 for x in ev]          # same direction: sig equal
+        tweak = [x + rng.gauss(0, 0.005) for x in ev]  # tiny angle
+        ortho = [rng.gauss(0, 1) for _ in range(64)]
+        eval_emb = spark.createDataFrame(
+            [(100, ev)], "vec_id long, embedding array<double>"
+        )
+        sigs = srp_gate_sigs(eval_emb, max_hamming=1)
+        stream = spark.createDataFrame(
+            [(0, near), (1, tweak), (2, ortho), (3, None)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r.vec_id: (r.srp_sig, r.flagged)
+            for r in streaming_srp_decontaminate_gate(
+                stream, sigs
+            ).collect()
+        }
+        assert out[0][1] == 1          # scaled copy: identical signature
+        assert out[1][1] == 1          # tiny perturbation: within hamming 1
+        assert out[2][1] == 0          # unrelated direction
+        assert out[3] == (None, 0)     # NULL vector: nothing to test
+
+    def test_matches_batch_signature_hamming(self, spark):
+        """Gate flag == batch rule (exists eval sig within hamming<=1),
+        computed from srp_signatures on both sides — shared-code
+        parity, pinned over the real test corpus."""
+        from mhw3d_detection_spark.operators.similarity import (
+            srp_signatures,
+        )
+        from mhw3d_detection_spark.streaming import (
+            srp_gate_sigs,
+            streaming_srp_decontaminate_gate,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        eval_emb = emb.filter(F.col("vec_id") % 25 == 0)
+        corpus = emb.filter(F.col("vec_id") % 25 != 0)
+        sigs = srp_gate_sigs(eval_emb, max_hamming=1)
+        got = {
+            r.vec_id: r.flagged
+            for r in streaming_srp_decontaminate_gate(
+                corpus, sigs
+            ).collect()
+        }
+        ev = {
+            r.srp_sig for r in srp_signatures(eval_emb).collect()
+        }
+        want = {}
+        for r in srp_signatures(corpus).collect():
+            want[r.vec_id] = int(
+                any(bin(r.srp_sig ^ s).count("1") <= 1 for s in ev)
+            )
+        for vid, w in want.items():
+            assert got[vid] == w, (vid, w, got[vid])
+
+    def test_collision_check(self, spark):
+        from mhw3d_detection_spark.streaming import (
+            streaming_srp_decontaminate_gate,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 64, 1)],
+            "vec_id long, embedding array<double>, flagged int",
+        )
+        with pytest.raises(ValueError, match="flagged"):
+            streaming_srp_decontaminate_gate(df, [1])
+
+
+# ------------------------------------------------------------------
+# r10 new operators: numpy/manual differentials
+# ------------------------------------------------------------------
+class TestCorpusShapeOps:
+    DOCS = [
+        (0, "the cat sat on the mat", "a"),
+        (1, "the dog sat on the log the dog", "a"),
+        (2, "cats and dogs and cats", "b"),
+        (3, "completely different vocabulary here", "b"),
+        (4, "the the the cat cat dog", "b"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, source string"
+        )
+
+    def _counts(self):
+        import re
+        from collections import Counter
+
+        c = Counter()
+        for _, t, _ in self.DOCS:
+            c.update(re.findall(r"[a-z0-9]+", t.lower()))
+        return c
+
+    def test_gini_matches_manual(self, spark):
+        from mhw3d_detection_spark.operators.textops import token_gini
+
+        c = self._counts()
+        xs = sorted(c.values())
+        n, t = len(xs), sum(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        want = (2 * s - (n + 1) * t) / (n * t)
+        r = token_gini(self._df(spark)).collect()[0]
+        assert r.n_types == n and r.n_tokens == t
+        assert abs(r.gini - want) < 1e-12
+
+    def test_keyness_matches_manual(self, spark):
+        import math
+
+        from mhw3d_detection_spark.operators.textops import keyness_llr
+
+        got = {
+            r.token: (r.a, r.b, r.enriched, r.g2)
+            for r in keyness_llr(
+                self._df(spark),
+                F.col("source") == "a",
+                min_count=2,
+            ).collect()
+        }
+        import re
+        from collections import Counter
+
+        ca, cb = Counter(), Counter()
+        for _, t, s in self.DOCS:
+            (ca if s == "a" else cb).update(
+                re.findall(r"[a-z0-9]+", t.lower())
+            )
+        na, nb = sum(ca.values()), sum(cb.values())
+        for tok, (a, b, enr, g2) in got.items():
+            wa, wb = ca[tok], cb[tok]
+            assert (a, b) == (wa, wb)
+            assert enr == int(wa * nb > wb * na)
+            ea = (wa + wb) * na / (na + nb)
+            eb = (wa + wb) * nb / (na + nb)
+            want = 2 * (
+                (wa * math.log(wa / ea) if wa else 0.0)
+                + (wb * math.log(wb / eb) if wb else 0.0)
+            )
+            assert abs(g2 - want) < 1e-3, (tok, g2, want)
+        assert any(v[2] == 1 for v in got.values())
+        assert any(v[2] == 0 for v in got.values())
+
+    def test_zipf_matches_numpy(self, spark):
+        import math
+
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.textops import zipf_fit
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        r = zipf_fit(docs, top_n=50).collect()[0]
+        import duckdb
+
+        con = duckdb.connect()
+        freqs = [
+            f
+            for (f,) in con.execute(
+                "SELECT count(*) AS v FROM (SELECT unnest("
+                "regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+                "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')) "
+                "GROUP BY token ORDER BY v DESC, token LIMIT 50"
+            ).fetchall()
+        ]
+        x = np.log(np.arange(1, len(freqs) + 1))
+        y = np.log(np.array(freqs, dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r.n_top == len(freqs)
+        assert abs(r.zipf_slope - slope) < 1e-3
+        assert abs(r.zipf_intercept - intercept) < 1e-3
+        assert r.zipf_slope < 0  # frequencies decay with rank
