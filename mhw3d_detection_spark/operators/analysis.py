@@ -1521,3 +1521,76 @@ def mann_kendall_banded(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         (F.sum("sgn") / F.count(F.lit(1))).alias("consensus"),
     )
+
+
+def mann_kendall_z(
+    ts: DataFrame,
+    max_lag_days: int = 30,
+    temp_digits: int = 2,
+) -> DataFrame:
+    """Mann-Kendall significance per cell: the banded S statistic of
+    :func:`mann_kendall_banded` with Kendall's variance and the
+    continuity-corrected z-score — the "is this trend distinguishable
+    from noise" number a monitoring dashboard thresholds (|z| > 1.96).
+    Variance uses the full-sample Kendall form with the TIE correction
+    over the rq-gridded temps:
+
+        var(S) = [n(n−1)(2n+5) − Σ_j t_j(t_j−1)(2t_j+5)] / 18
+
+    (Kendall 1975; Hirsch & Slack's seasonal variant sums this per
+    season). NOTE the estimator contract: S here is the BANDED pair
+    sum (lag ≤ max_lag_days) while var(S) is the classical full-pair
+    form, so z is conservative for short bands on long series —
+    documented, matching how banded Sen estimators are reported in
+    telemetry practice.
+
+    Exactness: n, S, and the tie spectrum are integers; the variance
+    is integer arithmetic divided by 18 (exactly rounded); sqrt and
+    the final division are exactly-rounded IEEE — z hashes RAW. The
+    continuity correction (S∓1) is the standard normal-approximation
+    adjustment. Cells with var(S)=0 (all values tied) return NULL z.
+
+    Returns ``(cell_id, n_days, s_stat, var_s, z)``.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    mk = mann_kendall_banded(ts, max_lag_days, temp_digits).select(
+        "cell_id", "s_stat"
+    )
+    q = ts.select("cell_id", rq("temp", temp_digits).alias("t"))
+    n = q.groupBy("cell_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        q.groupBy("cell_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tj"))
+        .groupBy("cell_id")
+        .agg(
+            F.sum(
+                F.col("tj") * (F.col("tj") - 1) * (2 * F.col("tj") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    j = mk.join(n, "cell_id").join(ties, "cell_id")
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18
+    z = F.when(
+        F.col("var_s") > 0,
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        ).when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        j.withColumn("var_s", var_s)
+        .select(
+            "cell_id",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            "var_s",
+            z.alias("z"),
+        )
+    )

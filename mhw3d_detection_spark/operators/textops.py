@@ -2911,3 +2911,47 @@ def zipf_fit(
         rq(slope, 4).alias("zipf_slope"),
         rq(intercept, 4).alias("zipf_intercept"),
     )
+
+
+def dedup_edit_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_ratio: float = 0.2,
+) -> DataFrame:
+    """Edit-distance VERIFICATION of near-dup candidate pairs — the
+    precision leg after any candidate generator (MinHash/SimHash/SRP):
+    banding trades recall for candidates, and a pipeline that DELETES
+    data wants the survivors re-checked by an exact string metric.
+    Levenshtein is integer dynamic programming — bit-exact in any
+    engine — and the normalized ratio dist/max(len_a, len_b) is one
+    exactly-rounded division.
+
+    Scale: candidate-pairs-bounded (never corpus²); the two text
+    attaches are doc-keyed equi-joins. Levenshtein itself is
+    O(len_a·len_b) per pair — the reason it is a VERIFY stage, not a
+    generator; cap candidate text length upstream (chunking) when
+    pairing book-length docs.
+
+    Returns ``(doc_a, doc_b, edit_dist, edit_ratio, verified)``,
+    verified = ratio <= max_ratio.
+    """
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col(text_col).alias("__ta")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col(text_col).alias("__tb")
+    )
+    j = pairs.select("doc_a", "doc_b").join(ta, "doc_a").join(tb, "doc_b")
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    denom = F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("long").alias("edit_dist"),
+        (dist / denom).alias("edit_ratio"),
+        (dist / denom <= F.lit(float(max_ratio))).cast("int").alias(
+            "verified"
+        ),
+    )

@@ -5673,3 +5673,41 @@ def q_mutual_nn(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mutual_nn_pairs(emb, lambda c: c % 10 == 0)
+
+
+# =========================================================================
+# E2n (r10) — edit-distance verification of near-dup candidates: the
+# precision leg after banding (a pipeline that DELETES data re-checks
+# survivors with an exact string metric)
+# =========================================================================
+@register(
+    "q_dedup_edit_verify",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id "
+    "    AND a.band_sig = b.band_sig WHERE a.doc_id < b.doc_id), "
+    "j AS (SELECT e0.u AS doc_a, e0.v AS doc_b, da.text AS ta, db.text AS tb "
+    "  FROM e0 JOIN documents da ON e0.u = da.doc_id "
+    "  JOIN documents db ON e0.v = db.doc_id) "
+    "SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist, "
+    "levenshtein(ta, tb) / greatest(length(ta), length(tb), 1) AS edit_ratio, "
+    "CAST(CASE WHEN levenshtein(ta, tb) / greatest(length(ta), length(tb), 1) "
+    "  <= 0.2 THEN 1 ELSE 0 END AS INT) AS verified FROM j",
+)
+def q_dedup_edit_verify(spark, sf_dir):
+    """E2n (r10): Levenshtein re-verification of the MinHash candidate
+    pairs — integer dynamic programming, bit-exact in any engine; the
+    normalized ratio dist/max(len) is one exactly-rounded division
+    (RAW hash). Candidate-pairs-bounded; the generator's recall and
+    this stage's precision compose into the delete decision."""
+    from mhw3d_detection_spark.operators.textops import (
+        dedup_edit_verify,
+        minhash_bands_rowlocal,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    )
+    return dedup_edit_verify(docs, pairs)

@@ -1494,3 +1494,43 @@ def q_trimmed_mean(spark, sf_dir):
             4,
         ).alias("mean_winsorized"),
     )
+
+
+# =========================================================================
+# W24 (r10) — Mann-Kendall significance: Kendall variance with tie
+# correction + continuity-corrected z (|z| > 1.96 is the dashboard
+# threshold; completes W20's direction statistic with "is it noise")
+# =========================================================================
+@register(
+    "q_mann_kendall_z",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "q AS (SELECT cell_id, CAST(time AS DATE) - DATE '1970-01-01' AS day, "
+    f"  {rq_sql('temp', 2)} AS t FROM od), "
+    "a AS (SELECT cell_id, lag, day AS d1, t AS t1, day + lag AS d2 FROM "
+    "  (SELECT q.*, unnest(generate_series(1, 30)) AS lag FROM q)), "
+    "s AS (SELECT a.cell_id, sign(b.t - a.t1) AS sgn "
+    "  FROM a JOIN q b ON b.cell_id = a.cell_id AND b.day = a.d2), "
+    "mk AS (SELECT cell_id, CAST(sum(sgn) AS BIGINT) AS s_stat FROM s GROUP BY 1), "
+    "n AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1), "
+    "tg AS (SELECT cell_id, t, CAST(count(*) AS BIGINT) AS tj FROM q GROUP BY 1, 2), "
+    "ties AS (SELECT cell_id, CAST(sum(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) "
+    "  AS tie_term FROM tg GROUP BY 1), "
+    "v AS (SELECT mk.cell_id, n.n, mk.s_stat, "
+    "  (CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS BIGINT) - ties.tie_term) / 18 "
+    "  AS var_s FROM mk JOIN n USING (cell_id) JOIN ties USING (cell_id)) "
+    "SELECT cell_id, n AS n_days, s_stat, var_s, "
+    "CASE WHEN var_s > 0 THEN ("
+    "  CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+    "  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) "
+    "  ELSE 0.0 END) END AS z FROM v",
+)
+def q_mann_kendall_z(spark, sf_dir):
+    """W24 (r10): Mann-Kendall z-significance per cell — W20's banded
+    S with the classical Kendall variance (tie-corrected over the rq2
+    temp grid) and continuity correction. All-integer n/S/tie
+    spectrum, /18 and sqrt exactly rounded — z hashes RAW; the banded-
+    S-vs-full-variance conservatism is documented on the operator."""
+    from mhw3d_detection_spark.operators.analysis import mann_kendall_z
+
+    od = orders_daily(spark, sf_dir)
+    return mann_kendall_z(od, max_lag_days=30, temp_digits=2)

@@ -702,3 +702,67 @@ class TestCorpusShapeOps:
         assert abs(r.zipf_slope - slope) < 1e-3
         assert abs(r.zipf_intercept - intercept) < 1e-3
         assert r.zipf_slope < 0  # frequencies decay with rank
+
+
+# ------------------------------------------------------------------
+# r10 new operators: edit verify + MK significance semantics
+# ------------------------------------------------------------------
+class TestEditVerifyAndMkZ:
+    def test_edit_verify_known_distances(self, spark):
+        from mhw3d_detection_spark.operators.textops import (
+            dedup_edit_verify,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog"),
+                (1, "the quick brown fox jumped over the lazy dog"),
+                (2, "completely different text with nothing shared"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2)], "doc_a long, doc_b long"
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.edit_dist, r.verified)
+            for r in dedup_edit_verify(docs, pairs).collect()
+        }
+        assert got[(0, 1)] == (2, 1)  # jumps -> jumped: 2 edits
+        d, v = got[(0, 2)]
+        assert d > 20 and v == 0
+
+    def test_mk_z_planted_trend_significant_noise_not(self, spark):
+        from mhw3d_detection_spark.operators.analysis import mann_kendall_z
+
+        import datetime as dt
+
+        rows = []
+
+        day0 = dt.date(2020, 1, 1)
+        for d in range(120):
+            t = day0 + dt.timedelta(days=d)
+            rows.append((1, str(t), 10.0 + 0.05 * d))          # trend
+            rows.append((2, str(t), 10.0 + ((d * 37) % 11) * 0.01))  # hash noise
+        ts = spark.createDataFrame(
+            rows, "cell_id long, time string, temp double"
+        ).select("cell_id", F.col("time").cast("date").alias("time"), "temp")
+        out = {r.cell_id: r for r in mann_kendall_z(ts).collect()}
+        assert out[1].z > 1.96            # monotone trend: significant
+        assert abs(out[2].z) < 1.96       # periodic noise: not
+        assert out[1].n_days == 120
+
+    def test_mk_z_all_tied_null(self, spark):
+        from mhw3d_detection_spark.operators.analysis import mann_kendall_z
+
+        import datetime as dt
+
+        day0 = dt.date(2020, 1, 1)
+        rows = [
+            (1, str(day0 + dt.timedelta(days=d)), 10.0) for d in range(30)
+        ]
+        ts = spark.createDataFrame(
+            rows, "cell_id long, time string, temp double"
+        ).select("cell_id", F.col("time").cast("date").alias("time"), "temp")
+        r = mann_kendall_z(ts).collect()[0]
+        assert r.var_s == 0.0 and r.z is None and r.s_stat == 0
