@@ -5711,3 +5711,160 @@ def q_dedup_edit_verify(spark, sf_dir):
         minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
     )
     return dedup_edit_verify(docs, pairs)
+
+
+# =========================================================================
+# E7g (r10) — HLL daily-active-users on the event stream: the sketch
+# family exercised on the EVENTS surface (per-day distinct users,
+# mergeable across ingest batches) with the exact count as the
+# calibration column
+# =========================================================================
+def _DAU_SQL() -> str:
+    from mhw3d_detection_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_WBITS,
+        bitlen_sql,
+    )
+
+    rho = f"({HLL_WBITS + 1} - {bitlen_sql(f'x // {HLL_M}', HLL_WBITS)})"
+    a_mm = HLL_ALPHA * HLL_M * HLL_M
+    return (
+        "WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events "
+        "  WHERE user_id IS NOT NULL), "
+        "h AS (SELECT day, "
+        "  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS x "
+        "  FROM ev), "
+        f"r AS (SELECT day, x % {HLL_M} AS reg, max({rho}) AS rho "
+        "  FROM h GROUP BY 1, 2), "
+        "agg AS (SELECT day, count(*) AS nreg, "
+        "  sum(1.0 / (1::BIGINT << rho)) AS s_present FROM r GROUP BY 1), "
+        f"e AS (SELECT day, {a_mm!r} / (s_present + ({HLL_M} - nreg)) AS raw, "
+        f"  {HLL_M} - nreg AS v FROM agg), "
+        f"est AS (SELECT day, CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0 "
+        f"  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v) ELSE raw END AS ed "
+        "  FROM e), "
+        "ex AS (SELECT CAST(ts AS DATE) AS day, "
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_dau FROM events "
+        "  WHERE user_id IS NOT NULL GROUP BY 1) "
+        f"SELECT est.day, {rq_sql('ed', 4)} AS est_dau, exact_dau "
+        "FROM est JOIN ex ON est.day = ex.day"
+    )
+
+
+@register("q_dau_hll", _DAU_SQL())
+def q_dau_hll(spark, sf_dir):
+    """E7g (r10): per-day distinct active users from the HLL register
+    sketch (md5-48bit hash of the stringified id, unrolled-CASE rank,
+    exact power-of-two register sums), with the exact distinct as the
+    calibration column — the analytics-surface twin of
+    q_token_cardinality: per-day register tables are FIXED-SIZE
+    mergeable state, so DAU over any date range is a register-wise
+    max, never a re-scan. ln only in the linear-counting branch (rq4
+    display, the repo ln contract)."""
+    from mhw3d_detection_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from mhw3d_detection_spark.queries.base import rq as _rq
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(F.to_date("ts").alias("day"), "user_id")
+    regs = hll_registers(
+        ev, F.col("user_id").cast("string"), ["day"]
+    )
+    est = hll_estimate(regs, ["day"])
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_dau")
+    )
+    return est.join(exact, "day").select(
+        "day", _rq(F.col("est_distinct"), 4).alias("est_dau"), "exact_dau"
+    )
+
+
+# =========================================================================
+# E7h (r10) — per-source quality CUSUM over crawl order: the monitor
+# that catches a silently-broken extractor mid-crawl (mean quality
+# step-shifts long before any single doc looks anomalous)
+# =========================================================================
+def _QCUSUM_SQL() -> str:
+    k, h = 0.5, 8.0  # dyadic multiples of 1/64 (the operator contract)
+    dq6 = lambda e: _dq_sql(e, 6)  # noqa: E731
+    kq = rq_sql(
+        "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+        "+ 0.2 * least(n_stop / 5.0, 1.0)",
+        4,
+    )
+    return (
+        "WITH kd AS (SELECT doc_id, source, text, " + TOKENS_SQL + " AS toks "
+        "  FROM documents), "
+        "ks AS (SELECT doc_id, source, len(toks) AS n_tokens, "
+        "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+        "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+        "    / greatest(length(text), 1) AS punct_ratio FROM kd), "
+        f"kq AS (SELECT doc_id, source, {kq} AS quality FROM ks), "
+        f"base AS (SELECT source, doc_id, {dq6('quality * 64.0')} AS xq FROM kq), "
+        f"mu AS (SELECT source, {dq6('sum(xq) / count(*)')} AS mu "
+        "  FROM base GROUP BY 1), "
+        "st AS (SELECT b.source, b.doc_id, "
+        f"  b.xq - m.mu - {k!r} AS sp, m.mu - b.xq - {k!r} AS sn "
+        "  FROM base b JOIN mu m USING (source)), "
+        "q AS (SELECT source, doc_id, sum(sp) OVER w AS qp, sum(sn) OVER w AS qn "
+        "  FROM st WINDOW w AS (PARTITION BY source ORDER BY doc_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "c AS (SELECT source, doc_id, "
+        "  qp - least(0.0, min(qp) OVER w) AS cp, "
+        "  qn - least(0.0, min(qn) OVER w) AS cn "
+        "  FROM q WINDOW w AS (PARTITION BY source ORDER BY doc_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT source, CAST(count(*) AS INT) AS n_docs, "
+        f"CAST(count(CASE WHEN cp > {h!r} THEN 1 END) AS INT) AS n_alarm_up, "
+        f"CAST(count(CASE WHEN cn > {h!r} THEN 1 END) AS INT) AS n_alarm_down, "
+        f"{rq_sql('max(cp)', 2)} AS max_cusum_up, "
+        f"{rq_sql('max(cn)', 2)} AS max_cusum_down, "
+        f"min(CASE WHEN cn > {h!r} THEN doc_id END) AS first_alarm_down "
+        "FROM c GROUP BY 1"
+    )
+
+
+@register("q_source_quality_cusum", _QCUSUM_SQL())
+def q_source_quality_cusum(spark, sf_dir):
+    """E7h (r10): two-sided CUSUM over each source's quality series in
+    doc_id (crawl) order — W15's regime-shift detector composed onto
+    the curation surface: a step change in mean quality (extractor
+    regression, template change, spam flood) alarms long before any
+    single document fails a static filter. Quality is the shared rq4
+    composite (the keep-best formula), scaled x64 onto the operator's
+    dyadic 1/64 grid; the CUSUM recursion is the verified two-window
+    closed form; alarms/integers + rq2 maxima hash exactly. The
+    down-alarm's first doc_id is the triage pointer."""
+    from mhw3d_detection_spark.operators.analysis import cusum_changepoints
+    from mhw3d_detection_spark.operators.textops import text_stats
+    from mhw3d_detection_spark.queries.base import rq as _rq
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_stats(docs).select(
+        "doc_id",
+        (_rq(F.col("quality_score"), 4) * 64.0).alias("q64"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    c = cusum_changepoints(
+        q,
+        allowance=0.5,
+        threshold=8.0,
+        cell_col="source",
+        time_col="doc_id",
+        temp_col="q64",
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(F.col("alarm_pos").cast("int")).cast("int").alias("n_alarm_up"),
+        F.sum(F.col("alarm_neg").cast("int")).cast("int").alias(
+            "n_alarm_down"
+        ),
+        _rq(F.max("cusum_pos"), 2).alias("max_cusum_up"),
+        _rq(F.max("cusum_neg"), 2).alias("max_cusum_down"),
+        F.min(F.when(F.col("alarm_neg"), F.col("doc_id"))).alias(
+            "first_alarm_down"
+        ),
+    )

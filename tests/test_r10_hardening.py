@@ -766,3 +766,54 @@ class TestEditVerifyAndMkZ:
         ).select("cell_id", F.col("time").cast("date").alias("time"), "temp")
         r = mann_kendall_z(ts).collect()[0]
         assert r.var_s == 0.0 and r.z is None and r.s_stat == 0
+
+
+# ------------------------------------------------------------------
+# r10 new compositions: DAU sketch + quality CUSUM semantics
+# ------------------------------------------------------------------
+class TestDauAndQualityCusum:
+    def test_hll_dau_within_error_envelope(self, spark):
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_dau_hll"].spark_fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            # 1024 registers -> ~3.2% rse; assert a generous 5-sigma
+            assert abs(r.est_dau / r.exact_dau - 1.0) < 0.20, (
+                r.day, r.est_dau, r.exact_dau,
+            )
+
+    def test_quality_cusum_alarms_on_planted_regression(self, spark):
+        from mhw3d_detection_spark.operators.analysis import (
+            cusum_changepoints,
+        )
+
+        # source "bad": quality (x64 grid) steps down 2.0 at doc 300
+        rows = []
+        for i in range(600):
+            good = 40.0 + ((i * 13) % 7) * 0.25
+            rows.append(("ok", i, good))
+            rows.append(("bad", i, good - (2.0 if i >= 300 else 0.0)))
+        df = spark.createDataFrame(rows, "source string, doc_id long, q64 double")
+        c = cusum_changepoints(
+            df, allowance=0.5, threshold=8.0,
+            cell_col="source", time_col="doc_id", temp_col="q64",
+        )
+        agg = {
+            r.source: (r.dn, r.first)
+            for r in c.groupBy("source").agg(
+                F.sum(F.col("alarm_neg").cast("int")).alias("dn"),
+                F.min(
+                    F.when(F.col("alarm_neg"), F.col("doc_id"))
+                ).alias("first"),
+            ).collect()
+        }
+        assert agg["ok"][0] == 0
+        dn, first = agg["bad"]
+        # the step splits the series mean, so BOTH regimes drift from
+        # it — what matters: alarms fire, and the earliest NEGATIVE
+        # drift alarm localizes near the planted break
+        assert dn > 0 and 300 <= first <= 330
