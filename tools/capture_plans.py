@@ -92,6 +92,17 @@ PLANS = [
     "q_trimmed_mean",
     "q_retrieval_map",
     "q_dedup_report",
+    "q_srp_lsh_pairs",
+    "q_token_gini",
+    "q_keyness_llr",
+    "q_zipf_fit",
+    "q_source_overlap_matrix",
+    "q_mutual_nn",
+    "q_dedup_edit_verify",
+    "q_mann_kendall_z",
+    "q_dau_hll",
+    "q_source_quality_cusum",
+    "q_srp_dedup_apply",
 ]
 
 HEADER = """# Physical plans — explain evidence
