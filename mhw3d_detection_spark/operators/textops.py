@@ -2955,3 +2955,142 @@ def dedup_edit_verify(
             "verified"
         ),
     )
+
+
+def normalize_text_col(text: Column) -> Column:
+    """The ONE copy of the canonicalization expression (lowercase,
+    tab/newline -> space, space runs collapsed, trimmed) shared by
+    :func:`normalize_texts` and :func:`dedup_exact_normalized` — and
+    mirrored textually in their oracles. Deliberately ASCII-safe and
+    regex-dialect-portable (Java regex and RE2 agree on these
+    patterns); Unicode NFKC etc. is an env-blocked extension point
+    (no ICU in either engine's portable subset)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[\\t\\n\\r]", " "), " +", " "
+        )
+    )
+
+
+def normalize_texts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text canonicalization with change accounting — the cleaner
+    stage curation runs before any hashing/dedup (two byte-different
+    crawls of one page usually differ ONLY in case/whitespace, so
+    hashes must be taken post-normalization to mean anything). Pure
+    narrow projection: zero shuffles at any corpus size.
+
+    Returns ``(doc_id, n_chars_raw, n_chars_norm, changed,
+    norm_fingerprint)`` — fingerprint is the repo-standard 48-bit md5
+    prefix of the normalized text (join key for the normalized dedup).
+    """
+    norm = normalize_text_col(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col(text_col)).cast("int").alias("changed"),
+        minhash_base(norm).alias("norm_fingerprint"),
+    )
+
+
+def dedup_exact_normalized(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED text — catches the
+    case/whitespace variants raw exact-dup misses by construction
+    (the gap between E1's byte-hash groups and E2's near-dup
+    machinery: a CRLF re-serve of a page is a different byte string
+    and Jaccard ~1.0, but normalized it is the SAME string — no
+    banding needed). Same hash-groupBy shape as exact dedup, min
+    doc_id kept.
+
+    Returns ``(doc_id, group_size, kept)`` for docs in groups of
+    size >= 2 (singletons pass untouched and are omitted: the report
+    is the duplicate mass).
+    """
+    norm = normalize_text_col(F.col(text_col))
+    keyed = docs.select("doc_id", norm.alias("__norm"))
+    g = keyed.groupBy("__norm").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("doc_id").alias("__keep"),
+    ).filter(F.col("group_size") >= 2)
+    return (
+        keyed.join(g, "__norm")
+        .select(
+            "doc_id",
+            "group_size",
+            (F.col("doc_id") == F.col("__keep")).cast("int").alias("kept"),
+        )
+    )
+
+
+def weighted_containment_pairs(
+    docs: DataFrame,
+    probe_pred,
+    *,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_weighted: float = 0.5,
+) -> DataFrame:
+    """IDF-weighted asymmetric containment: Σ_{s∈A∩B} idf(s) /
+    Σ_{s∈A} idf(s) for a probe doc A against corpus docs B — the
+    quote/excerpt detector with the boilerplate hole closed: plain
+    containment (E2i) counts a shared navigation footer the same as a
+    shared PARAGRAPH; idf weighting makes common shingles nearly
+    free and rare ones decisive (the BM25 insight applied to the
+    dedup question). idf = ln(N / df) over DISTINCT-doc shingle
+    frequency.
+
+    Exactness: df and N are integers, each idf is ln of one
+    exactly-rounded division (identical bits), dyadic-quantized
+    (2^-20) so numerator/denominator sums are order-free; the final
+    ratio is one exactly-rounded division (rq6 display). Scale: the
+    same shingle-keyed joins as containment, plus one df aggregate
+    the boilerplate row already pays.
+
+    Returns ``(probe_id, doc_id, n_shared, w_containment)``.
+    """
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.queries.base import rq
+
+    sh = shingles(docs, text_col, n=shingle_n).distinct()
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    dfx = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    w = sh.join(dfx, "shingle").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "shingle",
+        dyadic_quantize(F.log(F.col("__n") / F.col("__df")), 20).alias(
+            "__w"
+        ),
+    )
+    probes = w.filter(probe_pred(F.col("doc_id"))).select(
+        F.col("doc_id").alias("probe_id"), "shingle", F.col("__w").alias("__pw")
+    )
+    denom = probes.groupBy("probe_id").agg(
+        F.sum("__pw").alias("__wsum")
+    )
+    inter = (
+        probes.join(
+            w.select(F.col("doc_id"), "shingle", "__w"), "shingle"
+        )
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("__pw").alias("__wint"),
+        )
+    )
+    return (
+        inter.join(denom, "probe_id")
+        .filter(F.col("__wint") / F.col("__wsum") >= F.lit(float(min_weighted)))
+        .select(
+            "probe_id",
+            "doc_id",
+            "n_shared",
+            rq(F.col("__wint") / F.col("__wsum"), 6).alias("w_containment"),
+        )
+    )

@@ -5868,3 +5868,111 @@ def q_source_quality_cusum(spark, sf_dir):
             "first_alarm_down"
         ),
     )
+
+
+# =========================================================================
+# E1b (r10) — normalization + normalized exact dedup: the cleaner
+# stage and the dup class it exposes (case/whitespace re-serves that
+# byte-hash dedup misses and near-dup machinery shouldn't be spent on)
+# =========================================================================
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[\\t\\n\\r]', ' ', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+
+@register(
+    "q_text_normalize",
+    f"WITH n AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM documents) "
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, "
+    "CAST(length(norm) AS BIGINT) AS n_chars_norm, "
+    "CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INT) AS changed, "
+    "('0x' || substr(md5(norm), 1, 12))::BIGINT AS norm_fingerprint "
+    "FROM n",
+)
+def q_text_normalize(spark, sf_dir):
+    """E1b (r10): canonicalization with change accounting — lowercase,
+    control-whitespace to space, runs collapsed, trimmed; fingerprint
+    is the repo-standard 48-bit md5 of the NORMALIZED text (hashes
+    taken pre-normalization can't identify re-serves). Pure narrow
+    projection, zero shuffles; string ops and md5 are bit-exact."""
+    from mhw3d_detection_spark.operators.textops import normalize_texts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_texts(docs)
+
+
+@register(
+    "q_dedup_normalized",
+    # deterministic fault injection (the P13-nulls device): every 37th
+    # doc gets a re-serve twin — uppercased, tab-indented, space-doubled
+    # — byte-different, normalization-identical; the row then checks
+    # RECALL (every planted twin found), not just absence of noise
+    "WITH corpus AS (SELECT doc_id, text FROM documents "
+    "  UNION ALL SELECT doc_id + 1000000, "
+    "  chr(9) || upper(text) || '  ' FROM documents WHERE doc_id % 37 = 0), "
+    f"n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM corpus), "
+    "g AS (SELECT norm, CAST(count(*) AS BIGINT) AS group_size, "
+    "  min(doc_id) AS keep_id FROM n GROUP BY 1 HAVING count(*) >= 2) "
+    "SELECT n.doc_id, g.group_size, "
+    "CAST(CASE WHEN n.doc_id = g.keep_id THEN 1 ELSE 0 END AS INT) AS kept "
+    "FROM n JOIN g ON n.norm = g.norm",
+)
+def q_dedup_normalized(spark, sf_dir):
+    """E1b (r10): exact dedup on the normalized key — the dup class
+    between E1 (byte hash) and E2 (banding): CRLF/case re-serves are
+    byte-different, Jaccard ~1.0, and string-identical after the
+    shared normalization expression. Hash-groupBy, min-id kept,
+    duplicate groups only."""
+    from mhw3d_detection_spark.operators.textops import (
+        dedup_exact_normalized,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("\t"), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return dedup_exact_normalized(docs.unionAll(twins))
+
+
+# =========================================================================
+# E2o (r10) — IDF-weighted containment: the quote detector with the
+# boilerplate hole closed (rare shingles decisive, shared footers
+# nearly free — BM25's insight applied to the dedup question)
+# =========================================================================
+@register(
+    "q_weighted_containment",
+    f"WITH {SHINGLES_SQL}, "
+    "shd AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+    "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+    "dfx AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM shd GROUP BY 1), "
+    "w AS (SELECT s.doc_id, s.shingle, "
+    + _dq_sql("ln(nd.n / dfx.df)", 20)
+    + " AS w FROM shd s JOIN dfx ON s.shingle = dfx.shingle, nd), "
+    "p AS (SELECT doc_id AS probe_id, shingle, w AS pw FROM w "
+    "  WHERE doc_id % 20 = 0), "
+    "den AS (SELECT probe_id, sum(pw) AS wsum FROM p GROUP BY 1), "
+    "inter AS (SELECT p.probe_id, w.doc_id, "
+    "  CAST(count(*) AS BIGINT) AS n_shared, sum(p.pw) AS wint "
+    "  FROM p JOIN w ON p.shingle = w.shingle AND w.doc_id <> p.probe_id "
+    "  GROUP BY 1, 2) "
+    "SELECT i.probe_id, i.doc_id, i.n_shared, "
+    + rq_sql("i.wint / d.wsum", 6)
+    + " AS w_containment "
+    "FROM inter i JOIN den d ON i.probe_id = d.probe_id "
+    "WHERE i.wint / d.wsum >= 0.5",
+)
+def q_weighted_containment(spark, sf_dir):
+    """E2o (r10): idf-weighted asymmetric containment from the
+    vec_id%20 probe slice — Σ idf over shared shingles / Σ idf over
+    the probe's shingles. Integer df/N, ln of identical exactly-
+    rounded divisions, dyadic-quantized weights so both sums are
+    order-free; same shingle-keyed join geometry as E2i plus the df
+    aggregate E4o already pays."""
+    from mhw3d_detection_spark.operators.textops import (
+        weighted_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_containment_pairs(docs, lambda c: c % 20 == 0)

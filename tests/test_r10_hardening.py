@@ -817,3 +817,63 @@ class TestDauAndQualityCusum:
         # it — what matters: alarms fire, and the earliest NEGATIVE
         # drift alarm localizes near the planted break
         assert dn > 0 and 300 <= first <= 330
+
+
+# ------------------------------------------------------------------
+# r10 new operators: normalization + weighted containment semantics
+# ------------------------------------------------------------------
+class TestNormalizeAndWeightedContainment:
+    def test_normalized_dedup_catches_reserve_raw_missed(self, spark):
+        from mhw3d_detection_spark.operators.textops import (
+            dedup_exact_normalized,
+            normalize_texts,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "The quick brown fox"),
+                (1, "\tTHE  QUICK   brown FOX  "),  # re-serve variant
+                (2, "something else entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        # raw byte-hash dedup sees 3 distinct strings
+        assert docs.select("text").distinct().count() == 3
+        got = {
+            r.doc_id: (r.group_size, r.kept)
+            for r in dedup_exact_normalized(docs).collect()
+        }
+        assert got == {0: (2, 1), 1: (2, 0)}
+        n = {r.doc_id: r for r in normalize_texts(docs).collect()}
+        assert n[0].norm_fingerprint == n[1].norm_fingerprint
+        assert n[0].changed == 1 and n[2].changed == 0  # lowercase happens
+
+    def test_weighted_containment_ignores_boilerplate(self, spark):
+        from mhw3d_detection_spark.operators.textops import (
+            weighted_containment_pairs,
+        )
+
+        footer = "copyright acme corp all rights reserved contact us"
+        rare = "unique quoted passage about spectral manifolds theorem"
+        docs = spark.createDataFrame(
+            [
+                (0, rare + " " + footer),              # probe: quote + footer
+                (20, rare + " plus unrelated tail words here " + footer),
+                (2, "page one content words " + footer),
+                (3, "page two different words " + footer),
+                (4, "page three words again " + footer),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.probe_id, r.doc_id): r.w_containment
+            for r in weighted_containment_pairs(
+                docs, lambda c: c == 0, min_weighted=0.0
+            ).collect()
+        }
+        # the quote-sharing doc dominates; footer-only docs score low
+        quote = got[(0, 20)]
+        footer_only = max(
+            v for (p, d), v in got.items() if d in (2, 3, 4)
+        )
+        assert quote > 0.5 and footer_only < 0.35 and quote > 2 * footer_only
