@@ -2760,6 +2760,16 @@ def token_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
     freq = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("v")
     )
+    return gini_from_freq(freq)
+
+
+def gini_from_freq(freq: DataFrame) -> DataFrame:
+    """Gini from a prebuilt ``(token, v)`` frequency table — the
+    shared tail of :func:`token_gini`, exposed so the composed corpus
+    report can feed ONE materialized freq table into every
+    distribution-shape section."""
+    from pyspark.sql import Window
+
     hist = freq.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("m"))
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2882,6 +2892,19 @@ def zipf_fit(
     freq = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("v")
     )
+    return zipf_from_freq(freq, top_n=top_n)
+
+
+def zipf_from_freq(freq: DataFrame, *, top_n: int = 100) -> DataFrame:
+    """Zipf OLS from a prebuilt ``(token, v)`` frequency table — the
+    shared tail of :func:`zipf_fit` (see :func:`gini_from_freq`)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.queries.base import rq
+
     top = freq.orderBy(F.desc("v"), F.col("token")).limit(int(top_n))
     w = Window.orderBy(F.desc("v"), F.col("token"))
     ranked = top.withColumn("rank", F.row_number().over(w))

@@ -2,3 +2,4 @@ from mhw3d_detection_spark.plans.curation import curate_corpus  # noqa: F401
 from mhw3d_detection_spark.plans.dedup_report import dedup_report  # noqa: F401
 from mhw3d_detection_spark.plans.pipeline import detect_mhw  # noqa: F401
 from mhw3d_detection_spark.plans.retrieval import retrieval_search  # noqa: F401
+from mhw3d_detection_spark.plans.corpus_report import corpus_report  # noqa: F401,E402

@@ -5976,3 +5976,88 @@ def q_weighted_containment(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_containment_pairs(docs, lambda c: c % 20 == 0)
+
+
+# =========================================================================
+# E4t (r10) — the composed corpus-shape report: ONE token aggregate
+# feeds Gini + Zipf + Heaps + entropy (the analytics family's
+# q_dedup_report)
+# =========================================================================
+def _CORPUS_REPORT_SQL(top_n: int = 100) -> str:
+    import math
+
+    lnr = ", ".join(
+        f"({r}, {_dlit(math.log(r))})" for r in range(1, top_n + 1)
+    )
+    dq_x = _dq_sql("l.x", 30)
+    dq_y = _dq_sql("ln(CAST(r.v AS DOUBLE))", 30)
+    slope = "(n*sxy - sx*sy) / (n*sxx - sx*sx)"
+    return (
+        "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+        "dt AS (SELECT doc_id, unnest(toks) AS token FROM d), "
+        "freq AS (SELECT token, CAST(count(*) AS BIGINT) AS v, "
+        "  min(doc_id) AS first_doc FROM dt GROUP BY 1), "
+        "nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_docs FROM documents), "
+        "hist AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM freq GROUP BY 1), "
+        "gc AS (SELECT v, m, CAST(coalesce(sum(m) OVER (ORDER BY v "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "  AS cum FROM hist), "
+        "gs AS (SELECT v, m, CAST(v * (m * cum + m * (m + 1) / 2) AS BIGINT) "
+        "  AS s_part FROM gc), "
+        "gini AS (SELECT CAST(sum(m) AS BIGINT) AS n_types, "
+        "  CAST(sum(v * m) AS BIGINT) AS n_tokens, "
+        "  (2 * CAST(sum(s_part) AS BIGINT) "
+        "   - (CAST(sum(m) AS BIGINT) + 1) * CAST(sum(v * m) AS BIGINT)) "
+        "   / (CAST(sum(m) AS BIGINT) * CAST(sum(v * m) AS BIGINT)) AS g "
+        "  FROM gs), "
+        f"ztop AS (SELECT token, v FROM freq ORDER BY v DESC, token LIMIT {top_n}), "
+        "zr AS (SELECT token, v, CAST(row_number() OVER (ORDER BY v DESC, token) "
+        "  AS INT) AS rank FROM ztop), "
+        f"lnr(rank, x) AS (SELECT * FROM (VALUES {lnr})), "
+        f"zj AS (SELECT {dq_x} AS x, {dq_y} AS y "
+        "  FROM zr r JOIN lnr l ON r.rank = l.rank), "
+        "zs AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy, "
+        f"  sum({_dq_sql('x * y', 20)}) AS sxy, "
+        f"  sum({_dq_sql('x * x', 20)}) AS sxx FROM zj), "
+        "nt AS (SELECT (first_doc * 10) // nn.n_docs AS decile, "
+        "  CAST(count(*) AS BIGINT) AS n_new FROM freq, nn GROUP BY 1), "
+        "dl AS (SELECT (doc_id * 10) // nn.n_docs AS decile, "
+        "  CAST(len(toks) AS BIGINT) AS k FROM d, nn), "
+        "inst AS (SELECT decile, CAST(sum(k) AS BIGINT) AS n_inst FROM dl GROUP BY 1), "
+        "spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS decile), "
+        "hj AS (SELECT s.decile, coalesce(nt.n_new, 0) AS n_new, "
+        "  coalesce(inst.n_inst, 0) AS n_inst FROM spine s "
+        "  LEFT JOIN nt USING (decile) LEFT JOIN inst USING (decile)), "
+        "hc AS (SELECT decile, CAST(sum(n_new) OVER w AS BIGINT) AS cum_types, "
+        "  CAST(sum(n_inst) OVER w AS BIGINT) AS cum_inst FROM hj "
+        "  WINDOW w AS (ORDER BY decile "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "ent AS (SELECT CAST(count(*) AS BIGINT) AS n_types, "
+        "  CAST(sum(v) AS BIGINT) AS n_tokens, "
+        "  sum(v * ln(CAST(v AS DOUBLE))) AS clc FROM freq) "
+        "SELECT 'gini' AS section, CAST(NULL AS VARCHAR) AS key, "
+        "  n_types AS n, n_tokens AS m, g AS x FROM gini "
+        "UNION ALL SELECT 'zipf', 'slope', CAST(n AS BIGINT), "
+        f"  CAST(NULL AS BIGINT), {rq_sql(slope, 4)} FROM zs "
+        "UNION ALL SELECT 'zipf', 'intercept', CAST(n AS BIGINT), "
+        "  CAST(NULL AS BIGINT), "
+        f"  {rq_sql(f'(sy - ({slope}) * sx) / n', 4)} FROM zs "
+        "UNION ALL SELECT 'heaps', CAST(CAST(decile AS INT) AS VARCHAR), "
+        "  cum_types, cum_inst, CAST(cum_types AS DOUBLE) / cum_inst FROM hc "
+        "UNION ALL SELECT 'entropy', CAST(NULL AS VARCHAR), n_types, n_tokens, "
+        f"  {rq_sql('ln(CAST(n_tokens AS DOUBLE)) - clc / n_tokens', 4)} FROM ent"
+    )
+
+
+@register("q_corpus_report", _CORPUS_REPORT_SQL())
+def q_corpus_report(spark, sf_dir):
+    """E4t (r10): the composed corpus-shape report — Gini (E4p), Zipf
+    (E4r), Heaps deciles (E4m) and corpus entropy emitted from ONE
+    materialized (token, count, first_doc) aggregate; decile instance
+    totals come from a token-count projection that never explodes the
+    corpus. The standalone rows each rebuild the freq table; a health
+    check pays it once (measured comparison in docs/PLANS.md r10)."""
+    from mhw3d_detection_spark.plans.corpus_report import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)

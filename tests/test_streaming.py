@@ -1402,3 +1402,55 @@ def test_r9_gates_out_of_order_microbatches(spark, tmp_path):
     }
     assert got_cur == want_cur and len(want_cur) == corpus.count()
     assert got_dec == want_dec
+
+
+def test_srp_gate_out_of_order_microbatches(spark, tmp_path):
+    """r10: the SRP semantic-decontamination gate through the same
+    out-of-order file-stream harness — per-row (srp_sig, flagged)
+    must equal the batch application across 3 shuffled micro-batches."""
+    import random
+
+    from mhw3d_detection_spark.streaming import (
+        srp_gate_sigs,
+        streaming_srp_decontaminate_gate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eval_emb = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    sigs = srp_gate_sigs(eval_emb, max_hamming=1)
+
+    want = {
+        r.vec_id: (r.srp_sig, r.flagged)
+        for r in streaming_srp_decontaminate_gate(corpus, sigs)
+        .select("vec_id", "srp_sig", "flagged").collect()
+    }
+
+    rng = random.Random(13)
+    incoming = corpus.collect()
+    rng.shuffle(incoming)
+    src = str(tmp_path / "srp_stream")
+    third = (len(incoming) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            incoming[i * third : (i + 1) * third], corpus.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_srp_decontaminate_gate(stream, sigs)
+        .select("vec_id", "srp_sig", "flagged")
+        .writeStream.format("memory")
+        .queryName("srp_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_srp"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.srp_sig, r.flagged)
+        for r in spark.table("srp_ooo").collect()
+    }
+    assert got == want and len(want) == corpus.count()
