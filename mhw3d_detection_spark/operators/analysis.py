@@ -1594,3 +1594,79 @@ def mann_kendall_z(
             z.alias("z"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    rho_digits: int = 6,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two columns — the
+    monotone-association diagnostic ("does quality just measure
+    length?") that Pearson gets wrong on heavy-tailed web-corpus
+    features. Average ranks with ties, computed WITHOUT a corpus-sized
+    ordered window: each variable collapses to its (value,
+    multiplicity) histogram, the tie block's average rank is closed
+    form (cum + (m+1)/2), and DOUBLED ranks keep everything integer
+    (2r = 2·cum + m + 1). ρ is Pearson on the doubled ranks (the ×2
+    cancels), all-integer sums combined by one shared formula;
+    rq-quantized for display.
+
+    Exactness bound: the normal-equation terms are exact through
+    n ≈ 30k rows in BIGINT/HUGEINT and convert to double identically
+    in both engines; beyond 2^53 the (identical) conversions round the
+    same way, so the hash still matches — the STATISTICAL value is
+    unaffected either way. NULL rows in either column are excluded
+    (repo ordering rule).
+
+    Returns ONE row ``(n, rho)``.
+    """
+    from mhw3d_detection_spark.queries.base import rq
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def rank2(col: str, out: str):
+        h = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("m")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("m").over(w), F.lit(0))
+                + F.col("m")
+                + 1
+            ).cast("long").alias(out),
+        )
+
+    j = base.join(F.broadcast(rank2("x", "rx")), "x").join(
+        F.broadcast(rank2("y", "ry")), "y"
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    a = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    b = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    rho = F.when(
+        (a > 0) & (b > 0), num / (F.sqrt(a) * F.sqrt(b))
+    )
+    return s.select(
+        "n", rq(rho, rho_digits).alias("rho")
+    )

@@ -6061,3 +6061,144 @@ def q_corpus_report(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_report(docs)
+
+
+# =========================================================================
+# E6j (r10) — component-coherent split: the FIX for E6i's finding —
+# near-dup components assigned to ONE split (leakage zero by
+# construction, not by audit)
+# =========================================================================
+@register(
+    "q_component_split",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
+    "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id "
+    "    AND a.band_sig = b.band_sig WHERE a.doc_id < b.doc_id), "
+    "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), "
+    "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+    + ", ".join(_CC_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + ", key AS (SELECT d.doc_id, coalesce(l3.label, d.doc_id) AS split_key "
+    "  FROM documents d LEFT JOIN l3 ON d.doc_id = l3.v), "
+    f"sp AS (SELECT doc_id, split_key, {SPLIT_CASE_SQL('split_key')} AS split "
+    "  FROM key), "
+    "leaks AS (SELECT CAST(count(*) AS BIGINT) AS n_leaks FROM e0 "
+    "  JOIN sp sa ON e0.u = sa.doc_id JOIN sp sb ON e0.v = sb.doc_id "
+    "  WHERE sa.split <> sb.split) "
+    "SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT sp.split_key) AS BIGINT) AS n_keys, "
+    "leaks.n_leaks FROM sp, leaks GROUP BY 1, 4",
+)
+def q_component_split(spark, sf_dir):
+    """E6j (r10): deterministic train/val/test split keyed by the
+    near-dup COMPONENT label (min-id propagation; singletons key on
+    their own id) instead of the doc id — every member of a dup
+    component lands in the same split, so cross-split leakage is zero
+    BY CONSTRUCTION (the remedy for what q_split_leakage audits; cf.
+    the contamination literature's doc-cluster holdout rule). The
+    md5-uniform split is the shared SPLIT_CASE expression on the
+    component key; the report re-audits the pair graph and carries
+    n_leaks (provably 0) as the self-check column."""
+    from mhw3d_detection_spark.operators.textops import (
+        connected_components_bounded,
+        minhash_bands_rowlocal,
+        minhash_candidate_pairs,
+        split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    )
+    comp = connected_components_bounded(pairs, iters=3)
+    key = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),
+    )
+    sp = split_assign(
+        key.withColumnRenamed("split_key", "__sk"), key_col="__sk"
+    ).select("doc_id", F.col("__sk").alias("split_key"), "split")
+    leaks = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("sa")), "doc_a")
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("sb")), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaks"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("split_key").cast("long").alias("n_keys"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_keys", "n_leaks")
+    )
+
+
+# =========================================================================
+# E4u (r10) — exact Spearman: is the quality score just measuring
+# length? (the feature-redundancy check before thresholding on either)
+# =========================================================================
+@register(
+    "q_quality_length_spearman",
+    "WITH kd AS (SELECT doc_id, text, n_chars, " + TOKENS_SQL + " AS toks "
+    "  FROM documents WHERE n_chars IS NOT NULL), "
+    "ks AS (SELECT doc_id, n_chars, len(toks) AS n_tokens, "
+    "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+    "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+    "    / greatest(length(text), 1) AS punct_ratio FROM kd), "
+    "base AS (SELECT CAST(n_chars AS BIGINT) AS x, "
+    + rq_sql(
+        "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+        "+ 0.2 * least(n_stop / 5.0, 1.0)",
+        4,
+    )
+    + " AS y FROM ks), "
+    "hx AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY 1), "
+    "rx AS (SELECT x, CAST(2 * coalesce(sum(m) OVER (ORDER BY x "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 "
+    "  AS BIGINT) AS rx FROM hx), "
+    "hy AS (SELECT y, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY 1), "
+    "ry AS (SELECT y, CAST(2 * coalesce(sum(m) OVER (ORDER BY y "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 "
+    "  AS BIGINT) AS ry FROM hy), "
+    "j AS (SELECT rx.rx, ry.ry FROM base "
+    "  JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy, "
+    "  CAST(sum(rx * ry) AS BIGINT) AS sxy, "
+    "  CAST(sum(rx * rx) AS BIGINT) AS sxx, "
+    "  CAST(sum(ry * ry) AS BIGINT) AS syy FROM j) "
+    "SELECT n, "
+    + rq_sql(
+        "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 "
+        "AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN "
+        "CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
+        " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END",
+        6,
+    )
+    + " AS rho FROM s",
+)
+def q_quality_length_spearman(spark, sf_dir):
+    """E4u (r10): exact Spearman ρ between document length and the
+    composite quality score — the feature-redundancy audit (a quality
+    gate that is secretly a length gate double-penalizes short-form
+    sources). Tie-averaged ranks from each variable's VALUE HISTOGRAM
+    (domain-bounded windows, the KS device), doubled to stay integer;
+    ρ is Pearson on identical integer sums, one shared formula, rq6."""
+    from mhw3d_detection_spark.operators.analysis import spearman_corr
+    from mhw3d_detection_spark.operators.textops import text_stats
+    from mhw3d_detection_spark.queries.base import rq as _rq
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    q = text_stats(docs).select(
+        F.col("n_chars").cast("long").alias("x"),
+        _rq(F.col("quality_score"), 4).alias("y"),
+    )
+    return spearman_corr(q, "x", "y")

@@ -877,3 +877,69 @@ class TestNormalizeAndWeightedContainment:
             v for (p, d), v in got.items() if d in (2, 3, 4)
         )
         assert quote > 0.5 and footer_only < 0.35 and quote > 2 * footer_only
+
+
+# ------------------------------------------------------------------
+# r10 new operators: component split + Spearman semantics
+# ------------------------------------------------------------------
+class TestComponentSplitAndSpearman:
+    def test_component_split_zero_leaks(self, spark):
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_component_split"].spark_fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows and all(r.n_leaks == 0 for r in rows)
+        assert sum(r.n_docs for r in rows) == 500  # whole corpus split
+        # doc-keyed split on the same corpus DOES leak — the contrast
+        # that makes the component key the remedy, not a tautology
+        leaky = {
+            (r.split_a, r.split_b): r.n_leaks
+            for r in REGISTRY["q_split_leakage"].spark_fn(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert sum(v for k, v in leaky.items() if k[0] != k[1]) > 0
+
+    def test_spearman_matches_numpy_manual(self, spark):
+        import numpy as np
+
+        from mhw3d_detection_spark.operators.analysis import spearman_corr
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 50, 200)
+        y = (x * 3 + rng.randint(0, 40, 200)).astype(int)
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(x, y)], "x long, y long"
+        )
+        r = spearman_corr(df, "x", "y").collect()[0]
+
+        def avg_ranks(v):
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(len(v), dtype=float)
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j < len(sv) and sv[j] == sv[i]:
+                    j += 1
+                ranks[order[i:j]] = (i + j + 1) / 2.0
+                i = j
+            return ranks
+        rx, ry = avg_ranks(x), avg_ranks(y)
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert r.n == 200 and abs(r.rho - want) < 1e-6
+
+    def test_spearman_perfect_and_constant(self, spark):
+        from mhw3d_detection_spark.operators.analysis import spearman_corr
+
+        df = spark.createDataFrame(
+            [(i, i * i) for i in range(50)], "x long, y long"
+        )
+        assert spearman_corr(df, "x", "y").collect()[0].rho == 1.0
+        const = spark.createDataFrame(
+            [(i, 7) for i in range(50)], "x long, y long"
+        )
+        assert const.select("y").distinct().count() == 1
+        assert spearman_corr(const, "x", "y").collect()[0].rho is None
