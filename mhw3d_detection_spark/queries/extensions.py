@@ -6202,3 +6202,161 @@ def q_quality_length_spearman(spark, sf_dir):
         _rq(F.col("quality_score"), 4).alias("y"),
     )
     return spearman_corr(q, "x", "y")
+
+
+# =========================================================================
+# E4v (r10) — Cohen's kappa between the two quality gates: do the
+# model gate (logit) and the rule gate (Gopher) agree beyond chance?
+# (the filter-redundancy / filter-disagreement audit before stacking
+# both in a funnel)
+# =========================================================================
+@register(
+    "q_gate_agreement_kappa",
+    "WITH d AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+    "s AS (SELECT doc_id, " + QFEATURES_SQL + " FROM d), "
+    f"z AS (SELECT doc_id, CAST(CASE WHEN {QLOGIT_SQL()} >= 0 THEN 1 ELSE 0 END "
+    "  AS INT) AS keep_lr FROM s), "
+    "g AS (SELECT doc_id, CAST((len(toks) BETWEEN 10 AND 1000) "
+    "  AND (coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+    "    / greatest(len(toks), 1) BETWEEN 2.0 AND 8.0) "
+    "  AND len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) "
+    "    / greatest(len(toks), 1) >= 0.8 "
+    f"  AND len(list_intersect(toks, [{_GOPHER_STOP}])) >= 2 AS INT) "
+    "  AS keep_go FROM d), "
+    "j AS (SELECT z.keep_lr, g.keep_go FROM z JOIN g ON z.doc_id = g.doc_id), "
+    "c AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(sum(keep_lr * keep_go) AS BIGINT) AS a, "
+    "  CAST(sum(keep_lr * (1 - keep_go)) AS BIGINT) AS b, "
+    "  CAST(sum((1 - keep_lr) * keep_go) AS BIGINT) AS c2, "
+    "  CAST(sum((1 - keep_lr) * (1 - keep_go)) AS BIGINT) AS d2 FROM j) "
+    "SELECT n, a AS both_keep, b AS lr_only, c2 AS gopher_only, "
+    "d2 AS both_drop, "
+    "CAST(a + d2 AS DOUBLE) / n AS po, "
+    "(CAST((a + b) AS DOUBLE) * (a + c2) + CAST((c2 + d2) AS DOUBLE) * (b + d2)) "
+    "  / (CAST(n AS DOUBLE) * n) AS pe, "
+    "CASE WHEN (CAST((a + b) AS DOUBLE) * (a + c2) "
+    "  + CAST((c2 + d2) AS DOUBLE) * (b + d2)) / (CAST(n AS DOUBLE) * n) < 1.0 "
+    "THEN (CAST(a + d2 AS DOUBLE) / n "
+    "  - (CAST((a + b) AS DOUBLE) * (a + c2) + CAST((c2 + d2) AS DOUBLE) * (b + d2)) "
+    "    / (CAST(n AS DOUBLE) * n)) "
+    " / (1.0 - (CAST((a + b) AS DOUBLE) * (a + c2) "
+    "    + CAST((c2 + d2) AS DOUBLE) * (b + d2)) / (CAST(n AS DOUBLE) * n)) "
+    "END AS kappa FROM c",
+)
+def q_gate_agreement_kappa(spark, sf_dir):
+    """E4v (r10): Cohen's kappa between the literal-weight logistic
+    gate and the Gopher rule conjunction — chance-corrected agreement
+    of two keep/drop raters over the same corpus (kappa ~ 1: the
+    gates are redundant, drop one; kappa ~ 0: they measure different
+    things and stack; negative: they systematically disagree —
+    investigate before composing a funnel). The confusion cell counts
+    are integers; po/pe/kappa are exactly-rounded divisions of
+    identical integer bits, the SAME textual formula in both engines
+    (RAW hash; kappa NULL when pe = 1, the all-rows-one-cell
+    degenerate). One narrow projection per gate, one 4-cell
+    aggregate."""
+    from mhw3d_detection_spark.operators.textops import (
+        gopher_rules,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lr = quality_scores(docs).select("doc_id", F.col("keep").alias("keep_lr"))
+    go = gopher_rules(docs).select(
+        "doc_id", F.col("pass_gopher").alias("keep_go")
+    )
+    j = lr.join(go, "doc_id")
+    c = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("keep_lr") * F.col("keep_go")).cast("long").alias("a"),
+        F.sum(F.col("keep_lr") * (1 - F.col("keep_go"))).cast("long").alias("b"),
+        F.sum((1 - F.col("keep_lr")) * F.col("keep_go")).cast("long").alias("c2"),
+        F.sum((1 - F.col("keep_lr")) * (1 - F.col("keep_go"))).cast("long").alias("d2"),
+    )
+    po = (F.col("a") + F.col("d2")).cast("double") / F.col("n")
+    pe = (
+        (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c2"))
+        + (F.col("c2") + F.col("d2")).cast("double") * (F.col("b") + F.col("d2"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "n",
+        F.col("a").alias("both_keep"),
+        F.col("b").alias("lr_only"),
+        F.col("c2").alias("gopher_only"),
+        F.col("d2").alias("both_drop"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+# =========================================================================
+# E6k (r10) — deterministic training manifest: the pipeline's LAST
+# mile — every kept doc gets (split, shard, within-shard curriculum
+# position) as a pure key function, so any worker can materialize its
+# shard independently and byte-identically
+# =========================================================================
+_N_SHARDS = 8
+
+
+@register(
+    "q_training_manifest",
+    "WITH kd AS (SELECT doc_id, text, " + TOKENS_SQL + " AS toks FROM documents), "
+    "ks AS (SELECT doc_id, len(toks) AS n_tokens, "
+    "  len(list_intersect(toks, ['the','and','of','to','in','is','a','for'])) AS n_stop, "
+    "  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) "
+    "    / greatest(length(text), 1) AS punct_ratio FROM kd), "
+    "kq AS (SELECT doc_id, "
+    + rq_sql(
+        "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) "
+        "+ 0.2 * least(n_stop / 5.0, 1.0)",
+        4,
+    )
+    + " AS quality FROM ks), "
+    f"m AS (SELECT doc_id, quality, {SPLIT_CASE_SQL('doc_id')} AS split, "
+    "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 6))::BIGINT "
+    f"  % {_N_SHARDS} AS shard_id FROM kq) "
+    "SELECT doc_id, split, CAST(shard_id AS INT) AS shard_id, "
+    "CAST(row_number() OVER (PARTITION BY split, shard_id "
+    "  ORDER BY quality DESC, doc_id) AS INT) AS pos, quality FROM m",
+)
+def q_training_manifest(spark, sf_dir):
+    """E6k (r10): the deterministic training manifest — split (shared
+    md5-uniform key function), shard (an INDEPENDENT md5 segment of
+    the same digest, chars 13-18, so shard and split assignments are
+    decorrelated without a second hash pass), and within-shard
+    curriculum position (rq4 quality desc, doc_id tie-break). Every
+    column is a pure key/window function: re-running on a re-sharded
+    corpus reproduces the manifest byte-identically, and any worker
+    can build its own shard without coordination. Windows partition
+    by (split, shard) — parallelism = 3 x n_shards, chosen at scale
+    to be thousands."""
+    from mhw3d_detection_spark.operators.textops import (
+        split_assign,
+        text_stats,
+    )
+    from mhw3d_detection_spark.queries.base import rq as _rq
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_stats(docs).select(
+        "doc_id", _rq(F.col("quality_score"), 4).alias("quality")
+    )
+    sp = split_assign(q).select("doc_id", "quality", "split")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 13, 6), 16, 10
+        ).cast("long")
+        % _N_SHARDS
+    )
+    m = sp.withColumn("shard_id", shard.cast("int"))
+    w = Window.partitionBy("split", "shard_id").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return m.select(
+        "doc_id",
+        "split",
+        "shard_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "quality",
+    )

@@ -943,3 +943,50 @@ class TestComponentSplitAndSpearman:
         )
         assert const.select("y").distinct().count() == 1
         assert spearman_corr(const, "x", "y").collect()[0].rho is None
+
+
+# ------------------------------------------------------------------
+# r10 new operators: kappa + manifest semantics
+# ------------------------------------------------------------------
+class TestKappaAndManifest:
+    def test_kappa_bounds_and_confusion(self, spark):
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        r = REGISTRY["q_gate_agreement_kappa"].spark_fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert r.both_keep + r.lr_only + r.gopher_only + r.both_drop == r.n
+        assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+        if r.kappa is not None:
+            assert -1.0 <= r.kappa <= 1.0
+        # manual kappa from the confusion cells
+        po = (r.both_keep + r.both_drop) / r.n
+        pe = (
+            (r.both_keep + r.lr_only) * (r.both_keep + r.gopher_only)
+            + (r.gopher_only + r.both_drop) * (r.lr_only + r.both_drop)
+        ) / (r.n * r.n)
+        if pe < 1.0:
+            assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-12
+
+    def test_manifest_deterministic_and_ordered(self, spark):
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        fn = REGISTRY["q_training_manifest"].spark_fn
+        a = sorted(
+            map(tuple, fn(spark, "/root/testdata/sf0.001").collect())
+        )
+        b = sorted(
+            map(tuple, fn(spark, "/root/testdata/sf0.001").collect())
+        )
+        assert a == b  # pure key function: byte-identical rerun
+        rows = fn(spark, "/root/testdata/sf0.001").collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault((r.split, r.shard_id), []).append(r)
+        for (_, _), grp in by_shard.items():
+            grp.sort(key=lambda r: r.pos)
+            assert [r.pos for r in grp] == list(range(1, len(grp) + 1))
+            quals = [r.quality for r in grp]
+            assert quals == sorted(quals, reverse=True)  # curriculum order
