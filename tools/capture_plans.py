@@ -103,6 +103,14 @@ PLANS = [
     "q_dau_hll",
     "q_source_quality_cusum",
     "q_srp_dedup_apply",
+    "q_text_normalize",
+    "q_dedup_normalized",
+    "q_weighted_containment",
+    "q_corpus_report",
+    "q_component_split",
+    "q_quality_length_spearman",
+    "q_gate_agreement_kappa",
+    "q_training_manifest",
 ]
 
 HEADER = """# Physical plans — explain evidence
