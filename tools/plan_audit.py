@@ -140,6 +140,18 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r9: vocab growth attaches the 1-row id-domain size for the
     # decile DIV bucketing — scalar, corpus touched by two aggregates
     "q_vocab_growth": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10: keyness attaches the 1-row (na, nb) totals to the
+    # vocab-sized count table — scalar
+    "q_keyness_llr": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10: mutual-NN is cosine_topk on the audit PANEL twice — the
+    # same broadcast-probes brute leg as q_similarity_topk
+    "q_mutual_nn": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # r10: weighted containment attaches the 1-row corpus-size scalar
+    # for the idf; pair generation itself is the shingle equi-join
+    "q_weighted_containment": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10: component split attaches the 1-row n_leaks self-check to
+    # the 3-row split summary — scalar
+    "q_component_split": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
