@@ -6106,10 +6106,17 @@ def q_component_split(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # pairs feed BOTH the key derivation and the leak re-audit, and
+    # comp feeds the key join — localCheckpoint them (the dedup_report
+    # device) or every branch re-embeds the banding + 3 propagation
+    # rounds into its plan tree (measured: 164 exchanges without, 12
+    # with; values unchanged)
     pairs = minhash_candidate_pairs(
         minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    ).localCheckpoint(eager=True)
+    comp = connected_components_bounded(pairs, iters=3).localCheckpoint(
+        eager=True
     )
-    comp = connected_components_bounded(pairs, iters=3)
     key = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),
