@@ -732,13 +732,19 @@ def cosine_topk_arrow(
     # vec_id — collect() order is partition order, so "first row" would
     # let one ragged probe nondeterministically poison dim and drop
     # every clean vector (code-review r9 finding #1)
-    # sort by id ONLY — tuple sort would fall back to comparing the
-    # vector payloads on a duplicate vec_id, and None/list mixes raise
-    # TypeError (advice r10 #2)
+    # sort by (id, payload length) — never the payload itself (a
+    # None/list mix raises TypeError, advice r10 #2), and never id
+    # alone (a stable sort keeps collect()'s PARTITION order for
+    # duplicate ids carrying different-dim vectors, making dim
+    # scheduling-dependent — code-review r10 #3). The composite key is
+    # total over the rows that matter, so dim is deterministic.
     dim = next(
         (
             len(v)
-            for _, v in sorted(raw_probes, key=lambda t: t[0])
+            for _, v in sorted(
+                raw_probes,
+                key=lambda t: (t[0], -1 if t[1] is None else len(t[1])),
+            )
             if v is not None and len(v) > 0
         ),
         None,
@@ -2005,6 +2011,36 @@ def srp_planes(
     ]
 
 
+def srp_sig_col(
+    vec: Column,
+    *,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 1213,
+) -> Column:
+    """The ONE copy of the SRP fingerprint expression (per-term
+    dyadic-quantized hyperplane dots → sign bits → packed integer) —
+    shared by :func:`srp_signatures` and the streaming gate
+    (``streaming.sessionize.streaming_srp_decontaminate_gate``) so
+    the two cannot drift (the ``hll_reg_rho`` /
+    ``composite_quality_col`` pattern; code-review r10 #7). ``vec``
+    must already be array<double> of length ``dim`` with no NULL
+    elements — callers own the validity filter."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    sig = None
+    for j, plane in enumerate(srp_planes(n_bits, dim, seed)):
+        r = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, r, lambda x, y: dyadic_quantize(x * y, 24)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = (dot >= 0).cast("long") * F.lit(1 << j)
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
 def srp_signatures(
     emb: DataFrame,
     *,
@@ -2033,28 +2069,18 @@ def srp_signatures(
 
     Returns ``(vec_id, srp_sig)`` — srp_sig in [0, 2^n_bits).
     """
-    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
-
-    planes = srp_planes(n_bits, dim, seed)
     base = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).filter(
         (F.size("v") == dim)
         & ~F.exists("v", lambda x: x.isNull())
     )
-    sig = None
-    for j, plane in enumerate(planes):
-        r = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("v"), r, lambda x, y: dyadic_quantize(x * y, 24)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = (dot >= 0).cast("long") * F.lit(1 << j)
-        sig = bit if sig is None else sig + bit
-    return base.select("vec_id", sig.alias("srp_sig"))
+    return base.select(
+        "vec_id",
+        srp_sig_col(
+            F.col("v"), n_bits=n_bits, dim=dim, seed=seed
+        ).alias("srp_sig"),
+    )
 
 
 def srp_lsh_pairs(

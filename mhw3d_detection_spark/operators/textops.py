@@ -2752,8 +2752,6 @@ def token_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns ONE row ``(n_types, n_tokens, gini)``.
     """
-    from pyspark.sql import Window
-
     tok = docs.select(
         F.explode(tokens_col(F.col(text_col))).alias("token")
     )
@@ -2827,8 +2825,12 @@ def keyness_llr(
     """
     from mhw3d_detection_spark.queries.base import rq
 
+    # NULL predicate rows (e.g. NULL source vs source == 'x') are
+    # BACKGROUND, matching the oracle's CASE ELSE — a bare cast would
+    # NULL t and silently drop those tokens from b and nb
+    # (code-review r10 #6)
     tok = docs.select(
-        target_pred.cast("int").alias("t"),
+        F.coalesce(target_pred.cast("int"), F.lit(0)).alias("t"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
     g = tok.groupBy("token").agg(
@@ -2879,13 +2881,6 @@ def zipf_fit(
 
     Returns ONE row ``(n_top, zipf_slope, zipf_intercept)``.
     """
-    import math
-
-    from pyspark.sql import Window
-
-    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
-    from mhw3d_detection_spark.queries.base import rq
-
     tok = docs.select(
         F.explode(tokens_col(F.col(text_col))).alias("token")
     )
@@ -3011,7 +3006,10 @@ def normalize_texts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.length(text_col).cast("long").alias("n_chars_raw"),
         F.length(norm).cast("long").alias("n_chars_norm"),
-        (norm != F.col(text_col)).cast("int").alias("changed"),
+        # null-safe inequality: NULL text must report changed = 0
+        # like the oracle's CASE (NULL <> NULL falls to ELSE), not a
+        # NULL flag (code-review r10 #5)
+        (~norm.eqNullSafe(F.col(text_col))).cast("int").alias("changed"),
         minhash_base(norm).alias("norm_fingerprint"),
     )
 
@@ -3109,11 +3107,23 @@ def weighted_containment_pairs(
     )
     return (
         inter.join(denom, "probe_id")
-        .filter(F.col("__wint") / F.col("__wsum") >= F.lit(float(min_weighted)))
+        # __wsum == 0 means every probe shingle has df == N (an
+        # all-boilerplate probe, in-domain here): the ratio is
+        # undefined — NULL, which the threshold filter drops, exactly
+        # as the DuckDB oracle's NULL-comparison does. The unguarded
+        # division was an ANSI DIVIDE_BY_ZERO job crash (code-review
+        # r10 #1, the KS/W1 empty-slice class).
+        .withColumn(
+            "__ratio",
+            F.when(
+                F.col("__wsum") > 0, F.col("__wint") / F.col("__wsum")
+            ),
+        )
+        .filter(F.col("__ratio") >= F.lit(float(min_weighted)))
         .select(
             "probe_id",
             "doc_id",
             "n_shared",
-            rq(F.col("__wint") / F.col("__wsum"), 6).alias("w_containment"),
+            rq(F.col("__ratio"), 6).alias("w_containment"),
         )
     )

@@ -86,6 +86,11 @@ def corpus_report(
     # first_doc; instance totals from a token-COUNT projection (no
     # explode — the instances never shuffle)
     nd = docs.agg((F.max("doc_id") + 1).alias("__n")).collect()[0]["__n"]
+    if nd is None:
+        raise ValueError(
+            "corpus_report: empty corpus (no doc_id rows) — nothing to "
+            "profile"
+        )
     dec = lambda c: (c * 10 / F.lit(int(nd))).cast("long")  # noqa: E731
     nt = freq.groupBy(dec(F.col("first_doc")).alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
@@ -112,9 +117,14 @@ def corpus_report(
         F.col("decile").cast("int").cast("string").alias("key"),
         F.sum("n_new").over(w).cast("long").alias("n"),
         F.sum("n_inst").over(w).cast("long").alias("m"),
-        (
+        # leading deciles can hold zero instances (doc ids clustered
+        # high, or empty texts): TTR is undefined there — NULL, like
+        # the oracle's NULL division, not an ANSI crash (code-review
+        # r10 #2)
+        F.when(
+            F.sum("n_inst").over(w) > 0,
             F.sum("n_new").over(w).cast("double")
-            / F.sum("n_inst").over(w)
+            / F.sum("n_inst").over(w),
         ).alias("x"),
     )
 

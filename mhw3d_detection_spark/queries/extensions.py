@@ -4690,13 +4690,18 @@ def q_kcenter_sample(spark, sf_dir):
     "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS a, "
     "  CAST(sum(c_new) OVER (ORDER BY x "
     "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS b, "
-    "  CAST(lead(x) OVER (ORDER BY x) - x AS DOUBLE) AS gap FROM g) "
-    "SELECT sum("
+    "  CAST(lead(x) OVER (ORDER BY x) - x AS DOUBLE) AS gap FROM g), "
+    # mirrors the r10 Spark restructure (empty-slice guard + the
+    # single-distinct-value domain reporting 0.0 WITH counts): the
+    # totals row survives even when no gap rows exist
+    "ts AS (SELECT sum(CASE WHEN t.n_old > 0 AND t.n_new > 0 THEN "
     + _dq_sql("abs(c.a / t.n_old - c.b / t.n_new)", 30)
-    + " * c.gap) AS w1_stat, "
-    "CAST(first(t.n_old) AS BIGINT) AS n_old, "
-    "CAST(first(t.n_new) AS BIGINT) AS n_new "
-    "FROM c, t WHERE c.gap IS NOT NULL",
+    + " * c.gap END) AS w1_raw FROM c, t WHERE c.gap IS NOT NULL) "
+    "SELECT CASE WHEN t.n_old > 0 AND t.n_new > 0 "
+    "  THEN coalesce(ts.w1_raw, 0.0) END AS w1_stat, "
+    "CAST(t.n_old AS BIGINT) AS n_old, "
+    "CAST(t.n_new AS BIGINT) AS n_new "
+    "FROM t, ts",
 )
 def q_wasserstein_drift(spark, sf_dir):
     """E7f (r9): exact 1-D earth-mover distance of the doc-length

@@ -1011,23 +1011,14 @@ def streaming_srp_decontaminate_gate(
 
     Output: input columns + ``(srp_sig, flagged)``; raises on an
     input column named like an output."""
-    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
-    from mhw3d_detection_spark.operators.similarity import srp_planes
+    from mhw3d_detection_spark.operators.similarity import srp_sig_col
 
     _gate_collision_check(stream, ("srp_sig", "flagged"))
-    planes = srp_planes(n_bits, dim, seed)
     v = F.col(vec_col).cast("array<double>")
     ok = (F.size(v) == dim) & ~F.exists(v, lambda x: x.isNull())
-    sig = None
-    for j, plane in enumerate(planes):
-        r = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, r, lambda x, y: dyadic_quantize(x * y, 24)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = (dot >= 0).cast("long") * F.lit(1 << j)
-        sig = bit if sig is None else sig + bit
+    # the SHARED fingerprint expression (srp_sig_col) — same code
+    # object as the batch path, cannot drift (code-review r10 #7)
+    sig = srp_sig_col(v, n_bits=n_bits, dim=dim, seed=seed)
     gate = F.array(*[F.lit(int(s)) for s in gate_sigs])
     out = stream.withColumn(
         "srp_sig", F.when(ok, sig)

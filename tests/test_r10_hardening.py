@@ -990,3 +990,146 @@ class TestKappaAndManifest:
             assert [r.pos for r in grp] == list(range(1, len(grp) + 1))
             quals = [r.quality for r in grp]
             assert quals == sorted(quals, reverse=True)  # curriculum order
+
+
+# ------------------------------------------------------------------
+# code-review r10 pins (post-review fixes)
+# ------------------------------------------------------------------
+class TestR10ReviewFixes:
+    def test_weighted_containment_all_boilerplate_probe(self, spark):
+        """A probe whose every shingle has df == N (idf sum exactly 0)
+        must yield NO row, not an ANSI DIVIDE_BY_ZERO job crash."""
+        from mhw3d_detection_spark.operators.textops import (
+            weighted_containment_pairs,
+        )
+
+        footer = "alpha beta gamma delta epsilon"
+        docs = spark.createDataFrame(
+            [(0, footer), (1, footer + " extra one"), (2, footer + " extra two")],
+            "doc_id long, text string",
+        )
+        got = weighted_containment_pairs(
+            docs, lambda c: c == 0, min_weighted=0.0
+        ).collect()
+        assert got == []  # undefined ratio -> dropped, like the oracle
+
+    def test_corpus_report_empty_leading_deciles(self, spark):
+        """Doc ids clustered high leave deciles 0..8 with zero
+        instances: TTR must be NULL there, not a crash; and an empty
+        corpus raises a pointed error."""
+        from mhw3d_detection_spark.plans import corpus_report
+
+        docs = spark.createDataFrame(
+            [(90, "some words here"), (95, "other words there"),
+             (99, "third doc words")],
+            "doc_id long, text string",
+        )
+        rows = {r.key: r for r in corpus_report(docs).collect()
+                if r.section == "heaps"}
+        assert rows["0"].x is None and rows["9"].x is not None
+        import pytest as _pytest
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="empty corpus"):
+            corpus_report(empty)
+
+    def test_arrow_dim_deterministic_on_duplicate_ids(self, spark):
+        """Duplicate min vec_id with two valid vectors of DIFFERENT
+        dims: the composite (id, len) key makes dim the smaller one,
+        independent of partition order."""
+        from mhw3d_detection_spark.operators.similarity import (
+            cosine_topk_arrow,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+        ]
+        outs = set()
+        for nparts in (1, 2, 4):
+            emb = spark.createDataFrame(
+                rows, "vec_id long, v array<double>"
+            ).repartition(nparts)
+            got = tuple(
+                sorted(
+                    (r.probe_id, r.vec_id, r.rank)
+                    for r in cosine_topk_arrow(
+                        emb, lambda c: c == 0, k=2, vec_col="v"
+                    ).collect()
+                )
+            )
+            outs.add(got)
+        assert len(outs) == 1  # scheduling-independent
+
+    def test_w1_oracle_single_value_parity(self, spark):
+        """The restructured oracle now matches the Spark single-value
+        contract: (0.0, n, n) — live DuckDB differential."""
+        import duckdb
+
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.operators.analysis import (
+            wasserstein1_two_sample,
+        )
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = [(i, 42) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+        g = wasserstein1_two_sample(
+            df, "n_chars", F.col("doc_id") % 5 != 4
+        ).collect()[0]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, n_chars INTEGER)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        o = con.execute(REGISTRY["q_wasserstein_drift"].sql).fetchone()
+        assert (g.w1_stat, g.n_old, g.n_new) == o == (0.0, 8, 2)
+
+    def test_normalize_null_text_changed_zero(self, spark):
+        from mhw3d_detection_spark.operators.textops import normalize_texts
+
+        docs = spark.createDataFrame(
+            [(0, None), (1, "  X  ")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.changed for r in normalize_texts(docs).collect()}
+        assert got == {0: 0, 1: 1}
+
+    def test_keyness_null_predicate_counts_background(self, spark):
+        from mhw3d_detection_spark.operators.textops import keyness_llr
+
+        docs = spark.createDataFrame(
+            [(0, "aaa bbb aaa", "x"), (1, "aaa ccc aaa", None),
+             (2, "aaa ddd", "y")],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.token: (r.a, r.b)
+            for r in keyness_llr(
+                docs, F.col("source") == "x", min_count=1
+            ).collect()
+        }
+        # NULL-source doc's tokens are BACKGROUND, not dropped
+        assert got["aaa"] == (2, 3)
+
+    def test_srp_shared_expression_gate_batch_identical(self, spark):
+        from mhw3d_detection_spark.operators.similarity import (
+            srp_sig_col,
+            srp_signatures,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(50)
+        a = {
+            r.vec_id: r.srp_sig for r in srp_signatures(emb).collect()
+        }
+        b = {
+            r.vec_id: r.sig
+            for r in emb.select(
+                "vec_id",
+                srp_sig_col(
+                    F.col("embedding").cast("array<double>")
+                ).alias("sig"),
+            ).collect()
+        }
+        assert a == {k: v for k, v in b.items() if k in a}
