@@ -1133,3 +1133,39 @@ class TestR10ReviewFixes:
             ).collect()
         }
         assert a == {k: v for k, v in b.items() if k in a}
+
+
+# ------------------------------------------------------------------
+# SRP signatures: numpy twin differential (bit-exactness evidence
+# beyond the DuckDB oracle — three engines agreeing)
+# ------------------------------------------------------------------
+class TestSrpNumpyTwin:
+    def test_signatures_match_python_twin(self, spark):
+        import random
+
+        from mhw3d_detection_spark.operators.analysis import (
+            dyadic_quantize_py,
+        )
+        from mhw3d_detection_spark.operators.similarity import (
+            srp_planes,
+            srp_signatures,
+        )
+
+        rng = random.Random(77)
+        rows = [
+            (i, [rng.uniform(-2, 2) for _ in range(64)]) for i in range(40)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(4)
+        got = {r.vec_id: r.srp_sig for r in srp_signatures(emb).collect()}
+        planes = srp_planes(16, 64)
+        for i, v in rows:
+            sig = 0
+            for j, plane in enumerate(planes):
+                dot = 0.0
+                for x, r in zip(v, plane):
+                    dot += dyadic_quantize_py(x * r, 24)
+                if dot >= 0:
+                    sig |= 1 << j
+            assert got[i] == sig, (i, got[i], sig)
