@@ -1670,3 +1670,90 @@ def spearman_corr(
     return s.select(
         "n", rq(rho, rho_digits).alias("rho")
     )
+
+
+def ks_per_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    rq_digits: int | None = None,
+) -> DataFrame:
+    """Per-group two-sample KS: for EACH group, the sup-norm distance
+    between the group's value distribution and the REST of the
+    corpus — the "which source shifted?" decomposition of
+    :func:`ks_two_sample` (the global statistic says drift happened;
+    this names the slice, which is what the on-call actually needs).
+
+    Shape: one (group, value) hash aggregate touches the corpus; the
+    value spine is the global DISTINCT-value table (domain-bounded —
+    same contract/`rq_digits` guard as ks_two_sample), crossed with
+    the group list so every group's CDF is evaluated at EVERY jump
+    point of either distribution (the sup lives at jump points of
+    both, so evaluating only a group's own values can miss it). The
+    cumulative windows partition by group over the bounded spine —
+    groups × domain rows total.
+
+    Exactness: integer cumulative counts, exactly-rounded divisions —
+    RAW hash. Groups with an empty complement (one-group corpora)
+    return NULL ks_stat with counts visible (the empty-slice rule).
+
+    Returns one row per group:
+    ``(group, n_group, n_rest, ks_stat, x_at_max)``.
+    """
+    x = _ks_domain_guard(value_col, rq_digits)
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), x.alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = h.select("x").distinct()
+    groups = h.select("g").distinct()
+    grid = groups.crossJoin(F.broadcast(spine))
+    filled = grid.join(h, ["g", "x"], "left").select(
+        "g", "x", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wg = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = filled.select(
+        "g", "x", F.sum("c").over(wg).cast("long").alias("a")
+    )
+    gx = h.groupBy("x").agg(F.sum("c").cast("long").alias("ct"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gx.select(
+        "x", F.sum("ct").over(wx).cast("long").alias("at")
+    )
+    tot = h.groupBy("g").agg(F.sum("c").cast("long").alias("n_group"))
+    ntot = h.groupBy().agg(F.sum("c").cast("long").alias("n_all"))
+    j = (
+        cum.join(F.broadcast(gcum), "x")
+        .join(F.broadcast(tot), "g")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "g",
+            "x",
+            "n_group",
+            (F.col("n_all") - F.col("n_group")).alias("n_rest"),
+            F.when(
+                (F.col("n_group") > 0)
+                & (F.col("n_all") - F.col("n_group") > 0),
+                F.abs(
+                    F.col("a").cast("double") / F.col("n_group")
+                    - (F.col("at") - F.col("a")).cast("double")
+                    / (F.col("n_all") - F.col("n_group"))
+                ),
+            ).alias("diff"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("diff"), F.col("x"))
+    return (
+        j.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            "n_group",
+            "n_rest",
+            F.col("diff").alias("ks_stat"),
+            F.col("x").alias("x_at_max"),
+        )
+    )

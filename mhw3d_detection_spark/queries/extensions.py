@@ -6372,3 +6372,141 @@ def q_training_manifest(spark, sf_dir):
         F.row_number().over(w).cast("int").alias("pos"),
         "quality",
     )
+
+
+# =========================================================================
+# E7i (r10) — per-source KS drift: WHICH slice shifted — the on-call
+# decomposition of E7e's global statistic
+# =========================================================================
+@register(
+    "q_source_ks_drift",
+    "WITH s AS (SELECT source AS g, n_chars AS x FROM documents "
+    "  WHERE n_chars IS NOT NULL), "
+    "h AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2), "
+    "spine AS (SELECT DISTINCT x FROM h), "
+    "groups AS (SELECT DISTINCT g FROM h), "
+    "grid AS (SELECT g, x FROM groups, spine), "
+    "filled AS (SELECT grid.g, grid.x, coalesce(h.c, 0) AS c FROM grid "
+    "  LEFT JOIN h ON grid.g = h.g AND grid.x = h.x), "
+    "cum AS (SELECT g, x, CAST(sum(c) OVER (PARTITION BY g ORDER BY x "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS a "
+    "  FROM filled), "
+    "gx AS (SELECT x, CAST(sum(c) AS BIGINT) AS ct FROM h GROUP BY 1), "
+    "gcum AS (SELECT x, CAST(sum(ct) OVER (ORDER BY x "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at "
+    "  FROM gx), "
+    "tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_group FROM h GROUP BY 1), "
+    "ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM h), "
+    "j AS (SELECT cum.g, cum.x, tot.n_group, "
+    "  ntot.n_all - tot.n_group AS n_rest, "
+    "  CASE WHEN tot.n_group > 0 AND ntot.n_all - tot.n_group > 0 THEN "
+    "    abs(CAST(cum.a AS DOUBLE) / tot.n_group "
+    "      - CAST(gcum.at - cum.a AS DOUBLE) / (ntot.n_all - tot.n_group)) "
+    "  END AS diff "
+    "  FROM cum JOIN gcum ON cum.x = gcum.x JOIN tot ON cum.g = tot.g, ntot), "
+    "r AS (SELECT g, x, n_group, n_rest, diff, row_number() OVER ("
+    "  PARTITION BY g ORDER BY diff DESC NULLS LAST, x) AS rnk FROM j) "
+    "SELECT g AS source, n_group, n_rest, diff AS ks_stat, x AS x_at_max "
+    "FROM r WHERE rnk = 1",
+)
+def q_source_ks_drift(spark, sf_dir):
+    """E7i (r10): per-source two-sample KS of doc length, each source
+    vs the REST of the corpus — the slice-naming decomposition of
+    q_ks_drift (global drift fired; which feed changed?). Every
+    source's CDF is evaluated on the GLOBAL distinct-value spine (the
+    sup lives at jump points of either side), cumulative windows
+    partition by source over the bounded spine, integer counts +
+    exactly-rounded divisions — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import ks_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_per_group(
+        docs.select("source", "n_chars"), "n_chars", "source"
+    )
+
+
+# =========================================================================
+# E7j (r10) — two-proportion z on the event funnel: is cohort A's
+# view->purchase conversion REALLY better than cohort B's (the A/B
+# readout the event tables exist for)
+# =========================================================================
+@register(
+    "q_funnel_ab_z",
+    "WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS cohort, "
+    "  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed, "
+    "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased "
+    "  FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+    "c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users, "
+    "  CAST(sum(CASE WHEN viewed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view, "
+    "  CAST(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_conv FROM u GROUP BY 1), "
+    "w AS (SELECT "
+    "  max(CASE WHEN cohort = 0 THEN n_view END) AS n1, "
+    "  max(CASE WHEN cohort = 0 THEN n_conv END) AS k1, "
+    "  max(CASE WHEN cohort = 1 THEN n_view END) AS n2, "
+    "  max(CASE WHEN cohort = 1 THEN n_conv END) AS k2 FROM c) "
+    "SELECT n1, k1, n2, k2, "
+    "CAST(k1 AS DOUBLE) / n1 AS p1, CAST(k2 AS DOUBLE) / n2 AS p2, "
+    "CASE WHEN CAST(k1 + k2 AS DOUBLE) / (n1 + n2) > 0 "
+    "  AND CAST(k1 + k2 AS DOUBLE) / (n1 + n2) < 1 THEN "
+    "  (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2) "
+    "  / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
+    "    * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
+    "    * (1.0 / n1 + 1.0 / n2)) END AS z FROM w",
+)
+def q_funnel_ab_z(spark, sf_dir):
+    """E7j (r10): pooled two-proportion z-statistic for the
+    view->purchase conversion between the even/odd user cohorts — the
+    A/B-test readout the W14ev funnel machinery feeds (a funnel
+    DIFFERENCE means nothing without its sampling noise; |z| > 1.96
+    is the call). Per-user flags are max() aggregates, the confusion
+    counts integers, p1/p2/pooled-p/z exactly-rounded shared
+    formulas — RAW hash; z NULL when the pooled rate is degenerate
+    (0 or 1)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "view").cast("int")
+        ).alias("viewed"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("purchased"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"),
+        "viewed",
+        "purchased",
+    )
+    c = u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("viewed") == 1).cast("int")).cast("long").alias(
+            "n_view"
+        ),
+        F.sum(
+            ((F.col("viewed") == 1) & (F.col("purchased") == 1)).cast("int")
+        ).cast("long").alias("n_conv"),
+    )
+    w = c.groupBy().agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_view"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n_conv"))).alias("k1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_view"))).alias("n2"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_conv"))).alias("k2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = F.when(
+        (pp > 0) & (pp < 1),
+        (p1 - p2)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+        ),
+    )
+    return w.select(
+        "n1", "k1", "n2", "k2",
+        p1.alias("p1"), p2.alias("p2"), z.alias("z"),
+    )

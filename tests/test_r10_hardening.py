@@ -1169,3 +1169,89 @@ class TestSrpNumpyTwin:
                 if dot >= 0:
                     sig |= 1 << j
             assert got[i] == sig, (i, got[i], sig)
+
+
+# ------------------------------------------------------------------
+# r10 new operators: per-source KS + funnel A/B z semantics
+# ------------------------------------------------------------------
+class TestSourceKsAndAbZ:
+    def test_ks_per_group_flags_planted_shift(self, spark):
+        from mhw3d_detection_spark.operators.analysis import ks_per_group
+
+        rows = []
+        for i in range(300):
+            rows.append((f"d{i}", "steady", 100 + (i % 30)))
+        for i in range(100):
+            rows.append((f"s{i}", "shifted", 200 + (i % 30)))  # +100 shift
+        df = spark.createDataFrame(
+            rows, "doc_id string, source string, n int"
+        )
+        got = {
+            r.source: r for r in ks_per_group(df, "n", "source").collect()
+        }
+        # disjoint supports: the shifted source's KS vs rest is 1.0
+        assert got["shifted"].ks_stat == 1.0
+        assert got["shifted"].n_group == 100 and got["shifted"].n_rest == 300
+        # "steady" vs rest is also large here (rest includes shifted),
+        # but strictly smaller than the clean separation
+        assert got["steady"].ks_stat <= got["shifted"].ks_stat
+
+    def test_ks_per_group_single_group_null(self, spark):
+        from mhw3d_detection_spark.operators.analysis import ks_per_group
+
+        df = spark.createDataFrame(
+            [(i, "only", i % 5) for i in range(20)],
+            "doc_id long, source string, n int",
+        )
+        r = ks_per_group(df, "n", "source").collect()[0]
+        assert r.ks_stat is None and r.n_group == 20 and r.n_rest == 0
+
+    def test_ab_z_matches_manual(self, spark):
+        import math
+
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        r = REGISTRY["q_funnel_ab_z"].spark_fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert r.n1 > 0 and r.n2 > 0
+        p = (r.k1 + r.k2) / (r.n1 + r.n2)
+        if 0 < p < 1:
+            want = (r.k1 / r.n1 - r.k2 / r.n2) / math.sqrt(
+                p * (1 - p) * (1 / r.n1 + 1 / r.n2)
+            )
+            assert abs(r.z - want) < 1e-12
+        else:
+            # degenerate pooled rate (tiny fixtures where every viewer
+            # converts): z is NULL by contract, not a crash
+            assert r.z is None
+
+    def test_ab_z_planted_difference(self, spark):
+        """Synthetic cohorts with a real conversion gap: z must be
+        large and negative/positive per the gap direction."""
+        import datetime as dt
+
+        from mhw3d_detection_spark.queries.base import REGISTRY
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+
+        rows = []
+        ts = dt.datetime(2024, 1, 1)
+        eid = 0
+        for uid in range(400):
+            rows.append((eid, ts, uid, "view", 1.0, "")); eid += 1
+            # cohort 0 (even): 80% convert; cohort 1 (odd): 30%
+            frac = 0.8 if uid % 2 == 0 else 0.3
+            if (uid * 7919 % 100) < frac * 100:
+                rows.append((eid, ts, uid, "purchase", 1.0, "")); eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            df.write.mode("overwrite").parquet(td + "/events.parquet")
+            r = REGISTRY["q_funnel_ab_z"].spark_fn(spark, td).collect()[0]
+        assert r.p1 > r.p2 and r.z > 5.0
