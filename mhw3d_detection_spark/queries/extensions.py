@@ -6510,3 +6510,92 @@ def q_funnel_ab_z(spark, sf_dir):
         "n1", "k1", "n2", "k2",
         p1.alias("p1"), p2.alias("p2"), z.alias("z"),
     )
+
+
+# =========================================================================
+# E3r (r10) — SRP estimator calibration: measured mean cosine per
+# Hamming bucket vs the cos(pi*h/n) theory curve (the E2g
+# minhash-calibration pattern for the hyperplane family)
+# =========================================================================
+def _SRP_CAL_SQL() -> str:
+    import math
+
+    srp = _SRP_SQL()
+    prefix = (
+        srp[: srp.index("blk AS (SELECT")]
+        .replace("WITH e AS (", "WITH eb AS (", 1)
+        .replace("AS sig FROM e)", "AS sig FROM eb)", 1)
+    )
+    est = "CASE " + " ".join(
+        f"WHEN hamming = {h} THEN {_dlit(math.cos(math.pi * h / 16))}"
+        for h in range(17)
+    ) + " END"
+    return (
+        prefix
+        + "p AS (SELECT s.vec_id, s.sig, eb.v FROM s JOIN eb USING (vec_id) "
+        "  WHERE s.vec_id % 25 = 0), "
+        "pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        "  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming, "
+        + _dq_sql("list_cosine_similarity(a.v, b.v)", 20)
+        + " AS cq FROM p a JOIN p b ON a.vec_id < b.vec_id) "
+        "SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs, "
+        + rq_sql("sum(cq) / count(*)", 4)
+        + " AS mean_cosine, "
+        f"CAST({est} AS DOUBLE) AS est_cos "
+        "FROM pairs GROUP BY 1"
+    )
+
+
+@register("q_srp_calibration", _SRP_CAL_SQL())
+def q_srp_calibration(spark, sf_dir):
+    """E3r (r10): SRP estimator calibration over the vec_id%25 audit
+    panel — all panel pairs bucketed by fingerprint Hamming distance,
+    measured mean TRUE cosine per bucket next to the theory curve
+    cos(pi*h/16) (shared literals). The E2g device (MinHash Jaccard
+    calibration) for the hyperplane family: a drifting gap between
+    columns means the corpus violates the isotropy the estimator
+    assumes (anisotropic embeddings want more bits or a rotation).
+    Cosines dyadic-quantized (2^-20) before the bucket mean so the
+    sums are order-free; panel-bounded all-pairs by construction."""
+    import math
+
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.operators.similarity import (
+        dot,
+        norm,
+        srp_signatures,
+    )
+    from mhw3d_detection_spark.queries.base import rq as _rq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") % 25 == 0)
+    sig = srp_signatures(panel)
+    base = panel.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(sig, "vec_id")
+    a = base.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("srp_sig").alias("sa"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("srp_sig").alias("sb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ia") < F.col("ib"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        norm(F.col("va")) * norm(F.col("vb"))
+    )
+    est = None
+    for h in range(16, -1, -1):
+        v = F.lit(float(math.cos(math.pi * h / 16)))
+        est = v if est is None else F.when(
+            F.col("hamming") == h, v
+        ).otherwise(est)
+    scored = pairs.select(
+        F.expr("cast(bit_count(sa ^ sb) as int)").alias("hamming"),
+        dyadic_quantize(cos, 20).alias("cq"),
+    )
+    return scored.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        _rq(F.sum("cq") / F.count(F.lit(1)), 4).alias("mean_cosine"),
+    ).withColumn("est_cos", est)

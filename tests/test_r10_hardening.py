@@ -1255,3 +1255,27 @@ class TestSourceKsAndAbZ:
             df.write.mode("overwrite").parquet(td + "/events.parquet")
             r = REGISTRY["q_funnel_ab_z"].spark_fn(spark, td).collect()[0]
         assert r.p1 > r.p2 and r.z > 5.0
+
+
+class TestSrpCalibration:
+    def test_monotone_calibration(self, spark):
+        """Mean true cosine must decrease as Hamming grows, and the
+        low-Hamming buckets must sit near the theory curve."""
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = sorted(
+            REGISTRY["q_srp_calibration"].spark_fn(
+                spark, "/root/testdata/sf0.001"
+            ).collect(),
+            key=lambda r: r.hamming,
+        )
+        assert rows
+        cosines = [r.mean_cosine for r in rows]
+        # overall decreasing trend (allow local noise on sparse buckets)
+        assert cosines[0] > cosines[-1]
+        for r in rows:
+            if r.n_pairs >= 30:
+                assert abs(r.mean_cosine - r.est_cos) < 0.35, (
+                    r.hamming, r.mean_cosine, r.est_cos,
+                )
