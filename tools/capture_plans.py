@@ -111,6 +111,9 @@ PLANS = [
     "q_quality_length_spearman",
     "q_gate_agreement_kappa",
     "q_training_manifest",
+    "q_source_ks_drift",
+    "q_funnel_ab_z",
+    "q_srp_calibration",
 ]
 
 HEADER = """# Physical plans — explain evidence
