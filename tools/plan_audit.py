@@ -152,6 +152,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r10: component split attaches the 1-row n_leaks self-check to
     # the 3-row split summary — scalar
     "q_component_split": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10: per-source KS crosses the group list with the DISTINCT-value
+    # spine (domain-bounded, the ks_two_sample contract) and attaches
+    # the 1-row corpus total — both constant-size vs ingested bytes
+    "q_source_ks_drift": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10: calibration is all-pairs WITHIN the audit panel by
+    # construction — the broadcast side is the bounded panel
+    "q_srp_calibration": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
 }
 
 #: plan substrings that fail the audit outright
