@@ -6445,9 +6445,14 @@ def q_source_ks_drift(spark, sf_dir):
     "  max(CASE WHEN cohort = 0 THEN n_conv END) AS k1, "
     "  max(CASE WHEN cohort = 1 THEN n_view END) AS n2, "
     "  max(CASE WHEN cohort = 1 THEN n_conv END) AS k2 FROM c) "
+    # n1/n2 can be 0 (a cohort with no viewers) or NULL (no users in
+    # the cohort at all): every division is CASE-guarded in BOTH
+    # engines — the bare form was an ANSI DIVIDE_BY_ZERO crash
     "SELECT n1, k1, n2, k2, "
-    "CAST(k1 AS DOUBLE) / n1 AS p1, CAST(k2 AS DOUBLE) / n2 AS p2, "
-    "CASE WHEN CAST(k1 + k2 AS DOUBLE) / (n1 + n2) > 0 "
+    "CASE WHEN n1 > 0 THEN CAST(k1 AS DOUBLE) / n1 END AS p1, "
+    "CASE WHEN n2 > 0 THEN CAST(k2 AS DOUBLE) / n2 END AS p2, "
+    "CASE WHEN n1 > 0 AND n2 > 0 "
+    "  AND CAST(k1 + k2 AS DOUBLE) / (n1 + n2) > 0 "
     "  AND CAST(k1 + k2 AS DOUBLE) / (n1 + n2) < 1 THEN "
     "  (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2) "
     "  / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) "
@@ -6493,13 +6498,17 @@ def q_funnel_ab_z(spark, sf_dir):
         F.max(F.when(F.col("cohort") == 1, F.col("n_view"))).alias("n2"),
         F.max(F.when(F.col("cohort") == 1, F.col("n_conv"))).alias("k2"),
     )
-    p1 = F.col("k1").cast("double") / F.col("n1")
-    p2 = F.col("k2").cast("double") / F.col("n2")
+    p1 = F.when(
+        F.col("n1") > 0, F.col("k1").cast("double") / F.col("n1")
+    )
+    p2 = F.when(
+        F.col("n2") > 0, F.col("k2").cast("double") / F.col("n2")
+    )
     pp = (F.col("k1") + F.col("k2")).cast("double") / (
         F.col("n1") + F.col("n2")
     )
     z = F.when(
-        (pp > 0) & (pp < 1),
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (pp > 0) & (pp < 1),
         (p1 - p2)
         / F.sqrt(
             pp * (F.lit(1.0) - pp)

@@ -1279,3 +1279,29 @@ class TestSrpCalibration:
                 assert abs(r.mean_cosine - r.est_cos) < 0.35, (
                     r.hamming, r.mean_cosine, r.est_cos,
                 )
+
+
+class TestFunnelZeroViewerCohort:
+    def test_zero_viewer_cohort_null_not_crash(self, spark):
+        import datetime as dt
+        import tempfile
+
+        import mhw3d_detection_spark.queries.extensions  # noqa: F401
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        ts = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, ts, 0, "view", 1.0, ""),
+            (1, ts, 0, "purchase", 1.0, ""),
+            (2, ts, 1, "click", 1.0, ""),  # odd cohort: zero viewers
+        ]
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as td:
+            d.write.mode("overwrite").parquet(td + "/events.parquet")
+            r = REGISTRY["q_funnel_ab_z"].spark_fn(spark, td).collect()[0]
+        assert r.n2 == 0 and r.p2 is None and r.z is None
+        assert r.p1 == 1.0  # the populated leg still reports
