@@ -6608,3 +6608,95 @@ def q_srp_calibration(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         _rq(F.sum("cq") / F.count(F.lit(1)), 4).alias("mean_cosine"),
     ).withColumn("est_cos", est)
+
+
+# =========================================================================
+# E7k (r10) — Benjamini-Hochberg FDR over the per-source KS drifts:
+# with 20+ sources, 1-in-20 "significant" drifts are expected by
+# chance — the alerting layer needs multiple-testing control or it
+# pages on noise every night (BH 1995)
+# =========================================================================
+_FDR_ALPHA = 0.05
+
+
+def _KS_FDR_SQL() -> str:
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    ks = REGISTRY["q_source_ks_drift"].sql
+    return (
+        f"WITH base AS ({ks}), "
+        "e AS (SELECT source, ks_stat, "
+        "  -2.0 * (CAST(n_group AS DOUBLE) * n_rest / (n_group + n_rest)) "
+        "    * ks_stat * ks_stat AS lx FROM base WHERE ks_stat IS NOT NULL), "
+        "r AS (SELECT source, ks_stat, lx, CAST(row_number() OVER ("
+        "  ORDER BY lx, source) AS INT) AS rank, "
+        "  CAST(count(*) OVER () AS BIGINT) AS m FROM e), "
+        "c AS (SELECT source, ks_stat, lx, rank, m, "
+        f"  CASE WHEN lx <= ln(rank * {_FDR_ALPHA!r} / (2.0 * m)) "
+        "    THEN rank ELSE 0 END AS ok_rank FROM r), "
+        "mx AS (SELECT max(ok_rank) AS kmax FROM c) "
+        "SELECT c.source, c.ks_stat, "
+        + rq_sql("least(1.0, 2.0 * exp(c.lx))", 4)
+        + " AS p_value, c.rank, "
+        "CAST(CASE WHEN c.rank <= mx.kmax THEN 1 ELSE 0 END AS INT) "
+        "  AS significant FROM c, mx"
+    )
+
+
+@register("q_source_ks_fdr", _KS_FDR_SQL())
+def q_source_ks_fdr(spark, sf_dir):
+    """E7k (r10): Benjamini-Hochberg step-up over the per-source KS
+    drift statistics — p ≈ 2·exp(−2·n_eff·D²) (the one-term KS tail,
+    n_eff = n_g·n_r/(n_g+n_r)); sources ranked by p ascending,
+    significant through the largest k with p_(k) ≤ k·α/m (α=0.05).
+    The DECISION compares in the LOG domain (lx ≤ ln(k·α/2m)) — both
+    sides are one transcendental of identical exactly-rounded
+    rationals, and p itself is display-only rq4 (the repo ln/exp
+    contract); ranks/flags integer. Windows are sources-bounded."""
+    import math  # noqa: F401
+
+    from mhw3d_detection_spark.operators.analysis import ks_per_group
+    from mhw3d_detection_spark.queries.base import rq as _rq
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = ks_per_group(
+        docs.select("source", "n_chars"), "n_chars", "source"
+    ).filter(F.col("ks_stat").isNotNull())
+    n_eff = (
+        F.col("n_group").cast("double") * F.col("n_rest")
+        / (F.col("n_group") + F.col("n_rest"))
+    )
+    e = base.select(
+        "source",
+        "ks_stat",
+        (F.lit(-2.0) * n_eff * F.col("ks_stat") * F.col("ks_stat")).alias(
+            "lx"
+        ),
+    )
+    w = Window.orderBy("lx", "source")
+    r = e.select(
+        "source",
+        "ks_stat",
+        "lx",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("long").alias("m"),
+    )
+    ok = F.when(
+        F.col("lx")
+        <= F.log(F.col("rank") * F.lit(_FDR_ALPHA) / (2.0 * F.col("m"))),
+        F.col("rank"),
+    ).otherwise(F.lit(0))
+    c = r.withColumn("ok_rank", ok)
+    kmax = c.agg(F.max("ok_rank").alias("kmax"))
+    return c.crossJoin(F.broadcast(kmax)).select(
+        "source",
+        "ks_stat",
+        _rq(
+            F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.col("lx"))), 4
+        ).alias("p_value"),
+        "rank",
+        (F.col("rank") <= F.col("kmax")).cast("int").alias("significant"),
+    )

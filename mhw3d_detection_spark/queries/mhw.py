@@ -1534,3 +1534,104 @@ def q_mann_kendall_z(spark, sf_dir):
 
     od = orders_daily(spark, sf_dir)
     return mann_kendall_z(od, max_lag_days=30, temp_digits=2)
+
+
+# =========================================================================
+# W25 (r10) — seasonal Mann-Kendall (Hirsch & Slack 1984): within-month
+# across-year pairs, S and tie-corrected variance summed over seasons —
+# the trend test that ignores the seasonal cycle instead of fighting it
+# =========================================================================
+@register(
+    "q_seasonal_mk",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "mm AS (SELECT cell_id, year(time) AS y, month(time) AS mo, "
+    f"  {rq_sql('avg(temp)', 2)} AS m FROM od GROUP BY 1, 2, 3), "
+    "p AS (SELECT a.cell_id, a.mo, sign(b.m - a.m) AS sgn FROM mm a "
+    "  JOIN mm b ON a.cell_id = b.cell_id AND a.mo = b.mo AND b.y > a.y), "
+    "s AS (SELECT cell_id, mo, CAST(sum(sgn) AS BIGINT) AS s_m "
+    "  FROM p GROUP BY 1, 2), "
+    "k AS (SELECT cell_id, mo, CAST(count(*) AS BIGINT) AS k FROM mm "
+    "  GROUP BY 1, 2), "
+    "tg AS (SELECT cell_id, mo, m, CAST(count(*) AS BIGINT) AS tj FROM mm "
+    "  GROUP BY 1, 2, 3), "
+    "tt AS (SELECT cell_id, mo, CAST(sum(tj * (tj - 1) * (2 * tj + 5)) "
+    "  AS BIGINT) AS tie FROM tg GROUP BY 1, 2), "
+    "vm AS (SELECT k.cell_id, k.mo, "
+    "  CAST(k.k * (k.k - 1) * (2 * k.k + 5) AS BIGINT) - tt.tie AS vn "
+    "  FROM k JOIN tt ON k.cell_id = tt.cell_id AND k.mo = tt.mo), "
+    "agg AS (SELECT s.cell_id, CAST(count(*) AS BIGINT) AS n_seasons, "
+    "  CAST(sum(s.s_m) AS BIGINT) AS s_stat, "
+    "  CAST(sum(vm.vn) AS BIGINT) AS var_num "
+    "  FROM s JOIN vm ON s.cell_id = vm.cell_id AND s.mo = vm.mo "
+    "  GROUP BY 1) "
+    "SELECT cell_id, n_seasons, s_stat, "
+    "CAST(var_num AS DOUBLE) / 18 AS var_s, "
+    "CASE WHEN var_num > 0 THEN ("
+    "  CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(CAST(var_num AS DOUBLE) / 18) "
+    "  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(CAST(var_num AS DOUBLE) / 18) "
+    "  ELSE 0.0 END) END AS z FROM agg",
+)
+def q_seasonal_mk(spark, sf_dir):
+    """W25 (r10): seasonal Mann-Kendall (Hirsch & Slack 1984) per
+    cell — within-MONTH pairs across years (monthly rq2 means), so the
+    seasonal cycle never enters the statistic at all (W20/W24's banded
+    form limits how much of the cycle a pair can span; this removes it
+    by construction — the standard form for hydrology/SST trend
+    screening). S and the tie-corrected variance NUMERATORS are summed
+    per cell as integers and divided by 18 ONCE (summing per-month
+    var/18 doubles would reintroduce association-order noise); z is
+    continuity-corrected and hashes RAW. Year-pair joins are
+    years²-bounded per (cell, month) — years is a physical time
+    dimension, never corpus-sized."""
+    from mhw3d_detection_spark.queries.base import rq as _rq
+
+    od = orders_daily(spark, sf_dir)
+    mm = od.groupBy(
+        "cell_id",
+        F.year("time").alias("y"),
+        F.month("time").alias("mo"),
+    ).agg(_rq(F.avg("temp"), 2).alias("m"))
+    a = mm.select("cell_id", "mo", F.col("y").alias("y1"), F.col("m").alias("m1"))
+    b = mm.select("cell_id", "mo", F.col("y").alias("y2"), F.col("m").alias("m2"))
+    p = a.join(b, ["cell_id", "mo"]).filter(F.col("y2") > F.col("y1"))
+    s = p.groupBy("cell_id", "mo").agg(
+        F.sum(F.signum(F.col("m2") - F.col("m1"))).cast("long").alias("s_m")
+    )
+    k = mm.groupBy("cell_id", "mo").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    tt = (
+        mm.groupBy("cell_id", "mo", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("tj"))
+        .groupBy("cell_id", "mo")
+        .agg(
+            F.sum(
+                F.col("tj") * (F.col("tj") - 1) * (2 * F.col("tj") + 5)
+            ).cast("long").alias("tie")
+        )
+    )
+    vm = k.join(tt, ["cell_id", "mo"]).select(
+        "cell_id",
+        "mo",
+        (
+            F.col("k") * (F.col("k") - 1) * (2 * F.col("k") + 5)
+            - F.col("tie")
+        ).cast("long").alias("vn"),
+    )
+    agg = s.join(vm, ["cell_id", "mo"]).groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("s_m").cast("long").alias("s_stat"),
+        F.sum("vn").cast("long").alias("var_num"),
+    )
+    var_s = F.col("var_num").cast("double") / 18
+    z = F.when(
+        F.col("var_num") > 0,
+        F.when(
+            F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s)
+        ).when(
+            F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s)
+        ).otherwise(F.lit(0.0)),
+    )
+    return agg.select(
+        "cell_id", "n_seasons", "s_stat", var_s.alias("var_s"), z.alias("z")
+    )
