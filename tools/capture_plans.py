@@ -114,6 +114,8 @@ PLANS = [
     "q_source_ks_drift",
     "q_funnel_ab_z",
     "q_srp_calibration",
+    "q_seasonal_mk",
+    "q_source_ks_fdr",
 ]
 
 HEADER = """# Physical plans — explain evidence

@@ -159,6 +159,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r10: calibration is all-pairs WITHIN the audit panel by
     # construction — the broadcast side is the bounded panel
     "q_srp_calibration": {"BroadcastNestedLoopJoin": _BCAST_PROBES},
+    # r10: FDR inherits per-source KS's spine/total attaches plus its
+    # own 1-row kmax — all scalar/domain-bounded
+    "q_source_ks_fdr": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
