@@ -1757,3 +1757,244 @@ def ks_per_group(
             F.col("x").alias("x_at_max"),
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two BOUNDED
+    categorical columns, plus Cramér's V effect size — the "are these
+    two slicing dimensions actually related?" audit (source x language,
+    split x quality-band, gate x gate).
+
+    Contract: both columns have bounded domains (categories, not keys)
+    — the corpus is touched by ONE (a, b) hash aggregate; everything
+    after runs on the levels×levels contingency table, with the DENSE
+    cell grid (observed-zero cells still contribute their expected
+    mass) built from the two broadcast marginals.
+
+    Exactness: observed counts and marginals are integers; expected
+    counts are exactly-rounded rationals of integers; per-cell terms
+    (o-e)^2/e are dyadic-quantized (2^-20) before the cell sum so the
+    total is order-free bit-exact. NULL category values are excluded
+    (both engines must mirror this). Returns one row
+    ``(n, a_levels, b_levels, dof, chi2, cramers_v)``; ``cramers_v``
+    is NULL when dof = 0 or n = 0.
+    """
+    obs = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ma = obs.groupBy("a").agg(F.sum("c").cast("long").alias("ra"))
+    mb = obs.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    tot = obs.agg(F.sum("c").cast("long").alias("n"))
+    grid = ma.crossJoin(F.broadcast(mb))
+    filled = grid.join(obs, ["a", "b"], "left").select(
+        "a", "b", "ra", "cb", F.coalesce("c", F.lit(0)).alias("o")
+    )
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    cells = filled.crossJoin(F.broadcast(tot)).select(
+        "n", dyadic_quantize(term, 20).alias("t")
+    )
+    agg = cells.groupBy("n").agg(F.sum("t").alias("chi2"))
+    ka = ma.agg(F.count(F.lit(1)).cast("int").alias("a_levels"))
+    kb = mb.agg(F.count(F.lit(1)).cast("int").alias("b_levels"))
+    out = agg.crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(kb))
+    dof = (F.col("a_levels") - 1) * (F.col("b_levels") - 1)
+    mindim = F.least(F.col("a_levels") - 1, F.col("b_levels") - 1)
+    v = F.when(
+        (F.col("n") > 0) & (mindim > 0),
+        F.sqrt(F.col("chi2") / (F.col("n").cast("double") * mindim)),
+    )
+    return out.select(
+        "n",
+        "a_levels",
+        "b_levels",
+        dof.cast("int").alias("dof"),
+        "chi2",
+        v.alias("cramers_v"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-statistic of a numeric column across a BOUNDED
+    group column — "do the sources really differ in mean doc length,
+    beyond noise?" (the mean-level companion to the per-group KS
+    decomposition, which compares whole distributions).
+
+    Contract: ``value_col`` is integer-valued (or fixed-decimal scaled
+    to integers by the caller) so the per-group sum / sum-of-squares
+    are EXACT in int64 — that is what makes the statistic reproducible
+    bit-for-bit across engines. One corpus-sized hash aggregate to
+    |groups| rows; SS terms are dyadic-quantized (2^-10) before the
+    groups-sized sums so they are order-free.
+
+    Returns one row ``(k_groups, n, ss_between, ss_within, f_stat)``;
+    ``f_stat`` is NULL when k < 2, n <= k, or ss_within = 0.
+    """
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(F.col(value_col).cast("long")).cast("long").alias("sg"),
+            F.sum(
+                F.col(value_col).cast("long") * F.col(value_col).cast("long")
+            ).cast("long").alias("qg"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mean_g = F.col("sg").cast("double") / F.col("ng")
+    mean = F.col("s").cast("double") / F.col("n")
+    ssb_t = F.col("ng").cast("double") * (mean_g - mean) * (mean_g - mean)
+    ssw_t = (
+        F.col("qg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+    )
+    agg = j.groupBy("k", "n").agg(
+        F.sum(dyadic_quantize(ssb_t, 10)).alias("ss_between"),
+        F.sum(dyadic_quantize(ssw_t, 10)).alias("ss_within"),
+    )
+    f = F.when(
+        (F.col("k") > 1)
+        & (F.col("n") > F.col("k"))
+        & (F.col("ss_within") > 0),
+        (F.col("ss_between") / (F.col("k") - 1))
+        / (F.col("ss_within") / (F.col("n") - F.col("k"))),
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        "ss_between",
+        "ss_within",
+        f.alias("f_stat"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact tie-corrected Kendall rank correlation (tau-b) between two
+    BOUNDED integer-domain columns — the concordance companion to
+    :func:`spearman_corr` (same histogram-first design: the corpus is
+    touched by ONE (x, y) hash aggregate; every pair statistic is then
+    integer arithmetic over the DENSE joint histogram, never an O(n²)
+    pair join).
+
+    Concordant/discordant pair counts come from 2-D prefix sums on the
+    dense grid: C = Σ c(x,y)·F(<x,<y) and D = Σ c(x,y)·(N(<x) −
+    F(<x,≤y)), where F is the inclusive 2-D cumulative built by two
+    chained domain-bounded windows (cum over y within x, then over x
+    within y) and the exclusive corners are dense-grid lags. All counts
+    are int64-exact while total pairs n(n−1)/2 < 2^63 (n ≲ 4.3e9 rows
+    — beyond that, pre-aggregate to coarser value bands); tau-b's one
+    sqrt is IEEE-exact over those integers, so the statistic hashes
+    RAW.
+
+    Returns one row
+    ``(n, n_pairs, concordant, discordant, tau_b)``; ``tau_b`` is NULL
+    when either marginal is constant (zero tie-corrected variance).
+    """
+    h = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    xs = h.select("x").distinct().select(
+        "x",
+        (F.row_number().over(Window.orderBy("x")) - 1).alias("xi"),
+    )
+    ys = h.select("y").distinct().select(
+        "y",
+        (F.row_number().over(Window.orderBy("y")) - 1).alias("yi"),
+    )
+    grid = xs.crossJoin(F.broadcast(ys))
+    filled = grid.join(h, ["x", "y"], "left").select(
+        "xi", "yi", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    wy = Window.partitionBy("xi").orderBy("yi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cy = filled.select(
+        "xi", "yi", "c", F.sum("c").over(wy).cast("long").alias("cy")
+    )
+    wx = Window.partitionBy("yi").orderBy("xi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ff = cy.select(
+        "xi", "yi", "c", F.sum("cy").over(wx).cast("long").alias("f")
+    )
+    lag_y = Window.partitionBy("xi").orderBy("yi")
+    fy = ff.select(
+        "xi",
+        "yi",
+        "c",
+        "f",
+        F.coalesce(F.lag("f").over(lag_y), F.lit(0)).alias("f_ym1"),
+    )
+    lag_x = Window.partitionBy("yi").orderBy("xi")
+    fx = fy.select(
+        "xi",
+        "yi",
+        "c",
+        F.coalesce(F.lag("f_ym1").over(lag_x), F.lit(0)).alias("p_lt"),
+        F.coalesce(F.lag("f").over(lag_x), F.lit(0)).alias("f_xm1"),
+    )
+    nx = filled.groupBy("xi").agg(F.sum("c").cast("long").alias("tx"))
+    wnx = Window.orderBy("xi").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nxc = nx.select(
+        "xi", "tx",
+        F.coalesce(F.sum("tx").over(wnx), F.lit(0)).cast("long").alias(
+            "n_ltx"
+        ),
+    )
+    cells = fx.join(F.broadcast(nxc.select("xi", "n_ltx")), "xi")
+    cd = cells.agg(
+        F.sum(F.col("c") * F.col("p_lt")).cast("long").alias("concordant"),
+        F.sum(F.col("c") * (F.col("n_ltx") - F.col("f_xm1")))
+        .cast("long").alias("discordant"),
+    )
+    ny = filled.groupBy("yi").agg(F.sum("c").cast("long").alias("ty"))
+    t1 = nxc.agg(
+        F.sum("tx").cast("long").alias("n"),
+        F.sum(F.col("tx") * (F.col("tx") - 1)).cast("long").alias("tx2"),
+    )
+    t2 = ny.agg(
+        F.sum(F.col("ty") * (F.col("ty") - 1)).cast("long").alias("ty2")
+    )
+    out = cd.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t2))
+    n0 = F.col("n").cast("long") * (F.col("n") - 1) / F.lit(2.0)
+    d1 = n0 - F.col("tx2") / F.lit(2.0)
+    d2 = n0 - F.col("ty2") / F.lit(2.0)
+    tau = F.when(
+        (d1 > 0) & (d2 > 0),
+        (F.col("concordant") - F.col("discordant")) / F.sqrt(d1 * d2),
+    )
+    return out.select(
+        "n",
+        n0.cast("long").alias("n_pairs"),
+        "concordant",
+        "discordant",
+        tau.alias("tau_b"),
+    )

@@ -2213,3 +2213,110 @@ def mutual_nn_pairs(
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b", rq("cosine", 6).alias("cosine"))
     )
+
+
+def silhouette_by_label(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster label — the
+    standard clustering-quality audit at corpus scale: a(i) = distance
+    to the OWN centroid, b(i) = distance to the nearest OTHER centroid,
+    s(i) = (b-a)/max(a,b); the full-pairwise silhouette is O(n²) and
+    never runs on real corpora, the centroid form is the documented
+    O(n·k·d) approximation (sklearn's trick for large n).
+
+    Plan: centroids = ONE (label, dim) hash aggregate (labels×dims
+    rows); each vector is exploded once and joined to the BROADCAST
+    centroid table, giving one partial-distance row per
+    (vector, candidate label, dim), reduced by a (vec, label) hash
+    aggregate — map-side combine keeps the shuffle at n·k rows. No
+    pair joins, no UDFs.
+
+    Exactness: centroid components and per-dim squared gaps are
+    dyadic-quantized (2^-20) so the cross-engine sums are order-free;
+    the per-vector s is dyadic-quantized before the per-label mean.
+    Returns one row per label:
+    ``(label, n_vecs, mean_silhouette, n_negative)`` — n_negative
+    counts vectors closer to a FOREIGN centroid (likely mislabeled /
+    boundary mass).
+    """
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    cent = (
+        emb.select(
+            F.col(label_col).alias("cl"),
+            F.posexplode(as_double(F.col(vec_col))).alias("dim_idx", "cv"),
+        )
+        .groupBy("cl", "dim_idx")
+        .agg(dyadic_quantize(F.avg("cv"), 20).alias("cq"))
+    )
+    ex = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("own"),
+        F.posexplode(as_double(F.col(vec_col))).alias("dim_idx", "v"),
+    )
+    parts = ex.join(F.broadcast(cent), "dim_idx").select(
+        "vid",
+        "own",
+        "cl",
+        dyadic_quantize(
+            (F.col("v") - F.col("cq")) * (F.col("v") - F.col("cq")), 20
+        ).alias("d2t"),
+    )
+    d2 = parts.groupBy("vid", "own", "cl").agg(
+        F.sum("d2t").alias("d2")
+    )
+    per_vec = d2.groupBy("vid", "own").agg(
+        F.max(F.when(F.col("cl") == F.col("own"), F.sqrt("d2"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.sqrt("d2"))).alias("b"),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    scored = per_vec.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).select(
+        "own", dyadic_quantize(s, 20).alias("sq")
+    )
+    return scored.groupBy(F.col("own").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.avg("sq").alias("mean_silhouette"),
+        F.sum((F.col("sq") < 0).cast("int")).cast("long").alias("n_negative"),
+    )
+
+
+def embedding_norm_stats(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label L2-norm distribution audit — the 30-second embedding
+    sanity check before any cosine machinery: un-normalized or
+    degenerate (near-zero / exploding) vectors break every similarity
+    score downstream, and a label whose norm band differs from the
+    rest usually means a different encoder version leaked in.
+
+    One narrow projection computes each vector's norm in declared
+    index order (row-local fold, no shuffle), dyadic-quantized
+    (2^-20) so the per-label mean is order-free; ONE labels-sized hash
+    aggregate. Returns ``(label, n_vecs, mean_norm, min_norm,
+    max_norm, n_near_zero)``.
+    """
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    nq = dyadic_quantize(norm(as_double(F.col(vec_col))), 20)
+    per = emb.select(F.col(label_col).alias("label"), nq.alias("nq"))
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.avg("nq").alias("mean_norm"),
+        F.min("nq").alias("min_norm"),
+        F.max("nq").alias("max_norm"),
+        F.sum((F.col("nq") < 1e-6).cast("int")).cast("long").alias(
+            "n_near_zero"
+        ),
+    )

@@ -6700,3 +6700,403 @@ def q_source_ks_fdr(spark, sf_dir):
         "rank",
         (F.col("rank") <= F.col("kmax")).cast("int").alias("significant"),
     )
+
+
+# =========================================================================
+# E7l (r10) — chi-squared independence + Cramér's V: are two slicing
+# dimensions of the corpus actually related (source x language here) —
+# the categorical companion to the numeric drift family
+# =========================================================================
+@register(
+    "q_chi2_independence",
+    "WITH obs AS (SELECT source AS a, lang AS b, "
+    "  CAST(count(*) AS BIGINT) AS c FROM documents "
+    "  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), "
+    "ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM obs GROUP BY 1), "
+    "mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM obs GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs), "
+    "grid AS (SELECT ma.a, ma.ra, mb.b, mb.cb FROM ma, mb), "
+    "filled AS (SELECT g.a, g.b, g.ra, g.cb, coalesce(o.c, 0) AS o "
+    "  FROM grid g LEFT JOIN obs o ON g.a = o.a AND g.b = o.b), "
+    "cells AS (SELECT tot.n, "
+    + _dq_sql(
+        "(o - CAST(ra AS DOUBLE) * cb / n) * (o - CAST(ra AS DOUBLE) "
+        "* cb / n) / (CAST(ra AS DOUBLE) * cb / n)",
+        20,
+    )
+    + " AS t FROM filled, tot), "
+    "agg AS (SELECT n, sum(t) AS chi2 FROM cells GROUP BY 1), "
+    "ka AS (SELECT CAST(count(*) AS INT) AS a_levels FROM ma), "
+    "kb AS (SELECT CAST(count(*) AS INT) AS b_levels FROM mb) "
+    "SELECT n, a_levels, b_levels, "
+    "CAST((a_levels - 1) * (b_levels - 1) AS INT) AS dof, chi2, "
+    "CASE WHEN n > 0 AND least(a_levels - 1, b_levels - 1) > 0 THEN "
+    "  sqrt(chi2 / (CAST(n AS DOUBLE) * least(a_levels - 1, "
+    "  b_levels - 1))) END AS cramers_v "
+    "FROM agg, ka, kb",
+)
+def q_chi2_independence(spark, sf_dir):
+    """E7l (r10): Pearson chi-squared independence test of source x
+    language, with Cramér's V effect size — "is the language mix a
+    property of the feed?" (if yes, language filtering reshapes the
+    source mixture and the E6c weights must be set jointly). ONE
+    corpus aggregate to the dense levels x levels contingency grid
+    (observed-zero cells still carry expected mass); integer counts,
+    exactly-rounded expected values, chi-2 terms dyadic-quantized
+    (2^-20) so the cell sum is order-free; sqrt is IEEE-exact — RAW
+    hash."""
+    from mhw3d_detection_spark.operators.analysis import chi2_independence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_independence(docs.select("source", "lang"), "source", "lang")
+
+
+# =========================================================================
+# E7m (r10) — one-way ANOVA of doc length across sources: mean-level
+# differences with their sampling noise (the mean companion to E7i's
+# per-source KS distribution decomposition)
+# =========================================================================
+@register(
+    "q_anova_length",
+    "WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng, "
+    "  CAST(sum(n_chars) AS BIGINT) AS sg, "
+    "  CAST(sum(n_chars * n_chars) AS BIGINT) AS qg FROM documents "
+    "  WHERE n_chars IS NOT NULL GROUP BY 1), "
+    "tot AS (SELECT CAST(count(*) AS INT) AS k, "
+    "  CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s FROM g), "
+    "j AS (SELECT tot.k, tot.n, "
+    + _dq_sql(
+        "CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / ng - "
+        "CAST(s AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / ng - "
+        "CAST(s AS DOUBLE) / n)",
+        10,
+    )
+    + " AS bt, "
+    + _dq_sql("CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / ng", 10)
+    + " AS wt FROM g, tot), "
+    "agg AS (SELECT k, n, sum(bt) AS ss_between, sum(wt) AS ss_within "
+    "  FROM j GROUP BY 1, 2) "
+    "SELECT k AS k_groups, n, ss_between, ss_within, "
+    "CASE WHEN k > 1 AND n > k AND ss_within > 0 THEN "
+    "  (ss_between / (k - 1)) / (ss_within / (n - k)) END AS f_stat "
+    "FROM agg",
+)
+def q_anova_length(spark, sf_dir):
+    """E7m (r10): one-way ANOVA F of doc length across sources — do the
+    feeds differ in MEAN length beyond noise (E7i's KS names the
+    distribution-level drifter; F is the mean-level screen that feeds
+    the E6c mixture design). Integer-valued column contract: per-group
+    sum / sum-of-squares are int64-exact, SS terms dyadic-quantized
+    (2^-10) before the groups-sized sums — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import anova_oneway
+
+    docs = load_table(spark, sf_dir, "documents")
+    return anova_oneway(docs.select("source", "n_chars"), "n_chars", "source")
+
+
+# =========================================================================
+# E7n (r10) — exact Kendall tau-b between length band and stopword
+# ratio: the concordance companion to E7h's Spearman (same
+# histogram-first design — the corpus never enters a pair join)
+# =========================================================================
+@register(
+    "q_kendall_tau",
+    "WITH toks0 AS (SELECT doc_id, n_chars, " + TOKENS_SQL + " AS toks "
+    "  FROM documents), "
+    "v AS (SELECT n_chars // 20 AS x, "
+    "  CAST(floor(len(list_intersect(toks, "
+    "  ['the','and','of','to','in','is','a','for'])) "
+    "  / greatest(len(toks), 1) * 100.0) AS BIGINT) AS y "
+    "  FROM toks0 WHERE n_chars IS NOT NULL), "
+    "h AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM v "
+    "  GROUP BY 1, 2), "
+    "xs AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS xi "
+    "  FROM (SELECT DISTINCT x FROM h)), "
+    "ys AS (SELECT y, row_number() OVER (ORDER BY y) - 1 AS yi "
+    "  FROM (SELECT DISTINCT y FROM h)), "
+    "grid AS (SELECT xs.x, xs.xi, ys.y, ys.yi FROM xs, ys), "
+    "filled AS (SELECT g.xi, g.yi, CAST(coalesce(h.c, 0) AS BIGINT) AS c "
+    "  FROM grid g LEFT JOIN h ON g.x = h.x AND g.y = h.y), "
+    "cy AS (SELECT xi, yi, c, CAST(sum(c) OVER (PARTITION BY xi "
+    "  ORDER BY yi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  AS BIGINT) AS cy FROM filled), "
+    "ff AS (SELECT xi, yi, c, CAST(sum(cy) OVER (PARTITION BY yi "
+    "  ORDER BY xi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  AS BIGINT) AS f FROM cy), "
+    "fy AS (SELECT xi, yi, c, f, coalesce(lag(f) OVER (PARTITION BY xi "
+    "  ORDER BY yi), 0) AS f_ym1 FROM ff), "
+    "fx AS (SELECT xi, yi, c, coalesce(lag(f_ym1) OVER (PARTITION BY yi "
+    "  ORDER BY xi), 0) AS p_lt, coalesce(lag(f) OVER (PARTITION BY yi "
+    "  ORDER BY xi), 0) AS f_xm1 FROM fy), "
+    "nx AS (SELECT xi, CAST(sum(c) AS BIGINT) AS tx FROM filled "
+    "  GROUP BY 1), "
+    "nxc AS (SELECT xi, tx, CAST(coalesce(sum(tx) OVER (ORDER BY xi "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "  AS n_ltx FROM nx), "
+    "cd AS (SELECT CAST(sum(fx.c * fx.p_lt) AS BIGINT) AS concordant, "
+    "  CAST(sum(fx.c * (nxc.n_ltx - fx.f_xm1)) AS BIGINT) AS discordant "
+    "  FROM fx JOIN nxc ON fx.xi = nxc.xi), "
+    "ny AS (SELECT yi, CAST(sum(c) AS BIGINT) AS ty FROM filled "
+    "  GROUP BY 1), "
+    "t1 AS (SELECT CAST(sum(tx) AS BIGINT) AS n, "
+    "  CAST(sum(tx * (tx - 1)) AS BIGINT) AS tx2 FROM nxc), "
+    "t2 AS (SELECT CAST(sum(ty * (ty - 1)) AS BIGINT) AS ty2 FROM ny) "
+    "SELECT t1.n, CAST(t1.n * (t1.n - 1) / 2.0 AS BIGINT) AS n_pairs, "
+    "cd.concordant, cd.discordant, "
+    "CASE WHEN (t1.n * (t1.n - 1) / 2.0 - t1.tx2 / 2.0) > 0 "
+    "  AND (t1.n * (t1.n - 1) / 2.0 - t2.ty2 / 2.0) > 0 THEN "
+    "  (cd.concordant - cd.discordant) "
+    "  / sqrt((t1.n * (t1.n - 1) / 2.0 - t1.tx2 / 2.0) "
+    "  * (t1.n * (t1.n - 1) / 2.0 - t2.ty2 / 2.0)) END AS tau_b "
+    "FROM cd, t1, t2",
+)
+def q_kendall_tau(spark, sf_dir):
+    """E7n (r10): exact tie-corrected Kendall tau-b between doc-length
+    band (n_chars DIV 20) and stopword-ratio percent — the concordance
+    companion to q_quality_length_spearman's rank correlation, from
+    the SAME histogram-first design: one (x, y) corpus aggregate, then
+    concordant/discordant pair counts as integer 2-D prefix sums over
+    the dense bounded joint grid (two chained domain windows + dense
+    lags — never an O(n²) pair join). tau-b's one sqrt is IEEE-exact
+    over integers — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import kendall_tau_b
+    from mhw3d_detection_spark.operators.textops import (
+        LANG_STOPWORDS,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    ratio = F.size(F.array_intersect(toks, stop)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    v = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.expr("div(n_chars, 20)").alias("x"),
+        F.floor(ratio * F.lit(100.0)).cast("long").alias("y"),
+    )
+    return kendall_tau_b(v, "x", "y")
+
+
+# =========================================================================
+# E3s (r10) — centroid silhouette per cluster label: the clustering-
+# quality audit for the IVF/k-means family (is the coarse quantizer's
+# partition actually separating the space?)
+# =========================================================================
+@register(
+    "q_silhouette",
+    "WITH cent AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim_idx, "
+    + _dq_sql("avg(CAST(embedding[i] AS DOUBLE))", 20)
+    + " AS cq FROM "
+    "  (SELECT label, embedding, "
+    "   unnest(generate_series(1, len(embedding))) AS i FROM embeddings) "
+    "  GROUP BY 1, 2), "
+    "ex AS (SELECT vec_id AS vid, label AS own, CAST(i - 1 AS INT) "
+    "  AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v FROM "
+    "  (SELECT vec_id, label, embedding, "
+    "   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)), "
+    "parts AS (SELECT ex.vid, ex.own, cent.cl, "
+    + _dq_sql("(ex.v - cent.cq) * (ex.v - cent.cq)", 20)
+    + " AS d2t FROM ex JOIN cent ON ex.dim_idx = cent.dim_idx), "
+    "d2 AS (SELECT vid, own, cl, sum(d2t) AS d2 FROM parts "
+    "  GROUP BY 1, 2, 3), "
+    "pv AS (SELECT vid, own, "
+    "  max(CASE WHEN cl = own THEN sqrt(d2) END) AS a, "
+    "  min(CASE WHEN cl <> own THEN sqrt(d2) END) AS b FROM d2 "
+    "  GROUP BY 1, 2), "
+    "sc AS (SELECT own, "
+    + _dq_sql(
+        "CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) "
+        "ELSE 0.0 END",
+        20,
+    )
+    + " AS sq FROM pv WHERE a IS NOT NULL AND b IS NOT NULL) "
+    "SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "avg(sq) AS mean_silhouette, "
+    "CAST(sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_negative "
+    "FROM sc GROUP BY 1",
+)
+def q_silhouette(spark, sf_dir):
+    """E3s (r10): simplified (centroid-based) silhouette per label —
+    the O(n·k·d) clustering-quality audit for the IVF coarse quantizer
+    (full pairwise silhouette is O(n²) and never runs at corpus
+    scale): a = distance to own centroid, b = nearest FOREIGN
+    centroid, s = (b-a)/max(a,b); n_negative counts vectors on the
+    wrong side (mislabeled / boundary mass — IVF multiprobe exists
+    because of exactly these). ONE (label, dim) aggregate + a
+    broadcast centroid join + one (vec, label) reduce; centroid
+    components, per-dim gaps and per-vector s all dyadic-quantized
+    (2^-20) so every cross-engine sum is order-free; sqrt IEEE-exact.
+    mean_silhouette is an exact division of a dyadic sum — RAW
+    hash."""
+    from mhw3d_detection_spark.operators.similarity import (
+        silhouette_by_label,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_by_label(emb)
+
+
+# =========================================================================
+# E3t (r10) — embedding norm audit per label: the 30-second degenerate-
+# vector check before any cosine machinery
+# =========================================================================
+@register(
+    "q_embed_norm_audit",
+    "WITH per AS (SELECT label, "
+    + _dq_sql(
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> x * x)))",
+        20,
+    )
+    + " AS nq FROM embeddings) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "avg(nq) AS mean_norm, min(nq) AS min_norm, max(nq) AS max_norm, "
+    "CAST(sum(CASE WHEN nq < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_near_zero "
+    "FROM per GROUP BY 1",
+)
+def q_embed_norm_audit(spark, sf_dir):
+    """E3t (r10): per-label L2-norm distribution audit — un-normalized
+    or near-zero vectors break every cosine downstream, and a label
+    whose norm band differs from the rest means an encoder-version
+    leak. Pure narrow row-local fold (no shuffle until the labels-
+    sized aggregate); norms dyadic-quantized (2^-20) so the per-label
+    mean is order-free — RAW hash."""
+    from mhw3d_detection_spark.operators.similarity import (
+        embedding_norm_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_norm_stats(emb)
+
+
+# =========================================================================
+# E4u (r10) — language-ID confusion matrix: predicted vs labeled lang
+# — the classifier-eval readout the E4 langid row feeds (precision of
+# the router that decides which docs enter which monolingual corpus)
+# =========================================================================
+def _LANG_CONF_SQL() -> str:
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    lid = REGISTRY["q_text_langid"].sql
+    return (
+        f"WITH pred AS ({lid}), "
+        "j AS (SELECT d.lang, p.lang_pred FROM documents d "
+        "  JOIN pred p ON d.doc_id = p.doc_id), "
+        "c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n "
+        "  FROM j GROUP BY 1, 2), "
+        "t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM c "
+        "  GROUP BY 1) "
+        "SELECT c.lang, c.lang_pred, c.n, "
+        "CAST(c.n AS DOUBLE) / t.n_true AS recall_frac "
+        "FROM c JOIN t ON c.lang = t.lang"
+    )
+
+
+@register("q_lang_confusion", _LANG_CONF_SQL())
+def q_lang_confusion(spark, sf_dir):
+    """E4u (r10): confusion matrix of the stopword-vote language ID
+    against the labeled lang column — per (true, predicted) cell count
+    and within-true-class recall fraction. The eval readout for the
+    corpus router: zh has no wordlist, so its mass landing on 'und'
+    (not on en/de/fr/es) is the designed behavior this row makes
+    visible. Doc-keyed equi-join of the langid projection back to the
+    labels, langs²-bounded output; fractions are exactly-rounded
+    integer rationals — RAW hash. Docs with zero tokens drop out of
+    the vote in BOTH engines (the langid row's documented contract)."""
+    from mhw3d_detection_spark.operators.textops import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    c = j.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("lang").agg(F.sum("n").cast("long").alias("n_true"))
+    return c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.col("n_true")).alias("recall_frac"),
+    )
+
+
+# =========================================================================
+# E7p (r10) — composed drift report: ONE corpus histogram feeds KS +
+# W1 + banded PSI (the monitoring trio fired on every snapshot; the
+# standalone rows re-scan the corpus per statistic)
+# =========================================================================
+def _DRIFT_REPORT_SQL() -> str:
+    d30 = _dq_sql("diff", 30)
+    pn = "(bn + 1.0) / (t.n_new + nb.nb)"
+    po = "(bo + 1.0) / (t.n_old + nb.nb)"
+    return (
+        "WITH s AS (SELECT n_chars AS x, "
+        "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io "
+        "  FROM documents WHERE n_chars IS NOT NULL), "
+        "g AS (SELECT x, CAST(sum(io) AS BIGINT) AS c_old, "
+        "  CAST(count(*) - sum(io) AS BIGINT) AS c_new FROM s GROUP BY 1), "
+        "t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old, "
+        "  CAST(sum(c_new) AS BIGINT) AS n_new FROM g), "
+        "cum AS (SELECT x, CAST(sum(c_old) OVER (ORDER BY x "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "    AS a, "
+        "  CAST(sum(c_new) OVER (ORDER BY x "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "    AS b, "
+        "  CAST(lead(x) OVER (ORDER BY x) - x AS DOUBLE) AS gap FROM g), "
+        "d AS (SELECT cum.x, cum.gap, t.n_old, t.n_new, "
+        "  CASE WHEN t.n_old > 0 AND t.n_new > 0 THEN "
+        "    abs(cum.a / t.n_old - cum.b / t.n_new) END AS diff "
+        "  FROM cum, t), "
+        "ksr AS (SELECT diff AS stat, CAST(x AS BIGINT) AS x_at, n_old, "
+        "  n_new, row_number() OVER (ORDER BY diff DESC NULLS LAST, x) "
+        "  AS rnk FROM d), "
+        "ks AS (SELECT 'ks' AS metric, stat, x_at, n_old, n_new FROM ksr "
+        "  WHERE rnk = 1), "
+        "w1t AS (SELECT sum(CASE WHEN n_old > 0 AND n_new > 0 THEN "
+        f"  {d30} * gap END) AS w1 FROM d WHERE gap IS NOT NULL), "
+        "w1 AS (SELECT 'w1' AS metric, CASE WHEN t.n_old > 0 "
+        "  AND t.n_new > 0 THEN coalesce(w1t.w1, 0.0) END AS stat, "
+        "  CAST(NULL AS BIGINT) AS x_at, t.n_old, t.n_new FROM t, w1t), "
+        "bands AS (SELECT x // 50 AS band, CAST(sum(c_old) AS BIGINT) "
+        "  AS bo, CAST(sum(c_new) AS BIGINT) AS bn FROM g GROUP BY 1), "
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bands), "
+        "pt AS (SELECT t.n_old, t.n_new, "
+        "  CASE WHEN t.n_old > 0 AND t.n_new > 0 THEN "
+        + _dq_sql(f"(({pn}) - ({po})) * ln(({pn}) / ({po}))", 20)
+        + " END AS tt FROM bands, t, nb), "
+        "psi AS (SELECT 'psi' AS metric, CASE WHEN n_old > 0 "
+        "  AND n_new > 0 THEN sum(tt) END AS stat, "
+        "  CAST(NULL AS BIGINT) AS x_at, n_old, n_new FROM pt "
+        "  GROUP BY n_old, n_new) "
+        "SELECT * FROM ks UNION ALL SELECT * FROM w1 "
+        "UNION ALL SELECT * FROM psi"
+    )
+
+
+@register("q_drift_report", _DRIFT_REPORT_SQL())
+def q_drift_report(spark, sf_dir):
+    """E7p (r10): the composed drift report — exact KS sup-norm (with
+    argmax), exact Wasserstein-1, and banded Laplace-smoothed PSI of
+    the doc-length distribution (new snapshot vs existing corpus),
+    all from ONE localCheckpointed distinct-value histogram. The
+    standalone rows (q_ks_drift / q_wasserstein_drift / the PSI
+    family) each pay their own corpus scan; a snapshot monitor fires
+    all three tests every night and wants the corpus touched once
+    (the plans.corpus_report economics, applied to monitoring). KS
+    diffs RAW-exact rationals, W1 terms dyadic 2^-30, PSI terms
+    dyadic 2^-20 (absorbing the one ln ulp) — RAW hash. The ks/w1
+    rows equal the standalone q_ks_drift / q_wasserstein_drift values
+    by construction (pinned in pytest)."""
+    from mhw3d_detection_spark.plans.drift_report import drift_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drift_report(
+        docs.select("doc_id", "n_chars"),
+        "n_chars",
+        F.col("doc_id") % 5 != 4,
+        psi_band=50,
+    )

@@ -777,3 +777,262 @@ def q_tpch_q5_shape(spark, sf_dir):
         F.sum("rev").alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+# --- J10b (r10): TPC-H Q1 pricing-summary shape ---
+@register(
+    "q_tpch_q1_shape",
+    "WITH l AS (SELECT l_returnflag, l_linestatus, "
+    "  floor(l_quantity * 64.0 + 0.5000152587890625) / 64.0 AS qty, "
+    "  floor(l_extendedprice * 64.0 + 0.5000152587890625) / 64.0 AS base, "
+    "  floor(l_extendedprice * (1.0 - l_discount) * 64.0 "
+    "    + 0.5000152587890625) / 64.0 AS disc_price, "
+    "  floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 64.0 "
+    "    + 0.5000152587890625) / 64.0 AS charge "
+    "  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-08-06') "
+    "SELECT l_returnflag, l_linestatus, "
+    "sum(qty) AS sum_qty, sum(base) AS sum_base_price, "
+    "sum(disc_price) AS sum_disc_price, sum(charge) AS sum_charge, "
+    "CAST(count(*) AS BIGINT) AS count_order, "
+    "sum(qty) / count(*) AS avg_qty, "
+    "sum(base) / count(*) AS avg_price "
+    "FROM l GROUP BY 1, 2",
+)
+def q_tpch_q1_shape(spark, sf_dir):
+    """J10b (r10): the TPC-H Q1 pricing-summary shape — the canonical
+    wide-aggregate scan (4 measure sums + counts + averages over a
+    date-filtered fact table, 2-key group). Spark-first: the shipdate
+    predicate pushes into the parquet scan, map-side partial
+    aggregation reduces everything before one 6-key shuffle. Every
+    measure is DYADIC-quantized (1/64, the q_tpch_q5_shape device)
+    before its sum so the group totals are association-free exact
+    dyadics, and the averages are exact divisions of those dyadics by
+    integer counts — unrounded raw-double hash across engines."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp")
+    )
+    one = F.lit(1.0)
+    l = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        dyadic_quantize(F.col("l_quantity"), 6).alias("qty"),
+        dyadic_quantize(F.col("l_extendedprice"), 6).alias("base"),
+        dyadic_quantize(
+            F.col("l_extendedprice") * (one - F.col("l_discount")), 6
+        ).alias("disc_price"),
+        dyadic_quantize(
+            F.col("l_extendedprice")
+            * (one - F.col("l_discount"))
+            * (one + F.col("l_tax")),
+            6,
+        ).alias("charge"),
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("base").alias("sum_base_price"),
+        F.sum("disc_price").alias("sum_disc_price"),
+        F.sum("charge").alias("sum_charge"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+        (F.sum("qty") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum("base") / F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+# --- J10c (r10): TPC-H Q3 shipping-priority shape (top-10) ---
+@register(
+    "q_tpch_q3_shape",
+    "WITH c AS (SELECT c_custkey FROM customer "
+    "  WHERE c_mktsegment = 'BUILDING'), "
+    "o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority "
+    "  FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'), "
+    "l AS (SELECT l_orderkey, "
+    "  floor(l_extendedprice * (1.0 - l_discount) * 64.0 "
+    "    + 0.5000152587890625) / 64.0 AS rev "
+    "  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01') "
+    "SELECT l.l_orderkey, sum(l.rev) AS revenue, "
+    "CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority "
+    "FROM c JOIN o ON c.c_custkey = o.o_custkey "
+    "JOIN l ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY 1, 3, 4 ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q_tpch_q3_shape(spark, sf_dir):
+    """J10c (r10): the TPC-H Q3 shipping-priority shape — segment-dim
+    semi-filter onto the orders x lineitem join, per-order revenue,
+    top-10. Spark-first: the BUILDING customer projection broadcasts,
+    both date predicates push into their scans, the one shuffle is the
+    order-key fact join, and the top-10 is a TakeOrdered (never a
+    global sort). Per-line revenue dyadic-quantized (1/64) before the
+    group sum, so the ORDER BY ranks exact dyadics and ties break on
+    the integer order key — deterministic top-10 across engines."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    ).select(
+        "l_orderkey",
+        dyadic_quantize(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("rev"),
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        "o_orderpriority",
+    ).agg(F.sum("rev").alias("revenue"))
+    return agg.select(
+        "l_orderkey", "revenue", "orderdate", "o_orderpriority"
+    ).orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+
+
+# --- DQ2 (r10): Benford first-digit audit over order totals ---
+def _BENFORD_SQL() -> str:
+    import math
+
+    from mhw3d_detection_spark.operators.analysis import (
+        dyadic_quantize_sql as _dq,
+    )
+
+    exp_case = "CASE " + " ".join(
+        f"WHEN s.digit = {d} THEN {math.log10(1.0 + 1.0 / d)!r}"
+        for d in range(1, 10)
+    ) + " END"
+    term = _dq(
+        "(n - tot * exp_freq) * (n - tot * exp_freq) / (tot * exp_freq)",
+        20,
+    )
+    return (
+        "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) "
+        "  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders "
+        "  WHERE o_totalprice > 0), "
+        "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d "
+        "  GROUP BY 1), "
+        "spine AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) "
+        "  AS digit), "
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c), "
+        f"f AS (SELECT s.digit, coalesce(c.n, 0) AS n, CAST({exp_case} "
+        "  AS DOUBLE) AS exp_freq FROM spine s "
+        "  LEFT JOIN c ON s.digit = c.digit), "
+        "p AS (SELECT f.digit, f.n, CAST(f.n AS DOUBLE) / t.tot "
+        f"  AS obs_freq, f.exp_freq, {term} AS term FROM f, t) "
+        "SELECT digit, n, obs_freq, exp_freq, "
+        "sum(term) OVER () AS chi2_total FROM p"
+    )
+
+
+@register("q_benford_digits", _BENFORD_SQL())
+def q_benford_digits(spark, sf_dir):
+    """DQ2 (r10): Benford's-law first-digit audit of order totals —
+    the classic synthetic-data / fraud smell test (naturally-occurring
+    multi-magnitude amounts follow P(d) = log10(1+1/d); generated or
+    tampered columns don't). First digit is taken from the INTEGER
+    part's string form — never floor(log10(x)), whose libm boundary
+    (1000.0 -> 2.9999...) would mis-bin across engines. Observed
+    frequencies are exactly-rounded rationals; the per-digit chi-2
+    terms are dyadic-quantized (2^-20) so the 9-row windowed total is
+    order-free. One corpus aggregate to 9 rows; expected frequencies
+    are shared Python literals."""
+    import math
+
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = o.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    exp_f = None
+    for dd in range(9, 0, -1):
+        v = F.lit(math.log10(1.0 + 1.0 / dd))
+        exp_f = v if exp_f is None else F.when(
+            F.col("digit") == dd, v
+        ).otherwise(exp_f)
+    f = spine.join(F.broadcast(c), "digit", "left").select(
+        "digit",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        exp_f.alias("exp_freq"),
+    )
+    e = F.col("tot") * F.col("exp_freq")
+    term = (F.col("n") - e) * (F.col("n") - e) / e
+    p = f.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("obs_freq"),
+        "exp_freq",
+        dyadic_quantize(term, 20).alias("term"),
+    )
+    return p.select(
+        "digit",
+        "n",
+        "obs_freq",
+        "exp_freq",
+        F.sum("term").over(Window.partitionBy()).alias("chi2_total"),
+    )
+
+
+# --- W14tr (r10): Markov transition matrix over per-user event flows ---
+_TRANS_WIN = "OVER (PARTITION BY user_id ORDER BY us, event_id)"
+@register(
+    "q_event_transitions",
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+    "  FROM events WHERE user_id IS NOT NULL), "
+    "p AS (SELECT user_id, event_type AS from_type, "
+    f"  lead(event_type) {_TRANS_WIN} AS to_type FROM e), "
+    "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+    "  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+    "t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from "
+    "  FROM c GROUP BY 1) "
+    "SELECT c.from_type, c.to_type, c.n, "
+    "CAST(c.n AS DOUBLE) / t.n_from AS p "
+    "FROM c JOIN t ON c.from_type = t.from_type",
+)
+def q_event_transitions(spark, sf_dir):
+    """W14tr (r10): first-order Markov transition matrix over per-user
+    event streams — P(next event type | current), the behavioral
+    fingerprint behind funnel design and bot detection (a user whose
+    transition row diverges from the population matrix is scripted
+    traffic). One lead() window partitioned by user (parallel across
+    users at any log size, integer-micros + event_id ordering — the
+    q_user_sessions convention), one types²-bounded aggregate;
+    probabilities are exactly-rounded integer rationals — RAW hash."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = p.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )

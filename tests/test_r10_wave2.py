@@ -1,0 +1,345 @@
+"""Round-10 wave-2 operators: brute-force differentials and edge pins
+for the statistical-test family (chi2 independence, one-way ANOVA,
+Kendall tau-b), the embedding audits (centroid silhouette, norm stats),
+the composed drift report, and the new event/orders rows (Markov
+transitions, Benford, TPC-H Q1/Q3 shapes).
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.analysis import (
+    anova_oneway,
+    chi2_independence,
+    kendall_tau_b,
+)
+from mhw3d_detection_spark.operators.similarity import (
+    embedding_norm_stats,
+    silhouette_by_label,
+)
+
+
+# ------------------------------------------------------------------
+# chi-squared independence
+# ------------------------------------------------------------------
+class TestChi2Independence:
+    def _brute(self, rows):
+        from collections import Counter
+
+        obs = Counter(rows)
+        ra = Counter(a for a, _ in rows)
+        cb = Counter(b for _, b in rows)
+        n = len(rows)
+        chi2 = 0.0
+        for a in ra:
+            for b in cb:
+                e = ra[a] * cb[b] / n
+                o = obs.get((a, b), 0)
+                chi2 += (o - e) ** 2 / e
+        return chi2, (len(ra) - 1) * (len(cb) - 1)
+
+    def test_matches_brute_force(self, spark):
+        rng = random.Random(7)
+        rows = [
+            (rng.choice("pqrs"), rng.choice("xyz")) for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = chi2_independence(df, "a", "b").collect()[0]
+        chi2, dof = self._brute(rows)
+        assert got["n"] == 300
+        assert got["dof"] == dof
+        assert got["chi2"] == pytest.approx(chi2, abs=1e-3)
+        v = math.sqrt(chi2 / (300 * min(3, 2)))
+        assert got["cramers_v"] == pytest.approx(v, abs=1e-3)
+
+    def test_zero_observed_cell_counts_expected_mass(self, spark):
+        # (p, y) never occurs — the dense grid must still charge its
+        # expected count to chi2 (a sparse-only sum understates)
+        rows = [("p", "x")] * 5 + [("q", "x")] * 5 + [("q", "y")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = chi2_independence(df, "a", "b").collect()[0]
+        chi2, _ = self._brute(rows)
+        assert got["chi2"] == pytest.approx(chi2, abs=1e-3)
+        assert chi2 > 0
+
+    def test_single_level_dof_zero_null_v(self, spark):
+        df = spark.createDataFrame(
+            [("p", "x"), ("p", "y")], "a string, b string"
+        )
+        got = chi2_independence(df, "a", "b").collect()[0]
+        assert got["dof"] == 0
+        assert got["cramers_v"] is None
+
+    def test_nulls_excluded(self, spark):
+        rows = [("p", "x"), ("p", None), (None, "y"), ("q", "y")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = chi2_independence(df, "a", "b").collect()[0]
+        assert got["n"] == 2
+
+
+# ------------------------------------------------------------------
+# one-way ANOVA
+# ------------------------------------------------------------------
+class TestAnovaOneway:
+    def test_matches_brute_force(self, spark):
+        rng = random.Random(11)
+        rows = []
+        for g, mu in (("a", 50), ("b", 60), ("c", 55)):
+            rows += [(g, mu + rng.randint(-10, 10)) for _ in range(40)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = anova_oneway(df, "v", "g").collect()[0]
+        vals = {}
+        for g, v in rows:
+            vals.setdefault(g, []).append(v)
+        n = len(rows)
+        k = len(vals)
+        grand = sum(v for _, v in rows) / n
+        ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2
+                  for xs in vals.values())
+        ssw = sum((x - sum(xs) / len(xs)) ** 2
+                  for xs in vals.values() for x in xs)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert got["k_groups"] == k and got["n"] == n
+        assert got["ss_between"] == pytest.approx(ssb, rel=1e-6, abs=1e-2)
+        assert got["ss_within"] == pytest.approx(ssw, rel=1e-6, abs=1e-2)
+        assert got["f_stat"] == pytest.approx(f, rel=1e-6)
+
+    def test_single_group_null_f(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3)], "g string, v long"
+        )
+        got = anova_oneway(df, "v", "g").collect()[0]
+        assert got["k_groups"] == 1 and got["f_stat"] is None
+
+    def test_constant_values_zero_ssw_null_f(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long"
+        )
+        got = anova_oneway(df, "v", "g").collect()[0]
+        assert got["ss_within"] == 0.0
+        assert got["f_stat"] is None
+
+
+# ------------------------------------------------------------------
+# Kendall tau-b
+# ------------------------------------------------------------------
+class TestKendallTauB:
+    def _brute(self, pairs):
+        c = d = 0
+        n = len(pairs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (pairs[i][0] > pairs[j][0]) - (pairs[i][0] < pairs[j][0])
+                sy = (pairs[i][1] > pairs[j][1]) - (pairs[i][1] < pairs[j][1])
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d += 1
+        from collections import Counter
+
+        tx = sum(v * (v - 1) // 2 for v in Counter(x for x, _ in pairs).values())
+        ty = sum(v * (v - 1) // 2 for v in Counter(y for _, y in pairs).values())
+        n0 = n * (n - 1) // 2
+        tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+        return c, d, tau
+
+    def test_matches_brute_force_with_ties(self, spark):
+        rng = random.Random(3)
+        pairs = [
+            (rng.randint(0, 8), rng.randint(0, 5)) for _ in range(200)
+        ]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = kendall_tau_b(df, "x", "y").collect()[0]
+        c, d, tau = self._brute(pairs)
+        assert got["concordant"] == c
+        assert got["discordant"] == d
+        assert got["n_pairs"] == 200 * 199 // 2
+        assert got["tau_b"] == pytest.approx(tau, rel=1e-12)
+
+    def test_perfect_monotone_is_one(self, spark):
+        pairs = [(i, 2 * i) for i in range(30)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = kendall_tau_b(df, "x", "y").collect()[0]
+        assert got["tau_b"] == pytest.approx(1.0)
+        assert got["discordant"] == 0
+
+    def test_constant_marginal_null(self, spark):
+        pairs = [(1, i) for i in range(10)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = kendall_tau_b(df, "x", "y").collect()[0]
+        assert got["tau_b"] is None
+
+    def test_reversal_is_minus_one(self, spark):
+        pairs = [(i, -i) for i in range(25)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = kendall_tau_b(df, "x", "y").collect()[0]
+        assert got["tau_b"] == pytest.approx(-1.0)
+        assert got["concordant"] == 0
+
+
+# ------------------------------------------------------------------
+# centroid silhouette + norm audit
+# ------------------------------------------------------------------
+class TestEmbeddingAudits:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, v, lbl) for i, (v, lbl) in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    def test_silhouette_matches_brute(self, spark):
+        rng = random.Random(5)
+        vecs = []
+        for lbl, center in ((0, 0.0), (1, 5.0)):
+            for _ in range(20):
+                vecs.append((
+                    [center + rng.uniform(-1, 1) for _ in range(4)], lbl
+                ))
+        got = {
+            r["label"]: r
+            for r in silhouette_by_label(self._emb(spark, vecs)).collect()
+        }
+        # brute force
+        cents = {}
+        for lbl in (0, 1):
+            pts = [v for v, l2 in vecs if l2 == lbl]
+            cents[lbl] = [
+                sum(p[i] for p in pts) / len(pts) for i in range(4)
+            ]
+        sums = {0: [], 1: []}
+        for v, lbl in vecs:
+            d = {
+                c: math.sqrt(sum((a - b) ** 2 for a, b in zip(v, cents[c])))
+                for c in cents
+            }
+            a = d[lbl]
+            b = min(dv for c, dv in d.items() if c != lbl)
+            sums[lbl].append((b - a) / max(a, b))
+        for lbl in (0, 1):
+            want = sum(sums[lbl]) / len(sums[lbl])
+            assert got[lbl]["n_vecs"] == 20
+            assert got[lbl]["mean_silhouette"] == pytest.approx(
+                want, abs=1e-4
+            )
+        # well-separated clusters: high silhouette, nothing negative
+        assert got[0]["mean_silhouette"] > 0.5
+        assert got[0]["n_negative"] == 0
+
+    def test_silhouette_single_label_empty(self, spark):
+        vecs = [([1.0, 2.0], 0), ([2.0, 1.0], 0)]
+        out = silhouette_by_label(self._emb(spark, vecs)).collect()
+        assert out == []  # no foreign centroid -> no b -> no rows
+
+    def test_norm_stats(self, spark):
+        vecs = [([3.0, 4.0], 0), ([0.0, 0.0], 0), ([6.0, 8.0], 1)]
+        got = {
+            r["label"]: r
+            for r in embedding_norm_stats(self._emb(spark, vecs)).collect()
+        }
+        assert got[0]["mean_norm"] == pytest.approx(2.5, abs=1e-4)
+        assert got[0]["min_norm"] == pytest.approx(0.0, abs=1e-6)
+        assert got[0]["max_norm"] == pytest.approx(5.0, abs=1e-4)
+        assert got[0]["n_near_zero"] == 1
+        assert got[1]["mean_norm"] == pytest.approx(10.0, abs=1e-4)
+
+
+# ------------------------------------------------------------------
+# composed drift report == standalone rows
+# ------------------------------------------------------------------
+class TestDriftReportConsistency:
+    def test_ks_w1_rows_equal_standalone(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rep = {
+            r["metric"]: r
+            for r in REGISTRY["q_drift_report"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        ks = REGISTRY["q_ks_drift"].spark_fn(spark, sf_dir).collect()[0]
+        w1 = REGISTRY["q_wasserstein_drift"].spark_fn(
+            spark, sf_dir
+        ).collect()[0]
+        assert rep["ks"]["stat"] == ks["ks_stat"]
+        assert rep["ks"]["x_at"] == ks["x_at_max"]
+        assert rep["w1"]["stat"] == w1["w1_stat"]
+        assert rep["ks"]["n_old"] == ks["n_old"]
+        assert rep["psi"]["stat"] is not None
+        assert rep["psi"]["stat"] >= 0.0
+
+    def test_one_sided_slice_null_stats(self, spark):
+        from mhw3d_detection_spark.plans.drift_report import drift_report
+
+        df = spark.createDataFrame(
+            [(0, 10), (5, 20), (10, 30)], "doc_id long, n_chars long"
+        )
+        out = {
+            r["metric"]: r
+            for r in drift_report(
+                df, "n_chars", F.col("doc_id") >= 0
+            ).collect()
+        }
+        # everything is "old": new slice empty -> NULL stats, counts live
+        assert out["ks"]["stat"] is None
+        assert out["w1"]["stat"] is None
+        assert out["psi"]["stat"] is None
+        assert out["ks"]["n_old"] == 3 and out["ks"]["n_new"] == 0
+
+
+# ------------------------------------------------------------------
+# event transitions / Benford / TPC-H shapes
+# ------------------------------------------------------------------
+class TestEventOrdersRows:
+    def test_transition_probs_sum_to_one(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_event_transitions"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        from collections import defaultdict
+
+        per_from = defaultdict(float)
+        for r in rows:
+            assert r["n"] > 0
+            per_from[r["from_type"]] += r["p"]
+        for tot in per_from.values():
+            assert tot == pytest.approx(1.0, abs=1e-9)
+
+    def test_benford_shape(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_benford_digits"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+        assert sum(r["obs_freq"] for r in rows) == pytest.approx(1.0)
+        assert sum(
+            r["exp_freq"] for r in rows
+        ) == pytest.approx(1.0, abs=1e-12)
+        assert all(r["chi2_total"] >= 0 for r in rows)
+        assert len({r["chi2_total"] for r in rows}) == 1
+
+    def test_tpch_q3_top10_ordered(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_tpch_q3_shape"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 10
+        revs = [r["revenue"] for r in rows]
+        assert revs == sorted(revs, reverse=True)
+
+    def test_tpch_q1_group_count(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_tpch_q1_shape"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        # avg columns are exact divisions of the dyadic sums
+        for r in rows:
+            assert r["avg_qty"] == pytest.approx(
+                r["sum_qty"] / r["count_order"], rel=0
+            )

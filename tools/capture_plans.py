@@ -116,6 +116,17 @@ PLANS = [
     "q_srp_calibration",
     "q_seasonal_mk",
     "q_source_ks_fdr",
+    "q_chi2_independence",
+    "q_anova_length",
+    "q_kendall_tau",
+    "q_silhouette",
+    "q_embed_norm_audit",
+    "q_lang_confusion",
+    "q_drift_report",
+    "q_event_transitions",
+    "q_benford_digits",
+    "q_tpch_q1_shape",
+    "q_tpch_q3_shape",
 ]
 
 HEADER = """# Physical plans — explain evidence

@@ -162,6 +162,24 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r10: FDR inherits per-source KS's spine/total attaches plus its
     # own 1-row kmax — all scalar/domain-bounded
     "q_source_ks_fdr": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: chi2 crosses the two LEVELS-sized marginal tables
+    # (dense contingency grid — categories, never keys) and attaches
+    # the 1-row total + 1-row level counts — all levels/scalar-bounded
+    "q_chi2_independence": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: ANOVA attaches the 1-row (k, n, s) grand totals to
+    # the groups-sized table — scalar
+    "q_anova_length": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: Kendall crosses the two DISTINCT-band spines (dense
+    # bounded joint grid — the histogram-first design's whole point)
+    # and attaches 1-row pair/tie totals — domain/scalar-bounded
+    "q_kendall_tau": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: Benford attaches the 1-row digit total to the 9-row
+    # spine — scalar
+    "q_benford_digits": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: the drift report attaches the 1-row (n_old, n_new)
+    # totals and 1-row band count to the domain-bounded histogram —
+    # scalar (the q_ks_drift/q_text_drift_psi attaches, composed)
+    "q_drift_report": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
