@@ -3127,3 +3127,110 @@ def weighted_containment_pairs(
             rq(F.col("__ratio"), 6).alias("w_containment"),
         )
     )
+
+
+def token_clustering(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-token local clustering coefficient over the co-occurrence
+    graph — cc = 2·triangles / (deg·(deg−1)), the normalized form of
+    :func:`token_triangles`'s raw counts (a hub token touches many
+    triangles just by having many neighbors; cc says how CLIQUISH the
+    neighborhood itself is — the collocation-community signal, vs mere
+    frequency). Completes the graph family: components = reach,
+    PageRank = global centrality, triangles = raw closure, cc =
+    degree-normalized closure.
+
+    One edge list (low->high oriented, ``min_count``-pruned,
+    localCheckpointed — it feeds the wedge join legs AND the degree
+    count), the token_triangles multi-way self-join for closures, one
+    endpoint union for degrees. All integer until the final exact
+    division; tokens with degree < 2 have no wedge — cc NULL (not 0:
+    "no neighborhood to be cliquish about" is not "open neighborhood").
+    Returns ``(token, degree, n_triangles, clustering_coeff)`` for
+    every token in the pruned edge list.
+    """
+    e = (
+        cooccurrence_counts(docs, text_col=text_col, window=window)
+        .filter((F.col("c_ab") >= min_count) & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("token"))
+        .unionAll(tri.select(F.col("b").alias("token")))
+        .unionAll(tri.select(F.col("c").alias("token")))
+    )
+    tcnt = corners.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    ends = e.select(F.col("u").alias("token")).unionAll(
+        e.select(F.col("v").alias("token"))
+    )
+    deg = ends.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    j = deg.join(tcnt, "token", "left").select(
+        "token",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    cc = F.when(
+        F.col("degree") > 1,
+        F.lit(2.0) * F.col("n_triangles")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    )
+    return j.select(
+        "token", "degree", "n_triangles", cc.alias("clustering_coeff")
+    )
+
+
+def flesch_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic Flesch-reading-ease proxy per document — the
+    readability axis of quality scoring (Flesch 1948; the quality
+    classifier's length/punctuation features say how a page is
+    formatted, readability says how it READS — boilerplate listings
+    and keyword-stuffed spam score far off the prose band).
+
+    Proxies keep it closed-form and engine-exact: words = [a-z0-9]+
+    tokens, sentences = [.!?]+ runs (min 1), syllables = [aeiouy]+
+    vowel GROUPS in the lowercased text (the standard cheap syllable
+    estimate; a real hyphenation dictionary is an offline swap that
+    leaves the plan unchanged). Pure narrow projection — one regex
+    pass per feature, no shuffle at any corpus size; the score is
+    plain IEEE arithmetic on integer counts, bit-equal cross-engine.
+    """
+    text = F.col(text_col)
+    words = F.size(tokens_col(text))
+    sentences = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6)
+        * (syllables.cast("double") / F.greatest(words, F.lit(1)))
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

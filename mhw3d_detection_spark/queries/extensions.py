@@ -7100,3 +7100,88 @@ def q_drift_report(spark, sf_dir):
         F.col("doc_id") % 5 != 4,
         psi_band=50,
     )
+
+
+# =========================================================================
+# E4v (r10) — per-token local clustering coefficient: the degree-
+# normalized closure completing the graph family (E4g's raw triangle
+# counts reward hubs; cc says how cliquish the NEIGHBORHOOD is)
+# =========================================================================
+@register(
+    "q_token_clustering",
+    "WITH d AS (SELECT doc_id, " + TOKENS_SQL + " AS toks FROM documents), "
+    "tokp AS (SELECT doc_id, i AS pos, toks[i] AS token FROM "
+    "  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d)), "
+    "pairs AS (SELECT p.token AS a, r.token AS b FROM tokp p "
+    "  CROSS JOIN (SELECT unnest([1, 2]) AS o) o "
+    "  JOIN tokp r ON r.doc_id = p.doc_id AND r.pos = p.pos + o.o), "
+    "c AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2), "
+    "e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+    "  FROM c WHERE c_ab >= 5 AND a <> b), "
+    "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+    "  FROM e e1 JOIN e e2 ON e1.v = e2.u "
+    "  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "corners AS (SELECT a AS token FROM tri UNION ALL "
+    "  SELECT b AS token FROM tri UNION ALL SELECT c AS token FROM tri), "
+    "tcnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_triangles "
+    "  FROM corners GROUP BY 1), "
+    "ends AS (SELECT u AS token FROM e UNION ALL SELECT v AS token FROM e), "
+    "deg AS (SELECT token, CAST(count(*) AS BIGINT) AS degree "
+    "  FROM ends GROUP BY 1) "
+    "SELECT deg.token, deg.degree, "
+    "CAST(coalesce(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles, "
+    "CASE WHEN deg.degree > 1 THEN "
+    "  2.0 * coalesce(tcnt.n_triangles, 0) "
+    "  / (deg.degree * (deg.degree - 1)) END AS clustering_coeff "
+    "FROM deg LEFT JOIN tcnt ON deg.token = tcnt.token",
+)
+def q_token_clustering(spark, sf_dir):
+    """E4v (r10): per-token local clustering coefficient
+    cc = 2·triangles/(deg·(deg−1)) over the windowed co-occurrence
+    graph — E4g's triangle counts normalized by the wedge count, the
+    collocation-community signal a hub's raw count conflates with
+    frequency. Same pruned low->high edge list (localCheckpointed — it
+    feeds the wedge joins AND the degree count), one endpoint union
+    for degrees; all-integer until one exactly-rounded division;
+    degree<2 tokens report NULL (no wedge to close) — RAW hash."""
+    from mhw3d_detection_spark.operators.textops import token_clustering
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_clustering(docs, window=2, min_count=5)
+
+
+# =========================================================================
+# E4w (r10) — Flesch readability proxy: the readability axis of
+# quality scoring (formatting features say how a page LOOKS, this
+# says how it reads)
+# =========================================================================
+@register(
+    "q_readability",
+    "SELECT doc_id, "
+    "CAST(len(" + TOKENS_SQL + ") AS INT) AS n_words, "
+    "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) "
+    "  AS n_sentences, "
+    "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) "
+    "  AS n_syllables, "
+    f"{_dlit(206.835)} - {_dlit(1.015)} "
+    "* (CAST(len(" + TOKENS_SQL + ") AS DOUBLE) "
+    "  / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)) "
+    f"- {_dlit(84.6)} "
+    "* (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) "
+    "  / greatest(len(" + TOKENS_SQL + "), 1)) AS flesch "
+    "FROM documents",
+)
+def q_readability(spark, sf_dir):
+    """E4w (r10): deterministic Flesch-reading-ease proxy — words =
+    tokens, sentences = [.!?]+ runs (min 1), syllables = vowel groups
+    (the standard cheap estimate; a hyphenation dictionary is an
+    offline swap). Prose lands ~50-80; keyword-stuffed spam and
+    boilerplate listings fall far outside the band — the readability
+    axis the quality classifier's formatting features miss. Pure
+    narrow projection, zero shuffles at any corpus size; plain IEEE
+    arithmetic on integer counts with shared double literals — RAW
+    hash."""
+    from mhw3d_detection_spark.operators.textops import flesch_proxy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flesch_proxy(docs)

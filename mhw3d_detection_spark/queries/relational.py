@@ -1036,3 +1036,129 @@ def q_event_transitions(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+# --- W14hr (r10): hour-of-week load profile with uniformity residuals ---
+@register(
+    "q_load_profile",
+    "WITH e AS (SELECT epoch_us(ts) AS us FROM events), "
+    "h AS (SELECT CAST(((us // 86400000000) + 4) % 7 AS INT) AS dow, "
+    "  CAST((us % 86400000000) // 3600000000 AS INT) AS hour FROM e), "
+    "c AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n FROM h "
+    "  GROUP BY 1, 2), "
+    "spine AS (SELECT d.d AS dow, hh.h AS hour FROM "
+    "  (SELECT CAST(unnest(generate_series(0, 6)) AS INT) AS d) d, "
+    "  (SELECT CAST(unnest(generate_series(0, 23)) AS INT) AS h) hh), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c), "
+    "f AS (SELECT s.dow, s.hour, coalesce(c.n, 0) AS n FROM spine s "
+    "  LEFT JOIN c ON s.dow = c.dow AND s.hour = c.hour) "
+    "SELECT f.dow, f.hour, f.n, CAST(t.tot AS DOUBLE) / 168 AS expected, "
+    "CASE WHEN t.tot > 0 THEN "
+    "  (f.n - CAST(t.tot AS DOUBLE) / 168) "
+    "  / sqrt(CAST(t.tot AS DOUBLE) / 168) END AS std_residual "
+    "FROM f, t",
+)
+def q_load_profile(spark, sf_dir):
+    """W14hr (r10): event counts per (day-of-week, hour-of-day) cell
+    with standardized residuals against the uniform expectation — the
+    capacity-planning / anomaly-screen profile (human traffic shows a
+    diurnal ridge; a flat profile on a 'user' stream is bot mass).
+    Day-of-week derives from integer epoch-day arithmetic
+    ((days+4) mod 7, 0 = Sunday) — NEVER engine dayofweek(), whose
+    0-vs-1-based conventions differ; one corpus aggregate to the dense
+    168-cell spine, residuals exact IEEE over integer counts — RAW
+    hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us")
+    )
+    h = ev.select(
+        ((F.expr("us div 86400000000") + 4) % 7).cast("int").alias("dow"),
+        F.expr("(us % 86400000000) div 3600000000").cast("int").alias(
+            "hour"
+        ),
+    )
+    c = h.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spark_ = ev.sparkSession
+    d7 = spark_.range(7).select(F.col("id").cast("int").alias("dow"))
+    h24 = spark_.range(24).select(F.col("id").cast("int").alias("hour"))
+    spine = d7.crossJoin(h24)
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    f = spine.join(F.broadcast(c), ["dow", "hour"], "left").select(
+        "dow", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    e = F.col("tot").cast("double") / 168
+    return f.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hour",
+        "n",
+        e.alias("expected"),
+        F.when(F.col("tot") > 0, (F.col("n") - e) / F.sqrt(e)).alias(
+            "std_residual"
+        ),
+    )
+
+
+# --- W14rp (r10): composed event-log health report (one log scan) ---
+@register(
+    "q_events_report",
+    "WITH base AS (SELECT user_id, event_type, "
+    "  epoch_us(ts) // 86400000000 AS day FROM events "
+    "  WHERE user_id IS NOT NULL), "
+    "cube AS (SELECT user_id, day, event_type, "
+    "  CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2, 3), "
+    "dau AS (SELECT 'dau' AS section, CAST(day AS VARCHAR) AS key, "
+    "  CAST(count(DISTINCT user_id) AS BIGINT) AS n, "
+    "  CAST(sum(n) AS BIGINT) AS m, CAST(NULL AS DOUBLE) AS x "
+    "  FROM cube GROUP BY 2), "
+    "mixt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ne "
+    "  FROM cube GROUP BY 1), "
+    "tote AS (SELECT CAST(sum(ne) AS BIGINT) AS t FROM mixt), "
+    "mix AS (SELECT 'mix' AS section, event_type AS key, ne AS n, "
+    "  CAST(NULL AS BIGINT) AS m, CAST(ne AS DOUBLE) / t AS x "
+    "  FROM mixt, tote), "
+    "uf AS (SELECT user_id, "
+    "  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed, "
+    "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "    AS purchased FROM cube GROUP BY 1), "
+    "fun AS (SELECT 'funnel' AS section, 'view_purchase' AS key, "
+    "  CAST(sum(viewed) AS BIGINT) AS n, "
+    "  CAST(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 "
+    "    END) AS BIGINT) AS m, "
+    "  CASE WHEN sum(viewed) > 0 THEN "
+    "    CAST(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 "
+    "    END) AS DOUBLE) / sum(viewed) END AS x FROM uf), "
+    "uw AS (SELECT DISTINCT user_id, day // 7 AS week FROM cube), "
+    "fw AS (SELECT user_id, min(week) AS w0 FROM uw GROUP BY 1), "
+    "mw AS (SELECT max(week) AS wmax FROM uw), "
+    "off AS (SELECT unnest(generate_series(0, 3)) AS k), "
+    "el AS (SELECT fw.user_id, o.k, fw.w0 + o.k AS wk "
+    "  FROM fw, off o, mw WHERE fw.w0 + o.k <= mw.wmax), "
+    "act AS (SELECT el.k, CAST(count(*) AS BIGINT) AS m FROM el "
+    "  JOIN uw ON uw.user_id = el.user_id AND uw.week = el.wk "
+    "  GROUP BY 1), "
+    "eln AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM el "
+    "  GROUP BY 1), "
+    "ret AS (SELECT 'retention' AS section, CAST(eln.k AS VARCHAR) "
+    "  AS key, eln.n, CAST(coalesce(act.m, 0) AS BIGINT) AS m, "
+    "  CASE WHEN eln.n > 0 THEN CAST(coalesce(act.m, 0) AS DOUBLE) "
+    "    / eln.n END AS x FROM eln LEFT JOIN act ON eln.k = act.k) "
+    "SELECT * FROM dau UNION ALL SELECT * FROM mix "
+    "UNION ALL SELECT * FROM fun UNION ALL SELECT * FROM ret",
+)
+def q_events_report(spark, sf_dir):
+    """W14rp (r10): the composed event-log health report — daily
+    active users, event-type mix, view->purchase funnel, and pooled
+    weekly retention (offsets 0..3, eligibility-windowed) from ONE
+    log scan reduced to the localCheckpointed (user, day, type)
+    activity cube (plans.events_report). The standalone rows each
+    re-scan the raw log; the daily product-health job pays the scan
+    once — sequence-dependent stats (sessions, transitions) stay out
+    BY DESIGN: they need the event ordering the cube discards. All
+    counts integer, shares/rates exactly-rounded rationals — RAW
+    hash."""
+    from mhw3d_detection_spark.plans.events_report import events_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return events_report(ev)

@@ -343,3 +343,136 @@ class TestEventOrdersRows:
             assert r["avg_qty"] == pytest.approx(
                 r["sum_qty"] / r["count_order"], rel=0
             )
+
+
+# ------------------------------------------------------------------
+# batch 3: clustering coefficient / readability / load profile /
+# composed events report
+# ------------------------------------------------------------------
+class TestTokenClustering:
+    def test_triangle_graph(self, spark):
+        # "aa bb cc aa dd" with window 2 yields edges {aa,bb} {aa,cc}
+        # {bb,cc} {cc,dd} {aa,dd}: triangles {aa,bb,cc} and {aa,cc,dd}.
+        # bb: deg 2, 1 tri -> cc 1.0; dd: deg 2, 1 tri -> cc 1.0;
+        # aa/cc: deg 3, 2 tris -> cc 2*2/(3*2) = 2/3
+        from mhw3d_detection_spark.operators.textops import (
+            token_clustering,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "aa bb cc aa dd") for i in range(6)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["token"]: r
+            for r in token_clustering(docs, min_count=5).collect()
+        }
+        assert got["bb"]["clustering_coeff"] == pytest.approx(1.0)
+        assert got["dd"]["clustering_coeff"] == pytest.approx(1.0)
+        assert got["aa"]["degree"] == 3
+        assert got["aa"]["n_triangles"] == 2
+        assert got["aa"]["clustering_coeff"] == pytest.approx(2 / 3)
+        assert got["cc"]["clustering_coeff"] == pytest.approx(2 / 3)
+        # pendant-only token: a doc set with a degree-1 token
+        docs2 = spark.createDataFrame(
+            [(i, "xx yy") for i in range(6)],
+            "doc_id long, text string",
+        )
+        got2 = {
+            r["token"]: r
+            for r in token_clustering(docs2, min_count=5).collect()
+        }
+        assert got2["xx"]["degree"] == 1
+        assert got2["xx"]["n_triangles"] == 0
+        assert got2["xx"]["clustering_coeff"] is None
+
+    def test_consistent_with_triangles_row(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        tri = {
+            r["token"]: r["n_triangles"]
+            for r in REGISTRY["q_token_triangles"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        cc = {
+            r["token"]: r
+            for r in REGISTRY["q_token_clustering"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        # every triangle token appears with the same count; cc in [0,1]
+        for tok, n in tri.items():
+            assert cc[tok]["n_triangles"] == n
+        for r in cc.values():
+            if r["clustering_coeff"] is not None:
+                assert 0.0 <= r["clustering_coeff"] <= 1.0
+
+
+class TestReadability:
+    def test_hand_computed(self, spark):
+        from mhw3d_detection_spark.operators.textops import flesch_proxy
+
+        docs = spark.createDataFrame(
+            [(0, "The cat sat. The dog ran!")],
+            "doc_id long, text string",
+        )
+        got = flesch_proxy(docs).collect()[0]
+        # tokens: the cat sat the dog ran = 6; sentences: 2 runs;
+        # vowel groups: e,a,a,e,o,a = 6
+        assert got["n_words"] == 6
+        assert got["n_sentences"] == 2
+        assert got["n_syllables"] == 6
+        want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert got["flesch"] == pytest.approx(want)
+
+    def test_no_sentence_punct_floors_to_one(self, spark):
+        from mhw3d_detection_spark.operators.textops import flesch_proxy
+
+        docs = spark.createDataFrame(
+            [(0, "no punctuation here"), (1, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in flesch_proxy(docs).collect()}
+        assert got[0]["n_sentences"] == 1
+        assert got[1]["n_words"] == 0  # empty text must not crash
+
+
+class TestLoadProfileAndEventsReport:
+    def test_load_profile_dense_and_residuals(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_load_profile"].spark_fn(spark, sf_dir).collect()
+        assert len(rows) == 168
+        tot = sum(r["n"] for r in rows)
+        for r in rows:
+            assert r["expected"] == pytest.approx(tot / 168)
+        # chi2-style identity: sum of n equals total (dense spine)
+        assert {(r["dow"], r["hour"]) for r in rows} == {
+            (d, h) for d in range(7) for h in range(24)
+        }
+
+    def test_events_report_sections(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_events_report"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        by_sec = {}
+        for r in rows:
+            by_sec.setdefault(r["section"], []).append(r)
+        assert set(by_sec) == {"dau", "mix", "funnel", "retention"}
+        # mix shares sum to 1
+        assert sum(r["x"] for r in by_sec["mix"]) == pytest.approx(1.0)
+        # funnel matches the standalone A/B machinery's totals shape
+        fun = by_sec["funnel"][0]
+        assert 0 <= fun["m"] <= fun["n"]
+        if fun["n"] > 0:
+            assert fun["x"] == pytest.approx(fun["m"] / fun["n"])
+        # retention offset 0 is definitionally 1.0 (active in the
+        # cohort week itself)
+        r0 = next(r for r in by_sec["retention"] if r["key"] == "0")
+        assert r0["x"] == pytest.approx(1.0)
+        # dau distinct <= events per day
+        for r in by_sec["dau"]:
+            assert r["n"] <= r["m"]

@@ -127,6 +127,10 @@ PLANS = [
     "q_benford_digits",
     "q_tpch_q1_shape",
     "q_tpch_q3_shape",
+    "q_token_clustering",
+    "q_readability",
+    "q_load_profile",
+    "q_events_report",
 ]
 
 HEADER = """# Physical plans — explain evidence

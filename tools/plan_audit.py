@@ -180,6 +180,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # totals and 1-row band count to the domain-bounded histogram —
     # scalar (the q_ks_drift/q_text_drift_psi attaches, composed)
     "q_drift_report": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: the load profile attaches the 1-row event total to
+    # the dense 168-cell spine — scalar
+    "q_load_profile": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: the events report attaches the 1-row mix total and
+    # 1-row max-week to cube-derived tables; the retention offsets dim
+    # is a literal 4-row range — all scalar/parameter-bounded
+    "q_events_report": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
