@@ -3212,6 +3212,24 @@ def flesch_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pass per feature, no shuffle at any corpus size; the score is
     plain IEEE arithmetic on integer counts, bit-equal cross-engine.
     """
+    words, sentences, syllables, flesch = flesch_cols(text_col)
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+def flesch_cols(text_col: str = "text"):
+    """The ONE copy of the Flesch-proxy feature expressions —
+    :func:`flesch_proxy` (batch) and
+    ``streaming.sessionize.streaming_readability_gate`` (ingest) both
+    project these, so a formula fix cannot desynchronize the backfill
+    scorer from the live gate (the ``composite_quality_col`` sharing
+    rule). Returns ``(words, sentences, syllables, flesch)`` columns.
+    """
     text = F.col(text_col)
     words = F.size(tokens_col(text))
     sentences = F.greatest(
@@ -3227,10 +3245,4 @@ def flesch_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         - F.lit(84.6)
         * (syllables.cast("double") / F.greatest(words, F.lit(1)))
     )
-    return docs.select(
-        "doc_id",
-        words.cast("int").alias("n_words"),
-        sentences.cast("int").alias("n_sentences"),
-        syllables.cast("int").alias("n_syllables"),
-        flesch.alias("flesch"),
-    )
+    return words, sentences, syllables, flesch

@@ -1162,3 +1162,194 @@ def q_events_report(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return events_report(ev)
+
+
+# --- J11 (r10): full outer join with match-status rollup ---
+@register(
+    "q_join_full_outer",
+    "WITH j AS (SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+    "  FROM customer c FULL OUTER JOIN orders o "
+    "  ON c.c_custkey = o.o_custkey) "
+    "SELECT CASE WHEN c_custkey IS NULL THEN 'order_only' "
+    "  WHEN o_orderkey IS NULL THEN 'customer_only' "
+    "  ELSE 'matched' END AS side, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    f"{rq_sql('coalesce(sum(o_totalprice), 0.0)', 0)} AS revenue "
+    "FROM j GROUP BY 1",
+)
+def q_join_full_outer(spark, sf_dir):
+    """J11 (r10): FULL OUTER join completeness — customers vs orders
+    with a match-status rollup (matched / customer-only / order-only):
+    the reconciliation shape every referential-integrity audit runs
+    (DQ1's anti-join orphan checks see one side at a time; full outer
+    sees both in one pass). One key-partitioned shuffle join; the
+    status classification is a pure projection, counts integer,
+    revenue rq0."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_orderkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("matched"))
+    )
+    return j.groupBy(side.alias("side")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        rq(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 0).alias(
+            "revenue"
+        ),
+    )
+
+
+# --- A14 (r10): CUBE grouping (all 4 grouping sets in one pass) ---
+@register(
+    "q_agg_cube",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n, "
+    f"{rq_sql('sum(l_extendedprice * (1 - l_discount))', 0)} AS net_rev "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def q_agg_cube(spark, sf_dir):
+    """A14 (r10): CUBE over (returnflag, linestatus) — all four
+    grouping sets (detail, each single-dim margin, grand total) from
+    ONE pass (A11's ROLLUP emits only the prefix hierarchy; dashboards
+    want every margin). Spark expands the sets map-side before the one
+    shuffle — same plan family as rollup, 4/3 the partial rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rq(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                0,
+            ).alias("net_rev"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "net_rev",
+        )
+    )
+
+
+# --- A15 (r10): pairwise Pearson correlation matrix over measures ---
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _CORR_SQL() -> str:
+    import itertools
+
+    parts = [
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        + rq_sql(f"corr({a}, {b})", 4)
+        + " AS pearson FROM lineitem"
+        for a, b in itertools.combinations(_CORR_COLS, 2)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("q_corr_matrix", _CORR_SQL())
+def q_corr_matrix(spark, sf_dir):
+    """A15 (r10): pairwise Pearson correlations over the lineitem
+    measure columns — the numeric-profiling companion to A12's
+    per-column stats (a profiler that cannot see that discount is
+    priced-in misreads every margin analysis). All six pairs come from
+    ONE scan with map-side co-moment partials (Spark's corr is a
+    single-pass mergeable aggregate — no per-pair rescan); rq4 absorbs
+    the engine co-moment association order (the q_xcorr_lagged
+    convention)."""
+    import itertools
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for a, b in itertools.combinations(_CORR_COLS, 2):
+        aggs.append(F.count(F.lit(1)).cast("long").alias(f"n_{a}_{b}"))
+        aggs.append(rq(F.corr(a, b), 4).alias(f"c_{a}_{b}"))
+    wide = li.agg(*aggs)
+    sel = []
+    for a, b in itertools.combinations(_CORR_COLS, 2):
+        sel.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"n_{a}_{b}").alias("n"),
+                F.col(f"c_{a}_{b}").alias("pearson"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*sel)).alias("r")
+    ).select("r.col_x", "r.col_y", "r.n", "r.pearson")
+
+
+# --- W14ss (r10): session-length distribution summary ---
+_SS_WIN = "OVER (PARTITION BY user_id ORDER BY us, event_id)"
+@register(
+    "q_session_stats",
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), "
+    f"l AS (SELECT user_id, us, lag(us) {_SS_WIN} AS pus FROM e), "
+    "m AS (SELECT user_id, us, CASE WHEN pus IS NULL "
+    "  OR us - pus > 7200000000 THEN 1 ELSE 0 END AS new_s FROM l), "
+    "s AS (SELECT user_id, us, CAST(sum(new_s) OVER (PARTITION BY user_id "
+    "  ORDER BY us ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM m), "
+    "g AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "  max(us) - min(us) AS dur_us FROM s GROUP BY 1, 2) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+    "CAST(sum(n_events) AS BIGINT) AS n_events, "
+    "CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_events, "
+    "CAST(sum(dur_us) AS DOUBLE) / count(*) AS mean_dur_us, "
+    "CAST(quantile_cont(dur_us, 0.5) AS DOUBLE) AS p50_dur_us, "
+    "CAST(quantile_cont(dur_us, 0.9) AS DOUBLE) AS p90_dur_us "
+    "FROM g",
+)
+def q_session_stats(spark, sf_dir):
+    """W14ss (r10): session-length distribution summary — session
+    count, events per session, mean/p50/p90 duration: the health
+    numbers a sessionization change is judged by (W14ev emits the
+    per-session table; dashboards consume THIS one row). The same
+    2 h-gap chain (per-user windows, integer micros), then one exact
+    percentile aggregate over the sessions table (percentile ≡
+    quantile_cont on identical integer inputs — the A3 contract);
+    means are exact integer rationals."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.isnull(F.lag("us").over(w))
+        | (F.col("us") - F.lag("us").over(w) > 7_200_000_000)
+    ).cast("int")
+    sess = ev.withColumn("__new", new_s).withColumn(
+        "session_id",
+        F.sum("__new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("int"),
+    )
+    g = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "mean_events"
+        ),
+        (F.sum("dur_us").cast("double") / F.count(F.lit(1))).alias(
+            "mean_dur_us"
+        ),
+        F.expr("percentile(dur_us, 0.5)").cast("double").alias(
+            "p50_dur_us"
+        ),
+        F.expr("percentile(dur_us, 0.9)").cast("double").alias(
+            "p90_dur_us"
+        ),
+    )

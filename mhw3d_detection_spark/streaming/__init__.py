@@ -27,3 +27,6 @@ from mhw3d_detection_spark.streaming.stateful import (  # noqa: F401
     streaming_detect_events_exact,
     streaming_ewma,
 )
+from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401,E402
+    streaming_readability_gate,
+)

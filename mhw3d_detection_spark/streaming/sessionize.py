@@ -1031,3 +1031,46 @@ def streaming_srp_decontaminate_gate(
     if drop_flagged:
         out = out.filter(F.col("flagged") == 0)
     return out
+
+
+def streaming_readability_gate(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    min_flesch: float = 0.0,
+    max_flesch: float = 120.0,
+    keep_only: bool = False,
+) -> DataFrame:
+    """Readability band filter at ingest (E4w's streaming face): the
+    deterministic Flesch proxy of ``operators.textops.flesch_proxy``
+    applied to an incoming document stream — prose lands roughly
+    50-80; keyword-stuffed spam and boilerplate listings fall far
+    outside [min_flesch, max_flesch] and are gated. A pure narrow
+    projection (three regex counts + IEEE arithmetic) — no state, no
+    watermark, composes with any source; batch and stream score each
+    doc identically (the same plan expressions), the backfill/ingest
+    parity every quality gate here guarantees.
+
+    Annotates ``(n_words, n_sentences, n_syllables, flesch, keep)``;
+    with ``keep_only`` failing docs are dropped instead.
+    """
+    from mhw3d_detection_spark.operators.textops import flesch_cols
+
+    _gate_collision_check(
+        stream, ("n_words", "n_sentences", "n_syllables", "flesch", "keep")
+    )
+    words, sentences, syllables, flesch = flesch_cols(text_col)
+    out = stream.select(
+        "*",
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+        (
+            (flesch >= F.lit(float(min_flesch)))
+            & (flesch <= F.lit(float(max_flesch)))
+        ).cast("int").alias("keep"),
+    )
+    if keep_only:
+        out = out.filter(F.col("keep") == 1)
+    return out

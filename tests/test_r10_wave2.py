@@ -476,3 +476,124 @@ class TestLoadProfileAndEventsReport:
         # dau distinct <= events per day
         for r in by_sec["dau"]:
             assert r["n"] <= r["m"]
+
+
+# ------------------------------------------------------------------
+# batch 4: full outer / cube / corr matrix / session stats /
+# streaming readability gate
+# ------------------------------------------------------------------
+class TestBatch4Relational:
+    def test_full_outer_sides(self, spark):
+        from mhw3d_detection_spark.queries.base import REGISTRY  # noqa: F401
+
+        c = spark.createDataFrame(
+            [(1,), (2,), (3,)], "c_custkey long"
+        )
+        o = spark.createDataFrame(
+            [(1, 10, 5.0), (1, 11, 7.0), (9, 12, 3.0)],
+            "o_custkey long, o_orderkey long, o_totalprice double",
+        )
+        j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        side = (
+            F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+            .when(F.col("o_orderkey").isNull(), F.lit("customer_only"))
+            .otherwise(F.lit("matched"))
+        )
+        got = {
+            r["side"]: r["n"]
+            for r in j.groupBy(side.alias("side")).count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert got == {"matched": 2, "customer_only": 2, "order_only": 1}
+
+    def test_cube_contains_rollup(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        cube = {
+            (r["returnflag"], r["linestatus"]): (r["n"], r["net_rev"])
+            for r in REGISTRY["q_agg_cube"].spark_fn(spark, sf_dir).collect()
+        }
+        roll = {
+            (r["returnflag"], r["linestatus"]): (r["n"], r["net_rev"])
+            for r in REGISTRY["q_agg_rollup"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        # every rollup grouping set is inside the cube with equal values
+        for k, v in roll.items():
+            assert cube[k] == v
+        # cube additionally has the linestatus margins
+        assert any(
+            rf == "ALL" and ls != "ALL" for rf, ls in cube
+        )
+
+    def test_corr_matrix_bounds_and_self(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_corr_matrix"].spark_fn(spark, sf_dir).collect()
+        assert len(rows) == 6
+        for r in rows:
+            assert -1.0 <= r["pearson"] <= 1.0
+            assert r["n"] > 0
+
+    def test_session_stats_consistent_with_sessions(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        stats = REGISTRY["q_session_stats"].spark_fn(
+            spark, sf_dir
+        ).collect()[0]
+        sess = REGISTRY["q_user_sessions"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        assert stats["n_sessions"] == len(sess)
+        assert stats["n_events"] == sum(r["n_events"] for r in sess)
+        durs = sorted(r["duration_us"] for r in sess)
+        assert stats["mean_dur_us"] == pytest.approx(
+            sum(durs) / len(durs)
+        )
+        assert durs[0] <= stats["p50_dur_us"] <= durs[-1]
+
+
+def test_streaming_readability_gate_matches_batch(spark, tmp_path):
+    from mhw3d_detection_spark.operators.textops import flesch_proxy
+    from mhw3d_detection_spark.streaming import streaming_readability_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "rdoc_stream")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        streaming_readability_gate(stream, min_flesch=0.0, max_flesch=100.0)
+        .writeStream.format("memory")
+        .queryName("readability_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_words, r.n_syllables, r.flesch)
+        for r in spark.table("readability_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.n_words, r.n_syllables, r.flesch)
+        for r in flesch_proxy(docs).collect()
+    }
+    assert got == want  # bit-exact batch/stream parity (shared exprs)
+    kept = {
+        r.doc_id
+        for r in spark.table("readability_stream").collect()
+        if r.keep == 1
+    }
+    batch_keep = {
+        d for d, (_, _, fl) in want.items() if 0.0 <= fl <= 100.0
+    }
+    assert kept == batch_keep
+
+    # collision check: an input stream already carrying 'flesch' raises
+    import pytest as _pt
+
+    bad = docs.withColumn("flesch", F.lit(1.0))
+    with _pt.raises(Exception, match="flesch"):
+        streaming_readability_gate(bad)

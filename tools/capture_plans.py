@@ -131,6 +131,10 @@ PLANS = [
     "q_readability",
     "q_load_profile",
     "q_events_report",
+    "q_join_full_outer",
+    "q_agg_cube",
+    "q_corr_matrix",
+    "q_session_stats",
 ]
 
 HEADER = """# Physical plans — explain evidence
