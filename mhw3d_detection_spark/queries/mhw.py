@@ -1635,3 +1635,95 @@ def q_seasonal_mk(spark, sf_dir):
     return agg.select(
         "cell_id", "n_seasons", "s_stat", var_s.alias("var_s"), z.alias("z")
     )
+
+
+# =========================================================================
+# W26 (r10) — GPD moment fit over threshold excesses: the shape/scale
+# estimates the W21 mean-excess diagnostic motivates
+# =========================================================================
+@register(
+    "q_gpd_moments",
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "thr AS (SELECT cell_id, quantile_cont(temp, 0.9) AS thr FROM od "
+    "  GROUP BY 1), "
+    "ex AS (SELECT od.cell_id, "
+    "  floor((od.temp - t.thr) * 16.0 + 0.5000152587890625) / 16.0 "
+    "  AS e FROM od JOIN thr t ON od.cell_id = t.cell_id "
+    "  WHERE od.temp > t.thr), "
+    "agg AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_exceed, "
+    "  sum(e) AS s1, sum(e * e) AS s2 FROM ex GROUP BY 1), "
+    "mm AS (SELECT cell_id, n_exceed, s1 / n_exceed AS m, "
+    "  CASE WHEN n_exceed > 1 THEN "
+    "    (s2 - s1 * s1 / n_exceed) / (n_exceed - 1) END AS v "
+    "  FROM agg) "
+    "SELECT t.cell_id, "
+    + rq_sql("t.thr", 2)
+    + " AS thr, coalesce(mm.n_exceed, 0) AS n_exceed, "
+    + rq_sql("mm.m", 4)
+    + " AS mean_excess, "
+    "CASE WHEN mm.v > 0 THEN 0.5 * (1.0 - mm.m * mm.m / mm.v) END "
+    "  AS xi, "
+    "CASE WHEN mm.v > 0 THEN "
+    + rq_sql("0.5 * mm.m * (1.0 + mm.m * mm.m / mm.v)", 2)
+    + " END AS sigma "
+    "FROM thr t LEFT JOIN mm ON t.cell_id = mm.cell_id",
+)
+def q_gpd_moments(spark, sf_dir):
+    """W26 (r10): per-cell Generalized Pareto shape/scale via the
+    method of moments (Hosking & Wallis 1987: ξ = ½(1 − m²/s²),
+    σ = ½m(1 + m²/s²)) over excesses above the exact p90 — the
+    parametric step W21's mean-excess diagnostic motivates (ξ > 0 =
+    heavy tail: return levels diverge from the exponential
+    extrapolation; ξ is what the 100-year-event estimate actually
+    hinges on). Excesses dyadic-quantized (1/16 — products stay under
+    2^53 at these magnitudes) so Σe/Σe² are order-free exact; moments
+    and ξ are exactly-rounded shared formulas — ξ hashes RAW, σ/means
+    display-rounded. Same plan as W21: one percentile aggregate, a
+    cells-sized broadcast back, one filtered aggregate."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    od = orders_daily(spark, sf_dir)
+    thr = od.groupBy("cell_id").agg(
+        F.expr("percentile(temp, 0.9)").alias("thr")
+    )
+    ex = (
+        od.join(F.broadcast(thr), "cell_id")
+        .filter(F.col("temp") > F.col("thr"))
+        .select(
+            "cell_id",
+            dyadic_quantize(F.col("temp") - F.col("thr"), 4).alias("e"),
+        )
+    )
+    agg = ex.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        F.sum("e").alias("s1"),
+        F.sum(F.col("e") * F.col("e")).alias("s2"),
+    )
+    m = F.col("s1") / F.col("n_exceed")
+    v = F.when(
+        F.col("n_exceed") > 1,
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_exceed"))
+        / (F.col("n_exceed") - 1),
+    )
+    mm = agg.select("cell_id", "n_exceed", m.alias("m"), v.alias("v"))
+    xi = F.when(
+        F.col("v") > 0,
+        F.lit(0.5) * (F.lit(1.0) - F.col("m") * F.col("m") / F.col("v")),
+    )
+    sigma = F.when(
+        F.col("v") > 0,
+        rq(
+            F.lit(0.5)
+            * F.col("m")
+            * (F.lit(1.0) + F.col("m") * F.col("m") / F.col("v")),
+            2,
+        ),
+    )
+    return thr.join(mm, "cell_id", "left").select(
+        "cell_id",
+        rq("thr", 2).alias("thr"),
+        F.coalesce("n_exceed", F.lit(0)).cast("long").alias("n_exceed"),
+        rq("m", 4).alias("mean_excess"),
+        xi.alias("xi"),
+        sigma.alias("sigma"),
+    )

@@ -18,6 +18,7 @@ from mhw3d_detection_spark.operators.spatial import (
     spatial_events_3d,
 )
 from mhw3d_detection_spark.queries.base import (
+    ORDERS_DAILY_SQL,
     orders_daily,
     register,
     rq,
@@ -221,4 +222,106 @@ def q_spatial_regrid(spark, sf_dir):
         "n_cells",
         "n_valid",
         rq("w_mean_temp", 4).alias("w_mean_temp"),
+    )
+
+
+# =========================================================================
+# SP7 (r10) — Moran's I spatial autocorrelation of the cell-mean field
+# =========================================================================
+_MORAN_SQL = (
+    f"WITH od AS ({ORDERS_DAILY_SQL}), "
+    "cm AS (SELECT cell_id, "
+    "  floor(avg(temp) * 1048576.0 + 0.5000152587890625) / 1048576.0 "
+    "  AS m FROM od GROUP BY 1), "
+    f"xy AS (SELECT cell_id, CAST(cell_id % {GRID_W} AS BIGINT) AS x, "
+    f"  CAST(cell_id // {GRID_W} AS BIGINT) AS y, m FROM cm), "
+    "mu AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(m) / count(*) "
+    "  AS mean FROM xy), "
+    "z AS (SELECT x, y, m - mu.mean AS z FROM xy, mu), "
+    "d AS (SELECT unnest([1, -1, 0, 0]) AS dx, "
+    "  unnest([0, 0, 1, -1]) AS dy), "
+    "e AS (SELECT a.z AS za, b.z AS zb FROM z a CROSS JOIN d "
+    "  JOIN z b ON b.x = a.x + d.dx AND b.y = a.y + d.dy), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS w_pairs, "
+    "  sum(floor(za * zb * 1048576.0 + 0.5000152587890625) / 1048576.0) "
+    "  AS s_cross FROM e), "
+    "sx AS (SELECT sum(floor(z * z * 1048576.0 + 0.5000152587890625) "
+    "  / 1048576.0) AS s_xx FROM z) "
+    "SELECT mu.n AS n_cells, s.w_pairs, "
+    "CASE WHEN sx.s_xx > 0 AND s.w_pairs > 0 THEN "
+    "  (CAST(mu.n AS DOUBLE) / s.w_pairs) * (s.s_cross / sx.s_xx) END "
+    "  AS morans_i, "
+    "CAST(-1.0 AS DOUBLE) / (mu.n - 1) AS expected_i "
+    "FROM mu, s, sx"
+)
+
+
+@register("q_spatial_moran", _MORAN_SQL)
+def q_spatial_moran(spark, sf_dir):
+    """SP7 (r10): Moran's I spatial autocorrelation of the per-cell
+    mean field over the rook-adjacent grid — THE spatial-coherence
+    screen (I near +1 = smooth field, near the -1/(n-1) expectation =
+    spatial noise; SP2's 3-D objects assume the former, this measures
+    it). Plan: one corpus aggregate to cell means, neighbors via an
+    EQUI-join on computed (x±1, y) / (x, y±1) coordinates — cells-
+    sized, never a cross join over the grid. Cell means, cross
+    products and squared deviations dyadic-quantized (2^-20) so every
+    sum is order-free; the final ratio is exactly-rounded — RAW
+    hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    od = orders_daily(spark, sf_dir)
+    cm = od.groupBy("cell_id").agg(
+        dyadic_quantize(F.avg("temp"), 20).alias("m")
+    )
+    xy = cm.select(
+        (F.col("cell_id") % GRID_W).cast("long").alias("x"),
+        F.expr(f"div(cell_id, {GRID_W})").cast("long").alias("y"),
+        "m",
+    )
+    mu = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("m") / F.count(F.lit(1))).alias("mean"),
+    )
+    z = xy.crossJoin(F.broadcast(mu)).select(
+        "x", "y", (F.col("m") - F.col("mean")).alias("z")
+    )
+    d = od.sparkSession.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long"
+    )
+    a = z.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("z").alias("za"),
+    ).crossJoin(F.broadcast(d))
+    b = z.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("z").alias("zb"),
+    )
+    e = a.join(
+        b,
+        (F.col("bx") == F.col("ax") + F.col("dx"))
+        & (F.col("by") == F.col("ay") + F.col("dy")),
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum(
+            dyadic_quantize(F.col("za") * F.col("zb"), 20)
+        ).alias("s_cross"),
+    )
+    sx = z.agg(
+        F.sum(dyadic_quantize(F.col("z") * F.col("z"), 20)).alias("s_xx")
+    )
+    out = mu.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(sx))
+    mi = F.when(
+        (F.col("s_xx") > 0) & (F.col("w_pairs") > 0),
+        (F.col("n").cast("double") / F.col("w_pairs"))
+        * (F.col("s_cross") / F.col("s_xx")),
+    )
+    return out.select(
+        F.col("n").alias("n_cells"),
+        "w_pairs",
+        mi.alias("morans_i"),
+        (F.lit(-1.0).cast("double") / (F.col("n") - 1)).alias(
+            "expected_i"
+        ),
     )

@@ -597,3 +597,132 @@ def test_streaming_readability_gate_matches_batch(spark, tmp_path):
     bad = docs.withColumn("flesch", F.lit(1.0))
     with _pt.raises(Exception, match="flesch"):
         streaming_readability_gate(bad)
+
+
+# ------------------------------------------------------------------
+# batch 5: Moran's I / GPD moment fit
+# ------------------------------------------------------------------
+class TestMoranAndGpd:
+    def test_moran_brute_force(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import (
+            REGISTRY,
+            orders_daily,
+        )
+
+        got = REGISTRY["q_spatial_moran"].spark_fn(
+            spark, sf_dir
+        ).collect()[0]
+        cells = {
+            r["cell_id"]: r["m"]
+            for r in orders_daily(spark, sf_dir)
+            .groupBy("cell_id")
+            .agg(F.avg("temp").alias("m"))
+            .collect()
+        }
+        xy = {(c % 5, c // 5): m for c, m in cells.items()}
+        n = len(xy)
+        mean = sum(xy.values()) / n
+        z = {k: v - mean for k, v in xy.items()}
+        s_cross = w = 0.0
+        for (x, y), zi in z.items():
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (x + dx, y + dy)
+                if nb in z:
+                    s_cross += zi * z[nb]
+                    w += 1
+        s_xx = sum(v * v for v in z.values())
+        want = (n / w) * (s_cross / s_xx)
+        assert got["n_cells"] == n
+        assert got["w_pairs"] == w
+        assert got["morans_i"] == pytest.approx(want, rel=1e-4)
+        assert got["expected_i"] == pytest.approx(-1 / (n - 1))
+
+    def test_moran_perfect_gradient_positive(self, spark):
+        # a monotone 1-D field on a 5x2 grid: strong positive I
+        from mhw3d_detection_spark.operators.analysis import (
+            dyadic_quantize,  # noqa: F401
+        )
+        from mhw3d_detection_spark.queries import spatial as sp
+
+        rows = [(c, float(c % 5)) for c in range(10)]
+        df = spark.createDataFrame(rows, "cell_id long, m double")
+        # drive the same arithmetic inline (the query wraps orders_daily)
+        xy = {(c % 5, c // 5): v for c, v in rows}
+        mean = sum(xy.values()) / 10
+        z = {k: v - mean for k, v in xy.items()}
+        s_cross = w = 0.0
+        for (x, y), zi in z.items():
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                if (x + dx, y + dy) in z:
+                    s_cross += zi * z[(x + dx, y + dy)]
+                    w += 1
+        s_xx = sum(v * v for v in z.values())
+        assert (10 / w) * (s_cross / s_xx) > 0.5
+        assert sp.GRID_W == 5
+
+    def test_gpd_moments_brute(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import (
+            REGISTRY,
+            orders_daily,
+        )
+
+        got = {
+            r["cell_id"]: r
+            for r in REGISTRY["q_gpd_moments"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        od = orders_daily(spark, sf_dir).collect()
+        per = {}
+        for r in od:
+            per.setdefault(r["cell_id"], []).append(r["temp"])
+        for cell, temps in per.items():
+            temps.sort()
+            # quantile_cont p90
+            import math as _m
+
+            pos = 0.9 * (len(temps) - 1)
+            lo = int(_m.floor(pos))
+            u = temps[lo] + (pos - lo) * (
+                temps[min(lo + 1, len(temps) - 1)] - temps[lo]
+            )
+            ex = [t - u for t in temps if t > u]
+            r = got[cell]
+            assert r["n_exceed"] == len(ex)
+            if len(ex) > 1:
+                m = sum(ex) / len(ex)
+                v = sum((e - m) ** 2 for e in ex) / (len(ex) - 1)
+                xi = 0.5 * (1 - m * m / v)
+                # 1/16 quantization of excesses shifts moments slightly
+                assert r["xi"] == pytest.approx(xi, abs=0.02)
+                assert r["mean_excess"] == pytest.approx(m, rel=0.01)
+
+    def test_gpd_exponential_shape_near_zero(self, spark):
+        # deterministic exponential-ish excesses (inverse-CDF grid):
+        # GPD moment shape should be near 0
+        import math as _m
+
+        from mhw3d_detection_spark.operators.analysis import (
+            dyadic_quantize,
+        )
+
+        n = 4000
+        vals = [
+            (0, 100.0 - 10.0 * _m.log((i + 0.5) / n)) for i in range(n)
+        ]
+        df = spark.createDataFrame(vals, "cell_id long, temp double")
+        thr = df.agg(F.expr("percentile(temp, 0.9)").alias("t")).collect()[
+            0
+        ]["t"]
+        ex = df.filter(F.col("temp") > thr).select(
+            dyadic_quantize(F.col("temp") - F.lit(thr), 4).alias("e")
+        )
+        agg = ex.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("e").alias("s1"),
+            F.sum(F.col("e") * F.col("e")).alias("s2"),
+        ).collect()[0]
+        m = agg["s1"] / agg["n"]
+        v = (agg["s2"] - agg["s1"] ** 2 / agg["n"]) / (agg["n"] - 1)
+        xi = 0.5 * (1 - m * m / v)
+        assert abs(xi) < 0.15  # exponential tail -> shape ~ 0

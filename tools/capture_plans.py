@@ -135,6 +135,8 @@ PLANS = [
     "q_agg_cube",
     "q_corr_matrix",
     "q_session_stats",
+    "q_spatial_moran",
+    "q_gpd_moments",
 ]
 
 HEADER = """# Physical plans — explain evidence

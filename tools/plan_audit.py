@@ -187,6 +187,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # 1-row max-week to cube-derived tables; the retention offsets dim
     # is a literal 4-row range — all scalar/parameter-bounded
     "q_events_report": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: Moran's I crosses the cells table with the LITERAL
+    # 4-row rook-offset dim and attaches 1-row mean/total scalars; the
+    # neighbor join itself is a hash equi-join on computed coordinates
+    "q_spatial_moran": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
