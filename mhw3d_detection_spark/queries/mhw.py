@@ -1727,3 +1727,146 @@ def q_gpd_moments(spark, sf_dir):
         xi.alias("xi"),
         sigma.alias("sigma"),
     )
+
+
+# =========================================================================
+# W27 (r10) — per-cell variance decomposition: how much of each cell's
+# variance is seasonal cycle, how much is trend, how much is weather —
+# the S8 harmonic fit composed into the standard anomaly workflow
+# =========================================================================
+#: shared formula strings (the Cramer-solve device): Spark F.expr and
+#: the DuckDB SQL inline the SAME text, so both engines run the same
+#: exactly-rounded op tree over identical dyadic sums
+_VD_SST = "syy - sy * sy / nn"
+_VD_SSE = "srr - sr * sr / nn"
+_VD_SXXC = "sxx - sx * sx / nn"
+_VD_SLOPE = f"(sxr - sx * sr / nn) / ({_VD_SXXC})"
+_VD_R2S = f"CASE WHEN ({_VD_SST}) > 0 THEN 1.0 - ({_VD_SSE}) / ({_VD_SST}) END"
+_VD_SLOPE_G = (
+    f"CASE WHEN ({_VD_SXXC}) > 0 THEN {_VD_SLOPE} END"
+)
+_VD_R2T = (
+    f"CASE WHEN ({_VD_SST}) > 0 AND ({_VD_SXXC}) > 0 THEN "
+    f"(({_VD_SLOPE}) * ({_VD_SLOPE}) * ({_VD_SXXC})) / ({_VD_SST}) END"
+)
+
+
+def _VARDECOMP_SQL() -> str:
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    harm_fit = REGISTRY["q_harmonic_clim"].sql
+    return (
+        f"WITH coef AS ({harm_fit}), "
+        f"od AS ({ORDERS_DAILY_SQL}), "
+        f"harm AS (SELECT doy, CAST(c AS DOUBLE) AS c, "
+        f"  CAST(s AS DOUBLE) AS s FROM (VALUES {_HARM_VALUES}) "
+        "  AS t(doy, c, s)), "
+        f"j AS (SELECT od.cell_id, {rq_sql('od.temp', 2)} AS y, h.c, h.s, "
+        "  CAST(datediff('day', DATE '1995-01-01', od.time) AS BIGINT) "
+        "  AS x, k.a0, k.a1, k.b1 "
+        f"  FROM od JOIN harm h ON h.doy = {clim_doy_sql('od.time')} "
+        "  JOIN coef k ON k.cell_id = od.cell_id "
+        "  WHERE k.a0 IS NOT NULL), "
+        "r AS (SELECT cell_id, y, x, "
+        "  y - (a0 + a1 * c + b1 * s) AS res FROM j), "
+        "a AS (SELECT cell_id, CAST(count(*) AS DOUBLE) AS nn, "
+        + ", ".join(
+            f"sum({dyadic_quantize_sql(e, b)}) AS {n}"
+            for n, e, b in (
+                ("sy", "y", 6),
+                ("syy", "y * y", 2),
+                ("sr", "res", 6),
+                ("srr", "res * res", 6),
+                ("sx", "CAST(x AS DOUBLE)", 0),
+                ("sxx", "CAST(x AS DOUBLE) * x", 0),
+                ("sxr", "x * res", 6),
+            )
+        )
+        + " FROM r GROUP BY 1) "
+        "SELECT cell_id, CAST(nn AS BIGINT) AS n_days, "
+        f"{rq_sql(_VD_SST, 0)} AS sst, "
+        f"{_VD_R2S} AS r2_seasonal, "
+        f"{rq_sql(_VD_SLOPE_G, 6)} AS trend_slope, "
+        f"{_VD_R2T} AS r2_trend FROM a"
+    )
+
+
+@register("q_variance_decomposition", _VARDECOMP_SQL())
+def q_variance_decomposition(spark, sf_dir):
+    """W27 (r10): per-cell variance decomposition — SST of the rq2
+    series, R² of the S8 harmonic seasonal fit, then the OLS trend on
+    the SEASONAL RESIDUALS (the standard climate-anomaly workflow:
+    remove the cycle, then trend the anomalies — trending raw values
+    aliases the cycle into the slope) and its incremental R². The
+    question every regime-shift monitor starts with: is this cell's
+    variance cycle, drift, or weather? Composed: the S8 coefficient
+    row is reused as a CTE (cells-bounded broadcast back), the 366-row
+    harmonic dim is the shared-literal table, every summed term is
+    dyadic-quantized (y² at 2^-2, the rest 2^-6/2^-0 — partial sums
+    stay under 2^53 at these magnitudes), and all final statistics are
+    ONE shared formula string per output — RAW/rq hash. Cells with a
+    rank-deficient harmonic fit (NULL coefficients) are excluded, same
+    as S8's guard."""
+    from mhw3d_detection_spark.functions.calendar import clim_doy
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.operators.climatology import harmonic_fit
+
+    od = orders_daily(spark, sf_dir)
+    harm = spark.createDataFrame(
+        _harm_rows(), "doy int, c double, s double"
+    )
+    coef = harmonic_fit(od, harm).filter(
+        F.col("a0").isNotNull()
+    ).select("cell_id", "a0", "a1", "b1")
+    j = (
+        od.withColumn("doy", clim_doy(F.col("time")))
+        .join(F.broadcast(harm), "doy")
+        .join(F.broadcast(coef), "cell_id")
+        .select(
+            "cell_id",
+            rq("temp", 2).alias("y"),
+            "c",
+            "s",
+            F.datediff(
+                F.col("time"), F.lit("1995-01-01").cast("date")
+            ).cast("long").alias("x"),
+            "a0",
+            "a1",
+            "b1",
+        )
+    )
+    r = j.select(
+        "cell_id",
+        "y",
+        "x",
+        (
+            F.col("y")
+            - (
+                F.col("a0")
+                + F.col("a1") * F.col("c")
+                + F.col("b1") * F.col("s")
+            )
+        ).alias("res"),
+    )
+    a = r.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(dyadic_quantize(F.col("y"), 6)).alias("sy"),
+        F.sum(dyadic_quantize(F.col("y") * F.col("y"), 2)).alias("syy"),
+        F.sum(dyadic_quantize(F.col("res"), 6)).alias("sr"),
+        F.sum(dyadic_quantize(F.col("res") * F.col("res"), 6)).alias(
+            "srr"
+        ),
+        F.sum(dyadic_quantize(F.col("x").cast("double"), 0)).alias("sx"),
+        F.sum(
+            dyadic_quantize(F.col("x").cast("double") * F.col("x"), 0)
+        ).alias("sxx"),
+        F.sum(dyadic_quantize(F.col("x") * F.col("res"), 6)).alias("sxr"),
+    )
+    return a.select(
+        "cell_id",
+        F.col("nn").cast("long").alias("n_days"),
+        rq(F.expr(_VD_SST), 0).alias("sst"),
+        F.expr(_VD_R2S).alias("r2_seasonal"),
+        rq(F.expr(_VD_SLOPE_G), 6).alias("trend_slope"),
+        F.expr(_VD_R2T).alias("r2_trend"),
+    )

@@ -726,3 +726,53 @@ class TestMoranAndGpd:
         v = (agg["s2"] - agg["s1"] ** 2 / agg["n"]) / (agg["n"] - 1)
         xi = 0.5 * (1 - m * m / v)
         assert abs(xi) < 0.15  # exponential tail -> shape ~ 0
+
+
+# ------------------------------------------------------------------
+# batch 6: variance decomposition
+# ------------------------------------------------------------------
+class TestVarianceDecomposition:
+    def test_identities_on_driver_data(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_variance_decomposition"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["sst"] >= 0
+            if r["r2_seasonal"] is not None:
+                assert -0.01 <= r["r2_seasonal"] <= 1.0
+            if r["r2_trend"] is not None:
+                assert 0.0 <= r["r2_trend"] <= 1.0
+                # sequential decomposition: trend explains residual
+                # variance, so the two shares cannot exceed the total
+                assert r["r2_seasonal"] + r["r2_trend"] <= 1.0 + 1e-9
+
+    def test_pure_sine_fully_seasonal(self, spark):
+        # planted pure first-harmonic series: the harmonic fit should
+        # explain ~all variance and the residual trend ~none
+        import datetime
+        import math as _m
+
+        from mhw3d_detection_spark.operators.climatology import (
+            harmonic_fit,
+        )
+        from mhw3d_detection_spark.queries.mhw import _harm_rows
+
+        base = datetime.date(1995, 1, 1)
+        rows = []
+        for i in range(1460):
+            d = base + datetime.timedelta(days=i)
+            doy = d.timetuple().tm_yday
+            th = 2.0 * _m.pi * (doy - 1) / 365.25
+            rows.append((0, d, 10.0 + 3.0 * _m.cos(th)))
+        ts = spark.createDataFrame(
+            rows, "cell_id long, time date, temp double"
+        )
+        harm = spark.createDataFrame(
+            _harm_rows(), "doy int, c double, s double"
+        )
+        coef = harmonic_fit(ts, harm).collect()[0]
+        assert coef["a0"] == pytest.approx(10.0, abs=0.05)
+        assert coef["amplitude"] == pytest.approx(3.0, abs=0.05)

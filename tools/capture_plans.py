@@ -137,6 +137,7 @@ PLANS = [
     "q_session_stats",
     "q_spatial_moran",
     "q_gpd_moments",
+    "q_variance_decomposition",
 ]
 
 HEADER = """# Physical plans — explain evidence
