@@ -2238,6 +2238,12 @@ def silhouette_by_label(
     Exactness: centroid components and per-dim squared gaps are
     dyadic-quantized (2^-20) so the cross-engine sums are order-free;
     the per-vector s is dyadic-quantized before the per-label mean.
+
+    Contract: vectors share one dimensionality. A ragged vector joins
+    only its own dims and gets a SUBSPACE distance (silently small) —
+    run the E3t norm audit / the arrow row's dirty-vector screen
+    first if the corpus may be ragged.
+
     Returns one row per label:
     ``(label, n_vecs, mean_silhouette, n_negative)`` — n_negative
     counts vectors closer to a FOREIGN centroid (likely mislabeled /

@@ -7457,3 +7457,94 @@ def q_funnel_bootstrap_ci(spark, sf_dir):
         "ci_lo",
         "ci_hi",
     )
+
+
+# =========================================================================
+# E6k (r10) — per-source scorecard: the source-selection panel (length,
+# model quality, readability, language diversity) from ONE corpus scan
+# =========================================================================
+def _SCORECARD_SQL() -> str:
+    fl = (
+        f"{_dlit(206.835)} - {_dlit(1.015)} "
+        "* (CAST(n_tokens AS DOUBLE) "
+        "  / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)) "
+        f"- {_dlit(84.6)} "
+        "* (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+        "  AS DOUBLE) / greatest(n_tokens, 1))"
+    )
+    return (
+        "WITH d AS (SELECT source, lang, n_chars, text, "
+        + TOKENS_SQL
+        + " AS toks FROM documents), "
+        f"f AS (SELECT source, n_chars, text, {QFEATURES_SQL} FROM d), "
+        "q AS (SELECT source, n_chars, "
+        + _dq_sql(QLOGIT_SQL(), 20)
+        + " AS ql, "
+        + _dq_sql(fl, 20)
+        + " AS fl FROM f), "
+        "g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars, "
+        "  sum(ql) / count(*) AS mean_quality_logit, "
+        "  sum(fl) / count(*) AS mean_flesch FROM q GROUP BY 1), "
+        "lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c "
+        "  FROM documents GROUP BY 1, 2), "
+        "ent AS (SELECT source, "
+        + rq_sql(
+            "ln(CAST(sum(c) AS DOUBLE)) "
+            "- sum(c * ln(CAST(c AS DOUBLE))) / sum(c)",
+            4,
+        )
+        + " AS lang_entropy FROM lc GROUP BY 1) "
+        "SELECT g1.source, g1.n_docs, g1.mean_chars, "
+        "g1.mean_quality_logit, g1.mean_flesch, ent.lang_entropy "
+        "FROM g1 JOIN ent ON g1.source = ent.source"
+    )
+
+
+@register("q_source_scorecard", _SCORECARD_SQL())
+def q_source_scorecard(spark, sf_dir):
+    """E6k (r10): the per-source selection scorecard — doc count, mean
+    length, mean model-quality LOGIT (the E4e literal-weight
+    classifier), mean Flesch readability (E4w), and language-mix
+    Shannon entropy, from ONE corpus scan (every feature is row-local;
+    the only shuffles are two sources-sized aggregates). The panel a
+    mixture designer reads BEFORE setting E6c weights: a source can be
+    long-and-unreadable (scraped listings) or short-and-clean — n_docs
+    alone distinguishes neither. Quality/flesch dyadic-quantized
+    (2^-20) so the per-source means are order-free exact; mean length
+    an exact integer rational; entropy rq4 (ln display contract)."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.operators.textops import (
+        flesch_cols,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = quality_scores(docs)
+    _, _, _, flesch = flesch_cols("text")
+    q = qs.select(
+        "source",
+        "n_chars",
+        dyadic_quantize(F.col("quality_logit"), 20).alias("ql"),
+        dyadic_quantize(flesch, 20).alias("fl"),
+    )
+    g1 = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "mean_chars"
+        ),
+        (F.sum("ql") / F.count(F.lit(1))).alias("mean_quality_logit"),
+        (F.sum("fl") / F.count(F.lit(1))).alias("mean_flesch"),
+    )
+    lc = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ent = lc.groupBy("source").agg(
+        rq(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.sum("c"),
+            4,
+        ).alias("lang_entropy")
+    )
+    return g1.join(ent, "source")

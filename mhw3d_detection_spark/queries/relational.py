@@ -1621,3 +1621,194 @@ def q_volume_anomalies(spark, sf_dir):
             (F.col("n") - mean) / F.sqrt(var),
         ).alias("z"),
     )
+
+
+# --- O8 (r10): per-group top-k WITH TIES (rank vs row_number semantics) ---
+@register(
+    "q_topk_with_ties",
+    "WITH r AS (SELECT o_orderpriority, o_totalprice, "
+    "  rank() OVER (PARTITION BY o_orderpriority "
+    "  ORDER BY o_totalprice DESC) AS rnk FROM orders) "
+    "SELECT o_orderpriority, o_totalprice, CAST(rnk AS INT) AS rnk "
+    "FROM r WHERE rnk <= 3",
+)
+def q_topk_with_ties(spark, sf_dir):
+    """O8 (r10): per-priority top-3 order totals WITH TIES — rank()
+    keeps every row tied at the cutoff where O7's row_number silently
+    drops all but one (the semantic difference that corrupts
+    leaderboards and percentile-of-top analyses; ties on money columns
+    are common). Exact-double ordering makes tie membership
+    deterministic cross-engine; groups-bounded output."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --- W14lt (r10): cohort LTV curve (cumulative purchase value / user) ---
+@register(
+    "q_cohort_ltv",
+    "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week, "
+    "  floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) "
+    "  * 64.0 + 0.5000152587890625) / 64.0 AS val FROM events "
+    "  WHERE user_id IS NOT NULL), "
+    "fw AS (SELECT user_id, CAST(min(week) AS BIGINT) AS w0 FROM e "
+    "  GROUP BY 1), "
+    "cs AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_users FROM fw "
+    "  GROUP BY 1), "
+    "v AS (SELECT fw.w0, CAST(e.week - fw.w0 AS BIGINT) AS k, "
+    "  sum(e.val) AS wk_value FROM e JOIN fw ON e.user_id = fw.user_id "
+    "  GROUP BY 1, 2), "
+    "c AS (SELECT w0, k, sum(wk_value) OVER (PARTITION BY w0 ORDER BY k "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value "
+    "  FROM v) "
+    "SELECT c.w0 AS cohort_week, c.k AS week_offset, cs.n_users, "
+    "c.cum_value, c.cum_value / cs.n_users AS ltv "
+    "FROM c JOIN cs ON c.w0 = cs.w0",
+)
+def q_cohort_ltv(spark, sf_dir):
+    """W14lt (r10): cohort lifetime-value curve — cumulative purchase
+    value per cohort (first-seen week) through each week offset,
+    divided by cohort size: the MONEY companion to W14ev's retention
+    counts (users who stay but stop buying look identical in
+    retention; LTV separates them). Purchase values dyadic-quantized
+    (1/64) at the row so every sum up the chain is order-free exact;
+    the cumulative window runs per cohort over OFFSETS (time-bounded);
+    LTV is an exact division — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+        dyadic_quantize(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("val"),
+    )
+    fw = ev.groupBy("user_id").agg(
+        F.min("week").cast("long").alias("w0")
+    )
+    cs = fw.groupBy("w0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    v = ev.join(fw, "user_id").groupBy(
+        "w0", (F.col("week") - F.col("w0")).cast("long").alias("k")
+    ).agg(F.sum("val").alias("wk_value"))
+    wc = Window.partitionBy("w0").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = v.select(
+        "w0", "k", F.sum("wk_value").over(wc).alias("cum_value")
+    )
+    return c.join(F.broadcast(cs), "w0").select(
+        F.col("w0").alias("cohort_week"),
+        F.col("k").alias("week_offset"),
+        "n_users",
+        "cum_value",
+        (F.col("cum_value") / F.col("n_users")).alias("ltv"),
+    )
+
+
+# --- J10d (r10): TPC-H Q6 forecast-revenue-change shape ---
+@register(
+    "q_tpch_q6_shape",
+    "SELECT sum(floor(l_extendedprice * l_discount * 64.0 "
+    "  + 0.5000152587890625) / 64.0) AS revenue, "
+    "CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+)
+def q_tpch_q6_shape(spark, sf_dir):
+    """J10d (r10): the TPC-H Q6 forecast-revenue-change shape — a pure
+    filter-and-sum over the fact table, completing the classic quartet
+    (Q1 wide aggregate, Q3 top-k join, Q5 star join, Q6 scan-bound
+    filter). Every predicate pushes into the parquet scan (the
+    .explain PushedFilters check this repo pins in tests) and the one
+    aggregate is a map-side total; per-line revenue dyadic-quantized
+    (1/64) — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            dyadic_quantize(
+                F.col("l_extendedprice") * F.col("l_discount"), 6
+            )
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+# --- W14st (r10): DAU/MAU stickiness (sliding 28-day distinct users) ---
+@register(
+    "q_dau_mau_stickiness",
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "  epoch_us(ts) // 86400000000 AS day FROM events "
+    "  WHERE user_id IS NOT NULL), "
+    "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud "
+    "  GROUP BY 1), "
+    "ex AS (SELECT ud.user_id, ud.day + o.o AS obs_day FROM ud "
+    "  CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS o) o), "
+    "mau AS (SELECT obs_day AS day, "
+    "  CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM ex "
+    "  GROUP BY 1), "
+    "j AS (SELECT dau.day, dau.dau, mau.mau FROM dau "
+    "  JOIN mau ON dau.day = mau.day) "
+    "SELECT CAST(day AS BIGINT) AS day, dau, mau, "
+    "CAST(dau AS DOUBLE) / mau AS stickiness FROM j",
+)
+def q_dau_mau_stickiness(spark, sf_dir):
+    """W14st (r10): DAU/MAU stickiness per day — THE engagement ratio
+    (what fraction of the month's actives came back today). The hard
+    part is MAU: a SLIDING 28-day DISTINCT-user count cannot be summed
+    from daily DAUs (distincts don't add); instead each (user, day)
+    activity pair is row-locally exploded to the 28 observation days
+    it contributes to, and ONE count-distinct aggregate per day does
+    the rest — pairs x 28 narrow rows, no window over users, no
+    re-scan per day (the classic distributed sliding-distinct). Days
+    with activity inside their trailing window but none today simply
+    don't emit a DAU row (inner join — the dashboard's x-axis is
+    active days). All integer + one exact division — RAW hash."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    offs = ud.sparkSession.range(28).select(F.col("id").alias("o"))
+    ex = ud.crossJoin(F.broadcast(offs)).select(
+        "user_id", (F.col("day") + F.col("o")).alias("obs_day")
+    )
+    mau = ex.groupBy(F.col("obs_day").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        F.col("day").cast("long").alias("day"),
+        "dau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    )

@@ -1061,3 +1061,145 @@ class TestSentenceDedupAndBootstrap:
         ] + [1.0 - cs[-1]]
         mean = sum(k * p for k, p in enumerate(probs))
         assert mean == pytest.approx(1.0, abs=1e-3)
+
+
+# ------------------------------------------------------------------
+# wave 4: top-k with ties / cohort LTV / TPC-H Q6
+# ------------------------------------------------------------------
+class TestWave4:
+    def test_ties_kept_vs_row_number(self, spark):
+        rows = [
+            ("A", 10.0), ("A", 10.0), ("A", 9.0), ("A", 8.0), ("A", 8.0),
+            ("A", 7.0), ("B", 5.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("g").orderBy(F.desc("v"))
+        ranked = df.select(
+            "g", "v", F.rank().over(w).alias("rnk")
+        ).filter(F.col("rnk") <= 3)
+        got = sorted(
+            (r["g"], r["v"], r["rnk"]) for r in ranked.collect()
+        )
+        # both 10.0s kept at rank 1; 9.0 rank 3; the 8.0s (rank 4) out
+        assert got == [
+            ("A", 9.0, 3), ("A", 10.0, 1), ("A", 10.0, 1),
+            ("B", 5.0, 1),
+        ]
+
+    def test_cohort_ltv_monotone_and_consistent(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = REGISTRY["q_cohort_ltv"].spark_fn(spark, sf_dir).collect()
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r["cohort_week"], []).append(r)
+        total_users = sum(
+            rs[0]["n_users"] for rs in by_cohort.values()
+        )
+        # cohort sizes partition the distinct users
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        n_users = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select("user_id").distinct().count()
+        )
+        assert total_users == n_users
+        for rs in by_cohort.values():
+            rs.sort(key=lambda r: r["week_offset"])
+            vals = [r["cum_value"] for r in rs]
+            assert vals == sorted(vals)  # cumulative is monotone
+            for r in rs:
+                assert r["ltv"] == pytest.approx(
+                    r["cum_value"] / r["n_users"]
+                )
+
+    def test_q6_matches_manual_filter(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        got = REGISTRY["q_tpch_q6_shape"].spark_fn(
+            spark, sf_dir
+        ).collect()[0]
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        assert got["n_items"] == li.count()
+        want = sum(
+            r["l_extendedprice"] * r["l_discount"] for r in li.collect()
+        )
+        assert got["revenue"] == pytest.approx(want, rel=1e-3)
+
+
+# ------------------------------------------------------------------
+# wave 4b: source scorecard / DAU-MAU stickiness
+# ------------------------------------------------------------------
+class TestScorecardAndStickiness:
+    def test_scorecard_consistent_with_components(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        rows = {
+            r["source"]: r
+            for r in REGISTRY["q_source_scorecard"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents").collect()
+        per = {}
+        for d in docs:
+            per.setdefault(d["source"], []).append(d)
+        assert set(rows) == set(per)
+        import math as _m
+
+        for src, ds in per.items():
+            r = rows[src]
+            assert r["n_docs"] == len(ds)
+            assert r["mean_chars"] == pytest.approx(
+                sum(d["n_chars"] for d in ds) / len(ds)
+            )
+            # single-language source -> entropy 0; mixed -> positive
+            langs = {}
+            for d in ds:
+                langs[d["lang"]] = langs.get(d["lang"], 0) + 1
+            n = len(ds)
+            want_h = _m.log(n) - sum(
+                c * _m.log(c) for c in langs.values()
+            ) / n
+            assert r["lang_entropy"] == pytest.approx(want_h, abs=1e-3)
+
+    def test_stickiness_bounds_and_brute(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.base import REGISTRY
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        rows = {
+            r["day"]: r
+            for r in REGISTRY["q_dau_mau_stickiness"].spark_fn(
+                spark, sf_dir
+            ).collect()
+        }
+        ud = {
+            (r["user_id"], r["day"])
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select(
+                "user_id",
+                F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            )
+            .distinct()
+            .collect()
+        }
+        days = {d for _, d in ud}
+        for day in days:
+            dau = len({u for u, d in ud if d == day})
+            mau = len({u for u, d in ud if day - 27 <= d <= day})
+            r = rows[day]
+            assert r["dau"] == dau
+            assert r["mau"] == mau
+            assert 0 < r["stickiness"] <= 1.0
+            assert r["stickiness"] == pytest.approx(dau / mau)

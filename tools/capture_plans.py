@@ -145,6 +145,11 @@ PLANS = [
     "q_centroid_distances",
     "q_dedup_sentences",
     "q_funnel_bootstrap_ci",
+    "q_topk_with_ties",
+    "q_cohort_ltv",
+    "q_tpch_q6_shape",
+    "q_source_scorecard",
+    "q_dau_mau_stickiness",
 ]
 
 HEADER = """# Physical plans — explain evidence

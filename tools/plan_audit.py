@@ -198,6 +198,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # LITERAL 64-row replicate dim and attaches the 1-row point
     # estimate + 1-row CI — parameter/scalar-bounded
     "q_funnel_bootstrap_ci": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r10 wave 4: the sliding-distinct MAU crosses (user, day) pairs
+    # with the LITERAL 28-row offset dim — parameter-bounded
+    "q_dau_mau_stickiness": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
