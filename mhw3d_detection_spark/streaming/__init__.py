@@ -30,3 +30,6 @@ from mhw3d_detection_spark.streaming.stateful import (  # noqa: F401
 from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401,E402
     streaming_readability_gate,
 )
+from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401,E402
+    streaming_sentence_dedup_gate,
+)

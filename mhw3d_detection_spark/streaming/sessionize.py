@@ -1074,3 +1074,88 @@ def streaming_readability_gate(
     if keep_only:
         out = out.filter(F.col("keep") == 1)
     return out
+
+
+def streaming_sentence_dedup_gate(
+    stream: DataFrame,
+    bloom_set_bits: list[int],
+    *,
+    m: int = 4096,
+    k: int = 4,
+    flag_frac: float = 0.5,
+    min_chars: int = 20,
+    text_col: str = "text",
+    drop_flagged: bool = False,
+) -> DataFrame:
+    """Sentence-grain template screen at ingest — E2n's streaming
+    face: a Bloom built over the CORPUS'S known duplicate sentences
+    (e.g. ``bloom_bits`` on the >= df sentences the q_dedup_sentences
+    audit names) packed into a LITERAL bitmask and probed by a
+    row-local sentence fold — the shingle decontaminate gate's device
+    at sentence granularity (shingles catch fuzzy overlap; a pasted
+    newsletter/licence block is sentence-EXACT and this flags it with
+    zero false negatives on the indexed set).
+
+    Sentences are the SAME [.!?]+ split / trim / >= min_chars rule as
+    the batch audit (``operators.textops.flesch_proxy``'s sentence
+    convention does not apply here — dedup keeps fragments readability
+    drops). Membership matches ``_bloom_positions``' md5-segment
+    scheme bit-for-bit (``k``/``m`` MUST match the build — k<=4).
+    Output: input columns + ``(n_sents, n_maybe_dup, dup_frac,
+    flagged)``; docs with zero qualifying sentences get NULL dup_frac,
+    flagged 0. Raises on output-column collisions."""
+    if not (1 <= int(k) <= 4):
+        raise ValueError(
+            f"k={k}: md5 supplies at most 4 disjoint 32-bit segments; "
+            "build the sketch with bloom_bits(..., k<=4) for this gate"
+        )
+    _gate_collision_check(
+        stream, ("n_sents", "n_maybe_dup", "dup_frac", "flagged")
+    )
+    n_words = (int(m) + 63) // 64
+    words = [0] * n_words
+    for b in bloom_set_bits:
+        if not (0 <= int(b) < int(m)):
+            raise ValueError(f"bloom bit {b} outside [0, {m})")
+        words[int(b) >> 6] |= 1 << (int(b) & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_sql = "array(" + ", ".join(f"{w}L" for w in signed) + ")"
+
+    def bit_sql(seg: str) -> str:
+        pos = f"pmod(cast(conv({seg}, 16, 10) as bigint), {int(m)})"
+        word = f"element_at({words_sql}, cast({pos} / 64 as int) + 1)"
+        return f"((shiftright({word}, cast({pos} % 64 as int)) & 1) = 1)"
+
+    member = " AND ".join(
+        bit_sql(f"substring(h, {1 + 8 * j}, 8)") for j in range(int(k))
+    )
+    sents = (
+        f"filter(transform(split({text_col}, '[.!?]+'), x -> trim(x)), "
+        f"s -> length(s) >= {int(min_chars)})"
+    )
+    hits = (
+        f"aggregate(transform(transform({sents}, "
+        "s -> md5(cast(s as binary))), "
+        f"h -> case when {member} then 1 else 0 end), 0, "
+        "(acc, x) -> acc + x)"
+    )
+    out = (
+        stream.withColumn("n_sents", F.expr(f"size({sents})").cast("long"))
+        .withColumn("n_maybe_dup", F.expr(hits).cast("long"))
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_sents") > 0,
+                F.col("n_maybe_dup") / F.col("n_sents"),
+            ),
+        )
+        .withColumn(
+            "flagged",
+            F.coalesce(
+                F.col("dup_frac") >= F.lit(float(flag_frac)), F.lit(False)
+            ).cast("int"),
+        )
+    )
+    if drop_flagged:
+        out = out.filter(F.col("flagged") == 0)
+    return out

@@ -1203,3 +1203,69 @@ class TestScorecardAndStickiness:
             assert r["mau"] == mau
             assert 0 < r["stickiness"] <= 1.0
             assert r["stickiness"] == pytest.approx(dau / mau)
+
+
+def test_streaming_sentence_dedup_gate_matches_batch(spark, tmp_path):
+    # build the Bloom from the corpus's duplicate sentences (the E2n
+    # audit's df>=3 set), then the streaming gate must flag exactly the
+    # docs whose qualifying-sentence dup fraction crosses the bar
+    from mhw3d_detection_spark.operators.sketches import bloom_bits
+    from mhw3d_detection_spark.streaming import (
+        streaming_sentence_dedup_gate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sents = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "[.!?]+")).alias("raw"),
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("s"))
+        .filter(F.length("s") >= 20)
+    )
+    dup = (
+        sents.groupBy("s").count().filter(F.col("count") >= 3).select("s")
+    )
+    bits = [
+        r["bit"]
+        for r in bloom_bits(dup, F.col("s"), m=4096, k=4).collect()
+    ]
+
+    path = str(tmp_path / "sent_stream")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        streaming_sentence_dedup_gate(
+            stream, bits, m=4096, k=4, flag_frac=0.5
+        )
+        .writeStream.format("memory")
+        .queryName("sent_gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_sents, r.n_maybe_dup, r.flagged)
+        for r in spark.table("sent_gate_stream").collect()
+    }
+    # batch ground truth: per doc, qualifying sentences + how many are
+    # in the dup set (Bloom has no false negatives; at this tiny n the
+    # 4096/4 sketch has ~no false positives either, but compare via
+    # >= to stay robust)
+    dup_set = {r["s"] for r in dup.collect()}
+    per = {}
+    for r in sents.collect():
+        n, d = per.get(r["doc_id"], (0, 0))
+        per[r["doc_id"]] = (n + 1, d + (1 if r["s"] in dup_set else 0))
+    assert len(got) == docs.count()
+    n_flagged = 0
+    for doc_id, (n, d) in per.items():
+        gn, gd, fl = got[doc_id]
+        assert gn == n
+        assert gd >= d  # no false negatives
+        n_flagged += fl
+    # docs made ONLY of short fragments: NULL dup_frac, flagged 0
+    for doc_id, (gn, gd, fl) in got.items():
+        if doc_id not in per:
+            assert gn == 0 and fl == 0
