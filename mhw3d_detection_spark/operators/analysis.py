@@ -1781,7 +1781,8 @@ def chi2_independence(
     total is order-free bit-exact. NULL category values are excluded
     (both engines must mirror this). Returns one row
     ``(n, a_levels, b_levels, dof, chi2, cramers_v)``; ``cramers_v``
-    is NULL when dof = 0 or n = 0.
+    is NULL when dof = 0; an EMPTY (or all-NULL) input returns an
+    empty frame, not a NULL row.
     """
     obs = (
         df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
@@ -1842,7 +1843,8 @@ def anova_oneway(
     groups-sized sums so they are order-free.
 
     Returns one row ``(k_groups, n, ss_between, ss_within, f_stat)``;
-    ``f_stat`` is NULL when k < 2, n <= k, or ss_within = 0.
+    ``f_stat`` is NULL when k < 2, n <= k, or ss_within = 0; an EMPTY
+    (or all-NULL) input returns an empty frame, not a NULL row.
     """
     g = (
         df.filter(F.col(value_col).isNotNull())
@@ -1906,11 +1908,12 @@ def kendall_tau_b(
     dense grid: C = Σ c(x,y)·F(<x,<y) and D = Σ c(x,y)·(N(<x) −
     F(<x,≤y)), where F is the inclusive 2-D cumulative built by two
     chained domain-bounded windows (cum over y within x, then over x
-    within y) and the exclusive corners are dense-grid lags. All counts
-    are int64-exact while total pairs n(n−1)/2 < 2^63 (n ≲ 4.3e9 rows
-    — beyond that, pre-aggregate to coarser value bands); tau-b's one
-    sqrt is IEEE-exact over those integers, so the statistic hashes
-    RAW.
+    within y) and the exclusive corners are dense-grid lags. All pair
+    counts are INTEGER end to end (n(n−1) and the tie sums are even,
+    so the halvings are exact int64 divisions) while n(n−1) < 2^63
+    (n ≲ 3e9 rows — beyond that, pre-aggregate to coarser value
+    bands); tau-b's one sqrt is IEEE-exact over those integers, so
+    the statistic hashes RAW.
 
     Domain guard (the ks_two_sample ``rq_digits`` device): the dense
     grid is |x-domain| x |y-domain| cells and the prefix windows
@@ -1997,9 +2000,13 @@ def kendall_tau_b(
         F.sum(F.col("ty") * (F.col("ty") - 1)).cast("long").alias("ty2")
     )
     out = cd.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t2))
-    n0 = F.col("n").cast("long") * (F.col("n") - 1) / F.lit(2.0)
-    d1 = n0 - F.col("tx2") / F.lit(2.0)
-    d2 = n0 - F.col("ty2") / F.lit(2.0)
+    # INTEGER pair arithmetic end to end (n(n-1) and the tie sums are
+    # always even, so the halvings are exact int64 divisions) — a
+    # double /2.0 would silently lose exactness past 2^53 pairs,
+    # voiding the documented n ≲ 4.3e9 contract
+    n0 = F.expr("div(n * (n - 1), 2)")
+    d1 = (n0 - F.expr("div(tx2, 2)")).cast("double")
+    d2 = (n0 - F.expr("div(ty2, 2)")).cast("double")
     tau = F.when(
         (d1 > 0) & (d2 > 0),
         (F.col("concordant") - F.col("discordant")) / F.sqrt(d1 * d2),

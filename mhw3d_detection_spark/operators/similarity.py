@@ -2251,13 +2251,14 @@ def silhouette_by_label(
     """
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
 
-    cent = (
-        emb.select(
-            F.col(label_col).alias("cl"),
-            F.posexplode(as_double(F.col(vec_col))).alias("dim_idx", "cv"),
-        )
-        .groupBy("cl", "dim_idx")
-        .agg(dyadic_quantize(F.avg("cv"), 20).alias("cq"))
+    # ONE centroid implementation repo-wide: label_centroids supplies
+    # the (label, dim) means; only the dyadic quantization is local
+    cent = label_centroids(
+        emb, label_col=label_col, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(label_col).alias("cl"),
+        "dim_idx",
+        dyadic_quantize("mean_val", 20).alias("cq"),
     )
     ex = emb.select(
         F.col(id_col).alias("vid"),

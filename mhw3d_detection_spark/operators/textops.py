@@ -3232,12 +3232,15 @@ def flesch_cols(text_col: str = "text"):
     """
     text = F.col(text_col)
     words = F.size(tokens_col(text))
+    # Column-form regexp (not an f-string into F.expr): the text
+    # column stays on the same resolution path as the words term, so
+    # exotic column names / expressions cannot desync the features
     sentences = F.greatest(
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), F.lit(0))),
         F.lit(1),
     )
     syllables = F.size(
-        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+        F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), F.lit(0))
     )
     flesch = (
         F.lit(206.835)

@@ -101,13 +101,25 @@ def drift_report(
     null_x = F.lit(None).cast("long")
 
     wk = Window.orderBy(F.desc_nulls_last("diff"), F.col("x"))
-    ks = (
+    best = (
         d.withColumn("__r", F.row_number().over(wk))
         .filter(F.col("__r") == 1)
         .select(
+            F.lit(1).alias("__k"),
+            F.col("diff").alias("__stat"),
+            F.col("x").cast("long").alias("__x"),
+        )
+    )
+    # anchor on the always-one-row totals so an EMPTY histogram still
+    # emits the ks row (NULL stat, counts visible) — the empty-slice
+    # rule applies to empty INPUT too
+    ks = (
+        tot.withColumn("__k", F.lit(1))
+        .join(F.broadcast(best), "__k", "left")
+        .select(
             F.lit("ks").alias("metric"),
-            F.col("diff").alias("stat"),
-            F.col("x").cast("long").alias("x_at"),
+            F.col("__stat").alias("stat"),
+            F.col("__x").alias("x_at"),
             "n_old",
             "n_new",
         )
@@ -126,8 +138,12 @@ def drift_report(
         "n_new",
     )
 
+    # floor division (NOT Spark's `div`, which truncates toward zero):
+    # negative value domains must band identically to the oracle's `//`
     bands = g.groupBy(
-        F.expr(f"div(x, {int(psi_band)})").alias("band")
+        F.floor(F.col("x") / F.lit(float(psi_band))).cast("long").alias(
+            "band"
+        )
     ).agg(
         F.sum("c_old").cast("long").alias("bo"),
         F.sum("c_new").cast("long").alias("bn"),
@@ -139,15 +155,12 @@ def drift_report(
     psi_terms = (
         bands.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(nb))
-        .select(
-            "n_old",
-            "n_new",
-            F.when(both, dyadic_quantize(term, 20)).alias("t"),
-        )
-        .groupBy("n_old", "n_new")
+        .select(F.when(both, dyadic_quantize(term, 20)).alias("t"))
         .agg(F.sum("t").alias("__psi"))
     )
-    psi = psi_terms.select(
+    # grand aggregate (not groupBy) + totals anchor: one psi row even
+    # on an empty histogram
+    psi = tot.crossJoin(F.broadcast(psi_terms)).select(
         F.lit("psi").alias("metric"),
         F.when(both, F.col("__psi")).alias("stat"),
         null_x.alias("x_at"),

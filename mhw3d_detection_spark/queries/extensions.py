@@ -6803,11 +6803,15 @@ def q_anova_length(spark, sf_dir):
     "q_kendall_tau",
     "WITH toks0 AS (SELECT doc_id, n_chars, " + TOKENS_SQL + " AS toks "
     "  FROM documents), "
-    "v AS (SELECT n_chars // 20 AS x, "
+    "v0 AS (SELECT n_chars // 20 AS x, "
     "  CAST(floor(len(list_intersect(toks, "
     "  ['the','and','of','to','in','is','a','for'])) "
     "  / greatest(len(toks), 1) * 100.0) AS BIGINT) AS y "
     "  FROM toks0 WHERE n_chars IS NOT NULL), "
+    # NULL text -> NULL toks -> NULL y: the operator's isNotNull
+    # filter must be mirrored or a single NULL-text row desyncs the
+    # grid (code-review r10w2 #5)
+    "v AS (SELECT x, y FROM v0 WHERE y IS NOT NULL), "
     "h AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM v "
     "  GROUP BY 1, 2), "
     "xs AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS xi "
@@ -6841,13 +6845,13 @@ def q_anova_length(spark, sf_dir):
     "t1 AS (SELECT CAST(sum(tx) AS BIGINT) AS n, "
     "  CAST(sum(tx * (tx - 1)) AS BIGINT) AS tx2 FROM nxc), "
     "t2 AS (SELECT CAST(sum(ty * (ty - 1)) AS BIGINT) AS ty2 FROM ny) "
-    "SELECT t1.n, CAST(t1.n * (t1.n - 1) / 2.0 AS BIGINT) AS n_pairs, "
+    "SELECT t1.n, CAST(t1.n * (t1.n - 1) // 2 AS BIGINT) AS n_pairs, "
     "cd.concordant, cd.discordant, "
-    "CASE WHEN (t1.n * (t1.n - 1) / 2.0 - t1.tx2 / 2.0) > 0 "
-    "  AND (t1.n * (t1.n - 1) / 2.0 - t2.ty2 / 2.0) > 0 THEN "
+    "CASE WHEN CAST(t1.n * (t1.n - 1) // 2 - t1.tx2 // 2 AS DOUBLE) > 0 "
+    "  AND CAST(t1.n * (t1.n - 1) // 2 - t2.ty2 // 2 AS DOUBLE) > 0 THEN "
     "  (cd.concordant - cd.discordant) "
-    "  / sqrt((t1.n * (t1.n - 1) / 2.0 - t1.tx2 / 2.0) "
-    "  * (t1.n * (t1.n - 1) / 2.0 - t2.ty2 / 2.0)) END AS tau_b "
+    "  / sqrt(CAST(t1.n * (t1.n - 1) // 2 - t1.tx2 // 2 AS DOUBLE) "
+    "  * CAST(t1.n * (t1.n - 1) // 2 - t2.ty2 // 2 AS DOUBLE)) END AS tau_b "
     "FROM cd, t1, t2",
 )
 def q_kendall_tau(spark, sf_dir):
@@ -7051,11 +7055,15 @@ def _DRIFT_REPORT_SQL() -> str:
         "  CASE WHEN t.n_old > 0 AND t.n_new > 0 THEN "
         "    abs(cum.a / t.n_old - cum.b / t.n_new) END AS diff "
         "  FROM cum, t), "
-        "ksr AS (SELECT diff AS stat, CAST(x AS BIGINT) AS x_at, n_old, "
-        "  n_new, row_number() OVER (ORDER BY diff DESC NULLS LAST, x) "
+        "ksr AS (SELECT diff AS stat, CAST(x AS BIGINT) AS x_at, "
+        "  row_number() OVER (ORDER BY diff DESC NULLS LAST, x) "
         "  AS rnk FROM d), "
-        "ks AS (SELECT 'ks' AS metric, stat, x_at, n_old, n_new FROM ksr "
-        "  WHERE rnk = 1), "
+        "best AS (SELECT stat, x_at FROM ksr WHERE rnk = 1), "
+        # totals-anchored LEFT JOIN: the ks row survives an EMPTY
+        # histogram (NULL stat, counts visible) — mirror of the Spark
+        # plan's empty-input rule
+        "ks AS (SELECT 'ks' AS metric, best.stat, best.x_at, "
+        "  t.n_old, t.n_new FROM t LEFT JOIN best ON TRUE), "
         "w1t AS (SELECT sum(CASE WHEN n_old > 0 AND n_new > 0 THEN "
         f"  {d30} * gap END) AS w1 FROM d WHERE gap IS NOT NULL), "
         "w1 AS (SELECT 'w1' AS metric, CASE WHEN t.n_old > 0 "
@@ -7064,14 +7072,15 @@ def _DRIFT_REPORT_SQL() -> str:
         "bands AS (SELECT x // 50 AS band, CAST(sum(c_old) AS BIGINT) "
         "  AS bo, CAST(sum(c_new) AS BIGINT) AS bn FROM g GROUP BY 1), "
         "nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bands), "
-        "pt AS (SELECT t.n_old, t.n_new, "
+        "pt AS (SELECT "
         "  CASE WHEN t.n_old > 0 AND t.n_new > 0 THEN "
         + _dq_sql(f"(({pn}) - ({po})) * ln(({pn}) / ({po}))", 20)
         + " END AS tt FROM bands, t, nb), "
-        "psi AS (SELECT 'psi' AS metric, CASE WHEN n_old > 0 "
-        "  AND n_new > 0 THEN sum(tt) END AS stat, "
-        "  CAST(NULL AS BIGINT) AS x_at, n_old, n_new FROM pt "
-        "  GROUP BY n_old, n_new) "
+        "pts AS (SELECT sum(tt) AS psi FROM pt), "
+        "psi AS (SELECT 'psi' AS metric, CASE WHEN t.n_old > 0 "
+        "  AND t.n_new > 0 THEN pts.psi END AS stat, "
+        "  CAST(NULL AS BIGINT) AS x_at, t.n_old, t.n_new "
+        "  FROM t, pts) "
         "SELECT * FROM ks UNION ALL SELECT * FROM w1 "
         "UNION ALL SELECT * FROM psi"
     )
@@ -7215,21 +7224,11 @@ def q_centroid_distances(spark, sf_dir):
     the corpus is touched once; centroid components and squared gaps
     dyadic-quantized (2^-20), sqrt IEEE-exact — RAW hash."""
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
-    from mhw3d_detection_spark.operators.similarity import (
-        as_double,
-        label_centroids,
-    )
+    from mhw3d_detection_spark.operators.similarity import label_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        emb.select(
-            "label",
-            F.posexplode(as_double(F.col("embedding"))).alias(
-                "dim_idx", "v"
-            ),
-        )
-        .groupBy("label", "dim_idx")
-        .agg(dyadic_quantize(F.avg("v"), 20).alias("cq"))
+    cent = label_centroids(emb).select(
+        "label", "dim_idx", dyadic_quantize("mean_val", 20).alias("cq")
     )
     a = cent.select(
         F.col("label").alias("label_a"),

@@ -912,9 +912,12 @@ def _BENFORD_SQL() -> str:
         20,
     )
     return (
+        # >= 1, not > 0: values in (0,1) floor to first digit 0,
+        # which would count in the grand total yet fall off the 1..9
+        # spine — deflating every obs_freq (code-review r10w2 #6)
         "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) "
         "  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders "
-        "  WHERE o_totalprice > 0), "
+        "  WHERE o_totalprice >= 1), "
         "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d "
         "  GROUP BY 1), "
         "spine AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) "
@@ -947,7 +950,7 @@ def q_benford_digits(spark, sf_dir):
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
 
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 0
+        F.col("o_totalprice") >= 1
     )
     d = o.select(
         F.substring(
@@ -1291,11 +1294,11 @@ _SS_WIN = "OVER (PARTITION BY user_id ORDER BY us, event_id)"
 @register(
     "q_session_stats",
     "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), "
-    f"l AS (SELECT user_id, us, lag(us) {_SS_WIN} AS pus FROM e), "
-    "m AS (SELECT user_id, us, CASE WHEN pus IS NULL "
+    f"l AS (SELECT user_id, event_id, us, lag(us) {_SS_WIN} AS pus FROM e), "
+    "m AS (SELECT user_id, event_id, us, CASE WHEN pus IS NULL "
     "  OR us - pus > 7200000000 THEN 1 ELSE 0 END AS new_s FROM l), "
     "s AS (SELECT user_id, us, CAST(sum(new_s) OVER (PARTITION BY user_id "
-    "  ORDER BY us ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM m), "
+    "  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM m), "
     "g AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
     "  max(us) - min(us) AS dur_us FROM s GROUP BY 1, 2) "
     "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
@@ -1328,7 +1331,7 @@ def q_session_stats(spark, sf_dir):
         F.sum("__new")
         .over(
             Window.partitionBy("user_id")
-            .orderBy("us")
+            .orderBy("us", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         .cast("int"),
@@ -1566,11 +1569,14 @@ def q_session_entry_exit(spark, sf_dir):
     "q_volume_anomalies",
     "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events), "
     "c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1), "
+    # RANGE (not ROWS): idle calendar days emit no row, and a ROWS
+    # frame would silently stretch "trailing 28 days" across months
+    # of gaps (code-review r10w2 #9)
     "w AS (SELECT day, n, "
     "  CAST(count(*) OVER tw AS BIGINT) AS n_prior, "
     "  CAST(sum(n) OVER tw AS BIGINT) AS s1, "
     "  CAST(sum(n * n) OVER tw AS BIGINT) AS s2 FROM c "
-    "  WINDOW tw AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND "
+    "  WINDOW tw AS (ORDER BY day RANGE BETWEEN 28 PRECEDING AND "
     "  1 PRECEDING)) "
     "SELECT CAST(day AS BIGINT) AS day, n, n_prior, "
     "CASE WHEN n_prior >= 7 THEN CAST(s1 AS DOUBLE) / n_prior END "
@@ -1584,9 +1590,11 @@ def q_session_entry_exit(spark, sf_dir):
 )
 def q_volume_anomalies(spark, sf_dir):
     """W14an (r10): per-day event volume scored against the TRAILING
-    28-day window (mean/std from integer Σ/Σ² — exact; the current day
-    excluded from its own baseline) — the ops pager's volume-anomaly
-    screen (|z| > 3 = incident or bot flood). One corpus aggregate to
+    28-CALENDAR-day window (a RANGE frame on the integer day key —
+    idle days emit no row, and a ROWS frame would silently stretch
+    the baseline across gaps; mean/std from integer Σ/Σ² — exact; the
+    current day excluded from its own baseline) — the ops pager's
+    volume-anomaly screen (|z| > 3 = incident or bot flood). One corpus aggregate to
     |days| rows; the ordered window runs over the DAYS table
     (time-bounded, the weekly-trend rule); z NULL until 7 prior days
     exist or when the baseline variance is 0 — RAW hash.
@@ -1599,7 +1607,7 @@ def q_volume_anomalies(spark, sf_dir):
         F.expr("unix_micros(ts) div 86400000000").alias("day")
     )
     c = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tw = Window.orderBy("day").rowsBetween(-28, -1)
+    tw = Window.orderBy("day").rangeBetween(-28, -1)
     w = c.select(
         F.col("day").cast("long").alias("day"),
         "n",

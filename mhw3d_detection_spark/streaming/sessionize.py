@@ -1129,8 +1129,10 @@ def streaming_sentence_dedup_gate(
     member = " AND ".join(
         bit_sql(f"substring(h, {1 + 8 * j}, 8)") for j in range(int(k))
     )
+    # fold over a renamed internal column — the gate's SQL strings
+    # must never interpolate a caller-supplied column name
     sents = (
-        f"filter(transform(split({text_col}, '[.!?]+'), x -> trim(x)), "
+        "filter(transform(split(__gate_txt, '[.!?]+'), x -> trim(x)), "
         f"s -> length(s) >= {int(min_chars)})"
     )
     hits = (
@@ -1140,8 +1142,10 @@ def streaming_sentence_dedup_gate(
         "(acc, x) -> acc + x)"
     )
     out = (
-        stream.withColumn("n_sents", F.expr(f"size({sents})").cast("long"))
+        stream.withColumn("__gate_txt", F.col(text_col))
+        .withColumn("n_sents", F.expr(f"size({sents})").cast("long"))
         .withColumn("n_maybe_dup", F.expr(hits).cast("long"))
+        .drop("__gate_txt")
         .withColumn(
             "dup_frac",
             F.when(

@@ -943,10 +943,13 @@ class TestWave3:
             key=lambda r: r["day"],
         )
         assert rows[0]["z"] is None  # no prior days
-        # hand-check a late day against the trailing-28 window
-        i = len(rows) - 1
-        prior = [r["n"] for r in rows[max(0, i - 28):i]]
-        r = rows[i]
+        # hand-check a late day against the trailing-28 CALENDAR window
+        # (RANGE frame: idle days must not stretch the baseline)
+        r = rows[-1]
+        prior = [
+            p["n"] for p in rows
+            if r["day"] - 28 <= p["day"] <= r["day"] - 1
+        ]
         assert r["n_prior"] == len(prior)
         if len(prior) >= 7:
             m = sum(prior) / len(prior)
@@ -1269,3 +1272,82 @@ def test_streaming_sentence_dedup_gate_matches_batch(spark, tmp_path):
     for doc_id, (gn, gd, fl) in got.items():
         if doc_id not in per:
             assert gn == 0 and fl == 0
+
+
+# ------------------------------------------------------------------
+# code-review r10w2 regression pins
+# ------------------------------------------------------------------
+class TestReviewFixes:
+    def test_session_cumsum_tie_break(self, spark):
+        # review #1: two events at the SAME us where the first (by
+        # event_id) opens a session after a >2h gap — the cumulative
+        # session-id window must order by (us, event_id) so the tie
+        # peer lands in the NEW session, not the previous one
+        from pyspark.sql import Window as W
+
+        t0, t1 = 0, 3 * 3600 * 1_000_000  # 3h gap
+        ev = spark.createDataFrame(
+            [(1, 1, t0), (5, 1, t1), (6, 1, t1)],
+            "event_id long, user_id long, us long",
+        )
+        w = W.partitionBy("user_id").orderBy("us", "event_id")
+        new_s = (
+            F.isnull(F.lag("us").over(w))
+            | (F.col("us") - F.lag("us").over(w) > 7_200_000_000)
+        ).cast("int")
+        s = ev.withColumn("__new", new_s).withColumn(
+            "sid",
+            F.sum("__new").over(
+                W.partitionBy("user_id")
+                .orderBy("us", "event_id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        got = {r["event_id"]: r["sid"] for r in s.collect()}
+        assert got[1] == 1
+        assert got[5] == 2 and got[6] == 2  # tie peer joins the NEW session
+
+    def test_kendall_oracle_null_text_parity(self, spark):
+        # review #5: a corpus with one NULL-text row must hash-match —
+        # live DuckDB differential (the r10-hardening NULL-parity device)
+        import duckdb
+
+        from mhw3d_detection_spark.queries.base import REGISTRY
+
+        rows = [
+            (0, "the cat and the dog", 100),
+            (1, None, 120),
+            (2, "of mice and men and more", 140),
+            (3, "a fox of is to in", 90),
+            (4, "completely different words here", 260),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        )
+        sql = REGISTRY["q_kendall_tau"].sql
+        # build the Spark side directly from the operator (the query fn
+        # loads parquet; here we drive the operator on the same frame)
+        from mhw3d_detection_spark.operators.analysis import kendall_tau_b
+        from mhw3d_detection_spark.operators.textops import (
+            LANG_STOPWORDS,
+            tokens_col,
+        )
+
+        toks = tokens_col(F.col("text"))
+        stop = F.array(*[F.lit(x) for x in LANG_STOPWORDS["en"]])
+        ratio = F.size(F.array_intersect(toks, stop)) / F.greatest(
+            F.size(toks), F.lit(1)
+        )
+        v = docs.filter(F.col("n_chars").isNotNull()).select(
+            F.expr("div(n_chars, 20)").alias("x"),
+            F.floor(ratio * F.lit(100.0)).cast("long").alias("y"),
+        )
+        srow = kendall_tau_b(v, "x", "y").collect()[0]
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        drow = con.execute(sql).fetchone()
+        # n excludes the NULL-text doc in BOTH engines
+        assert srow["n"] == 4
+        assert drow[0] == 4
+        assert srow["concordant"] == drow[2]
+        assert srow["discordant"] == drow[3]

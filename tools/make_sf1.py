@@ -61,12 +61,9 @@ def main() -> int:
     for table, keys in OFFSETS.items():
         for _, (st, sk) in keys.items():
             if (st, sk) not in strides:
-                strides[(st, sk)] = (
-                    con.execute(
-                        f"SELECT max({sk}) + 1 FROM "
-                        f"'{src}/{table if st == table else st}.parquet'"
-                    ).fetchone()[0]
-                )
+                strides[(st, sk)] = con.execute(
+                    f"SELECT max({sk}) + 1 FROM '{src}/{st}.parquet'"
+                ).fetchone()[0]
 
     for t in COPY_ONCE:
         con.execute(
