@@ -6977,7 +6977,7 @@ def q_embed_norm_audit(spark, sf_dir):
 
 
 # =========================================================================
-# E4u (r10) — language-ID confusion matrix: predicted vs labeled lang
+# E4x (r10) — language-ID confusion matrix: predicted vs labeled lang
 # — the classifier-eval readout the E4 langid row feeds (precision of
 # the router that decides which docs enter which monolingual corpus)
 # =========================================================================
@@ -7001,7 +7001,7 @@ def _LANG_CONF_SQL() -> str:
 
 @register("q_lang_confusion", _LANG_CONF_SQL())
 def q_lang_confusion(spark, sf_dir):
-    """E4u (r10): confusion matrix of the stopword-vote language ID
+    """E4x (r10): confusion matrix of the stopword-vote language ID
     against the labeled lang column — per (true, predicted) cell count
     and within-true-class recall fraction. The eval readout for the
     corpus router: zh has no wordlist, so its mass landing on 'und'
@@ -7112,7 +7112,7 @@ def q_drift_report(spark, sf_dir):
 
 
 # =========================================================================
-# E4v (r10) — per-token local clustering coefficient: the degree-
+# E4y (r10) — per-token local clustering coefficient: the degree-
 # normalized closure completing the graph family (E4g's raw triangle
 # counts reward hubs; cc says how cliquish the NEIGHBORHOOD is)
 # =========================================================================
@@ -7145,7 +7145,7 @@ def q_drift_report(spark, sf_dir):
     "FROM deg LEFT JOIN tcnt ON deg.token = tcnt.token",
 )
 def q_token_clustering(spark, sf_dir):
-    """E4v (r10): per-token local clustering coefficient
+    """E4y (r10): per-token local clustering coefficient
     cc = 2·triangles/(deg·(deg−1)) over the windowed co-occurrence
     graph — E4g's triangle counts normalized by the wedge count, the
     collocation-community signal a hub's raw count conflates with
@@ -7255,7 +7255,7 @@ def q_centroid_distances(spark, sf_dir):
 
 
 # =========================================================================
-# E2n (r10) — sentence-level exact dedup audit: the line/paragraph
+# E2p (r10) — sentence-level exact dedup audit: the line/paragraph
 # granularity whole-doc dedup cannot see (CCNet dedups at paragraph
 # level for exactly this reason)
 # =========================================================================
@@ -7282,7 +7282,7 @@ _SENT_DUP_DF = 3
     "FROM j GROUP BY 1",
 )
 def q_dedup_sentences(spark, sf_dir):
-    """E2n (r10): sentence-granular exact-dup audit — per doc, the
+    """E2p (r10): sentence-granular exact-dup audit — per doc, the
     fraction of its (>= 20-char, trimmed) sentences whose md5 appears
     >= 3 times corpus-wide. The CCNet paragraph-dedup granularity:
     whole-doc dedup misses a template sentence pasted into a million
@@ -7459,7 +7459,7 @@ def q_funnel_bootstrap_ci(spark, sf_dir):
 
 
 # =========================================================================
-# E6k (r10) — per-source scorecard: the source-selection panel (length,
+# E6m (r10) — per-source scorecard: the source-selection panel (length,
 # model quality, readability, language diversity) from ONE corpus scan
 # =========================================================================
 def _SCORECARD_SQL() -> str:
@@ -7502,7 +7502,7 @@ def _SCORECARD_SQL() -> str:
 
 @register("q_source_scorecard", _SCORECARD_SQL())
 def q_source_scorecard(spark, sf_dir):
-    """E6k (r10): the per-source selection scorecard — doc count, mean
+    """E6m (r10): the per-source selection scorecard — doc count, mean
     length, mean model-quality LOGIT (the E4e literal-weight
     classifier), mean Flesch readability (E4w), and language-mix
     Shannon entropy, from ONE corpus scan (every feature is row-local;
