@@ -1845,6 +1845,14 @@ def anova_oneway(
     Returns one row ``(k_groups, n, ss_between, ss_within, f_stat)``;
     ``f_stat`` is NULL when k < 2, n <= k, or ss_within = 0; an EMPTY
     (or all-NULL) input returns an empty frame, not a NULL row.
+
+    Contract enforcement: Spark's non-ANSI integer ``sum`` silently
+    wraps on overflow while the DuckDB oracle raises on its
+    HUGEINT->BIGINT cast — a silently-wrong F on one engine and an
+    error on the other. To make the violation loud in BOTH engines,
+    the plan carries an ``assert_true`` on n·max|v|² < 2⁶³ (the exact
+    bound under which every per-group sum-of-squares fits int64), so
+    Spark raises too instead of wrapping (ADVICE r10 #4).
     """
     g = (
         df.filter(F.col(value_col).isNotNull())
@@ -1855,12 +1863,14 @@ def anova_oneway(
             F.sum(
                 F.col(value_col).cast("long") * F.col(value_col).cast("long")
             ).cast("long").alias("qg"),
+            F.max(F.abs(F.col(value_col).cast("long"))).alias("mg"),
         )
     )
     tot = g.agg(
         F.count(F.lit(1)).cast("int").alias("k"),
         F.sum("ng").cast("long").alias("n"),
         F.sum("sg").cast("long").alias("s"),
+        F.max("mg").cast("long").alias("mv"),
     )
     j = g.crossJoin(F.broadcast(tot))
     mean_g = F.col("sg").cast("double") / F.col("ng")
@@ -1873,9 +1883,27 @@ def anova_oneway(
     agg = j.groupBy("k", "n").agg(
         F.sum(dyadic_quantize(ssb_t, 10)).alias("ss_between"),
         F.sum(dyadic_quantize(ssw_t, 10)).alias("ss_within"),
+        F.max("mv").alias("mv"),
+    )
+    # Loud overflow guard: assert_true(ok) is NULL when the contract
+    # holds (so `guard.isNull()` passes through) and RAISES when it
+    # doesn't — matching DuckDB's HUGEINT->BIGINT cast error instead
+    # of Spark's silent int64 wrap. Double-space check (exact: both
+    # operands < 2^53 when the bound holds, and an over-bound product
+    # only needs ordering, not exactness).
+    guard = F.assert_true(
+        F.col("n").cast("double")
+        * F.col("mv").cast("double")
+        * F.col("mv").cast("double")
+        < F.lit(float(2**63)),
+        F.lit(
+            "anova_oneway: integer-magnitude contract violated "
+            "(n*max|value|^2 >= 2^63 would wrap int64 sums)"
+        ),
     )
     f = F.when(
-        (F.col("k") > 1)
+        guard.isNull()
+        & (F.col("k") > 1)
         & (F.col("n") > F.col("k"))
         & (F.col("ss_within") > 0),
         (F.col("ss_between") / (F.col("k") - 1))

@@ -30,8 +30,15 @@ Output schema: ``(section, key, n, m, x)``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _qcol(name: str) -> Column:
+    """Resolve a caller-supplied column NAME literally: F.col parses
+    dots as struct access, so quote with backticks (doubling embedded
+    ones, the Spark identifier escape)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def events_report(
@@ -45,10 +52,17 @@ def events_report(
     """Build the composed event-log report from one materialized
     (user, day, type) activity cube. EAGER (localCheckpoints the
     cube)."""
-    base = ev.filter(F.col(user_col).isNotNull()).select(
-        F.col(user_col).alias("user_id"),
-        F.col(type_col).alias("event_type"),
-        F.expr(f"unix_micros({ts_col}) div 86400000000").alias("day"),
+    # Column path throughout — never interpolate a caller-supplied
+    # column name into an expr f-string (backtick-needing names break;
+    # same rule the flesch/sentence gates follow, r10w2 closure).
+    base = ev.filter(_qcol(user_col).isNotNull()).select(
+        _qcol(user_col).alias("user_id"),
+        _qcol(type_col).alias("event_type"),
+        _qcol(ts_col).alias("__ts"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(__ts) div 86400000000").alias("day"),
     )
     cube = base.groupBy("user_id", "day", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")

