@@ -230,11 +230,13 @@ def _cc_loop(
     node_col: str,
     max_rounds: int,
 ) -> DataFrame:
-    sym = (
-        edges.select(F.col("u"), F.col("v"))
-        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
+    from mhw3d_detection_spark.plans.audit_hook import record
+
+    sym0 = edges.select(F.col("u"), F.col("v")).unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    record("cc/sym_edges", sym0)
+    sym = sym0.localCheckpoint()
 
     def checksum(lbl: DataFrame):
         # Labels are per-vertex min ids and only ever DECREASE, so an
@@ -253,7 +255,7 @@ def _cc_loop(
     )
     prev = checksum(labels)
     converged = False
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         via_nb = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.u") == F.col("l.v"))
@@ -264,13 +266,16 @@ def _cc_loop(
             .join(labels.alias("b"), F.col("a.label") == F.col("b.v"))
             .select(F.col("a.v").alias("v"), F.col("b.label").alias("label"))
         )
-        labels = (
+        nxt = (
             labels.unionByName(via_nb)
             .unionByName(via_ptr)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        if _round == 0:
+            # every round has this identical shape; record one
+            record("cc/propagation_round", nxt)
+        labels = nxt.localCheckpoint()
         chk = checksum(labels)
         if chk == prev:
             converged = True

@@ -2246,13 +2246,15 @@ def token_triangles(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
-        # EAGER choke point: the tiny edge list feeds THREE join legs;
-        # without truncation the corpus-sized pair counting upstream
-        # would execute three times (the curation-funnel checkpoint
-        # reasoning; values unchanged). Counts-only base: the PMI
-        # scalar attach (a BNLJ) is not paid here.
-        .localCheckpoint(eager=True)
     )
+    from mhw3d_detection_spark.plans.audit_hook import ckpt as _ckpt
+
+    # EAGER choke point: the tiny edge list feeds THREE join legs;
+    # without truncation the corpus-sized pair counting upstream
+    # would execute three times (the curation-funnel checkpoint
+    # reasoning; values unchanged). Counts-only base: the PMI
+    # scalar attach (a BNLJ) is not paid here.
+    e = _ckpt(e, "triangles/edges")
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -3183,8 +3185,10 @@ def token_clustering(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    from mhw3d_detection_spark.plans.audit_hook import ckpt as _ckpt
+
+    e = _ckpt(e, "clustering/edges")
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))

@@ -43,10 +43,10 @@ def corpus_report(
     )
     from mhw3d_detection_spark.queries.base import rq
 
-    def _chk(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable_checkpoints else (
-            df.localCheckpoint(eager=True)
-        )
+    from mhw3d_detection_spark.plans.audit_hook import ckpt
+
+    def _chk(df: DataFrame, stage: str = "freq") -> DataFrame:
+        return ckpt(df, stage, reliable=reliable_checkpoints)
 
     dt = docs.select(
         "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")

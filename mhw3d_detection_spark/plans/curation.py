@@ -86,14 +86,15 @@ def curate_corpus(
     # stage 2: exact dedup on the text key — non-canonical copies drop
     canon = s1.groupBy("text").agg(F.min("doc_id").alias("__keep_id"))
     with_canon = s1.join(canon, "text")
-    def _chk(df: DataFrame) -> DataFrame:
+    from mhw3d_detection_spark.plans.audit_hook import ckpt
+
+    def _chk(df: DataFrame, stage: str) -> DataFrame:
         # lineage truncation point (see docstring); values unchanged
-        return df.checkpoint(eager=True) if reliable_checkpoints else (
-            df.localCheckpoint(eager=True)
-        )
+        return ckpt(df, stage, reliable=reliable_checkpoints)
 
     exact_drops = _chk(
-        with_canon.filter(F.col("doc_id") != F.col("__keep_id")).select("doc_id")
+        with_canon.filter(F.col("doc_id") != F.col("__keep_id")).select("doc_id"),
+        "exact_drops",
     )
     s2 = with_canon.filter(F.col("doc_id") == F.col("__keep_id")).select(
         "doc_id", "source", "text"
@@ -110,10 +111,11 @@ def curate_corpus(
     # upstream pipeline in its plan tree — Catalyst analysis alone went
     # minutes (measured 145 s at sf0.01); with truncation the whole
     # funnel builds and runs in seconds. Values unchanged.
-    pairs = _chk(minhash_candidate_pairs(sig))
+    pairs = _chk(minhash_candidate_pairs(sig), "near_pairs")
     comp = connected_components_bounded(pairs, iters=cc_iters)
     near_drops = _chk(
-        comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+        comp.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
+        "near_drops",
     )
     # no broadcast hint: drop-list size scales with the corpus's dup
     # fraction (30-80% on web crawls), so forcing a broadcast would
@@ -137,11 +139,13 @@ def curate_corpus(
             tagged,
             threshold=semantic_threshold,
             max_bucket_size=semantic_max_cluster_size,
-        )
+        ),
+        "sem_pairs",
     )
     comp2 = connected_components_bounded(spairs, iters=cc_iters)
     sem_drops = _chk(
-        comp2.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+        comp2.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
+        "sem_drops",
     )
 
     # lineage: first failing stage per doc; split for every doc

@@ -56,18 +56,21 @@ def dedup_report(
     )
     from mhw3d_detection_spark.queries.base import rq
 
-    def _chk(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable_checkpoints else (
-            df.localCheckpoint(eager=True)
-        )
+    from mhw3d_detection_spark.plans.audit_hook import ckpt
 
     # ---- shared intermediate: the ONLY corpus-sized stage ----------
-    pairs = _chk(
+    pairs = ckpt(
         minhash_candidate_pairs(
             minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
-        )
+        ),
+        "pairs",
+        reliable=reliable_checkpoints,
     )
-    comp = _chk(connected_components_bounded(pairs, iters=cc_iters))
+    comp = ckpt(
+        connected_components_bounded(pairs, iters=cc_iters),
+        "components",
+        reliable=reliable_checkpoints,
+    )
 
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")

@@ -63,16 +63,18 @@ def drift_report(
         dyadic_quantize,
     )
 
+    from mhw3d_detection_spark.plans.audit_hook import ckpt
+
     x = _ks_domain_guard(value_col, rq_digits)
-    g = (
+    g = ckpt(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(x.alias("x"))
         .agg(
             F.sum(old_pred.cast("int")).cast("long").alias("c_old"),
             (F.count(F.lit(1)) - F.sum(old_pred.cast("int")))
             .cast("long").alias("c_new"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "histogram",
     )
     tot = g.agg(
         F.sum("c_old").cast("long").alias("n_old"),

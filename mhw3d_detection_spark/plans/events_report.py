@@ -64,9 +64,14 @@ def events_report(
         "event_type",
         F.expr("unix_micros(__ts) div 86400000000").alias("day"),
     )
-    cube = base.groupBy("user_id", "day", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint(eager=True)
+    from mhw3d_detection_spark.plans.audit_hook import ckpt
+
+    cube = ckpt(
+        base.groupBy("user_id", "day", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        "cube",
+    )
 
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")

@@ -6125,12 +6125,15 @@ def q_component_split(spark, sf_dir):
     # device) or every branch re-embeds the banding + 3 propagation
     # rounds into its plan tree (measured: 164 exchanges without, 12
     # with; values unchanged)
-    pairs = minhash_candidate_pairs(
-        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
-    ).localCheckpoint(eager=True)
-    comp = connected_components_bounded(pairs, iters=3).localCheckpoint(
-        eager=True
+    from mhw3d_detection_spark.plans.audit_hook import ckpt as _ckpt
+
+    pairs = _ckpt(
+        minhash_candidate_pairs(
+            minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+        ),
+        "pairs",
     )
+    comp = _ckpt(connected_components_bounded(pairs, iters=3), "components")
     key = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),

@@ -213,7 +213,9 @@ def executed_plan(df) -> str:
 
 def audit_one(name: str, plan: str) -> dict:
     hits = [p for p in FATAL if p in plan]
-    allowed = ALLOWLIST.get(name, {})
+    # stage rows (``q_x::stage``) fall back to the parent query's
+    # allowlist: a stage plan is a PREFIX of plans already argued there
+    allowed = ALLOWLIST.get(name) or ALLOWLIST.get(name.split("::")[0], {})
     fatal = [h for h in hits if h not in allowed]
     return {
         "fatal": fatal,
@@ -224,18 +226,36 @@ def audit_one(name: str, plan: str) -> dict:
                 r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
             )
         ),
+        # the checkpoint scar: lineage above an ExistingRDD scan is
+        # truncated, so this plan's exchange count UNDERCOUNTS the work
+        # the query pays — the pre-checkpoint stages appear as separate
+        # ``<query>::<stage>`` rows (VERDICT r10 Next #3)
+        "checkpointed": "ExistingRDD" in plan,
     }
 
 
 def run_audit(spark, sf_dir: str, registry) -> dict[str, dict]:
+    from mhw3d_detection_spark.plans import audit_hook
+
     out = {}
     for name, qd in registry.items():
+        audit_hook.SINK = sink = []
         try:
             plan = executed_plan(qd.spark_fn(spark, sf_dir))
         except Exception as e:  # plan build itself failing is fatal too
             out[name] = {"fatal": [f"plan build error: {e}"[:200]]}
             continue
+        finally:
+            audit_hook.SINK = None
         out[name] = audit_one(name, plan)
+        # pre-checkpoint stage plans offered by plans.audit_hook.ckpt
+        for stage, sdf in sink:
+            sname = f"{name}::{stage}"
+            try:
+                out[sname] = audit_one(sname, executed_plan(sdf))
+            except Exception as e:
+                out[sname] = {"fatal": [f"stage plan error: {e}"[:200]]}
+            out[sname]["stage_of"] = name
     return out
 
 
