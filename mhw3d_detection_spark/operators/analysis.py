@@ -2046,3 +2046,166 @@ def kendall_tau_b(
         "discordant",
         tau.alias("tau_b"),
     )
+
+
+def drift_ref_hist(
+    df: DataFrame,
+    value_col: str,
+    rq_digits: int | None = None,
+) -> list[tuple[float, int]]:
+    """Build the literal REFERENCE histogram the windowed drift monitor
+    compares against: ``[(x, count), ...]`` over the domain-guarded
+    values of ``value_col`` (the ``srp_gate_sigs`` device — the
+    reference corpus is summarized ONCE batch-side into a
+    domain-bounded literal, then the monitor never touches it again).
+
+    The collect is bounded by the value DOMAIN (the ``rq_digits``
+    contract of :func:`ks_two_sample`), not the corpus — integer doc
+    lengths or rq-gridded scores, typically 10^2..10^4 rows.
+    """
+    x = _ks_domain_guard(value_col, rq_digits)
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(x.cast("double").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    return sorted((float(r["x"]), int(r["c"])) for r in rows)
+
+
+def window_drift_scores(
+    df: DataFrame,
+    ref: list[tuple[float, int]],
+    value_col: str,
+    *,
+    time_col: str = "time",
+    window_days: int = 1,
+    rq_digits: int | None = None,
+    psi_band: int = 50,
+) -> DataFrame:
+    """Per-time-window drift of a numeric property against a FIXED
+    reference histogram — the batch twin of
+    :func:`streaming.stateful.streaming_drift_gate` (VERDICT r10 Next
+    #6: the nightly ``q_source_ks_drift``/``q_drift_report`` monitors,
+    given a streaming face; this operator IS their shared semantics on
+    a bounded window).
+
+    Per window: KS (sup-norm CDF distance, the ``ks_two_sample``
+    division order), W1 (Wasserstein-1 over the pooled domain grid,
+    dyadic 2^-30 terms), PSI (Laplace-smoothed over ``psi_band``-wide
+    value bands on the pooled observed-band spine, dyadic 2^-20 terms
+    — the ``plans.drift_report`` formula). All sums are dyadic-grid
+    order-free, so the streaming twin's Python fold is bit-identical.
+
+    Scale: one corpus-sized hash aggregate to (window x domain) rows;
+    the cumulative windows partition BY WINDOW over the bounded domain
+    (the ``rq_digits`` guard); ``ref`` is a literal broadcast dim.
+
+    Returns ``(win_id, window_start, n_new, ks_stat, w1_stat,
+    psi_stat)`` — one row per window that saw data; stats NULL when
+    the reference is empty.
+    """
+    spark = df.sparkSession
+    n_old = float(sum(c for _, c in ref))
+    ref_df = spark.createDataFrame(
+        [(float(x), int(c)) for x, c in ref] or [(0.0, 0)],
+        "x double, c_old long",
+    )
+    if not ref:
+        ref_df = ref_df.filter(F.lit(False))
+
+    xg = _ks_domain_guard(value_col, rq_digits).cast("double")
+    day = F.datediff(
+        F.col(time_col).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    win = F.floor(day / F.lit(float(window_days))).cast("long")
+    cnt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(win.alias("win"), xg.alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_new"))
+    )
+    wins = cnt.groupBy("win").agg(
+        F.sum("c_new").cast("double").alias("n_new")
+    )
+    spine = wins.select("win").crossJoin(F.broadcast(ref_df))
+    j = (
+        spine.join(cnt, ["win", "x"], "full_outer")
+        .select(
+            "win",
+            "x",
+            F.coalesce("c_old", F.lit(0)).cast("long").alias("co"),
+            F.coalesce("c_new", F.lit(0)).cast("long").alias("cn"),
+        )
+        .join(wins, "win")
+    )
+
+    w = Window.partitionBy("win").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    both = (F.lit(n_old) > 0) & (F.col("n_new") > 0)
+    cum = j.select(
+        "win",
+        "x",
+        "co",
+        "cn",
+        "n_new",
+        F.when(
+            both,
+            F.abs(
+                F.sum("co").over(w).cast("double") / F.lit(n_old)
+                - F.sum("cn").over(w).cast("double") / F.col("n_new")
+            ),
+        ).alias("diff"),
+        (
+            F.lead("x").over(Window.partitionBy("win").orderBy("x"))
+            - F.col("x")
+        ).cast("double").alias("gap"),
+    )
+
+    ks = cum.groupBy("win").agg(F.max("diff").alias("ks_stat"))
+    w1 = cum.filter(F.col("gap").isNotNull()).groupBy("win").agg(
+        F.sum(dyadic_quantize(F.col("diff"), 30) * F.col("gap")).alias(
+            "w1_stat"
+        )
+    )
+
+    bands = j.groupBy(
+        "win",
+        F.floor(F.col("x") / F.lit(float(psi_band))).cast("long").alias(
+            "band"
+        ),
+    ).agg(
+        F.sum("co").cast("long").alias("bo"),
+        F.sum("cn").cast("long").alias("bn"),
+        F.first("n_new").alias("n_new"),
+    )
+    nb = bands.groupBy("win").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    po = (F.col("bo") + F.lit(1.0)) / (F.lit(n_old) + F.col("nb"))
+    pn = (F.col("bn") + F.lit(1.0)) / (F.col("n_new") + F.col("nb"))
+    term = (pn - po) * F.log(pn / po)
+    psi = (
+        bands.join(F.broadcast(nb), "win")
+        .select(
+            "win",
+            F.when(both, dyadic_quantize(term, 20)).alias("t"),
+        )
+        .groupBy("win")
+        .agg(F.sum("t").alias("psi_stat"))
+    )
+
+    return (
+        wins.join(ks, "win", "left")
+        .join(w1, "win", "left")
+        .join(psi, "win", "left")
+        .select(
+            F.col("win").alias("win_id"),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("win") * window_days).cast("int"),
+            ).alias("window_start"),
+            F.col("n_new").cast("long").alias("n_new"),
+            "ks_stat",
+            F.when(both, F.coalesce("w1_stat", F.lit(0.0))).alias("w1_stat"),
+            "psi_stat",
+        )
+    )

@@ -57,6 +57,21 @@ def rq(col: Column | str, d: int = 4) -> Column:
     return F.floor(c * s + F.lit(0.5 + _rq_eps(d))) / s
 
 
+def rq_py(x: float | None, d: int = 4) -> float | None:
+    """Python twin of :func:`rq` for the streaming state functions —
+    same IEEE ops, same bits (the ``dyadic_quantize_py`` convention).
+    ``None``/NaN in, ``None`` out."""
+    import math
+
+    if x is None:
+        return None
+    x = float(x)
+    if math.isnan(x):
+        return None
+    s = float(10**d)
+    return math.floor(x * s + (0.5 + _rq_eps(d))) / s
+
+
 def rq_sql(expr: str, d: int = 4) -> str:
     """DuckDB mirror of :func:`rq` (same IEEE ops, same bits)."""
     return (

@@ -7559,3 +7559,108 @@ def q_source_scorecard(spark, sf_dir):
         ).alias("lang_entropy")
     )
     return g1.join(ent, "source")
+
+
+# =========================================================================
+# E7u (r11) — windowed drift vs a FIXED reference histogram: the batch
+# twin of streaming_drift_gate (the live monitor VERDICT r10 #6 asked
+# for). Reference slice summarized ONCE to a domain-bounded literal;
+# per event-time window, KS/W1/PSI of the live value distribution.
+# =========================================================================
+def _WINDOW_DRIFT_SQL() -> str:
+    from mhw3d_detection_spark.operators.analysis import (
+        dyadic_quantize_sql as _dq,
+    )
+    from mhw3d_detection_spark.queries.base import rq_sql as _rqs
+
+    xq = _rqs("value", 0)
+    term = (
+        "((bn + 1.0e0) / (b.n_new + nb.nb) - (bo + 1.0e0) / (n_old + nb.nb))"
+        " * ln(((bn + 1.0e0) / (b.n_new + nb.nb)) / "
+        "((bo + 1.0e0) / (n_old + nb.nb)))"
+    )
+    return (
+        "WITH refh AS (SELECT CAST(" + xq + " AS DOUBLE) AS x, "
+        "  CAST(count(*) AS BIGINT) AS c_old FROM events "
+        "  WHERE user_id IS NOT NULL AND user_id % 5 = 4 "
+        "    AND value IS NOT NULL GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(c_old) AS DOUBLE) AS n_old FROM refh), "
+        "cnt AS (SELECT CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') "
+        "    / 7.0e0) AS BIGINT) AS win, "
+        "  CAST(" + xq + " AS DOUBLE) AS x, "
+        "  CAST(count(*) AS BIGINT) AS c_new FROM events "
+        "  WHERE user_id IS NOT NULL AND user_id % 5 <> 4 "
+        "    AND value IS NOT NULL GROUP BY 1, 2), "
+        "wins AS (SELECT win, CAST(sum(c_new) AS DOUBLE) AS n_new "
+        "  FROM cnt GROUP BY 1), "
+        "spine AS (SELECT w.win, r.x, r.c_old FROM "
+        "  (SELECT win FROM wins) w CROSS JOIN refh r), "
+        "j AS (SELECT coalesce(s.win, c.win) AS win, "
+        "  coalesce(s.x, c.x) AS x, coalesce(s.c_old, 0) AS co, "
+        "  coalesce(c.c_new, 0) AS cn FROM spine s "
+        "  FULL OUTER JOIN cnt c ON s.win = c.win AND s.x = c.x), "
+        "jc AS (SELECT j.*, wins.n_new FROM j "
+        "  JOIN wins ON j.win = wins.win), "
+        "cum AS (SELECT win, x, co, cn, n_new, "
+        "  CASE WHEN n_old > 0 AND n_new > 0 THEN "
+        "    abs(CAST(sum(co) OVER wcum AS DOUBLE) / n_old "
+        "        - CAST(sum(cn) OVER wcum AS DOUBLE) / n_new) END AS diff, "
+        "  CAST(lead(x) OVER (PARTITION BY win ORDER BY x) - x AS DOUBLE) "
+        "    AS gap FROM jc, tot "
+        "  WINDOW wcum AS (PARTITION BY win ORDER BY x "
+        "    ROWS UNBOUNDED PRECEDING)), "
+        "ksx AS (SELECT win, max(diff) AS ks_stat FROM cum GROUP BY 1), "
+        "w1x AS (SELECT win, sum(" + _dq("diff", 30) + " * gap) AS w1_stat "
+        "  FROM cum WHERE gap IS NOT NULL GROUP BY 1), "
+        "bands AS (SELECT win, CAST(floor(x / 50.0e0) AS BIGINT) AS band, "
+        "  CAST(sum(co) AS BIGINT) AS bo, CAST(sum(cn) AS BIGINT) AS bn, "
+        "  first(n_new) AS n_new FROM jc GROUP BY 1, 2), "
+        "nb AS (SELECT win, CAST(count(*) AS BIGINT) AS nb "
+        "  FROM bands GROUP BY 1), "
+        "psix AS (SELECT b.win, sum(CASE WHEN n_old > 0 AND b.n_new > 0 "
+        "  THEN " + _dq(term, 20) + " END) AS psi_stat FROM bands b "
+        "  JOIN nb ON b.win = nb.win, tot GROUP BY 1) "
+        "SELECT wins.win AS win_id, "
+        "DATE '1970-01-01' + CAST(wins.win * 7 AS INT) AS window_start, "
+        "CAST(wins.n_new AS BIGINT) AS n_new, ksx.ks_stat, "
+        "CASE WHEN n_old > 0 AND wins.n_new > 0 THEN "
+        "  coalesce(w1x.w1_stat, 0.0e0) END AS w1_stat, psix.psi_stat "
+        "FROM wins LEFT JOIN ksx ON wins.win = ksx.win "
+        "LEFT JOIN w1x ON wins.win = w1x.win "
+        "LEFT JOIN psix ON wins.win = psix.win, tot"
+    )
+
+
+@register("q_window_drift", _WINDOW_DRIFT_SQL())
+def q_window_drift(spark, sf_dir):
+    """E7u (r11): per-7-day-window KS/W1/PSI drift of the event value
+    distribution against the user_id%5=4 reference slice — the batch
+    twin of ``streaming.streaming_drift_gate`` (bit-parity pinned by
+    ``tests/test_streaming.py::test_streaming_drift_gate_matches_batch_bitexact``)
+    and the windowed member of the drift family (q_source_ks_drift is
+    per-source, q_drift_report is one split — this one is per TIME
+    window, the nightly-monitor axis). rq_digits=0 guards the value
+    domain (~500 distinct integers); the reference histogram is a
+    build-time literal (`drift_ref_hist`, the srp_gate_sigs device);
+    stats are raw/dyadic-grid hashes. One corpus aggregate to
+    (windows x domain) rows; windows partition the cumulative sums."""
+    from mhw3d_detection_spark.operators.analysis import (
+        drift_ref_hist,
+        window_drift_scores,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    ref = drift_ref_hist(
+        ev.filter(F.col("user_id") % 5 == 4), "value", rq_digits=0
+    )
+    return window_drift_scores(
+        ev.filter(F.col("user_id") % 5 != 4),
+        ref,
+        "value",
+        time_col="ts",
+        window_days=7,
+        rq_digits=0,
+        psi_band=50,
+    )

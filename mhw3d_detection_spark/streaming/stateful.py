@@ -534,3 +534,175 @@ def streaming_ewma(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_DRIFT_OUT_SCHEMA = StructType(
+    [
+        StructField("win_id", LongType()),
+        StructField("window_start", DateType()),
+        StructField("n_new", LongType()),
+        StructField("ks_stat", DoubleType()),
+        StructField("w1_stat", DoubleType()),
+        StructField("psi_stat", DoubleType()),
+    ]
+)
+
+_DRIFT_STATE_SCHEMA = StructType(
+    [
+        StructField("xs", ArrayType(DoubleType())),
+        StructField("cs", ArrayType(LongType())),
+    ]
+)
+
+
+def streaming_drift_gate(
+    stream: DataFrame,
+    ref: list,
+    value_col: str,
+    *,
+    time_col: str = "time",
+    window_days: int = 1,
+    watermark: str = "1 day",
+    rq_digits: int | None = None,
+    psi_band: int = 50,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`operators.analysis.window_drift_scores` — the live drift
+    monitor VERDICT r10 Next #6 asked for: per event-time window, the
+    value histogram accumulates in state, and when the watermark
+    closes the window ONE row emits with the KS / W1 / PSI statistics
+    against the FIXED reference histogram ``ref`` (built batch-side by
+    :func:`operators.analysis.drift_ref_hist` — a domain-bounded
+    literal, the ``srp_gate_sigs`` device).
+
+    Bit-parity with the batch twin for ANY arrival order inside the
+    watermark: the histogram is an order-free integer aggregate, the
+    pooled-domain iteration is sorted, cumulative counts are integer,
+    each CDF division / W1 term / PSI term replays the batch column
+    expressions on the same dyadic grids (2^-30 / 2^-20; ``ln`` is the
+    one libm call — same data path both sides at these magnitudes,
+    the q_text_drift_psi cross-engine precedent). Emitted rows are
+    append-only: a window emits exactly once, on close.
+
+    State: one (value -> count) map per OPEN window, bounded by the
+    domain guard x the number of windows inside the watermark delay;
+    closed windows' state is removed on emit.
+    """
+    import math
+
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize_py
+    from mhw3d_detection_spark.queries.base import rq_py
+
+    ref_pairs = sorted((float(x), int(c)) for x, c in ref)
+    n_old = float(sum(c for _, c in ref_pairs))
+    ref_map = dict(ref_pairs)
+    wd = int(window_days)
+    pband = float(psi_band)
+
+    def _guard(v):
+        if v is None:
+            return None
+        v = float(v)
+        if math.isnan(v):
+            return None
+        return v if rq_digits is None else rq_py(v, rq_digits)
+
+    def _scores(buf: dict) -> tuple:
+        n_new = float(sum(buf.values()))
+        xs = sorted(set(ref_map) | set(buf))
+        if not (n_old > 0 and n_new > 0):
+            return int(n_new), None, None, None
+        # KS + W1 over the pooled domain (the batch cum/diff/gap path)
+        a = 0
+        b = 0
+        ks = None
+        w1 = 0.0
+        prev_diff = None
+        prev_x = None
+        for x in xs:
+            if prev_x is not None:
+                gap = float(x) - float(prev_x)
+                w1 += dyadic_quantize_py(prev_diff, 30) * gap
+            a += ref_map.get(x, 0)
+            b += buf.get(x, 0)
+            diff = abs(float(a) / n_old - float(b) / n_new)
+            ks = diff if ks is None or diff > ks else ks
+            prev_diff, prev_x = diff, x
+        # PSI over psi_band-wide bands of the pooled observed spine
+        bands: dict[int, list[int]] = {}
+        for x in xs:
+            band = int(math.floor(float(x) / pband))
+            bo_bn = bands.setdefault(band, [0, 0])
+            bo_bn[0] += ref_map.get(x, 0)
+            bo_bn[1] += buf.get(x, 0)
+        nb = len(bands)
+        psi = 0.0
+        for band in bands:
+            bo, bn = bands[band]
+            po = (bo + 1.0) / (n_old + nb)
+            pn = (bn + 1.0) / (n_new + nb)
+            psi += dyadic_quantize_py((pn - po) * math.log(pn / po), 20)
+        return int(n_new), ks, w1, psi
+
+    def process(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        win = int(key[0])
+        if state.exists:
+            xs, cs = state.get
+            buf = dict(zip(xs, cs))
+        else:
+            buf = {}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for v in pdf["__x"].tolist():
+                    g = _guard(v)
+                    if g is not None:
+                        buf[g] = buf.get(g, 0) + 1
+        wm = state.getCurrentWatermarkMs()
+        end_ms = (win + 1) * wd * _MS_PER_DAY
+        if wm >= end_ms and buf:
+            n_new, ks, w1, psi = _scores(buf)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "win_id": [win],
+                    "window_start": [
+                        pd.Timestamp(win * wd, unit="D").date()
+                    ],
+                    "n_new": [n_new],
+                    "ks_stat": [ks],
+                    "w1_stat": [w1],
+                    "psi_stat": [psi],
+                }
+            )
+            return
+        if buf:
+            ks_sorted = sorted(buf)
+            state.update((ks_sorted, [buf[x] for x in ks_sorted]))
+            state.setTimeoutTimestamp(max(end_ms, wm + 1))
+        elif state.exists:
+            state.remove()
+
+    day = F.datediff(
+        F.col(time_col).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    win = F.floor(day / F.lit(float(wd))).cast("long")
+    return (
+        stream.withWatermark(time_col, watermark)
+        .select(
+            F.col(time_col),
+            win.alias("__win"),
+            F.col(value_col).cast("double").alias("__x"),
+        )
+        .groupBy("__win")
+        .applyInPandasWithState(
+            process,
+            _DRIFT_OUT_SCHEMA,
+            _DRIFT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1454,3 +1454,123 @@ def test_srp_gate_out_of_order_microbatches(spark, tmp_path):
         for r in spark.table("srp_ooo").collect()
     }
     assert got == want and len(want) == corpus.count()
+
+
+def test_streaming_drift_gate_matches_batch_bitexact(spark, tmp_path):
+    """r11 (VERDICT r10 next #6): the windowed drift monitor — per
+    event-time window, KS/W1/PSI against a fixed reference histogram,
+    emitted once on watermark close — must equal the batch twin
+    window_drift_scores bit-for-bit across out-of-order microbatches."""
+    import random
+
+    from mhw3d_detection_spark.operators.analysis import (
+        drift_ref_hist,
+        window_drift_scores,
+    )
+    from mhw3d_detection_spark.streaming import streaming_drift_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = drift_ref_hist(docs.filter(F.col("doc_id") % 5 == 4), "n_chars")
+    assert len(ref) > 10
+
+    # live slice: n_chars arriving over 6 days, 3 windows of 2 days
+    rng = random.Random(11)
+    day0 = dt.datetime(2024, 3, 1)
+    live = docs.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id", "n_chars"
+    ).collect()
+    rows = [
+        (
+            day0 + dt.timedelta(days=rng.randrange(6), hours=rng.randrange(24)),
+            float(r.n_chars),
+        )
+        for r in live
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, val double")
+
+    want = {
+        r.win_id: (r.n_new, r.ks_stat, r.w1_stat, r.psi_stat)
+        for r in window_drift_scores(
+            df, ref, "val", time_col="time", window_days=2
+        ).collect()
+    }
+    # 6 days from an unaligned start span 3-4 two-day windows
+    assert len(want) in (3, 4)
+    assert all(v[1] is not None for v in want.values())
+
+    # out-of-order arrival: 3 shuffled microbatches + far-future sentinel
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    path = str(tmp_path / "drift_stream")
+    third = (len(shuffled) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            shuffled[i * third : (i + 1) * third], df.schema
+        ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(day0 + dt.timedelta(days=400), 0.0)], df.schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_drift_gate(
+        stream, ref, "val", time_col="time", window_days=2, watermark="7 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.win_id: (r.n_new, r.ks_stat, r.w1_stat, r.psi_stat)
+        for r in spark.table("drift_stream").collect()
+    }
+    # every closed window matches the batch row bit-for-bit (the
+    # sentinel's own window never closes, so exactly the real ones)
+    assert got == want, (got, want)
+
+
+def test_streaming_drift_gate_empty_ref_null_stats(spark, tmp_path):
+    """Empty reference: the monitor must SEE n_old=0 (NULL stats,
+    counts visible) — the ks_two_sample empty-slice contract, not a
+    crash (same rule the r10 edge probe pinned batch-side)."""
+    from mhw3d_detection_spark.operators.analysis import window_drift_scores
+    from mhw3d_detection_spark.streaming import streaming_drift_gate
+
+    day0 = dt.datetime(2024, 3, 1)
+    rows = [(day0 + dt.timedelta(hours=h), float(40 + h)) for h in range(12)]
+    df = spark.createDataFrame(rows, "time timestamp, val double")
+    b = window_drift_scores(df, [], "val", time_col="time").collect()
+    assert len(b) == 1 and b[0].n_new == 12 and b[0].ks_stat is None
+    assert b[0].w1_stat is None and b[0].psi_stat is None
+
+    path = str(tmp_path / "drift_empty")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(day0 + dt.timedelta(days=400), 0.0)], df.schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        streaming_drift_gate(stream, [], "val", time_col="time")
+        .writeStream.format("memory")
+        .queryName("drift_empty")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift_empty"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("drift_empty").collect()
+    assert len(got) == 1 and got[0].n_new == 12
+    assert got[0].ks_stat is None and got[0].psi_stat is None

@@ -148,6 +148,7 @@ PLANS = [
     "q_topk_with_ties",
     "q_cohort_ltv",
     "q_tpch_q6_shape",
+    "q_window_drift",
     "q_source_scorecard",
     "q_dau_mau_stickiness",
 ]
