@@ -35,7 +35,16 @@ def corpus_report(
     reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Build the corpus-shape report from one materialized frequency
-    table. EAGER (localCheckpoints the vocab-sized freq table)."""
+    table. EAGER (localCheckpoints the vocab-sized freq table).
+
+    Empty-input contract (r11 adversarial review, JUSTIFIED loud): an
+    empty corpus raises ``ValueError`` rather than emitting NULL rows.
+    This deliberately differs from the drift/KS monitors (which emit
+    NULL stats with counts visible): those observe SLICES that can
+    legitimately be empty — a quiet window, a brand-new source — while
+    this report profiles THE corpus; an empty input here means the
+    upstream wiring is broken and a silent empty/NULL report row would
+    read as "profiled fine, corpus is degenerate"."""
     from mhw3d_detection_spark.operators.textops import (
         gini_from_freq,
         tokens_col,

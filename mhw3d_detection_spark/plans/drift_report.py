@@ -76,9 +76,12 @@ def drift_report(
         ),
         "histogram",
     )
+    # coalesce to 0: on an EMPTY input the monitor's counts must read
+    # ZERO, not unknown (sum over no rows is NULL) — stats stay NULL
+    # via the both-nonempty guard (r11 adversarial review)
     tot = g.agg(
-        F.sum("c_old").cast("long").alias("n_old"),
-        F.sum("c_new").cast("long").alias("n_new"),
+        F.coalesce(F.sum("c_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.sum("c_new"), F.lit(0)).cast("long").alias("n_new"),
     )
 
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)

@@ -108,9 +108,12 @@ def events_report(
     conv = (
         (F.col("viewed") == 1) & (F.col("purchased") == 1)
     ).cast("int")
+    # coalesce to 0: a health report on an EMPTY log must show ZERO
+    # viewers, not unknown (sum over no rows is NULL) — the monitor
+    # counts-visible contract (r11 adversarial review)
     fun = uf.agg(
-        F.sum("viewed").cast("long").alias("n"),
-        F.sum(conv).cast("long").alias("m"),
+        F.coalesce(F.sum("viewed"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(conv), F.lit(0)).cast("long").alias("m"),
     ).select(
         F.lit("funnel").alias("section"),
         F.lit("view_purchase").alias("key"),

@@ -7054,8 +7054,8 @@ def _DRIFT_REPORT_SQL() -> str:
         "  FROM documents WHERE n_chars IS NOT NULL), "
         "g AS (SELECT x, CAST(sum(io) AS BIGINT) AS c_old, "
         "  CAST(count(*) - sum(io) AS BIGINT) AS c_new FROM s GROUP BY 1), "
-        "t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old, "
-        "  CAST(sum(c_new) AS BIGINT) AS n_new FROM g), "
+        "t AS (SELECT CAST(coalesce(sum(c_old), 0) AS BIGINT) AS n_old, "
+        "  CAST(coalesce(sum(c_new), 0) AS BIGINT) AS n_new FROM g), "
         "cum AS (SELECT x, CAST(sum(c_old) OVER (ORDER BY x "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
         "    AS a, "

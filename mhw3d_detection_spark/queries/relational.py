@@ -1128,9 +1128,9 @@ def q_load_profile(spark, sf_dir):
     "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
     "    AS purchased FROM cube GROUP BY 1), "
     "fun AS (SELECT 'funnel' AS section, 'view_purchase' AS key, "
-    "  CAST(sum(viewed) AS BIGINT) AS n, "
-    "  CAST(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 "
-    "    END) AS BIGINT) AS m, "
+    "  CAST(coalesce(sum(viewed), 0) AS BIGINT) AS n, "
+    "  CAST(coalesce(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 "
+    "    ELSE 0 END), 0) AS BIGINT) AS m, "
     "  CASE WHEN sum(viewed) > 0 THEN "
     "    CAST(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 "
     "    END) AS DOUBLE) / sum(viewed) END AS x FROM uf), "
