@@ -2209,3 +2209,96 @@ def window_drift_scores(
             "psi_stat",
         )
     )
+
+
+def rank_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_old: Column,
+    rq_digits: int | None = None,
+) -> DataFrame:
+    """Exact Mann-Whitney U (tie-corrected normal z) + Cliff's delta
+    between the ``is_old`` slice and the rest — the rank-based
+    two-sample family member (KS = shape, W1 = mass transport, ANOVA =
+    means-with-noise; U/delta = stochastic ORDER: "is a new doc longer
+    than an old one more often than not, and by how much").
+
+    Histogram-first like every two-sample statistic here: ONE corpus
+    aggregate to the domain-bounded value histogram, then everything
+    is integer arithmetic over the sorted domain:
+
+    - rank sums via doubled average ranks (2·avgrank = 2·cum_before +
+      cnt + 1 — integer), so 2U = 2R − n₁(n₁+1) is int64-exact; U
+      itself is a half-integer (exact in a double)
+    - Cliff's delta via the U identity: U = #(old>new) + ties/2, so
+      δ = (#gt − #lt)/(n₁n₂) = (2U − n₁n₂)/(n₁n₂) — one exact division
+      of integer quantities, no second aggregate
+    - tie-corrected z: σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))) with
+      the tie sum integer; z NULL when σ = 0 (all values tied) or a
+      slice is empty — the empty-slice NULL-with-counts contract
+
+    Domain guard: ``rq_digits`` as in :func:`ks_two_sample`.
+    Returns one row ``(n_old, n_new, u_stat, z_stat, cliffs_delta)``.
+    """
+    x = _ks_domain_guard(value_col, rq_digits)
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(x.alias("x"))
+        .agg(
+            F.sum(is_old.cast("int")).cast("long").alias("c_old"),
+            F.sum((~is_old).cast("int")).cast("long").alias("c_new"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cnt = F.col("c_old") + F.col("c_new")
+    cum = g.select(
+        "x",
+        "c_old",
+        "c_new",
+        cnt.alias("cnt"),
+        (F.sum(cnt).over(w) - cnt).cast("long").alias("before"),
+    )
+    t3t = F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+    agg = cum.agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+        # doubled rank sum of the old slice (integer-exact)
+        F.sum(
+            F.col("c_old")
+            * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
+        ).cast("long").alias("r2"),
+        F.sum(t3t).cast("long").alias("ties"),
+    )
+    n1 = F.col("n_old").cast("double")
+    n2 = F.col("n_new").cast("double")
+    n = F.col("n_old") + F.col("n_new")
+    u2 = F.col("r2") - F.col("n_old") * (F.col("n_old") + 1)  # = 2U
+    u = u2.cast("double") / F.lit(2.0)
+    # lt = n1*n2 - gt - ties_cross where ties_cross = Σ c_old*c_new at
+    # equal values; compute from U instead: U = gt + ties_cross/2 and
+    # delta = (gt - lt)/(n1 n2) = (2U - n1 n2)/(n1 n2) — one identity,
+    # no extra aggregate
+    both = (F.col("n_old") > 0) & (F.col("n_new") > 0)
+    delta = F.when(both, (u2.cast("double") - n1 * n2) / (n1 * n2))
+    mu2 = n1 * n2  # = 2·mean(U)
+    var = (
+        n1 * n2 / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = F.when(
+        both & (var > 0),
+        (u2.cast("double") - mu2) / (F.lit(2.0) * F.sqrt(var)),
+    )
+    return agg.select(
+        "n_old",
+        "n_new",
+        F.when(both, u).alias("u_stat"),
+        z.alias("z_stat"),
+        delta.alias("cliffs_delta"),
+    )

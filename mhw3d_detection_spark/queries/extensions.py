@@ -7664,3 +7664,59 @@ def q_window_drift(spark, sf_dir):
         rq_digits=0,
         psi_band=50,
     )
+
+
+# =========================================================================
+# E7v (r11) — Mann-Whitney U + Cliff's delta: the rank-based two-sample
+# member (KS = shape, W1 = transport, ANOVA = means; U/delta =
+# stochastic ORDER with a distribution-free effect size)
+# =========================================================================
+_MWU_VAR_SQL = (
+    "CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE) / 12.0e0 * ("
+    "CAST(n_old + n_new + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / "
+    "(CAST(n_old + n_new AS DOUBLE) * CAST(n_old + n_new - 1 AS DOUBLE)))"
+)
+
+
+@register(
+    "q_mann_whitney",
+    "WITH s AS (SELECT n_chars AS x, "
+    "  CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS io "
+    "  FROM documents WHERE n_chars IS NOT NULL), "
+    "g AS (SELECT x, CAST(sum(io) AS BIGINT) AS c_old, "
+    "  CAST(count(*) - sum(io) AS BIGINT) AS c_new FROM s GROUP BY 1), "
+    "cum AS (SELECT x, c_old, c_new, c_old + c_new AS cnt, "
+    "  CAST(sum(c_old + c_new) OVER (ORDER BY x "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "    - (c_old + c_new) AS BIGINT) AS before FROM g), "
+    "a AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old, "
+    "  CAST(sum(c_new) AS BIGINT) AS n_new, "
+    "  CAST(sum(c_old * (2 * before + cnt + 1)) AS BIGINT) AS r2, "
+    "  CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties FROM cum), "
+    "b AS (SELECT n_old, n_new, r2 - n_old * (n_old + 1) AS u2, ties "
+    "  FROM a) "
+    "SELECT n_old, n_new, "
+    "CASE WHEN n_old > 0 AND n_new > 0 THEN "
+    "  CAST(u2 AS DOUBLE) / 2.0e0 END AS u_stat, "
+    f"CASE WHEN n_old > 0 AND n_new > 0 AND {_MWU_VAR_SQL} > 0 THEN "
+    "  (CAST(u2 AS DOUBLE) - CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)) "
+    f"  / (2.0e0 * sqrt({_MWU_VAR_SQL})) END AS z_stat, "
+    "CASE WHEN n_old > 0 AND n_new > 0 THEN "
+    "  (CAST(u2 AS DOUBLE) - CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)) "
+    "  / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)) END "
+    "  AS cliffs_delta FROM b",
+)
+def q_mann_whitney(spark, sf_dir):
+    """E7v (r11): exact tie-corrected Mann-Whitney U + normal z +
+    Cliff's delta of doc length, corpus (doc_id%5!=4) vs the held-out
+    slice — the stochastic-ORDER two-sample test completing the
+    KS/W1/ANOVA family, with the distribution-free effect size the
+    eval literature prefers over Cohen's d on skewed lengths. ONE
+    corpus aggregate to the length histogram; doubled average ranks
+    keep the rank sum int64-exact (U is a half-integer — exact
+    double); delta via the U identity, z from the integer tie sum —
+    RAW hash. operators/analysis.py:rank_two_sample."""
+    from mhw3d_detection_spark.operators.analysis import rank_two_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rank_two_sample(docs, "n_chars", F.col("doc_id") % 5 != 4)
