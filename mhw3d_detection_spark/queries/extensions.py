@@ -7720,3 +7720,151 @@ def q_mann_whitney(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return rank_two_sample(docs, "n_chars", F.col("doc_id") % 5 != 4)
+
+
+# =========================================================================
+# E6n (r11) — Gumbel/exponential-clock weighted top-k sample: THE
+# distributed weighted-sampling-without-replacement primitive
+# (Efraimidis-Spirakis keys as a pure function of the row key)
+# =========================================================================
+_GUMBEL_K = 50
+_U48_DENOM = 281474976710657.0  # 2^48 + 1: u = (bits+1)/denom in (0,1)
+
+
+def _GUMBEL_SQL() -> str:
+    from mhw3d_detection_spark.operators.analysis import (
+        dyadic_quantize_sql as _dq,
+    )
+
+    key = _dq(
+        "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+        f"+ 1) / {_U48_DENOM!r}) / CAST(greatest(n_chars, 1) AS DOUBLE)",
+        40,
+    )
+    return (
+        f"WITH k AS (SELECT doc_id, "
+        "  CAST(greatest(n_chars, 1) AS BIGINT) AS weight, "
+        f"  {key} AS skey FROM documents), "
+        "r AS (SELECT doc_id, weight, skey, row_number() OVER ("
+        "  ORDER BY skey DESC, doc_id) AS rnk FROM k) "
+        "SELECT CAST(rnk AS INT) AS rank, doc_id, weight, skey "
+        f"FROM r WHERE rnk <= {_GUMBEL_K}"
+    )
+
+
+@register("q_gumbel_topk_sample", _GUMBEL_SQL())
+def q_gumbel_topk_sample(spark, sf_dir):
+    """E6n (r11): length-weighted sample WITHOUT replacement of 50
+    docs via exponential-clock keys (Efraimidis & Spirakis 2006:
+    taking the top-k of ln(u)/w — monotone in u^(1/w) — draws each
+    k-subset with exactly the sequential weighted-sampling
+    probability). The key is a pure function of doc_id (md5-uniform u,
+    the W18/bootstrap determinism device), so the sample replays
+    identically across engines, reruns and reshards — no RNG state,
+    no driver-side pass, and at 100 TB it is one TakeOrdered over a
+    narrow projection. u = (bits+1)/(2^48+1) stays in (0,1) (ln(0)
+    guarded by construction); keys dyadic-quantized (2^-40, |key| <=
+    34) BEFORE the order so the cross-engine ranking can never flip on
+    a ulp of libm ln."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    docs = load_table(spark, sf_dir, "documents")
+    bits = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (bits + F.lit(1)).cast("double") / F.lit(_U48_DENOM)
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = dyadic_quantize(F.log(u) / w.cast("double"), 40)
+    k = docs.select(
+        "doc_id", w.cast("long").alias("weight"), key.alias("skey")
+    )
+    win = Window.orderBy(F.desc("skey"), "doc_id")
+    return (
+        k.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= _GUMBEL_K)
+        .select("rank", "doc_id", "weight", "skey")
+    )
+
+
+# =========================================================================
+# E6o (r11) — balanced per-source downsample: equal-count manifest via
+# deterministic md5-order ranks (the mixture-rebalancing primitive)
+# =========================================================================
+@register(
+    "q_balanced_downsample",
+    "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+    "  FROM documents GROUP BY 1), "
+    "nmin AS (SELECT min(n) AS n_min FROM c), "
+    "r AS (SELECT doc_id, source, CAST(row_number() OVER ("
+    "  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
+    "  AS BIGINT) AS rk FROM documents) "
+    "SELECT r.doc_id, r.source, r.rk FROM r, nmin WHERE r.rk <= nmin.n_min",
+)
+def q_balanced_downsample(spark, sf_dir):
+    """E6o (r11): equal-count per-source manifest — every source
+    downsampled to the SMALLEST source's count by deterministic
+    md5-order rank (uniform within source; the doc_id tie-break can
+    never fire on distinct ids but pins the order contract). The
+    set-level complement to E6c's fractional mixture weights: weights
+    reshape sampling probabilities, this emits the concrete balanced
+    subset a trainer can shard. Per-source windows (parallel across
+    sources), one scalar broadcast; deterministic across engines,
+    reruns, reshards."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nmin = c.agg(F.min("n").alias("n_min"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return r.crossJoin(F.broadcast(nmin)).filter(
+        F.col("rk") <= F.col("n_min")
+    ).select("doc_id", "source", "rk")
+
+
+# =========================================================================
+# E7w (r11) — per-source Simpson concentration / effective vocabulary
+# =========================================================================
+@register(
+    "q_source_simpson",
+    f"WITH tok AS (SELECT source, unnest({TOKENS_SQL}) AS token "
+    "  FROM documents), "
+    "c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n "
+    "  FROM tok GROUP BY 1, 2) "
+    "SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(sum(n * n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) "
+    "  * CAST(sum(n) AS DOUBLE)) AS simpson, "
+    "(CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) "
+    "  / CAST(sum(n * n) AS DOUBLE) AS inv_simpson "
+    "FROM c GROUP BY 1",
+)
+def q_source_simpson(spark, sf_dir):
+    """E7w (r11): per-source Simpson concentration index Σpᵢ² of the
+    unigram distribution, with its inverse (the "effective vocabulary"
+    — how many equally-common types would look this concentrated).
+    The repeated-draw collision view of lexical diversity: E7o's Gini
+    ranks inequality corpus-wide, Simpson prices a two-token collision
+    per source — template/boilerplate feeds spike it long before
+    dedup fires. ONE token aggregate; Σn and Σn² are int64-exact
+    (Σn² ≤ n² needs n ≤ 3e9 per source — pre-aggregate shards past
+    that), the two divisions exactly rounded — RAW hash."""
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    c = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nd = F.sum("n").cast("double")
+    s2 = F.sum(F.col("n") * F.col("n")).cast("double")
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (s2 / (nd * nd)).alias("simpson"),
+        ((nd * nd) / s2).alias("inv_simpson"),
+    )

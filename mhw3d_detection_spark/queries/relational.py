@@ -1822,3 +1822,127 @@ def q_dau_mau_stickiness(spark, sf_dir):
         "mau",
         (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
     )
+
+
+# --- W14me (r11): per-state behavioral entropy of the event flow ---
+@register(
+    "q_markov_entropy",
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+    "  FROM events WHERE user_id IS NOT NULL), "
+    "p AS (SELECT user_id, event_type AS from_type, "
+    f"  lead(event_type) {_TRANS_WIN} AS to_type FROM e), "
+    "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+    "  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2) "
+    "SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from, "
+    "CAST(count(*) AS BIGINT) AS n_to_types, "
+    + rq_sql(
+        "ln(CAST(sum(n) AS DOUBLE)) - sum(n * ln(CAST(n AS DOUBLE))) "
+        "/ sum(n)",
+        4,
+    )
+    + " AS row_entropy FROM c GROUP BY 1",
+)
+def q_markov_entropy(spark, sf_dir):
+    """W14me (r11): per-state Shannon entropy of the next-event
+    distribution — the uncertainty summary of W14tr's transition
+    matrix (a state whose row entropy collapses toward 0 is a scripted
+    loop; one near ln(k) is organic browsing). Same lead() window and
+    types²-bounded counts as q_event_transitions; H = ln(n) −
+    Σnᵢln(nᵢ)/n (the count-form identity — one pass, no probability
+    materialization), rq4 display (the lang_entropy convention: a few
+    double terms per group, engine association order differs)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = p.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ent = (
+        F.log(F.sum("n").cast("double"))
+        - F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+        / F.sum("n")
+    )
+    return c.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from"),
+        F.count(F.lit(1)).cast("long").alias("n_to_types"),
+        rq(ent, 4).alias("row_entropy"),
+    )
+
+
+# --- DQ3 (r11): Tukey-fence outlier screen per source ---
+@register(
+    "q_tukey_outliers",
+    "WITH q AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  quantile_cont(n_chars, 0.25) AS q1, "
+    "  quantile_cont(n_chars, 0.75) AS q3 FROM documents "
+    "  WHERE n_chars IS NOT NULL GROUP BY 1), "
+    "f AS (SELECT source, n_docs, q1, q3, "
+    "  q1 - 1.5e0 * (q3 - q1) AS lo, q3 + 1.5e0 * (q3 - q1) AS hi "
+    "  FROM q), "
+    "c AS (SELECT d.source, "
+    "  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) < f.lo THEN 1 "
+    "    ELSE 0 END) AS BIGINT) AS n_below, "
+    "  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > f.hi THEN 1 "
+    "    ELSE 0 END) AS BIGINT) AS n_above "
+    "  FROM documents d JOIN f ON d.source = f.source "
+    "  WHERE d.n_chars IS NOT NULL GROUP BY 1) "
+    "SELECT f.source, f.n_docs, f.q1, f.q3, f.lo, f.hi, "
+    "c.n_below, c.n_above, "
+    "CAST(c.n_below + c.n_above AS DOUBLE) / f.n_docs AS outlier_frac "
+    "FROM f JOIN c ON f.source = c.source",
+)
+def q_tukey_outliers(spark, sf_dir):
+    """DQ3 (r11): per-source Tukey-fence (1.5·IQR) outlier screen on
+    doc length — the nonparametric companion to the z-score screens
+    (W17 MAD despike, W14an volume z): quartile fences survive the
+    heavy tails that wreck mean/std fences on web text. Exact pooled
+    quartiles (percentile ≡ quantile_cont, the A3 contract), fences in
+    shared double arithmetic, boundary compares on identical bits; the
+    sources-sized fence table broadcasts back onto one corpus pass —
+    two scans total, counts integer, frac exactly rounded — RAW hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    q = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "source",
+        "n_docs",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    c = docs.join(F.broadcast(f), "source").groupBy("source").agg(
+        F.sum(
+            (F.col("n_chars").cast("double") < F.col("lo")).cast("int")
+        ).cast("long").alias("n_below"),
+        F.sum(
+            (F.col("n_chars").cast("double") > F.col("hi")).cast("int")
+        ).cast("long").alias("n_above"),
+    )
+    return f.join(c, "source").select(
+        "source",
+        "n_docs",
+        "q1",
+        "q3",
+        "lo",
+        "hi",
+        "n_below",
+        "n_above",
+        (
+            (F.col("n_below") + F.col("n_above")).cast("double")
+            / F.col("n_docs")
+        ).alias("outlier_frac"),
+    )

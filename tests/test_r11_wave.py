@@ -1,0 +1,173 @@
+"""Pins for the r11 operator wave: rank test, weighted/balanced
+sampling, Simpson concentration, Markov entropy, Tukey fences.
+Each checked against an independent Python brute-force on synthetic
+inputs (the oracle rows check cross-engine equality; these check the
+MATH)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import os
+import random
+import tempfile
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+import mhw3d_detection_spark.queries  # noqa: F401 — populate REGISTRY
+from mhw3d_detection_spark.queries.base import REGISTRY
+
+
+def _docs_dir(spark, td, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, split string, n_chars long"
+    ).write.parquet(os.path.join(td, "documents.parquet"))
+    return td
+
+
+def test_rank_two_sample_bruteforce(spark):
+    from mhw3d_detection_spark.operators.analysis import rank_two_sample
+
+    rng = random.Random(21)
+    rows = [(i, rng.randrange(-5, 8)) for i in range(180)]
+    df = spark.createDataFrame(rows, "i long, v long")
+    r = rank_two_sample(df, "v", F.col("i") % 3 != 0).collect()[0]
+    old = sorted(v for i, v in rows if i % 3 != 0)
+    new = sorted(v for i, v in rows if i % 3 == 0)
+    gt = sum(1 for a in old for b in new if a > b)
+    eq = sum(1 for a in old for b in new if a == b)
+    u = gt + eq / 2.0
+    n1, n2 = len(old), len(new)
+    n = n1 + n2
+    ties = Counter(old + new)
+    t3t = sum(c**3 - c for c in ties.values())
+    var = n1 * n2 / 12.0 * ((n + 1) - t3t / (n * (n - 1)))
+    assert (r.n_old, r.n_new) == (n1, n2)
+    assert r.u_stat == u  # half-integer exact
+    assert r.cliffs_delta == pytest.approx(
+        (2 * u - n1 * n2) / (n1 * n2), abs=1e-14
+    )
+    assert r.z_stat == pytest.approx(
+        (u - n1 * n2 / 2.0) / math.sqrt(var), abs=1e-12
+    )
+
+
+def test_rank_two_sample_empty_slice_nulls(spark):
+    from mhw3d_detection_spark.operators.analysis import rank_two_sample
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "i long, v long")
+    r = rank_two_sample(df, "v", F.lit(True)).collect()[0]
+    assert r.n_old == 2 and r.n_new == 0
+    assert r.u_stat is None and r.z_stat is None and r.cliffs_delta is None
+
+
+def test_gumbel_topk_matches_python_keys(spark):
+    fn = REGISTRY["q_gumbel_topk_sample"].spark_fn
+    rng = random.Random(3)
+    rows = [
+        (i, f"s{i % 3}", "x" * rng.randrange(10, 400), "train",
+         rng.randrange(10, 400))
+        for i in range(200)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        got = [
+            (r.rank, r.doc_id)
+            for r in sorted(
+                _q(spark, fn, _docs_dir(spark, td, rows)), key=lambda r: r.rank
+            )
+        ]
+
+    def key(doc_id, n_chars):
+        bits = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        u = float(bits + 1) / 281474976710657.0
+        k = math.log(u) / float(max(n_chars, 1))
+        return math.floor(k * 2.0**40 + (0.5 + 2.0**-16)) / 2.0**40
+
+    ranked = sorted(
+        ((key(i, nc), i) for i, _, _, _, nc in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    want = [(j + 1, i) for j, (_, i) in enumerate(ranked)]
+    assert got == want
+
+
+def _q(spark, fn, td):
+    return fn(spark, td).collect()
+
+
+def test_balanced_downsample_equal_counts(spark):
+    fn = REGISTRY["q_balanced_downsample"].spark_fn
+    rng = random.Random(4)
+    rows = [
+        (i, f"s{i % 4}" if i % 4 else "rare", "t", "train", 50)
+        for i in range(97)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        out = _q(spark, fn, _docs_dir(spark, td, rows))
+        out2 = _q(spark, fn, td)
+    by_src = Counter(r.source for r in out)
+    n_min = min(
+        Counter(s for _, s, _, _, _ in rows).values()
+    )
+    assert set(by_src.values()) == {n_min}
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # replayable
+
+
+def test_source_simpson_bruteforce(spark):
+    fn = REGISTRY["q_source_simpson"].spark_fn
+    rows = [
+        (1, "a", "the cat the cat the", "train", 19),
+        (2, "a", "dog", "train", 3),
+        (3, "b", "x y z", "train", 5),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        out = {r.source: r for r in _q(spark, fn, _docs_dir(spark, td, rows))}
+    # source a tokens: the*3 cat*2 dog*1 -> n=6, s2=9+4+1=14
+    assert out["a"].n_tokens == 6 and out["a"].n_types == 3
+    assert out["a"].simpson == 14.0 / 36.0
+    assert out["a"].inv_simpson == 36.0 / 14.0
+    assert out["b"].simpson == 3.0 / 9.0
+
+
+def test_markov_entropy_hand_computed(spark):
+    fn = REGISTRY["q_markov_entropy"].spark_fn
+    t0 = dt.datetime(2024, 2, 1)
+    seq = ["view", "click", "view", "purchase", "view", "click"]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, et, 1.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        out = {r.from_type: r for r in fn(spark, td).collect()}
+    # transitions: view->click x2, view->purchase x1, click->view x2,
+    # purchase->view x1
+    v = out["view"]
+    assert v.n_from == 3 and v.n_to_types == 2
+    h = math.log(3) - (2 * math.log(2) + 1 * math.log(1)) / 3
+    assert v.row_entropy == pytest.approx(h, abs=1e-4)
+    assert out["click"].row_entropy == pytest.approx(0.0, abs=1e-4)
+
+
+def test_tukey_outliers_hand_computed(spark):
+    fn = REGISTRY["q_tukey_outliers"].spark_fn
+    vals = [10, 12, 14, 16, 18, 20, 500]  # one wild outlier
+    rows = [
+        (i, "s", "t", "train", v) for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        out = _q(spark, fn, _docs_dir(spark, td, rows))
+    r = out[0]
+    # quantile_cont on sorted vals: q1 at pos 1.5 -> 13, q3 at 4.5 -> 19...
+    # pos = (n-1)*p = 6*0.25 = 1.5 -> 12 + 0.5*(14-12) = 13
+    # q3: 6*0.75 = 4.5 -> 18 + 0.5*(20-18) = 19; iqr 6; lo 4, hi 28
+    assert r.q1 == 13.0 and r.q3 == 19.0 and r.lo == 4.0 and r.hi == 28.0
+    assert r.n_below == 0 and r.n_above == 1
+    assert r.outlier_frac == pytest.approx(1.0 / 7.0)

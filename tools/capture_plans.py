@@ -149,6 +149,12 @@ PLANS = [
     "q_cohort_ltv",
     "q_tpch_q6_shape",
     "q_window_drift",
+    "q_mann_whitney",
+    "q_gumbel_topk_sample",
+    "q_balanced_downsample",
+    "q_source_simpson",
+    "q_markov_entropy",
+    "q_tukey_outliers",
     "q_source_scorecard",
     "q_dau_mau_stickiness",
 ]
