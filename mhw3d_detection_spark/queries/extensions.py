@@ -7778,11 +7778,15 @@ def q_gumbel_topk_sample(spark, sf_dir):
     k = docs.select(
         "doc_id", w.cast("long").alias("weight"), key.alias("skey")
     )
+    # two-phase top-k (TakeOrdered) over the corpus, THEN rank the
+    # k-row result — never a corpus-wide single-partition window
+    top = k.orderBy(F.desc("skey"), "doc_id").limit(_GUMBEL_K)
     win = Window.orderBy(F.desc("skey"), "doc_id")
-    return (
-        k.withColumn("rank", F.row_number().over(win).cast("int"))
-        .filter(F.col("rank") <= _GUMBEL_K)
-        .select("rank", "doc_id", "weight", "skey")
+    return top.select(
+        F.row_number().over(win).cast("int").alias("rank"),
+        "doc_id",
+        "weight",
+        "skey",
     )
 
 
