@@ -96,6 +96,27 @@ def main() -> None:
         F.max("cusum_pos").alias("max_cusum_pos"),
     ).orderBy("cell_id").show()
 
+    # -- 4. windowed drift monitor (r11): KS/W1/PSI per 7-day window of
+    # the live event values against a fixed reference histogram — the
+    # batch twin of streaming_drift_gate (swap the source for
+    # readStream and the same readout arrives on watermark close)
+    from mhw3d_detection_spark.operators.analysis import (
+        drift_ref_hist,
+        window_drift_scores,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    ref = drift_ref_hist(
+        ev.filter(F.col("user_id") % 5 == 4), "value", rq_digits=0
+    )
+    print("== windowed drift monitor (ref bins:", len(ref), ") ==")
+    window_drift_scores(
+        ev.filter(F.col("user_id") % 5 != 4), ref, "value",
+        time_col="ts", window_days=7, rq_digits=0,
+    ).orderBy("win_id").show()
+
     spark.stop()
 
 
