@@ -201,6 +201,15 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r10 wave 4: the sliding-distinct MAU crosses (user, day) pairs
     # with the LITERAL 28-row offset dim — parameter-bounded
     "q_dau_mau_stickiness": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r11: balanced downsample attaches the 1-row n_min scalar to the
+    # ranked manifest — scalar
+    "q_balanced_downsample": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r11: windowed drift crosses the WINDOWS spine (time-bounded) with
+    # the literal reference histogram (domain-bounded via the rq_digits
+    # guard, built once by drift_ref_hist) — both sides bounded
+    # regardless of corpus size; the corpus is touched by exactly one
+    # hash aggregate
+    "q_window_drift": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
