@@ -1850,9 +1850,12 @@ def anova_oneway(
     wraps on overflow while the DuckDB oracle raises on its
     HUGEINT->BIGINT cast — a silently-wrong F on one engine and an
     error on the other. To make the violation loud in BOTH engines,
-    the plan carries an ``assert_true`` on n·max|v|² < 2⁶³ (the exact
-    bound under which every per-group sum-of-squares fits int64), so
-    Spark raises too instead of wrapping (ADVICE r10 #4).
+    the plan carries an ``assert_true`` on the per-GROUP bound
+    max_g(n_g·max|v|²) < 2⁶³ — exactly the quantity each group's int64
+    sum-of-squares is bounded by, so a small-group outlier whose own
+    sum fits never falsely rejects — and Spark raises instead of
+    wrapping (ADVICE r10 #4; bound tightened per-group in the r11
+    self-review).
     """
     g = (
         df.filter(F.col(value_col).isNotNull())
@@ -1866,11 +1869,21 @@ def anova_oneway(
             F.max(F.abs(F.col(value_col).cast("long"))).alias("mg"),
         )
     )
+    # the bound is per GROUP: each sum-of-squares qg <= ng*mg^2, so the
+    # contract quantity is max over groups of ng*mg^2 — a global
+    # n*max^2 falsely rejects a small-group outlier whose own sum fits
+    # (code-review r11 #1)
+    g = g.withColumn(
+        "ov",
+        F.col("ng").cast("double")
+        * F.col("mg").cast("double")
+        * F.col("mg").cast("double"),
+    )
     tot = g.agg(
         F.count(F.lit(1)).cast("int").alias("k"),
         F.sum("ng").cast("long").alias("n"),
         F.sum("sg").cast("long").alias("s"),
-        F.max("mg").cast("long").alias("mv"),
+        F.max("ov").alias("mv"),
     )
     j = g.crossJoin(F.broadcast(tot))
     mean_g = F.col("sg").cast("double") / F.col("ng")
@@ -1883,7 +1896,7 @@ def anova_oneway(
     agg = j.groupBy("k", "n").agg(
         F.sum(dyadic_quantize(ssb_t, 10)).alias("ss_between"),
         F.sum(dyadic_quantize(ssw_t, 10)).alias("ss_within"),
-        F.max("mv").alias("mv"),
+        F.max("mv").alias("ov"),
     )
     # Loud overflow guard: assert_true(ok) is NULL when the contract
     # holds (so `guard.isNull()` passes through) and RAISES when it
@@ -1892,13 +1905,11 @@ def anova_oneway(
     # operands < 2^53 when the bound holds, and an over-bound product
     # only needs ordering, not exactness).
     guard = F.assert_true(
-        F.col("n").cast("double")
-        * F.col("mv").cast("double")
-        * F.col("mv").cast("double")
-        < F.lit(float(2**63)),
+        F.col("ov") < F.lit(float(2**63)),
         F.lit(
             "anova_oneway: integer-magnitude contract violated "
-            "(n*max|value|^2 >= 2^63 would wrap int64 sums)"
+            "(some group's ng*max|value|^2 >= 2^63 would wrap its "
+            "int64 sum of squares)"
         ),
     )
     f = F.when(
@@ -2065,12 +2076,22 @@ def drift_ref_hist(
     """
     x = _ks_domain_guard(value_col, rq_digits)
     rows = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(_drift_value_ok(value_col))
         .groupBy(x.cast("double").alias("x"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .collect()
     )
     return sorted((float(r["x"]), int(r["c"])) for r in rows)
+
+
+def _drift_value_ok(value_col: str) -> Column:
+    """Shared drift-family value filter: NULL and NaN are both
+    NON-values (a NaN is unordered — it can neither join the domain
+    grid nor take a CDF position), excluded in the reference builder,
+    the batch twin AND the streaming gate so the three stay
+    bit-identical on dirty feeds (code-review r11 #3)."""
+    c = F.col(value_col)
+    return c.isNotNull() & ~F.isnan(c.cast("double"))
 
 
 def window_drift_scores(
@@ -2120,7 +2141,7 @@ def window_drift_scores(
     )
     win = F.floor(day / F.lit(float(window_days))).cast("long")
     cnt = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(_drift_value_ok(value_col))
         .groupBy(win.alias("win"), xg.alias("x"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_new"))
     )
@@ -2270,6 +2291,22 @@ def rank_two_sample(
             * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
         ).cast("long").alias("r2"),
         F.sum(t3t).cast("long").alias("ties"),
+        F.max("cnt").cast("long").alias("maxc"),
+    )
+    # Loud int64 guards (the anova_oneway device — non-ANSI Spark would
+    # silently wrap where DuckDB raises): the tie sum is bounded by
+    # n*maxc^2 (maxc <= n covers the per-term cube) and the doubled
+    # rank sum by ~2n^2 (code-review r11 #4)
+    nd_ = (F.col("n_old") + F.col("n_new")).cast("double")
+    guard = F.assert_true(
+        (nd_ * F.col("maxc").cast("double") * F.col("maxc").cast("double")
+         < F.lit(float(2**63)))
+        & (F.lit(2.0) * nd_ * nd_ < F.lit(float(2**63))),
+        F.lit(
+            "rank_two_sample: integer-magnitude contract violated "
+            "(n*max_tie^2 or 2n^2 >= 2^63 would wrap int64 rank/tie "
+            "sums) — pre-band the value domain"
+        ),
     )
     n1 = F.col("n_old").cast("double")
     n2 = F.col("n_new").cast("double")
@@ -2280,7 +2317,7 @@ def rank_two_sample(
     # equal values; compute from U instead: U = gt + ties_cross/2 and
     # delta = (gt - lt)/(n1 n2) = (2U - n1 n2)/(n1 n2) — one identity,
     # no extra aggregate
-    both = (F.col("n_old") > 0) & (F.col("n_new") > 0)
+    both = guard.isNull() & (F.col("n_old") > 0) & (F.col("n_new") > 0)
     delta = F.when(both, (u2.cast("double") - n1 * n2) / (n1 * n2))
     mu2 = n1 * n2  # = 2·mean(U)
     var = (

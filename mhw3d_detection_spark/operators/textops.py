@@ -2988,15 +2988,21 @@ def dedup_edit_verify(
         if max_len is not None
         else F.lit(0).cast("int")
     )
+    # NULL text contract (code-review r11 #5): a pair touching a
+    # NULL-text doc reports edit_dist/edit_ratio NULL but verified 0
+    # and truncated 0 — a delete pipeline must never act on unknown,
+    # and the SQL oracle's CASE..ELSE 0 already lands there; coalesce
+    # makes the Spark side agree instead of emitting NULL flags.
     return j.select(
         "doc_a",
         "doc_b",
         dist.cast("long").alias("edit_dist"),
         (dist / denom).alias("edit_ratio"),
-        (dist / denom <= F.lit(float(max_ratio))).cast("int").alias(
-            "verified"
-        ),
-        truncated.alias("truncated"),
+        F.coalesce(
+            (dist / denom <= F.lit(float(max_ratio))).cast("int"),
+            F.lit(0),
+        ).alias("verified"),
+        F.coalesce(truncated, F.lit(0)).alias("truncated"),
     )
 
 

@@ -85,9 +85,18 @@ def dlit(v: float) -> str:
     ``F.lit``): bare decimal literals infer DECIMAL, and the
     DECIMAL->DOUBLE conversion can be 1 ulp off at 17 significant
     digits (measured, r10); an exponent suffix forces the DOUBLE parse
-    path. Use for EVERY float literal interpolated into an oracle."""
-    r = repr(float(v))
-    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+    path. Non-finite values emit the quoted-cast form (a bare ``inf``
+    token binds as a COLUMN reference in DuckDB — code-review r11 #2).
+    Use for EVERY float literal interpolated into an oracle."""
+    import math
+
+    v = float(v)
+    if math.isnan(v):
+        return "'nan'::DOUBLE"
+    if math.isinf(v):
+        return "'-infinity'::DOUBLE" if v < 0 else "'infinity'::DOUBLE"
+    r = repr(v)
+    return r if ("e" in r or "E" in r) else r + "e0"
 
 
 @dataclass(frozen=True)

@@ -7583,14 +7583,16 @@ def _WINDOW_DRIFT_SQL() -> str:
         "WITH refh AS (SELECT CAST(" + xq + " AS DOUBLE) AS x, "
         "  CAST(count(*) AS BIGINT) AS c_old FROM events "
         "  WHERE user_id IS NOT NULL AND user_id % 5 = 4 "
-        "    AND value IS NOT NULL GROUP BY 1), "
+        "    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) "
+        "  GROUP BY 1), "
         "tot AS (SELECT CAST(sum(c_old) AS DOUBLE) AS n_old FROM refh), "
         "cnt AS (SELECT CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') "
         "    / 7.0e0) AS BIGINT) AS win, "
         "  CAST(" + xq + " AS DOUBLE) AS x, "
         "  CAST(count(*) AS BIGINT) AS c_new FROM events "
         "  WHERE user_id IS NOT NULL AND user_id % 5 <> 4 "
-        "    AND value IS NOT NULL GROUP BY 1, 2), "
+        "    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) "
+        "  GROUP BY 1, 2), "
         "wins AS (SELECT win, CAST(sum(c_new) AS DOUBLE) AS n_new "
         "  FROM cnt GROUP BY 1), "
         "spine AS (SELECT w.win, r.x, r.c_old FROM "
@@ -7738,7 +7740,7 @@ def _GUMBEL_SQL() -> str:
 
     key = _dq(
         "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
-        f"+ 1) / {_U48_DENOM!r}) / CAST(greatest(n_chars, 1) AS DOUBLE)",
+        f"+ 1) / {dlit(_U48_DENOM)}) / CAST(greatest(n_chars, 1) AS DOUBLE)",
         40,
     )
     return (
@@ -7866,9 +7868,19 @@ def q_source_simpson(spark, sf_dir):
     )
     nd = F.sum("n").cast("double")
     s2 = F.sum(F.col("n") * F.col("n")).cast("double")
+    # loud int64 guard (the anova device): per source sum(n^2) <=
+    # n_tokens*max_n — non-ANSI Spark would wrap silently where the
+    # DuckDB oracle raises (code-review r11 #4)
+    guard = F.assert_true(
+        nd * F.max("n").cast("double") < F.lit(float(2**63)),
+        F.lit(
+            "source_simpson: n_tokens*max_count >= 2^63 would wrap "
+            "the int64 sum of squares — pre-aggregate shards"
+        ),
+    )
     return c.groupBy("source").agg(
         F.sum("n").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
-        (s2 / (nd * nd)).alias("simpson"),
+        F.when(guard.isNull(), s2 / (nd * nd)).alias("simpson"),
         ((nd * nd) / s2).alias("inv_simpson"),
     )

@@ -240,3 +240,63 @@ def test_session_entry_exit_duplicate_ts_deterministic(spark):
         flat = {(r[0], r[1]): r[2] for r in a}
         assert flat.get(("view", "click")) == 1  # first session v->c
         assert flat.get(("view", "view")) == 1   # the singleton session
+
+
+# ---------------------------------------------------------------------------
+# r11 self-review closures (code-review findings #3/#4/#5)
+# ---------------------------------------------------------------------------
+def test_drift_family_excludes_nan_consistently(spark):
+    # NaN is a NON-value in all three drift faces: reference builder,
+    # batch twin, streaming guard — so a dirty feed cannot break the
+    # batch/stream bit-parity contract (finding #3)
+    from mhw3d_detection_spark.operators.analysis import (
+        drift_ref_hist,
+        window_drift_scores,
+    )
+
+    rows = [
+        (dt.datetime(2024, 3, 1, h), float(10 + h)) for h in range(8)
+    ] + [(dt.datetime(2024, 3, 1, 9), float("nan"))]
+    df = spark.createDataFrame(rows, "time timestamp, val double")
+    ref = drift_ref_hist(df, "val")
+    assert sum(c for _, c in ref) == 8  # NaN excluded
+    out = window_drift_scores(df, ref, "val", time_col="time").collect()
+    assert len(out) == 1 and out[0].n_new == 8
+
+
+def test_rank_two_sample_overflow_guard_raises(spark):
+    # 2.2M tied rows cube past 2^63: ANSI Spark raises on the multiply,
+    # non-ANSI would silently wrap — the guard keeps it loud there too
+    # (finding #4; the anova_oneway device)
+    from mhw3d_detection_spark.operators.analysis import rank_two_sample
+
+    df = (
+        spark.range(2_200_000)
+        .select(F.lit(1).alias("v"), (F.col("id") % 2 == 0).alias("o"))
+    )
+    with pytest.raises(
+        Exception,
+        match="integer-magnitude contract|ARITHMETIC_OVERFLOW|[Oo]verflow",
+    ):
+        rank_two_sample(df, "v", F.col("o")).collect()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="integer-magnitude contract"):
+            rank_two_sample(df, "v", F.col("o")).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_dedup_edit_verify_null_text_flags_zero(spark):
+    # NULL-text pair: dist/ratio NULL, verified/truncated 0 in BOTH
+    # engines (the oracle's CASE..ELSE 0 path; finding #5)
+    from mhw3d_detection_spark.operators.textops import dedup_edit_verify
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = dedup_edit_verify(docs, pairs, max_len=100).collect()[0]
+    assert r.edit_dist is None and r.edit_ratio is None
+    assert r.verified == 0 and r.truncated == 0

@@ -38,9 +38,31 @@ def test_dlit_roundtrips_bit_exact_through_duckdb():
 
 
 def test_dlit_always_emits_exponent_or_special():
-    for v in [0.5, 1.0, 3.0, 1e18, float("inf")]:
+    import duckdb
+
+    for v in [0.5, 1.0, 3.0, 1e18]:
         s = dlit(v)
-        assert ("e" in s or "E" in s or "inf" in s), s
+        assert "e" in s or "E" in s, s
+    # non-finite: quoted-cast form — a bare inf/nan token would bind
+    # as a COLUMN reference in DuckDB (code-review r11 #2)
+    got = duckdb.sql(
+        f"SELECT {dlit(float('inf'))}, {dlit(float('-inf'))}, "
+        f"{dlit(float('nan'))}"
+    ).fetchone()
+    assert got[0] == float("inf") and got[1] == float("-inf")
+    assert got[2] != got[2]  # NaN
+
+
+def test_anova_guard_no_false_positive_on_small_group_outlier(spark):
+    # the review's counterexample: one 3e9 value ALONE in its group —
+    # its own sum of squares (9e18) fits int64, so the per-group bound
+    # must NOT reject (the global n*max^2 bound falsely did)
+    df = spark.createDataFrame(
+        [(3_000_000_000, "a"), (5, "b"), (7, "b"), (9, "b")],
+        "v long, g string",
+    )
+    row = anova_oneway(df, "v", "g").collect()[0]
+    assert row.k_groups == 2 and row.n == 4 and row.f_stat is not None
 
 
 # ---------------------------------------------------------------------------

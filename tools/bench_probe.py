@@ -102,6 +102,8 @@ def main() -> None:
 
     def _cell(order, key):
         xs = sorted(r[key] for r in rows if r["order"] == order)
+        if not xs:  # e.g. --trials 1 has no heavy_first rows
+            return {"n": 0, "min": None, "median": None, "max": None}
         return {
             "n": len(xs),
             "min": xs[0],

@@ -257,9 +257,16 @@ def run_audit(spark, sf_dir: str, registry) -> dict[str, dict]:
         finally:
             audit_hook.SINK = None
         out[name] = audit_one(name, plan)
-        # pre-checkpoint stage plans offered by plans.audit_hook.ckpt
+        # pre-checkpoint stage plans offered by plans.audit_hook.ckpt;
+        # a stage name recorded twice in one build (e.g. the curation
+        # funnel's two connected-components passes) gets a #2/#3
+        # suffix so no captured plan is silently overwritten
+        # (code-review r11 #7)
+        seen: dict[str, int] = {}
         for stage, sdf in sink:
-            sname = f"{name}::{stage}"
+            seen[stage] = seen.get(stage, 0) + 1
+            suffix = f"#{seen[stage]}" if seen[stage] > 1 else ""
+            sname = f"{name}::{stage}{suffix}"
             try:
                 out[sname] = audit_one(sname, executed_plan(sdf))
             except Exception as e:
