@@ -1574,3 +1574,76 @@ def test_streaming_drift_gate_empty_ref_null_stats(spark, tmp_path):
     got = spark.table("drift_empty").collect()
     assert len(got) == 1 and got[0].n_new == 12
     assert got[0].ks_stat is None and got[0].psi_stat is None
+
+
+def test_streaming_drift_gate_rq_digits_parity(spark, tmp_path):
+    """r11 review follow-up: the continuous-value path (rq_digits
+    domain guard) through the same out-of-order harness — the guard
+    quantization must replay identically in the gate's Python fold
+    (rq_py) and the batch twin's Column rq."""
+    import random
+
+    from mhw3d_detection_spark.operators.analysis import (
+        drift_ref_hist,
+        window_drift_scores,
+    )
+    from mhw3d_detection_spark.streaming import streaming_drift_gate
+
+    rng = random.Random(23)
+    day0 = dt.datetime(2024, 5, 6)  # Monday: windows align
+    ref_rows = [
+        (day0, rng.uniform(0.0, 30.0)) for _ in range(300)
+    ]
+    ref_df = spark.createDataFrame(ref_rows, "time timestamp, val double")
+    ref = drift_ref_hist(ref_df, "val", rq_digits=1)
+
+    live = [
+        (
+            day0 + dt.timedelta(days=rng.randrange(4), hours=rng.randrange(24)),
+            rng.uniform(0.0, 35.0),
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(live, "time timestamp, val double")
+    want = {
+        r.win_id: (r.n_new, r.ks_stat, r.w1_stat, r.psi_stat)
+        for r in window_drift_scores(
+            df, ref, "val", time_col="time", window_days=2, rq_digits=1
+        ).collect()
+    }
+    assert want and all(v[1] is not None for v in want.values())
+
+    shuffled = live[:]
+    rng.shuffle(shuffled)
+    path = str(tmp_path / "drift_rq_stream")
+    third = (len(shuffled) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            shuffled[i * third : (i + 1) * third], df.schema
+        ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(day0 + dt.timedelta(days=400), 0.0)], df.schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        streaming_drift_gate(
+            stream, ref, "val", time_col="time", window_days=2,
+            watermark="7 days", rq_digits=1,
+        )
+        .writeStream.format("memory")
+        .queryName("drift_rq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift_rq"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.win_id: (r.n_new, r.ks_stat, r.w1_stat, r.psi_stat)
+        for r in spark.table("drift_rq").collect()
+    }
+    assert got == want, (got, want)
