@@ -7884,3 +7884,306 @@ def q_source_simpson(spark, sf_dir):
         F.when(guard.isNull(), s2 / (nd * nd)).alias("simpson"),
         ((nd * nd) / s2).alias("inv_simpson"),
     )
+
+
+# =========================================================================
+# E7x (r11w2) — Poisson-bootstrap CI on a mean DIFFERENCE between two
+# corpus slices (the distributed two-sample bootstrap; E7q's device on
+# the documents surface)
+# =========================================================================
+def _BOOT_DIFF_SQL() -> str:
+    u = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || "
+        "CAST(k AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, n_chars, "
+        "  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS ia "
+        "  FROM documents WHERE n_chars IS NOT NULL), "
+        f"reps AS (SELECT CAST(unnest(generate_series(0, "
+        f"{_POIS_REPS - 1})) AS INT) AS k), "
+        f"w AS (SELECT d.doc_id, d.n_chars, d.ia, reps.k, "
+        f"  CAST({_POIS_W_SQL(u)} AS BIGINT) AS w FROM d, reps), "
+        "r AS (SELECT k, "
+        "  CAST(sum(CASE WHEN ia = 1 THEN w * n_chars ELSE 0 END) "
+        "    AS BIGINT) AS sa, "
+        "  CAST(sum(CASE WHEN ia = 1 THEN w ELSE 0 END) AS BIGINT) AS na, "
+        "  CAST(sum(CASE WHEN ia = 0 THEN w * n_chars ELSE 0 END) "
+        "    AS BIGINT) AS sb, "
+        "  CAST(sum(CASE WHEN ia = 0 THEN w ELSE 0 END) AS BIGINT) AS nb "
+        "  FROM w GROUP BY 1), "
+        "rr AS (SELECT k, CASE WHEN na > 0 AND nb > 0 THEN "
+        "  CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb END AS diff "
+        "  FROM r), "
+        "pt AS (SELECT CAST(sum(CASE WHEN ia = 1 THEN n_chars ELSE 0 END) "
+        "    AS BIGINT) AS ta, "
+        "  CAST(sum(ia) AS BIGINT) AS n_a, "
+        "  CAST(sum(CASE WHEN ia = 0 THEN n_chars ELSE 0 END) AS BIGINT) "
+        "    AS tb, "
+        "  CAST(count(*) - sum(ia) AS BIGINT) AS n_b FROM d) "
+        "SELECT pt.n_a, pt.n_b, "
+        "CASE WHEN pt.n_a > 0 AND pt.n_b > 0 THEN "
+        "  CAST(pt.ta AS DOUBLE) / pt.n_a - CAST(pt.tb AS DOUBLE) / pt.n_b "
+        "  END AS diff_point, "
+        "CAST(count(rr.diff) AS BIGINT) AS n_reps, "
+        "quantile_cont(rr.diff, 0.025) AS ci_lo, "
+        "quantile_cont(rr.diff, 0.975) AS ci_hi "
+        "FROM rr, pt GROUP BY 1, 2, 3"
+    )
+
+
+@register("q_bootstrap_mean_diff", _BOOT_DIFF_SQL())
+def q_bootstrap_mean_diff(spark, sf_dir):
+    """E7x (r11w2): 95% Poisson-bootstrap CI on the difference of mean
+    doc length between the doc_id%3=0 slice and the rest — the
+    distribution-free two-sample companion to E7v's rank test (U says
+    WHETHER the slices order-differ; this says BY HOW MANY characters,
+    with uncertainty). Same distributed-bootstrap device as E7q: each
+    doc enters replicate k with a Poisson(1) weight that is a pure
+    md5 function of (doc_id, k) — no RNG state, replays everywhere;
+    per-replicate means are exact integer rationals; the CI is one
+    exact percentile over 64 deterministic doubles. One docs x 64
+    narrow fan-out -> 64-row percentile."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select("doc_id", "n_chars", (F.col("doc_id") % 3 == 0).cast("int").alias("ia"))
+    reps = docs.sparkSession.range(_POIS_REPS).select(
+        F.col("id").cast("int").alias("k")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(281474976710656.0)
+    cs = _pois_cum()
+    wexpr = F.lit(7)
+    for k_, c in reversed(list(enumerate(cs))):
+        wexpr = F.when(u < F.lit(c), F.lit(k_)).otherwise(wexpr)
+    w = docs.crossJoin(F.broadcast(reps)).select(
+        "doc_id", "n_chars", "ia", "k", wexpr.cast("long").alias("w")
+    )
+    r = w.groupBy("k").agg(
+        F.sum(F.when(F.col("ia") == 1, F.col("w") * F.col("n_chars"))
+              .otherwise(F.lit(0))).cast("long").alias("sa"),
+        F.sum(F.when(F.col("ia") == 1, F.col("w")).otherwise(F.lit(0)))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("ia") == 0, F.col("w") * F.col("n_chars"))
+              .otherwise(F.lit(0))).cast("long").alias("sb"),
+        F.sum(F.when(F.col("ia") == 0, F.col("w")).otherwise(F.lit(0)))
+        .cast("long").alias("nb"),
+    )
+    rr = r.select(
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb"),
+        ).alias("diff")
+    )
+    pt = docs.agg(
+        F.sum(F.when(F.col("ia") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("ta"),
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum(F.when(F.col("ia") == 0, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("tb"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("n_b"),
+    )
+    agg = rr.crossJoin(F.broadcast(pt)).groupBy("n_a", "n_b", "ta", "tb").agg(
+        F.count("diff").cast("long").alias("n_reps"),
+        F.expr("percentile(diff, 0.025)").alias("ci_lo"),
+        F.expr("percentile(diff, 0.975)").alias("ci_hi"),
+    )
+    diff_pt = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("ta").cast("double") / F.col("n_a")
+        - F.col("tb").cast("double") / F.col("n_b"),
+    )
+    return agg.select(
+        "n_a", "n_b", diff_pt.alias("diff_point"), "n_reps", "ci_lo", "ci_hi"
+    )
+
+
+# =========================================================================
+# E4z (r11w2) — token coverage curve: what fraction of corpus tokens do
+# the top-N types cover (the vocabulary-sizing readout)
+# =========================================================================
+_COVERAGE_CUTOFFS = (10, 100, 1000)
+
+
+@register(
+    "q_coverage_curve",
+    f"WITH tok AS (SELECT unnest({TOKENS_SQL}) AS token FROM documents), "
+    "c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok "
+    "  GROUP BY 1), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, "
+    "  CAST(count(*) AS BIGINT) AS v FROM c), "
+    "r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) "
+    "  AS rnk FROM c), "
+    f"top AS (SELECT * FROM r WHERE rnk <= {max(_COVERAGE_CUTOFFS)}), "
+    "cut AS (SELECT CAST(unnest([" +
+    ", ".join(str(c) for c in _COVERAGE_CUTOFFS) + "]) AS INT) AS cutoff) "
+    "SELECT cut.cutoff, "
+    "CAST(least(cut.cutoff, t.v) AS BIGINT) AS n_types, "
+    "CAST(coalesce(sum(CASE WHEN top.rnk <= cut.cutoff THEN top.n END), 0) "
+    "  AS BIGINT) AS covered_tokens, "
+    "CAST(coalesce(sum(CASE WHEN top.rnk <= cut.cutoff THEN top.n END), 0) "
+    "  AS DOUBLE) / t.tot AS coverage "
+    "FROM cut CROSS JOIN t LEFT JOIN top ON top.rnk <= cut.cutoff "
+    "GROUP BY 1, 2, t.tot",
+)
+def q_coverage_curve(spark, sf_dir):
+    """E4z (r11w2): cumulative token coverage of the top-10/100/1000
+    types — the vocabulary-sizing readout (Zipf fits the SHAPE of the
+    rank-frequency law; this answers the operational question "how
+    big must a vocab/stopword list be to cover X% of the stream").
+    One token aggregate, a 1000-row TakeOrdered head (count desc,
+    token tie-break — total order, deterministic cross-engine), then
+    cutoff-bounded sums; counts integer, shares exactly rounded —
+    RAW hash."""
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    top = (
+        c.orderBy(F.desc("n"), "token")
+        .limit(max(_COVERAGE_CUTOFFS))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n"), "token")),
+        )
+    )
+    cut = docs.sparkSession.createDataFrame(
+        [(int(x),) for x in _COVERAGE_CUTOFFS], "cutoff int"
+    )
+    j = cut.crossJoin(F.broadcast(t)).join(
+        F.broadcast(top), top.rnk <= cut.cutoff, "left"
+    )
+    return j.groupBy("cutoff", "v", "tot").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("cov")
+    ).select(
+        "cutoff",
+        F.least(F.col("cutoff").cast("long"), F.col("v")).alias("n_types"),
+        F.col("cov").alias("covered_tokens"),
+        (F.col("cov").cast("double") / F.col("tot")).alias("coverage"),
+    )
+
+
+# =========================================================================
+# E7y (r11w2) — per-source Jensen-Shannon divergence vs the rest of the
+# corpus: the symmetric, bounded drift score completing the divergence
+# family (E6d KL is asymmetric/unbounded)
+# =========================================================================
+def _JSD_SQL() -> str:
+    import math
+
+    from mhw3d_detection_spark.operators.analysis import (
+        dyadic_quantize_sql as _dq,
+    )
+
+    p = "CAST(n_st AS DOUBLE) / n_s"
+    q = "CAST(n_t - n_st AS DOUBLE) / (n - n_s)"
+    m = f"(({p}) + ({q})) / 2.0e0"
+    term = (
+        f"0.5e0 * (({p}) * ln(({p}) / ({m})) + CASE WHEN n_t - n_st > 0 "
+        f"THEN ({q}) * ln(({q}) / ({m})) ELSE 0.0e0 END)"
+    )
+    return (
+        f"WITH tok AS (SELECT source, unnest({TOKENS_SQL}) AS token "
+        "  FROM documents), "
+        "c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n_st "
+        "  FROM tok GROUP BY 1, 2), "
+        "tc AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_t "
+        "  FROM c GROUP BY 1), "
+        "sc AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s "
+        "  FROM c GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM c), "
+        "j AS (SELECT c.source, c.n_st, tc.n_t, sc.n_s, tot.n, "
+        f"  {_dq(term, 20)} AS term, {_dq(q, 30)} AS qq "
+        "  FROM c JOIN tc ON c.token = tc.token "
+        "  JOIN sc ON c.source = sc.source, tot) "
+        "SELECT source, CAST(max(n_s) AS BIGINT) AS n_src, "
+        "CAST(max(n) - max(n_s) AS BIGINT) AS n_rest, "
+        "sum(term) + " + _dq(
+            f"0.5e0 * {dlit(math.log(2.0))} * (1.0e0 - sum(qq))", 20
+        ) + " AS jsd FROM j GROUP BY 1"
+    )
+
+
+@register("q_js_divergence", _JSD_SQL())
+def q_js_divergence(spark, sf_dir):
+    """E7y (r11w2): per-source Jensen-Shannon divergence of the
+    unigram distribution vs the REST of the corpus — the symmetric,
+    [0, ln 2]-bounded member of the divergence family (E6d's KL is
+    asymmetric and blows up on source-exclusive tokens; JSD is the
+    mixture-smoothed score monitoring dashboards can threshold).
+
+    Grid-free closed form: tokens ABSENT from a source contribute
+    exactly q·ln2 to its rest-leg, and Σ_t q_t = 1, so the absent-token
+    mass folds into one correction 0.5·ln2·(1 − Σ_{t∈s} q_t) — the
+    per-(source, token) frame stays PAIRS-sized (observed cells only),
+    never the dense sources x vocab grid. Present-cell terms dyadic
+    2^-20, the q-sum 2^-30, correction 2^-20: every sum order-free.
+    One token-keyed shuffle; sources-sized output."""
+    import math
+
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    ).groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_st")
+    )
+    tc = c.groupBy("token").agg(F.sum("n_st").cast("long").alias("n_t"))
+    sc = c.groupBy("source").agg(F.sum("n_st").cast("long").alias("n_s"))
+    tot = c.agg(F.sum("n_st").cast("long").alias("n"))
+    p = F.col("n_st").cast("double") / F.col("n_s")
+    q = (F.col("n_t") - F.col("n_st")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    )
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        p * F.log(p / m)
+        + F.when(
+            F.col("n_t") - F.col("n_st") > 0, q * F.log(q / m)
+        ).otherwise(F.lit(0.0))
+    )
+    j = (
+        c.join(tc, "token")
+        .join(F.broadcast(sc), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            "n",
+            dyadic_quantize(term, 20).alias("term"),
+            dyadic_quantize(q, 30).alias("qq"),
+        )
+    )
+    corr = dyadic_quantize(
+        F.lit(0.5)
+        * F.lit(math.log(2.0))
+        * (F.lit(1.0) - F.sum("qq")),
+        20,
+    )
+    return j.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_src"),
+        (F.max("n") - F.max("n_s")).cast("long").alias("n_rest"),
+        (F.sum("term") + corr).alias("jsd"),
+    )

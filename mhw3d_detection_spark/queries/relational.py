@@ -1946,3 +1946,53 @@ def q_tukey_outliers(spark, sf_dir):
             / F.col("n_docs")
         ).alias("outlier_frac"),
     )
+
+
+# --- E6p (r11w2): leakage-free temporal split manifest over events ---
+@register(
+    "q_temporal_split",
+    "WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events "
+    "  WHERE ts IS NOT NULL), "
+    "b AS (SELECT quantile_cont(us, 0.8) AS b1, "
+    "  quantile_cont(us, 0.9) AS b2 FROM e), "
+    "a AS (SELECT CASE WHEN CAST(us AS DOUBLE) <= b.b1 THEN 'train' "
+    "  WHEN CAST(us AS DOUBLE) <= b.b2 THEN 'val' ELSE 'test' END AS split, "
+    "  us, user_id FROM e, b) "
+    "SELECT split, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "CAST(min(us) AS BIGINT) AS us_min, CAST(max(us) AS BIGINT) AS us_max "
+    "FROM a GROUP BY 1",
+)
+def q_temporal_split(spark, sf_dir):
+    """E6p (r11w2): time-based 80/10/10 split of the event log at the
+    EXACT 0.8/0.9 timestamp percentiles — the forecasting-correct
+    split (random splits leak the future into training; E2o's
+    component split fixes duplicate leakage, this fixes TEMPORAL
+    leakage — the two orthogonal split disciplines a training pipeline
+    needs). Boundaries are exact pooled percentiles (quantile_cont ≡
+    percentile, the A3 contract); membership compares the integer
+    micros against the boundary double — identical bits both engines.
+    One percentile aggregate + one corpus pass to 3 summary rows;
+    the per-row split column itself is a pure projection any shard
+    can apply independently."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(F.unix_micros("ts").alias("us"), "user_id")
+    b = ev.agg(
+        F.expr("percentile(us, 0.8)").alias("b1"),
+        F.expr("percentile(us, 0.9)").alias("b2"),
+    )
+    a = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("us").cast("double") <= F.col("b1"), F.lit("train"))
+        .when(F.col("us").cast("double") <= F.col("b2"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "us",
+        "user_id",
+    )
+    return a.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("us").cast("long").alias("us_min"),
+        F.max("us").cast("long").alias("us_max"),
+    )

@@ -171,3 +171,90 @@ def test_tukey_outliers_hand_computed(spark):
     assert r.q1 == 13.0 and r.q3 == 19.0 and r.lo == 4.0 and r.hi == 28.0
     assert r.n_below == 0 and r.n_above == 1
     assert r.outlier_frac == pytest.approx(1.0 / 7.0)
+
+
+# ---------------------------------------------------------------------------
+# wave 2: temporal split / bootstrap diff / coverage / JSD
+# ---------------------------------------------------------------------------
+def test_temporal_split_boundaries_and_counts(spark):
+    fn = REGISTRY["q_temporal_split"].spark_fn
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), i % 7, "view", 1.0, "{}")
+        for i in range(100)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        out = {r.split: r for r in fn(spark, td).collect()}
+    # exact percentiles of 0..99 hours: b1 at 79.2h, b2 at 89.1h
+    assert out["train"].n_events == 80
+    assert out["val"].n_events == 10
+    assert out["test"].n_events == 10
+    # temporal ordering: every train event precedes every val/test one
+    assert out["train"].us_max < out["val"].us_min < out["test"].us_min
+
+
+def test_bootstrap_mean_diff_brackets_point(spark):
+    fn = REGISTRY["q_bootstrap_mean_diff"].spark_fn
+    rows = [
+        (i, "s", "t", "train", 300 if i % 3 == 0 else 100)
+        for i in range(240)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        r = fn(spark, _docs_dir(spark, td, rows)).collect()[0]
+    assert r.n_a == 80 and r.n_b == 160 and r.n_reps == 64
+    assert r.diff_point == 200.0
+    assert r.ci_lo <= r.diff_point <= r.ci_hi
+    # constant within-slice values: every replicate mean diff is exactly
+    # 200 regardless of weights -> degenerate CI pinned to the point
+    assert r.ci_lo == 200.0 and r.ci_hi == 200.0
+
+
+def test_coverage_curve_hand_computed(spark):
+    fn = REGISTRY["q_coverage_curve"].spark_fn
+    # 'a' x 6, 'b' x 3, 'c' x 1 -> tot 10, V=3
+    rows = [(1, "s", "a a a a a a b b b c", "train", 19)]
+    with tempfile.TemporaryDirectory() as td:
+        out = {r.cutoff: r for r in fn(spark, _docs_dir(spark, td, rows))
+               .collect()}
+    for cut in (10, 100, 1000):
+        r = out[cut]
+        assert r.n_types == 3 and r.covered_tokens == 10
+        assert r.coverage == 1.0
+
+
+def test_js_divergence_bruteforce(spark):
+    fn = REGISTRY["q_js_divergence"].spark_fn
+    rows = [
+        (1, "a", "x x y", "train", 5),
+        (2, "b", "y z z z", "train", 7),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        out = {r.source: r for r in fn(spark, _docs_dir(spark, td, rows))
+               .collect()}
+
+    def jsd(pc, qc):
+        np_, nq = sum(pc.values()), sum(qc.values())
+        toks = set(pc) | set(qc)
+        s = 0.0
+        for t in toks:
+            p = pc.get(t, 0) / np_
+            q = qc.get(t, 0) / nq
+            m = (p + q) / 2
+            if p > 0:
+                s += 0.5 * p * math.log(p / m)
+            if q > 0:
+                s += 0.5 * q * math.log(q / m)
+        return s
+
+    a = {"x": 2, "y": 1}
+    b = {"y": 1, "z": 3}
+    assert out["a"].n_src == 3 and out["a"].n_rest == 4
+    assert out["a"].jsd == pytest.approx(jsd(a, b), abs=1e-5)
+    assert out["b"].jsd == pytest.approx(jsd(b, a), abs=1e-5)
+    # bounded by ln 2
+    assert 0.0 <= out["a"].jsd <= math.log(2.0) + 1e-9

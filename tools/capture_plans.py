@@ -155,6 +155,10 @@ PLANS = [
     "q_source_simpson",
     "q_markov_entropy",
     "q_tukey_outliers",
+    "q_temporal_split",
+    "q_bootstrap_mean_diff",
+    "q_coverage_curve",
+    "q_js_divergence",
     "q_source_scorecard",
     "q_dau_mau_stickiness",
 ]

@@ -210,6 +210,17 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # regardless of corpus size; the corpus is touched by exactly one
     # hash aggregate
     "q_window_drift": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r11w2: temporal split attaches the 1-row percentile-boundary pair
+    "q_temporal_split": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r11w2: bootstrap fans out over the LITERAL 64-row replicate dim
+    # and attaches the 1-row point-estimate totals — parameter/scalar
+    "q_bootstrap_mean_diff": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r11w2: coverage joins the 3-row cutoff dim against the 1000-row
+    # TakeOrdered head on a theta condition (rnk <= cutoff) plus the
+    # 1-row totals — all parameter-bounded
+    "q_coverage_curve": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r11w2: JSD attaches the 1-row corpus token total
+    "q_js_divergence": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
