@@ -47,6 +47,7 @@ def cosine_topk(
     bucket_col: str | None = None,
     label_col: str | None = None,
     cross_label_only: bool = False,
+    max_probes: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for each probe (probe_pred selects probe
     ids). ``bucket_col`` switches brute-force → IVF: candidates must
@@ -54,14 +55,30 @@ def cosine_topk(
     ``cross_label_only=True`` restricts candidates to DIFFERENT-label
     rows — the hard-negative mining shape (for each anchor, the most
     similar items that are NOT its class: the negatives contrastive
-    training learns the most from)."""
+    training learns the most from).
+
+    ``max_probes`` makes the constant-panel production contract
+    ENFORCEABLE (the edit-verify ``max_len`` pattern, r11): when set,
+    the probe side is deterministically capped to at most that many
+    vectors by md5-order rank (a two-phase TakeOrdered — uniform,
+    replayable across engines/reruns/reshards), so the broadcast
+    probe table and the |corpus| x |probes| compare work are bounded
+    regardless of what fraction ``probe_pred`` matches. The declared
+    sf1 exponents of the brute rows (q_similarity_topk 1.90,
+    q_retrieval_map 1.63, q_mutual_nn 1.48) are exactly what this
+    parameter caps in production."""
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
         *([F.col(label_col).alias("__lab")] if label_col else []),
     ).withColumn("n", norm(F.col("v")))
-    probes = base.filter(probe_pred(F.col("vec_id"))).select(
+    probe_base = base.filter(probe_pred(F.col("vec_id")))
+    if max_probes is not None:
+        probe_base = probe_base.orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        ).limit(int(max_probes))
+    probes = probe_base.select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
         F.col("n").alias("pn"),
@@ -2179,6 +2196,7 @@ def mutual_nn_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_panel: int | None = None,
 ) -> DataFrame:
     """Reciprocal nearest-neighbor pairs within a panel: (a, b) such
     that b is a's cosine top-1 AND a is b's — the high-precision
@@ -2189,13 +2207,23 @@ def mutual_nn_pairs(
     ``panel_pred`` slice, so this is the two-phase top-k machinery
     twice on a bounded panel — at full scale the panel is a sampled
     audit set, and the near-dup generators (MinHash/SimHash/SRP)
-    remain the corpus-scale path.
+    remain the corpus-scale path. ``max_panel`` ENFORCES that contract
+    (r11): when set, the panel is deterministically capped to at most
+    that many vectors by md5-order rank, bounding the |panel|² compare
+    work no matter what fraction ``panel_pred`` matches.
 
     Returns ``(vec_id_a, vec_id_b, cosine)``, a < b, cosine rq6.
     """
     from mhw3d_detection_spark.queries.base import rq
 
     panel = emb.filter(panel_pred(F.col(id_col)))
+    if max_panel is not None:
+        # deterministic md5-order cap (two-phase TakeOrdered): the
+        # constant-panel production contract, enforceable — the
+        # edit-verify max_len pattern (r11)
+        panel = panel.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        ).limit(int(max_panel))
     t1 = cosine_topk(
         panel, lambda c: F.lit(True), k=1, id_col=id_col, vec_col=vec_col
     ).select("probe_id", "vec_id", "cosine")

@@ -258,3 +258,43 @@ def test_js_divergence_bruteforce(spark):
     assert out["b"].jsd == pytest.approx(jsd(b, a), abs=1e-5)
     # bounded by ln 2
     assert 0.0 <= out["a"].jsd <= math.log(2.0) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r11: the brute-force rows' constant-panel contract is enforceable
+# (max_probes / max_panel — the edit-verify max_len pattern)
+# ---------------------------------------------------------------------------
+def test_cosine_topk_max_probes_caps_deterministically(spark):
+    from mhw3d_detection_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    capped = cosine_topk(emb, lambda c: c % 2 == 0, k=2, max_probes=7)
+    out = capped.collect()
+    probes = {r.probe_id for r in out}
+    assert len(probes) == 7
+    # deterministic: the cap picks the md5-order head, replayable
+    out2 = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in cosine_topk(
+            emb, lambda c: c % 2 == 0, k=2, max_probes=7
+        ).collect()
+    }
+    assert {(r.probe_id, r.vec_id): r.cosine for r in out} == out2
+    # capped results are a subset of the uncapped probe set's results
+    full = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, lambda c: c % 2 == 0, k=2).collect()
+    }
+    assert all(full[k] == v for k, v in out2.items())
+
+
+def test_mutual_nn_max_panel_caps(spark):
+    from mhw3d_detection_spark.operators.similarity import mutual_nn_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = mutual_nn_pairs(emb, lambda c: c % 5 == 0, max_panel=12).collect()
+    ids = {r.vec_id_a for r in out} | {r.vec_id_b for r in out}
+    assert len(ids) <= 12
+    # replayable
+    out2 = mutual_nn_pairs(emb, lambda c: c % 5 == 0, max_panel=12).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
