@@ -38,6 +38,18 @@ def norm(a: Column) -> Column:
     )
 
 
+def md5_order_cap(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """The ONE copy of the deterministic probe/panel cap: keep at most
+    ``n`` rows by md5-order rank over ``id_col`` (a two-phase
+    TakeOrdered — uniform, replayable across engines/reruns/reshards).
+    Shared by ``cosine_topk(max_probes=...)`` and
+    ``mutual_nn_pairs(max_panel=...)`` so the replayability-critical
+    ordering key can never drift between call sites (r11 review)."""
+    return df.orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(int(n))
+
+
 def cosine_topk(
     emb: DataFrame,
     probe_pred,
@@ -75,9 +87,7 @@ def cosine_topk(
     ).withColumn("n", norm(F.col("v")))
     probe_base = base.filter(probe_pred(F.col("vec_id")))
     if max_probes is not None:
-        probe_base = probe_base.orderBy(
-            F.md5(F.col("vec_id").cast("string")), "vec_id"
-        ).limit(int(max_probes))
+        probe_base = md5_order_cap(probe_base, "vec_id", max_probes)
     probes = probe_base.select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
@@ -2218,12 +2228,9 @@ def mutual_nn_pairs(
 
     panel = emb.filter(panel_pred(F.col(id_col)))
     if max_panel is not None:
-        # deterministic md5-order cap (two-phase TakeOrdered): the
-        # constant-panel production contract, enforceable — the
+        # the constant-panel production contract, enforceable — the
         # edit-verify max_len pattern (r11)
-        panel = panel.orderBy(
-            F.md5(F.col(id_col).cast("string")), F.col(id_col)
-        ).limit(int(max_panel))
+        panel = md5_order_cap(panel, id_col, max_panel)
     t1 = cosine_topk(
         panel, lambda c: F.lit(True), k=1, id_col=id_col, vec_col=vec_col
     ).select("probe_id", "vec_id", "cosine")

@@ -7349,6 +7349,40 @@ def _pois_cum() -> list[float]:
     return out
 
 
+def _pois_u_sql(key_col: str) -> str:
+    """The ONE copy of the md5-uniform replicate key u(key, k) in SQL
+    (r11 review: E7q/E7x had diverging copies of this determinism-
+    critical expression)."""
+    return (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '_' || "
+        "CAST(k AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
+    )
+
+
+def _pois_weight_col(key) -> "F.Column":
+    """The ONE copy of the Poisson(1) replicate weight as a Spark
+    Column (md5-uniform u + the cumulative CASE ladder, smallest
+    threshold first like the SQL CASE); expects the replicate index
+    in column ``k``."""
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", key.cast("string"), F.col("k").cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(281474976710656.0)
+    w = F.lit(7)
+    for k_, c in reversed(list(enumerate(_pois_cum()))):
+        w = F.when(u < F.lit(c), F.lit(k_)).otherwise(w)
+    return w
+
+
 def _POIS_W_SQL(u: str) -> str:
     cs = _pois_cum()
     return (
@@ -7361,10 +7395,7 @@ def _POIS_W_SQL(u: str) -> str:
 
 
 def _FUNNEL_BOOT_SQL() -> str:
-    u = (
-        "('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' || "
-        "CAST(k AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
-    )
+    u = _pois_u_sql("user_id")
     return (
         "WITH uf AS (SELECT user_id, "
         "  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v, "
@@ -7416,27 +7447,9 @@ def q_funnel_bootstrap_ci(spark, sf_dir):
     reps = ev.sparkSession.range(_POIS_REPS).select(
         F.col("id").cast("int").alias("k")
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    F.col("user_id").cast("string"),
-                    F.col("k").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("double") / F.lit(281474976710656.0)
-    # build the ladder smallest-threshold-first like the SQL CASE
-    wexpr = F.lit(7)
-    for k, c in reversed(list(enumerate(_pois_cum()))):
-        wexpr = F.when(u < F.lit(c), F.lit(k)).otherwise(wexpr)
     w = uf.crossJoin(F.broadcast(reps)).select(
-        "v", "p", "k", wexpr.cast("long").alias("w")
+        "v", "p", "k",
+        _pois_weight_col(F.col("user_id")).cast("long").alias("w"),
     )
     conv = ((F.col("v") == 1) & (F.col("p") == 1)).cast("int")
     r = w.groupBy("k").agg(
@@ -7892,10 +7905,7 @@ def q_source_simpson(spark, sf_dir):
 # the documents surface)
 # =========================================================================
 def _BOOT_DIFF_SQL() -> str:
-    u = (
-        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || "
-        "CAST(k AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0"
-    )
+    u = _pois_u_sql("doc_id")
     return (
         "WITH d AS (SELECT doc_id, n_chars, "
         "  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS ia "
@@ -7950,27 +7960,9 @@ def q_bootstrap_mean_diff(spark, sf_dir):
     reps = docs.sparkSession.range(_POIS_REPS).select(
         F.col("id").cast("int").alias("k")
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit("_"),
-                    F.col("k").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long") / F.lit(281474976710656.0)
-    cs = _pois_cum()
-    wexpr = F.lit(7)
-    for k_, c in reversed(list(enumerate(cs))):
-        wexpr = F.when(u < F.lit(c), F.lit(k_)).otherwise(wexpr)
     w = docs.crossJoin(F.broadcast(reps)).select(
-        "doc_id", "n_chars", "ia", "k", wexpr.cast("long").alias("w")
+        "n_chars", "ia", "k",
+        _pois_weight_col(F.col("doc_id")).cast("long").alias("w"),
     )
     r = w.groupBy("k").agg(
         F.sum(F.when(F.col("ia") == 1, F.col("w") * F.col("n_chars"))
