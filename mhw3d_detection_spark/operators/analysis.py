@@ -1884,6 +1884,12 @@ def anova_oneway(
         F.sum("ng").cast("long").alias("n"),
         F.sum("sg").cast("long").alias("s"),
         F.max("ov").alias("mv"),
+        # global-sum bound: |s| = |Σ sg| <= Σ ng·|mg| — the per-group
+        # bound alone lets many near-bound groups pass while Σ sg wraps
+        # int64 (ADVICE r12 #2); computed in double space like ov
+        F.sum(
+            F.col("ng").cast("double") * F.col("mg").cast("double")
+        ).alias("gv"),
     )
     j = g.crossJoin(F.broadcast(tot))
     mean_g = F.col("sg").cast("double") / F.col("ng")
@@ -1897,6 +1903,7 @@ def anova_oneway(
         F.sum(dyadic_quantize(ssb_t, 10)).alias("ss_between"),
         F.sum(dyadic_quantize(ssw_t, 10)).alias("ss_within"),
         F.max("mv").alias("ov"),
+        F.max("gv").alias("gv"),
     )
     # Loud overflow guard: assert_true(ok) is NULL when the contract
     # holds (so `guard.isNull()` passes through) and RAISES when it
@@ -1905,11 +1912,14 @@ def anova_oneway(
     # operands < 2^53 when the bound holds, and an over-bound product
     # only needs ordering, not exactness).
     guard = F.assert_true(
-        F.col("ov") < F.lit(float(2**63)),
+        (F.col("ov") < F.lit(float(2**63)))
+        & (F.col("gv") < F.lit(float(2**63))),
         F.lit(
             "anova_oneway: integer-magnitude contract violated "
             "(some group's ng*max|value|^2 >= 2^63 would wrap its "
-            "int64 sum of squares)"
+            "int64 sum of squares, or the cross-group total "
+            "sum_g(ng*max|value|) >= 2^63 would wrap the int64 "
+            "grand sum)"
         ),
     )
     f = F.when(
@@ -2298,10 +2308,18 @@ def rank_two_sample(
     # n*maxc^2 (maxc <= n covers the per-term cube) and the doubled
     # rank sum by ~2n^2 (code-review r11 #4)
     nd_ = (F.col("n_old") + F.col("n_new")).cast("double")
+    # Empty input ⇒ the global agg yields NULL n_old/n_new/maxc and the
+    # magnitude condition is NULL; assert_true raises on NULL, which
+    # would turn the documented NULL-row empty-slice contract into a
+    # misleading overflow error (ADVICE r12 #1). Coalesce to vacuous
+    # truth — zero rows cannot overflow anything.
     guard = F.assert_true(
-        (nd_ * F.col("maxc").cast("double") * F.col("maxc").cast("double")
-         < F.lit(float(2**63)))
-        & (F.lit(2.0) * nd_ * nd_ < F.lit(float(2**63))),
+        F.coalesce(
+            (nd_ * F.col("maxc").cast("double")
+             * F.col("maxc").cast("double") < F.lit(float(2**63)))
+            & (F.lit(2.0) * nd_ * nd_ < F.lit(float(2**63))),
+            F.lit(True),
+        ),
         F.lit(
             "rank_two_sample: integer-magnitude contract violated "
             "(n*max_tie^2 or 2n^2 >= 2^63 would wrap int64 rank/tie "

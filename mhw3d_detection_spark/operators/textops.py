@@ -2988,11 +2988,15 @@ def dedup_edit_verify(
         if max_len is not None
         else F.lit(0).cast("int")
     )
-    # NULL text contract (code-review r11 #5): a pair touching a
-    # NULL-text doc reports edit_dist/edit_ratio NULL but verified 0
-    # and truncated 0 — a delete pipeline must never act on unknown,
-    # and the SQL oracle's CASE..ELSE 0 already lands there; coalesce
-    # makes the Spark side agree instead of emitting NULL flags.
+    # NULL text contract (code-review r11 #5, comment corrected per
+    # ADVICE r12 #3): a pair touching a NULL-text doc reports
+    # edit_dist/edit_ratio NULL and verified 0 — a delete pipeline
+    # must never act on unknown, and the SQL oracle's CASE..ELSE 0
+    # already lands there. `truncated` follows three-valued OR in
+    # BOTH engines: 1 when the KNOWN side exceeds max_len (NULL OR
+    # TRUE = TRUE), else the NULL propagates and the coalesce lands
+    # on 0 — so a NULL-text pair is flagged truncated iff the other
+    # side was actually cut.
     return j.select(
         "doc_a",
         "doc_b",
