@@ -1996,3 +1996,204 @@ def q_temporal_split(spark, sf_dir):
         F.min("us").cast("long").alias("us_min"),
         F.max("us").cast("long").alias("us_max"),
     )
+
+
+# --- E1j (r12): schema-on-read JSON extraction over events.props ---
+@register(
+    "q_json_extract",
+    "WITH e AS (SELECT event_type, "
+    "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "  FROM events) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(k) AS BIGINT) AS n_k, "
+    "CAST(sum(k) AS BIGINT) AS sum_k, "
+    "CAST(min(k) AS BIGINT) AS min_k, "
+    "CAST(max(k) AS BIGINT) AS max_k, "
+    "CAST(sum(k) AS DOUBLE) / count(k) AS avg_k "
+    "FROM e GROUP BY 1",
+)
+def q_json_extract(spark, sf_dir):
+    """E1j (r12): schema-on-read extraction of the typed numeric field
+    inside the ``events.props`` JSON VARCHAR column — the relational
+    face of the multimodal "typed metadata" contract (the binary
+    header parsers in operators/multimodal.py read struct fields out
+    of bytes; this reads them out of JSON text), and the first query
+    family to touch the driver's semi-structured surface at all.
+    Spark-first: ``get_json_object`` is a JVM-side built-in (no Python
+    in the hot path) and the extraction is a pure projection fused
+    into the scan stage, so the corpus is touched once and only
+    (event_type, k) reaches the one hash-aggregate shuffle. Typed
+    cast BIGINT both engines (Spark get_json_object / DuckDB
+    json_extract_string both return VARCHAR); sums/counts integer,
+    avg an exact IEEE division of int64 quantities — RAW hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+    )
+
+
+# --- E1k (r12): JSON NULL-on-absent / NULL-on-corrupt contract ---
+@register(
+    "q_json_null_contract",
+    "WITH e AS (SELECT event_type, "
+    "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m, "
+    "  CASE WHEN json_valid(substr(props, 1, 4)) "
+    "    THEN CAST(json_extract_string(substr(props, 1, 4), '$.k') "
+    "      AS BIGINT) END AS kc "
+    "  FROM events) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(k) AS BIGINT) AS n_k, "
+    "CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_missing_null, "
+    "CAST(count(kc) AS BIGINT) AS n_corrupt_parsed "
+    "FROM e GROUP BY 1",
+)
+def q_json_null_contract(spark, sf_dir):
+    """E1k (r12): the schema-on-read robustness contract — extraction
+    of an ABSENT key and extraction from CORRUPT JSON both yield
+    typed NULL, never an error, in BOTH engines. Spark's
+    ``get_json_object`` returns NULL on a missing path and on
+    malformed input natively; DuckDB's ``json_extract_string``
+    RAISES on malformed JSON, so the oracle spells the same policy
+    explicitly with a ``json_valid`` guard — the documented
+    cross-engine contract is "NULL on absent, NULL on corrupt,
+    typed cast after". Corrupt input is manufactured per-row by
+    truncating the real props to 4 chars (``{"k"`` — never valid),
+    so the contract is exercised on every row of the actual driver
+    data, not a planted fixture. One scan, one hash aggregate."""
+    corrupt = F.substring("props", 1, 4)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").cast("long").alias("m"),
+        F.get_json_object(corrupt, "$.k").cast("long").alias("kc"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_k"),
+        F.sum(F.col("m").isNull().cast("int")).cast("long").alias(
+            "n_missing_null"
+        ),
+        F.count("kc").cast("long").alias("n_corrupt_parsed"),
+    )
+
+
+# --- J10e (r12): TPC-H Q14 promo-revenue-share shape (part-keyed) ---
+@register(
+    "q_tpch_q14_shape",
+    "WITH l AS (SELECT l_partkey, "
+    "  floor(l_extendedprice * (1.0 - l_discount) * 64.0 "
+    "    + 0.5000152587890625) / 64.0 AS rev "
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "    AND l_shipdate < TIMESTAMP '1996-04-01') "
+    "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+    "sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END) "
+    "  AS promo_revenue, "
+    "sum(rev) AS total_revenue, "
+    "100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END) "
+    "  / sum(rev) AS promo_share "
+    "FROM l JOIN part ON l_partkey = p_partkey",
+)
+def q_tpch_q14_shape(spark, sf_dir):
+    """J10e (r12): the TPC-H Q14 promo-revenue-share shape — the first
+    query to touch the ``part`` dimension at all (the Q1/Q3/Q5/Q6
+    quartet never joins it): part⋈lineitem key join + conditional
+    aggregation into a share-of-total ratio. Spark-first: the shipdate
+    range pushes into the lineitem parquet scan, ``part`` broadcasts
+    (2k rows/SF — a classic dim), so the plan is scan→BroadcastHashJoin
+    →one map-side-combined scalar aggregate with NO shuffle of the
+    fact. Per-line revenue dyadic-quantized (1/64, the Q5 device)
+    before the sums, conditional term an exact CASE on the quantized
+    value — both sums association-free exact dyadics, the share one
+    IEEE division — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        dyadic_quantize(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0.0))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        promo.alias("promo_revenue"),
+        F.sum("rev").alias("total_revenue"),
+        (F.lit(100.0) * promo / F.sum("rev")).alias("promo_share"),
+    )
+
+
+# --- J10f (r12): TPC-H Q19 disjunctive-predicate shape (part-keyed) ---
+@register(
+    "q_tpch_q19_shape",
+    "WITH l AS (SELECT l_partkey, l_quantity, "
+    "  floor(l_extendedprice * (1.0 - l_discount) * 64.0 "
+    "    + 0.5000152587890625) / 64.0 AS rev "
+    "  FROM lineitem) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_items, sum(rev) AS revenue "
+    "FROM l JOIN part ON l_partkey = p_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "    AND l_quantity BETWEEN 1 AND 20) "
+    "  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "    AND l_quantity BETWEEN 10 AND 30) "
+    "  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+    "    AND l_quantity BETWEEN 20 AND 40)",
+)
+def q_tpch_q19_shape(spark, sf_dir):
+    """J10f (r12): the TPC-H Q19 discounted-revenue shape — the
+    canonical OR-of-ANDs disjunctive-predicate pushdown stress: three
+    (brand, size-range, quantity-range) branches over the part⋈lineitem
+    join. Spark-first: Catalyst's CNF conversion
+    (PushExtraPredicateThroughJoin, SPARK-31705) factors the
+    single-side clauses out of the disjunction — the brand/size
+    disjunction reaches the part scan and the quantity envelope
+    reaches the lineitem scan as PushedFilters (plan-audited), so
+    neither side materializes rows no branch can accept; part then
+    broadcasts and the residual OR evaluates on the joined rows.
+    Revenue dyadic-quantized (1/64) before the sum — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        dyadic_quantize(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(branch).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("rev").alias("revenue"),
+    )
