@@ -78,6 +78,83 @@ _DEDUP_STANDALONE = [
 ]
 
 
+def _load_prev_bench() -> dict:
+    """Latest committed BENCH_r{N}.json (the driver's per-round record)
+    — the round-over-round comparison basis for the auto-probe."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return {}
+    try:
+        with open(best) as f:
+            d = json.load(f)
+        prev = dict(d.get("queries", {}))
+        prev.update(d.get("queries_heavy", {}))
+        return prev
+    except Exception:
+        return {}
+
+
+def _probe_moves(spark, sf_dir, prev, times, heavy) -> dict:
+    """Auto-attribution of >20% round-over-round moves (VERDICT r11
+    Next #7): any query whose best-of-N moved more than 20% vs the
+    last recorded round is re-run 10 more times in THIS same JVM — the
+    r10/r11 manual attribution probe, now automatic. Verdict:
+    ``host_variance`` when the probe's quiet window reaches back within
+    20% of the previous number (the regression does not reproduce
+    under repetition), ``confirmed_regression`` / ``improvement``
+    when it does reproduce. Capped at the 4 largest movers — the probe
+    exists to settle attribution, not to double the bench wall."""
+    moved = []
+    for name, cur in {**times, **heavy}.items():
+        p = prev.get(name)
+        if not p or p <= 0:
+            continue
+        ratio = cur / p
+        if ratio > 1.2 or ratio < 0.8:
+            moved.append((abs(ratio - 1.0), name, p, cur))
+    probes: dict[str, dict] = {}
+    for _, name, p, cur in sorted(moved, reverse=True)[:4]:
+        rebuild = name in heavy  # eager rows time plan build too
+        df = None if rebuild else Q.REGISTRY[name].spark_fn(spark, sf_dir)
+        runs = []
+        for _ in range(10):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            d = (
+                Q.REGISTRY[name].spark_fn(spark, sf_dir) if rebuild else df
+            )
+            d.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        runs.sort()
+        pm = runs[0]
+        if cur > p and pm <= p * 1.2:
+            verdict = "host_variance"
+        elif cur > p:
+            verdict = "confirmed_regression"
+        elif pm <= p * 1.2 and pm >= p * 0.8:
+            verdict = "host_variance"
+        else:
+            verdict = "improvement"
+        probes[name] = {
+            "prev": p,
+            "cur": cur,
+            "probe_min": round(pm, 3),
+            "probe_median": round(runs[len(runs) // 2], 3),
+            "probe_max": round(runs[-1], 3),
+            "verdict": verdict,
+        }
+    return probes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -154,6 +231,8 @@ def main() -> None:
     base_equiv = _baseline_equivalent(spark)
     base_equiv["pipeline_wall_cold_sec"] = round(cold, 3)
 
+    probes = _probe_moves(spark, sf_dir, _load_prev_bench(), times, heavy)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -177,6 +256,7 @@ def main() -> None:
                     2,
                 ),
                 "sf": sf,
+                "move_probes": probes,
                 "baseline_equivalent": base_equiv,
             }
         )

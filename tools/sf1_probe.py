@@ -4,6 +4,11 @@ in one warm JVM, and report the wall-ratio exponent
 log10(t_sf1 / t_sf0.1) per query.
 
 Usage: python tools/sf1_probe.py OUT.json query [query ...]
+       python tools/sf1_probe.py --dirs LO_DIR HI_DIR OUT.json query ...
+
+``--dirs`` overrides the scale pair — e.g. ``.scratch/sf1
+.scratch/sf10`` measures the SECOND decade (sf1→sf10, r12), checking
+that the one-decade exponents extrapolate.
 """
 
 from __future__ import annotations
@@ -39,15 +44,20 @@ def best_of(spark, name, sf_dir, runs=RUNS):
 
 
 def main() -> int:
-    out_path = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    lo_dir, hi_dir = SF01, SF1
+    if args and args[0] == "--dirs":
+        lo_dir, hi_dir = args[1], args[2]
+        args = args[3:]
+    out_path = args[0]
+    names = args[1:]
     spark = get_spark("sf1-probe")
     import math
 
     rows = {}
     for name in names:
-        t01 = best_of(spark, name, SF01)
-        t1 = best_of(spark, name, SF1)
+        t01 = best_of(spark, name, lo_dir)
+        t1 = best_of(spark, name, hi_dir)
         exp = math.log10(t1 / t01)
         rows[name] = {
             "sf01": round(t01, 3),
@@ -58,7 +68,7 @@ def main() -> int:
     payload = {
         "protocol": (
             f"best-of-{RUNS} min, warm JVM, clearCache+gc per run, "
-            "local[32]"
+            f"local[32]; dirs {lo_dir} -> {hi_dir}"
         ),
         "rows": rows,
     }
