@@ -2357,3 +2357,104 @@ def rank_two_sample(
         z.alias("z_stat"),
         delta.alias("cliffs_delta"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    rq_digits: int | None = None,
+) -> DataFrame:
+    """Exact tie-corrected Kruskal-Wallis H across a BOUNDED group
+    column — the k-group extension of :func:`rank_two_sample` (U is
+    the k=2 member; :func:`anova_oneway` is the means version, this is
+    the rank version that survives the heavy tails and outliers of
+    web-text lengths).
+
+    Histogram-first like the whole two-sample family: ONE corpus
+    aggregate to the (group, value) histogram, ranks from the pooled
+    value histogram via doubled average ranks (2·avgrank = 2·cum_before
+    + cnt + 1 — integer), so every per-group rank sum R2_g = Σ c_gv ·
+    (2·before + cnt + 1) is int64-exact, as is the tie sum Σ(t³−t).
+    The H statistic is then pure arithmetic over those integers:
+
+        H  = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)   (doubled-rank form)
+        Hc = H / (1 − Σ(t³−t)/(N³−N))
+
+    Per-group terms 3·R2_g²/(N(N+1)·n_g) are dyadic-quantized (2^-20)
+    before the groups-sized sum (the chi² device) so the sum is
+    order-free; everything upstream of that grid is identical integer
+    bits in any engine — RAW hash. R2_g ≤ 2nN keeps the double square
+    deterministic (one IEEE multiply of identical bits) at any scale;
+    the int64 rank-sum bound 2nN < 2^63 holds to n ≈ 2e9 rows.
+    ``rq_digits`` pre-bands a continuous value column so the rank
+    window stays domain-bounded (the ks_two_sample contract).
+
+    Returns one row ``(k_groups, n, ties, h_stat, h_tie_corrected,
+    dof)``; statistics NULL when k < 2 or every value is tied
+    (correction = 0); an EMPTY (or all-NULL) input returns an empty
+    frame, not a NULL row (the anova_oneway contract).
+    """
+    v = F.col(value_col).cast("double")
+    if rq_digits is not None:
+        from mhw3d_detection_spark.queries.base import rq
+
+        v = rq(v, rq_digits)
+    s = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(v)
+    ).select(F.col(group_col).alias("g"), v.alias("x"))
+    # pooled value histogram -> integer doubled average ranks; the
+    # ordered window runs over DISTINCT values (domain-bounded spine)
+    h = s.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "x",
+        "cnt",
+        (
+            F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        ).cast("long").alias("dr"),
+    )
+    g = s.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_g = (
+        g.join(F.broadcast(r.select("x", "dr")), "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c") * F.col("dr")).cast("long").alias("r2"),
+        )
+    )
+    ties = h.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("ties")
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    term = (
+        F.lit(3.0) * F.col("r2").cast("double") * F.col("r2").cast("double")
+        / (nd * (nd + F.lit(1.0)) * F.col("ng").cast("double"))
+    )
+    agg = j.groupBy("k", "n").agg(
+        F.sum(dyadic_quantize(term, 20)).alias("s")
+    ).crossJoin(F.broadcast(ties))
+    hstat = F.col("s") - F.lit(3.0) * (F.col("n").cast("double") + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("ties").cast("double") / (
+        nd * nd * nd - nd
+    )
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k"))
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        "ties",
+        F.when(ok, hstat).alias("h_stat"),
+        F.when(ok & (corr > 0), hstat / corr).alias("h_tie_corrected"),
+        F.when(ok, F.col("k") - 1).cast("int").alias("dof"),
+    )

@@ -8179,3 +8179,140 @@ def q_js_divergence(spark, sf_dir):
         (F.max("n") - F.max("n_s")).cast("long").alias("n_rest"),
         (F.sum("term") + corr).alias("jsd"),
     )
+
+
+# =========================================================================
+# E7z (r12) — Kruskal-Wallis H: the k-group rank test (rank_two_sample
+# is the k=2 member; anova_oneway is the means version — this is the
+# distribution-free one that survives web-text tails)
+# =========================================================================
+_KW_CORR_SQL = (
+    "(1.0e0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * "
+    "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+)
+
+
+@register(
+    "q_kruskal_wallis",
+    "WITH s AS (SELECT source AS g, n_chars AS x FROM documents "
+    "  WHERE n_chars IS NOT NULL), "
+    "h AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1), "
+    "r AS (SELECT x, cnt, CAST(2 * (sum(cnt) OVER (ORDER BY x "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) "
+    "  + cnt + 1 AS BIGINT) AS dr FROM h), "
+    "gg AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM s "
+    "  GROUP BY 1, 2), "
+    "pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, "
+    "  CAST(sum(c * dr) AS BIGINT) AS r2 FROM gg JOIN r USING (x) "
+    "  GROUP BY 1), "
+    "t AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties "
+    "  FROM h), "
+    "tot AS (SELECT CAST(count(*) AS INT) AS k, "
+    "  CAST(sum(ng) AS BIGINT) AS n FROM pg), "
+    "ag AS (SELECT k, n, sum("
+    + _dq_sql(
+        "3.0e0 * CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) * "
+        "CAST(ng AS DOUBLE))",
+        20,
+    )
+    + ") AS s FROM pg, tot GROUP BY 1, 2) "
+    "SELECT k AS k_groups, n, ties, "
+    "CASE WHEN k > 1 AND n > k THEN "
+    "  s - 3.0e0 * (CAST(n AS DOUBLE) + 1.0e0) END AS h_stat, "
+    f"CASE WHEN k > 1 AND n > k AND {_KW_CORR_SQL} > 0 THEN "
+    "  (s - 3.0e0 * (CAST(n AS DOUBLE) + 1.0e0)) "
+    f"  / {_KW_CORR_SQL} END AS h_tie_corrected, "
+    "CASE WHEN k > 1 AND n > k THEN CAST(k - 1 AS INT) END AS dof "
+    "FROM ag, t",
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """E7z (r12): exact tie-corrected Kruskal-Wallis H of doc length
+    across sources — the k-group rank test completing the two-sample
+    family (E7v's U is the k=2 member, E7m's ANOVA the means version;
+    this is the screen to run when length tails would wreck F). ONE
+    corpus aggregate to the (source, length) histogram; doubled
+    average ranks keep every per-source rank sum int64-exact; per-group
+    H terms dyadic-quantized (2^-20) before the sources-sized sum —
+    RAW hash. operators/analysis.py:kruskal_wallis."""
+    from mhw3d_detection_spark.operators.analysis import kruskal_wallis
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kruskal_wallis(docs, "n_chars", "source")
+
+
+# =========================================================================
+# DQ4 (r12) — Brown-Forsythe (median-Levene) variance-homogeneity
+# screen: the assumption check behind E7m's ANOVA, and a dispersion
+# drift monitor in its own right
+# =========================================================================
+_BF_Z_SQL = (
+    "CAST(floor(abs(CAST(n_chars AS DOUBLE) - med) * 2.0 "
+    "+ 0.5000152587890625) AS BIGINT)"
+)
+
+
+@register(
+    "q_levene_bf",
+    "WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med "
+    "  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1), "
+    "z AS (SELECT d.source, " + _BF_Z_SQL + " AS zq "
+    "  FROM documents d JOIN m ON d.source = m.source "
+    "  WHERE d.n_chars IS NOT NULL), "
+    "g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng, "
+    "  CAST(sum(zq) AS BIGINT) AS sg, "
+    "  CAST(sum(zq * zq) AS BIGINT) AS qg FROM z GROUP BY 1), "
+    "tot AS (SELECT CAST(count(*) AS INT) AS k, "
+    "  CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s FROM g), "
+    "j AS (SELECT tot.k, tot.n, "
+    + _dq_sql(
+        "CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / ng - "
+        "CAST(s AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / ng - "
+        "CAST(s AS DOUBLE) / n)",
+        10,
+    )
+    + " AS bt, "
+    + _dq_sql("CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / ng", 10)
+    + " AS wt FROM g, tot), "
+    "agg AS (SELECT k, n, sum(bt) AS ss_between, sum(wt) AS ss_within "
+    "  FROM j GROUP BY 1, 2) "
+    "SELECT k AS k_groups, n, ss_between, ss_within, "
+    "CASE WHEN k > 1 AND n > k AND ss_within > 0 THEN "
+    "  (ss_between / (k - 1)) / (ss_within / (n - k)) END AS f_stat "
+    "FROM agg",
+)
+def q_levene_bf(spark, sf_dir):
+    """DQ4 (r12): Brown-Forsythe test (Levene with the MEDIAN center)
+    of length-dispersion homogeneity across sources — the assumption
+    check E7m's ANOVA rests on (equal within-group variance), and the
+    "did a feed's SPREAD blow up" monitor the mean-level screens miss
+    entirely. BF = one-way ANOVA on z = |x − median_g|: per-source
+    medians are exact pooled percentiles (percentile ≡ quantile_cont,
+    the A3 contract, broadcast back onto one corpus pass). The
+    interpolated median of INTEGER lengths lands on the exact 0.5 grid
+    ((a+b)/2), so 2·z is integer-valued EXACTLY and the fixed-point
+    scale is 2 — not finer: a 1024x scale inflated the SS terms past
+    the point where the shared 2^-10 dyadic term grid is exactly
+    representable in a double, and the r12 raw-hash pass caught the
+    resulting 1-ulp sum drift at sf0.1. With scale 2 anova_oneway's
+    integer-valued contract holds with ~2^9 headroom at sf10+: int64
+    per-group sums, SS terms dyadic 2^-10, F scale-invariant. SS
+    reported on the 4x grid — RAW hash.
+    operators/analysis.py:anova_oneway."""
+    from mhw3d_detection_spark.operators.analysis import anova_oneway
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    z = docs.join(F.broadcast(med), "source").select(
+        "source",
+        F.floor(
+            F.abs(F.col("n_chars").cast("double") - F.col("med"))
+            * F.lit(2.0)
+            + F.lit(0.5000152587890625)
+        ).cast("long").alias("zq"),
+    )
+    return anova_oneway(z, "zq", "source")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from mhw3d_detection_spark.operators.analysis import dyadic_quantize_sql
 from mhw3d_detection_spark.queries.base import register, rq, rq_sql
 from mhw3d_detection_spark.sources.tables import load_table
 
@@ -2194,6 +2195,183 @@ def q_tpch_q19_shape(spark, sf_dir):
         & F.col("l_quantity").between(20, 40)
     )
     return j.filter(branch).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("rev").alias("revenue"),
+    )
+
+
+# --- W14km (r12): Kaplan-Meier user-lifetime survival curve ---
+@register(
+    "q_survival_km",
+    "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, "
+    "  max(epoch_us(ts)) AS l FROM events "
+    "  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), "
+    "c AS (SELECT max(epoch_us(ts)) - 259200000000 AS cut FROM events "
+    "  WHERE ts IS NOT NULL), "
+    "d AS (SELECT CAST(floor(CAST(l - f AS DOUBLE) / 3600000000.0) "
+    "    AS BIGINT) AS dur_h, "
+    "  CASE WHEN l < c.cut THEN 1 ELSE 0 END AS obs FROM u, c), "
+    "sp AS (SELECT dur_h, CAST(sum(obs) AS BIGINT) AS d_t, "
+    "  CAST(count(*) - sum(obs) AS BIGINT) AS c_t FROM d GROUP BY 1), "
+    "k AS (SELECT dur_h, d_t, c_t, "
+    "  CAST(sum(d_t + c_t) OVER (ORDER BY dur_h ROWS BETWEEN "
+    "    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk "
+    "  FROM sp), "
+    "s AS (SELECT dur_h, d_t, c_t, n_risk, "
+    "  CASE WHEN d_t > 0 AND n_risk > d_t THEN "
+    + dyadic_quantize_sql(
+        "ln(CAST(n_risk - d_t AS DOUBLE) / CAST(n_risk AS DOUBLE))", 40
+    )
+    + "    ELSE 0.0e0 END AS lt, "
+    "  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM k) "
+    "SELECT dur_h AS dur_hours, n_risk, d_t AS n_events, "
+    "c_t AS n_censored, "
+    "CASE WHEN max(dead) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED "
+    "  PRECEDING AND CURRENT ROW) = 1 THEN 0.0e0 ELSE "
+    "  exp(sum(lt) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED "
+    "  PRECEDING AND CURRENT ROW)) END AS survival "
+    "FROM s",
+)
+def q_survival_km(spark, sf_dir):
+    """W14km (r12): Kaplan-Meier survival curve of user LIFETIME
+    (first→last activity, hours) with right-censoring — the
+    time-to-churn readout the retention cohort table (W14ev) bins away:
+    users whose last event falls inside the final 3 days are CENSORED
+    (still alive), not churned, and KM is the estimator that prices
+    that distinction — the survival-analysis family's first member.
+
+    Spark-first exactness: one users-sized aggregate to (first, last)
+    integer micros, the censoring cutoff a 1-row broadcast, the curve
+    computed on the DISTINCT-durations spine (domain-bounded — the
+    ks-spine rule, never a per-user window): at-risk counts by a
+    reverse cumulative integer window, and the product Π(1 − d/n) as
+    exp of the running sum of per-step ln((n−d)/n) terms — each term a
+    libm ln of an exact integer rational (identical bits both engines),
+    dyadic-quantized (2^-40) so the RUNNING sum is order-free exact;
+    a d = n step (everyone at risk dies) pins survival to exactly 0.0
+    via a cumulative flag instead of ln(0) (Spark's floor(−inf) is a
+    LONG clamp, DuckDB's a DOUBLE — the one place the grids diverge).
+    RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("f"),
+        F.max(F.unix_micros("ts")).alias("l"),
+    )
+    cut = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(259200000000)).alias("cut")
+    )
+    d = u.crossJoin(F.broadcast(cut)).select(
+        F.floor(
+            (F.col("l") - F.col("f")).cast("double") / F.lit(3600000000.0)
+        ).cast("long").alias("dur_h"),
+        (F.col("l") < F.col("cut")).cast("int").alias("obs"),
+    )
+    sp = d.groupBy("dur_h").agg(
+        F.sum("obs").cast("long").alias("d_t"),
+        (F.count(F.lit(1)) - F.sum("obs")).cast("long").alias("c_t"),
+    )
+    w_fwd = Window.orderBy("dur_h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    k = sp.select(
+        "dur_h",
+        "d_t",
+        "c_t",
+        F.sum(F.col("d_t") + F.col("c_t")).over(w_fwd).cast("long").alias(
+            "n_risk"
+        ),
+    )
+    lt = F.when(
+        (F.col("d_t") > 0) & (F.col("n_risk") > F.col("d_t")),
+        dyadic_quantize(
+            F.log(
+                (F.col("n_risk") - F.col("d_t")).cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            40,
+        ),
+    ).otherwise(F.lit(0.0))
+    s = k.select(
+        "dur_h",
+        "d_t",
+        "c_t",
+        "n_risk",
+        lt.alias("lt"),
+        (F.col("d_t") == F.col("n_risk")).cast("int").alias("dead"),
+    )
+    w_cum = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return s.select(
+        F.col("dur_h").alias("dur_hours"),
+        "n_risk",
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored"),
+        F.when(F.max("dead").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum("lt").over(w_cum)))
+        .alias("survival"),
+    )
+
+
+# --- J10g (r12): TPC-H Q9 product-profit shape (part name filter) ---
+@register(
+    "q_tpch_q9_shape",
+    "WITH l AS (SELECT l_orderkey, l_suppkey, "
+    "  floor(l_extendedprice * (1.0 - l_discount) * 64.0 "
+    "    + 0.5000152587890625) / 64.0 AS rev "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  WHERE p_name LIKE '%red%') "
+    "SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, "
+    "CAST(count(*) AS BIGINT) AS n_items, sum(rev) AS revenue "
+    "FROM l JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "GROUP BY 1, 2",
+)
+def q_tpch_q9_shape(spark, sf_dir):
+    """J10g (r12): the TPC-H Q9 product-profit shape — revenue of
+    name-matched parts by supplier nation × order year: the multi-dim
+    chain (part + supplier + nation + orders) the Q14/Q19 pair doesn't
+    exercise, with a substring part filter. Spark-first: the LIKE
+    filter prunes the part dim BEFORE its broadcast, supplier/nation
+    broadcast too, so the only shuffle is lineitem⋈orders on the order
+    key and the final 2-key group; per-line revenue dyadic 1/64 (the
+    Q5 device) — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        dyadic_quantize(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return j.groupBy(
+        "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("rev").alias("revenue"),
     )

@@ -1,0 +1,181 @@
+"""Round-12 wave tests: Kruskal-Wallis, Brown-Forsythe, Kaplan-Meier —
+brute-force / hand-computed pins for the new statistics, independent of
+the DuckDB oracle rows (which check cross-engine bits, not math)."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.analysis import kruskal_wallis
+
+
+def _kw_brute(groups):
+    """Reference H from first principles: average ranks with ties."""
+    pooled = sorted(x for g in groups for x in g)
+    n = len(pooled)
+    # average rank per value
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(ranks[x] for x in g) ** 2 / len(g) for g in groups
+    ) - 3 * (n + 1)
+    ties = 0
+    from collections import Counter
+
+    for _, t in Counter(pooled).items():
+        ties += t**3 - t
+    corr = 1.0 - ties / (n**3 - n)
+    return h, h / corr if corr > 0 else None
+
+
+def test_kruskal_wallis_matches_bruteforce(spark):
+    groups = [
+        [12, 15, 15, 20, 8],
+        [30, 25, 15, 40],
+        [5, 8, 9, 12, 12, 7],
+    ]
+    rows = [
+        (f"g{i}", v) for i, g in enumerate(groups) for v in g
+    ]
+    df = spark.createDataFrame(rows, "src string, v long")
+    r = kruskal_wallis(df, "v", "src").collect()[0]
+    h, hc = _kw_brute(groups)
+    assert r.k_groups == 3 and r.n == 15 and r.dof == 2
+    assert r.h_stat == pytest.approx(h, abs=1e-5)
+    assert r.h_tie_corrected == pytest.approx(hc, abs=1e-5)
+
+
+def test_kruskal_wallis_all_tied_null_correction(spark):
+    # every value identical: correction = 0 -> corrected H NULL,
+    # raw H defined (0 up to quantization)
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "src string, v long"
+    )
+    r = kruskal_wallis(df, "v", "src").collect()[0]
+    assert r.h_tie_corrected is None
+    assert r.h_stat == pytest.approx(0.0, abs=1e-4)
+
+
+def test_kruskal_wallis_empty_and_single_group(spark):
+    empty = spark.createDataFrame([], "src string, v long")
+    assert kruskal_wallis(empty, "v", "src").collect() == []
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "src string, v long")
+    r = kruskal_wallis(one, "v", "src").collect()[0]
+    assert r.k_groups == 1
+    assert r.h_stat is None and r.h_tie_corrected is None and r.dof is None
+
+
+def test_kruskal_wallis_k2_consistent_with_rank_two_sample(spark):
+    # k=2 KW and Mann-Whitney are the same test: H = z^2 in the
+    # tie-corrected normal approximation (exact identity for the
+    # statistics as defined)
+    from mhw3d_detection_spark.operators.analysis import rank_two_sample
+
+    rows = [("a", v) for v in [3, 7, 7, 12, 20]] + [
+        ("b", v) for v in [1, 4, 7, 9]
+    ]
+    df = spark.createDataFrame(rows, "src string, v long")
+    kw = kruskal_wallis(df, "v", "src").collect()[0]
+    u = rank_two_sample(df, "v", F.col("src") == "a").collect()[0]
+    assert kw.h_tie_corrected == pytest.approx(u.z_stat**2, abs=1e-6)
+
+
+def _km_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+def test_survival_km_handcomputed(spark, tmp_path):
+    """3 users churned at 1h/1h/3h lifetimes, 1 censored (active in the
+    final 3 days): S(1h)=1-2/4=0.5, S(3h)=0.5*(1-1/2)=0.25, with the
+    censored user's 2h row dropping risk without an event."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # global max ts = Jan 20; cutoff = Jan 17
+    for uid, hours in ((1, 1), (2, 1), (3, 3)):
+        rows += [
+            (uid * 10, base, uid, "view", 1.0, "{}"),
+            (uid * 10 + 1, base + dt.timedelta(hours=hours), uid,
+             "view", 1.0, "{}"),
+        ]
+    # user 4: lifetime 2h, last event inside the final 3 days -> censored
+    rows += [
+        (40, base + dt.timedelta(days=19, hours=22), 4, "view", 1.0, "{}"),
+        (41, base + dt.timedelta(days=20), 4, "view", 1.0, "{}"),
+    ]
+    df = _km_events(spark, rows)
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    out = {
+        r.dur_hours: r
+        for r in REGISTRY["q_survival_km"].spark_fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_risk == 4 and out[1].n_events == 2
+    assert out[1].survival == pytest.approx(0.5, abs=1e-9)
+    assert out[2].n_risk == 2 and out[2].n_events == 0
+    assert out[2].n_censored == 1
+    assert out[2].survival == pytest.approx(0.5, abs=1e-9)  # carried
+    assert out[3].n_risk == 1 and out[3].n_events == 1
+    assert out[3].survival == pytest.approx(0.0, abs=1e-12)  # d=n -> 0
+
+
+def test_survival_km_no_observed_events(spark, tmp_path):
+    # everyone censored: survival stays exactly 1.0 at every step
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        rows += [
+            (uid * 10, base + dt.timedelta(days=19), uid, "view", 1.0, "{}"),
+            (uid * 10 + 1, base + dt.timedelta(days=19, hours=uid), uid,
+             "view", 1.0, "{}"),
+        ]
+    df = _km_events(spark, rows)
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    out = REGISTRY["q_survival_km"].spark_fn(spark, str(tmp_path)).collect()
+    assert all(r.survival == 1.0 and r.n_events == 0 for r in out)
+
+
+def test_levene_bf_detects_spread_difference(spark):
+    # same means, wildly different spreads -> large F; swap to equal
+    # spreads -> F near 0
+    import random
+
+    rng = random.Random(5)
+    tight = [("a", 100 + rng.randrange(-2, 3)) for _ in range(200)]
+    wide = [("b", 100 + rng.randrange(-50, 51)) for _ in range(200)]
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    df = spark.createDataFrame(tight + wide, "source string, n_chars long")
+    # drive the registered builder's math via the operator path
+    from mhw3d_detection_spark.operators.analysis import anova_oneway
+
+    med = df.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    z = df.join(F.broadcast(med), "source").select(
+        "source",
+        F.floor(
+            F.abs(F.col("n_chars").cast("double") - F.col("med"))
+            * F.lit(2.0)
+            + F.lit(0.5000152587890625)
+        ).cast("long").alias("zq"),
+    )
+    r = anova_oneway(z, "zq", "source").collect()[0]
+    assert r.f_stat is not None and r.f_stat > 100.0
