@@ -2386,9 +2386,12 @@ def kruskal_wallis(
     order-free; everything upstream of that grid is identical integer
     bits in any engine — RAW hash. R2_g ≤ 2nN keeps the double square
     deterministic (one IEEE multiply of identical bits) at any scale;
-    the int64 rank-sum bound 2nN < 2^63 holds to n ≈ 2e9 rows.
-    ``rq_digits`` pre-bands a continuous value column so the rank
-    window stays domain-bounded (the ks_two_sample contract).
+    the int64 rank/tie-sum bounds (2n² and n·max_tie² < 2^63) are
+    asserted LOUD by the rank_two_sample guard device — non-ANSI Spark
+    raises instead of silently wrapping, matching DuckDB's
+    HUGEINT→BIGINT cast error. ``rq_digits`` pre-bands a continuous
+    value column so the rank window stays domain-bounded (the
+    ks_two_sample contract).
 
     Returns one row ``(k_groups, n, ties, h_stat, h_tie_corrected,
     dof)``; statistics NULL when k < 2 or every value is tied
@@ -2430,7 +2433,8 @@ def kruskal_wallis(
     ties = h.agg(
         F.sum(
             F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
-        ).cast("long").alias("ties")
+        ).cast("long").alias("ties"),
+        F.max("cnt").cast("long").alias("maxc"),
     )
     tot = per_g.agg(
         F.count(F.lit(1)).cast("int").alias("k"),
@@ -2445,11 +2449,30 @@ def kruskal_wallis(
     agg = j.groupBy("k", "n").agg(
         F.sum(dyadic_quantize(term, 20)).alias("s")
     ).crossJoin(F.broadcast(ties))
+    # the rank_two_sample loud-overflow device: the tie sum is bounded
+    # by n*maxc^2 and every doubled rank sum by 2n^2 — assert both in
+    # double space so non-ANSI Spark raises instead of silently
+    # wrapping the int64 sums (vacuously true on NULL counts: an empty
+    # input must stay the documented empty frame, not an error)
+    nd_g = F.col("n").cast("double")
+    guard = F.assert_true(
+        F.coalesce(
+            (nd_g * F.col("maxc").cast("double")
+             * F.col("maxc").cast("double") < F.lit(float(2**63)))
+            & (F.lit(2.0) * nd_g * nd_g < F.lit(float(2**63))),
+            F.lit(True),
+        ),
+        F.lit(
+            "kruskal_wallis: integer-magnitude contract violated "
+            "(n*max_tie^2 or 2n^2 >= 2^63 would wrap int64 rank/tie "
+            "sums) — pre-band the value domain via rq_digits"
+        ),
+    )
     hstat = F.col("s") - F.lit(3.0) * (F.col("n").cast("double") + F.lit(1.0))
     corr = F.lit(1.0) - F.col("ties").cast("double") / (
         nd * nd * nd - nd
     )
-    ok = (F.col("k") > 1) & (F.col("n") > F.col("k"))
+    ok = guard.isNull() & (F.col("k") > 1) & (F.col("n") > F.col("k"))
     return agg.select(
         F.col("k").alias("k_groups"),
         "n",

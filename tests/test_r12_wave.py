@@ -179,3 +179,24 @@ def test_levene_bf_detects_spread_difference(spark):
     )
     r = anova_oneway(z, "zq", "source").collect()[0]
     assert r.f_stat is not None and r.f_stat > 100.0
+
+
+def test_kruskal_wallis_overflow_guard_raises(spark):
+    # 2.2M tied rows: n*maxc^2 cubes past 2^63 — the guard keeps the
+    # failure loud under non-ANSI configs (the rank_two_sample device)
+    df = (
+        spark.range(2_200_000)
+        .select(F.lit("a").alias("src"), F.lit(1).alias("v"))
+        .union(
+            spark.range(10).select(
+                F.lit("b").alias("src"), F.lit(2).alias("v")
+            )
+        )
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="integer-magnitude contract"):
+            kruskal_wallis(df, "v", "src").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
