@@ -229,3 +229,53 @@ def compact_files(
         out = df.repartition(files)
     out.write.mode("overwrite").parquet(out_path)
     return files
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str | None = "gzip",
+    partitions: int | None = None,
+) -> None:
+    """JSON-Lines sink (SC6, r12) — the LLM-corpus interchange format:
+    one JSON object per line, gzip by default (the shape crawl dumps,
+    eval sets, and most open text datasets ship in). Each output part
+    is written by its own task, so the sink scales with the cluster
+    like the parquet sinks; ``partitions`` caps the file count for
+    hand-off (a coalesce, not a shuffle).
+
+    Parquet remains the engine-side format (columnar pruning, pushdown,
+    stats) — this sink exists for the pipeline BOUNDARY where another
+    team's tooling expects JSONL.
+    """
+    w = df.coalesce(int(partitions)) if partitions else df
+    writer = w.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """JSON-Lines source (SC6, r12). ``schema`` is REQUIRED (a DDL
+    string): schema inference on 100 TB of JSONL is a full extra pass
+    over the data and silently unions drifting shapes — an explicit
+    contract fails loud instead. ``mode`` follows Spark's JSON reader:
+    FAILFAST (default — corrupt line kills the read), PERMISSIVE
+    (corrupt line -> all-NULL row), DROPMALFORMED. Compression is
+    sniffed per-file from the extension, so mixed .gz/.zst/plain
+    directories read fine; gzip parts are NOT splittable — write many
+    parts (the write_jsonl default) so parallelism comes from file
+    count, not intra-file splits.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .json(path)
+    )

@@ -181,3 +181,83 @@ class TestCompactFiles:
         # range-partitioned + sorted: file spans must not overlap
         for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
             assert a_hi < b_lo
+
+
+class TestJsonlRoundTrip:
+    """SC6 (r12): JSONL is the pipeline-boundary interchange format —
+    the round trip through the sink+source must be lossless against
+    the parquet original, including NULLs and unicode text."""
+
+    def test_documents_roundtrip_exact(self, spark, tmp_path):
+        from mhw3d_detection_spark.sources.ingest import (
+            read_jsonl,
+            write_jsonl,
+        )
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        path = str(tmp_path / "docs_jsonl")
+        write_jsonl(docs, path, partitions=3)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in docs.schema
+        )
+        back = read_jsonl(spark, path, schema)
+        want = {tuple(r) for r in docs.collect()}
+        got = {tuple(r) for r in back.collect()}
+        assert got == want
+
+    def test_nulls_and_unicode_survive(self, spark, tmp_path):
+        from mhw3d_detection_spark.sources.ingest import (
+            read_jsonl,
+            write_jsonl,
+        )
+
+        rows = [
+            (1, "héllo wörld é中文", 3.5),
+            (2, None, None),
+            (3, 'quotes " and \\ backslash', -0.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string, score double")
+        path = str(tmp_path / "uni")
+        write_jsonl(df, path, compression=None, partitions=1)
+        back = read_jsonl(spark, path, "id long, text string, score double")
+        got = {r.id: (r.text, r.score) for r in back.collect()}
+        assert got[1] == ("héllo wörld é中文", 3.5)
+        assert got[2] == (None, None)
+        assert got[3][0] == 'quotes " and \\ backslash'
+
+    def test_failfast_on_corrupt_line(self, spark, tmp_path):
+        import gzip
+        import os
+
+        import pytest
+
+        from mhw3d_detection_spark.sources.ingest import read_jsonl
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        (d / "part-0.json").write_text(
+            '{"id": 1, "text": "ok"}\n{"id": oops not json\n'
+        )
+        with pytest.raises(Exception):
+            read_jsonl(
+                spark, str(d), "id long, text string"
+            ).collect()
+        # PERMISSIVE: the corrupt line becomes an all-NULL row instead
+        rows = read_jsonl(
+            spark, str(d), "id long, text string", mode="PERMISSIVE"
+        ).collect()
+        assert len(rows) == 2
+        assert {r.id for r in rows} == {1, None}
+        # DuckDB's ignore_errors lands on the SAME convention as Spark
+        # PERMISSIVE: the corrupt line becomes an all-NULL row (cross-
+        # engine boundary check without a registered oracle row)
+        import duckdb
+
+        dd = duckdb.connect().execute(
+            "SELECT id, text FROM read_json(?, format='newline_delimited', "
+            "columns={'id': 'BIGINT', 'text': 'VARCHAR'}, "
+            "ignore_errors=true)",
+            [str(d / "part-0.json")],
+        ).fetchall()
+        assert set(dd) == {(1, "ok"), (None, None)}
