@@ -169,6 +169,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r10 wave 2: ANOVA attaches the 1-row (k, n, s) grand totals to
     # the groups-sized table — scalar
     "q_anova_length": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r12: KW attaches the 1-row (k, N) totals + the 1-row tie sum to
+    # the groups-sized frame; Levene-BF is anova_oneway (same scalar
+    # attach); KM attaches the 1-row censoring cutoff to the users
+    # frame — all constant-size regardless of corpus
+    "q_kruskal_wallis": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_levene_bf": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_survival_km": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # r10 wave 2: Kendall crosses the two DISTINCT-band spines (dense
     # bounded joint grid — the histogram-first design's whole point)
     # and attaches 1-row pair/tie totals — domain/scalar-bounded
