@@ -161,6 +161,14 @@ PLANS = [
     "q_js_divergence",
     "q_source_scorecard",
     "q_dau_mau_stickiness",
+    "q_json_extract",
+    "q_json_null_contract",
+    "q_tpch_q14_shape",
+    "q_tpch_q19_shape",
+    "q_tpch_q9_shape",
+    "q_kruskal_wallis",
+    "q_levene_bf",
+    "q_survival_km",
 ]
 
 HEADER = """# Physical plans — explain evidence
