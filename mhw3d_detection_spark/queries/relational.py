@@ -2226,6 +2226,7 @@ def q_tpch_q19_shape(spark, sf_dir):
     "  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM k) "
     "SELECT dur_h AS dur_hours, n_risk, d_t AS n_events, "
     "c_t AS n_censored, "
+    "CAST(d_t AS DOUBLE) / n_risk AS hazard, "
     "CASE WHEN max(dead) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED "
     "  PRECEDING AND CURRENT ROW) = 1 THEN 0.0e0 ELSE "
     "  exp(sum(lt) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED "
@@ -2311,6 +2312,10 @@ def q_survival_km(spark, sf_dir):
         "n_risk",
         F.col("d_t").alias("n_events"),
         F.col("c_t").alias("n_censored"),
+        # discrete-time hazard at this step — d/n is the quantity the
+        # KM product is built from, and the readout an ops alerting
+        # rule thresholds directly (exact division of int64 bits)
+        (F.col("d_t").cast("double") / F.col("n_risk")).alias("hazard"),
         F.when(F.max("dead").over(w_cum) == 1, F.lit(0.0))
         .otherwise(F.exp(F.sum("lt").over(w_cum)))
         .alias("survival"),
@@ -2374,4 +2379,136 @@ def q_tpch_q9_shape(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("rev").alias("revenue"),
+    )
+
+
+# --- W14kc (r12): cohort Kaplan-Meier — survival curves per entry type ---
+@register(
+    "q_survival_km_cohort",
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+    "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "fe AS (SELECT user_id, event_type AS cohort FROM ("
+    "  SELECT user_id, event_type, row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e) "
+    "  WHERE rn = 1), "
+    "u AS (SELECT user_id, min(us) AS f, max(us) AS l FROM e GROUP BY 1), "
+    "c AS (SELECT max(us) - 259200000000 AS cut FROM e), "
+    "d AS (SELECT fe.cohort, "
+    "  CAST(floor(CAST(l - f AS DOUBLE) / 3600000000.0) AS BIGINT) "
+    "    AS dur_h, "
+    "  CASE WHEN l < c.cut THEN 1 ELSE 0 END AS obs "
+    "  FROM u JOIN fe ON u.user_id = fe.user_id, c), "
+    "sp AS (SELECT cohort, dur_h, CAST(sum(obs) AS BIGINT) AS d_t, "
+    "  CAST(count(*) - sum(obs) AS BIGINT) AS c_t FROM d GROUP BY 1, 2), "
+    "k AS (SELECT cohort, dur_h, d_t, c_t, "
+    "  CAST(sum(d_t + c_t) OVER (PARTITION BY cohort ORDER BY dur_h "
+    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) "
+    "    AS n_risk FROM sp), "
+    "s AS (SELECT cohort, dur_h, d_t, c_t, n_risk, "
+    "  CASE WHEN d_t > 0 AND n_risk > d_t THEN "
+    + dyadic_quantize_sql(
+        "ln(CAST(n_risk - d_t AS DOUBLE) / CAST(n_risk AS DOUBLE))", 40
+    )
+    + "    ELSE 0.0e0 END AS lt, "
+    "  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM k) "
+    "SELECT cohort, dur_h AS dur_hours, n_risk, d_t AS n_events, "
+    "c_t AS n_censored, "
+    "CAST(d_t AS DOUBLE) / n_risk AS hazard, "
+    "CASE WHEN max(dead) OVER (PARTITION BY cohort ORDER BY dur_h "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
+    "  THEN 0.0e0 ELSE "
+    "  exp(sum(lt) OVER (PARTITION BY cohort ORDER BY dur_h "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END "
+    "  AS survival "
+    "FROM s",
+)
+def q_survival_km_cohort(spark, sf_dir):
+    """W14kc (r12): Kaplan-Meier survival per ENTRY-TYPE cohort — one
+    curve per acquisition channel (the user's FIRST event type), the
+    comparison the pooled W14km curve averages away ("do users who
+    arrive via search churn faster than via purchase?"). Cohort
+    assignment is a row_number window inside the per-user partition
+    (integer-micros + event_id ordering — the W14ee device), fused onto
+    the same user_id shuffle as the lifetime aggregate. Every curve
+    window then runs PARTITION BY cohort over the (cohort x durations)
+    spine — the grouped shape that keeps the spine windows parallel at
+    any cohort count, unlike the pooled row's single-partition spine.
+    Same exactness devices as W14km: integer at-risk counts, 2^-40
+    dyadic ln terms, exp deterministic, d = n pinned to exact 0.0 —
+    RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w_first = Window.partitionBy("user_id").orderBy("us", "event_id")
+    fe = (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("cohort"))
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("us").alias("f"), F.max("us").alias("l")
+    )
+    cut = ev.agg((F.max("us") - F.lit(259200000000)).alias("cut"))
+    d = u.join(fe, "user_id").crossJoin(F.broadcast(cut)).select(
+        "cohort",
+        F.floor(
+            (F.col("l") - F.col("f")).cast("double") / F.lit(3600000000.0)
+        ).cast("long").alias("dur_h"),
+        (F.col("l") < F.col("cut")).cast("int").alias("obs"),
+    )
+    sp = d.groupBy("cohort", "dur_h").agg(
+        F.sum("obs").cast("long").alias("d_t"),
+        (F.count(F.lit(1)) - F.sum("obs")).cast("long").alias("c_t"),
+    )
+    w_fwd = Window.partitionBy("cohort").orderBy("dur_h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    k = sp.select(
+        "cohort",
+        "dur_h",
+        "d_t",
+        "c_t",
+        F.sum(F.col("d_t") + F.col("c_t")).over(w_fwd).cast("long").alias(
+            "n_risk"
+        ),
+    )
+    lt = F.when(
+        (F.col("d_t") > 0) & (F.col("n_risk") > F.col("d_t")),
+        dyadic_quantize(
+            F.log(
+                (F.col("n_risk") - F.col("d_t")).cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            40,
+        ),
+    ).otherwise(F.lit(0.0))
+    s = k.select(
+        "cohort",
+        "dur_h",
+        "d_t",
+        "c_t",
+        "n_risk",
+        lt.alias("lt"),
+        (F.col("d_t") == F.col("n_risk")).cast("int").alias("dead"),
+    )
+    w_cum = Window.partitionBy("cohort").orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return s.select(
+        "cohort",
+        F.col("dur_h").alias("dur_hours"),
+        "n_risk",
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored"),
+        (F.col("d_t").cast("double") / F.col("n_risk")).alias("hazard"),
+        F.when(F.max("dead").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum("lt").over(w_cum)))
+        .alias("survival"),
     )

@@ -200,3 +200,46 @@ def test_kruskal_wallis_overflow_guard_raises(spark):
             kruskal_wallis(df, "v", "src").collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_survival_km_cohort_partitions_and_hazard(spark, tmp_path):
+    """Two entry-type cohorts with different churn speeds: each cohort
+    gets its own independent curve (per-cohort at-risk counts), and
+    hazard = d/n exactly."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # cohort 'view' (users 1, 2): churn at 1h
+    for uid in (1, 2):
+        rows += [
+            (uid * 10, base, uid, "view", 1.0, "{}"),
+            (uid * 10 + 1, base + dt.timedelta(hours=1), uid,
+             "click", 1.0, "{}"),
+        ]
+    # cohort 'purchase' (users 3, 4): churn at 2h / censored
+    rows += [
+        (30, base, 3, "purchase", 1.0, "{}"),
+        (31, base + dt.timedelta(hours=2), 3, "view", 1.0, "{}"),
+        (40, base + dt.timedelta(days=19, hours=22), 4,
+         "purchase", 1.0, "{}"),
+        (41, base + dt.timedelta(days=20), 4, "view", 1.0, "{}"),
+    ]
+    df = _km_events(spark, rows)
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    out = {
+        (r.cohort, r.dur_hours): r
+        for r in REGISTRY["q_survival_km_cohort"].spark_fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    v = out[("view", 1)]
+    assert v.n_risk == 2 and v.n_events == 2
+    assert v.hazard == 1.0 and v.survival == 0.0  # d = n -> exact 0
+    p2 = out[("purchase", 2)]
+    assert p2.n_risk == 2 and p2.n_events == 1 and p2.n_censored == 1
+    assert p2.hazard == pytest.approx(0.5)
+    assert p2.survival == pytest.approx(0.5, abs=1e-9)
+    # cohorts are independent: the 'view' deaths never entered the
+    # purchase cohort's at-risk pool
+    assert ("purchase", 1) not in out

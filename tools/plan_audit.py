@@ -176,6 +176,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_kruskal_wallis": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_levene_bf": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_survival_km": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    "q_survival_km_cohort": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # r10 wave 2: Kendall crosses the two DISTINCT-band spines (dense
     # bounded joint grid — the histogram-first design's whole point)
     # and attaches 1-row pair/tie totals — domain/scalar-bounded
