@@ -2200,244 +2200,52 @@ def q_tpch_q19_shape(spark, sf_dir):
     )
 
 
-# --- W14km (r12): Kaplan-Meier user-lifetime survival curve ---
-@register(
-    "q_survival_km",
-    "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, "
-    "  max(epoch_us(ts)) AS l FROM events "
-    "  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), "
-    "c AS (SELECT max(epoch_us(ts)) - 259200000000 AS cut FROM events "
-    "  WHERE ts IS NOT NULL), "
-    "d AS (SELECT CAST(floor(CAST(l - f AS DOUBLE) / 3600000000.0) "
-    "    AS BIGINT) AS dur_h, "
-    "  CASE WHEN l < c.cut THEN 1 ELSE 0 END AS obs FROM u, c), "
-    "sp AS (SELECT dur_h, CAST(sum(obs) AS BIGINT) AS d_t, "
-    "  CAST(count(*) - sum(obs) AS BIGINT) AS c_t FROM d GROUP BY 1), "
-    "k AS (SELECT dur_h, d_t, c_t, "
-    "  CAST(sum(d_t + c_t) OVER (ORDER BY dur_h ROWS BETWEEN "
-    "    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk "
-    "  FROM sp), "
-    "s AS (SELECT dur_h, d_t, c_t, n_risk, "
-    "  CASE WHEN d_t > 0 AND n_risk > d_t THEN "
-    + dyadic_quantize_sql(
-        "ln(CAST(n_risk - d_t AS DOUBLE) / CAST(n_risk AS DOUBLE))", 40
-    )
-    + "    ELSE 0.0e0 END AS lt, "
-    "  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM k) "
-    "SELECT dur_h AS dur_hours, n_risk, d_t AS n_events, "
-    "c_t AS n_censored, "
-    "CAST(d_t AS DOUBLE) / n_risk AS hazard, "
-    "CASE WHEN max(dead) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED "
-    "  PRECEDING AND CURRENT ROW) = 1 THEN 0.0e0 ELSE "
-    "  exp(sum(lt) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED "
-    "  PRECEDING AND CURRENT ROW)) END AS survival "
-    "FROM s",
-)
-def q_survival_km(spark, sf_dir):
-    """W14km (r12): Kaplan-Meier survival curve of user LIFETIME
-    (first→last activity, hours) with right-censoring — the
-    time-to-churn readout the retention cohort table (W14ev) bins away:
-    users whose last event falls inside the final 3 days are CENSORED
-    (still alive), not churned, and KM is the estimator that prices
-    that distinction — the survival-analysis family's first member.
-
-    Spark-first exactness: one users-sized aggregate to (first, last)
-    integer micros, the censoring cutoff a 1-row broadcast, the curve
-    computed on the DISTINCT-durations spine (domain-bounded — the
-    ks-spine rule, never a per-user window): at-risk counts by a
-    reverse cumulative integer window, and the product Π(1 − d/n) as
-    exp of the running sum of per-step ln((n−d)/n) terms — each term a
-    libm ln of an exact integer rational (identical bits both engines),
-    dyadic-quantized (2^-40) so the RUNNING sum is order-free exact;
-    a d = n step (everyone at risk dies) pins survival to exactly 0.0
-    via a cumulative flag instead of ln(0) (Spark's floor(−inf) is a
-    LONG clamp, DuckDB's a DOUBLE — the one place the grids diverge).
-    RAW hash."""
-    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
-    u = ev.groupBy("user_id").agg(
-        F.min(F.unix_micros("ts")).alias("f"),
-        F.max(F.unix_micros("ts")).alias("l"),
-    )
-    cut = ev.agg(
-        (F.max(F.unix_micros("ts")) - F.lit(259200000000)).alias("cut")
-    )
-    d = u.crossJoin(F.broadcast(cut)).select(
-        F.floor(
-            (F.col("l") - F.col("f")).cast("double") / F.lit(3600000000.0)
-        ).cast("long").alias("dur_h"),
-        (F.col("l") < F.col("cut")).cast("int").alias("obs"),
-    )
-    sp = d.groupBy("dur_h").agg(
-        F.sum("obs").cast("long").alias("d_t"),
-        (F.count(F.lit(1)) - F.sum("obs")).cast("long").alias("c_t"),
-    )
-    w_fwd = Window.orderBy("dur_h").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    k = sp.select(
-        "dur_h",
-        "d_t",
-        "c_t",
-        F.sum(F.col("d_t") + F.col("c_t")).over(w_fwd).cast("long").alias(
-            "n_risk"
-        ),
-    )
-    lt = F.when(
-        (F.col("d_t") > 0) & (F.col("n_risk") > F.col("d_t")),
-        dyadic_quantize(
-            F.log(
-                (F.col("n_risk") - F.col("d_t")).cast("double")
-                / F.col("n_risk").cast("double")
-            ),
-            40,
-        ),
-    ).otherwise(F.lit(0.0))
-    s = k.select(
-        "dur_h",
-        "d_t",
-        "c_t",
-        "n_risk",
-        lt.alias("lt"),
-        (F.col("d_t") == F.col("n_risk")).cast("int").alias("dead"),
-    )
-    w_cum = Window.orderBy("dur_h").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return s.select(
-        F.col("dur_h").alias("dur_hours"),
-        "n_risk",
-        F.col("d_t").alias("n_events"),
-        F.col("c_t").alias("n_censored"),
-        # discrete-time hazard at this step — d/n is the quantity the
-        # KM product is built from, and the readout an ops alerting
-        # rule thresholds directly (exact division of int64 bits)
-        (F.col("d_t").cast("double") / F.col("n_risk")).alias("hazard"),
-        F.when(F.max("dead").over(w_cum) == 1, F.lit(0.0))
-        .otherwise(F.exp(F.sum("lt").over(w_cum)))
-        .alias("survival"),
-    )
 
 
-# --- J10g (r12): TPC-H Q9 product-profit shape (part name filter) ---
-@register(
-    "q_tpch_q9_shape",
-    "WITH l AS (SELECT l_orderkey, l_suppkey, "
-    "  floor(l_extendedprice * (1.0 - l_discount) * 64.0 "
-    "    + 0.5000152587890625) / 64.0 AS rev "
-    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
-    "  WHERE p_name LIKE '%red%') "
-    "SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, "
-    "CAST(count(*) AS BIGINT) AS n_items, sum(rev) AS revenue "
-    "FROM l JOIN orders ON l_orderkey = o_orderkey "
-    "JOIN supplier ON l_suppkey = s_suppkey "
-    "JOIN nation ON s_nationkey = n_nationkey "
-    "GROUP BY 1, 2",
-)
-def q_tpch_q9_shape(spark, sf_dir):
-    """J10g (r12): the TPC-H Q9 product-profit shape — revenue of
-    name-matched parts by supplier nation × order year: the multi-dim
-    chain (part + supplier + nation + orders) the Q14/Q19 pair doesn't
-    exercise, with a substring part filter. Spark-first: the LIKE
-    filter prunes the part dim BEFORE its broadcast, supplier/nation
-    broadcast too, so the only shuffle is lineitem⋈orders on the order
-    key and the final 2-key group; per-line revenue dyadic 1/64 (the
-    Q5 device) — RAW hash."""
-    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_partkey",
-        "l_suppkey",
-        dyadic_quantize(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
-        ).alias("rev"),
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").contains("red")
-    ).select("p_partkey")
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
-    )
-    j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-    )
-    return j.groupBy(
-        "n_name", F.year("o_orderdate").cast("int").alias("o_year")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("rev").alias("revenue"),
-    )
-
-
-# --- W14kc (r12): cohort Kaplan-Meier — survival curves per entry type ---
-@register(
-    "q_survival_km_cohort",
-    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+# --- W14km/W14kc/W14kl (r12): session-grain survival analysis ---------------
+# Subject: SESSION LENGTH (minutes, first->last event inside the W14ev
+# 2 h-gap session). A completed session is an OBSERVED duration; a
+# session whose last event lies within one gap (2 h) of the stream's
+# end may still be open -> right-CENSORED. The user-lifetime grain is
+# the wrong subject on an always-on event stream (every user is active
+# near the stream end, so churn is never observed); session length is
+# the duration the data actually measures, and the estimator/devices
+# are identical.
+_KM_SESS_SQL = (
+    "e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
     "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
-    "fe AS (SELECT user_id, event_type AS cohort FROM ("
-    "  SELECT user_id, event_type, row_number() OVER ("
-    "    PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e) "
-    "  WHERE rn = 1), "
-    "u AS (SELECT user_id, min(us) AS f, max(us) AS l FROM e GROUP BY 1), "
-    "c AS (SELECT max(us) - 259200000000 AS cut FROM e), "
-    "d AS (SELECT fe.cohort, "
-    "  CAST(floor(CAST(l - f AS DOUBLE) / 3600000000.0) AS BIGINT) "
-    "    AS dur_h, "
-    "  CASE WHEN l < c.cut THEN 1 ELSE 0 END AS obs "
-    "  FROM u JOIN fe ON u.user_id = fe.user_id, c), "
-    "sp AS (SELECT cohort, dur_h, CAST(sum(obs) AS BIGINT) AS d_t, "
-    "  CAST(count(*) - sum(obs) AS BIGINT) AS c_t FROM d GROUP BY 1, 2), "
-    "k AS (SELECT cohort, dur_h, d_t, c_t, "
-    "  CAST(sum(d_t + c_t) OVER (PARTITION BY cohort ORDER BY dur_h "
-    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) "
-    "    AS n_risk FROM sp), "
-    "s AS (SELECT cohort, dur_h, d_t, c_t, n_risk, "
-    "  CASE WHEN d_t > 0 AND n_risk > d_t THEN "
-    + dyadic_quantize_sql(
-        "ln(CAST(n_risk - d_t AS DOUBLE) / CAST(n_risk AS DOUBLE))", 40
-    )
-    + "    ELSE 0.0e0 END AS lt, "
-    "  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM k) "
-    "SELECT cohort, dur_h AS dur_hours, n_risk, d_t AS n_events, "
-    "c_t AS n_censored, "
-    "CAST(d_t AS DOUBLE) / n_risk AS hazard, "
-    "CASE WHEN max(dead) OVER (PARTITION BY cohort ORDER BY dur_h "
-    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
-    "  THEN 0.0e0 ELSE "
-    "  exp(sum(lt) OVER (PARTITION BY cohort ORDER BY dur_h "
-    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END "
-    "  AS survival "
-    "FROM s",
+    f"l AS (SELECT user_id, event_id, event_type, us, lag(us) {_SS_WIN} "
+    "  AS pus FROM e), "
+    "m AS (SELECT user_id, event_type, us, event_id, CASE WHEN pus IS "
+    "  NULL OR us - pus > 7200000000 THEN 1 ELSE 0 END AS new_s FROM l), "
+    "s AS (SELECT user_id, event_type, us, event_id, CAST(sum(new_s) "
+    "  OVER (PARTITION BY user_id ORDER BY us, event_id "
+    "  ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM m), "
+    "r AS (SELECT user_id, session_id, event_type, us, "
+    "  row_number() OVER (PARTITION BY user_id, session_id "
+    "    ORDER BY us, event_id) AS rn_f FROM s), "
+    "sess AS (SELECT user_id, session_id, min(us) AS f, max(us) AS l, "
+    "  max(CASE WHEN rn_f = 1 THEN event_type END) AS cohort "
+    "  FROM r GROUP BY 1, 2), "
+    "c AS (SELECT max(us) - 7200000000 AS cut FROM e), "
+    "d AS (SELECT cohort, "
+    "  CAST(floor(CAST(l - f AS DOUBLE) / 60000000.0) AS BIGINT) "
+    "    AS dur_m, "
+    "  CASE WHEN l < c.cut THEN 1 ELSE 0 END AS obs FROM sess, c) "
 )
-def q_survival_km_cohort(spark, sf_dir):
-    """W14kc (r12): Kaplan-Meier survival per ENTRY-TYPE cohort — one
-    curve per acquisition channel (the user's FIRST event type), the
-    comparison the pooled W14km curve averages away ("do users who
-    arrive via search churn faster than via purchase?"). Cohort
-    assignment is a row_number window inside the per-user partition
-    (integer-micros + event_id ordering — the W14ee device), fused onto
-    the same user_id shuffle as the lifetime aggregate. Every curve
-    window then runs PARTITION BY cohort over the (cohort x durations)
-    spine — the grouped shape that keeps the spine windows parallel at
-    any cohort count, unlike the pooled row's single-partition spine.
-    Same exactness devices as W14km: integer at-risk counts, 2^-40
-    dyadic ln terms, exp deterministic, d = n pinned to exact 0.0 —
-    RAW hash."""
-    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
 
+_KM_LN_SQL = dyadic_quantize_sql(
+    "ln(CAST(n_risk - d_t AS DOUBLE) / CAST(n_risk AS DOUBLE))", 40
+)
+
+
+def _session_survival_frame(spark, sf_dir):
+    """Shared builder: one row per SESSION with ``(cohort, dur_m,
+    obs)`` — cohort = the session's first event type (the W14ee
+    device), dur_m = session length in minutes, obs = 1 unless the
+    session's last event is within one 2 h gap of the stream end
+    (possibly still open -> censored). Session split + entry type +
+    lifetime all run inside the one per-user shuffle."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     ).select(
@@ -2446,33 +2254,59 @@ def q_survival_km_cohort(spark, sf_dir):
         "event_type",
         F.unix_micros("ts").alias("us"),
     )
-    w_first = Window.partitionBy("user_id").orderBy("us", "event_id")
-    fe = (
-        ev.withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("cohort"))
+    w_u = Window.partitionBy("user_id").orderBy("us", "event_id")
+    m = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w_u).isNull()
+            | (F.col("us") - F.lag("us").over(w_u) > 7200000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
-    u = ev.groupBy("user_id").agg(
-        F.min("us").alias("f"), F.max("us").alias("l")
+    s = m.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
     )
-    cut = ev.agg((F.max("us") - F.lit(259200000000)).alias("cut"))
-    d = u.join(fe, "user_id").crossJoin(F.broadcast(cut)).select(
+    w_s = Window.partitionBy("user_id", "session_id").orderBy(
+        "us", "event_id"
+    )
+    r = s.withColumn("rn_f", F.row_number().over(w_s))
+    sess = r.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("f"),
+        F.max("us").alias("l"),
+        F.max(
+            F.when(F.col("rn_f") == 1, F.col("event_type"))
+        ).alias("cohort"),
+    )
+    cut = ev.agg((F.max("us") - F.lit(7200000000)).alias("cut"))
+    return sess.crossJoin(F.broadcast(cut)).select(
         "cohort",
         F.floor(
-            (F.col("l") - F.col("f")).cast("double") / F.lit(3600000000.0)
-        ).cast("long").alias("dur_h"),
+            (F.col("l") - F.col("f")).cast("double") / F.lit(60000000.0)
+        ).cast("long").alias("dur_m"),
         (F.col("l") < F.col("cut")).cast("int").alias("obs"),
     )
-    sp = d.groupBy("cohort", "dur_h").agg(
+
+
+def _km_curve(d, part_cols):
+    """Shared KM assembly over a duration frame ``(…, dur_m, obs)``:
+    spine -> reverse-cumulative at-risk -> dyadic ln terms -> survival
+    product; ``part_cols`` partitions every window (empty = pooled
+    single spine; ["cohort"] = parallel per-cohort spines)."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    sp = d.groupBy(*part_cols, "dur_m").agg(
         F.sum("obs").cast("long").alias("d_t"),
         (F.count(F.lit(1)) - F.sum("obs")).cast("long").alias("c_t"),
     )
-    w_fwd = Window.partitionBy("cohort").orderBy("dur_h").rowsBetween(
+    w_fwd = Window.partitionBy(*part_cols).orderBy("dur_m").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
     k = sp.select(
-        "cohort",
-        "dur_h",
+        *part_cols,
+        "dur_m",
         "d_t",
         "c_t",
         F.sum(F.col("d_t") + F.col("c_t")).over(w_fwd).cast("long").alias(
@@ -2490,25 +2324,261 @@ def q_survival_km_cohort(spark, sf_dir):
         ),
     ).otherwise(F.lit(0.0))
     s = k.select(
-        "cohort",
-        "dur_h",
+        *part_cols,
+        "dur_m",
         "d_t",
         "c_t",
         "n_risk",
         lt.alias("lt"),
         (F.col("d_t") == F.col("n_risk")).cast("int").alias("dead"),
     )
-    w_cum = Window.partitionBy("cohort").orderBy("dur_h").rowsBetween(
+    w_cum = Window.partitionBy(*part_cols).orderBy("dur_m").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # log_survival is the RAW-exact quantity (an order-free sum of
+    # dyadic 2^-40 terms); survival itself crosses exp() — the one
+    # libm call whose last bit is NOT pinned across engines (JVM
+    # Math.exp vs C libm diverged by 1 ulp on real session data, the
+    # r12 raw pass caught it) — so it is rq6 display-grade, the
+    # lang-entropy convention
     return s.select(
-        "cohort",
-        F.col("dur_h").alias("dur_hours"),
+        *part_cols,
+        F.col("dur_m").alias("dur_minutes"),
         "n_risk",
         F.col("d_t").alias("n_events"),
         F.col("c_t").alias("n_censored"),
         (F.col("d_t").cast("double") / F.col("n_risk")).alias("hazard"),
+        F.when(F.max("dead").over(w_cum) == 1, F.lit(None))
+        .otherwise(F.sum("lt").over(w_cum))
+        .alias("log_survival"),
         F.when(F.max("dead").over(w_cum) == 1, F.lit(0.0))
-        .otherwise(F.exp(F.sum("lt").over(w_cum)))
+        .otherwise(rq(F.exp(F.sum("lt").over(w_cum)), 6))
         .alias("survival"),
+    )
+
+
+@register(
+    "q_survival_km",
+    "WITH " + _KM_SESS_SQL + ", "
+    "sp AS (SELECT dur_m, CAST(sum(obs) AS BIGINT) AS d_t, "
+    "  CAST(count(*) - sum(obs) AS BIGINT) AS c_t FROM d GROUP BY 1), "
+    "k AS (SELECT dur_m, d_t, c_t, "
+    "  CAST(sum(d_t + c_t) OVER (ORDER BY dur_m ROWS BETWEEN "
+    "    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk "
+    "  FROM sp), "
+    "st AS (SELECT dur_m, d_t, c_t, n_risk, "
+    "  CASE WHEN d_t > 0 AND n_risk > d_t THEN " + _KM_LN_SQL
+    + "    ELSE 0.0e0 END AS lt, "
+    "  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM k) "
+    "SELECT dur_m AS dur_minutes, n_risk, d_t AS n_events, "
+    "c_t AS n_censored, "
+    "CAST(d_t AS DOUBLE) / n_risk AS hazard, "
+    "CASE WHEN max(dead) OVER (ORDER BY dur_m ROWS BETWEEN UNBOUNDED "
+    "  PRECEDING AND CURRENT ROW) = 1 THEN NULL ELSE "
+    "  sum(lt) OVER (ORDER BY dur_m ROWS BETWEEN UNBOUNDED "
+    "  PRECEDING AND CURRENT ROW) END AS log_survival, "
+    "CASE WHEN max(dead) OVER (ORDER BY dur_m ROWS BETWEEN UNBOUNDED "
+    "  PRECEDING AND CURRENT ROW) = 1 THEN 0.0e0 ELSE "
+    + rq_sql(
+        "exp(sum(lt) OVER (ORDER BY dur_m ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW))",
+        6,
+    )
+    + " END AS survival "
+    "FROM st",
+)
+def q_survival_km(spark, sf_dir):
+    """W14km (r12): Kaplan-Meier survival curve of SESSION LENGTH with
+    right-censoring — "what fraction of sessions survive past t
+    minutes", the estimator the W14ss session-stats summary bins away,
+    plus the discrete-time hazard d/n per step. Sessions are the W14ev
+    2 h-gap chain; a completed session is an observed duration, one
+    whose last event lies within a gap of the stream end is CENSORED
+    (possibly still open) — the distinction a naive mean-session-length
+    truncates into bias at every stream boundary.
+
+    Spark-first exactness: session split + lifetime run inside the one
+    per-user shuffle; the curve runs on the DISTINCT-durations spine
+    (ks-spine rule): reverse-cumulative integer at-risk counts,
+    Π(1 − d/n) as exp of the running sum of per-step ln((n−d)/n) terms
+    — each a libm ln of an exact int64 rational, dyadic-quantized
+    (2^-40) so the running sum is order-free exact; a d = n step pins
+    survival to exactly 0.0 via a flag (Spark's floor(−inf) is a LONG
+    clamp, DuckDB's a DOUBLE). RAW hash."""
+    return _km_curve(_session_survival_frame(spark, sf_dir), [])
+
+
+@register(
+    "q_survival_km_cohort",
+    "WITH " + _KM_SESS_SQL + ", "
+    "sp AS (SELECT cohort, dur_m, CAST(sum(obs) AS BIGINT) AS d_t, "
+    "  CAST(count(*) - sum(obs) AS BIGINT) AS c_t FROM d GROUP BY 1, 2), "
+    "k AS (SELECT cohort, dur_m, d_t, c_t, "
+    "  CAST(sum(d_t + c_t) OVER (PARTITION BY cohort ORDER BY dur_m "
+    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) "
+    "    AS n_risk FROM sp), "
+    "st AS (SELECT cohort, dur_m, d_t, c_t, n_risk, "
+    "  CASE WHEN d_t > 0 AND n_risk > d_t THEN " + _KM_LN_SQL
+    + "    ELSE 0.0e0 END AS lt, "
+    "  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM k) "
+    "SELECT cohort, dur_m AS dur_minutes, n_risk, d_t AS n_events, "
+    "c_t AS n_censored, "
+    "CAST(d_t AS DOUBLE) / n_risk AS hazard, "
+    "CASE WHEN max(dead) OVER (PARTITION BY cohort ORDER BY dur_m "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
+    "  THEN NULL ELSE "
+    "  sum(lt) OVER (PARTITION BY cohort ORDER BY dur_m "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END "
+    "  AS log_survival, "
+    "CASE WHEN max(dead) OVER (PARTITION BY cohort ORDER BY dur_m "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
+    "  THEN 0.0e0 ELSE "
+    + rq_sql(
+        "exp(sum(lt) OVER (PARTITION BY cohort ORDER BY dur_m "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+        6,
+    )
+    + " END AS survival "
+    "FROM st",
+)
+def q_survival_km_cohort(spark, sf_dir):
+    """W14kc (r12): Kaplan-Meier session-survival per ENTRY-TYPE
+    cohort — one curve per landing event type (the session's first
+    event, the W14ee device), the comparison the pooled W14km curve
+    averages away ("do sessions that open with a search hold users
+    longer than ones that open with an error?"). Every curve window
+    runs PARTITION BY cohort over the (cohort × durations) spine — the
+    grouped shape that keeps the spine windows parallel at any cohort
+    count, unlike the pooled row's single-partition spine. Same
+    exactness devices as W14km. RAW hash."""
+    return _km_curve(_session_survival_frame(spark, sf_dir), ["cohort"])
+
+
+_LR_E_SQL = "(CAST(d_t AS DOUBLE) * n_ct) / n_t"
+_LR_V_SQL = (
+    "CAST(d_t AS DOUBLE) * (CAST(n_ct AS DOUBLE) / n_t) "
+    "* (1.0e0 - CAST(n_ct AS DOUBLE) / n_t) "
+    "* ((CAST(n_t AS DOUBLE) - d_t) / (CAST(n_t AS DOUBLE) - 1.0e0))"
+)
+
+
+@register(
+    "q_survival_logrank",
+    "WITH " + _KM_SESS_SQL + ", "
+    "spc AS (SELECT cohort, dur_m, CAST(sum(obs) AS BIGINT) AS d_ct, "
+    "  CAST(count(*) AS BIGINT) AS t_ct FROM d GROUP BY 1, 2), "
+    "spd AS (SELECT dur_m, CAST(sum(obs) AS BIGINT) AS d_t, "
+    "  CAST(count(*) AS BIGINT) AS t_t FROM d GROUP BY 1), "
+    "nt AS (SELECT dur_m, d_t, CAST(sum(t_t) OVER (ORDER BY dur_m "
+    "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) "
+    "  AS n_t FROM spd), "
+    "dense AS (SELECT co.cohort, nt.dur_m, nt.d_t, nt.n_t "
+    "  FROM (SELECT DISTINCT cohort FROM spc) co, nt), "
+    "jj AS (SELECT dense.cohort, dense.dur_m, dense.d_t, dense.n_t, "
+    "  COALESCE(spc.d_ct, 0) AS d_ct, COALESCE(spc.t_ct, 0) AS t_ct "
+    "  FROM dense LEFT JOIN spc ON dense.cohort = spc.cohort "
+    "    AND dense.dur_m = spc.dur_m), "
+    "kk AS (SELECT cohort, dur_m, d_t, n_t, d_ct, "
+    "  CAST(sum(t_ct) OVER (PARTITION BY cohort ORDER BY dur_m "
+    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) "
+    "    AS n_ct FROM jj), "
+    "ev AS (SELECT cohort, d_ct, "
+    f"  {dyadic_quantize_sql(_LR_E_SQL, 20)} AS e_term, "
+    "  CASE WHEN n_t > 1 THEN "
+    f"  {dyadic_quantize_sql(_LR_V_SQL, 20)} ELSE 0.0e0 END AS v_term "
+    "  FROM kk WHERE d_t > 0), "
+    "ag AS (SELECT cohort, CAST(sum(d_ct) AS BIGINT) AS o_events, "
+    "  sum(e_term) AS e_events, sum(v_term) AS v_sum "
+    "  FROM ev GROUP BY 1) "
+    "SELECT cohort, o_events, e_events, "
+    "CASE WHEN v_sum > 0 THEN "
+    "  (CAST(o_events AS DOUBLE) - e_events) / sqrt(v_sum) END AS lr_z, "
+    "CASE WHEN v_sum > 0 THEN "
+    "  ((CAST(o_events AS DOUBLE) - e_events) / sqrt(v_sum)) "
+    "  * ((CAST(o_events AS DOUBLE) - e_events) / sqrt(v_sum)) END "
+    "  AS lr_chi2 "
+    "FROM ag",
+)
+def q_survival_logrank(spark, sf_dir):
+    """W14kl (r12): log-rank test of each entry-type cohort's
+    session-survival vs the REST — the significance companion to
+    W14kc's curves ("purchase-opening sessions LOOK longer — beyond
+    noise?"): at every pooled event time, the cohort's observed
+    session completions are compared to the expectation under the
+    pooled hazard with the hypergeometric variance; Z = (O−E)/√V,
+    chi² = Z² (1 dof), one row per cohort.
+
+    Spark-first exactness: the same per-user session pass as W14kc,
+    then EVERYTHING runs on the bounded (cohorts × durations) dense
+    spine (cohorts = a types-sized distinct, durations = the pooled
+    spine; their crossJoin is a bounded-spine product, the
+    q_source_overlap class). At-risk counts are reverse-cumulative
+    integers per cohort and pooled; E/V terms are IEEE expressions of
+    identical int64 bits (one shared formula string per term — the
+    Cramer device), dyadic-quantized (2^-20, exact while sessions
+    < 2^33) before the durations-sized sums; Z's one sqrt IEEE-exact —
+    RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    d = _session_survival_frame(spark, sf_dir)
+    spc = d.groupBy("cohort", "dur_m").agg(
+        F.sum("obs").cast("long").alias("d_ct"),
+        F.count(F.lit(1)).cast("long").alias("t_ct"),
+    )
+    spd = d.groupBy("dur_m").agg(
+        F.sum("obs").cast("long").alias("d_t"),
+        F.count(F.lit(1)).cast("long").alias("t_t"),
+    )
+    w_pool = Window.orderBy("dur_m").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    nt = spd.select(
+        "dur_m",
+        "d_t",
+        F.sum("t_t").over(w_pool).cast("long").alias("n_t"),
+    )
+    cohorts = spc.select("cohort").distinct()
+    dense = cohorts.crossJoin(nt)
+    jj = dense.join(spc, ["cohort", "dur_m"], "left").select(
+        "cohort",
+        "dur_m",
+        "d_t",
+        "n_t",
+        F.coalesce("d_ct", F.lit(0)).cast("long").alias("d_ct"),
+        F.coalesce("t_ct", F.lit(0)).cast("long").alias("t_ct"),
+    )
+    w_coh = Window.partitionBy("cohort").orderBy("dur_m").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    kk = jj.select(
+        "cohort",
+        "dur_m",
+        "d_t",
+        "n_t",
+        "d_ct",
+        F.sum("t_ct").over(w_coh).cast("long").alias("n_ct"),
+    )
+    evt = kk.filter(F.col("d_t") > 0).select(
+        "cohort",
+        "d_ct",
+        dyadic_quantize(F.expr(_LR_E_SQL), 20).alias("e_term"),
+        F.when(
+            F.col("n_t") > 1,
+            dyadic_quantize(F.expr(_LR_V_SQL), 20),
+        ).otherwise(F.lit(0.0)).alias("v_term"),
+    )
+    ag = evt.groupBy("cohort").agg(
+        F.sum("d_ct").cast("long").alias("o_events"),
+        F.sum("e_term").alias("e_events"),
+        F.sum("v_term").alias("v_sum"),
+    )
+    z = (F.col("o_events").cast("double") - F.col("e_events")) / F.sqrt(
+        F.col("v_sum")
+    )
+    return ag.select(
+        "cohort",
+        "o_events",
+        "e_events",
+        F.when(F.col("v_sum") > 0, z).alias("lr_z"),
+        F.when(F.col("v_sum") > 0, z * z).alias("lr_chi2"),
     )

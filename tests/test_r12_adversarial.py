@@ -104,11 +104,12 @@ def test_kruskal_wallis_rq_digits_banding(spark):
     assert r.h_tie_corrected == pytest.approx(hc, abs=1e-4)
 
 
-def test_survival_km_single_user(spark, tmp_path):
+def test_survival_km_single_user_two_sessions(spark, tmp_path):
     base = dt.datetime(2024, 1, 1)
-    # one user, observed churn (last event far from the global max —
-    # impossible with one user: max IS their last event, so a single
-    # user is always censored. Pin that.)
+    # one user, two events 5h apart: the gap splits them into two
+    # single-event (0-minute) sessions — the first COMPLETED (a 2h
+    # silence followed), the second still open at stream end (its last
+    # event IS the stream max) -> censored
     rows = [
         (1, base, 1, "view", 1.0, "{}"),
         (2, base + dt.timedelta(hours=5), 1, "view", 1.0, "{}"),
@@ -117,9 +118,40 @@ def test_survival_km_single_user(spark, tmp_path):
     out = REGISTRY["q_survival_km"].spark_fn(spark, sf).collect()
     assert len(out) == 1
     r = out[0]
-    assert r.dur_hours == 5 and r.n_risk == 1
-    assert r.n_events == 0 and r.n_censored == 1
-    assert r.survival == 1.0 and r.hazard == 0.0
+    assert r.dur_minutes == 0 and r.n_risk == 2
+    assert r.n_events == 1 and r.n_censored == 1
+    assert r.hazard == 0.5 and r.survival == pytest.approx(0.5, abs=1e-6)
+
+
+def test_survival_logrank_identical_cohorts_z_zero(spark, tmp_path):
+    # two cohorts with IDENTICAL completion behavior: O = E exactly,
+    # z = 0 (the null the test must not reject on its own machinery)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # both cohorts complete one session at 60 min and one at 90 min —
+    # two distinct event times so the hypergeometric variance is > 0
+    # (all-deaths-at-one-time makes V = 0 and z correctly NULL)
+    for uid, etype, minutes in (
+        (1, "view", 60), (2, "view", 90),
+        (3, "click", 60), (4, "click", 90),
+    ):
+        rows += [
+            (uid * 10, base, uid, etype, 1.0, "{}"),
+            (uid * 10 + 1, base + dt.timedelta(minutes=minutes), uid,
+             "view", 1.0, "{}"),
+        ]
+    # far-future single event pushes the cutoff so all above complete
+    rows += [(90, base + dt.timedelta(days=10), 9, "view", 1.0, "{}")]
+    sf = _write_events(spark, rows, tmp_path)
+    out = {
+        r.cohort: r
+        for r in REGISTRY["q_survival_logrank"].spark_fn(
+            spark, sf
+        ).collect()
+    }
+    assert out["view"].o_events == 2 and out["click"].o_events == 2
+    assert out["view"].lr_z == pytest.approx(0.0, abs=1e-6)
+    assert out["click"].lr_z == pytest.approx(0.0, abs=1e-6)
 
 
 def test_levene_bf_single_source_null_f(spark, tmp_path):

@@ -96,46 +96,59 @@ def _km_events(spark, rows):
 
 
 def test_survival_km_handcomputed(spark, tmp_path):
-    """3 users churned at 1h/1h/3h lifetimes, 1 censored (active in the
-    final 3 days): S(1h)=1-2/4=0.5, S(3h)=0.5*(1-1/2)=0.25, with the
-    censored user's 2h row dropping risk without an event."""
+    """Sessions of 60/60/180 minutes completed, one 120-minute session
+    still open at stream end (censored): S(60)=1-2/4=0.5, S(120)
+    carried, S(180)=0 (everyone at risk completes). Each user's two
+    events are < 2 h apart, so each user contributes ONE session."""
     base = dt.datetime(2024, 1, 1)
     rows = []
-    # global max ts = Jan 20; cutoff = Jan 17
     for uid, hours in ((1, 1), (2, 1), (3, 3)):
         rows += [
             (uid * 10, base, uid, "view", 1.0, "{}"),
             (uid * 10 + 1, base + dt.timedelta(hours=hours), uid,
              "view", 1.0, "{}"),
         ]
-    # user 4: lifetime 2h, last event inside the final 3 days -> censored
+    # user 3's 3h span: events 3h apart exceed the 2h gap -> TWO
+    # single-event sessions; use 3 events 1.5h apart instead
+    rows = [r for r in rows if r[2] != 3]
+    rows += [
+        (30, base, 3, "view", 1.0, "{}"),
+        (31, base + dt.timedelta(hours=1, minutes=30), 3, "view", 1.0, "{}"),
+        (32, base + dt.timedelta(hours=3), 3, "view", 1.0, "{}"),
+    ]
+    # user 4: 120-min session whose last event IS the stream max ->
+    # possibly still open -> censored
     rows += [
         (40, base + dt.timedelta(days=19, hours=22), 4, "view", 1.0, "{}"),
         (41, base + dt.timedelta(days=20), 4, "view", 1.0, "{}"),
     ]
     df = _km_events(spark, rows)
-    p = str(tmp_path / "events.parquet")
-    df.write.parquet(p)
+    df.write.parquet(str(tmp_path / "events.parquet"))
     from mhw3d_detection_spark.queries.base import REGISTRY
 
     out = {
-        r.dur_hours: r
+        r.dur_minutes: r
         for r in REGISTRY["q_survival_km"].spark_fn(
             spark, str(tmp_path)
         ).collect()
     }
-    assert set(out) == {1, 2, 3}
-    assert out[1].n_risk == 4 and out[1].n_events == 2
-    assert out[1].survival == pytest.approx(0.5, abs=1e-9)
-    assert out[2].n_risk == 2 and out[2].n_events == 0
-    assert out[2].n_censored == 1
-    assert out[2].survival == pytest.approx(0.5, abs=1e-9)  # carried
-    assert out[3].n_risk == 1 and out[3].n_events == 1
-    assert out[3].survival == pytest.approx(0.0, abs=1e-12)  # d=n -> 0
+    assert set(out) == {60, 120, 180}
+    assert out[60].n_risk == 4 and out[60].n_events == 2
+    assert out[60].survival == pytest.approx(0.5, abs=1e-6)
+    assert out[60].hazard == pytest.approx(0.5)
+    assert out[120].n_risk == 2 and out[120].n_events == 0
+    assert out[120].n_censored == 1
+    assert out[120].survival == pytest.approx(0.5, abs=1e-6)  # carried
+    assert out[180].n_risk == 1 and out[180].n_events == 1
+    assert out[180].survival == 0.0  # d=n -> exact 0
+    assert out[180].log_survival is None
+    # log_survival is the raw-exact quantity: exp(log_survival) ~ S
+    assert out[60].log_survival == pytest.approx(-0.6931472, abs=1e-6)
 
 
 def test_survival_km_no_observed_events(spark, tmp_path):
-    # everyone censored: survival stays exactly 1.0 at every step
+    # every session's last event within one 2h gap of the stream end:
+    # all censored, survival stays exactly 1.0 at every step
     base = dt.datetime(2024, 1, 1)
     rows = []
     for uid in (1, 2):
@@ -149,7 +162,10 @@ def test_survival_km_no_observed_events(spark, tmp_path):
     from mhw3d_detection_spark.queries.base import REGISTRY
 
     out = REGISTRY["q_survival_km"].spark_fn(spark, str(tmp_path)).collect()
-    assert all(r.survival == 1.0 and r.n_events == 0 for r in out)
+    assert out and all(
+        r.survival == 1.0 and r.n_events == 0 and r.log_survival == 0.0
+        for r in out
+    )
 
 
 def test_levene_bf_detects_spread_difference(spark):
@@ -203,19 +219,20 @@ def test_kruskal_wallis_overflow_guard_raises(spark):
 
 
 def test_survival_km_cohort_partitions_and_hazard(spark, tmp_path):
-    """Two entry-type cohorts with different churn speeds: each cohort
-    gets its own independent curve (per-cohort at-risk counts), and
-    hazard = d/n exactly."""
+    """Two entry-type cohorts (the SESSION's first event type) with
+    different completion speeds: each cohort gets its own independent
+    curve (per-cohort at-risk counts), and hazard = d/n exactly."""
     base = dt.datetime(2024, 1, 1)
     rows = []
-    # cohort 'view' (users 1, 2): churn at 1h
+    # cohort 'view' (users 1, 2): 60-min sessions, completed
     for uid in (1, 2):
         rows += [
             (uid * 10, base, uid, "view", 1.0, "{}"),
             (uid * 10 + 1, base + dt.timedelta(hours=1), uid,
              "click", 1.0, "{}"),
         ]
-    # cohort 'purchase' (users 3, 4): churn at 2h / censored
+    # cohort 'purchase': user 3's 120-min session completed, user 4's
+    # 120-min session ends AT the stream max -> censored
     rows += [
         (30, base, 3, "purchase", 1.0, "{}"),
         (31, base + dt.timedelta(hours=2), 3, "view", 1.0, "{}"),
@@ -228,18 +245,18 @@ def test_survival_km_cohort_partitions_and_hazard(spark, tmp_path):
     from mhw3d_detection_spark.queries.base import REGISTRY
 
     out = {
-        (r.cohort, r.dur_hours): r
+        (r.cohort, r.dur_minutes): r
         for r in REGISTRY["q_survival_km_cohort"].spark_fn(
             spark, str(tmp_path)
         ).collect()
     }
-    v = out[("view", 1)]
+    v = out[("view", 60)]
     assert v.n_risk == 2 and v.n_events == 2
     assert v.hazard == 1.0 and v.survival == 0.0  # d = n -> exact 0
-    p2 = out[("purchase", 2)]
+    p2 = out[("purchase", 120)]
     assert p2.n_risk == 2 and p2.n_events == 1 and p2.n_censored == 1
     assert p2.hazard == pytest.approx(0.5)
-    assert p2.survival == pytest.approx(0.5, abs=1e-9)
-    # cohorts are independent: the 'view' deaths never entered the
-    # purchase cohort's at-risk pool
-    assert ("purchase", 1) not in out
+    assert p2.survival == pytest.approx(0.5, abs=1e-6)
+    # cohorts are independent: the 'view' completions never entered
+    # the purchase cohort's at-risk pool
+    assert ("purchase", 60) not in out

@@ -177,6 +177,19 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_levene_bf": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_survival_km": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     "q_survival_km_cohort": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r12: the censoring-cutoff scalar attach, plus (logrank only) the
+    # cohorts x durations dense spine — a types-sized distinct crossed
+    # with the bounded pooled-duration spine (the q_source_overlap
+    # bounded-product class), never a per-session frame
+    "q_survival_logrank": {
+        "BroadcastNestedLoopJoin": _BCAST_SCALAR,
+        "CartesianProduct": (
+            "cohorts x durations dense spine: types-sized x "
+            "bounded-duration-domain product (the q_source_overlap "
+            "class), required so every cohort has an at-risk count at "
+            "every pooled event time"
+        ),
+    },
     # r10 wave 2: Kendall crosses the two DISTINCT-band spines (dense
     # bounded joint grid — the histogram-first design's whole point)
     # and attaches 1-row pair/tie totals — domain/scalar-bounded
