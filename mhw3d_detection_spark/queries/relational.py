@@ -2582,3 +2582,63 @@ def q_survival_logrank(spark, sf_dir):
         F.when(F.col("v_sum") > 0, z).alias("lr_z"),
         F.when(F.col("v_sum") > 0, z * z).alias("lr_chi2"),
     )
+
+
+# --- J10g (r12): TPC-H Q9 product-profit shape (part name filter) ---
+@register(
+    "q_tpch_q9_shape",
+    "WITH l AS (SELECT l_orderkey, l_suppkey, "
+    "  floor(l_extendedprice * (1.0 - l_discount) * 64.0 "
+    "    + 0.5000152587890625) / 64.0 AS rev "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  WHERE p_name LIKE '%red%') "
+    "SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, "
+    "CAST(count(*) AS BIGINT) AS n_items, sum(rev) AS revenue "
+    "FROM l JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "GROUP BY 1, 2",
+)
+def q_tpch_q9_shape(spark, sf_dir):
+    """J10g (r12): the TPC-H Q9 product-profit shape — revenue of
+    name-matched parts by supplier nation × order year: the multi-dim
+    chain (part + supplier + nation + orders) the Q14/Q19 pair doesn't
+    exercise, with a substring part filter. Spark-first: the LIKE
+    filter prunes the part dim BEFORE its broadcast, supplier/nation
+    broadcast too, so the only shuffle is lineitem⋈orders on the order
+    key and the final 2-key group; per-line revenue dyadic 1/64 (the
+    Q5 device) — RAW hash."""
+    from mhw3d_detection_spark.operators.analysis import dyadic_quantize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        dyadic_quantize(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return j.groupBy(
+        "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("rev").alias("revenue"),
+    )

@@ -169,6 +169,8 @@ PLANS = [
     "q_kruskal_wallis",
     "q_levene_bf",
     "q_survival_km",
+    "q_survival_km_cohort",
+    "q_survival_logrank",
 ]
 
 HEADER = """# Physical plans — explain evidence
