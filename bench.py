@@ -136,14 +136,18 @@ def _probe_moves(spark, sf_dir, prev, times, heavy) -> dict:
             runs.append(time.time() - t0)
         runs.sort()
         pm = runs[0]
-        if cur > p and pm <= p * 1.2:
-            verdict = "host_variance"
-        elif cur > p:
-            verdict = "confirmed_regression"
-        elif pm <= p * 1.2 and pm >= p * 0.8:
-            verdict = "host_variance"
+        # Symmetric reproduction rule (ADVICE r13): a move only earns a
+        # directional verdict when the 10-run quiet-window min reproduces
+        # it — slower than prev*1.2 for a regression, faster than
+        # prev*0.8 for an improvement. Anything in between (including a
+        # fast outlier that does NOT reproduce under repetition) is
+        # host_variance in BOTH directions.
+        if cur > p:
+            verdict = (
+                "host_variance" if pm <= p * 1.2 else "confirmed_regression"
+            )
         else:
-            verdict = "improvement"
+            verdict = "improvement" if pm < p * 0.8 else "host_variance"
         probes[name] = {
             "prev": p,
             "cur": cur,

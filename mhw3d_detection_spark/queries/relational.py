@@ -2003,7 +2003,7 @@ def q_temporal_split(spark, sf_dir):
 @register(
     "q_json_extract",
     "WITH e AS (SELECT event_type, "
-    "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
     "  FROM events) "
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
     "CAST(count(k) AS BIGINT) AS n_k, "
@@ -2025,8 +2025,13 @@ def q_json_extract(spark, sf_dir):
     into the scan stage, so the corpus is touched once and only
     (event_type, k) reaches the one hash-aggregate shuffle. Typed
     cast BIGINT both engines (Spark get_json_object / DuckDB
-    json_extract_string both return VARCHAR); sums/counts integer,
-    avg an exact IEEE division of int64 quantities — RAW hash."""
+    json_extract_string both return VARCHAR); the oracle uses
+    TRY_CAST so an untypeable value (e.g. "1.5" or a string) yields
+    typed NULL on BOTH engines — Spark's non-ANSI cast NULLs
+    natively, DuckDB's strict CAST would raise (ADVICE r13 pinned
+    the "typed NULL on untypeable" policy cross-engine); sums/counts
+    integer, avg an exact IEEE division of int64 quantities — RAW
+    hash."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
@@ -2045,10 +2050,10 @@ def q_json_extract(spark, sf_dir):
 @register(
     "q_json_null_contract",
     "WITH e AS (SELECT event_type, "
-    "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
-    "  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m, "
+    "  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "  TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m, "
     "  CASE WHEN json_valid(substr(props, 1, 4)) "
-    "    THEN CAST(json_extract_string(substr(props, 1, 4), '$.k') "
+    "    THEN TRY_CAST(json_extract_string(substr(props, 1, 4), '$.k') "
     "      AS BIGINT) END AS kc "
     "  FROM events) "
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
