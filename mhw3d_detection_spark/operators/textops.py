@@ -361,18 +361,61 @@ def _explode_bands(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """LSH bucket self-join: docs sharing any band signature are
     candidate near-dups. Equi-join on (band_id, band_sig) — shuffle is
-    on the bucket key, never all-pairs."""
-    a = signatures.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_sig"
-    )
-    b = signatures.select(
-        F.col("doc_id").alias("doc_b"), "band_id", "band_sig"
-    )
+    on the bucket key, never all-pairs.
+
+    ``max_bucket_size`` is the skew backstop (the
+    :func:`similarity.bucket_near_dup_pairs` device, r13): a band
+    bucket of size s emits s²/2 pairs, so one boilerplate-heavy
+    signature (a template page crawled a million times) turns the
+    bucket join quadratic no matter how the bands were sized. With a
+    cap, any bucket over it is salted into ``ceil(size/cap)``
+    deterministic sub-buckets (``xxhash64(doc_id) mod nsub`` — stable
+    across runs and reshards) and pairs form within (bucket, sub)
+    only, bounding the per-task quadratic term by ~cap²/2. Cross-sub
+    pairs inside an oversized bucket are forgone — recall degrades
+    gracefully (a true near-dup cluster that large still yields
+    within-sub pairs for the component step to union), emitted pairs
+    stay exact. The hot-bucket list is one aggregate filtered to
+    ``count > cap`` (tiny by construction — at most n/cap rows);
+    joined back un-hinted so AQE broadcasts it when it is. Default
+    ``None`` keeps the exact all-bucket-pairs semantics and every
+    oracle row unchanged; the sf10 decade probe prices the uncapped
+    form (docs/PLANS.md r13 split-leakage attribution)."""
+    keys = ["band_id", "band_sig"]
+    sigs = signatures
+    if max_bucket_size is not None:
+        cap = int(max_bucket_size)
+        hot = (
+            signatures.groupBy("band_id", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > cap)
+        )
+        sigs = (
+            signatures.join(hot, keys, "left")
+            .withColumn(
+                "__sub",
+                F.when(
+                    F.col("__cnt").isNull(), F.lit(0)
+                ).otherwise(
+                    F.pmod(
+                        F.xxhash64("doc_id"),
+                        F.ceil(F.col("__cnt") / F.lit(cap)).cast("long"),
+                    )
+                ).cast("int"),
+            )
+            .drop("__cnt")
+        )
+        keys = keys + ["__sub"]
+    a = sigs.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = sigs.select(F.col("doc_id").alias("doc_b"), *keys)
     return (
-        a.join(b, ["band_id", "band_sig"])
+        a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

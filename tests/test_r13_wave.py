@@ -1,0 +1,108 @@
+"""r13 wave tests: the minhash hot-bucket cap, the correlated-subquery
+TPC-H family's plan shapes, and the composed survival report."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.textops import (
+    minhash_bands_rowlocal,
+    minhash_candidate_pairs,
+)
+from mhw3d_detection_spark.sources.tables import load_table
+
+
+def _pairs_set(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+class TestMinhashBucketCap:
+    def test_uncapped_default_unchanged(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+        assert _pairs_set(minhash_candidate_pairs(sigs)) == _pairs_set(
+            minhash_candidate_pairs(sigs, max_bucket_size=None)
+        )
+
+    def test_capped_is_subset_and_deterministic(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+        full = _pairs_set(minhash_candidate_pairs(sigs))
+        capped = _pairs_set(minhash_candidate_pairs(sigs, max_bucket_size=2))
+        assert capped <= full
+        # deterministic: same plan, same pairs on re-run
+        again = _pairs_set(minhash_candidate_pairs(sigs, max_bucket_size=2))
+        assert capped == again
+
+    def test_huge_cap_is_identity(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+        assert _pairs_set(minhash_candidate_pairs(sigs)) == _pairs_set(
+            minhash_candidate_pairs(sigs, max_bucket_size=10**9)
+        )
+
+    def test_cap_bounds_within_bucket_pairs(self, spark):
+        # one boilerplate bucket of 40 identical docs: uncapped emits
+        # 40*39/2 = 780 pairs; cap=10 bounds each sub-bucket's
+        # quadratic term and must emit strictly fewer
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same boilerplate template page body").alias("text"),
+        )
+        sigs = minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+        full = minhash_candidate_pairs(sigs).count()
+        capped = minhash_candidate_pairs(sigs, max_bucket_size=10).count()
+        assert full == 40 * 39 // 2
+        assert 0 < capped < full
+        # every doc still pairs with SOMETHING unless its sub-bucket is
+        # a singleton — with 40 docs into 4 subs, subs are non-trivial
+        touched = (
+            minhash_candidate_pairs(sigs, max_bucket_size=10)
+            .select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+            .distinct()
+            .count()
+        )
+        assert touched >= 30
+
+
+class TestCorrelatedSubqueryPlans:
+    """The J12 family's point is Catalyst decorrelation — pin the
+    physical shapes (semi/anti hash joins, no nested-loop)."""
+
+    @pytest.mark.parametrize(
+        "name,needles",
+        [
+            ("q_tpch_q4_shape", ["LeftSemi"]),
+            ("q_tpch_q18_shape", ["LeftSemi"]),
+            ("q_tpch_q21_shape", ["LeftSemi", "LeftAnti"]),
+            ("q_tpch_q22_shape", ["LeftAnti", "Subquery"]),
+        ],
+    )
+    def test_decorrelated_shapes(self, spark, sf_dir, name, needles):
+        from mhw3d_detection_spark import queries as Q
+
+        plan = (
+            Q.REGISTRY[name]
+            .spark_fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for needle in needles:
+            assert needle in plan, f"{name}: {needle} missing"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q2_decorrelates_to_aggregate_join(self, spark, sf_dir):
+        from mhw3d_detection_spark import queries as Q
+
+        plan = (
+            Q.REGISTRY["q_tpch_q2_shape"]
+            .spark_fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # correlated scalar min -> Aggregate + equi join on (pk, min)
+        assert "min(unit_cost)" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
