@@ -2251,7 +2251,14 @@ def _session_survival_frame(spark, sf_dir):
     session's last event is within one 2 h gap of the stream end
     (possibly still open -> censored). Session split + entry type +
     lifetime all run inside the one per-user shuffle."""
-    ev = load_table(spark, sf_dir, "events").filter(
+    return session_frame_from_events(load_table(spark, sf_dir, "events"))
+
+
+def session_frame_from_events(events):
+    """DataFrame-input face of :func:`_session_survival_frame` (r13) —
+    lets the composed :func:`plans.survival_report.survival_report`
+    build the frame once from an already-loaded events table."""
+    ev = events.filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     ).select(
         "user_id",
@@ -2467,9 +2474,9 @@ _LR_V_SQL = (
 )
 
 
-@register(
-    "q_survival_logrank",
-    "WITH " + _KM_SESS_SQL + ", "
+#: the log-rank CTE chain over the session frame ``d`` — shared by the
+#: standalone W14kl oracle and the composed q_survival_report (r13)
+_LR_CTES_SQL = (
     "spc AS (SELECT cohort, dur_m, CAST(sum(obs) AS BIGINT) AS d_ct, "
     "  CAST(count(*) AS BIGINT) AS t_ct FROM d GROUP BY 1, 2), "
     "spd AS (SELECT dur_m, CAST(sum(obs) AS BIGINT) AS d_t, "
@@ -2494,7 +2501,13 @@ _LR_V_SQL = (
     "  FROM kk WHERE d_t > 0), "
     "ag AS (SELECT cohort, CAST(sum(d_ct) AS BIGINT) AS o_events, "
     "  sum(e_term) AS e_events, sum(v_term) AS v_sum "
-    "  FROM ev GROUP BY 1) "
+    "  FROM ev GROUP BY 1)"
+)
+
+
+@register(
+    "q_survival_logrank",
+    "WITH " + _KM_SESS_SQL + ", " + _LR_CTES_SQL + " "
     "SELECT cohort, o_events, e_events, "
     "CASE WHEN v_sum > 0 THEN "
     "  (CAST(o_events AS DOUBLE) - e_events) / sqrt(v_sum) END AS lr_z, "
@@ -2523,9 +2536,15 @@ def q_survival_logrank(spark, sf_dir):
     Cramer device), dyadic-quantized (2^-20, exact while sessions
     < 2^33) before the durations-sized sums; Z's one sqrt IEEE-exact —
     RAW hash."""
+    return _logrank_from_frame(_session_survival_frame(spark, sf_dir))
+
+
+def _logrank_from_frame(d):
+    """Log-rank each-cohort-vs-rest table from a ``(cohort, dur_m,
+    obs)`` duration frame — shared by the standalone W14kl row and the
+    composed :func:`plans.survival_report.survival_report` (r13)."""
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
 
-    d = _session_survival_frame(spark, sf_dir)
     spc = d.groupBy("cohort", "dur_m").agg(
         F.sum("obs").cast("long").alias("d_ct"),
         F.count(F.lit(1)).cast("long").alias("t_ct"),
@@ -2910,3 +2929,96 @@ q_order_lifecycle_dq = _sql_query(
     aggregate; min/max on strings are exact selections, counts exact,
     the money sum rq'd — RAW hash.""",
 )
+
+
+# --- W14kr (r13): composed survival report (the dedup_report economics) ----
+def _km_cte_sql(pfx: str, part: str | None) -> str:
+    """KM curve CTE chain over the session frame ``d`` with renamed
+    stage names (``{pfx}sp/{pfx}k/{pfx}st``) so the pooled and cohort
+    chains coexist in one composed WITH tree."""
+    p = f"PARTITION BY {part} " if part else ""
+    cols = f"{part}, dur_m" if part else "dur_m"
+    grp = "1, 2" if part else "1"
+    return (
+        f"{pfx}sp AS (SELECT {cols}, CAST(sum(obs) AS BIGINT) AS d_t, "
+        f"  CAST(count(*) - sum(obs) AS BIGINT) AS c_t FROM d "
+        f"  GROUP BY {grp}), "
+        f"{pfx}k AS (SELECT {cols}, d_t, c_t, "
+        f"  CAST(sum(d_t + c_t) OVER ({p}ORDER BY dur_m ROWS BETWEEN "
+        "    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk "
+        f"  FROM {pfx}sp), "
+        f"{pfx}st AS (SELECT {cols}, d_t, c_t, n_risk, "
+        f"  CASE WHEN d_t > 0 AND n_risk > d_t THEN {_KM_LN_SQL} "
+        "    ELSE 0.0e0 END AS lt, "
+        f"  CASE WHEN d_t = n_risk THEN 1 ELSE 0 END AS dead FROM {pfx}k)"
+    )
+
+
+def _km_select_sql(pfx: str, part: str | None, section: str) -> str:
+    """Curve section of the composed report's final UNION."""
+    p = f"PARTITION BY {part} " if part else ""
+    win = (
+        f"OVER ({p}ORDER BY dur_m ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)"
+    )
+    cohort = part if part else "CAST(NULL AS VARCHAR)"
+    return (
+        f"SELECT '{section}' AS section, {cohort} AS cohort, "
+        "dur_m AS dur_minutes, n_risk, d_t AS n_events, "
+        "c_t AS n_censored, CAST(d_t AS DOUBLE) / n_risk AS hazard, "
+        f"CASE WHEN max(dead) {win} = 1 THEN NULL "
+        f"  ELSE sum(lt) {win} END AS log_survival, "
+        f"CASE WHEN max(dead) {win} = 1 THEN 0.0e0 ELSE "
+        + rq_sql(f"exp(sum(lt) {win})", 6)
+        + " END AS survival, "
+        "CAST(NULL AS DOUBLE) AS e_events, "
+        "CAST(NULL AS DOUBLE) AS lr_z, CAST(NULL AS DOUBLE) AS lr_chi2 "
+        f"FROM {pfx}st"
+    )
+
+
+_LR_Z_SQL = "(CAST(o_events AS DOUBLE) - e_events) / sqrt(v_sum)"
+
+_SURVIVAL_REPORT_SQL = (
+    "WITH " + _KM_SESS_SQL + ", "
+    + _km_cte_sql("p", None) + ", "
+    + _km_cte_sql("c", "cohort") + ", "
+    + _LR_CTES_SQL + " "
+    + _km_select_sql("p", None, "pooled")
+    + " UNION ALL "
+    + _km_select_sql("c", "cohort", "cohort")
+    + " UNION ALL "
+    "SELECT 'logrank' AS section, cohort, "
+    "CAST(NULL AS BIGINT) AS dur_minutes, "
+    "CAST(NULL AS BIGINT) AS n_risk, o_events AS n_events, "
+    "CAST(NULL AS BIGINT) AS n_censored, "
+    "CAST(NULL AS DOUBLE) AS hazard, "
+    "CAST(NULL AS DOUBLE) AS log_survival, "
+    "CAST(NULL AS DOUBLE) AS survival, e_events, "
+    f"CASE WHEN v_sum > 0 THEN {_LR_Z_SQL} END AS lr_z, "
+    f"CASE WHEN v_sum > 0 THEN ({_LR_Z_SQL}) * ({_LR_Z_SQL}) END "
+    "  AS lr_chi2 "
+    "FROM ag"
+)
+
+
+@register("q_survival_report", _SURVIVAL_REPORT_SQL)
+def q_survival_report(spark, sf_dir):
+    """W14kr (r13): the composed survival-analysis report — the session
+    duration frame (the only corpus-sized stage the family has: one
+    per-user sessionize window pass) computed and localCheckpointed
+    ONCE, then the pooled KM curve (W14km), the per-entry-cohort
+    curves (W14kc), and the each-cohort-vs-rest log-rank tests (W14kl)
+    all emitted from that shared intermediate as one long-form report
+    — the ``dedup_report`` economics applied to the survival family
+    (VERDICT r12 Next #6; composed-vs-standalone ratio measured in
+    docs/PLANS.md r13). Downstream of the frame everything is
+    spine-bounded (distinct durations / cohorts × durations). Same
+    exactness devices as the standalone rows: dyadic 2^-40 ln terms,
+    order-free running sums, rq6 display-grade exp, dyadic 2^-20 E/V
+    terms. DuckDB replays the identical CTE tree (the curve chains
+    renamed p*/c* so both fit one WITH). RAW hash."""
+    from mhw3d_detection_spark.plans.survival_report import survival_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return survival_report(ev)

@@ -106,3 +106,49 @@ class TestCorrelatedSubqueryPlans:
         assert "min(unit_cost)" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSurvivalReport:
+    def test_sections_match_standalone_rows(self, spark, sf_dir):
+        from mhw3d_detection_spark import queries as Q
+
+        rep = Q.REGISTRY["q_survival_report"].spark_fn(spark, sf_dir)
+        rows = rep.collect()
+        by_sec = {}
+        for r in rows:
+            by_sec.setdefault(r.section, []).append(r)
+        assert set(by_sec) == {"pooled", "cohort", "logrank"}
+
+        km = Q.REGISTRY["q_survival_km"].spark_fn(spark, sf_dir).collect()
+        kc = Q.REGISTRY["q_survival_km_cohort"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        lr = Q.REGISTRY["q_survival_logrank"].spark_fn(
+            spark, sf_dir
+        ).collect()
+
+        def curve_key(r, cohort=None):
+            return (
+                cohort,
+                r.dur_minutes,
+                r.n_risk,
+                r.n_events,
+                r.n_censored,
+                r.hazard,
+                r.log_survival,
+                r.survival,
+            )
+
+        assert {curve_key(r) for r in km} == {
+            curve_key(r) for r in by_sec["pooled"]
+        }
+        assert {curve_key(r, r.cohort) for r in kc} == {
+            curve_key(r, r.cohort) for r in by_sec["cohort"]
+        }
+        assert {
+            (r.cohort, r.o_events, r.e_events, r.lr_z, r.lr_chi2)
+            for r in lr
+        } == {
+            (r.cohort, r.n_events, r.e_events, r.lr_z, r.lr_chi2)
+            for r in by_sec["logrank"]
+        }
