@@ -2705,9 +2705,10 @@ def _rqx(expr: str, d: int = 4) -> str:
     return f"floor(({expr}) * {s} + {dlit(0.5 + _rq_eps(d))}) / {s}"
 
 
-def _sql_query(name: str, sql: str, doc: str):
+def _sql_query(name: str, sql: str, doc: str | None = None):
     """Register a shared-text SQL query: the SAME string is the Spark
-    plan (via temp views) and the DuckDB oracle."""
+    plan (via temp views) and the DuckDB oracle. ``doc`` may also be
+    assigned to the returned function afterwards."""
     from mhw3d_detection_spark.sources.tables import register_views
 
     def fn(spark, sf_dir):
@@ -3022,3 +3023,241 @@ def q_survival_report(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return survival_report(ev)
+
+
+# =============================================================================
+# J13 (r13): the rest of the TPC-H suite — with J10/J12 this completes
+# all 22 canonical query shapes adapted to the driver schema (Q12's
+# l_shipmode -> l_returnflag, Q16/Q20's partsupp -> per-(part,supplier)
+# lineitem rollups, Q17's container -> size band; every adaptation
+# noted per query). Same shared-text device as J12: one SQL string is
+# BOTH the Spark plan and the DuckDB oracle; per-line revenue is
+# quantized onto the exact dyadic 1/64 grid (the Q5 device) so every
+# sum is association-order-free bit-exact.
+# =============================================================================
+
+#: per-line discounted revenue on the exact 1/64 dyadic grid, spelled
+#: with exponent-suffixed literals so both engines parse DOUBLEs
+_REV64_SQL = (
+    "floor(l_extendedprice * (1.0e0 - l_discount) * 64.0e0 "
+    "+ 0.5000152587890625e0) / 64.0e0"
+)
+
+#: l_extendedprice alone on the same grid (Q17's measure)
+_PRICE64_SQL = (
+    "floor(l_extendedprice * 64.0e0 + 0.5000152587890625e0) / 64.0e0"
+)
+
+
+q_tpch_q7_shape = _sql_query(
+    "q_tpch_q7_shape",
+    "WITH l AS (SELECT l_orderkey, l_suppkey, "
+    "  CAST(year(l_shipdate) AS INT) AS l_year, "
+    f"  {_REV64_SQL} AS rev FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+    "    AND l_shipdate < TIMESTAMP '1997-01-01') "
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year, "
+    "CAST(count(*) AS BIGINT) AS n_items, sum(rev) AS revenue "
+    "FROM l JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8') "
+    "   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3') "
+    "GROUP BY n1.n_name, n2.n_name, l_year",
+)
+q_tpch_q7_shape.__doc__ = """J13a (r13): the TPC-H Q7 volume-shipping
+    shape — trade flow between two nations by year, with the SAME
+    dimension (nation) joined twice under different roles (supplier's
+    vs customer's) and a symmetric OR pairing them. Spark-first: both
+    nation aliases broadcast; the OR stays a residual on the joined
+    row (it references both sides); revenue dyadic 1/64 — RAW hash."""
+
+
+q_tpch_q8_shape = _sql_query(
+    "q_tpch_q8_shape",
+    "WITH al AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+    f"  {_REV64_SQL} AS rev, s_nationkey "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "  JOIN region ON cn.n_regionkey = r_regionkey "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  WHERE p_type = 'STANDARD' AND r_name = 'ASIA') "
+    "SELECT o_year, CAST(count(*) AS BIGINT) AS n_items, "
+    "sum(rev) AS total_revenue, "
+    "sum(CASE WHEN sn.n_name = 'NATION_5' THEN rev ELSE 0.0e0 END) "
+    "  / sum(rev) AS mkt_share "
+    "FROM al JOIN nation sn ON al.s_nationkey = sn.n_nationkey "
+    "GROUP BY o_year",
+)
+q_tpch_q8_shape.__doc__ = """J13b (r13): the TPC-H Q8 national-market-
+    share shape — one nation's share of a part type's revenue inside
+    one region's customer base, by order year: the deepest dim chain
+    in the suite (part + orders + customer + nation×2 + region +
+    supplier around the fact). Spark-first: every dim broadcasts, the
+    fact is shuffled only for the lineitem⋈orders key join and the
+    final year group; share = exact-dyadic sum ratio, one IEEE
+    division — RAW hash."""
+
+
+q_tpch_q10_shape = _sql_query(
+    "q_tpch_q10_shape",
+    f"WITH l AS (SELECT l_orderkey, {_REV64_SQL} AS rev "
+    "  FROM lineitem WHERE l_returnflag = 'R') "
+    "SELECT c_custkey, c_name, n_name, c_acctbal, "
+    "CAST(count(*) AS BIGINT) AS n_items, sum(rev) AS revenue "
+    "FROM l JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "  AND o_orderdate < TIMESTAMP '1996-04-01' "
+    "GROUP BY c_custkey, c_name, n_name, c_acctbal",
+)
+q_tpch_q10_shape.__doc__ = """J13c (r13): the TPC-H Q10 returned-item
+    reporting shape — revenue lost to returns per customer in a
+    quarter (the churn-risk report). The canonical ORDER BY revenue
+    LIMIT 20 is dropped: the driver compare is order-free and a
+    ties-at-the-cut LIMIT is nondeterministic cross-engine; the full
+    grouped set is the deterministic superset. Spark-first: returnflag
+    filter pushes into the lineitem scan, date window into orders,
+    customer/nation broadcast; one fact shuffle on the order key —
+    RAW hash."""
+
+
+q_tpch_q11_shape = _sql_query(
+    "q_tpch_q11_shape",
+    f"WITH v AS (SELECT l_partkey AS pk, {_REV64_SQL} AS val "
+    "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  WHERE n_name IN ('NATION_2', 'NATION_9')) "
+    "SELECT pk AS p_partkey, sum(val) AS value "
+    "FROM v GROUP BY pk "
+    "HAVING sum(val) > (SELECT 2.0e0 * sum(val) / count(DISTINCT pk) "
+    "  FROM v)",
+)
+q_tpch_q11_shape.__doc__ = """J13d (r13): the TPC-H Q11 important-stock
+    shape — per-part value held by two nations' suppliers, kept only
+    where it exceeds a FRACTION OF THE GLOBAL TOTAL: the
+    HAVING-over-uncorrelated-scalar-subquery pattern (the one scalar
+    placement J12's Q22 filter doesn't cover), with the CTE consumed
+    twice (group side + total side). Adaptations: no partsupp table —
+    "stock value" = shipped lineitem value; the canonical FIXED
+    fraction (0.0001/SF) is replaced by the scale-free "2x the
+    average per-part share" (2·total/n_parts) so the row stays
+    meaningful at every SF (a fixed fraction empties as the part
+    count grows — measured 101 rows at sf0.01, 0 at sf0.1 before the
+    change). Exactness: per-line value dyadic 1/64 so BOTH the group
+    sums and the global total are order-free exact; the threshold is
+    one deterministic multiply+divide of identical bits, so the >
+    comparison agrees bit-for-bit cross-engine — RAW hash."""
+
+
+q_tpch_q12_shape = _sql_query(
+    "q_tpch_q12_shape",
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY l_returnflag",
+)
+q_tpch_q12_shape.__doc__ = """J13e (r13): the TPC-H Q12 shipping-mode
+    priority shape — the priority-split contingency over a fact⋈dim
+    join with the classifier CASE on the DIMENSION side and the group
+    key on the FACT side. Adaptation: the driver schema has no
+    l_shipmode; l_returnflag plays the mode role (same cardinality-3
+    fact attribute). Counts only — exact."""
+
+
+q_tpch_q15_shape = _sql_query(
+    "q_tpch_q15_shape",
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    f"  sum({_REV64_SQL}) AS total_revenue FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "    AND l_shipdate < TIMESTAMP '1996-07-01' "
+    "  GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)",
+)
+q_tpch_q15_shape.__doc__ = """J13f (r13): the TPC-H Q15 top-supplier
+    shape — the argmax-via-scalar-subquery pattern: a derived revenue
+    view consumed twice, once as the join side and once inside
+    max(), with equality selecting the winner(s). Exactness: the
+    revenue sums are exact dyadics, so the double-equality against
+    max() matches identically in both engines (the Q2 device applied
+    to an aggregate instead of a raw column); ties all surface —
+    deterministic. RAW hash."""
+
+
+q_tpch_q16_shape = _sql_query(
+    "q_tpch_q16_shape",
+    "SELECT p_brand, p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#45' "
+    "  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49) "
+    "  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+    "    WHERE s_name LIKE '%77%') "
+    "GROUP BY p_brand, p_size",
+)
+q_tpch_q16_shape.__doc__ = """J13g (r13): the TPC-H Q16 parts-supplier
+    relationship shape — supplier variety per part attribute with an
+    excluded-supplier NOT IN subquery: the NULL-AWARE anti join, the
+    one subquery rewrite class the J12 family's NOT EXISTS rows don't
+    exercise (NOT IN must stay empty-safe and null-safe; Catalyst
+    plans it as a null-aware anti join, degenerating to BNLJ only if
+    the subquery side could carry NULLs — s_suppkey cannot).
+    Adaptation: partsupp -> the observed (part, supplier) pairs in
+    lineitem. Distinct-count integer — exact."""
+
+
+q_tpch_q17_shape = _sql_query(
+    "q_tpch_q17_shape",
+    "SELECT CAST(count(*) AS BIGINT) AS n_small, "
+    f"sum({_PRICE64_SQL}) / 7.0e0 AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#23' AND p_size < 15 "
+    "  AND l_quantity < (SELECT 0.2e0 * avg(l_quantity) "
+    "    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)",
+)
+q_tpch_q17_shape.__doc__ = """J13h (r13): the TPC-H Q17 small-quantity-
+    order shape — revenue that would vanish if sub-20%-of-average
+    orders were refused: a CORRELATED scalar avg over the SAME fact
+    table being filtered (Q2's pattern with the correlation on the
+    fact, so the decorrelated aggregate is fact-sized, not dim-sized).
+    Adaptation: container -> p_size < 15 band. Exactness: per-part
+    avg(l_quantity) = exact integer sum / exact count (one IEEE
+    division, deterministic bits), 0.2 scaling one multiply; the
+    summed price rides the 1/64 grid; /7.0 one final division — RAW
+    hash."""
+
+
+q_tpch_q20_shape = _sql_query(
+    "q_tpch_q20_shape",
+    "WITH ps AS (SELECT l_suppkey AS sk, l_partkey AS pk, "
+    "  sum(l_quantity) AS q FROM lineitem GROUP BY 1, 2) "
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+    "WHERE s_suppkey IN (SELECT sk FROM ps "
+    "  WHERE q > (SELECT 4.0e0 * avg(q) FROM ps p2 "
+    "    WHERE p2.pk = ps.pk))",
+)
+q_tpch_q20_shape.__doc__ = """J13i (r13): the TPC-H Q20 excess-stock
+    shape — suppliers who dominate at least one part's volume (shipped
+    more than 4x the part's per-supplier average): an IN subquery
+    whose OWN filter is a correlated scalar aggregate — the nested
+    rewrite (semi join feeding on a decorrelated aggregate join) that
+    none of the single-pattern rows compose. Adaptation: partsupp
+    availqty -> per-(part, supplier) shipped quantity; the 0.5x-of-
+    demand threshold becomes 4x-of-average dominance (the driver's
+    uniform generator makes >50%-share vacuous at any SF — measured
+    24/31 qualifying suppliers at sf0.01/sf0.1). Exactness: integer
+    quantity sums exact, avg one deterministic division, 4.0 an exact
+    dyadic multiply — RAW hash (well, integer/count outputs plus
+    verbatim s_acctbal)."""
