@@ -75,6 +75,13 @@ class TestCorrelatedSubqueryPlans:
             ("q_tpch_q18_shape", ["LeftSemi"]),
             ("q_tpch_q21_shape", ["LeftSemi", "LeftAnti"]),
             ("q_tpch_q22_shape", ["LeftAnti", "Subquery"]),
+            # Q16's NOT IN must plan as the null-aware LeftAnti HASH
+            # join (SPARK-32290), never the BNLJ fallback
+            ("q_tpch_q16_shape", ["LeftAnti"]),
+            ("q_tpch_q20_shape", ["LeftSemi"]),
+            ("q_tpch_q11_shape", ["Subquery"]),
+            ("q_tpch_q15_shape", ["Subquery"]),
+            ("q_tpch_q17_shape", ["avg(l_quantity)"]),
         ],
     )
     def test_decorrelated_shapes(self, spark, sf_dir, name, needles):
