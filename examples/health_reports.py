@@ -55,6 +55,14 @@ def main() -> None:
         "week"
     ).show(truncate=False)
 
+
+    print("=== session-survival report (pooled + cohort KM + log-rank) ===")
+    # the r13 composed flagship: one sessionize pass feeds all three
+    # survival readouts (see docs/PLANS.md r13)
+    REGISTRY["q_survival_report"].spark_fn(spark, sf_dir).filter(
+        "section = 'logrank'"
+    ).orderBy("cohort").show(truncate=False)
+
     print("=== hour-of-week load profile: 5 hottest cells ===")
     REGISTRY["q_load_profile"].spark_fn(spark, sf_dir).orderBy(
         F.desc("std_residual")
