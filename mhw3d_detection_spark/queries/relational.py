@@ -3261,3 +3261,123 @@ q_tpch_q20_shape.__doc__ = """J13i (r13): the TPC-H Q20 excess-stock
     quantity sums exact, avg one deterministic division, 4.0 an exact
     dyadic multiply — RAW hash (well, integer/count outputs plus
     verbatim s_acctbal)."""
+
+
+# =============================================================================
+# W14sv (r13): SCD2 validity intervals + point-in-time snapshot — the
+# event-sourcing -> slowly-changing-dimension pattern (every warehouse
+# rebuilds dimension history from a change log; the engine's as-of
+# join (J8) answers "state at each fact row", these answer "the state
+# TABLE itself" and "state at time T")
+# =============================================================================
+
+_SCD2_IV_SQL = (
+    "e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id "
+    "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "iv AS (SELECT user_id, event_type AS state, us AS valid_from, "
+    f"  lead(us) {_SS_WIN} AS valid_to FROM e)"
+)
+
+
+def _scd2_intervals(spark, sf_dir):
+    """Shared builder: one validity-interval row per event — the
+    user's 'current event_type state' holds from this event until
+    their next one (half-open [valid_from, valid_to); NULL valid_to =
+    the open current state). One per-user window pass — the same
+    shuffle the session family rides."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return ev.select(
+        "user_id",
+        "state",
+        F.col("us").alias("valid_from"),
+        F.lead("us").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    f"WITH {_SCD2_IV_SQL} "
+    "SELECT state, CAST(count(*) AS BIGINT) AS n_intervals, "
+    "CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_open, "
+    "CAST(sum(valid_to - valid_from) AS BIGINT) AS total_dwell_us, "
+    "CAST(min(valid_from) AS BIGINT) AS first_from, "
+    "CAST(max(valid_from) AS BIGINT) AS last_from "
+    "FROM iv GROUP BY state",
+)
+def q_scd2_intervals(spark, sf_dir):
+    """W14sv (r13): SCD2 interval construction from the event log —
+    per user, each event opens a validity interval for its type that
+    closes at the user's next event (half-open, NULL = still open):
+    the event-sourcing -> type-2 dimension rebuild. Summarized per
+    state (interval count, open count, total dwell time) so the
+    oracle row is states-sized while the interval table itself is the
+    reusable product. Spark-first: ONE per-user window pass (lead),
+    the same shuffle the session family rides; at 100 TB the change
+    log shuffles once on the natural key and the interval table
+    bucket-writes on it (SC7). All-integer microsecond arithmetic —
+    exact."""
+    iv = _scd2_intervals(spark, sf_dir)
+    return iv.groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("valid_to").isNull().cast("int")).cast("long").alias(
+            "n_open"
+        ),
+        F.sum(F.col("valid_to") - F.col("valid_from")).cast("long").alias(
+            "total_dwell_us"
+        ),
+        F.min("valid_from").cast("long").alias("first_from"),
+        F.max("valid_from").cast("long").alias("last_from"),
+    )
+
+
+@register(
+    "q_scd2_snapshot",
+    f"WITH {_SCD2_IV_SQL}, "
+    "t AS (SELECT CAST(floor((min(us) + max(us)) / 2.0e0) AS BIGINT) "
+    "  AS t0 FROM e) "
+    "SELECT state, CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(min(valid_from) AS BIGINT) AS oldest_from, "
+    "CAST(max(valid_from) AS BIGINT) AS newest_from "
+    "FROM iv, t WHERE valid_from <= t0 "
+    "  AND (valid_to IS NULL OR valid_to > t0) "
+    "GROUP BY state",
+)
+def q_scd2_snapshot(spark, sf_dir):
+    """W14sw (r13): point-in-time snapshot over the SCD2 intervals —
+    every user's state AS OF the stream midpoint (the time-travel
+    read every type-2 dimension exists to serve; the midpoint is a
+    data-derived scalar so the row needs no fixture timestamp).
+    Spark-first: the instant is a 1-row scalar broadcast onto the
+    interval table (the allowed scalar-BNLJ class), the containment
+    filter then reduces to a states-sized aggregate. Exactness: the
+    midpoint is integer microsecond arithmetic under 2^53 with an
+    explicit floor (DuckDB rounds DOUBLE->BIGINT casts, Spark
+    truncates — floor pins both), interval bounds compare as int64 —
+    exact."""
+    iv = _scd2_intervals(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(F.unix_micros("ts").alias("us"))
+    t = ev.agg(
+        F.floor(
+            (F.min("us") + F.max("us")) / F.lit(2.0)
+        ).cast("long").alias("t0")
+    )
+    j = iv.crossJoin(F.broadcast(t)).filter(
+        (F.col("valid_from") <= F.col("t0"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t0")))
+    )
+    return j.groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("valid_from").cast("long").alias("oldest_from"),
+        F.max("valid_from").cast("long").alias("newest_from"),
+    )
