@@ -171,6 +171,20 @@ PLANS = [
     "q_survival_km",
     "q_survival_km_cohort",
     "q_survival_logrank",
+    # r13: correlated-subquery family (decorrelation evidence), the
+    # composed survival report, SCD2, and the lifecycle DQ screen
+    "q_tpch_q2_shape",
+    "q_tpch_q4_shape",
+    "q_tpch_q13_shape",
+    "q_tpch_q16_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q18_shape",
+    "q_tpch_q20_shape",
+    "q_tpch_q21_shape",
+    "q_tpch_q22_shape",
+    "q_survival_report",
+    "q_scd2_intervals",
+    "q_order_lifecycle_dq",
 ]
 
 HEADER = """# Physical plans — explain evidence
