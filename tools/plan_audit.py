@@ -190,6 +190,15 @@ ALLOWLIST: dict[str, dict[str, str]] = {
             "every pooled event time"
         ),
     },
+    # r13: the composed survival report inherits the trio's scalar
+    # attaches (censoring cutoff on the shared frame; logrank's dense
+    # spine lives post-checkpoint so only the BNLJ class surfaces) —
+    # covers both the readout plan and the pre-checkpoint
+    # session_frame stage row (stage rows fall back to the parent)
+    "q_survival_report": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13: the point-in-time snapshot attaches the 1-row stream-midpoint
+    # instant to the interval table (the documented scalar class)
+    "q_scd2_snapshot": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # r10 wave 2: Kendall crosses the two DISTINCT-band spines (dense
     # bounded joint grid — the histogram-first design's whole point)
     # and attaches 1-row pair/tie totals — domain/scalar-bounded
