@@ -24,6 +24,7 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401
 )
 from mhw3d_detection_spark.streaming.stateful import (  # noqa: F401
     streaming_cusum_alarms,
+    streaming_current_state,
     streaming_drift_gate,
     streaming_detect_events_exact,
     streaming_ewma,

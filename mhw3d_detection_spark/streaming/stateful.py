@@ -706,3 +706,47 @@ def streaming_drift_gate(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_current_state(
+    events,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Streaming materialized view of the SCD2 CURRENT state (r13): each
+    key's last-event-wins state — the serving-side companion to the
+    batch ``q_scd2_intervals`` history build (the interval table is the
+    warehouse artifact; this is the operational "what is every user's
+    state RIGHT NOW" view a router/personalizer reads).
+
+    Works on a streaming OR batch DataFrame — the parity twin IS this
+    same function on the batch frame, and the pinned property is that
+    Spark's incremental aggregation state (complete/update output mode,
+    any microbatch slicing, any arrival order) lands on the identical
+    table. That holds because every aggregate here is a commutative
+    mergeable monoid over exact values: ``max_by`` on the total
+    (us, event_id) order (ties impossible — event ids are unique),
+    integer max/count. No watermark is needed: the view is keyed by
+    user, not by window, and late data simply loses the max_by race it
+    should lose.
+
+    Scale: state is one tuple per user (bounded by the key domain, the
+    HLL/register-sketch rule); the update stream shuffles once on the
+    user key."""
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(F.col(ts_col))
+    order = F.struct(us.alias("us"), F.col(id_col).alias("id"))
+    return (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max_by(F.col(state_col), order).alias("state"),
+            F.max(us).cast("long").alias("state_since_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

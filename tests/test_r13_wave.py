@@ -159,3 +159,76 @@ class TestSurvivalReport:
             (r.cohort, r.n_events, r.e_events, r.lr_z, r.lr_chi2)
             for r in by_sec["logrank"]
         }
+
+
+class TestStreamingCurrentState:
+    """The SCD2 serving view: streaming incremental aggregation state
+    must land on the identical table as the batch twin, for any
+    microbatch slicing and arrival order."""
+
+    def test_stream_matches_batch_across_microbatches(self, spark, tmp_path):
+        import os
+
+        from mhw3d_detection_spark.sources.tables import load_table
+        from mhw3d_detection_spark.streaming.stateful import (
+            streaming_current_state,
+        )
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        path = str(tmp_path / "cs_src")
+        # three microbatch files in REVERSE time order — late data must
+        # lose the max_by race, not corrupt state
+        parts = ev.withColumn(
+            "b", (F.col("event_id") % 3).cast("int")
+        )
+        for b in (2, 1, 0):
+            parts.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        assert len(os.listdir(path)) >= 3
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            streaming_current_state(stream)
+            .writeStream.format("memory")
+            .queryName("cs_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.state, r.state_since_us, r.n_events)
+            for r in spark.sql("select * from cs_out").collect()
+        }
+        want = {
+            (r.user_id, r.state, r.state_since_us, r.n_events)
+            for r in streaming_current_state(ev).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_agrees_with_scd2_open_intervals(self, spark, sf_dir):
+        from mhw3d_detection_spark.queries.relational import _scd2_intervals
+        from mhw3d_detection_spark.sources.tables import load_table
+        from mhw3d_detection_spark.streaming.stateful import (
+            streaming_current_state,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        cur = {
+            (r.user_id, r.state)
+            for r in streaming_current_state(ev).collect()
+        }
+        open_iv = {
+            (r.user_id, r.state)
+            for r in _scd2_intervals(spark, sf_dir)
+            .filter(F.col("valid_to").isNull())
+            .collect()
+        }
+        assert cur == open_iv
