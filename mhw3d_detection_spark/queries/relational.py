@@ -3381,3 +3381,38 @@ def q_scd2_snapshot(spark, sf_dir):
         F.min("valid_from").cast("long").alias("oldest_from"),
         F.max("valid_from").cast("long").alias("newest_from"),
     )
+
+
+# --- O9 (r13): distribution window functions ---------------------------------
+q_window_distribution = _sql_query(
+    "q_window_distribution",
+    "WITH r AS (SELECT c_mktsegment AS seg, c_acctbal, "
+    "  ntile(4) OVER w AS quartile, "
+    "  percent_rank() OVER w AS pr, "
+    "  cume_dist() OVER w AS cd, "
+    "  first_value(c_custkey) OVER (PARTITION BY c_mktsegment "
+    "    ORDER BY c_acctbal, c_custkey ROWS BETWEEN UNBOUNDED "
+    "    PRECEDING AND UNBOUNDED FOLLOWING) AS poorest_custkey "
+    "  FROM customer "
+    "  WINDOW w AS (PARTITION BY c_mktsegment "
+    "    ORDER BY c_acctbal, c_custkey)) "
+    "SELECT seg, CAST(quartile AS INT) AS quartile, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "min(c_acctbal) AS lo, max(c_acctbal) AS hi, "
+    "max(pr) AS max_pr, max(cd) AS max_cd, "
+    "CAST(max(poorest_custkey) AS BIGINT) AS poorest_custkey "
+    "FROM r GROUP BY seg, quartile",
+)
+q_window_distribution.__doc__ = """O9 (r13): the distribution window
+    functions — ntile / percent_rank / cume_dist / first_value — the
+    last classic window class with zero declared coverage (the engine
+    uses rank/row_number/lag/lead/sum-over everywhere; an analytics
+    user reaches for quartile banding and percentile position weekly).
+    Account-balance quartiles per market segment, rolled to a bounded
+    (segment × quartile) summary. Determinism: the window orders by
+    (c_acctbal, c_custkey) — a TOTAL order — because ntile splits ties
+    by row position, so a partial order would be engine-dependent;
+    percent_rank/cume_dist are exact IEEE divisions of int64 rank/count
+    quantities on identical orderings; first_value pinned with an
+    explicit full frame (the default RANGE frame would see only the
+    running prefix). RAW hash (verbatim balances + exact rationals)."""
