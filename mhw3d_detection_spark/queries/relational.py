@@ -3416,3 +3416,48 @@ q_window_distribution.__doc__ = """O9 (r13): the distribution window
     quantities on identical orderings; first_value pinned with an
     explicit full frame (the default RANGE frame would see only the
     running prefix). RAW hash (verbatim balances + exact rationals)."""
+
+
+# --- A16 (r13): explicit GROUPING SETS with grouping() discriminators --------
+q_agg_grouping_sets = _sql_query(
+    "q_agg_grouping_sets",
+    "SELECT COALESCE(o_orderpriority, '(all)') AS pri, "
+    "COALESCE(o_orderstatus, '(all)') AS status, "
+    "CAST(grouping(o_orderpriority) AS INT) AS g_pri, "
+    "CAST(grouping(o_orderstatus) AS INT) AS g_status, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    f"{_rqx('sum(o_totalprice)', 2)} AS sum_totalprice "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), "
+    "(o_orderstatus), (o_orderpriority, o_orderstatus), ())",
+)
+q_agg_grouping_sets.__doc__ = """A16 (r13): explicit GROUPING SETS —
+    the four-set lattice (priority), (status), (priority × status),
+    (grand total) in ONE pass with grouping() discriminators, the
+    general form of which A11's rollup/cube rows are the two fixed
+    lattices. Spark executes this as a single Expand + hash aggregate
+    (each input row fans to its 4 set-images map-side — no 4-scan
+    union); grouping() disambiguates a real NULL key from a rolled-up
+    one, COALESCE labels the rolled levels (driver columns are
+    non-null so the label is unambiguous). Counts exact, money sum
+    rq'd — RAW hash."""
+
+
+# --- J14 (r13): correlated LATERAL subquery (top-1 per key) -----------------
+q_lateral_top1 = _sql_query(
+    "q_lateral_top1",
+    "SELECT c_custkey, c_mktsegment, t.o_orderkey AS top_orderkey, "
+    "t.o_totalprice AS top_totalprice "
+    "FROM customer JOIN LATERAL ("
+    "  SELECT o_orderkey, o_totalprice FROM orders "
+    "  WHERE o_custkey = c_custkey "
+    "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t ON true",
+)
+q_lateral_top1.__doc__ = """J14 (r13): correlated LATERAL subquery with
+    ORDER BY + LIMIT — each customer's single largest order, the
+    per-row-subtable idiom SQL users write instead of the window-rank
+    form (O7's per-group top-k). Catalyst decorrelates the lateral
+    LIMIT into a rank-over-partition rewrite (DecorrelateInnerQuery +
+    RewriteLateralSubquery) — one key-partitioned join + window, never
+    a per-customer re-execution. Determinism: the inner ORDER BY is a
+    TOTAL order (totalprice DESC, orderkey) so the LIMIT 1 winner is
+    unique cross-engine; outputs are verbatim columns — RAW hash."""
