@@ -3461,3 +3461,43 @@ q_lateral_top1.__doc__ = """J14 (r13): correlated LATERAL subquery with
     a per-customer re-execution. Determinism: the inner ORDER BY is a
     TOTAL order (totalprice DESC, orderkey) so the LIMIT 1 winner is
     unique cross-engine; outputs are verbatim columns — RAW hash."""
+
+
+# --- O10 (r13): unpivot / melt (wide -> long reshape) ------------------------
+@register(
+    "q_unpivot_metrics",
+    "WITH m AS ("
+    "  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem "
+    "  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem "
+    "  UNION ALL SELECT 'discount', l_discount FROM lineitem "
+    "  UNION ALL SELECT 'tax', l_tax FROM lineitem) "
+    "SELECT metric, CAST(count(*) AS BIGINT) AS n, "
+    f"{rq_sql('sum(value)', 2)} AS sum_value, "
+    "min(value) AS min_value, max(value) AS max_value "
+    "FROM m GROUP BY metric",
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """O10 (r13): unpivot / melt — the wide->long reshape (pandas
+    ``melt``, SQL UNPIVOT) every feature pipeline and metrics store
+    does before a per-metric aggregate, the inverse of O6's pivot.
+    Spark-first: ``stack(4, ...)`` is the UNPIVOT kernel — a single
+    Generate over ONE scan of the fact (each row fans to 4
+    metric-tagged rows map-side), where the naive form (the oracle's
+    4-way UNION ALL, spelled that way because DuckDB's UNPIVOT syntax
+    differs) scans the table four times; the per-metric aggregate then
+    map-side-combines before one metrics-sized shuffle. min/max exact
+    selections, sums rq'd — RAW hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.expr(
+            "stack(4, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount, 'tax', l_tax) AS (metric, value)"
+        )
+    )
+    return m.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        rq(F.sum("value"), 2).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
