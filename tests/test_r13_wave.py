@@ -232,3 +232,64 @@ class TestStreamingCurrentState:
             .collect()
         }
         assert cur == open_iv
+
+
+def test_current_state_restart_incremental(spark, tmp_path):
+    """Restart-recovery parity for the SCD2 serving view (the r12
+    restart-harness pattern applied to a COMPLETE-mode aggregation):
+    process two microbatch files under a checkpoint, stop, add a third
+    file, restart from the SAME checkpoint — the recovered aggregation
+    state must fold the new file in and land on the identical table as
+    one batch pass over all three files (users absent from the third
+    file must survive the restart via the state store, not re-reads)."""
+    from mhw3d_detection_spark.sources.tables import load_table
+    from mhw3d_detection_spark.streaming.stateful import (
+        streaming_current_state,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    parts = ev.withColumn("b", (F.col("event_id") % 3).cast("int"))
+
+    def write_part(b):
+        parts.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_current_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_part(0)
+    write_part(1)
+    run_once()  # first life: two microbatches, state checkpointed
+    write_part(2)
+    run_once()  # restart from the same checkpoint: only file 2 is new
+
+    got = {
+        (r.user_id, r.state, r.state_since_us, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id, r.state, r.state_since_us, r.n_events)
+        for r in streaming_current_state(ev).collect()
+    }
+    assert got == want and len(want) > 0
