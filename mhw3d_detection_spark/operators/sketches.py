@@ -602,3 +602,119 @@ def bloom_decontaminate(
             .alias("flagged"),
         )
     )
+
+
+# =========================================================================
+# Heavy hitters: Misra-Gries candidate sketch + exact verify recount
+# =========================================================================
+
+#: default counter budget: any item with frequency > 1/k survives the
+#: sketch pass (Misra-Gries guarantee), so the verified output is the
+#: EXACT set {item : count * k > n} regardless of partitioning.
+MG_K = 40
+
+
+def misra_gries_candidates(
+    items: DataFrame, item_col: str = "item", k: int = MG_K
+) -> DataFrame:
+    """Per-partition Misra-Gries summary (k counters) over an item
+    stream; returns the union of surviving candidate items.
+
+    Bounded-memory frequent-items pass (Misra & Gries 1982, in the
+    mergeable-summaries form of Agarwal et al. PODS'12): each partition
+    keeps at most ``k`` (item, count) counters; when a batch merge
+    overflows the budget, the (k+1)-th largest count is subtracted from
+    every counter and non-positive counters are dropped. Total
+    subtraction per partition is <= n_p/(k+1), so any item with
+    partition count > n_p/(k+1) survives, and by pigeonhole any item
+    with GLOBAL count > n/(k+1) survives in at least one partition —
+    the candidate union is a guaranteed superset of the true heavy
+    hitters at threshold 1/k. State per task is O(k) no matter how many
+    items stream through (the 100 TB property: the sketch pass is a
+    narrow map with fixed memory; only ~k * n_partitions candidate rows
+    ever leave the executors).
+
+    The candidate SET depends on partition boundaries (like any MG
+    run); callers must never expose it directly — `heavy_hitters`
+    recounts candidates exactly, which makes the final output
+    partitioning-invariant (pinned in tests/test_r13_wave2.py).
+    """
+    import pandas as pd
+
+    def summarize(pdfs):
+        counters: dict = {}
+        for pdf in pdfs:
+            vc = pdf[item_col].dropna().value_counts()
+            for it, c in vc.items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[k]
+                counters = {
+                    it: c - sub for it, c in counters.items() if c > sub
+                }
+        if counters:
+            yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return items.select(item_col).mapInPandas(
+        summarize, schema=f"{item_col} string"
+    )
+
+
+def heavy_hitters(
+    items: DataFrame, item_col: str = "item", k: int = MG_K
+) -> DataFrame:
+    """Exact heavy hitters {item : count * k > n_total} at 100 TB cost:
+    a fixed-memory sketch pass finds candidates, then an exact recount
+    runs ONLY over the candidate set.
+
+    Two passes over the stream, both cheap where exact top-frequency
+    is not: pass 1 is `misra_gries_candidates` (narrow map, O(k)
+    state, no shuffle of the item domain); pass 2 inner-joins the
+    stream to the BROADCAST candidate list (<= k * n_partitions rows)
+    and hash-aggregates only matching items — the full-domain shuffle
+    of a naive GROUP BY over every distinct item never happens. The
+    MG superset guarantee makes the result EXACT and independent of
+    partition layout: no true heavy hitter can be missed, and false
+    candidates are eliminated by the recount filter.
+
+    Returns ``(item, cnt, n_total, freq)`` with exact int64 counts;
+    ``freq`` is one int64/int64 IEEE division (bit-exact cross-engine,
+    RAW-hash safe). The scalar ``n_total`` attaches via a 1-row
+    broadcast cross join (the declared scalar-broadcast escape class).
+    """
+    src = items.select(item_col).filter(F.col(item_col).isNotNull())
+    # distinct: the same item can survive MG in several partitions, and
+    # a duplicated candidate row would multiply the recount join
+    cands = misra_gries_candidates(src, item_col=item_col, k=k).distinct()
+    total = src.agg(F.count("*").alias("n_total"))
+    return (
+        src.join(F.broadcast(cands), item_col, "inner")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) > F.col("n_total"))
+        .select(
+            item_col,
+            "cnt",
+            "n_total",
+            (F.col("cnt").cast("double") / F.col("n_total")).alias("freq"),
+        )
+    )
+
+
+def token_heavy_hitters(
+    docs: DataFrame, text_col: str = "text", k: int = MG_K
+) -> DataFrame:
+    """`heavy_hitters` over the corpus token stream — the vocabulary
+    screen a tokenizer-training pipeline runs first (which strings
+    deserve their own token id?). The driver corpus has a ~31-word
+    vocabulary so most tokens clear the 1/k bar; the operator's value
+    is the contract (bounded state, exact verified output) pinned by
+    the skew property tests, not this demo's selectivity."""
+    from mhw3d_detection_spark.operators.textops import tokens_col
+
+    toks = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    return heavy_hitters(toks, item_col="token", k=k)

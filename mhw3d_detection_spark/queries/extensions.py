@@ -8316,3 +8316,35 @@ def q_levene_bf(spark, sf_dir):
         ).cast("long").alias("zq"),
     )
     return anova_oneway(z, "zq", "source")
+
+
+# =========================================================================
+# E7hh (r13) — heavy hitters: Misra-Gries candidates + exact verify
+# =========================================================================
+@register(
+    "q_heavy_hitters",
+    "WITH tok AS (SELECT unnest(" + TOKENS_SQL + ") AS token "
+    "  FROM documents), "
+    "c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok "
+    "  GROUP BY 1), "
+    "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c) "
+    "SELECT token, cnt, n_total, "
+    "CAST(cnt AS DOUBLE) / n_total AS freq "
+    "FROM c, t WHERE cnt * 40 > n_total",
+)
+def q_heavy_hitters(spark, sf_dir):
+    """E7hh (r13): exact heavy hitters over the corpus token stream at
+    sketch cost — a fixed-memory Misra-Gries pass (40 counters per
+    partition, mergeable-summaries reduction) finds candidates, then
+    an exact recount runs only over the broadcast candidate set; the
+    MG superset guarantee (any item with freq > 1/40 survives some
+    partition) makes the output the EXACT set {token : cnt*40 > n}
+    independent of partition layout. The oracle prices that exact
+    semantics with a full GROUP BY — affordable at sf, replaced by the
+    sketch pass at corpus scale where the full token-domain shuffle is
+    the thing being avoided. freq is one int64/int64 IEEE division —
+    RAW hash. operators/sketches.py:token_heavy_hitters."""
+    from mhw3d_detection_spark.operators.sketches import token_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_heavy_hitters(docs, k=40)

@@ -1,0 +1,100 @@
+"""r13 wave-2 tests: Misra-Gries heavy hitters (bounded-state sketch +
+exact verify), market-basket association rules, blocked record linkage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhw3d_detection_spark.operators.sketches import (
+    heavy_hitters,
+    misra_gries_candidates,
+)
+
+
+def _mk_items(spark, counts: dict, n_parts=None, order="interleave"):
+    """Item stream from {item: count}. order='interleave' spreads each
+    item's occurrences round-robin (adversarial for MG: no item ever
+    dominates a prefix); 'sorted' clumps them."""
+    rows = []
+    if order == "interleave":
+        pools = {k: v for k, v in counts.items()}
+        while pools:
+            for k in list(pools):
+                rows.append((k,))
+                pools[k] -= 1
+                if pools[k] == 0:
+                    del pools[k]
+    else:
+        for k, v in sorted(counts.items()):
+            rows.extend([(k,)] * v)
+    df = spark.createDataFrame(rows, "item string")
+    if n_parts:
+        df = df.repartition(n_parts)
+    return df
+
+
+def _hh_exact(counts: dict, k: int):
+    n = sum(counts.values())
+    return {it for it, c in counts.items() if c * k > n}
+
+
+class TestHeavyHitters:
+    COUNTS = {
+        "heavy1": 400,
+        "heavy2": 250,
+        **{f"tail{i}": 3 for i in range(200)},
+    }
+
+    def test_matches_bruteforce_with_boundary(self, spark):
+        # boundary item sits EXACTLY at n/k: with tail mass 600 and
+        # heavies 650, n = 1250; at k = 5 the bar is cnt*5 > 1250,
+        # i.e. cnt > 250 — heavy2 (250) is exactly at the bar and must
+        # be excluded by the strict inequality.
+        counts = self.COUNTS
+        n = sum(counts.values())
+        k = 5
+        assert counts["heavy2"] * k == n  # boundary really is exact
+        out = {
+            r.item: (r.cnt, r.n_total)
+            for r in heavy_hitters(_mk_items(spark, counts), k=k).collect()
+        }
+        assert set(out) == _hh_exact(counts, k) == {"heavy1"}
+        assert out["heavy1"] == (400, n)
+
+    @pytest.mark.parametrize("n_parts", [1, 7, 64])
+    def test_partitioning_invariant(self, spark, n_parts):
+        k = 8
+        out = sorted(
+            (r.item, r.cnt)
+            for r in heavy_hitters(
+                _mk_items(spark, self.COUNTS, n_parts=n_parts), k=k
+            ).collect()
+        )
+        expect = sorted(
+            (it, self.COUNTS[it]) for it in _hh_exact(self.COUNTS, k)
+        )
+        assert out == expect and len(out) >= 2
+
+    @pytest.mark.parametrize("order", ["interleave", "sorted"])
+    def test_candidate_superset_guarantee(self, spark, order):
+        k = 8
+        items = _mk_items(spark, self.COUNTS, n_parts=16, order=order)
+        cands = {
+            r.item
+            for r in misra_gries_candidates(items, k=k).collect()
+        }
+        assert _hh_exact(self.COUNTS, k) <= cands
+
+    def test_bounded_candidate_state(self, spark):
+        # wide domain (5k distinct, one heavy): the candidate union is
+        # bounded by k per non-empty partition, nowhere near the domain
+        counts = {"dominant": 6000, **{f"t{i}": 1 for i in range(5000)}}
+        items = _mk_items(spark, counts, n_parts=8, order="sorted")
+        k = 10
+        cands = misra_gries_candidates(items, k=k).collect()
+        assert len(cands) <= k * 8
+        out = {r.item for r in heavy_hitters(items, k=k).collect()}
+        assert out == {"dominant"}
+
+    def test_empty_input(self, spark):
+        empty = spark.createDataFrame([], "item string")
+        assert heavy_hitters(empty, k=5).collect() == []
