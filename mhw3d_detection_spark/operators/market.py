@@ -1,0 +1,153 @@
+"""Market-basket analysis: pairwise co-occurrence support / confidence
+/ lift over transaction baskets (Agrawal et al. SIGMOD'93 association
+rules, restricted to the 2-itemset lattice level).
+
+The training-data-pipeline reading: a "basket" is any grouping key and
+an "item" any categorical attribute — orders x part brands here, but
+the same operator answers "which sources co-occur in a user's reading
+session" or "which tags co-occur on a document". Pairwise (not full
+Apriori) is deliberate: 2-itemset rules are the level every
+recommender/diagnostic actually consumes, and the pair stage is the
+exact same bounded-fanout shape the dedup family's candidate joins use.
+
+Scale design (the 100 TB contract):
+- ONE shuffle of the basket table builds per-basket sorted item
+  arrays; ordered pairs are generated ROW-LOCALLY by array slicing
+  (flatten/transform — no self-join, no second shuffle of the facts).
+  Per-basket fanout is s*(s-1)/2 with s = |distinct items in basket|,
+  bounded by the basket size — the operator's cost model is explicit
+  and a hot basket cannot go quadratic in the corpus.
+- item marginals and the basket count are item-domain / scalar sized;
+  they attach by BROADCAST joins (the item domain of a rules run is
+  small by construction — brands, sources, tags), never a fact
+  shuffle.
+- all counts are exact int64; support/confidence are single int64
+  IEEE divisions and lift is one division of two int64 products
+  (n_ab*n_baskets < 2^63 up to ~3e9 baskets) — bit-exact
+  cross-engine, RAW-hash safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "baskets_from_lineitem",
+    "basket_pair_counts",
+    "association_rules",
+]
+
+
+def baskets_from_lineitem(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """(basket, item) = distinct (order, part brand): the driver
+    schema's natural transaction table. The part dim attaches by
+    broadcast (dim-sized) before the one distinct shuffle."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+        )
+        .distinct()
+    )
+
+
+def basket_pair_counts(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+) -> DataFrame:
+    """Co-occurrence counts n_ab for every ordered item pair (a < b).
+
+    One groupBy shuffle builds the per-basket sorted distinct item
+    array; pairs explode row-locally from nested array transforms
+    (element i pairs with every later element — slice start is 1-based
+    so successors of 0-based i begin at i+2). No self-join: the fact
+    table is never shuffled twice and never joined to itself.
+    """
+    arrs = baskets.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("items")
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count("*").alias("n_ab")
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_count: int = 1,
+) -> DataFrame:
+    """2-itemset association rules: for every directed pair
+    (antecedent -> consequent) with co-occurrence >= ``min_count``,
+    exact support, confidence and lift.
+
+    ``min_count`` is the integer support floor (an exact int64
+    comparison — never a float threshold): at corpus scale it is the
+    lever that keeps the rule table item-domain-sized.
+
+    Returns ``(antecedent, consequent, n_ab, n_ant, n_cons, n_baskets,
+    support, confidence, lift)``.
+    """
+    pc = basket_pair_counts(baskets, basket_col, item_col).filter(
+        F.col("n_ab") >= F.lit(min_count)
+    )
+    ic = baskets.groupBy(item_col).agg(F.count("*").alias("n_i"))
+    nb = baskets.select(basket_col).distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    directed = pc.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_ab",
+    ).unionAll(
+        pc.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    ant = ic.select(
+        F.col(item_col).alias("antecedent"), F.col("n_i").alias("n_ant")
+    )
+    cons = ic.select(
+        F.col(item_col).alias("consequent"), F.col("n_i").alias("n_cons")
+    )
+    return (
+        directed.join(F.broadcast(ant), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ant",
+            "n_cons",
+            "n_baskets",
+            (F.col("n_ab").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+            (F.col("n_ab").cast("double") / F.col("n_ant")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_ant") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+    )

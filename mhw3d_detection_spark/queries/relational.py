@@ -3501,3 +3501,103 @@ def q_unpivot_metrics(spark, sf_dir):
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# =========================================================================
+# A17/A18 (r13) — market-basket: pair co-occurrence + association rules
+# =========================================================================
+_BASKETS_SQL = (
+    "b AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item "
+    "  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)"
+)
+
+
+@register(
+    "q_basket_pairs",
+    "WITH " + _BASKETS_SQL + ", "
+    "nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets "
+    "  FROM b) "
+    "SELECT x.item AS item_a, y.item AS item_b, "
+    "CAST(count(*) AS BIGINT) AS n_ab, nb.n_baskets, "
+    "CAST(count(*) AS DOUBLE) / nb.n_baskets AS support "
+    "FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item, nb "
+    "GROUP BY 1, 2, nb.n_baskets",
+)
+def q_basket_pairs(spark, sf_dir):
+    """A17 (r13): brand co-occurrence counts over order baskets — the
+    2-itemset support table (Agrawal et al. SIGMOD'93) at ONE fact
+    shuffle: per-order sorted distinct-brand arrays, ordered pairs
+    exploded row-locally from array slices (bounded s*(s-1)/2 fanout
+    per basket), then a brand-pair-sized hash aggregate. The oracle
+    spells the naive self-join form; the Spark plan never joins the
+    fact table to itself. support is one int64/int64 IEEE division —
+    RAW hash. operators/market.py:basket_pair_counts."""
+    from mhw3d_detection_spark.operators.market import (
+        baskets_from_lineitem,
+        basket_pair_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = baskets_from_lineitem(li, part)
+    nb = b.select("basket").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    return (
+        basket_pair_counts(b)
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_baskets",
+            (F.col("n_ab").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+        )
+    )
+
+
+@register(
+    "q_assoc_rules",
+    "WITH " + _BASKETS_SQL + ", "
+    "ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM b "
+    "  GROUP BY 1), "
+    "nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets "
+    "  FROM b), "
+    "pc AS (SELECT x.item AS item_a, y.item AS item_b, "
+    "  CAST(count(*) AS BIGINT) AS n_ab "
+    "  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item "
+    "  GROUP BY 1, 2 HAVING count(*) >= 20), "
+    "r AS (SELECT item_a AS antecedent, item_b AS consequent, n_ab "
+    "  FROM pc "
+    "  UNION ALL SELECT item_b, item_a, n_ab FROM pc) "
+    "SELECT r.antecedent, r.consequent, r.n_ab, "
+    "a.n_i AS n_ant, c.n_i AS n_cons, nb.n_baskets, "
+    "CAST(r.n_ab AS DOUBLE) / nb.n_baskets AS support, "
+    "CAST(r.n_ab AS DOUBLE) / a.n_i AS confidence, "
+    "CAST(r.n_ab * nb.n_baskets AS DOUBLE) "
+    "  / CAST(a.n_i * c.n_i AS DOUBLE) AS lift "
+    "FROM r JOIN ic a ON r.antecedent = a.item "
+    "JOIN ic c ON r.consequent = c.item, nb",
+)
+def q_assoc_rules(spark, sf_dir):
+    """A18 (r13): directed 2-itemset association rules (antecedent ->
+    consequent) over order brand-baskets with exact support /
+    confidence / lift. The integer support floor (n_ab >= 20, an exact
+    int64 comparison — never a float threshold) is the lever that
+    keeps the rule table item-domain-sized at corpus scale; marginals
+    and the basket count attach by broadcast (item domain is small by
+    construction). lift = one division of two in-range int64 products
+    — all three ratios bit-exact cross-engine, RAW hash.
+    operators/market.py:association_rules."""
+    from mhw3d_detection_spark.operators.market import (
+        association_rules,
+        baskets_from_lineitem,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return association_rules(
+        baskets_from_lineitem(li, part), min_count=20
+    )

@@ -98,3 +98,74 @@ class TestHeavyHitters:
     def test_empty_input(self, spark):
         empty = spark.createDataFrame([], "item string")
         assert heavy_hitters(empty, k=5).collect() == []
+
+
+from mhw3d_detection_spark.operators.market import (  # noqa: E402
+    association_rules,
+    basket_pair_counts,
+)
+
+
+def _mk_baskets(spark, baskets: dict):
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    return spark.createDataFrame(rows, "basket string, item string")
+
+
+class TestMarketBasket:
+    BASKETS = {
+        "b1": ["milk", "bread", "eggs"],
+        "b2": ["milk", "bread"],
+        "b3": ["milk", "eggs"],
+        "b4": ["bread"],
+        "b5": ["milk", "milk", "tea"],  # duplicate item collapses
+        "b6": ["tea"],
+    }
+
+    def test_pair_counts_match_bruteforce(self, spark):
+        from itertools import combinations
+
+        expect = {}
+        for items in self.BASKETS.values():
+            for a, b in combinations(sorted(set(items)), 2):
+                expect[(a, b)] = expect.get((a, b), 0) + 1
+        got = {
+            (r.item_a, r.item_b): r.n_ab
+            for r in basket_pair_counts(
+                _mk_baskets(spark, self.BASKETS)
+            ).collect()
+        }
+        assert got == expect
+        assert all(a < b for a, b in got)  # ordered, no mirrored dups
+
+    def test_rules_math(self, spark):
+        b = _mk_baskets(spark, self.BASKETS).distinct()
+        rules = {
+            (r.antecedent, r.consequent): r
+            for r in association_rules(b).collect()
+        }
+        # milk: 4 baskets, bread: 3, (milk, bread): 2, n_baskets = 6
+        r = rules[("milk", "bread")]
+        assert (r.n_ab, r.n_ant, r.n_cons, r.n_baskets) == (2, 4, 3, 6)
+        assert r.support == 2 / 6
+        assert r.confidence == 2 / 4
+        assert r.lift == (2 * 6) / (4 * 3)
+        # the mirrored direction shares n_ab/support but not confidence
+        r2 = rules[("bread", "milk")]
+        assert r2.n_ab == 2 and r2.confidence == 2 / 3
+        # both directions present for every surviving pair
+        assert set(rules) == {(a, b) for a, b in rules} and all(
+            (b, a) in rules for a, b in rules
+        )
+
+    def test_min_count_floor(self, spark):
+        b = _mk_baskets(spark, self.BASKETS).distinct()
+        got = {
+            (r.antecedent, r.consequent)
+            for r in association_rules(b, min_count=2).collect()
+        }
+        assert got == {("milk", "bread"), ("bread", "milk"),
+                       ("milk", "eggs"), ("eggs", "milk")}
+
+    def test_single_item_baskets_emit_nothing(self, spark):
+        b = _mk_baskets(spark, {"x": ["a"], "y": ["b"]})
+        assert basket_pair_counts(b).collect() == []
