@@ -3601,3 +3601,94 @@ def q_assoc_rules(spark, sf_dir):
     return association_rules(
         baskets_from_lineitem(li, part), min_count=20
     )
+
+
+# =========================================================================
+# J15a/J15b (r13) — record linkage: blocked edit-distance comparison
+# =========================================================================
+_LINK_PAIRS_SQL = (
+    "p AS (SELECT a.c_nationkey, a.c_mktsegment, "
+    "  a.c_custkey AS id_a, b.c_custkey AS id_b, "
+    "  levenshtein(a.c_name, b.c_name) AS dist "
+    "  FROM customer a JOIN customer b "
+    "  ON a.c_nationkey = b.c_nationkey "
+    "  AND a.c_mktsegment = b.c_mktsegment "
+    "  AND a.c_custkey < b.c_custkey)"
+)
+
+
+@register(
+    "q_linkage_blocks",
+    "WITH " + _LINK_PAIRS_SQL + ", "
+    "pp AS (SELECT c_nationkey, c_mktsegment, "
+    "  CAST(count(*) AS BIGINT) AS n_pairs, "
+    "  CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_exact, "
+    "  CAST(sum(CASE WHEN dist > 0 AND dist <= 1 THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_match, "
+    "  CAST(sum(CASE WHEN dist > 1 AND dist <= 3 THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_possible, "
+    "  CAST(sum(CASE WHEN dist > 3 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_nonmatch, "
+    "  CAST(min(dist) AS INT) AS min_dist "
+    "  FROM p GROUP BY 1, 2), "
+    "r AS (SELECT c_nationkey, c_mktsegment, "
+    "  CAST(count(*) AS BIGINT) AS n_records FROM customer GROUP BY 1, 2) "
+    "SELECT r.c_nationkey, r.c_mktsegment, r.n_records, "
+    "coalesce(pp.n_pairs, 0) AS n_pairs, "
+    "coalesce(pp.n_exact, 0) AS n_exact, "
+    "coalesce(pp.n_match, 0) AS n_match, "
+    "coalesce(pp.n_possible, 0) AS n_possible, "
+    "coalesce(pp.n_nonmatch, 0) AS n_nonmatch, "
+    "pp.min_dist "
+    "FROM r LEFT JOIN pp USING (c_nationkey, c_mktsegment)",
+)
+def q_linkage_blocks(spark, sf_dir):
+    """J15a (r13): record-linkage census per blocking key — customers
+    blocked on (nation, market segment), every within-block pair
+    scored by exact JVM levenshtein on the name, tallied into
+    Fellegi-Sunter classes (exact / match <=1 / possible <=3 /
+    non-match). The block key IS the cost model (sum of s_b^2/2, never
+    cross-block); both self-join sides share one child so the block
+    shuffle plans once, and at 100 TB a bucketed layout on the block
+    key removes it. All-integer output — RAW hash.
+    operators/linkage.py:linkage_block_summary."""
+    from mhw3d_detection_spark.operators.linkage import (
+        linkage_block_summary,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return linkage_block_summary(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+    )
+
+
+@register(
+    "q_linkage_top_pairs",
+    "WITH " + _LINK_PAIRS_SQL + " "
+    "SELECT c_nationkey, c_mktsegment, id_a, id_b, "
+    "CAST(dist AS INT) AS dist, CAST(rk AS INT) AS rk FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY c_nationkey, "
+    "  c_mktsegment ORDER BY dist, id_a, id_b) AS rk FROM p) "
+    "WHERE rk <= 2",
+)
+def q_linkage_top_pairs(spark, sf_dir):
+    """J15b (r13): the review-queue surface — the 2 closest candidate
+    pairs per block under the TOTAL order (dist, id_a, id_b), so the
+    winner set is unique cross-engine. One window pass over the
+    block-partitioned pair stream; the raw pair stream itself is an
+    intermediate, never a result surface.
+    operators/linkage.py:linkage_top_pairs."""
+    from mhw3d_detection_spark.operators.linkage import linkage_top_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return linkage_top_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        per_block=2,
+    )

@@ -169,3 +169,64 @@ class TestMarketBasket:
     def test_single_item_baskets_emit_nothing(self, spark):
         b = _mk_baskets(spark, {"x": ["a"], "y": ["b"]})
         assert basket_pair_counts(b).collect() == []
+
+
+from mhw3d_detection_spark.operators.linkage import (  # noqa: E402
+    blocked_link_pairs,
+    linkage_block_summary,
+    linkage_top_pairs,
+)
+
+
+class TestRecordLinkage:
+    ROWS = [
+        # block A: a near-dup pair (dist 1), a far record
+        (1, "A", "jon smith"),
+        (2, "A", "john smith"),
+        (3, "A", "completely other"),
+        # block B: exact dup names (dist 0)
+        (4, "B", "acme corp"),
+        (5, "B", "acme corp"),
+        # block C: singleton — must still appear with 0 pairs
+        (6, "C", "solo"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "rid int, blk string, name string"
+        )
+
+    def test_pairs_stay_within_blocks(self, spark):
+        pairs = blocked_link_pairs(
+            self._df(spark), "rid", "name", ["blk"]
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {
+            (1, 2), (1, 3), (2, 3), (4, 5)
+        }
+        d = {(r.id_a, r.id_b): r.dist for r in pairs}
+        assert d[(1, 2)] == 1 and d[(4, 5)] == 0 and d[(1, 3)] > 3
+
+    def test_block_summary_classes_and_singleton(self, spark):
+        s = {
+            r.blk: r
+            for r in linkage_block_summary(
+                self._df(spark), "rid", "name", ["blk"]
+            ).collect()
+        }
+        a = s["A"]
+        assert (a.n_records, a.n_pairs, a.n_exact, a.n_match) == (3, 3, 0, 1)
+        assert a.n_match + a.n_possible + a.n_nonmatch + a.n_exact == 3
+        assert a.min_dist == 1
+        b = s["B"]
+        assert (b.n_pairs, b.n_exact, b.min_dist) == (1, 1, 0)
+        c = s["C"]
+        assert (c.n_records, c.n_pairs, c.min_dist) == (1, 0, None)
+
+    def test_top_pairs_total_order(self, spark):
+        top = linkage_top_pairs(
+            self._df(spark), "rid", "name", ["blk"], per_block=1
+        ).collect()
+        best = {r.blk: (r.id_a, r.id_b, r.dist) for r in top}
+        assert best["A"] == (1, 2, 1)
+        assert best["B"] == (4, 5, 0)
+        assert "C" not in best  # no pairs, no queue entry
