@@ -3692,3 +3692,43 @@ def q_linkage_top_pairs(spark, sf_dir):
         block_cols=["c_nationkey", "c_mktsegment"],
         per_block=2,
     )
+
+
+# =========================================================================
+# SP8 (r13) — attribution interval join (batch twin of the
+# stream-stream join; the streaming side is pinned in
+# tests/test_streaming.py::test_stream_stream_attribution_join)
+# =========================================================================
+@register(
+    "q_attribution_join",
+    "SELECT p.user_id AS user, epoch_us(p.ts) AS purchase_us, "
+    "epoch_us(c.ts) AS click_us, "
+    "epoch_us(p.ts) - epoch_us(c.ts) AS lag_us "
+    "FROM events p JOIN events c ON p.user_id = c.user_id "
+    "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+    "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR",
+)
+def q_attribution_join(spark, sf_dir):
+    """SP8 (r13): click->purchase attribution — every purchase matched
+    to the same user's clicks in the preceding 6 hours. The BATCH twin
+    of `streaming_attribution_join` (the family's first stream-stream
+    join): identical plan semantics on static frames, so this oracle
+    row prices exactly what the streaming parity test replays
+    incrementally with two watermarked sides and bounded join state.
+    Emits epoch micros (the J8 as-of convention) — all-integer
+    output, RAW hash. streaming/sessionize.py:streaming_attribution_join."""
+    from mhw3d_detection_spark.streaming import streaming_attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    out = streaming_attribution_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    pu = F.unix_micros("purchase_ts")
+    cu = F.unix_micros("click_ts")
+    return out.select(
+        "user",
+        pu.alias("purchase_us"),
+        cu.alias("click_us"),
+        (pu - cu).alias("lag_us"),
+    )

@@ -35,3 +35,6 @@ from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401,E402
 from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401,E402
     streaming_sentence_dedup_gate,
 )
+from mhw3d_detection_spark.streaming.sessionize import (  # noqa: F401,E402
+    streaming_attribution_join,
+)

@@ -1163,3 +1163,62 @@ def streaming_sentence_dedup_gate(
     if drop_flagged:
         out = out.filter(F.col("flagged") == 0)
     return out
+
+
+def streaming_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    attribution_window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """SP8: stream-stream event-time interval join — each purchase
+    matched to every click by the same user inside the preceding
+    attribution window (the classic click->conversion attribution
+    shape, and the first STREAM-STREAM join in the streaming family:
+    everything else here joins a stream to a static side).
+
+    Works identically on static frames (no watermark applied), which
+    is the batch twin the parity test and the `q_attribution_join`
+    oracle row price.
+
+    Scale/state contract: both sides carry an event-time watermark and
+    the join condition bounds click_ts to [purchase_ts - window,
+    purchase_ts], so Spark can expire buffered state — clicks older
+    than watermark + window and purchases older than watermark are
+    dropped from the state store instead of accumulating forever
+    (the unbounded-state failure mode of an unconstrained
+    stream-stream join). State partitions by the key equi-clause.
+
+    Returns ``(user, purchase_ts, click_ts)`` — one row per attributed
+    (purchase, click) pair, append-mode emittable as matches arrive.
+    """
+    p = purchases.select(
+        F.col(key_col).alias("purchase_user"),
+        F.col(time_col).alias("purchase_ts"),
+    )
+    c = clicks.select(
+        F.col(key_col).alias("click_user"),
+        F.col(time_col).alias("click_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    return (
+        p.join(
+            c,
+            F.expr(
+                "purchase_user = click_user "
+                "AND click_ts <= purchase_ts "
+                f"AND click_ts >= purchase_ts - INTERVAL {attribution_window}"
+            ),
+            "inner",
+        )
+        .select(
+            F.col("purchase_user").alias("user"),
+            "purchase_ts",
+            "click_ts",
+        )
+    )

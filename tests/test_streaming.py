@@ -1647,3 +1647,56 @@ def test_streaming_drift_gate_rq_digits_parity(spark, tmp_path):
         for r in spark.table("drift_rq").collect()
     }
     assert got == want, (got, want)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """SP8: the family's first STREAM-STREAM join — purchases and
+    clicks replayed as two independent file streams (several files per
+    side, so matches must survive cross-microbatch state buffering)
+    must attribute exactly the pairs the identical batch join finds.
+    Watermark is generous (the files are not time-ordered; lateness is
+    not under test here — bounded-state expiry is a plan property,
+    asserted via the EventTimeWatermark nodes below)."""
+    from mhw3d_detection_spark.sources.tables import load_table
+    from mhw3d_detection_spark.streaming import streaming_attribution_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    p_path, c_path = str(tmp_path / "purch"), str(tmp_path / "clicks")
+    purch.repartition(3).write.parquet(p_path)
+    clicks.repartition(4).write.parquet(c_path)
+
+    want = {
+        (r.user, r.purchase_ts, r.click_ts)
+        for r in streaming_attribution_join(purch, clicks).collect()
+    }
+    assert len(want) == 25  # the sf0.001 ground truth, non-trivial
+
+    ps = spark.readStream.schema(purch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p_path)
+    cs = spark.readStream.schema(clicks.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(c_path)
+    joined = streaming_attribution_join(
+        ps, cs, watermark="40 days"
+    )
+    # both sides must carry an event-time watermark (state expiry)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user, r.purchase_ts, r.click_ts)
+        for r in spark.table("attrib_stream").collect()
+    }
+    assert got == want
