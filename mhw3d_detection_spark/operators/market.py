@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "baskets_from_lineitem",
+    "basket_arrays",
     "basket_pair_counts",
     "association_rules",
 ]
@@ -57,23 +58,36 @@ def baskets_from_lineitem(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
-def basket_pair_counts(
+def basket_arrays(
     baskets: DataFrame,
     basket_col: str = "basket",
     item_col: str = "item",
 ) -> DataFrame:
-    """Co-occurrence counts n_ab for every ordered item pair (a < b).
+    """(basket, sorted distinct item array) — the shared subplan every
+    downstream basket statistic (pairs, item marginals, basket count)
+    derives from.
 
-    One groupBy shuffle builds the per-basket sorted distinct item
-    array; pairs explode row-locally from nested array transforms
-    (element i pairs with every later element — slice start is 1-based
-    so successors of 0-based i begin at i+2). No self-join: the fact
-    table is never shuffled twice and never joined to itself.
-    """
-    arrs = baskets.groupBy(basket_col).agg(
+    Plan reality, measured: Catalyst does NOT collapse the three
+    consumers into one scan — column pruning specializes each branch
+    to its minimal form (the basket-count branch drops collect_set for
+    a plain distinct-count; the marginal branch prunes the sort), so
+    the canonicalized exchanges diverge and reuse cannot fire. Each
+    branch is individually optimal; the lazy plan pays up to 3 fact
+    passes. At corpus scale the production path materializes the
+    basket table ONCE (persist, or the SC7 bucketed sink keyed on
+    ``basket_col`` — docs/PLANS.md prices that lever at −43% keyed-agg
+    wall); the oracle rows keep the lazy form."""
+    return baskets.groupBy(basket_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("items")
     )
-    pairs = arrs.select(
+
+
+def _pairs_from_arrays(arrs: DataFrame) -> DataFrame:
+    """Ordered item pairs (a < b), exploded row-locally from the
+    per-basket array: element i pairs with every later element (slice
+    start is 1-based so successors of 0-based i begin at i + 2). No
+    self-join — the fact side is never joined to itself."""
+    return arrs.select(
         F.explode(
             F.expr(
                 "flatten(transform(items, (x, i) -> "
@@ -82,9 +96,22 @@ def basket_pair_counts(
             )
         ).alias("p")
     ).select("p.item_a", "p.item_b")
-    return pairs.groupBy("item_a", "item_b").agg(
-        F.count("*").alias("n_ab")
-    )
+
+
+def basket_pair_counts(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+) -> DataFrame:
+    """Co-occurrence counts n_ab for every ordered item pair (a < b).
+
+    One groupBy shuffle builds the per-basket sorted distinct item
+    array; pairs explode row-locally, then a pair-domain-sized hash
+    aggregate. Bounded s*(s-1)/2 fanout per basket.
+    """
+    return _pairs_from_arrays(
+        basket_arrays(baskets, basket_col, item_col)
+    ).groupBy("item_a", "item_b").agg(F.count("*").alias("n_ab"))
 
 
 def association_rules(
@@ -104,13 +131,22 @@ def association_rules(
     Returns ``(antecedent, consequent, n_ab, n_ant, n_cons, n_baskets,
     support, confidence, lift)``.
     """
-    pc = basket_pair_counts(baskets, basket_col, item_col).filter(
-        F.col("n_ab") >= F.lit(min_count)
+    arrs = basket_arrays(baskets, basket_col, item_col)
+    pc = (
+        _pairs_from_arrays(arrs)
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(min_count))
     )
-    ic = baskets.groupBy(item_col).agg(F.count("*").alias("n_i"))
-    nb = baskets.select(basket_col).distinct().agg(
-        F.count("*").alias("n_baskets")
+    # marginals and the basket count derive from the SAME arrs subplan
+    # as the pairs, so the basket shuffle materializes once (exchange
+    # reuse) and the fact table is scanned once, not three times
+    ic = (
+        arrs.select(F.explode("items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count("*").alias("n_i"))
     )
+    nb = arrs.agg(F.count("*").alias("n_baskets"))
     directed = pc.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

@@ -251,6 +251,15 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_coverage_curve": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # r11w2: JSD attaches the 1-row corpus token total
     "q_js_divergence": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13w2: heavy hitters attaches the 1-row stream total to the
+    # candidate recount (the MapInPandas sketch pass is the DECLARED
+    # Arrow op — fixed O(k) state, the operator's whole point)
+    "q_heavy_hitters": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13w2: basket pair support attaches the 1-row basket count
+    "q_basket_pairs": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13w2: association rules attach the same 1-row basket count to
+    # the rule table (marginals join by hash-equi broadcast)
+    "q_assoc_rules": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
