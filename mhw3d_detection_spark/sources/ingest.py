@@ -279,3 +279,85 @@ def read_jsonl(
         .option("mode", mode)
         .json(path)
     )
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    header: bool = True,
+    compression: str | None = "gzip",
+    partitions: int | None = None,
+    delimiter: str = ",",
+) -> None:
+    """CSV sink (SC8, r13) — the lowest-common-denominator interchange
+    format every spreadsheet/BI/legacy tool reads. RFC-4180 dialect:
+    fields containing the delimiter, quote or a newline are quoted and
+    embedded quotes are DOUBLED (``escape='"'`` — Spark's default
+    backslash escaping is not RFC and breaks naive downstream
+    parsers). NULL writes as the unquoted ``\\N`` sentinel (the
+    MySQL-dump convention) and the empty STRING as a quoted ``""``: a
+    plain empty field cannot carry the distinction, because CSV
+    parsers (Spark's univocity included) collapse quoted and unquoted
+    empties BEFORE null mapping — measured, not assumed. With the
+    paired :func:`read_csv` options the null/empty distinction —
+    CSV's classic lossy corner — survives the round trip.
+
+    Like the JSONL sink: each part is written by its own task,
+    ``partitions`` caps file count via coalesce, and parquet remains
+    the engine-side format — this is the pipeline BOUNDARY sink.
+    """
+    w = df.coalesce(int(partitions)) if partitions else df
+    writer = (
+        w.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    header: bool = True,
+    mode: str = "FAILFAST",
+    delimiter: str = ",",
+    multi_line: bool = False,
+) -> DataFrame:
+    """CSV source (SC8, r13). ``schema`` is REQUIRED (a DDL string) for
+    the same reason as :func:`read_jsonl`: inference is an extra full
+    pass and silently promotes drifting columns. ``mode``: FAILFAST
+    (default — a malformed line kills the read), PERMISSIVE (malformed
+    -> all-NULL row), DROPMALFORMED. Options mirror :func:`write_csv`
+    (RFC quote-doubling, unquoted ``\\N`` = NULL, quoted or bare empty
+    = empty string) so a write/read pair is lossless including the
+    null/empty distinction. Read-side note: ``emptyValue`` here is the
+    REPLACEMENT value for a parsed-empty field (univocity semantics),
+    so it is the empty string, not the writer's ``'\"\"'`` marker.
+
+    ``multi_line`` MUST be set when any field can contain a newline
+    (quoted multi-line records). The cost is real and documented: a
+    multiLine file cannot be split on newlines, so parallelism drops
+    to per-FILE — write many parts on the producing side (the
+    write_csv default) exactly like gzip'd JSONL.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .option("delimiter", delimiter)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .option("multiLine", str(multi_line).lower())
+        .csv(path)
+    )

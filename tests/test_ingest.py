@@ -261,3 +261,85 @@ class TestJsonlRoundTrip:
             [str(d / "part-0.json")],
         ).fetchall()
         assert set(dd) == {(1, "ok"), (None, None)}
+
+
+class TestCsvRoundTrip:
+    """SC8 (r13): CSV is the lowest-common-denominator boundary format.
+    The paired sink/source options (RFC quote-doubling, unquoted-empty
+    = NULL, quoted-empty = empty string) must make the round trip
+    lossless — including the null-vs-empty distinction CSV classically
+    destroys — and the malformed-line modes must behave like the JSONL
+    source's."""
+
+    def test_documents_roundtrip_exact(self, spark, tmp_path):
+        from mhw3d_detection_spark.sources.ingest import read_csv, write_csv
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        path = str(tmp_path / "docs_csv")
+        write_csv(docs, path, partitions=3)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in docs.schema
+        )
+        back = read_csv(spark, path, schema)
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in docs.collect()
+        }
+
+    def test_quoting_newline_null_vs_empty(self, spark, tmp_path):
+        from mhw3d_detection_spark.sources.ingest import read_csv, write_csv
+
+        rows = [
+            (1, 'comma, "quotes" and more', 3.5),
+            (2, None, None),          # NULL text
+            (3, "", -0.0),            # EMPTY text — must stay distinct
+            (4, "line1\nline2", 1.0),  # embedded newline
+            (5, "héllo é中文", 2.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string, score double")
+        path = str(tmp_path / "edge")
+        write_csv(df, path, compression=None, partitions=1)
+        back = read_csv(
+            spark, path, "id long, text string, score double",
+            multi_line=True,
+        )
+        got = {r.id: (r.text, r.score) for r in back.collect()}
+        assert got[1] == ('comma, "quotes" and more', 3.5)
+        assert got[2] == (None, None)
+        assert got[3] == ("", -0.0)
+        assert got[4] == ("line1\nline2", 1.0)
+        assert got[5] == ("héllo é中文", 2.0)
+
+    def test_malformed_modes(self, spark, tmp_path):
+        import pytest
+
+        from mhw3d_detection_spark.sources.ingest import read_csv
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        (d / "part-0.csv").write_text(
+            "id,text\n1,ok\noops,not a long\n2,fine\n"
+        )
+        schema = "id long, text string"
+        with pytest.raises(Exception):
+            read_csv(spark, str(d), schema).collect()
+        kept = read_csv(
+            spark, str(d), schema, mode="DROPMALFORMED"
+        ).collect()
+        assert {r.id for r in kept} == {1, 2}
+        perm = read_csv(spark, str(d), schema, mode="PERMISSIVE").collect()
+        assert len(perm) == 3
+        # PERMISSIVE nulls the untypeable field, keeps the parsable one
+        bad = [r for r in perm if r.id is None]
+        assert len(bad) == 1 and bad[0].text == "not a long"
+        # DuckDB's ignore_errors lands on Spark's DROPMALFORMED
+        # convention for CSV (drops the line) — boundary check
+        import duckdb
+
+        dd = duckdb.connect().execute(
+            "SELECT id, text FROM read_csv(?, header=true, "
+            "columns={'id': 'BIGINT', 'text': 'VARCHAR'}, "
+            "ignore_errors=true) ORDER BY id",
+            [str(d / "part-0.csv")],
+        ).fetchall()
+        assert [r[0] for r in dd] == [1, 2]
