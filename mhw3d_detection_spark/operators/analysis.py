@@ -2481,3 +2481,97 @@ def kruskal_wallis(
         F.when(ok & (corr > 0), hstat / corr).alias("h_tie_corrected"),
         F.when(ok, F.col("k") - 1).cast("int").alias("dof"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Per-group revenue concentration: exact Gini coefficient,
+    Lorenz top-decile share, and bottom-half share over an INTEGER
+    value column (``cents_col``, int64 — callers fix the decimal grid
+    up front, e.g. money to cents, so every sum below is int64-exact
+    and order-free).
+
+    Gini via the rank formula over the TOTAL order (value, id):
+    ``G = (2*S - (n+1)*T) / (n*T)`` with ``S = sum(i * x_i)`` (x
+    ascending, i = 1..n) and ``T = sum(x)`` — one window pass for the
+    rank, one hash aggregate; no pair join (the O(n^2) mean-absolute-
+    difference definition never materializes). Top-decile membership is
+    ``i > n - ceil(n/10)`` in pure integer arithmetic.
+
+    Integer-magnitude contract (guarded): ``S <= n_g * max_rank *
+    max_cents`` must stay under 2^63 — at 10^6 rows/group x 10^8
+    cents that is ~10^20, so groups beyond ~10^5 high-value rows need
+    a coarser value grid; the guard nulls the stats and flags the
+    group rather than silently wrapping.
+
+    Returns one row per group: ``(group, n, total_cents, gini,
+    top10_share, bottom50_share)``; the three ratios are single
+    int64/int64 IEEE divisions — RAW-hash safe.
+    """
+    wo = Window.partitionBy(group_col).orderBy(cents_col, id_col)
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, id_col, cents_col)
+        .withColumn("i", F.row_number().over(wo))
+        .withColumn("ng", F.count("*").over(wg))
+    )
+    top_cut = F.col("ng") - F.expr("div(ng + 9, 10)")
+    half_cut = F.expr("div(ng, 2)")
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(cents_col).alias("total_cents"),
+        # try_*: under ANSI mode a wrapped S would raise mid-aggregate;
+        # the magnitude guard below owns the overflow path (NULL stats,
+        # counts still reported), so the sum must survive to reach it
+        F.try_sum(
+            F.try_multiply(F.col("i").cast("long"), F.col(cents_col))
+        ).alias("s_rank"),
+        F.sum(
+            F.when(F.col("i") > top_cut, F.col(cents_col)).otherwise(
+                F.lit(0)
+            )
+        ).alias("top_cents"),
+        F.sum(
+            F.when(F.col("i") <= half_cut, F.col(cents_col)).otherwise(
+                F.lit(0)
+            )
+        ).alias("bottom_cents"),
+        F.max(cents_col).alias("_max_cents"),
+    )
+    # S <= max_cents * n*(n+1)/2; bound checked in doubles (the bound
+    # itself must not wrap) with 2^62 headroom for the 2*S numerator
+    ok = (
+        (F.col("n") > 0)
+        & (F.col("total_cents") > 0)
+        & (
+            F.col("_max_cents").cast("double")
+            * F.col("n").cast("double")
+            * (F.col("n").cast("double") + F.lit(1.0))
+            / F.lit(2.0)
+            < F.lit(float(2**62))
+        )
+    )
+    gini = (
+        F.lit(2) * F.col("s_rank")
+        - (F.col("n") + F.lit(1)) * F.col("total_cents")
+    ).cast("double") / (F.col("n") * F.col("total_cents")).cast("double")
+    return agg.select(
+        group_col,
+        "n",
+        "total_cents",
+        F.when(ok, gini).alias("gini"),
+        F.when(
+            ok,
+            F.col("top_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+        ).alias("top10_share"),
+        F.when(
+            ok,
+            F.col("bottom_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+        ).alias("bottom50_share"),
+    )

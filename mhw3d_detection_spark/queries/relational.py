@@ -3732,3 +3732,79 @@ def q_attribution_join(spark, sf_dir):
         cu.alias("click_us"),
         (pu - cu).alias("lag_us"),
     )
+
+
+# =========================================================================
+# A19 (r13) — revenue concentration: exact Gini + Lorenz shares
+# =========================================================================
+#: money -> integer cents on the writer grid: *100 is one exact IEEE
+#: op, the 0.5 + 2^-13 nudge is the rq(2) convention (base._rq_eps)
+_CENTS = "floor(o_totalprice * 100.0 + 0.5001220703125)"
+
+
+@register(
+    "q_revenue_concentration",
+    "WITH rev AS (SELECT o_custkey, "
+    f"  CAST(sum(CAST({_CENTS} AS BIGINT)) AS BIGINT) AS cents "
+    "  FROM orders GROUP BY 1), "
+    "j AS (SELECT c.c_mktsegment, r.o_custkey, r.cents FROM rev r "
+    "  JOIN customer c ON r.o_custkey = c.c_custkey), "
+    "rk AS (SELECT c_mktsegment, o_custkey, cents, "
+    "  row_number() OVER (PARTITION BY c_mktsegment "
+    "    ORDER BY cents, o_custkey) AS i, "
+    "  count(*) OVER (PARTITION BY c_mktsegment) AS ng FROM j), "
+    "agg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(sum(cents) AS BIGINT) AS total_cents, "
+    "  CAST(sum(i * cents) AS BIGINT) AS s_rank, "
+    "  CAST(sum(CASE WHEN i > ng - (ng + 9) // 10 THEN cents ELSE 0 "
+    "    END) AS BIGINT) AS top_cents, "
+    "  CAST(sum(CASE WHEN i <= ng // 2 THEN cents ELSE 0 END) "
+    "    AS BIGINT) AS bottom_cents, "
+    "  CAST(max(cents) AS BIGINT) AS mx FROM rk GROUP BY 1) "
+    "SELECT c_mktsegment, n, total_cents, "
+    "CASE WHEN n > 0 AND total_cents > 0 AND "
+    "  CAST(mx AS DOUBLE) * n * (n + 1.0) / 2.0 < 4.611686018427388e18 "
+    "  THEN CAST(2 * s_rank - (n + 1) * total_cents AS DOUBLE) "
+    "    / CAST(n * total_cents AS DOUBLE) END AS gini, "
+    "CASE WHEN n > 0 AND total_cents > 0 AND "
+    "  CAST(mx AS DOUBLE) * n * (n + 1.0) / 2.0 < 4.611686018427388e18 "
+    "  THEN CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) "
+    "  END AS top10_share, "
+    "CASE WHEN n > 0 AND total_cents > 0 AND "
+    "  CAST(mx AS DOUBLE) * n * (n + 1.0) / 2.0 < 4.611686018427388e18 "
+    "  THEN CAST(bottom_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) "
+    "  END AS bottom50_share "
+    "FROM agg",
+)
+def q_revenue_concentration(spark, sf_dir):
+    """A19 (r13): per-segment revenue concentration — exact Gini via
+    the rank formula G = (2S - (n+1)T)/(nT) over the TOTAL order
+    (cents, custkey), Lorenz top-decile and bottom-half shares in pure
+    integer arithmetic. Money lands on integer cents BEFORE any sum
+    (one exact IEEE *100 per row), so every aggregate is int64-exact
+    and order-free; the O(n^2) mean-absolute-difference Gini never
+    materializes (one window pass + one hash aggregate). Ratios are
+    single int64/int64 IEEE divisions, guard bound replicated in
+    doubles on both engines — RAW hash.
+    operators/analysis.py:gini_concentration."""
+    from mhw3d_detection_spark.operators.analysis import (
+        gini_concentration,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5001220703125)
+    ).cast("long")
+    rev = (
+        o.select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    seg = rev.join(
+        c.select("c_custkey", "c_mktsegment"),
+        rev.o_custkey == F.col("c_custkey"),
+    ).select("c_mktsegment", "o_custkey", "cents")
+    return gini_concentration(
+        seg, "c_mktsegment", "o_custkey", "cents"
+    )

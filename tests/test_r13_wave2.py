@@ -230,3 +230,52 @@ class TestRecordLinkage:
         assert best["A"] == (1, 2, 1)
         assert best["B"] == (4, 5, 0)
         assert "C" not in best  # no pairs, no queue entry
+
+
+from mhw3d_detection_spark.operators.analysis import (  # noqa: E402
+    gini_concentration,
+)
+
+
+class TestGiniConcentration:
+    def _run(self, spark, vals, group="g"):
+        rows = [(group, i, int(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, id long, cents long")
+        out = gini_concentration(df, "g", "id", "cents").collect()
+        assert len(out) == 1
+        return out[0]
+
+    def test_uniform_is_zero(self, spark):
+        r = self._run(spark, [100] * 10)
+        assert r.gini == 0.0
+        assert r.top10_share == 0.1
+        assert r.bottom50_share == 0.5
+
+    def test_single_holder_is_max(self, spark):
+        n = 10
+        r = self._run(spark, [0] * (n - 1) + [1000])
+        # rank-formula Gini of one-holder: (n-1)/n
+        assert r.gini == (n - 1) / n
+        assert r.top10_share == 1.0
+        assert r.bottom50_share == 0.0
+
+    def test_matches_bruteforce_mad(self, spark):
+        vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+        n, mean = len(vals), sum(vals) / len(vals)
+        mad = sum(abs(a - b) for a in vals for b in vals) / (n * n)
+        want = mad / (2 * mean)
+        r = self._run(spark, vals)
+        assert r.gini == pytest.approx(want, abs=1e-12)
+
+    def test_magnitude_guard_nulls_not_garbage(self, spark):
+        # cents near 2^61: S would wrap int64 — stats must be NULL,
+        # exact counts still reported
+        r = self._run(spark, [2**61, 2**61, 2**61])
+        assert r.n == 3 and r.gini is None and r.top10_share is None
+
+    def test_groups_independent(self, spark):
+        rows = [("a", 1, 100), ("a", 2, 100), ("b", 1, 0), ("b", 2, 500)]
+        df = spark.createDataFrame(rows, "g string, id long, cents long")
+        out = {r.g: r for r in gini_concentration(df, "g", "id", "cents").collect()}
+        assert out["a"].gini == 0.0
+        assert out["b"].gini == 0.5  # one-holder with n=2: (n-1)/n
