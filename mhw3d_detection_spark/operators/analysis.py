@@ -2575,3 +2575,107 @@ def gini_concentration(
             / F.col("total_cents").cast("double"),
         ).alias("bottom50_share"),
     )
+
+
+def lindley_backlog(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    delta_col: str,
+) -> DataFrame:
+    """Capped running balance s_t = max(0, s_{t-1} + x_t) — the
+    Lindley recursion (queue depth, inventory backlog, rate-limiter
+    tokens) — WITHOUT recursion: the closed form
+    ``s_t = prefix_t - min(0, min_{j<=t} prefix_j)`` turns the
+    sequential recurrence into two stock window aggregates (prefix
+    sum + running min), one shuffle on the key, whole-stage-codegen
+    throughout. ``order_cols`` must be a TOTAL order per key or the
+    recursion itself is ill-defined.
+
+    Returns one row per key: ``(key, n_events, final_backlog,
+    max_backlog)`` — all exact int64 given integer deltas.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy(key_col).orderBy(*order_cols)
+    stepped = (
+        df.select(key_col, *order_cols, delta_col)
+        .withColumn("prefix", F.sum(delta_col).over(w))
+        .withColumn("runmin", F.min("prefix").over(w))
+        .withColumn(
+            "backlog",
+            F.col("prefix") - F.least(F.col("runmin"), F.lit(0)),
+        )
+        .withColumn("i", F.row_number().over(wo))
+    )
+    return stepped.groupBy(key_col).agg(
+        F.count("*").alias("n_events"),
+        F.max_by("backlog", "i").alias("final_backlog"),
+        F.max("backlog").alias("max_backlog"),
+    )
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Total covered length of a set of (possibly overlapping)
+    half-open intervals per key — the gaps-and-islands interval-UNION:
+    ordered by start, an interval opens a new island iff its start
+    exceeds the running max end of every EARLIER interval (touching
+    intervals merge, half-open adjacency); the island id is a prefix
+    sum of those breaks. Two window passes + one aggregate, one
+    shuffle on the key, no self-join (the naive overlap join is
+    O(n^2) per key and never runs).
+
+    ``order_cols`` defaults to ``(start_col, end_col)`` and must
+    total-order each key's intervals for a deterministic island
+    numbering (the UNION LENGTH is order-invariant either way).
+
+    Returns ``(key, n_intervals, n_islands, covered, max_island)``
+    with ``covered = sum(island_end - island_start)`` — exact int64
+    given integer endpoints.
+    """
+    order_cols = order_cols or [start_col, end_col]
+    wprev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        df.select(key_col, start_col, end_col, *[
+            c for c in order_cols if c not in (start_col, end_col)
+        ])
+        .withColumn("prev_end", F.max(end_col).over(wprev))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col(start_col) > F.col("prev_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(wrun))
+    )
+    per_island = islands.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("i_start"),
+        F.max(end_col).alias("i_end"),
+        F.count("*").alias("i_n"),
+    )
+    return per_island.groupBy(key_col).agg(
+        F.sum("i_n").alias("n_intervals"),
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered"),
+        F.max(F.col("i_end") - F.col("i_start")).alias("max_island"),
+    )

@@ -3808,3 +3808,101 @@ def q_revenue_concentration(spark, sf_dir):
     return gini_concentration(
         seg, "c_mktsegment", "o_custkey", "cents"
     )
+
+
+# =========================================================================
+# W28 (r13) — Lindley capped running balance (recursion-free)
+# =========================================================================
+@register(
+    "q_lindley_backlog",
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+    "  CASE event_type WHEN 'click' THEN 1 ELSE -1 END AS delta "
+    "  FROM events WHERE event_type IN ('click', 'purchase')), "
+    "p AS (SELECT user_id, event_id, us, "
+    "  sum(delta) OVER (PARTITION BY user_id ORDER BY us, event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix "
+    "  FROM e), "
+    "m AS (SELECT user_id, event_id, us, prefix, "
+    "  min(prefix) OVER (PARTITION BY user_id ORDER BY us, event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin, "
+    "  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) "
+    "    AS i FROM p), "
+    "b AS (SELECT user_id, i, "
+    "  prefix - least(runmin, 0) AS backlog FROM m) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(arg_max(backlog, i) AS BIGINT) AS final_backlog, "
+    "CAST(max(backlog) AS BIGINT) AS max_backlog "
+    "FROM b GROUP BY 1",
+)
+def q_lindley_backlog(spark, sf_dir):
+    """W28 (r13): per-user queue depth under clicks-enqueue /
+    purchases-dequeue, floored at zero — the Lindley recursion
+    s_t = max(0, s_{t-1} + x_t), which looks inherently sequential but
+    collapses to the closed form s_t = prefix_t − min(0, running-min
+    prefix): two stock window aggregates over the TOTAL order
+    (epoch_us, event_id), one shuffle on the key, codegen throughout —
+    no recursion, no applyInPandas. All-integer output — RAW hash.
+    operators/analysis.py:lindley_backlog."""
+    from mhw3d_detection_spark.operators.analysis import lindley_backlog
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("delta"),
+    )
+    return lindley_backlog(
+        e, "user_id", ["us", "event_id"], "delta"
+    )
+
+
+# =========================================================================
+# W29 (r13) — interval union: total covered time per key
+# =========================================================================
+@register(
+    "q_interval_union",
+    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+    "  epoch_us(ts) + 1800000000 AS e FROM events), "
+    "pe AS (SELECT user_id, s, e, "
+    "  max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end "
+    "  FROM iv), "
+    "br AS (SELECT user_id, s, e, CASE WHEN prev_end IS NULL "
+    "  OR s > prev_end THEN 1 ELSE 0 END AS brk FROM pe), "
+    "isl AS (SELECT user_id, s, e, "
+    "  sum(brk) OVER (PARTITION BY user_id ORDER BY s, e "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
+    "  FROM br), "
+    "g AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e, "
+    "  count(*) AS c FROM isl GROUP BY 1, 2) "
+    "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_intervals, "
+    "CAST(count(*) AS BIGINT) AS n_islands, "
+    "CAST(sum(i_e - i_s) AS BIGINT) AS covered, "
+    "CAST(max(i_e - i_s) AS BIGINT) AS max_island "
+    "FROM g GROUP BY 1",
+)
+def q_interval_union(spark, sf_dir):
+    """W29 (r13): total ACTIVE time per user when every event opens a
+    30-minute half-open activity window — the interval-UNION
+    gaps-and-islands: an interval starts a new island iff its start
+    exceeds the running max end of every earlier one (touching
+    intervals merge), island id = prefix sum of breaks. Two window
+    passes + two aggregates, one shuffle on the key; the O(n²)
+    per-key overlap self-join never materializes. Tie order within
+    (s, e) is symmetric (identical rows), so the island aggregates are
+    deterministic cross-engine. All-integer micros — RAW hash.
+    operators/analysis.py:interval_union."""
+    from mhw3d_detection_spark.operators.analysis import interval_union
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1800000000)).alias("e"),
+    )
+    return interval_union(iv, "user_id", "s", "e")

@@ -279,3 +279,72 @@ class TestGiniConcentration:
         out = {r.g: r for r in gini_concentration(df, "g", "id", "cents").collect()}
         assert out["a"].gini == 0.0
         assert out["b"].gini == 0.5  # one-holder with n=2: (n-1)/n
+
+
+from mhw3d_detection_spark.operators.analysis import (  # noqa: E402
+    interval_union,
+    lindley_backlog,
+)
+
+
+class TestLindleyBacklog:
+    def _run(self, spark, deltas):
+        rows = [("u", i, i, int(d)) for i, d in enumerate(deltas)]
+        df = spark.createDataFrame(rows, "k string, us long, eid long, delta long")
+        out = lindley_backlog(df, "k", ["us", "eid"], "delta").collect()
+        return out[0]
+
+    @pytest.mark.parametrize(
+        "deltas",
+        [
+            [1, -3, 2],
+            [-1, 2, -1],
+            [2, -1, -3, 4],
+            [1, 1, 1, -5, 1],
+            [-2, -2, 3, 3, -1, -10, 7],
+            [5, -1, -1, -1, -1, -1, -1, -1],
+        ],
+    )
+    def test_matches_sequential_simulation(self, spark, deltas):
+        s, mx, trace = 0, 0, []
+        for d in deltas:
+            s = max(0, s + d)
+            mx = max(mx, s)
+            trace.append(s)
+        r = self._run(spark, deltas)
+        assert (r.final_backlog, r.max_backlog, r.n_events) == (
+            trace[-1], mx, len(deltas)
+        )
+
+    def test_keys_are_independent(self, spark):
+        rows = [("a", 0, 0, 5), ("b", 0, 0, -5), ("a", 1, 1, -2), ("b", 1, 1, 2)]
+        df = spark.createDataFrame(rows, "k string, us long, eid long, delta long")
+        got = {r.k: (r.final_backlog, r.max_backlog)
+               for r in lindley_backlog(df, "k", ["us", "eid"], "delta").collect()}
+        assert got == {"a": (3, 5), "b": (2, 2)}
+
+
+class TestIntervalUnion:
+    def _run(self, spark, ivs):
+        rows = [("u", int(s), int(e)) for s, e in ivs]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        return interval_union(df, "k", "s", "e").collect()[0]
+
+    def test_overlap_touch_and_gap(self, spark):
+        # [0,10) + [5,15) merge; [15,20) touches -> merges; [30,40) new
+        r = self._run(spark, [(0, 10), (5, 15), (15, 20), (30, 40)])
+        assert (r.n_intervals, r.n_islands, r.covered, r.max_island) == (
+            4, 2, 30, 20
+        )
+
+    def test_contained_and_duplicate_intervals(self, spark):
+        r = self._run(spark, [(0, 100), (10, 20), (0, 100), (50, 60)])
+        assert (r.n_islands, r.covered, r.max_island) == (1, 100, 100)
+
+    def test_matches_bruteforce_union(self, spark):
+        ivs = [(3, 9), (1, 4), (12, 15), (14, 22), (2, 2), (30, 31),
+               (8, 13), (40, 45), (44, 50), (50, 51)]
+        covered = len({t for s, e in ivs for t in range(s, e)})
+        r = self._run(spark, ivs)
+        assert r.covered == covered
+        assert r.n_intervals == len(ivs)
