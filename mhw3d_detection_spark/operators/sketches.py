@@ -656,8 +656,11 @@ def misra_gries_candidates(
         if counters:
             yield pd.DataFrame({item_col: list(counters.keys())})
 
+    # carry the item column's own type through the sketch (a hardcoded
+    # string schema would silently mangle integer keys)
+    item_type = dict(items.dtypes)[item_col]
     return items.select(item_col).mapInPandas(
-        summarize, schema=f"{item_col} string"
+        summarize, schema=f"{item_col} {item_type}"
     )
 
 

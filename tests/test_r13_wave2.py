@@ -348,3 +348,13 @@ class TestIntervalUnion:
         r = self._run(spark, ivs)
         assert r.covered == covered
         assert r.n_intervals == len(ivs)
+
+
+def test_heavy_hitters_integer_items(spark):
+    """The sketch must carry the item column's own type (a hardcoded
+    string schema would silently mangle integer keys)."""
+    rows = [(7,)] * 50 + [(i,) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "item long")
+    out = heavy_hitters(df, k=4).collect()
+    assert [(r.item, r.cnt) for r in out] == [(7, 50)]
+    assert out[0].n_total == 90
