@@ -45,21 +45,56 @@ def blocked_link_pairs(
     id_col: str,
     name_col: str,
     block_cols: list[str],
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Within-block candidate pairs (id_a < id_b) scored by exact edit
-    distance on ``name_col``. Returns block cols + (id_a, id_b, dist)."""
-    a = df.select(
+    distance on ``name_col``. Returns block cols + (id_a, id_b, dist).
+
+    ``max_block_size`` is the HOT-BLOCK BACKSTOP (the E2q minhash-cap
+    design ported to blocking): when a block's record count exceeds
+    it, records salt into ``ceil(size / cap)`` deterministic xxhash64
+    sub-buckets and pairs form only within a sub-bucket — per-block
+    pair work drops from s²/2 to ~s·cap/2 (linear in s), at a recall
+    cost that is uniform-random across pairs (two same-entity records
+    land in the same sub-bucket with probability 1/n_sub). Measured
+    motivation: the sf0.1→sf1 probe shows the uncapped pair stage at
+    exponent 2.00 when the block-key cardinality does not grow with
+    the data — the textbook record-linkage failure the cap bounds.
+    Default None keeps the exact semantics every oracle row prices;
+    production layers a FINER second blocking key first (the
+    recall-free fix) and caps only what remains.
+    """
+    src = df.select(
         *block_cols,
-        F.col(id_col).alias("id_a"),
-        F.col(name_col).alias("name_a"),
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
     )
-    b = df.select(
-        *block_cols,
-        F.col(id_col).alias("id_b"),
-        F.col(name_col).alias("name_b"),
+    join_cols = list(block_cols)
+    if max_block_size is not None:
+        sizes = src.groupBy(*block_cols).agg(
+            F.count("*").alias("_bs")
+        )
+        n_sub = F.greatest(
+            F.lit(1),
+            F.expr(f"div(_bs + {int(max_block_size)} - 1, "
+                   f"{int(max_block_size)})"),
+        )
+        src = src.join(sizes, on=block_cols).withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_id")), n_sub)
+        ).drop("_bs")
+        join_cols = join_cols + ["_salt"]
+    a = src.select(
+        *join_cols,
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+    )
+    b = src.select(
+        *join_cols,
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
     )
     return (
-        a.join(b, on=block_cols)
+        a.join(b, on=join_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             *block_cols,
@@ -77,12 +112,15 @@ def linkage_block_summary(
     block_cols: list[str],
     match_dist: int = 1,
     possible_dist: int = 3,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Per-block linkage census: record count, compared-pair count, and
     the Fellegi-Sunter-style class tallies (exact / match / possible /
     non-match by integer distance bands), plus the closest distance
     seen. Blocks with a single record still appear (0 pairs)."""
-    pairs = blocked_link_pairs(df, id_col, name_col, block_cols)
+    pairs = blocked_link_pairs(
+        df, id_col, name_col, block_cols, max_block_size=max_block_size
+    )
     per_pair = pairs.groupBy(*block_cols).agg(
         F.count("*").alias("n_pairs"),
         F.sum((F.col("dist") == 0).cast("long")).alias("n_exact"),
@@ -121,12 +159,15 @@ def linkage_top_pairs(
     name_col: str,
     block_cols: list[str],
     per_block: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """The ``per_block`` closest candidate pairs per block under the
     TOTAL order (dist, id_a, id_b) — deterministic cross-engine, the
     review-queue surface a linkage pipeline hands to humans. One
     window pass over the (block-key-partitioned) pair stream."""
-    pairs = blocked_link_pairs(df, id_col, name_col, block_cols)
+    pairs = blocked_link_pairs(
+        df, id_col, name_col, block_cols, max_block_size=max_block_size
+    )
     w = Window.partitionBy(*block_cols).orderBy("dist", "id_a", "id_b")
     return (
         pairs.withColumn("rk", F.row_number().over(w))

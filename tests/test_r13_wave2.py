@@ -358,3 +358,47 @@ def test_heavy_hitters_integer_items(spark):
     out = heavy_hitters(df, k=4).collect()
     assert [(r.item, r.cnt) for r in out] == [(7, 50)]
     assert out[0].n_total == 90
+
+
+class TestLinkageBlockCap:
+    """E2q-style hot-block backstop ported to blocking (r13w2):
+    capped pairs are a deterministic subset, a huge cap is identity,
+    and sub-bucketing bounds the per-task quadratic term."""
+
+    def _pairs(self, spark, cap):
+        from mhw3d_detection_spark.sources.tables import load_table
+
+        cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+        return {
+            (r.id_a, r.id_b)
+            for r in blocked_link_pairs(
+                cust, "c_custkey", "c_name",
+                ["c_nationkey", "c_mktsegment"],
+                max_block_size=cap,
+            ).collect()
+        }
+
+    def test_subset_identity_determinism(self, spark):
+        full = self._pairs(spark, None)
+        capped = self._pairs(spark, 2)
+        assert capped <= full and len(capped) < len(full)
+        assert self._pairs(spark, 2) == capped  # deterministic
+        assert self._pairs(spark, 10**9) == full  # huge cap = identity
+
+    def test_small_blocks_untouched(self, spark):
+        # cap above every block size: nothing salts, exact pairs
+        full = self._pairs(spark, None)
+        assert self._pairs(spark, 50) == full
+
+    def test_pair_work_bounded(self, spark):
+        # one hot 40-record block, cap 10 -> >= 4 sub-buckets; compared
+        # pairs must be well under the uncapped 780 and every compared
+        # pair must share a sub-bucket (implied by the join)
+        rows = [("blk", i, f"name{i:03d}") for i in range(40)]
+        df = spark.createDataFrame(rows, "b string, rid long, name string")
+        capped = blocked_link_pairs(
+            df, "rid", "name", ["b"], max_block_size=10
+        ).count()
+        uncapped = blocked_link_pairs(df, "rid", "name", ["b"]).count()
+        assert uncapped == 40 * 39 // 2
+        assert 0 < capped < uncapped / 2
