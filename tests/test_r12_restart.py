@@ -262,3 +262,76 @@ def test_streaming_cardinality_restart_recovery(spark, tmp_path):
     assert len(got) == len(got1) + len(
         {k for k in want if k[0] != 1}
     )
+
+
+def test_stream_stream_attribution_restart_bitexact(spark, tmp_path):
+    """SP8 (r13w2): stream-stream join state must survive a
+    checkpoint restart. Phase 1 sees every purchase but only half the
+    click files (availableNow to completion); phase 2 restarts the
+    SAME checkpoint after the remaining click files land. Purchases
+    buffered in the join state store must match clicks that arrive
+    only after the restart, already-emitted pairs must not re-emit
+    (exactly-once via the parquet sink's _spark_metadata log), and
+    the union must equal the uninterrupted batch twin exactly."""
+    import os
+    import shutil
+
+    from mhw3d_detection_spark.sources.tables import load_table
+    from mhw3d_detection_spark.streaming import streaming_attribution_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    want = {
+        (r.user, r.purchase_ts, r.click_ts)
+        for r in streaming_attribution_join(purch, clicks).collect()
+    }
+    assert len(want) == 25
+
+    p_path = str(tmp_path / "purch")
+    c_path = str(tmp_path / "clicks")
+    stage = str(tmp_path / "stage")
+    purch.repartition(2).write.parquet(p_path)
+    clicks.repartition(4).write.parquet(stage)
+    parts = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    os.makedirs(c_path)
+    for f in parts[:2]:
+        shutil.copy(os.path.join(stage, f), os.path.join(c_path, f))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    out_schema = "user bigint, purchase_ts timestamp, click_ts timestamp"
+
+    def run_phase():
+        ps = spark.readStream.schema(purch.schema).parquet(p_path)
+        cs = spark.readStream.schema(clicks.schema).parquet(c_path)
+        q = (
+            streaming_attribution_join(ps, cs, watermark="40 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_phase()
+    phase1 = {
+        (r.user, r.purchase_ts, r.click_ts)
+        for r in spark.read.schema(out_schema).parquet(out).collect()
+    }
+    assert phase1 < want  # strictly partial: half the clicks missing
+
+    for f in parts[2:]:
+        shutil.copy(os.path.join(stage, f), os.path.join(c_path, f))
+    run_phase()
+    final = spark.read.schema(out_schema).parquet(out)
+    rows = final.collect()
+    got = {(r.user, r.purchase_ts, r.click_ts) for r in rows}
+    assert got == want
+    assert len(rows) == len(got)  # nothing double-emitted
