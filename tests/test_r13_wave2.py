@@ -402,3 +402,54 @@ class TestLinkageBlockCap:
         uncapped = blocked_link_pairs(df, "rid", "name", ["b"]).count()
         assert uncapped == 40 * 39 // 2
         assert 0 < capped < uncapped / 2
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+class TestWindowAlgebraProperties:
+    """Property tests for the r13w2 window-algebra identities against
+    pure-Python sequential oracles — independent of the DuckDB gate
+    (a wrong closed form expressed identically in both SQL engines
+    would still pass the differential; this catches it)."""
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(-9, 9), min_size=1, max_size=40))
+    def test_lindley_prefix_min_identity(self, spark, deltas):
+        s, mx = 0, 0
+        for d in deltas:
+            s = max(0, s + d)
+            mx = max(mx, s)
+        rows = [("k", i, i, int(d)) for i, d in enumerate(deltas)]
+        df = spark.createDataFrame(
+            rows, "k string, us long, eid long, delta long"
+        )
+        r = lindley_backlog(df, "k", ["us", "eid"], "delta").collect()[0]
+        assert (r.final_backlog, r.max_backlog) == (s, mx)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 60), st.integers(0, 25)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_interval_union_covers_exactly(self, spark, raw):
+        ivs = [(s, s + ln) for s, ln in raw]
+        covered = len({t for s, e in ivs for t in range(s, e)})
+        islands = 0
+        prev_end = None
+        for s, e in sorted(ivs):
+            if prev_end is None or s > prev_end:
+                islands += 1
+                prev_end = e
+            else:
+                prev_end = max(prev_end, e)
+        rows = [("k", int(s), int(e)) for s, e in ivs]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        r = interval_union(df, "k", "s", "e").collect()[0]
+        assert r.covered == covered
+        assert r.n_islands == islands
+        assert r.n_intervals == len(ivs)
