@@ -75,8 +75,10 @@ def main() -> None:
     print("== revenue concentration per segment (A19) ==")
     from mhw3d_detection_spark.operators.analysis import gini_concentration
 
+    from mhw3d_detection_spark.queries.relational import _CENTS_NUDGE
+
     cents = F.floor(
-        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5001220703125)
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(_CENTS_NUDGE)
     ).cast("long")
     rev = (
         orders.select("o_custkey", cents.alias("cents"))

@@ -2634,15 +2634,24 @@ def interval_union(
     shuffle on the key, no self-join (the naive overlap join is
     O(n^2) per key and never runs).
 
-    ``order_cols`` defaults to ``(start_col, end_col)`` and must
-    total-order each key's intervals for a deterministic island
-    numbering (the UNION LENGTH is order-invariant either way).
+    ``order_cols`` defaults to ``(start_col, end_col)`` and MUST sort
+    primarily by ascending start — the break test ``start >
+    max(earlier ends)`` presupposes it; a non-start-first order
+    returns wrong union lengths, so the operator rejects one
+    (ValueError) instead of computing garbage. Trailing tiebreak
+    columns only refine island numbering determinism.
 
     Returns ``(key, n_intervals, n_islands, covered, max_island)``
     with ``covered = sum(island_end - island_start)`` — exact int64
     given integer endpoints.
     """
     order_cols = order_cols or [start_col, end_col]
+    if order_cols[0] != start_col:
+        raise ValueError(
+            "interval_union: order_cols must sort by ascending "
+            f"{start_col!r} first (got {order_cols!r}) — the island "
+            "break test presupposes start order"
+        )
     wprev = (
         Window.partitionBy(key_col)
         .orderBy(*order_cols)

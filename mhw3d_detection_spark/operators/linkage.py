@@ -71,6 +71,12 @@ def blocked_link_pairs(
     )
     join_cols = list(block_cols)
     if max_block_size is not None:
+        if int(max_block_size) < 1:
+            # 0/negative would silently degrade to n_sub=1 (no capping
+            # at all — the exact explosion the cap exists to bound)
+            raise ValueError(
+                f"max_block_size must be >= 1, got {max_block_size}"
+            )
         sizes = src.groupBy(*block_cols).agg(
             F.count("*").alias("_bs")
         )

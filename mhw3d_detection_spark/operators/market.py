@@ -139,8 +139,10 @@ def association_rules(
         .filter(F.col("n_ab") >= F.lit(min_count))
     )
     # marginals and the basket count derive from the SAME arrs subplan
-    # as the pairs, so the basket shuffle materializes once (exchange
-    # reuse) and the fact table is scanned once, not three times
+    # as the pairs — but Catalyst prunes each consumer branch to its
+    # minimal form, so the lazy plan still pays up to 3 fact passes
+    # (see basket_arrays' measured note); materialize baskets once at
+    # corpus scale
     ic = (
         arrs.select(F.explode("items").alias(item_col))
         .groupBy(item_col)

@@ -671,12 +671,14 @@ def heavy_hitters(
     a fixed-memory sketch pass finds candidates, then an exact recount
     runs ONLY over the candidate set.
 
-    Two passes over the stream, both cheap where exact top-frequency
-    is not: pass 1 is `misra_gries_candidates` (narrow map, O(k)
-    state, no shuffle of the item domain); pass 2 inner-joins the
-    stream to the BROADCAST candidate list (<= k * n_partitions rows)
-    and hash-aggregates only matching items — the full-domain shuffle
-    of a naive GROUP BY over every distinct item never happens. The
+    Three passes over the stream, all cheap where exact top-frequency
+    is not: the `misra_gries_candidates` sketch (narrow map, O(k)
+    state, no shuffle of the item domain), a column-pruned scalar
+    count(*) for n_total (narrow, no shuffle), and the recount, which
+    inner-joins the stream to the BROADCAST candidate list (<= k *
+    n_partitions rows) and hash-aggregates only matching items — the
+    full-domain shuffle of a naive GROUP BY over every distinct item
+    never happens, which is the cost that matters. The
     MG superset guarantee makes the result EXACT and independent of
     partition layout: no true heavy hitter can be missed, and false
     candidates are eliminated by the recount filter.

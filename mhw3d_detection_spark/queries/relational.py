@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.operators.analysis import dyadic_quantize_sql
-from mhw3d_detection_spark.queries.base import register, rq, rq_sql
+from mhw3d_detection_spark.queries.base import _rq_eps, register, rq, rq_sql
 from mhw3d_detection_spark.sources.tables import load_table
 
 
@@ -3738,8 +3738,10 @@ def q_attribution_join(spark, sf_dir):
 # A19 (r13) — revenue concentration: exact Gini + Lorenz shares
 # =========================================================================
 #: money -> integer cents on the writer grid: *100 is one exact IEEE
-#: op, the 0.5 + 2^-13 nudge is the rq(2) convention (base._rq_eps)
-_CENTS = "floor(o_totalprice * 100.0 + 0.5001220703125)"
+#: op, the nudge is the shared rq(2) convention — DERIVED from
+#: base._rq_eps so the three users cannot desynchronize
+_CENTS_NUDGE = 0.5 + _rq_eps(2)
+_CENTS = f"floor(o_totalprice * 100.0 + {_CENTS_NUDGE!r})"
 
 
 @register(
@@ -3755,7 +3757,10 @@ _CENTS = "floor(o_totalprice * 100.0 + 0.5001220703125)"
     "  count(*) OVER (PARTITION BY c_mktsegment) AS ng FROM j), "
     "agg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
     "  CAST(sum(cents) AS BIGINT) AS total_cents, "
-    "  CAST(sum(i * cents) AS BIGINT) AS s_rank, "
+    # s_rank stays HUGEINT (internal only): in the overflow regime the
+    # guard must emit the NULL-stat row, matching Spark's try_sum path,
+    # instead of a CAST error killing the whole differential
+    "  sum(CAST(i AS HUGEINT) * cents) AS s_rank, "
     "  CAST(sum(CASE WHEN i > ng - (ng + 9) // 10 THEN cents ELSE 0 "
     "    END) AS BIGINT) AS top_cents, "
     "  CAST(sum(CASE WHEN i <= ng // 2 THEN cents ELSE 0 END) "
@@ -3764,8 +3769,10 @@ _CENTS = "floor(o_totalprice * 100.0 + 0.5001220703125)"
     "SELECT c_mktsegment, n, total_cents, "
     "CASE WHEN n > 0 AND total_cents > 0 AND "
     "  CAST(mx AS DOUBLE) * n * (n + 1.0) / 2.0 < 4.611686018427388e18 "
-    "  THEN CAST(2 * s_rank - (n + 1) * total_cents AS DOUBLE) "
-    "    / CAST(n * total_cents AS DOUBLE) END AS gini, "
+    "  THEN CAST(2 * s_rank - (n + 1) * CAST(total_cents AS HUGEINT) "
+    "    AS DOUBLE) "
+    "    / CAST(CAST(n AS HUGEINT) * total_cents AS DOUBLE) "
+    "  END AS gini, "
     "CASE WHEN n > 0 AND total_cents > 0 AND "
     "  CAST(mx AS DOUBLE) * n * (n + 1.0) / 2.0 < 4.611686018427388e18 "
     "  THEN CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) "
@@ -3794,7 +3801,7 @@ def q_revenue_concentration(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cents = F.floor(
-        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5001220703125)
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(_CENTS_NUDGE)
     ).cast("long")
     rev = (
         o.select("o_custkey", cents.alias("cents"))

@@ -303,6 +303,14 @@ def write_csv(
     paired :func:`read_csv` options the null/empty distinction —
     CSV's classic lossy corner — survives the round trip.
 
+    Documented exception, pinned in tests: a string VALUE equal to the
+    two characters ``\\N`` is indistinguishable from NULL in this
+    dialect and reads back as NULL — quoting does not rescue it
+    (measured: the univocity reader applies nullValue after
+    unquoting, so a quoted ``"\\N"`` still maps to NULL). Corpora
+    where that byte sequence is live data should ship through the
+    JSONL boundary (SC6), which has no sentinel class.
+
     Like the JSONL sink: each part is written by its own task,
     ``partitions`` caps file count via coalesce, and parquet remains
     the engine-side format — this is the pipeline BOUNDARY sink.
@@ -339,9 +347,12 @@ def read_csv(
     -> all-NULL row), DROPMALFORMED. Options mirror :func:`write_csv`
     (RFC quote-doubling, unquoted ``\\N`` = NULL, quoted or bare empty
     = empty string) so a write/read pair is lossless including the
-    null/empty distinction. Read-side note: ``emptyValue`` here is the
-    REPLACEMENT value for a parsed-empty field (univocity semantics),
-    so it is the empty string, not the writer's ``'\"\"'`` marker.
+    null/empty distinction — except the one documented sentinel
+    collision: a string value that IS the two characters ``\\N`` reads
+    back as NULL (see :func:`write_csv`). Read-side note:
+    ``emptyValue`` here is the REPLACEMENT value for a parsed-empty
+    field (univocity semantics), so it is the empty string, not the
+    writer's ``'\"\"'`` marker.
 
     ``multi_line`` MUST be set when any field can contain a newline
     (quoted multi-line records). The cost is real and documented: a

@@ -153,9 +153,7 @@ class TestMarketBasket:
         r2 = rules[("bread", "milk")]
         assert r2.n_ab == 2 and r2.confidence == 2 / 3
         # both directions present for every surviving pair
-        assert set(rules) == {(a, b) for a, b in rules} and all(
-            (b, a) in rules for a, b in rules
-        )
+        assert all((b, a) in rules for a, b in rules)
 
     def test_min_count_floor(self, spark):
         b = _mk_baskets(spark, self.BASKETS).distinct()
@@ -453,3 +451,47 @@ class TestWindowAlgebraProperties:
         assert r.covered == covered
         assert r.n_islands == islands
         assert r.n_intervals == len(ivs)
+
+
+def test_interval_union_rejects_non_start_order(spark):
+    df = spark.createDataFrame([("k", 0, 5)], "k string, s long, e long")
+    with pytest.raises(ValueError, match="ascending 's' first"):
+        interval_union(df, "k", "s", "e", order_cols=["e", "s"])
+
+
+def test_linkage_cap_rejects_nonpositive(spark):
+    df = spark.createDataFrame([("b", 1, "x")], "b string, rid long, name string")
+    with pytest.raises(ValueError, match="max_block_size"):
+        blocked_link_pairs(df, "rid", "name", ["b"], max_block_size=0)
+
+
+def test_gini_oracle_overflow_regime_matches_spark_nulls():
+    """The DuckDB oracle's HUGEINT rank-sum must survive the overflow
+    regime and emit the guard's NULL-stat row (matching Spark's
+    try_sum path) instead of erroring — the cross-engine twin of
+    test_magnitude_guard_nulls_not_garbage."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE j AS SELECT 'g' AS grp, i AS id, "
+        "CAST(2305843009213693952 AS BIGINT) AS cents "  # 2^61
+        "FROM range(1, 4) t(i)"
+    )
+    row = con.execute(
+        "WITH rk AS (SELECT grp, id, cents, "
+        "  row_number() OVER (PARTITION BY grp ORDER BY cents, id) AS i, "
+        "  count(*) OVER (PARTITION BY grp) AS ng FROM j), "
+        "agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+        "  CAST(sum(cents) AS BIGINT) AS total_cents, "
+        "  sum(CAST(i AS HUGEINT) * cents) AS s_rank, "
+        "  CAST(max(cents) AS BIGINT) AS mx FROM rk GROUP BY 1) "
+        "SELECT n, CASE WHEN n > 0 AND total_cents > 0 AND "
+        "  CAST(mx AS DOUBLE) * n * (n + 1.0) / 2.0 "
+        "    < 4.611686018427388e18 "
+        "  THEN CAST(2 * s_rank - (n + 1) * CAST(total_cents AS "
+        "    HUGEINT) AS DOUBLE) "
+        "  / CAST(CAST(n AS HUGEINT) * total_cents AS DOUBLE) END "
+        "  AS gini FROM agg"
+    ).fetchone()
+    assert row == (3, None)
