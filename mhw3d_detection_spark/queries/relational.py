@@ -3913,3 +3913,56 @@ def q_interval_union(spark, sf_dir):
         (F.unix_micros("ts") + F.lit(1800000000)).alias("e"),
     )
     return interval_union(iv, "user_id", "s", "e")
+
+
+# =========================================================================
+# A17b (r13) — basket analysis is schema-agnostic: event-type
+# co-occurrence per user-day (the "which behaviors co-occur" readout)
+# =========================================================================
+@register(
+    "q_session_baskets",
+    "WITH b AS (SELECT DISTINCT user_id * 100000 "
+    "  + epoch_us(ts) // 86400000000 AS basket, "
+    "  event_type AS item FROM events), "
+    "nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets "
+    "  FROM b) "
+    "SELECT x.item AS item_a, y.item AS item_b, "
+    "CAST(count(*) AS BIGINT) AS n_ab, nb.n_baskets, "
+    "CAST(count(*) AS DOUBLE) / nb.n_baskets AS support "
+    "FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item, nb "
+    "GROUP BY 1, 2, nb.n_baskets",
+)
+def q_session_baskets(spark, sf_dir):
+    """A17b (r13): the A17 basket operator applied unchanged to a
+    SECOND surface — baskets are user-days, items are event types
+    ("which behaviors co-occur in a day"), demonstrating the
+    operator's contract: a basket is ANY grouping key, an item ANY
+    categorical attribute. Same one-shuffle row-local pair plan, same
+    exact-int64 + single-division arithmetic — RAW hash.
+    operators/market.py:basket_pair_counts."""
+    from mhw3d_detection_spark.operators.market import basket_pair_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        (
+            F.col("user_id") * F.lit(100000)
+            + F.expr("div(unix_micros(ts), 86400000000)")
+        ).alias("basket"),
+        F.col("event_type").alias("item"),
+    )
+    nb = b.select("basket").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    return (
+        basket_pair_counts(b)
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_baskets",
+            (F.col("n_ab").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+        )
+    )

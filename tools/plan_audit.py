@@ -257,6 +257,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_heavy_hitters": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # r13w2: basket pair support attaches the 1-row basket count
     "q_basket_pairs": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13w2: same scalar attach on the events-surface basket instance
+    "q_session_baskets": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # r13w2: association rules attach the same 1-row basket count to
     # the rule table (marginals join by hash-equi broadcast)
     "q_assoc_rules": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
