@@ -495,3 +495,36 @@ def test_gini_oracle_overflow_regime_matches_spark_nulls():
         "  AS gini FROM agg"
     ).fetchone()
     assert row == (3, None)
+
+
+def test_linkage_selfjoin_on_bucketed_blocks_no_exchange(spark):
+    """Substantiates the linkage module's scale claim: a bucketed
+    layout on the block key removes the blocking self-join's shuffle
+    entirely (0 Exchange hashpartitioning in the executed plan)."""
+    from mhw3d_detection_spark.sources.ingest import write_bucketed
+    from mhw3d_detection_spark.sources.tables import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.concat_ws(
+            "/", "c_nationkey", "c_mktsegment"
+        ).alias("blk"),
+        "c_custkey",
+        "c_name",
+    )
+    write_bucketed(cust, "cust_blk", key="blk", buckets=8, sort_by=None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("cust_blk")
+        pairs = blocked_link_pairs(t, "c_custkey", "c_name", ["blk"])
+        want = pairs.count()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS cust_blk")
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and the bucketed layout changes the plan, not the answer
+    base = blocked_link_pairs(
+        load_table(spark, "/root/testdata/sf0.001", "customer"),
+        "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"],
+    ).count()
+    assert want == base
