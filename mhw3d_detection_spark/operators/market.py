@@ -37,6 +37,7 @@ __all__ = [
     "basket_arrays",
     "basket_pair_counts",
     "association_rules",
+    "rules_with_chi2",
 ]
 
 
@@ -188,4 +189,33 @@ def association_rules(
                 / (F.col("n_ant") * F.col("n_cons")).cast("double")
             ).alias("lift"),
         )
+    )
+
+
+def rules_with_chi2(rules: DataFrame) -> DataFrame:
+    """Append the 2x2 chi-squared independence statistic to an
+    `association_rules` table — the significance screen that separates
+    real co-purchase signal from small-count noise (a lift of 3 on
+    n_ab = 2 means nothing; chi2 prices it).
+
+    Contingency from the columns already present (no corpus re-scan):
+    o11 = n_ab, o12 = n_ant − n_ab, o21 = n_cons − n_ab,
+    o22 = n − n_ant − n_cons + n_ab, and the closed form
+    chi2 = n·(o11·o22 − o12·o21)² / (n_ant·n_cons·(n−n_ant)·(n−n_cons)).
+
+    Every count casts to DOUBLE before any product (the int64 form of
+    the denominator wraps past ~55k baskets); the expression tree is
+    written identically in the SQL oracle, so each IEEE op lands on
+    the same bits cross-engine — RAW-hash safe without quantization.
+    Degenerate margins (an item in every or no basket) yield NULL.
+    """
+    n = F.col("n_baskets").cast("double")
+    a = F.col("n_ant").cast("double")
+    b = F.col("n_cons").cast("double")
+    ab = F.col("n_ab").cast("double")
+    det = ab * (n - a - b + ab) - (a - ab) * (b - ab)
+    denom = a * b * (n - a) * (n - b)
+    return rules.withColumn(
+        "chi2",
+        F.when(denom > F.lit(0.0), n * det * det / denom),
     )

@@ -3966,3 +3966,65 @@ def q_session_baskets(spark, sf_dir):
             ),
         )
     )
+
+
+# =========================================================================
+# A18b (r13) — rule significance: 2x2 chi-squared on the rule table
+# =========================================================================
+@register(
+    "q_assoc_rules_chi2",
+    "WITH " + _BASKETS_SQL + ", "
+    "ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM b "
+    "  GROUP BY 1), "
+    "nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets "
+    "  FROM b), "
+    "pc AS (SELECT x.item AS item_a, y.item AS item_b, "
+    "  CAST(count(*) AS BIGINT) AS n_ab "
+    "  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item "
+    "  GROUP BY 1, 2 HAVING count(*) >= 20), "
+    "r AS (SELECT item_a AS antecedent, item_b AS consequent, n_ab "
+    "  FROM pc "
+    "  UNION ALL SELECT item_b, item_a, n_ab FROM pc), "
+    "j AS (SELECT r.antecedent, r.consequent, r.n_ab, "
+    "  a.n_i AS n_ant, c.n_i AS n_cons, nb.n_baskets "
+    "  FROM r JOIN ic a ON r.antecedent = a.item "
+    "  JOIN ic c ON r.consequent = c.item, nb), "
+    "d AS (SELECT *, CAST(n_baskets AS DOUBLE) AS nn, "
+    "  CAST(n_ant AS DOUBLE) AS aa, CAST(n_cons AS DOUBLE) AS bb, "
+    "  CAST(n_ab AS DOUBLE) AS ab FROM j) "
+    "SELECT antecedent, consequent, n_ab, n_ant, n_cons, n_baskets, "
+    "CASE WHEN aa * bb * (nn - aa) * (nn - bb) > 0.0e0 THEN "
+    "  nn * (ab * (nn - aa - bb + ab) - (aa - ab) * (bb - ab)) "
+    "  * (ab * (nn - aa - bb + ab) - (aa - ab) * (bb - ab)) "
+    "  / (aa * bb * (nn - aa) * (nn - bb)) END AS chi2 "
+    "FROM d",
+)
+def q_assoc_rules_chi2(spark, sf_dir):
+    """A18b (r13): the significance screen over A18's rules — the 2x2
+    chi-squared statistic from the closed-form contingency the rule
+    table already carries (no corpus re-scan; a lift of 3 on n_ab = 2
+    means nothing, chi2 prices it). All counts cast to DOUBLE before
+    any product (the int64 denominator wraps past ~55k baskets); the
+    identical expression tree in both engines makes every IEEE op
+    bit-identical — RAW hash without quantization.
+    operators/market.py:rules_with_chi2."""
+    from mhw3d_detection_spark.operators.market import (
+        association_rules,
+        baskets_from_lineitem,
+        rules_with_chi2,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rules = association_rules(
+        baskets_from_lineitem(li, part), min_count=20
+    )
+    return rules_with_chi2(rules).select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        "n_ant",
+        "n_cons",
+        "n_baskets",
+        "chi2",
+    )

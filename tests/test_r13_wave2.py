@@ -528,3 +528,47 @@ def test_linkage_selfjoin_on_bucketed_blocks_no_exchange(spark):
         "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"],
     ).count()
     assert want == base
+
+
+def test_rules_chi2_matches_scipy_free_oracle(spark):
+    """chi2 closed form vs the textbook expected-count formulation on
+    a hand-built table; degenerate margins must yield NULL."""
+    from mhw3d_detection_spark.operators.market import (
+        association_rules,
+        rules_with_chi2,
+    )
+
+    baskets = {
+        **{f"b{i}": ["x", "y"] for i in range(6)},   # x,y co-occur 6x
+        **{f"c{i}": ["x"] for i in range(4)},         # x alone 4x
+        **{f"d{i}": ["y"] for i in range(2)},         # y alone 2x
+        **{f"e{i}": ["z", "w"] for i in range(8)},    # unrelated pair
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in rules_with_chi2(association_rules(df)).collect()
+    }
+    r = out[("x", "y")]
+    n, a, b_, ab = r.n_baskets, r.n_ant, r.n_cons, r.n_ab
+    assert (n, a, b_, ab) == (20, 10, 8, 6)
+    # textbook form: sum over cells of (o - e)^2 / e
+    obs = [ab, a - ab, b_ - ab, n - a - b_ + ab]
+    exp = [a * b_ / n, a * (n - b_) / n, (n - a) * b_ / n,
+           (n - a) * (n - b_) / n]
+    want = sum((o - e) ** 2 / e for o, e in zip(obs, exp))
+    assert r.chi2 == pytest.approx(want, rel=1e-12)
+    # z co-occurs with w in EVERY z-basket and nowhere else: margins
+    # n_ant = n_ab = 8 < n, so chi2 is defined and large
+    assert out[("z", "w")].chi2 > r.chi2
+
+    # degenerate margin: an item in every basket -> denominator 0 -> NULL
+    rows2 = [("b1", "all"), ("b1", "p"), ("b2", "all"), ("b2", "q"),
+             ("b3", "all"), ("b3", "p")]
+    df2 = spark.createDataFrame(rows2, "basket string, item string")
+    out2 = {
+        (r.antecedent, r.consequent): r.chi2
+        for r in rules_with_chi2(association_rules(df2)).collect()
+    }
+    assert out2[("all", "p")] is None

@@ -262,6 +262,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r13w2: association rules attach the same 1-row basket count to
     # the rule table (marginals join by hash-equi broadcast)
     "q_assoc_rules": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13w2: the chi2 screen is arithmetic over that same rule table
+    "q_assoc_rules_chi2": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
