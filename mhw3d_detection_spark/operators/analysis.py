@@ -2688,3 +2688,81 @@ def interval_union(
         F.sum(F.col("i_end") - F.col("i_start")).alias("covered"),
         F.max(F.col("i_end") - F.col("i_start")).alias("max_island"),
     )
+
+
+def event_study(
+    events: DataFrame,
+    treatment_pred: Column,
+    activity_pred: Column,
+    key_col: str = "user_id",
+    time_col: str = "us",
+    id_col: str = "event_id",
+    window_us: int = 21_600_000_000,
+) -> DataFrame:
+    """Event-study (before/after) analysis: for every TREATMENT event,
+    count the same key's ACTIVITY events in the half-open windows
+    ``[t - w, t)`` and ``(t, t + w]``, then report the population
+    before/after means and the paired-difference z statistic — the
+    "did the error change behavior" readout (interrupted-time-series
+    lite; the paired design cancels per-key base rates).
+
+    One equi+range join keyed on ``key_col`` (treatments LEFT join
+    activity so zero-activity treatments count as (0, 0) pairs — the
+    silent-majority rows a naive inner join would drop), one
+    per-treatment aggregate, one scalar aggregate. Ties exactly AT the
+    treatment instant fall in neither window (consistent cross-engine).
+
+    All counts int64-exact; the z's variance/sqrt chain is written as
+    one fixed expression tree mirrored in the SQL oracle, so each IEEE
+    op lands on identical bits — RAW-hash safe. Returns one row:
+    ``(n_treatments, total_before, total_after, mean_before,
+    mean_after, mean_diff, z)``; z is NULL when n < 2 or var = 0.
+    """
+    t = events.filter(treatment_pred).select(
+        F.col(key_col).alias("k"),
+        F.col(time_col).alias("t_us"),
+        F.col(id_col).alias("t_id"),
+    )
+    a = events.filter(activity_pred).select(
+        F.col(key_col).alias("ak"), F.col(time_col).alias("a_us")
+    )
+    w = F.lit(int(window_us))
+    j = t.join(
+        a,
+        (F.col("k") == F.col("ak"))
+        & (F.col("a_us") >= F.col("t_us") - w)
+        & (F.col("a_us") <= F.col("t_us") + w),
+        "left",
+    )
+    per = j.groupBy("t_id").agg(
+        F.sum(
+            F.when(F.col("a_us") < F.col("t_us"), 1).otherwise(0)
+        ).alias("nb"),
+        F.sum(
+            F.when(F.col("a_us") > F.col("t_us"), 1).otherwise(0)
+        ).alias("na"),
+    )
+    g = per.agg(
+        F.count("*").alias("n_t"),
+        F.sum("nb").alias("tot_b"),
+        F.sum("na").alias("tot_a"),
+        F.sum(F.col("na") - F.col("nb")).alias("s1"),
+        F.sum(
+            (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))
+        ).alias("s2"),
+    )
+    n = F.col("n_t").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - (F.col("s1") * F.col("s1")).cast("double") / n
+    ) / (n - F.lit(1.0))
+    z = (F.col("s1").cast("double") / n) / F.sqrt(var / n)
+    return g.select(
+        F.col("n_t").alias("n_treatments"),
+        F.col("tot_b").alias("total_before"),
+        F.col("tot_a").alias("total_after"),
+        (F.col("tot_b").cast("double") / n).alias("mean_before"),
+        (F.col("tot_a").cast("double") / n).alias("mean_after"),
+        (F.col("s1").cast("double") / n).alias("mean_diff"),
+        F.when((F.col("n_t") > 1) & (var > F.lit(0.0)), z).alias("z"),
+    )

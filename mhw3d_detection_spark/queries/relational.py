@@ -4028,3 +4028,70 @@ def q_assoc_rules_chi2(spark, sf_dir):
         "n_baskets",
         "chi2",
     )
+
+
+# =========================================================================
+# A20 (r13) — event study: activity before vs after an error
+# =========================================================================
+@register(
+    "q_event_study",
+    "WITH t AS (SELECT user_id AS k, epoch_us(ts) AS t_us, "
+    "  event_id AS t_id FROM events WHERE event_type = 'error'), "
+    "a AS (SELECT user_id AS ak, epoch_us(ts) AS a_us FROM events "
+    "  WHERE event_type = 'click'), "
+    "j AS (SELECT t.t_id, t.t_us, a.a_us FROM t LEFT JOIN a "
+    "  ON t.k = a.ak AND a.a_us >= t.t_us - 21600000000 "
+    "  AND a.a_us <= t.t_us + 21600000000), "
+    "per AS (SELECT t_id, "
+    "  CAST(sum(CASE WHEN a_us < t_us THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS nb, "
+    "  CAST(sum(CASE WHEN a_us > t_us THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS na FROM j GROUP BY 1), "
+    "g AS (SELECT CAST(count(*) AS BIGINT) AS n_t, "
+    "  CAST(sum(nb) AS BIGINT) AS tot_b, "
+    "  CAST(sum(na) AS BIGINT) AS tot_a, "
+    "  CAST(sum(na - nb) AS BIGINT) AS s1, "
+    "  CAST(sum((na - nb) * (na - nb)) AS BIGINT) AS s2 FROM per) "
+    "SELECT n_t AS n_treatments, tot_b AS total_before, "
+    "tot_a AS total_after, "
+    "CAST(tot_b AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_before, "
+    "CAST(tot_a AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_after, "
+    "CAST(s1 AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_diff, "
+    "CASE WHEN n_t > 1 AND "
+    "  (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) "
+    "    / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0e0) "
+    "  > 0.0e0 THEN "
+    "  (CAST(s1 AS DOUBLE) / CAST(n_t AS DOUBLE)) / sqrt("
+    "  ((CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) "
+    "    / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0e0)) "
+    "  / CAST(n_t AS DOUBLE)) END AS z "
+    "FROM g",
+)
+def q_event_study(spark, sf_dir):
+    """A20 (r13): event-study readout — did users click differently in
+    the 6 hours after an error than the 6 hours before? One equi+range
+    join keyed on user (treatments LEFT join activity so
+    zero-activity errors count as (0,0) — the silent majority a naive
+    inner join drops), per-treatment before/after counts, and the
+    paired-difference z (per-user base rates cancel in the pairing).
+    Half-open windows exclude the treatment instant on both sides —
+    consistent cross-engine. Integer sums + one mirrored IEEE
+    expression tree for z — RAW hash.
+    operators/analysis.py:event_study."""
+    from mhw3d_detection_spark.operators.analysis import event_study
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    return event_study(
+        ev,
+        treatment_pred=F.col("event_type") == "error",
+        activity_pred=F.col("event_type") == "click",
+        key_col="user_id",
+        time_col="us",
+        id_col="event_id",
+        window_us=21_600_000_000,
+    )

@@ -572,3 +572,48 @@ def test_rules_chi2_matches_scipy_free_oracle(spark):
         for r in rules_with_chi2(association_rules(df2)).collect()
     }
     assert out2[("all", "p")] is None
+
+
+class TestEventStudy:
+    def _run(self, spark, rows):
+        from mhw3d_detection_spark.operators.analysis import event_study
+
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, us long"
+        )
+        return event_study(
+            df,
+            treatment_pred=F.col("event_type") == "T",
+            activity_pred=F.col("event_type") == "A",
+            window_us=100,
+        ).collect()[0]
+
+    def test_counts_windows_and_pairing(self, spark):
+        rows = [
+            # user 1: treatment at 1000; activity at 950 (before),
+            # 1000 (AT instant -> neither), 1050+1080 (after), 1200 (out)
+            (1, 10, "T", 1000),
+            (1, 1, "A", 950), (1, 2, "A", 1000), (1, 3, "A", 1050),
+            (1, 4, "A", 1080), (1, 5, "A", 1200),
+            # user 2: treatment with NO nearby activity -> (0, 0) pair
+            (2, 11, "T", 5000),
+            (2, 6, "A", 9000),
+            # user 3's activity must not leak into user 1's windows
+            (3, 7, "A", 1010),
+        ]
+        r = self._run(spark, rows)
+        assert (r.n_treatments, r.total_before, r.total_after) == (2, 1, 2)
+        assert r.mean_before == 0.5 and r.mean_after == 1.0
+        assert r.mean_diff == 0.5
+        # paired diffs d = [1, 0]: mean .5, var .5, z = .5/sqrt(.25) = 1
+        assert r.z == pytest.approx(1.0)
+
+    def test_z_null_when_degenerate(self, spark):
+        # single treatment -> n < 2 -> z NULL; counts still exact
+        rows = [(1, 10, "T", 1000), (1, 1, "A", 950)]
+        r = self._run(spark, rows)
+        assert (r.n_treatments, r.total_before, r.z) == (1, 1, None)
+        # identical diffs -> var 0 -> z NULL
+        rows2 = [(1, 10, "T", 1000), (2, 11, "T", 1000)]
+        r2 = self._run(spark, rows2)
+        assert r2.n_treatments == 2 and r2.z is None
