@@ -723,3 +723,73 @@ def token_heavy_hitters(
         F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     return heavy_hitters(toks, item_col="token", k=k)
+
+
+def hll_set_algebra(
+    df: DataFrame,
+    item: Column,
+    flag_a: Column,
+    flag_b: Column,
+) -> DataFrame:
+    """Sketch-side SET ALGEBRA: estimate |A|, |B|, |A∪B| and (by
+    inclusion-exclusion) |A∩B| for two item sets defined by row
+    predicates, from three fixed-size register tables — the "how many
+    users did BOTH" question answered without ever shuffling the item
+    domain twice. Union is a register-wise max (the HLL mergeability
+    the family is built on); the intersection estimate
+    ``est_a + est_b − est_union`` is the standard inclusion-exclusion
+    reading and can go slightly negative for tiny overlaps — callers
+    floor it if they need a count. Exact references ride along from
+    one per-item flag aggregate (affordable at test SF; at 100 TB you
+    ship only the sketches).
+
+    Returns one row: ``(est_a, est_b, est_union, est_intersection,
+    exact_a, exact_b, exact_intersection)``.
+    """
+    a_regs = hll_registers(df.filter(flag_a), item, [])
+    b_regs = hll_registers(df.filter(flag_b), item, [])
+    u_regs = (
+        a_regs.unionAll(b_regs).groupBy("reg").agg(F.max("rho").alias("rho"))
+    )
+    ea = hll_estimate(a_regs, []).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    eb = hll_estimate(b_regs, []).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    eu = hll_estimate(u_regs, []).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    per_item = (
+        df.select(
+            item.alias("it"),
+            flag_a.cast("int").alias("fa"),
+            flag_b.cast("int").alias("fb"),
+        )
+        .filter(F.col("it").isNotNull())
+        .groupBy("it")
+        .agg(F.max("fa").alias("ha"), F.max("fb").alias("hb"))
+    )
+    exact = per_item.agg(
+        F.sum("ha").alias("exact_a"),
+        F.sum("hb").alias("exact_b"),
+        F.sum(
+            (F.col("ha") * F.col("hb"))
+        ).alias("exact_intersection"),
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (
+                F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+        )
+    )

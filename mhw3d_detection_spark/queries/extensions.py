@@ -8348,3 +8348,95 @@ def q_heavy_hitters(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return token_heavy_hitters(docs, k=40)
+
+
+# =========================================================================
+# E7gg (r13) — HLL set algebra: who did BOTH, from register sketches
+# =========================================================================
+def _HLL_IX_SQL() -> str:
+    """DuckDB mirror of ``operators.sketches.hll_set_algebra`` on the
+    events surface: same 48-bit md5 hash of the user id's string form,
+    same register split / unrolled bit-length / exact power-of-two
+    sums as _HLL_SQL, three register tables (A, B, union-by-max), and
+    the inclusion-exclusion intersection from the raw estimates."""
+    from mhw3d_detection_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_WBITS,
+        bitlen_sql,
+    )
+
+    rho = f"({HLL_WBITS + 1} - {bitlen_sql(f'x // {HLL_M}', HLL_WBITS)})"
+    a_mm = HLL_ALPHA * HLL_M * HLL_M
+    est = (
+        "SELECT CASE WHEN raw <= {lim!r} AND v > 0 "
+        "THEN {m!r} * ln({m!r} / v) ELSE raw END AS ed FROM "
+        "(SELECT {amm!r} / (s_present + ({M} - nreg)) AS raw, "
+        "{M} - nreg AS v FROM (SELECT count(*) AS nreg, "
+        "sum(1.0 / (1::BIGINT << rho)) AS s_present FROM {src}))"
+    )
+
+    def e(src: str) -> str:
+        return est.format(
+            lim=2.5 * HLL_M, m=float(HLL_M), amm=a_mm, M=HLL_M, src=src
+        )
+
+    return (
+        "WITH h AS (SELECT CAST(user_id AS VARCHAR) AS it, event_type "
+        "  FROM events WHERE user_id IS NOT NULL), "
+        "xa AS (SELECT ('0x' || substr(md5(it), 1, 12))::BIGINT AS x "
+        "  FROM h WHERE event_type = 'click'), "
+        "xb AS (SELECT ('0x' || substr(md5(it), 1, 12))::BIGINT AS x "
+        "  FROM h WHERE event_type = 'purchase'), "
+        f"ra AS (SELECT x % {HLL_M} AS reg, max({rho}) AS rho FROM xa "
+        "  GROUP BY 1), "
+        f"rb AS (SELECT x % {HLL_M} AS reg, max({rho}) AS rho FROM xb "
+        "  GROUP BY 1), "
+        "ru AS (SELECT reg, max(rho) AS rho FROM "
+        "  (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1), "
+        f"ea AS ({e('ra')}), eb AS ({e('rb')}), eu AS ({e('ru')}), "
+        "fl AS (SELECT it, "
+        "  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ha, "
+        "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "    AS hb FROM h GROUP BY 1), "
+        "ex AS (SELECT CAST(sum(ha) AS BIGINT) AS exact_a, "
+        "  CAST(sum(hb) AS BIGINT) AS exact_b, "
+        "  CAST(sum(ha * hb) AS BIGINT) AS exact_intersection FROM fl) "
+        f"SELECT {rq_sql('ea.ed', 4)} AS est_a, "
+        f"{rq_sql('eb.ed', 4)} AS est_b, "
+        f"{rq_sql('eu.ed', 4)} AS est_union, "
+        f"{rq_sql('ea.ed + eb.ed - eu.ed', 4)} AS est_intersection, "
+        "ex.exact_a, ex.exact_b, ex.exact_intersection "
+        "FROM ea, eb, eu, ex"
+    )
+
+
+@register("q_hll_intersection", _HLL_IX_SQL())
+def q_hll_intersection(spark, sf_dir):
+    """E7gg (r13): sketch-side set algebra on the events surface — how
+    many users clicked, purchased, either, and (inclusion-exclusion)
+    BOTH, from three fixed-size HLL register tables; union is a
+    register-wise max (the mergeability the family is built on), so
+    the "both" question never shuffles the user domain twice. Exact
+    references ride along from one per-user flag aggregate. Estimates
+    dyadically rounded (the linear-counting ln branch is the family's
+    one transcendental); exact counts int64 — RAW hash.
+    operators/sketches.py:hll_set_algebra."""
+    from mhw3d_detection_spark.operators.sketches import hll_set_algebra
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hll_set_algebra(
+        ev,
+        item=F.col("user_id").cast("string"),
+        flag_a=F.col("event_type") == "click",
+        flag_b=F.col("event_type") == "purchase",
+    )
+    return out.select(
+        rq("est_a", 4).alias("est_a"),
+        rq("est_b", 4).alias("est_b"),
+        rq("est_union", 4).alias("est_union"),
+        rq("est_intersection", 4).alias("est_intersection"),
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+    )

@@ -617,3 +617,47 @@ class TestEventStudy:
         rows2 = [(1, 10, "T", 1000), (2, 11, "T", 1000)]
         r2 = self._run(spark, rows2)
         assert r2.n_treatments == 2 and r2.z is None
+
+
+class TestHllSetAlgebra:
+    def _run(self, spark, rows):
+        from mhw3d_detection_spark.operators.sketches import hll_set_algebra
+
+        df = spark.createDataFrame(rows, "uid long, et string")
+        return hll_set_algebra(
+            df,
+            item=F.col("uid").cast("string"),
+            flag_a=F.col("et") == "a",
+            flag_b=F.col("et") == "b",
+        ).collect()[0]
+
+    def test_overlap_estimates_track_exact(self, spark):
+        # A = 0..399, B = 200..599 -> |A|=|B|=400, union 600, both 200
+        rows = [(i, "a") for i in range(400)] + [
+            (i, "b") for i in range(200, 600)
+        ]
+        r = self._run(spark, rows)
+        assert (r.exact_a, r.exact_b, r.exact_intersection) == (400, 400, 200)
+        for est, exact in [(r.est_a, 400), (r.est_b, 400),
+                           (r.est_union, 600)]:
+            assert abs(est - exact) / exact < 0.08  # ~2.5x sketch sigma
+        # inclusion-exclusion compounds three estimates' error
+        assert abs(r.est_intersection - 200) / 200 < 0.3
+
+    def test_disjoint_sets_near_zero_intersection(self, spark):
+        rows = [(i, "a") for i in range(300)] + [
+            (i, "b") for i in range(1000, 1300)
+        ]
+        r = self._run(spark, rows)
+        assert r.exact_intersection == 0
+        # may be slightly negative (standard inclusion-exclusion noise)
+        assert abs(r.est_intersection) < 0.15 * 600
+
+    def test_nested_sets(self, spark):
+        # B subset of A: intersection = |B| exactly
+        rows = [(i, "a") for i in range(500)] + [
+            (i, "b") for i in range(100)
+        ]
+        r = self._run(spark, rows)
+        assert (r.exact_a, r.exact_b, r.exact_intersection) == (500, 100, 100)
+        assert abs(r.est_union - r.est_a) / r.est_a < 0.03  # union ~ A

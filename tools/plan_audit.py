@@ -264,6 +264,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q_assoc_rules": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
     # r13w2: the chi2 screen is arithmetic over that same rule table
     "q_assoc_rules_chi2": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13w2: HLL set algebra crosses four 1-row frames (three register
+    # estimates + the exact reference) — all scalar
+    "q_hll_intersection": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
