@@ -2766,3 +2766,92 @@ def event_study(
         (F.col("s1").cast("double") / n).alias("mean_diff"),
         F.when((F.col("n_t") > 1) & (var > F.lit(0.0)), z).alias("z"),
     )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    treatment_agg: Column,
+    activity_pred: Column,
+    key_col: str = "user_id",
+    time_col: str = "us",
+) -> DataFrame:
+    """Difference-in-differences over a global before/after split: the
+    stream's integer-midpoint instant divides time; a user is TREATED
+    when ``treatment_agg`` — a boolean AGGREGATE over their events,
+    e.g. ``sum(is_error) >= 14`` (an "ever did X" predicate usually
+    makes everyone treated on a dense stream) — holds; the estimator is
+    (after − before | treated) − (after − before | control) with the
+    two-sample z from per-user activity-count deltas. The control
+    group nets out secular drift the single-group event study
+    (`event_study`) cannot — the standard causal-panel reading.
+
+    One scalar (min, max) aggregate broadcast onto one per-user
+    aggregate (the key's single shuffle), then one global aggregate
+    with conditional sums — the two groups never join. Activity
+    exactly AT the midpoint counts in neither half (symmetric,
+    consistent cross-engine). Counts int64-exact; the z chain is one
+    mirrored IEEE expression tree — RAW-hash safe. Returns one row:
+    ``(n_treated, n_control, mean_diff_treated, mean_diff_control,
+    did, z)``; z NULL when either group has < 2 users or the pooled
+    variance is 0.
+    """
+    span = events.agg(
+        F.min(time_col).alias("mn"), F.max(time_col).alias("mx")
+    ).select(F.expr("div(mn + mx, 2)").alias("mid"))
+    per = (
+        events.crossJoin(F.broadcast(span))
+        .groupBy(key_col)
+        .agg(
+            treatment_agg.cast("int").alias("treated"),
+            F.sum(
+                F.when(
+                    activity_pred & (F.col(time_col) < F.col("mid")), 1
+                ).otherwise(0)
+            ).alias("nb"),
+            F.sum(
+                F.when(
+                    activity_pred & (F.col(time_col) > F.col("mid")), 1
+                ).otherwise(0)
+            ).alias("na"),
+        )
+        .select(
+            "treated", (F.col("na") - F.col("nb")).alias("d")
+        )
+    )
+    g = per.agg(
+        F.sum(F.col("treated")).alias("n_t"),
+        F.sum(F.lit(1) - F.col("treated")).alias("n_c"),
+        F.sum(F.col("treated") * F.col("d")).alias("s1_t"),
+        F.sum(F.col("treated") * F.col("d") * F.col("d")).alias("s2_t"),
+        F.sum((F.lit(1) - F.col("treated")) * F.col("d")).alias("s1_c"),
+        F.sum(
+            (F.lit(1) - F.col("treated")) * F.col("d") * F.col("d")
+        ).alias("s2_c"),
+    )
+
+    def mv(s1, s2, n):
+        nn = F.col(n).cast("double")
+        mean = F.col(s1).cast("double") / nn
+        var = (
+            F.col(s2).cast("double")
+            - (F.col(s1) * F.col(s1)).cast("double") / nn
+        ) / (nn - F.lit(1.0))
+        return mean, var
+
+    m_t, v_t = mv("s1_t", "s2_t", "n_t")
+    m_c, v_c = mv("s1_c", "s2_c", "n_c")
+    did = m_t - m_c
+    se2 = v_t / F.col("n_t").cast("double") + v_c / F.col("n_c").cast(
+        "double"
+    )
+    ok = (F.col("n_t") > 1) & (F.col("n_c") > 1) & (se2 > F.lit(0.0))
+    return g.select(
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_control"),
+        F.when(F.col("n_t") > 0, m_t).alias("mean_diff_treated"),
+        F.when(F.col("n_c") > 0, m_c).alias("mean_diff_control"),
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0), did
+        ).alias("did"),
+        F.when(ok, did / F.sqrt(se2)).alias("z"),
+    )

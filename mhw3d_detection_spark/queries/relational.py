@@ -4095,3 +4095,76 @@ def q_event_study(spark, sf_dir):
         id_col="event_id",
         window_us=21_600_000_000,
     )
+
+
+# =========================================================================
+# A21 (r13) — difference-in-differences: error-heavy vs normal users
+# =========================================================================
+@register(
+    "q_diff_in_diff",
+    "WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "
+    "  AS mid FROM events), "
+    "per AS (SELECT user_id, "
+    "  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 14 "
+    "    AS INT) AS treated, "
+    "  CAST(sum(CASE WHEN event_type = 'click' "
+    "    AND epoch_us(ts) < sp.mid THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
+    "  CAST(sum(CASE WHEN event_type = 'click' "
+    "    AND epoch_us(ts) > sp.mid THEN 1 ELSE 0 END) AS BIGINT) AS na "
+    "  FROM events, sp GROUP BY user_id), "
+    "d AS (SELECT treated, na - nb AS d FROM per), "
+    "g AS (SELECT CAST(sum(treated) AS BIGINT) AS n_t, "
+    "  CAST(sum(1 - treated) AS BIGINT) AS n_c, "
+    "  CAST(sum(treated * d) AS BIGINT) AS s1_t, "
+    "  CAST(sum(treated * d * d) AS BIGINT) AS s2_t, "
+    "  CAST(sum((1 - treated) * d) AS BIGINT) AS s1_c, "
+    "  CAST(sum((1 - treated) * d * d) AS BIGINT) AS s2_c FROM d) "
+    "SELECT n_t AS n_treated, n_c AS n_control, "
+    "CASE WHEN n_t > 0 THEN CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE) "
+    "  END AS mean_diff_treated, "
+    "CASE WHEN n_c > 0 THEN CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) "
+    "  END AS mean_diff_control, "
+    "CASE WHEN n_t > 0 AND n_c > 0 THEN "
+    "  CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE) "
+    "  - CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) END AS did, "
+    "CASE WHEN n_t > 1 AND n_c > 1 AND "
+    "  (CAST(s2_t AS DOUBLE) - CAST(s1_t * s1_t AS DOUBLE) "
+    "    / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0e0) "
+    "    / CAST(n_t AS DOUBLE) "
+    "  + (CAST(s2_c AS DOUBLE) - CAST(s1_c * s1_c AS DOUBLE) "
+    "    / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0e0) "
+    "    / CAST(n_c AS DOUBLE) > 0.0e0 THEN "
+    "  (CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE) "
+    "  - CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / sqrt("
+    "  (CAST(s2_t AS DOUBLE) - CAST(s1_t * s1_t AS DOUBLE) "
+    "    / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0e0) "
+    "    / CAST(n_t AS DOUBLE) "
+    "  + (CAST(s2_c AS DOUBLE) - CAST(s1_c * s1_c AS DOUBLE) "
+    "    / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0e0) "
+    "    / CAST(n_c AS DOUBLE)) END AS z "
+    "FROM g",
+)
+def q_diff_in_diff(spark, sf_dir):
+    """A21 (r13): difference-in-differences — did error-heavy users
+    (>= 14 errors over the stream; an "ever erred" predicate is vacuous
+    on this dense stream) change their clicking across the stream
+    midpoint DIFFERENTLY from normal users? The control group nets out
+    secular drift the single-group event study (A20) cannot. One
+    scalar midpoint broadcast, one per-user aggregate (the key's
+    single shuffle), one global conditional-sum aggregate — the groups
+    never join. Midpoint instant excluded from both halves
+    (symmetric); integer sums + one mirrored IEEE tree for the
+    two-sample z — RAW hash. operators/analysis.py:diff_in_diff."""
+    from mhw3d_detection_spark.operators.analysis import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    return diff_in_diff(
+        ev,
+        treatment_agg=F.sum(
+            (F.col("event_type") == "error").cast("int")
+        )
+        >= F.lit(14),
+        activity_pred=F.col("event_type") == "click",
+    )

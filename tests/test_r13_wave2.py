@@ -661,3 +661,47 @@ class TestHllSetAlgebra:
         r = self._run(spark, rows)
         assert (r.exact_a, r.exact_b, r.exact_intersection) == (500, 100, 100)
         assert abs(r.est_union - r.est_a) / r.est_a < 0.03  # union ~ A
+
+
+class TestDiffInDiff:
+    def _run(self, spark, rows):
+        from mhw3d_detection_spark.operators.analysis import diff_in_diff
+
+        df = spark.createDataFrame(rows, "user_id long, event_type string, us long")
+        return diff_in_diff(
+            df,
+            treatment_agg=F.sum((F.col("event_type") == "T").cast("int"))
+            >= F.lit(1),
+            activity_pred=F.col("event_type") == "A",
+        ).collect()[0]
+
+    def test_hand_computed_did(self, spark):
+        # midpoint = (0 + 100)//2 = 50.
+        # treated u1: 1 click before, 3 after  -> d = +2
+        # treated u2: 0 before, 2 after        -> d = +2
+        # control u3: 2 before, 2 after        -> d =  0
+        # control u4: 1 before, 2 after        -> d = +1
+        rows = [
+            (1, "T", 10), (1, "A", 20), (1, "A", 60), (1, "A", 70), (1, "A", 80),
+            (2, "T", 30), (2, "A", 90), (2, "A", 95),
+            (3, "A", 10), (3, "A", 20), (3, "A", 60), (3, "A", 70),
+            (4, "A", 0), (4, "A", 55), (4, "A", 100),
+        ]
+        r = self._run(spark, rows)
+        assert (r.n_treated, r.n_control) == (2, 2)
+        assert r.mean_diff_treated == 2.0
+        assert r.mean_diff_control == 0.5
+        assert r.did == 1.5
+        # var_t = 0, var_c = 0.5 -> se = sqrt(0 + 0.5/2) = 0.5 -> z = 3
+        assert r.z == pytest.approx(3.0)
+
+    def test_midpoint_instant_in_neither_half(self, spark):
+        rows = [(1, "T", 0), (1, "A", 50), (2, "A", 0), (2, "A", 100)]
+        r = self._run(spark, rows)  # mid = 50; u1's click at 50 drops
+        assert r.mean_diff_treated == 0.0
+
+    def test_empty_group_yields_nulls(self, spark):
+        rows = [(1, "T", 0), (1, "A", 10), (2, "T", 5), (2, "A", 90)]
+        r = self._run(spark, rows)  # no control users
+        assert r.n_control == 0
+        assert r.mean_diff_control is None and r.did is None and r.z is None

@@ -267,6 +267,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     # r13w2: HLL set algebra crosses four 1-row frames (three register
     # estimates + the exact reference) — all scalar
     "q_hll_intersection": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
+    # r13w2: DiD attaches the 1-row stream-midpoint instant (the SCD2
+    # scalar class)
+    "q_diff_in_diff": {"BroadcastNestedLoopJoin": _BCAST_SCALAR},
 }
 
 #: plan substrings that fail the audit outright
