@@ -93,6 +93,46 @@ def main() -> None:
         F.desc("gini")
     ).show()
 
+    print("== rule significance (A18b): chi2 over the rule table ==")
+    from mhw3d_detection_spark.operators.market import rules_with_chi2
+
+    rules_with_chi2(rules).orderBy(F.desc("chi2")).select(
+        "antecedent", "consequent", "n_ab", "lift", "chi2"
+    ).show(3)
+
+    print("== event study (A20) + difference-in-differences (A21) ==")
+    from mhw3d_detection_spark.operators.analysis import (
+        diff_in_diff,
+        event_study,
+    )
+
+    evu = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    event_study(
+        evu,
+        treatment_pred=F.col("event_type") == "error",
+        activity_pred=F.col("event_type") == "click",
+    ).show()
+    diff_in_diff(
+        evu,
+        treatment_agg=F.sum(
+            (F.col("event_type") == "error").cast("int")
+        ) >= F.lit(14),
+        activity_pred=F.col("event_type") == "click",
+    ).show()
+
+    print("== HLL set algebra (E7gg): who clicked AND purchased ==")
+    from mhw3d_detection_spark.operators.sketches import hll_set_algebra
+
+    hll_set_algebra(
+        ev,
+        item=F.col("user_id").cast("string"),
+        flag_a=F.col("event_type") == "click",
+        flag_b=F.col("event_type") == "purchase",
+    ).show()
+
     print("== queue backlog (W28) + active-time coverage (W29) ==")
     from mhw3d_detection_spark.operators.analysis import (
         interval_union,
