@@ -508,7 +508,7 @@ def semantic_dedup(
         vec_col=vec_col,
         max_bucket_size=max_cluster_size,
     )
-    comp = connected_components_bounded(pairs, iters=cc_iters)
+    comp = connected_components_bounded(pairs, iters=cc_iters, truncate=True)
     drops = comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )

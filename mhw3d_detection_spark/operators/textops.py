@@ -72,6 +72,47 @@ def shingles(
     )
 
 
+def distinct_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT shingles with the dedup done ROW-LOCALLY:
+    ``array_distinct`` over the shingle array, then one explode — no
+    ``(doc_id, shingle)`` exchange. Bit-identical to
+    ``shingles(...).distinct()`` because ``doc_id`` is in that
+    distinct's key, so the only dedup it ever performs is within-doc —
+    exactly what ``array_distinct`` does on the doc's own array
+    (r13 optimization: the distinct-shingle consumers each paid a full
+    shuffle of the shingle table just to dedup within-doc; guide §2.4
+    "remove shuffles outright")."""
+    toks = tokens_col(F.col(text_col))
+    return docs.withColumn("__toks", toks).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(shingle_array_sql("__toks", n)))
+        ).alias("shingle"),
+    )
+
+
+def distinct_shingle_counts(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc distinct-shingle count ``(doc_id, sz)`` as a ROW-LOCAL
+    expression — ``size(array_distinct(<shingle array>))`` — replacing
+    a groupBy over the exploded shingle table (one exchange of the
+    whole shingle table just to count per doc; r13 optimization,
+    guide §2.3 "aggregate before you shuffle" taken to its limit: no
+    shuffle at all). Docs with fewer than ``n`` tokens count 0 (they
+    had no rows in the exploded form; every consumer inner-joins on
+    docs that DO have shingles, so the extra sz=0 rows are inert)."""
+    toks = tokens_col(F.col(text_col))
+    return docs.withColumn("__toks", toks).select(
+        "doc_id",
+        F.size(
+            F.array_distinct(F.expr(shingle_array_sql("__toks", n)))
+        ).cast("long").alias("sz"),
+    )
+
+
 def shingle_array_sql(toks_col: str, n: int) -> str:
     """The shared shingle-array SQL over a token-array column — the
     ONE copy of the sub-``n``-tokens guard (see :func:`shingles`) so
@@ -339,11 +380,19 @@ def minhash_signatures(
     return _explode_bands(sig, n_hashes, band_size)
 
 
-def _explode_bands(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+def _explode_bands(
+    sig: DataFrame,
+    n_hashes: int,
+    band_size: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Shared banding tail: a frame with ``doc_id, h0..h{n-1}`` minhash
     columns → one ``(doc_id, band_id, band_sig)`` row per band. The ONE
     copy of the band concat idiom, so the batch and row-local signature
-    builders emit byte-identical band keys."""
+    builders emit byte-identical band keys. ``carry_cols`` rides extra
+    doc attributes through the explode (the :func:`shingles` device,
+    r13): consumers that need an attribute per pair endpoint avoid a
+    join back onto the corpus."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -356,14 +405,16 @@ def _explode_bands(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    return sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+    return sig.select("doc_id", *carry_cols, F.explode(bands).alias("b")).select(
+        "doc_id", *carry_cols,
+        F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
     )
 
 
 def minhash_candidate_pairs(
     signatures: DataFrame,
     max_bucket_size: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """LSH bucket self-join: docs sharing any band signature are
     candidate near-dups. Equi-join on (band_id, band_sig) — shuffle is
@@ -388,16 +439,27 @@ def minhash_candidate_pairs(
     oracle row unchanged; the sf10 decade probe prices the uncapped
     form (docs/PLANS.md r13 split-leakage attribution)."""
     keys = ["band_id", "band_sig"]
-    sigs = signatures
+    # r13 optimization (guide §2.4 "two operations keyed the same way
+    # share one exchange"): hash-repartition the signature table on
+    # the bucket key ONCE, so both self-join sides reference the SAME
+    # exchange and the banding pipeline (the md5-per-shingle work)
+    # executes once. Without it the local planner broadcasts one side
+    # pre-exchange and re-computes the banding for each side (measured
+    # 2.46 s -> 1.89 s at sf0.1); at cluster scale the join's
+    # EnsureRequirements exchanges would be added here anyway, so this
+    # costs nothing and pins the reuse. Pair set unchanged.
+    sigs = signatures.repartition(*keys)
     if max_bucket_size is not None:
         cap = int(max_bucket_size)
+        # hot-list and re-attach both build from the repartitioned
+        # table so they ride the same shared exchange
         hot = (
-            signatures.groupBy("band_id", "band_sig")
+            sigs.groupBy("band_id", "band_sig")
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .filter(F.col("__cnt") > cap)
         )
         sigs = (
-            signatures.join(hot, keys, "left")
+            sigs.join(hot, keys, "left")
             .withColumn(
                 "__sub",
                 F.when(
@@ -412,12 +474,26 @@ def minhash_candidate_pairs(
             .drop("__cnt")
         )
         keys = keys + ["__sub"]
-    a = sigs.select(F.col("doc_id").alias("doc_a"), *keys)
-    b = sigs.select(F.col("doc_id").alias("doc_b"), *keys)
+    # carry_cols (r13): per-endpoint doc attributes ride the bucket
+    # join as ``<c>_a`` / ``<c>_b`` — consumers that roll pairs up by
+    # an endpoint attribute (q_source_dedup_matrix, dedup_report's
+    # source matrix) skip the two joins back onto the corpus. The
+    # distinct stays keyed by the pair: the carried values are
+    # functions of the endpoint ids, so distinct over the widened row
+    # equals distinct over (doc_a, doc_b).
+    ca = [F.col(c).alias(f"{c}_a") for c in carry_cols]
+    cb = [F.col(c).alias(f"{c}_b") for c in carry_cols]
+    out = (
+        ["doc_a", "doc_b"]
+        + [f"{c}_a" for c in carry_cols]
+        + [f"{c}_b" for c in carry_cols]
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), *ca, *keys)
+    b = sigs.select(F.col("doc_id").alias("doc_b"), *cb, *keys)
     return (
         a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select(*out)
         .distinct()
     )
 
@@ -429,6 +505,7 @@ def minhash_bands_rowlocal(
     band_size: int = 2,
     shingle_n: int = 3,
     fast_hash: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Zero-shuffle variant of :func:`minhash_signatures`: the whole
     shingle → base-hash → linear-family-min → band chain runs as
@@ -478,9 +555,9 @@ def minhash_bands_rowlocal(
         # digest every shingle a second time just to test emptiness
         .filter(F.size("__toks") >= shingle_n)
         .withColumn("__xs", F.expr(xs))
-        .select("doc_id", *mins)
+        .select("doc_id", *carry_cols, *mins)
     )
-    return _explode_bands(sig, n_hashes, band_size)
+    return _explode_bands(sig, n_hashes, band_size, carry_cols)
 
 
 HEX = "0123456789abcdef"
@@ -622,6 +699,7 @@ def connected_components_bounded(
     iters: int = 3,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    truncate: bool = False,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components of the
     near-dup pair graph by ``iters`` rounds of min-label propagation —
@@ -641,10 +719,28 @@ def connected_components_bounded(
     Pure DataFrame ops: the symmetric edge list is shuffled on the
     vertex key once per round (join + min-aggregate). No driver-side
     state; the label frontier is O(vertices).
-    """
+
+    ``truncate=True`` (r13 optimization, guide §3.3/§5 "materialise an
+    intermediate to truncate the plan") localCheckpoints the symmetric
+    edge list: the lazy form re-embeds the edge subtree — and with it
+    the whole upstream banding/pair pipeline — once per round per join
+    side, growing one plan to 84 Exchange nodes / 60 parquet scans for
+    the standalone component rows, most of a 6 s wall at sf0.1 going
+    to Catalyst/AQE bookkeeping rather than data. With the edges
+    materialized, the rounds stay lazy: the label tables are tiny and
+    exchange reuse dedupes their repeated subtrees (measured
+    interleaved in one JVM at sf0.1: lazy 5.5 s, sym-ckpt 3.3 s,
+    sym+per-round-label ckpts 4.2 s — per-round truncation costs more
+    in materialization jobs than it saves). EAGER when set — building
+    the returned frame runs the edge-materialization job; results are
+    bit-identical (same rounds, same integer min-label algebra)."""
+    from mhw3d_detection_spark.plans.audit_hook import ckpt
+
     sym = edges.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).unionByName(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    if truncate:
+        sym = ckpt(sym, "cc/sym")
     labels = (
         sym.select("v")
         .distinct()
@@ -850,6 +946,7 @@ def dedup_keep_best(
     iters: int = 3,
     id_col: str = "doc_id",
     broadcast_verdict: bool = True,
+    truncate: bool = False,
 ) -> DataFrame:
     """Quality-representative near-dup removal — the production policy
     the min-id convention approximates: within every duplicate
@@ -881,7 +978,7 @@ def dedup_keep_best(
     pick the strategy from the measured size."""
     from mhw3d_detection_spark.queries.base import rq
 
-    comp = connected_components_bounded(pairs, iters=iters)
+    comp = connected_components_bounded(pairs, iters=iters, truncate=truncate)
     q = text_stats(docs).select(
         F.col("doc_id").alias(id_col), rq("quality_score", 4).alias("quality")
     )
@@ -914,8 +1011,8 @@ def ngram_jaccard_pairs(
     |A ∩ B| via an equi-join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
     The probe predicate bounds the candidate set (at full scale this
     runs AFTER MinHash banding has pruned the pairs)."""
-    sh = shingles(docs, text_col, n=shingle_n).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = distinct_shingles(docs, text_col, n=shingle_n)
+    sizes = distinct_shingle_counts(docs, text_col, n=shingle_n)
     probes = sh.filter(probe_pred(F.col("doc_id")))
     inter = (
         probes.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1198,11 +1295,17 @@ def contamination_screen(
     shingle explode — at production scale broadcast it; the corpus side
     stays the full explode; one equi-join on shingle + one aggregate
     per (probe, doc) pair. No all-pairs product anywhere."""
-    sh = shingles(docs, text_col, n=shingle_n).distinct()
+    sh = distinct_shingles(docs, text_col, n=shingle_n)
     probes = sh.filter(probe_pred(F.col("doc_id"))).select(
         F.col("doc_id").alias("probe_id"), "shingle"
     )
-    psz = probes.groupBy("probe_id").agg(F.count(F.lit(1)).alias("__psz"))
+    # probe |A| row-locally from the probe docs (no shingle-table
+    # groupBy exchange); sz=0 probes are inert — inner join with inter
+    psz = (
+        distinct_shingle_counts(docs, text_col, n=shingle_n)
+        .filter(probe_pred(F.col("doc_id")))
+        .select(F.col("doc_id").alias("probe_id"), F.col("sz").alias("__psz"))
+    )
     inter = (
         probes.join(sh.select(F.col("doc_id").alias("doc_id"), "shingle"), "shingle")
         .filter(F.col("doc_id") != F.col("probe_id"))
@@ -1663,6 +1766,25 @@ def mixture_weights(
     )
 
 
+def split_col(
+    key: Column, fractions: tuple[float, float] = (0.8, 0.9)
+) -> Column:
+    """The train/val/test assignment as a ROW-LOCAL column expression
+    over any key column — a pure function of the key, so consumers
+    that already carry the key (e.g. a pair table's endpoints) can
+    compute the split in place instead of joining back to the doc
+    table (r13 optimization: q_split_leakage dropped both endpoint
+    joins this way; guide §2.4)."""
+    u = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 12), 16, 10
+    ).cast("double") / F.lit(float(1 << 48))
+    return (
+        F.when(u < fractions[0], F.lit("train"))
+        .when(u < fractions[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def split_assign(
     docs: DataFrame,
     key_col: str = "doc_id",
@@ -1675,15 +1797,7 @@ def split_assign(
     document can never leak between splits when the corpus is
     re-sharded (the failure mode of seeded per-partition RNG splits).
     Narrow projection; zero shuffles."""
-    u = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10
-    ).cast("double") / F.lit(float(1 << 48))
-    return docs.withColumn(
-        "split",
-        F.when(u < fractions[0], F.lit("train"))
-        .when(u < fractions[1], F.lit("val"))
-        .otherwise(F.lit("test")),
-    )
+    return docs.withColumn("split", split_col(F.col(key_col), fractions))
 
 
 def source_overlap(
@@ -2718,8 +2832,14 @@ def shingle_containment_pairs(
     Returns ``(probe_id, doc_id, inter, sz_probe, containment)`` for
     pairs at or above ``min_containment``.
     """
-    sh = shingles(docs, text_col, n=shingle_n).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_probe"))
+    sh = distinct_shingles(docs, text_col, n=shingle_n)
+    # |A| row-locally from the probe docs only (no shingle-table
+    # groupBy exchange); sz=0 probes are inert — inner join with inter
+    sizes = (
+        distinct_shingle_counts(docs, text_col, n=shingle_n)
+        .filter(probe_pred(F.col("doc_id")))
+        .select("doc_id", F.col("sz").alias("sz_probe"))
+    )
     probes = sh.filter(probe_pred(F.col("doc_id")))
     inter = (
         probes.select(F.col("doc_id").alias("probe_id"), "shingle")
@@ -3152,7 +3272,7 @@ def weighted_containment_pairs(
     from mhw3d_detection_spark.operators.analysis import dyadic_quantize
     from mhw3d_detection_spark.queries.base import rq
 
-    sh = shingles(docs, text_col, n=shingle_n).distinct()
+    sh = distinct_shingles(docs, text_col, n=shingle_n)
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("__n")
     )

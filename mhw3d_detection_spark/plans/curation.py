@@ -112,7 +112,7 @@ def curate_corpus(
     # minutes (measured 145 s at sf0.01); with truncation the whole
     # funnel builds and runs in seconds. Values unchanged.
     pairs = _chk(minhash_candidate_pairs(sig), "near_pairs")
-    comp = connected_components_bounded(pairs, iters=cc_iters)
+    comp = connected_components_bounded(pairs, iters=cc_iters, truncate=True)
     near_drops = _chk(
         comp.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
         "near_drops",
@@ -142,7 +142,7 @@ def curate_corpus(
         ),
         "sem_pairs",
     )
-    comp2 = connected_components_bounded(spairs, iters=cc_iters)
+    comp2 = connected_components_bounded(spairs, iters=cc_iters, truncate=True)
     sem_drops = _chk(
         comp2.filter(F.col("doc_id") != F.col("component")).select("doc_id"),
         "sem_drops",

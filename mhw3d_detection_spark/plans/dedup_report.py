@@ -51,7 +51,7 @@ def dedup_report(
         connected_components_bounded,
         minhash_bands_rowlocal,
         minhash_candidate_pairs,
-        split_assign,
+        split_col,
         text_stats,
     )
     from mhw3d_detection_spark.queries.base import rq
@@ -59,15 +59,21 @@ def dedup_report(
     from mhw3d_detection_spark.plans.audit_hook import ckpt
 
     # ---- shared intermediate: the ONLY corpus-sized stage ----------
+    # (r13: endpoint sources ride the banding as carry_cols, so the
+    # source-matrix branch reads them off the checkpointed pair row
+    # instead of joining the corpus twice)
     pairs = ckpt(
         minhash_candidate_pairs(
-            minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+            minhash_bands_rowlocal(
+                docs, n_hashes=8, band_size=2, carry_cols=("source",)
+            ),
+            carry_cols=("source",),
         ),
         "pairs",
         reliable=reliable_checkpoints,
     )
     comp = ckpt(
-        connected_components_bounded(pairs, iters=cc_iters),
+        connected_components_bounded(pairs, iters=cc_iters, truncate=True),
         "components",
         reliable=reliable_checkpoints,
     )
@@ -90,14 +96,13 @@ def dedup_report(
     )
 
     # ---- leakage: pairs bucketed by endpoint splits -----------------
-    sp = split_assign(docs).select("doc_id", "split")
+    # (r13: split is a pure md5 function of doc_id — computed in place
+    # on the pair table, no joins back to the doc projection)
     leak = (
-        pairs.join(
-            sp.select(F.col("doc_id").alias("doc_a"),
-                      F.col("split").alias("split_a")), "doc_a")
-        .join(
-            sp.select(F.col("doc_id").alias("doc_b"),
-                      F.col("split").alias("split_b")), "doc_b")
+        pairs.select(
+            split_col(F.col("doc_a")).alias("split_a"),
+            split_col(F.col("doc_b")).alias("split_b"),
+        )
         .groupBy("split_a", "split_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -112,17 +117,12 @@ def dedup_report(
     )
 
     # ---- sources: unordered endpoint-source rollup ------------------
+    # (r13: sources carried on the pair row — no corpus joins)
     src = docs.select("doc_id", "source")
     mat = (
-        pairs.join(
-            src.select(F.col("doc_id").alias("doc_a"),
-                       F.col("source").alias("sa")), "doc_a")
-        .join(
-            src.select(F.col("doc_id").alias("doc_b"),
-                       F.col("source").alias("sb")), "doc_b")
-        .groupBy(
-            F.least("sa", "sb").alias("key_a"),
-            F.greatest("sa", "sb").alias("key_b"),
+        pairs.groupBy(
+            F.least("source_a", "source_b").alias("key_a"),
+            F.greatest("source_a", "source_b").alias("key_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(

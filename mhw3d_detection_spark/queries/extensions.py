@@ -273,7 +273,7 @@ def q_dedup_components(spark, sf_dir):
     integers, so the hash gate is bit-exact."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(minhash_bands_rowlocal(docs, n_hashes=8, band_size=2))
-    return connected_components_bounded(pairs, iters=3)
+    return connected_components_bounded(pairs, iters=3, truncate=True)
 
 
 # =========================================================================
@@ -301,7 +301,7 @@ def q_dedup_apply(spark, sf_dir):
     into a left-anti join; the corpus itself is never shuffled."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(minhash_bands_rowlocal(docs, n_hashes=8, band_size=2))
-    comp = connected_components_bounded(pairs, iters=3)
+    comp = connected_components_bounded(pairs, iters=3, truncate=True)
     drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", F.length("text").cast("int").alias("n_chars")
@@ -3918,7 +3918,7 @@ def q_dedup_keep_best(spark, sf_dir):
     pairs = minhash_candidate_pairs(
         minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
     )
-    return dedup_keep_best(docs, pairs, iters=3)
+    return dedup_keep_best(docs, pairs, iters=3, truncate=True)
 
 
 # =========================================================================
@@ -4983,7 +4983,7 @@ def q_dedup_cluster_stats(spark, sf_dir):
     pairs = minhash_candidate_pairs(
         minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
     )
-    comp = connected_components_bounded(pairs, iters=3)
+    comp = connected_components_bounded(pairs, iters=3, truncate=True)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )
@@ -5026,27 +5026,21 @@ def q_split_leakage(spark, sf_dir):
     from mhw3d_detection_spark.operators.textops import (
         minhash_bands_rowlocal,
         minhash_candidate_pairs,
-        split_assign,
+        split_col,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(
         minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
     )
-    sp = split_assign(docs).select("doc_id", "split")
-    j = (
-        pairs.join(
-            sp.select(
-                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sp.select(
-                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
-            ),
-            "doc_b",
-        )
+    # r13 optimization (guide §2.4): the split is a pure md5 function
+    # of doc_id, so both endpoint splits compute IN PLACE on the pair
+    # table — the two joins back to the doc projection (and their two
+    # broadcast builds + scans) are gone. Same oracle bits: split_col
+    # is the identical expression split_assign applied.
+    j = pairs.select(
+        split_col(F.col("doc_a")).alias("split_a"),
+        split_col(F.col("doc_b")).alias("split_b"),
     )
     return j.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -5089,27 +5083,21 @@ def q_source_dedup_matrix(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13 optimization (guide §2.3 "carry, don't re-join"): each
+    # endpoint's source rides the banding explode and the bucket join
+    # (carry_cols), so the rollup reads it off the pair row — the two
+    # joins back onto the corpus (and their broadcast builds + scans)
+    # are gone. Pair set and counts unchanged: the carried values are
+    # functions of the endpoint ids, so the pair distinct is untouched.
     pairs = minhash_candidate_pairs(
-        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+        minhash_bands_rowlocal(
+            docs, n_hashes=8, band_size=2, carry_cols=("source",)
+        ),
+        carry_cols=("source",),
     )
-    src = docs.select("doc_id", "source")
-    j = (
-        pairs.join(
-            src.select(
-                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
-            ),
-            "doc_a",
-        )
-        .join(
-            src.select(
-                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
-            ),
-            "doc_b",
-        )
-    )
-    return j.groupBy(
-        F.least("sa", "sb").alias("source_a"),
-        F.greatest("sa", "sb").alias("source_b"),
+    return pairs.groupBy(
+        F.least("source_a", "source_b").alias("source_a"),
+        F.greatest("source_a", "source_b").alias("source_b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
 
 
@@ -5139,15 +5127,22 @@ def q_boilerplate_frac(spark, sf_dir):
     one exactly-rounded division; two shingle-keyed aggregates and a
     shingle equi-join — the same key the dedup family already
     shuffles on."""
-    from mhw3d_detection_spark.operators.textops import shingles
+    from mhw3d_detection_spark.operators.textops import distinct_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    shd = shingles(docs).distinct()
-    dfx = shd.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    j = shd.join(dfx, "shingle").select(
-        "doc_id", (F.col("df") >= 3).cast("int").alias("b")
+    # r13 optimization (guide §2.4): within-doc dedup is row-local
+    # (array_distinct — no (doc_id, shingle) exchange) and the corpus
+    # document-frequency rides ONE window over the shingle partition
+    # instead of a groupBy + join back (which shuffled the shingle
+    # table twice more). 4 exchanges + 2 scans -> 2 exchanges + 1 scan;
+    # df = count over the shingle partition of the distinct table is
+    # the same integer the groupBy computed.
+    shd = distinct_shingles(docs)
+    j = shd.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("shingle")) >= 3
+        ).cast("int").alias("b"),
     )
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -5553,7 +5548,7 @@ def q_srp_dedup_apply(spark, sf_dir):
     pairs = srp_lsh_pairs(emb).select(
         F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b")
     )
-    comp = connected_components_bounded(pairs, iters=3)
+    comp = connected_components_bounded(pairs, iters=3, truncate=True)
     drops = comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias("vec_id")
     )
@@ -6133,7 +6128,10 @@ def q_component_split(spark, sf_dir):
         ),
         "pairs",
     )
-    comp = _ckpt(connected_components_bounded(pairs, iters=3), "components")
+    comp = _ckpt(
+        connected_components_bounded(pairs, iters=3, truncate=True),
+        "components",
+    )
     key = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),
