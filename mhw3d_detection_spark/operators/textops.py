@@ -73,7 +73,8 @@ def shingles(
 
 
 def distinct_shingles(
-    docs: DataFrame, text_col: str = "text", n: int = 3
+    docs: DataFrame, text_col: str = "text", n: int = 3,
+    with_size: bool = False,
 ) -> DataFrame:
     """Per-doc DISTINCT shingles with the dedup done ROW-LOCALLY:
     ``array_distinct`` over the shingle array, then one explode — no
@@ -83,14 +84,27 @@ def distinct_shingles(
     exactly what ``array_distinct`` does on the doc's own array
     (r13 optimization: the distinct-shingle consumers each paid a full
     shuffle of the shingle table just to dedup within-doc; guide §2.4
-    "remove shuffles outright")."""
+    "remove shuffles outright").
+
+    ``with_size=True`` additionally carries the doc's distinct-shingle
+    count ``sz`` on every exploded row (the carry-don't-rejoin device,
+    guide §2.3): ``sz`` is constant per doc, so a pair aggregate
+    recovers it exactly with ``max()`` — consumers drop the join back
+    to a per-doc size table (which re-tokenized the whole corpus)."""
     toks = tokens_col(F.col(text_col))
-    return docs.withColumn("__toks", toks).select(
+    arr = docs.withColumn("__toks", toks).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.expr(shingle_array_sql("__toks", n)))
-        ).alias("shingle"),
+        F.array_distinct(
+            F.expr(shingle_array_sql("__toks", n))
+        ).alias("__arr"),
     )
+    if with_size:
+        return arr.select(
+            "doc_id",
+            F.size("__arr").cast("long").alias("sz"),
+            F.explode("__arr").alias("shingle"),
+        )
+    return arr.select("doc_id", F.explode("__arr").alias("shingle"))
 
 
 def distinct_shingle_counts(
@@ -1011,25 +1025,40 @@ def ngram_jaccard_pairs(
     |A ∩ B| via an equi-join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
     The probe predicate bounds the candidate set (at full scale this
     runs AFTER MinHash banding has pruned the pairs)."""
-    sh = distinct_shingles(docs, text_col, n=shingle_n)
-    sizes = distinct_shingle_counts(docs, text_col, n=shingle_n)
+    # r13: |A| and |B| ride the shingle rows (with_size carry) and are
+    # recovered exactly by max() in the pair aggregate — the two joins
+    # back to a per-doc size table (each a pair-table shuffle plus a
+    # full corpus re-tokenization) are gone; the carry costs 8 bytes a
+    # shingle row on the one equi-join exchange (guide §2.3 "shuffle
+    # keys and metadata", §8).
+    sh = distinct_shingles(docs, text_col, n=shingle_n, with_size=True)
     probes = sh.filter(probe_pred(F.col("doc_id")))
     inter = (
-        probes.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        probes.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            "shingle",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sz").alias("sz_b"),
+                "shingle",
+            ),
+            "shingle",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sz_a").alias("sz_a"),
+            F.max("sz_b").alias("sz_b"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
     )
+    j = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+    ).filter(F.col("jaccard") >= min_jaccard)
     return j.select("doc_a", "doc_b", "jaccard")
 
 
@@ -1295,26 +1324,30 @@ def contamination_screen(
     shingle explode — at production scale broadcast it; the corpus side
     stays the full explode; one equi-join on shingle + one aggregate
     per (probe, doc) pair. No all-pairs product anywhere."""
-    sh = distinct_shingles(docs, text_col, n=shingle_n)
+    # r13: probe |A| rides the probe shingle rows (with_size carry,
+    # recovered exactly by max() in the pair aggregate) — the broadcast
+    # join back to a probe-size table (one probe re-tokenize + one
+    # broadcast exchange) is gone; the corpus side selects only
+    # (doc_id, shingle) so its sz is pruned before the exchange
+    # (guide §2.3, §8). sz=0 probes stay inert: no exploded rows,
+    # exactly as the old inner join dropped them.
+    sh = distinct_shingles(docs, text_col, n=shingle_n, with_size=True)
     probes = sh.filter(probe_pred(F.col("doc_id"))).select(
-        F.col("doc_id").alias("probe_id"), "shingle"
-    )
-    # probe |A| row-locally from the probe docs (no shingle-table
-    # groupBy exchange); sz=0 probes are inert — inner join with inter
-    psz = (
-        distinct_shingle_counts(docs, text_col, n=shingle_n)
-        .filter(probe_pred(F.col("doc_id")))
-        .select(F.col("doc_id").alias("probe_id"), F.col("sz").alias("__psz"))
+        F.col("doc_id").alias("probe_id"),
+        F.col("sz").alias("__psz"),
+        "shingle",
     )
     inter = (
-        probes.join(sh.select(F.col("doc_id").alias("doc_id"), "shingle"), "shingle")
+        probes.join(sh.select("doc_id", "shingle"), "shingle")
         .filter(F.col("doc_id") != F.col("probe_id"))
         .groupBy("probe_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.max("__psz").alias("__psz"),
+        )
     )
     return (
-        inter.join(F.broadcast(psz), "probe_id")
-        .withColumn("containment", F.col("__inter") / F.col("__psz"))
+        inter.withColumn("containment", F.col("__inter") / F.col("__psz"))
         .filter(F.col("containment") >= min_containment)
         .select("probe_id", "doc_id", "containment")
     )
@@ -2832,29 +2865,31 @@ def shingle_containment_pairs(
     Returns ``(probe_id, doc_id, inter, sz_probe, containment)`` for
     pairs at or above ``min_containment``.
     """
-    sh = distinct_shingles(docs, text_col, n=shingle_n)
-    # |A| row-locally from the probe docs only (no shingle-table
-    # groupBy exchange); sz=0 probes are inert — inner join with inter
-    sizes = (
-        distinct_shingle_counts(docs, text_col, n=shingle_n)
-        .filter(probe_pred(F.col("doc_id")))
-        .select("doc_id", F.col("sz").alias("sz_probe"))
-    )
+    # r13: |A| rides the probe shingle rows (with_size carry, recovered
+    # exactly by max() in the pair aggregate) — the join back to a
+    # per-doc size table (a pair-table shuffle + a probe re-tokenize)
+    # is gone; the corpus side selects only (doc_id, shingle) so its
+    # sz column is pruned before the exchange (guide §2.3, §8). sz=0
+    # probes stay inert: they have no exploded rows, exactly as the
+    # old inner join dropped them.
+    sh = distinct_shingles(docs, text_col, n=shingle_n, with_size=True)
     probes = sh.filter(probe_pred(F.col("doc_id")))
     inter = (
-        probes.select(F.col("doc_id").alias("probe_id"), "shingle")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id"), "shingle"), "shingle"
+        probes.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("sz").alias("sz_probe"),
+            "shingle",
         )
+        .join(sh.select("doc_id", "shingle"), "shingle")
         .filter(F.col("probe_id") != F.col("doc_id"))
         .groupBy("probe_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("inter"),
+            F.max("sz_probe").alias("sz_probe"),
+        )
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "probe_id"), "probe_id"
-        )
-        .withColumn(
+        inter.withColumn(
             "containment", F.col("inter") / F.col("sz_probe")
         )
         .filter(F.col("containment") >= F.lit(float(min_containment)))
@@ -3276,15 +3311,29 @@ def weighted_containment_pairs(
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("__n")
     )
-    dfx = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("long").alias("__df")
-    )
-    w = sh.join(dfx, "shingle").crossJoin(F.broadcast(n_docs)).select(
-        "doc_id",
-        "shingle",
-        dyadic_quantize(F.log(F.col("__n") / F.col("__df")), 20).alias(
-            "__w"
-        ),
+    # r13: df via ONE window over a pinned shingle exchange instead of
+    # groupBy(shingle) + join-back (the q_boilerplate_frac device,
+    # guide §2.4 "window partitioned by the same key as a preceding
+    # aggregation"): the count and its attachment share one exchange,
+    # and because probes and the corpus side BOTH derive from this
+    # same exchange, the scan + tokenize + explode below it executes
+    # once and is reused (ReusedExchange) instead of re-embedding the
+    # whole pipeline per self-join side (plan was 18 scans; the df
+    # value is the same integer, so __w is bit-identical).
+    w = (
+        sh.repartition("shingle")
+        .withColumn(
+            "__df",
+            F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "shingle",
+            dyadic_quantize(F.log(F.col("__n") / F.col("__df")), 20).alias(
+                "__w"
+            ),
+        )
     )
     probes = w.filter(probe_pred(F.col("doc_id"))).select(
         F.col("doc_id").alias("probe_id"), "shingle", F.col("__w").alias("__pw")
