@@ -95,6 +95,11 @@ def _load_prev_bench() -> dict:
     try:
         with open(best) as f:
             d = json.load(f)
+        # driver-recorded artifacts wrap the bench's JSON line in an
+        # envelope ({"n", "rc", "tail", "parsed": {...}}) — unwrap it,
+        # else the auto-probe silently compares against nothing
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
         prev = dict(d.get("queries", {}))
         prev.update(d.get("queries_heavy", {}))
         return prev

@@ -640,3 +640,35 @@ def test_salted_join_spreads_key_and_avoids_broadcast(spark, sf_dir):
     assert "__salt" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_distinct_shingles_tokenizes_once(spark, sf_dir):
+    # r13 optimization-round regression guard: a plain explode over the
+    # projected shingle-array attribute lets InferFiltersFromGenerate
+    # add `size(__arr) > 0 AND isnotnull(__arr)` below the Generate,
+    # and predicate pushdown then substitutes the WHOLE
+    # tokenize+shingle expression into that Filter — regexp_extract_all
+    # ends up evaluated ~5x per document (measured 8.0 s vs 1.6 s on
+    # q_boilerplate_frac at sf0.1). distinct_shingles therefore uses
+    # explode_outer + a post-Generate isNotNull; the tokenizer must
+    # appear exactly once in the physical plan.
+    from mhw3d_detection_spark.operators.textops import (
+        distinct_shingles,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for with_size in (False, True):
+        sh = distinct_shingles(docs, with_size=with_size)
+        plan = _executed(sh)
+        assert plan.count("regexp_extract_all") == 1, plan
+    # and the rows are exactly the shuffle-distinct form's rows
+    got = sorted(
+        (r.doc_id, r.shingle)
+        for r in distinct_shingles(docs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.shingle)
+        for r in shingles(docs).distinct().collect()
+    )
+    assert got == want
