@@ -95,13 +95,44 @@ def densify_doy(
     Reference equivalent: ``reindex(doy=np.arange(1, 367))``
     (legacy/climatology.py:79,92).
 
-    ``cells`` (one row per cell id) supplies the spine; when omitted it
-    is derived from ``clim`` itself — pass it explicitly when ``clim``
-    is an expensive subtree, so the spine branch reuses a cheap scan
-    instead of recomputing the aggregation.
+    ``cells`` (one row per cell id) supplies the spine; when omitted
+    the dense grid is built as a per-cell doy->values map + explode —
+    ONE aggregate on ``clim`` itself, no distinct-spine re-derivation
+    of the clim subtree and no join (r13 optimization: the old
+    spine-join form evaluated the clim aggregation twice — once for
+    the distinct cell list, once as the join's right side). Requires
+    ``clim`` unique per (cell, doy), which every climatology aggregate
+    guarantees (duplicate keys raise under Spark's default
+    mapKeyDedupPolicy=EXCEPTION rather than corrupt silently).
+
+    Pass ``cells`` explicitly only when the spine must include cells
+    that have NO clim rows at all (not the case for any caller that
+    derives the spine from ``clim``/its direct input: a cell with no
+    baseline samples has no clim row either way).
     """
     if cells is None:
-        cells = clim.select(cell_col).distinct()
+        vals = [c for c in clim.columns if c not in (cell_col, doy_col)]
+        packed = clim.groupBy(cell_col).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(doy_col), F.struct(*vals)))
+            ).alias("__doymap")
+        )
+        # the spine-join form emitted the grid's own doy (INT from
+        # sequence(1,366)); keep that exact output type, casting only
+        # the map-lookup key to clim's doy type
+        key_t = dict(clim.dtypes)[doy_col]
+        return packed.select(
+            cell_col,
+            F.explode(F.sequence(F.lit(1), F.lit(366))).alias("__doy_dense"),
+            "__doymap",
+        ).select(
+            cell_col,
+            F.col("__doy_dense").alias(doy_col),
+            *[
+                F.col("__doymap")[F.col("__doy_dense").cast(key_t)][c].alias(c)
+                for c in vals
+            ],
+        )
     grid = cells.select(
         cell_col, F.explode(F.sequence(F.lit(1), F.lit(366))).alias(doy_col)
     )
@@ -918,7 +949,7 @@ def pooled_climatology(
         # second scan of the source: a cell with no baseline samples
         # has no clim rows either way (reference reindexes over doy
         # only: legacy/climatology.py:79).
-        clim = densify_doy(clim, cells=clim.select("cell_id").distinct())
+        clim = densify_doy(clim)
     if feb29_interp:
         clim = interp_feb29(clim)
     if smooth_width:
@@ -946,7 +977,7 @@ def simple_climatology(
     if baseline is not None:
         d = d.filter(F.col("__yr").between(*baseline))
     out = d.groupBy("cell_id", "doy").agg(F.avg("temp").alias("seas"))
-    return densify_doy(out, cells=d.select("cell_id").distinct())
+    return densify_doy(out)
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ re-sessionize chain).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mhw3d_detection_spark.functions.calendar import clim_doy_sql
@@ -89,12 +90,31 @@ MEMBER_SQL = EV_SQL + (
 
 @plan_memo
 def _flagged(spark, sf_dir):
+    # thr as a whole-partition window instead of groupBy + broadcast
+    # join-back: the old form re-derived orders_daily on the dim side
+    # (a second scan + aggregate per flagged instance), while every
+    # chain consumer immediately windows by (cell_id, time) anyway —
+    # ordering the window here lets the RLE/enrich windows stack on the
+    # SAME exchange + sort (one shuffle establishes the partitioning
+    # once), and identical flagged subtrees under that exchange dedupe
+    # via ReusedExchange in the double-consumer rows (q_event_metrics).
+    # percentile is order-insensitive (sorted-buffer aggregate) so
+    # `exceed` — the run-structure decider — is bit-identical; `seas`
+    # accumulates in partition order vs partial-merge order, absorbed
+    # by the rq() quantization every float output already carries.
     od = orders_daily(spark, sf_dir)
-    thr = od.groupBy("cell_id").agg(
-        F.expr("percentile(temp, 0.75)").alias("thresh"),
-        F.avg("temp").alias("seas"),
+    w = (
+        Window.partitionBy("cell_id")
+        .orderBy("time")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return od.join(F.broadcast(thr), ["cell_id"]).withColumn(
+    return od.select(
+        "cell_id",
+        "time",
+        "temp",
+        F.expr("percentile(temp, 0.75)").over(w).alias("thresh"),
+        F.avg("temp").over(w).alias("seas"),
+    ).withColumn(
         "exceed", F.coalesce(F.col("temp") > F.col("thresh"), F.lit(False))
     )
 
