@@ -672,3 +672,42 @@ def test_distinct_shingles_tokenizes_once(spark, sf_dir):
         for r in shingles(docs).distinct().collect()
     )
     assert got == want
+
+
+def test_densify_doy_map_path_no_join(spark, sf_dir):
+    # r13 optimization-round guard: with no explicit spine, densify_doy
+    # builds the dense 1..366 grid from a per-cell doy->values map +
+    # explode — ONE aggregate over clim, no distinct-spine join that
+    # re-evaluates the clim subtree. Rows (incl. NULLs for missing
+    # doys and the grid-side INT doy type) must match the join form.
+    from mhw3d_detection_spark.operators.climatology import densify_doy
+
+    od = load_table(spark, sf_dir, "orders").groupBy(
+        (F.col("o_custkey") % 10).alias("cell_id"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    ).agg(F.avg("o_totalprice").alias("seas"))
+    # drop some doys so NULL fill is exercised
+    clim = od.filter(F.col("doy") % 7 != 3)
+
+    dense = densify_doy(clim)
+    plan = _executed(dense)
+    assert "Join" not in plan, plan  # map path: no spine join
+    assert dense.schema["doy"].dataType.simpleString() == "int"
+
+    ref = densify_doy(clim, cells=clim.select("cell_id").distinct())
+    got = sorted(dense.collect(), key=lambda r: (r.cell_id, r.doy))
+    want = sorted(ref.collect(), key=lambda r: (r.cell_id, r.doy))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_flagged_chain_single_scan(spark, sf_dir):
+    # r13: the detection-chain threshold/seas dim is a whole-partition
+    # window over the series, not a groupBy + broadcast join-back — the
+    # chain reads its source exactly once and stacks on one exchange.
+    from mhw3d_detection_spark.queries.detection import _flagged
+    from mhw3d_detection_spark.operators.detection import rle_runs
+
+    runs = rle_runs(_flagged(spark, sf_dir))
+    plan = _executed(runs)
+    assert plan.count("Scan parquet") == 1, plan
+    assert _count_exchanges(plan) <= 2, plan
