@@ -2113,6 +2113,7 @@ def window_drift_scores(
     window_days: int = 1,
     rq_digits: int | None = None,
     psi_band: int = 50,
+    truncate: bool = False,
 ) -> DataFrame:
     """Per-time-window drift of a numeric property against a FIXED
     reference histogram — the batch twin of
@@ -2131,6 +2132,17 @@ def window_drift_scores(
     Scale: one corpus-sized hash aggregate to (window x domain) rows;
     the cumulative windows partition BY WINDOW over the bounded domain
     (the ``rq_digits`` guard); ``ref`` is a literal broadcast dim.
+
+    ``truncate=True`` (r14 optimization, guide §3.3/§5 "materialise an
+    intermediate to truncate the plan"): localCheckpoints the
+    per-(window, value) count table — the ONE corpus-sized aggregate —
+    once. The lazy plan re-embeds that scan+aggregate subtree in every
+    downstream branch (windows spine, full-outer join, KS cumulative,
+    W1, PSI bands, the three final joins: 40 Exchange nodes / 13
+    parquet scans at sf0.1); the count table itself is bounded by
+    (windows x value domain) — the ``rq_digits`` contract — so the
+    materialization is dim-sized at any corpus scale. EAGER when set;
+    results bit-identical (same integers feed the same algebra).
 
     Returns ``(win_id, window_start, n_new, ks_stat, w1_stat,
     psi_stat)`` — one row per window that saw data; stats NULL when
@@ -2155,6 +2167,10 @@ def window_drift_scores(
         .groupBy(win.alias("win"), xg.alias("x"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_new"))
     )
+    if truncate:
+        from mhw3d_detection_spark.plans.audit_hook import ckpt
+
+        cnt = ckpt(cnt, "window_drift/cnt")
     wins = cnt.groupBy("win").agg(
         F.sum("c_new").cast("double").alias("n_new")
     )
@@ -2169,6 +2185,12 @@ def window_drift_scores(
         )
         .join(wins, "win")
     )
+
+    if truncate:
+        # the pooled spine `j` feeds four branches (KS cumulative, W1,
+        # PSI bands twice via nb); same bound as cnt — truncating it
+        # keeps every stat branch a one-join plan over two small leaves
+        j = ckpt(j, "window_drift/spine")
 
     w = Window.partitionBy("win").orderBy("x").rowsBetween(
         Window.unboundedPreceding, 0

@@ -466,20 +466,29 @@ def minhash_candidate_pairs(
     oracle row unchanged; the sf10 decade probe prices the uncapped
     form (docs/PLANS.md r13 split-leakage attribution)."""
     keys = ["band_id", "band_sig"]
-    # r13 optimization (guide §2.4 "two operations keyed the same way
-    # share one exchange"): hash-repartition the signature table on
-    # the bucket key ONCE, so both self-join sides reference the SAME
-    # exchange and the banding pipeline (the md5-per-shingle work)
-    # executes once. Without it the local planner broadcasts one side
-    # pre-exchange and re-computes the banding for each side (measured
-    # 2.46 s -> 1.89 s at sf0.1); at cluster scale the join's
-    # EnsureRequirements exchanges would be added here anyway, so this
-    # costs nothing and pins the reuse. Pair set unchanged.
-    sigs = signatures.repartition(*keys)
+    # r14 (VERDICT r13 Next #1): the r13 pinned
+    # ``repartition(band_id, band_sig)`` emitted REPARTITION_BY_COL
+    # exchanges, which AQE's OptimizeSkewedJoin will NOT split — the
+    # one join in the engine with a known hot-key mode (a boilerplate
+    # band bucket) lost its runtime skew backstop, and the driver's
+    # 32-core run measured it slower (1.36 -> 1.77 s) while 8-core and
+    # builder hosts disagreed. Replaced with a ``shuffle_merge`` hint
+    # on the self-join (below): EnsureRequirements inserts
+    # ENSURE_REQUIREMENTS exchanges on both sides — canonically
+    # identical, so the shuffle (and the banding above it) materializes
+    # once and the second side reads it as a reused stage — and the
+    # sort-merge join stays AQE-skew-splittable. The hint only forbids
+    # the broadcast the local planner would pick for a small side
+    # (which re-computed the banding per side AND put every hot-bucket
+    # probe row through one task's hash lookup with no split).
+    # Interleaved A/B at sf0.1 (tools/minhash_ab.py): pin 1.135 /
+    # bare-broadcast 1.083 / merge 0.945 s best-of-7; pair sets
+    # identical (exceptAll both ways = 0).
+    sigs = signatures
     if max_bucket_size is not None:
         cap = int(max_bucket_size)
-        # hot-list and re-attach both build from the repartitioned
-        # table so they ride the same shared exchange
+        # hot-list aggregate is tiny by construction (<= n/cap rows);
+        # its re-attach join is left un-hinted so AQE broadcasts it
         hot = (
             sigs.groupBy("band_id", "band_sig")
             .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -516,7 +525,9 @@ def minhash_candidate_pairs(
         + [f"{c}_b" for c in carry_cols]
     )
     a = sigs.select(F.col("doc_id").alias("doc_a"), *ca, *keys)
-    b = sigs.select(F.col("doc_id").alias("doc_b"), *cb, *keys)
+    b = sigs.select(F.col("doc_id").alias("doc_b"), *cb, *keys).hint(
+        "shuffle_merge"
+    )
     return (
         a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -2477,6 +2488,7 @@ def token_pagerank(
     text_col: str = "text",
     iters: int = 3,
     damping: float = 0.85,
+    truncate: bool = False,
 ) -> DataFrame:
     """PageRank over the token co-occurrence graph (Page et al. '99;
     Mihalcea & Tarau's TextRank applies exactly this to keyword
@@ -2495,9 +2507,23 @@ def token_pagerank(
     bigram) leak their mass — the simple non-stochastic variant; fine
     for a RANKING signal, documented so the oracle replays it exactly.
 
+    ``truncate=True`` (r14 optimization, guide §3.3/§5 "materialise an
+    intermediate to truncate the plan" — the r13
+    ``connected_components_bounded`` device): localCheckpoints the
+    static graph tables (edge list, node list, out-degrees) ONCE, so
+    the unrolled rounds re-embed three small leaves instead of the
+    whole scan → tokenize → explode → distinct pipeline per round per
+    reference (the lazy plan carried 50 Exchange nodes / 22 parquet
+    scans at iters=3). EAGER when set — building the returned frame
+    runs the three materialization jobs; results are bit-identical
+    (same rounds, same rq6 algebra). The propagation rounds stay lazy
+    (per-round label checkpoints cost more than they save — the r13
+    cc-grid measurement).
+
     Returns ``(token, pr)`` for all nodes; order with TakeOrdered
     downstream.
     """
+    from mhw3d_detection_spark.plans.audit_hook import ckpt
     from mhw3d_detection_spark.queries.base import rq
 
     toks = tokens_col(F.col(text_col))
@@ -2514,12 +2540,22 @@ def token_pagerank(
         .select(F.col("z.0").alias("src"), F.col("z.1").alias("dst"))
         .distinct()
     )
+    if truncate:
+        edges = ckpt(edges, "pagerank/edges")
     nodes = (
         edges.select(F.col("src").alias("token"))
         .union(edges.select(F.col("dst").alias("token")))
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if truncate:
+        # nodes and outdeg are each re-embedded once per round (the
+        # left-join spine and the contribution join); both are
+        # vocabulary-sized — cheap to materialize, and truncating them
+        # keeps every round's plan a three-leaf join instead of
+        # re-deriving union+distinct / groupBy from the edge leaf
+        nodes = ckpt(nodes, "pagerank/nodes")
+        outdeg = ckpt(outdeg, "pagerank/outdeg")
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "token", (F.lit(1.0) / F.col("__n")).alias("pr")

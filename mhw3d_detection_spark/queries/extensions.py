@@ -3369,7 +3369,7 @@ def q_token_pagerank(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        token_pagerank(docs, iters=3, damping=0.85)
+        token_pagerank(docs, iters=3, damping=0.85, truncate=True)
         .orderBy(F.desc("pr"), "token")
         .limit(50)
     )
@@ -7676,6 +7676,7 @@ def q_window_drift(spark, sf_dir):
         window_days=7,
         rq_digits=0,
         psi_band=50,
+        truncate=True,
     )
 
 

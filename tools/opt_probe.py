@@ -55,7 +55,7 @@ def main() -> None:
     spark = get_spark("opt_probe")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("OPT_PROBE_DIR", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
