@@ -5130,20 +5130,26 @@ def q_boilerplate_frac(spark, sf_dir):
     from mhw3d_detection_spark.operators.textops import distinct_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    # r13 optimization (guide §2.4): within-doc dedup is row-local
-    # (array_distinct — no (doc_id, shingle) exchange) and the corpus
-    # document-frequency rides ONE window over the shingle partition
-    # instead of a groupBy + join back (which shuffled the shingle
-    # table twice more). 4 exchanges + 2 scans -> 2 exchanges + 1 scan;
-    # df = count over the shingle partition of the distinct table is
-    # the same integer the groupBy computed.
+    # r14 (VERDICT r13 "What's wrong" #2, guide §2.5): the r13
+    # count-over-window(shingle) form put EVERY row of a hot shingle —
+    # and boilerplate shingles are by definition the hottest keys in
+    # the corpus — into one task's window buffer with no partial
+    # aggregation and no AQE escape (skew split only applies to
+    # joins). df now comes from a groupBy (map-side partial counts:
+    # the shuffle carries one (shingle, partial) row per task, not the
+    # exploded table) and is re-attached with an un-hinted equi-join:
+    # AQE broadcasts the dim-sized df table at runtime (no shuffle of
+    # the shingle table at all), and where the vocabulary outgrows the
+    # broadcast threshold the fallback sort-merge join is
+    # ENSURE_REQUIREMENTS-exchanged, i.e. AQE-skew-splittable — the
+    # escape hatch the window could never have. Costs one extra
+    # tokenize pass of the corpus (the df subtree re-scans documents);
+    # same integer df, oracle hash unchanged.
     shd = distinct_shingles(docs)
-    j = shd.select(
-        "doc_id",
-        (
-            F.count(F.lit(1)).over(Window.partitionBy("shingle")) >= 3
-        ).cast("int").alias("b"),
+    dfc = shd.groupBy("shingle").agg(
+        (F.count(F.lit(1)) >= 3).cast("int").alias("b")
     )
+    j = shd.join(dfc, "shingle").select("doc_id", "b")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
         F.sum("b").cast("long").alias("n_boiler"),

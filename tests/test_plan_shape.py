@@ -711,3 +711,85 @@ def test_flagged_chain_single_scan(spark, sf_dir):
     plan = _executed(runs)
     assert plan.count("Scan parquet") == 1, plan
     assert _count_exchanges(plan) <= 2, plan
+
+
+def test_minhash_bucket_join_skew_splittable(spark, sf_dir):
+    # r14 (VERDICT r13 Next #1): the LSH bucket self-join must stay
+    # AQE-skew-splittable — a sort-merge join over EnsureRequirements
+    # exchanges, never a broadcast (which recomputes the banding per
+    # side and funnels every hot-bucket probe through one task) and
+    # never a user REPARTITION_BY_COL pin (which OptimizeSkewedJoin
+    # refuses to split).
+    from mhw3d_detection_spark.operators.textops import (
+        minhash_bands_rowlocal,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands_rowlocal(docs, n_hashes=8, band_size=2)
+    )
+    plan = _executed(pairs)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "REPARTITION_BY_COL" not in plan, plan
+
+
+def test_boilerplate_df_partial_agg_no_window(spark, sf_dir):
+    # r14 (VERDICT r13 "What's wrong" #2): the shingle document
+    # frequency comes from a groupBy — map-side partial counts, so a
+    # hot boilerplate shingle never rides one window task's unbounded
+    # buffer — re-attached by an equi-join AQE can broadcast or
+    # skew-split. The plan must carry a partial/final count pair and
+    # no Window node.
+    from mhw3d_detection_spark.queries.base import REGISTRY
+
+    df = REGISTRY["q_boilerplate_frac"].spark_fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_pagerank_truncate_collapses_lineage(spark, sf_dir):
+    # r14: token_pagerank(truncate=True) localCheckpoints the static
+    # graph tables so the unrolled rounds never re-embed the corpus
+    # scan — the readout plan has ZERO parquet scans (three ExistingRDD
+    # leaves instead); rows are bit-identical to the lazy form.
+    from mhw3d_detection_spark.operators.textops import token_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    lazy = token_pagerank(docs, iters=2)
+    trunc = token_pagerank(docs, iters=2, truncate=True)
+    plan = _executed(trunc)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    got = sorted((r.token, r.pr) for r in trunc.collect())
+    want = sorted((r.token, r.pr) for r in lazy.collect())
+    assert got == want
+
+
+def test_window_drift_truncate_identical(spark, sf_dir):
+    # r14: window_drift_scores(truncate=True) materializes the bounded
+    # (window x domain) count table + pooled spine once; the stat
+    # branches read the scars (no parquet scans) and every statistic is
+    # bit-identical to the lazy form.
+    from mhw3d_detection_spark.operators.analysis import (
+        drift_ref_hist,
+        window_drift_scores,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    ref = drift_ref_hist(
+        ev.filter(F.col("user_id") % 5 == 4), "value", rq_digits=0
+    )
+    kw = dict(time_col="ts", window_days=7, rq_digits=0, psi_band=50)
+    live = ev.filter(F.col("user_id") % 5 != 4)
+    lazy = window_drift_scores(live, ref, "value", **kw)
+    trunc = window_drift_scores(live, ref, "value", truncate=True, **kw)
+    plan = _executed(trunc)
+    assert "Scan parquet" not in plan, plan
+    got = sorted(tuple(r) for r in trunc.collect())
+    want = sorted(tuple(r) for r in lazy.collect())
+    assert got == want
